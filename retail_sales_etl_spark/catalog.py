@@ -1,0 +1,71 @@
+"""Table catalog: load the testdata star schema as DataFrames.
+
+One place that knows where tables live and how to read them, so every
+operator/plan receives DataFrames and Catalyst sees the full plan
+(scan -> filter -> join -> agg) for pushdown and pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be on the broadcast side of
+# a join against a fact table.
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table (schema comes from parquet footer).
+
+    The events table is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read it as nanos-since-epoch longs and
+    convert to a microsecond timestamp (truncation, matching DuckDB's
+    ns->us cast semantics).
+    """
+    if name not in TABLES:
+        raise ValueError(f"Unknown table: {name}")
+    # The engine's time semantics are UTC everywhere; pin it even when
+    # the caller (e.g. the verify driver) built a vanilla session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() access."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

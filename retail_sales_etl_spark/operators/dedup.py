@@ -1,0 +1,327 @@
+"""Deduplication operators for the documents/embeddings corpora.
+
+The large-scale-training-data dedup toolbox, each as a declarative
+Spark plan with a DuckDB oracle twin:
+
+- exact:          md5 canonicalization, one hash-partition pass
+- ngram_jaccard:  3-word shingles -> inverted-index self-join -> exact
+                  Jaccard (candidate generation is index-based, never
+                  all-pairs; the join key is the shingle, so shuffle
+                  volume tracks corpus token count, not n^2)
+- minhash_lsh:    k independent minhashes per doc; a minhash here is
+                  min(md5(seed || shingle)) — a string-min over a keyed
+                  cryptographic permutation, portable across engines —
+                  banded into LSH keys; candidates share >=1 band bucket
+- simhash:        64-bit simhash from md5 nibble bits, majority-voted
+                  over token occurrences, emitted as a bitstring plus a
+                  16-bit band prefix for blocked hamming search
+- embedding:      near-dup pairs by cosine >= tau, blocked by label
+                  (cluster id) so the pair space is per-block, not global
+
+At 100 TB: every stage is explode -> hash-shuffle -> agg; no driver-side
+loops, no UDFs; AQE splits skewed shingle/bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_MINHASH = 8
+BAND_SIZE = 2  # 4 bands of 2 minhashes each
+JACCARD_THRESHOLD = 0.05
+COSINE_THRESHOLD = 0.3
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (map-side explode)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("w") - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(gram)).alias("shingle"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical texts by md5, keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", h.alias("text_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    ns = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
+    pairs = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = ns.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = ns.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature: mh_s = min(md5(s || '|' || shingle))."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 minhash band bucket."""
+    sig = _minhash_signatures(load_table(spark, sf_dir, "documents"))
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("a_id"), "band_idx", "band_key"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _simhash_bit_sql(k: int, bit: int) -> str:
+    """SQL for bit ``bit`` (MSB-first) of md5 nibble ``k`` of a word hash.
+
+    Shared between Spark (F.expr) and DuckDB — only common SQL surface:
+    md5, substring, instr, floor, CAST, %.
+    """
+    p = 2 ** (3 - bit)
+    nib = f"(instr('0123456789abcdef', substring(md5(w), {k + 1}, 1)) - 1)"
+    return f"(CAST(floor({nib} / {p}) AS INTEGER) % 2)"
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash per doc: majority vote over token md5 bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vote_aggs = [
+        F.sum(F.expr(f"2 * {_simhash_bit_sql(j // 4, j % 4)} - 1")).alias(f"v{j}")
+        for j in range(64)
+    ]
+    votes = words.groupBy("doc_id").agg(*vote_aggs)
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(64)
+    ]
+    return votes.select(
+        "doc_id",
+        F.concat(*bits).alias("simhash"),
+        F.concat(*bits[:16]).alias("band_prefix"),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= tau within a label block."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = emb.withColumn("nrm", norm)
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "label",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(0, len(w) - 3)) AS i
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        )
+    )
+"""
+
+_MINHASH_SIG_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(2 * {_simhash_bit_sql(j // 4, j % 4)} - 1) AS v{j}" for j in range(64)
+    )
+    bits = [f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(64)]
+    all_bits = " || ".join(bits)
+    prefix = " || ".join(bits[:16])
+    return f"""
+        SELECT doc_id, {all_bits} AS simhash, {prefix} AS band_prefix
+        FROM (
+            SELECT doc_id, {votes}
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+            GROUP BY doc_id
+        )
+    """
+
+
+def _minhash_lsh_oracle() -> str:
+    n_bands = N_MINHASH // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ") AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH sig AS ({_MINHASH_SIG_SQL}),
+        bands AS ({band_rows})
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_key = b.band_key
+                    AND a.band_idx = b.band_idx
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT doc_id,
+               md5(text) AS text_hash,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        FROM documents
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, shared,
+               CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+        FROM pairs
+        JOIN ns na ON pairs.a_id = na.doc_id
+        JOIN ns nb ON pairs.b_id = nb.doc_id
+        WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": _MINHASH_SIG_SQL,
+    "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding": f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                    6) >= {COSINE_THRESHOLD}
+    """,
+}

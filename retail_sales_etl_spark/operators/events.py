@@ -1,0 +1,178 @@
+"""Event-stream operators (batch form) with DuckDB oracles.
+
+The events table is stream-shaped (ts, user_id, event_type, value,
+props-JSON). These operators are the batch expression of the streaming
+semantics in ``streaming/`` — same windows, same sessions — so the
+correctness gate covers both.
+
+Scale notes: windowed agg shuffles once on (bucket, type); sessionization
+shuffles once on user_id then runs window functions within partitions —
+the canonical Spark plan for gap-based sessions. Time bucketing uses an
+explicit floor(epoch/300) so Spark and DuckDB share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+SESSION_GAP_SEC = 1800
+WINDOW_SEC = 300
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / WINDOW_SEC) * WINDOW_SEC
+    )
+    return (
+        ev.groupBy(
+            F.date_format(bucket, _FMT_SPARK).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_flag = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
+            > SESSION_GAP_SEC,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run) + 1)
+    return (
+        with_flag.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), _FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), _FMT_SPARK).alias("session_end"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .alias("duration_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral rollup with JSON props extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+        .alias("total_value"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_day"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: users active on day d AND d+1."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    nxt = du.select(F.col("d").alias("d2"), F.col("user_id").alias("u2"))
+    return (
+        du.join(
+            nxt,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d2") == F.date_add(F.col("d"), 1)),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count(F.lit(1)).alias("retained_users"))
+    )
+
+
+QUERIES = {
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "events_user_stats": q_events_user_stats,
+    "events_retention": q_events_retention,
+}
+
+ORACLE = {
+    "events_windowed": f"""
+        SELECT strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / {WINDOW_SEC}) * {WINDOW_SEC} AS BIGINT)), '{_FMT_DUCK}') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                             > {SESSION_GAP_SEC}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) + 1 AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+               strftime(max(ts), '{_FMT_DUCK}') AS session_end,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    "events_user_stats": """
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+               count(DISTINCT event_type) AS n_event_types,
+               strftime(min(ts), '%Y-%m-%d') AS first_day,
+               strftime(max(ts), '%Y-%m-%d') AS last_day,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+        FROM events
+        GROUP BY user_id
+    """,
+    "events_retention": """
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+        SELECT a.d AS day, count(*) AS retained_users
+        FROM du a
+        JOIN du b ON a.user_id = b.user_id AND b.d = a.d + 1
+        GROUP BY a.d
+    """,
+}

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the payload as a binary
+column next to a typed metadata struct; keep filtering/routing on the
+metadata (JVM-side, prunable) and run decode/feature-extraction as
+Arrow-batched ``mapInPandas`` over repartitioned payload batches.
+
+The container has no codec libraries, so the decoders are STUBS with a
+deterministic fake implementation (documented below); the Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — is real and
+tested. Swap ``_decode_image_stub`` for a PIL/ffmpeg call in production.
+
+``multimodal_bytes`` (oracle-checked) exercises the JVM-side path:
+utf-8 payload encode, byte stats, checksum, synthesized metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature_checksum", LongType()),
+    ]
+)
+
+
+def to_media_table(docs: DataFrame) -> DataFrame:
+    """Documents -> media table: binary payload + typed metadata."""
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """STUB decoder. Real impl would be e.g. PIL.Image.open(BytesIO(...)).
+
+    Deterministic fake: derives (width, height, n_frames, checksum) from
+    the byte content so tests exercise real data flow through Arrow.
+    """
+    n = len(payload)
+    checksum = 0
+    for i, b in enumerate(payload[:256]):
+        checksum = (checksum * 131 + b + i) % (1 << 31)
+    return {
+        "width": (n % 64) + 1,
+        "height": (n % 48) + 1,
+        "n_frames": 1,
+        "feature_checksum": checksum,
+    }
+
+
+def extract_features(media: DataFrame, batch_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched decode/feature-extract over ``mapInPandas``.
+
+    ``batch_partitions`` controls payload batch sizing: at scale,
+    repartition so each Arrow batch fits executor memory (payloads are
+    the dominant bytes — do NOT let one partition hold 10k 4K frames).
+    """
+    if batch_partitions:
+        media = media.repartition(batch_partitions)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "n_bytes", pdf["n_bytes"].values)
+            out.insert(0, "mime_type", pdf["mime_type"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side byte stats over the binary payload column (oracle-checked)."""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "mime_type",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+        ((F.col("n_bytes") % 64) + 1).alias("synth_width"),
+        ((F.col("n_bytes") % 48) + 1).alias("synth_height"),
+    )
+
+
+QUERIES = {
+    "multimodal_bytes": q_multimodal_bytes,
+}
+
+ORACLE = {
+    "multimodal_bytes": """
+        SELECT doc_id,
+               'text/plain' AS mime_type,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5,
+               (octet_length(encode(text)) % 64) + 1 AS synth_width,
+               (octet_length(encode(text)) % 48) + 1 AS synth_height
+        FROM documents
+    """,
+}

@@ -1,0 +1,174 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- ``ann_topk``: exact brute-force cosine top-k against a query vector —
+  the correctness baseline. One scan, distributed TakeOrdered; no O(n^2).
+- ``ann_lsh_topk``: random-hyperplane LSH — the scale path. Hyperplane
+  weights are deterministic +-1 vectors derived from md5 in Python and
+  embedded as literals, so Spark and DuckDB share the exact planes. Each
+  vector lands in a signature bucket; search touches only the query's
+  bucket (at 100 TB: bucket-partitioned layout makes this a pruned scan).
+
+Vector math is JVM-side ``zip_with``/``aggregate`` (codegen'd, no Python
+row transfer); ``functions/vectors.py`` also ships an Arrow-batched
+Pandas-UDF kernel for wide-batch scoring where numpy BLAS wins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+
+def plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes from md5(plane|dim) — reproducible
+    everywhere with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double_array(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def _with_cosine(emb: DataFrame, query: DataFrame) -> DataFrame:
+    """Cross-join candidates with the (single-row, broadcast) query and
+    compute cosine rounded to 6 dp (engine-portable)."""
+    dot = _dot(F.col("v"), F.col("qv"))
+    na = F.sqrt(_dot(F.col("v"), F.col("v")))
+    nq = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    return emb.crossJoin(broadcast(query)).select(
+        "vec_id",
+        "label",
+        F.round(dot / (na * nq), 6).alias("cosine"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query vector (vec_id=0)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    scored = _with_cosine(emb, query).filter(F.col("vec_id") != QUERY_VEC_ID)
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _bucket_expr(vcol: str) -> F.Column:
+    """8-bit LSH signature: sign bit per hyperplane."""
+    bits = []
+    for plane in plane_weights():
+        wlit = F.array(*[F.lit(x) for x in plane])
+        bits.append(
+            F.when(_dot(F.col(vcol), wlit) > 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN: top-10 within the query's hyperplane-signature bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    emb = emb.withColumn("bucket", _bucket_expr("v"))
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        emb.crossJoin(broadcast(query))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+QUERIES = {
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+
+def _sql_array(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+
+
+def _lsh_bucket_sql(vexpr: str) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({vexpr}, {_sql_array(p)}) > 0 THEN '1' ELSE '0' END"
+        for p in plane_weights()
+    ]
+    return " || ".join(bits)
+
+
+_COSINE_SQL = (
+    "round(list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+ORACLE = {
+    "ann_topk": f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, label, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        FROM (
+            SELECT vec_id, label, {_COSINE_SQL} AS cosine
+            FROM emb, q
+            WHERE vec_id <> {QUERY_VEC_ID}
+            ORDER BY cosine DESC, vec_id
+            LIMIT {TOP_K}
+        )
+    """,
+    "ann_lsh_topk": f"""
+        WITH emb AS (
+            SELECT vec_id, label, v, {_lsh_bucket_sql('v')} AS bucket
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        ),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM emb WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id, label, bucket, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        FROM (
+            SELECT vec_id, label, bucket, {_COSINE_SQL} AS cosine
+            FROM emb, q
+            WHERE bucket = qbucket AND vec_id <> {QUERY_VEC_ID}
+            ORDER BY cosine DESC, vec_id
+            LIMIT {TOP_K}
+        )
+    """,
+}

@@ -1,0 +1,250 @@
+"""Text-analysis operators for the documents corpus, with DuckDB oracles.
+
+Training-data-pipeline text ops: language ID, quality scoring, token
+counting, fingerprinting, corpus stats. All pure Catalyst expressions
+(string built-ins; no Python in the hot path), so at 100 TB these are
+embarrassingly-parallel single scans with full codegen.
+
+Portability: every function used (length/replace/lower/md5/instr/
+regexp_extract_all/split) has byte-identical semantics in Spark and
+DuckDB for the ASCII patterns used here; occurrence counting uses the
+length-difference-after-replace identity rather than engine-specific
+count functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# marker tokens per language for the n-gram/stopword scoring heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "zh": ("de5", "le5", "shi4"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+STOPWORDS = ("the", "a", "of", "and")
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _count_occurrences(padded: F.Column, token: str) -> F.Column:
+    """# of non-overlapping ' token ' hits via the replace-length identity."""
+    needle = f" {token} "
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def _count_occurrences_sql(padded: str, token: str) -> str:
+    needle = f" {token} "
+    return (
+        f"(length({padded}) - length(replace({padded}, ' {token} ', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a deterministic priority argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(padded, tok) for tok in toks), F.lit(0.0)
+        ).alias(f"score_{lang}")
+        for lang, toks in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    pred = None
+    for lang in LANG_PRIORITY:
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"score_{lang}") for lang in LANG_PRIORITY],
+        pred.otherwise(F.lit("unknown")).alias("predicted_lang"),
+    ).withColumn("is_match", F.col("predicted_lang") == F.col("labeled_lang"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/word/stopword-ratio quality scoring + keep flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_chars = F.length(text)
+    n_words = n_chars - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    stop_cnt = sum(
+        (_count_occurrences(padded, tok) for tok in STOPWORDS), F.lit(0.0)
+    )
+    avg_word_len = (
+        F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / n_words
+    )
+    stop_ratio = stop_cnt / n_words
+    score = (
+        F.lit(0.5)
+        + F.lit(0.5) * (stop_ratio - F.lit(0.05))
+        - F.when(n_words < 20, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_cnt.alias("stopword_count"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.4).alias("is_kept"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+    n_ws = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    )
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        F.size(toks).alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.size(toks).cast("double") / F.size(F.array_distinct(toks)))
+        .alias("dup_token_ratio"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form + sorted-bag fingerprints (doc identity at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    sorted_bag = F.concat_ws(" ", F.array_sort(F.split(canonical, " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(canonical).alias("fingerprint"),
+        F.md5(sorted_bag).alias("sorted_fingerprint"),
+        F.length(canonical).alias("canonical_len"),
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats by (source, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+QUERIES = {
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "doc_stats": q_doc_stats,
+}
+
+
+def _langid_oracle() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    score_exprs = []
+    for lang, toks in LANG_MARKERS.items():
+        parts = " + ".join(_count_occurrences_sql(padded, t) for t in toks)
+        score_exprs.append(f"(0.0 + {parts}) AS score_{lang}")
+    branches = []
+    for lang in LANG_PRIORITY:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}"
+            for other in LANG_PRIORITY
+            if other != lang
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    scores = ", ".join(f"score_{lang}" for lang in LANG_PRIORITY)
+    return f"""
+        SELECT doc_id, labeled_lang, {scores},
+               {case} AS predicted_lang,
+               ({case}) = labeled_lang AS is_match
+        FROM (
+            SELECT doc_id, lang AS labeled_lang, {', '.join(score_exprs)}
+            FROM documents
+        )
+    """
+
+
+def _quality_oracle() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_count_occurrences_sql(padded, t) for t in STOPWORDS)
+    return f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len,
+               (0.0 + {stop}) AS stopword_count,
+               (0.0 + {stop}) / (length(text) - length(replace(text, ' ', '')) + 1)
+                 AS stopword_ratio,
+               0.5 + 0.5 * ((0.0 + {stop}) / (length(text) - length(replace(text, ' ', '')) + 1) - 0.05)
+                   - (CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) < 20
+                           THEN 0.25 ELSE 0.0 END) AS quality_score,
+               (0.5 + 0.5 * ((0.0 + {stop}) / (length(text) - length(replace(text, ' ', '')) + 1) - 0.05)
+                   - (CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) < 20
+                           THEN 0.25 ELSE 0.0 END)) >= 0.4 AS is_kept
+        FROM documents
+    """
+
+
+ORACLE = {
+    "text_langid": _langid_oracle(),
+    "text_quality": _quality_oracle(),
+    "text_tokens": f"""
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_regex_tokens,
+               len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS n_unique_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS DOUBLE)
+                 / len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS dup_token_ratio
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(canonical) AS fingerprint,
+               md5(array_to_string(list_sort(string_split(canonical, ' ')), ' ')) AS sorted_fingerprint,
+               length(canonical) AS canonical_len
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canonical
+            FROM documents
+        )
+    """,
+    "doc_stats": """
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+}

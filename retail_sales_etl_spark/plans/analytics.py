@@ -1,0 +1,337 @@
+"""Analytics query catalog over the star schema, with DuckDB oracles.
+
+These are the SQL analytics the reference's warehouse exists to serve
+(README "Enable SQL-based analytics"), expressed as declarative Spark
+plans: filters sit directly on the parquet scans (pushdown), dimension
+joins are broadcast (no fact shuffle), every aggregate is a map-side
+partial combine, and float sums go through per-row DECIMAL casts so the
+result is exact and independent of partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+
+# Per-row cast target for float aggregation: exact decimal sums.
+DEC = "decimal(25,6)"
+
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast(DEC)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup: flag/status pricing summary.
+
+    Single scan -> partial agg -> 6-group final agg; the shipdate filter
+    is pushed to the parquet reader.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e, d, t = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(e)).cast("double").alias("sum_base_price"),
+            F.sum(_dec(e * (F.lit(1.0) - d))).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(e * (F.lit(1.0) - d) * (F.lit(1.0) + t)))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(_dec(e)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec(d)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped join chain: fact -> orders -> customer -> nation -> region.
+
+    customer/nation/region broadcast; lineitem joins orders on the fact
+    key (the one unavoidable shuffle, AQE-coalesced).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(_dec(rev)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order revenue.
+
+    Distributed top-k: agg + orderBy + limit (TakeOrdered — no global
+    window shuffle); rank assigned on the 10 surviving rows only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    top = (
+        agg.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        "rank",
+    )
+
+
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed order activity."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_revenue"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        )
+    )
+
+
+def q_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment customer stats."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1)))
+        .alias("avg_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+
+
+def q_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped conditional-aggregate ratio: PROMO revenue share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    zero = F.lit(0).cast(DEC)
+    joined = li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS semi-join: orders with a returned line."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped HAVING agg: orders whose total quantity exceeds 250."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+    )
+    return big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
+def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full star join, revenue rollup by region x year.
+
+    lineitem joins orders on the fact key; every dimension side is
+    broadcast, so the fact table is scanned once and shuffled once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(_dec(rev)).cast("double").alias("revenue"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        )
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "monthly_orders": q_monthly_orders,
+    "segment_summary": q_segment_summary,
+    "part_type_share": q_part_type_share,
+    "order_priority_count": q_order_priority_count,
+    "high_value_orders": q_high_value_orders,
+    "star_flagship": q_star_flagship,
+}
+
+ORACLE = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name AS nation_name,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "top_customers": """
+        SELECT o_custkey AS customer_id,
+               c_name AS customer_name,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               n_orders,
+               CAST(row_number() OVER (ORDER BY rev_dec DESC, o_custkey) AS INTEGER) AS rank
+        FROM (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY rev_dec DESC, o_custkey
+        LIMIT 10
+    """,
+    "monthly_orders": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY 1
+    """,
+    "segment_summary": """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_acctbal,
+               min(c_acctbal) AS min_acctbal,
+               max(c_acctbal) AS max_acctbal
+        FROM customer
+        GROUP BY 1
+    """,
+    "part_type_share": """
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+                             ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+               100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+                             ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS promo_share_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority AS order_priority,
+               count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        GROUP BY 1
+    """,
+    "high_value_orders": """
+        SELECT o_orderkey AS order_id,
+               o_custkey AS customer_id,
+               o_totalprice AS total_price,
+               CAST(qty_dec AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(25,6))) AS qty_dec
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "star_flagship": """
+        SELECT r_name AS region_name,
+               year(o_orderdate) AS order_year,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty,
+               count(*) AS n_lineitems,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+}

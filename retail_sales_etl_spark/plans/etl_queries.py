@@ -1,0 +1,210 @@
+"""ETL-layer query catalog: T1 clean + T2 model queries with DuckDB oracles.
+
+Each entry re-expresses a reference capability (see SURVEY.md §1) against
+the testdata star schema. ``QUERIES[name]`` is the Spark implementation,
+``ORACLE[name]`` the ANSI-SQL twin DuckDB runs for the correctness gate.
+
+Float discipline (applies to the whole catalog):
+- per-row math stays in raw doubles (IEEE ops are bit-identical between
+  Spark and DuckDB when expressed identically);
+- anything aggregated is cast per-row to DECIMAL first so the sum is
+  exact and order-independent (1000-way parallel sum == serial sum);
+- window "keep first" rows use an explicit total order with NULLS FIRST
+  pinned on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import cleaning, modeling
+
+
+def q_clean_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 clean on customer (transform_data_cleaning.py:146 parity)."""
+    customer = load_table(spark, sf_dir, "customer")
+    cleaned = cleaning.run_cleaning(
+        customer,
+        primary_key=["c_custkey"],
+        defaults={"c_mktsegment": "UNKNOWN"},
+        dedupe_order=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    return cleaned.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def q_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 clean on orders: dedup + defaults + date normalization."""
+    orders = load_table(spark, sf_dir, "orders")
+    cleaned = cleaning.run_cleaning(
+        orders,
+        primary_key=["o_orderkey"],
+        defaults={"o_orderpriority": "UNKNOWN", "o_orderstatus": "U"},
+        dedupe_order=[
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    return cleaned.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+    )
+
+
+def q_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return modeling.build_customer_dim(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return modeling.build_part_dim(load_table(spark, sf_dir, "part"))
+
+
+def q_supplier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return modeling.build_supplier_dim(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return modeling.build_date_dim(load_table(spark, sf_dir, "orders"))
+
+
+def q_sales_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return modeling.build_sales_fact(load_table(spark, sf_dir, "lineitem"))
+
+
+QUERIES = {
+    "clean_customer": q_clean_customer,
+    "clean_orders": q_clean_orders,
+    "customer_dim": q_customer_dim,
+    "part_dim": q_part_dim,
+    "supplier_dim": q_supplier_dim,
+    "date_dim": q_date_dim,
+    "sales_fact": q_sales_fact,
+}
+
+ORACLE = {
+    "clean_customer": """
+        SELECT c_custkey, c_name, c_nationkey,
+               coalesce(c_acctbal, 0.0) AS c_acctbal,
+               coalesce(c_mktsegment, 'UNKNOWN') AS c_mktsegment
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey
+                ORDER BY c_name NULLS FIRST, c_nationkey NULLS FIRST,
+                         c_acctbal NULLS FIRST, c_mktsegment NULLS FIRST
+            ) AS rn
+            FROM customer
+            WHERE c_custkey IS NOT NULL
+        )
+        WHERE rn = 1
+    """,
+    "clean_orders": """
+        SELECT o_orderkey, o_custkey,
+               coalesce(o_orderstatus, 'U') AS o_orderstatus,
+               o_totalprice,
+               CAST(o_orderdate AS DATE) AS order_date,
+               coalesce(o_orderpriority, 'UNKNOWN') AS o_orderpriority
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY o_custkey NULLS FIRST, o_orderstatus NULLS FIRST,
+                         o_totalprice NULLS FIRST, o_orderdate NULLS FIRST,
+                         o_orderpriority NULLS FIRST
+            ) AS rn
+            FROM orders
+            WHERE o_orderkey IS NOT NULL
+        )
+        WHERE rn = 1
+    """,
+    "customer_dim": """
+        SELECT c_custkey AS customer_id,
+               c_name AS customer_name,
+               split_part(c_name, '#', 2) AS customer_num,
+               upper(c_mktsegment) AS segment_normalized,
+               c_acctbal AS acctbal,
+               CASE WHEN c_acctbal <= 1000.0 THEN 'LOW'
+                    WHEN c_acctbal <= 5000.0 THEN 'MEDIUM'
+                    ELSE 'HIGH' END AS acctbal_band,
+               c_acctbal > 5000.0 AS is_premium_customer,
+               n_name AS nation_name,
+               r_name AS region_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "part_dim": """
+        SELECT p_partkey AS part_id,
+               p_name AS part_name,
+               p_brand AS brand,
+               upper(p_type) AS type_normalized,
+               p_size AS part_size,
+               p_retailprice AS retail_price,
+               CASE WHEN p_retailprice <= 500.0 THEN 'LOW'
+                    WHEN p_retailprice <= 2000.0 THEN 'MEDIUM'
+                    ELSE 'HIGH' END AS price_band,
+               p_retailprice > 2000.0 AS is_premium_product
+        FROM part
+    """,
+    "supplier_dim": """
+        SELECT s_suppkey AS supplier_id,
+               s_name AS supplier_name,
+               s_acctbal AS acctbal,
+               upper(n_name) AS nation_normalized,
+               r_name AS supplier_region,
+               r_name IN ('ASIA', 'EUROPE') AS is_metro_region
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "date_dim": """
+        SELECT CAST(d AS DATE) AS date,
+               year(d) AS year,
+               month(d) AS month,
+               strftime(d, '%Y-%m') AS year_month,
+               isodow(d) - 1 AS day_of_week,
+               (isodow(d) - 1) IN (5, 6) AS is_weekend,
+               quarter(d) AS quarter
+        FROM (
+            SELECT unnest(generate_series(
+                (SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+                (SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+                INTERVAL 1 DAY)) AS d
+        )
+    """,
+    "sales_fact": """
+        SELECT l_orderkey AS order_id,
+               l_linenumber AS line_number,
+               l_partkey AS part_id,
+               l_suppkey AS supplier_id,
+               l_quantity AS quantity,
+               l_extendedprice AS gross_amount,
+               l_extendedprice * l_discount AS discount_amount,
+               l_extendedprice - l_extendedprice * l_discount AS net_amount,
+               (l_extendedprice - l_extendedprice * l_discount) * l_tax AS tax_amount,
+               l_discount > 0.0 AS is_discounted,
+               year(l_shipdate) AS order_year,
+               strftime(l_shipdate, '%Y-%m') AS order_month
+        FROM lineitem
+    """,
+}

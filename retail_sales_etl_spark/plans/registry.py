@@ -1,0 +1,39 @@
+"""Central query registry: merges every module's QUERIES/ORACLE catalog.
+
+``__spark_entry__.py`` (the driver contract) delegates here. Every
+operator claimed in SURVEY.md §2 must appear in ``all_queries()``; the
+SQL-expressible ones must also appear in ``all_oracles()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _modules():
+    from ..operators import dedup, events, multimodal, similarity, text
+    from . import analytics, etl_queries
+
+    return (etl_queries, analytics, events, text, dedup, similarity, multimodal)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            if name in out:
+                raise ValueError(f"Duplicate query name: {name}")
+            out[name] = fn
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        for name, sql in getattr(mod, "ORACLE", {}).items():
+            if name in out:
+                raise ValueError(f"Duplicate oracle name: {name}")
+            out[name] = sql
+    return out
