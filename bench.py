@@ -1,0 +1,85 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is materialized with the
+noop sink (full execution, no driver-side collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from retail_sales_etl_spark.plans import registry  # noqa: E402
+from retail_sales_etl_spark.session import get_spark  # noqa: E402
+
+# Representative slice of the catalog: star joins, wide aggs, windows,
+# sessions, dedup/LSH, text, vectors.
+HEADLINE = [
+    "star_flagship",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "high_value_orders",
+    "sales_fact",
+    "events_windowed",
+    "events_sessionize",
+    "events_user_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "ann_topk",
+    "multimodal_bytes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="retail-sales-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    # Warm up JVM/codegen/scan paths so timings measure the engine,
+    # not first-query JIT.
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    queries["star_flagship"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
