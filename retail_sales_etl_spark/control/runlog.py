@@ -1,0 +1,192 @@
+"""Control plane: run/stage logging + pipeline metadata registry.
+
+Spark-first re-expression of the reference control DB
+(/root/reference/sql/create_control_tables.sql and
+utils/log_table_helpers.py): ``etl_run_log`` (one row per run),
+``etl_stage_log`` (one row per stage: status, rows in/out, timings),
+plus pipeline/table metadata.
+
+The reference uses SQLite tables; here the logs are append-only
+newline-JSON under a control directory — the write pattern (append one
+tiny record per stage) is driver-side metadata, not data-plane work, so
+it must NOT spin up Spark jobs. Logs are trivially queryable back
+through Spark (``spark.read.json(control_dir)``) for observability
+dashboards, which is exactly what the reference's control DB is for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+RUN_LOG = "etl_run_log"
+STAGE_LOG = "etl_stage_log"
+PIPELINE_MD = "pipeline_md"
+TABLE_MD = "table_md"
+
+
+def _utc_now() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+def new_run_id() -> str:
+    return str(uuid.uuid4())
+
+
+class ControlLog:
+    """Append-only run/stage log + metadata registry on a directory."""
+
+    def __init__(self, control_dir: str):
+        self.control_dir = control_dir
+        os.makedirs(control_dir, exist_ok=True)
+
+    def _append(self, table: str, record: dict[str, Any]) -> None:
+        path = os.path.join(self.control_dir, f"{table}.jsonl")
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record, default=str) + "\n")
+
+    def _read(self, table: str) -> list[dict[str, Any]]:
+        path = os.path.join(self.control_dir, f"{table}.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # -- run log (reference log_table_helpers.insert_run/update_run_status)
+    def insert_run(self, run_id: str, pipeline_name: str, status: str) -> dict:
+        record = {
+            "run_id": run_id,
+            "pipeline_name": pipeline_name,
+            "source_name": pipeline_name,
+            "status": status,
+            "start_time": _utc_now(),
+            "end_time": None,
+            "error_message": None,
+            "created_at": _utc_now(),
+        }
+        self._append(RUN_LOG, record)
+        return record
+
+    def update_run(self, run: dict, status: str, error_message: str | None) -> dict:
+        record = {
+            **run,
+            "status": status,
+            "end_time": _utc_now(),
+            "error_message": error_message,
+            "updated_at": _utc_now(),
+        }
+        self._append(RUN_LOG, record)
+        return record
+
+    # -- stage log (reference log_table_helpers.insert_stage/update_stage)
+    def insert_stage(
+        self, run_id: str, stage_name: str, status: str, rows_in: int | None
+    ) -> dict:
+        record = {
+            "run_id": run_id,
+            "stage_name": stage_name,
+            "status": status,
+            "rows_in": rows_in,
+            "rows_out": None,
+            "start_time": _utc_now(),
+            "end_time": None,
+            "error_message": None,
+        }
+        self._append(STAGE_LOG, record)
+        return record
+
+    def update_stage(
+        self,
+        stage: dict,
+        status: str,
+        rows_in: int | None,
+        rows_out: int | None,
+        error_message: str | None,
+    ) -> dict:
+        record = {
+            **stage,
+            "status": status,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "end_time": _utc_now(),
+            "error_message": error_message,
+        }
+        self._append(STAGE_LOG, record)
+        return record
+
+    # -- metadata registry (reference metadata_table_helpers / bootstrap)
+    def register_pipeline(
+        self,
+        pipeline_name: str,
+        source_name: str,
+        load_strategy: str = "full",
+        schedule: str = "manual",
+    ) -> None:
+        self._append(
+            PIPELINE_MD,
+            {
+                "pipeline_name": pipeline_name,
+                "source_name": source_name,
+                "load_strategy": load_strategy,
+                "schedule": schedule,
+                "is_active": True,
+                "created_at": _utc_now(),
+            },
+        )
+
+    def register_table(
+        self,
+        table_name: str,
+        source_name: str,
+        grain: str,
+        primary_key: list[str],
+        load_strategy: str = "full",
+        watermark_column: str | None = None,
+    ) -> None:
+        self._append(
+            TABLE_MD,
+            {
+                "table_name": table_name,
+                "layer": "load",
+                "source_name": source_name,
+                "grain": grain,
+                "primary_key": ",".join(primary_key),
+                "load_strategy": load_strategy,
+                "watermark_column": watermark_column,
+                "last_loaded_value": None,
+                "row_count": 0,
+                "is_active": True,
+                "created_at": _utc_now(),
+                "updated_at": _utc_now(),
+            },
+        )
+
+    def update_watermark(self, table_name: str, value: str, row_count: int) -> None:
+        """Advance a table's incremental-load watermark after a load."""
+        self._append(
+            TABLE_MD,
+            {
+                "table_name": table_name,
+                "last_loaded_value": value,
+                "row_count": row_count,
+                "updated_at": _utc_now(),
+            },
+        )
+
+    # -- queries
+    def runs(self) -> list[dict]:
+        return self._read(RUN_LOG)
+
+    def stages(self, run_id: str | None = None) -> list[dict]:
+        rows = self._read(STAGE_LOG)
+        return [r for r in rows if run_id is None or r["run_id"] == run_id]
+
+    def latest_watermark(self, table_name: str) -> str | None:
+        latest = None
+        for r in self._read(TABLE_MD):
+            if r.get("table_name") == table_name and r.get("last_loaded_value"):
+                latest = r["last_loaded_value"]
+        return latest

@@ -1,0 +1,91 @@
+"""Load layer: idempotent warehouse sinks + post-load validation.
+
+Spark-first re-expression of the reference load layer
+(/root/reference/etl/load.py:103). The reference does DELETE+INSERT
+into SQLite; the Spark-native equivalent of an idempotent full reload
+is ``mode("overwrite")`` into a parquet table directory — atomic at the
+table level, rerunnable, and massively parallel.
+
+Partitioned writes are first-class because at 100 TB the partition
+layout IS the read-path index: facts partitioned by a date-derived
+column get partition pruning for every time-bounded query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Idempotent table write (full-reload semantics, reference load.py:44).
+
+    ``partition_by`` columns become directory partitions (Hive layout);
+    keep their cardinality moderate (a date or region, never a key).
+    """
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def validate_loaded(
+    spark: SparkSession,
+    path: str,
+    primary_key: Sequence[str],
+    expected_row_count: int | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Post-load integrity validation (reference load.py:144).
+
+    Re-reads the persisted table (validating what was actually written,
+    not the in-memory plan) and checks: row count reconciliation, PK
+    non-null, PK uniqueness — all in one distributed aggregate.
+    """
+    df = spark.read.format(fmt).load(path)
+
+    null_cond = None
+    for pk in primary_key:
+        c = F.col(pk).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(null_cond, 1).otherwise(0)).alias("null_pk"),
+        F.count_distinct(*[F.col(pk) for pk in primary_key]).alias("distinct_pk"),
+    ).first()
+
+    if expected_row_count is not None and stats["n"] != expected_row_count:
+        raise ValueError(
+            f"Row count mismatch after LOAD for {path}: "
+            f"{expected_row_count} -> {stats['n']}"
+        )
+    if stats["null_pk"] and stats["null_pk"] > 0:
+        raise ValueError(
+            f"NULL values found in primary key {list(primary_key)} after LOAD"
+        )
+    if stats["n"] and stats["distinct_pk"] != stats["n"]:
+        raise ValueError(f"Duplicate primary keys detected after LOAD for {path}")
+
+    return {"row_count": stats["n"], "distinct_pk": stats["distinct_pk"]}
+
+
+def run_load(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    primary_key: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Full Load phase: count -> write -> re-read -> validate."""
+    expected = df.count()
+    write_table(df, path, partition_by=partition_by)
+    return validate_loaded(spark, path, primary_key, expected_row_count=expected)

