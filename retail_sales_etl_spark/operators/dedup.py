@@ -146,26 +146,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bit_sql(k: int, bit: int) -> str:
-    """SQL for bit ``bit`` (MSB-first) of md5 nibble ``k`` of a word hash.
+def _nib_sql(k: int) -> str:
+    """Value 0..15 of hex digit ``k`` of a precomputed hash column ``h``.
 
     Shared between Spark (F.expr) and DuckDB — only common SQL surface:
-    md5, substring, instr, floor, CAST, %.
+    substring, instr. The md5 itself is staged ONCE per word row (64
+    bit-votes reusing one hash; inlining md5 into every vote would cost
+    64 digests per token occurrence).
     """
-    p = 2 ** (3 - bit)
-    nib = f"(instr('0123456789abcdef', substring(md5(w), {k + 1}, 1)) - 1)"
-    return f"(CAST(floor({nib} / {p}) AS INTEGER) % 2)"
+    return f"(instr('0123456789abcdef', substring(h, {k + 1}, 1)) - 1)"
+
+
+def _vote_sql(j: int) -> str:
+    """+-1 vote for simhash bit j (MSB-first within each nibble)."""
+    p = 2 ** (3 - j % 4)
+    return f"2 * (CAST(floor(nib{j // 4} / {p}) AS INTEGER) % 2) - 1"
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash per doc: majority vote over token md5 bits."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vote_aggs = [
-        F.sum(F.expr(f"2 * {_simhash_bit_sql(j // 4, j % 4)} - 1")).alias(f"v{j}")
-        for j in range(64)
-    ]
-    votes = words.groupBy("doc_id").agg(*vote_aggs)
+    hashed = words.select("doc_id", F.md5("w").alias("h")).select(
+        "doc_id", *[F.expr(f"{_nib_sql(k)} AS nib{k}") for k in range(16)]
+    )
+    vote_aggs = [F.sum(F.expr(_vote_sql(j))).alias(f"v{j}") for j in range(64)]
+    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
     bits = [
         F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(64)
@@ -245,9 +251,8 @@ _MINHASH_SIG_SQL = "SELECT doc_id, " + ", ".join(
 
 
 def _simhash_oracle() -> str:
-    votes = ", ".join(
-        f"sum(2 * {_simhash_bit_sql(j // 4, j % 4)} - 1) AS v{j}" for j in range(64)
-    )
+    nibs = ", ".join(f"{_nib_sql(k)} AS nib{k}" for k in range(16))
+    votes = ", ".join(f"sum({_vote_sql(j)}) AS v{j}" for j in range(64))
     bits = [f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(64)]
     all_bits = " || ".join(bits)
     prefix = " || ".join(bits[:16])
@@ -256,8 +261,11 @@ def _simhash_oracle() -> str:
         FROM (
             SELECT doc_id, {votes}
             FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents
+                SELECT doc_id, {nibs}
+                FROM (
+                    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+                    FROM documents
+                )
             )
             GROUP BY doc_id
         )

@@ -1,0 +1,241 @@
+"""Advanced relational operators: as-of join, range join, rolling
+windows, grouping-set rollups, percentiles — with DuckDB oracles.
+
+These cover the operator classes a warehouse user reaches for beyond
+plain star aggregation, each expressed as the canonical scalable Spark
+plan:
+
+- as-of join: union-free running-max window inside the user partition
+  (one shuffle on user_id; no per-row point lookups)
+- range join: non-equi join against a tiny broadcast bands table
+  (nested-loop against a broadcast is the right physical plan when one
+  side is a handful of rows)
+- rolling window: range frame over integer day numbers, partitioned by
+  nation so no global single-partition window exists at scale
+- grouping sets: one pass emitting all rollup levels (Spark expands
+  grouping sets map-side; no N-pass re-aggregation)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+
+DEC = "decimal(25,6)"
+
+# (band_name, lo, hi) — hi exclusive; values used verbatim in both engines.
+QTY_BANDS = [
+    ("B1_SMALL", 0, 10),
+    ("B2_MID", 10, 25),
+    ("B3_LARGE", 25, 40),
+    ("B4_BULK", 40, 1_000_000),
+]
+
+
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it
+    (same user). Running conditional max inside the user partition —
+    the scalable as-of pattern (no self-join explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            ),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            ).alias("gap_sec"),
+        )
+    )
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: lineitem quantity against a bands dim.
+
+    The bands side is a literal handful of rows — broadcast nested-loop
+    is the correct physical join; output is a per-band rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(QTY_BANDS, ["band_name", "lo", "hi"])
+    joined = li.join(
+        broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("band_revenue"),
+    )
+
+
+def q_rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue per nation: range frame over day numbers.
+
+    Partitioned by nation (shuffle key), ordered by integer epoch-day —
+    a RANGE frame that stays correct across gaps in the date spine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("nation_name")
+        .orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "nation_name",
+        "day",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("rolling_7d_revenue"),
+    )
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup via grouping sets: (region, year), (region), () in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name"),
+            F.year("o_orderdate").alias("yr"),
+            rev.alias("rev_dec"),
+        )
+    )
+    rolled = base.rollup("r_name", "yr").agg(
+        F.sum("rev_dec").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+        F.coalesce(F.col("yr"), F.lit(-1)).alias("order_year"),
+        "revenue",
+        "n_lineitems",
+    )
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per order priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+QUERIES = {
+    "asof_click_before_purchase": q_asof_click_before_purchase,
+    "range_band_join": q_range_band_join,
+    "rolling_daily_revenue": q_rolling_daily_revenue,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
+    "order_value_percentiles": q_order_value_percentiles,
+}
+
+_BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QTY_BANDS)
+
+ORACLE = {
+    "asof_click_before_purchase": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS gap_sec
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_click_ts
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+    """,
+    "range_band_join": f"""
+        SELECT band_name,
+               count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS band_revenue
+        FROM lineitem
+        JOIN (VALUES {_BANDS_VALUES}) AS bands(band_name, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band_name
+    """,
+    "rolling_daily_revenue": """
+        WITH daily AS (
+            SELECT n_name AS nation_name,
+                   CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation_name, day,
+               CAST(rev_dec AS DOUBLE) AS daily_revenue,
+               CAST(sum(rev_dec) OVER (
+                   PARTITION BY nation_name
+                   ORDER BY datediff('day', DATE '1970-01-01', day)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_7d_revenue
+        FROM daily
+    """,
+    "revenue_grouping_sets": """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(yr, -1) AS order_year,
+               CAST(sum(rev_dec) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM (
+            SELECT r_name,
+                   year(o_orderdate) AS yr,
+                   CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)) AS rev_dec
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        )
+        GROUP BY ROLLUP (r_name, yr)
+    """,
+    "order_value_percentiles": """
+        SELECT o_orderpriority AS order_priority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    """,
+}

@@ -14,9 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..operators import dedup, events, multimodal, similarity, text
-    from . import analytics, etl_queries
+    from . import advanced, analytics, etl_queries
 
-    return (etl_queries, analytics, events, text, dedup, similarity, multimodal)
+    return (
+        etl_queries,
+        analytics,
+        advanced,
+        events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
