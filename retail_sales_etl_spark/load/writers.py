@@ -37,6 +37,27 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table: pre-shuffled layout for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — at 100 TB this converts the fact-fact join's
+    dominant cost into a local merge. Requires saveAsTable (bucketing
+    metadata lives in the session catalog).
+    """
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+
+
 def validate_loaded(
     spark: SparkSession,
     path: str,
@@ -76,6 +97,32 @@ def validate_loaded(
         raise ValueError(f"Duplicate primary keys detected after LOAD for {path}")
 
     return {"row_count": stats["n"], "distinct_pk": stats["distinct_pk"]}
+
+
+def run_incremental_load(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    watermark_column: str,
+    control,
+    table_name: str,
+) -> dict:
+    """Incremental (watermark) load: append only rows newer than the
+    last loaded watermark, then advance it.
+
+    The reference's table_md carries load_strategy/watermark columns
+    for exactly this (create_control_tables.sql table_md); at scale an
+    append of the new slice replaces the full-reload rewrite. The
+    watermark filter is pushed to the source scan.
+    """
+    last = control.latest_watermark(table_name)
+    fresh = df if last is None else df.filter(F.col(watermark_column) > F.lit(last))
+    n_new = fresh.count()
+    if n_new > 0:
+        fresh.write.mode("append").format("parquet").save(path)
+        new_mark = fresh.agg(F.max(watermark_column)).first()[0]
+        control.update_watermark(table_name, str(new_mark), n_new)
+    return {"rows_appended": n_new, "watermark": control.latest_watermark(table_name)}
 
 
 def run_load(

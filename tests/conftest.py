@@ -21,7 +21,10 @@ def spark():
         app_name="retail-sales-etl-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests",
+        },
     )
     yield s
     s.stop()

@@ -1,0 +1,92 @@
+"""Scale utilities: skew salting (result-equality), bucketed tables,
+incremental watermark loads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_etl_spark.control.runlog import ControlLog
+from retail_sales_etl_spark.load import writers
+from retail_sales_etl_spark.operators import joins
+
+
+def _skewed_frames(spark):
+    # 90% of the large side lands on key 1 (the hot key)
+    large = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (20, "a"), (37, "b")], ["k", "label"]
+    )
+    return large, small
+
+
+def test_salted_join_equals_plain_join(spark):
+    large, small = _skewed_frames(spark)
+    plain = large.join(small, ["k"], "inner")
+    salted = joins.salted_join(large, small, ["k"], n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    large, small = _skewed_frames(spark)
+    plain = large.join(small, ["k"], "left")
+    salted = joins.salted_join(large, small, ["k"], n_salts=8, how="left")
+    assert plain.count() == salted.count() == large.count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right(spark):
+    large, small = _skewed_frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="does not support"):
+        joins.salted_join(large, small, ["k"], how="right")
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    large, _ = _skewed_frames(spark)
+    plain = large.groupBy("k").agg(
+        F.sum("payload").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    salted = joins.salted_agg(
+        large,
+        ["k"],
+        {"s": F.sum("payload"), "n": F.count(F.lit(1))},
+        n_salts=8,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_table_write(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    writers.write_bucketed_table(df, "bucketed_t", ["k"], 4, sort_by=["k"])
+    back = spark.table("bucketed_t")
+    assert back.count() == 100
+    spark.sql("DROP TABLE bucketed_t")
+
+
+def test_incremental_load_watermark(spark, tmp_path):
+    control = ControlLog(str(tmp_path / "control"))
+    path = str(tmp_path / "inc_table")
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], ["id", "d"]
+    )
+    r1 = writers.run_incremental_load(spark, batch1, path, "d", control, "t")
+    assert r1["rows_appended"] == 2 and r1["watermark"] == "2024-01-02"
+
+    # batch 2 overlaps batch 1: only the newer row lands
+    batch2 = spark.createDataFrame(
+        [(2, "2024-01-02"), (3, "2024-01-03")], ["id", "d"]
+    )
+    r2 = writers.run_incremental_load(spark, batch2, path, "d", control, "t")
+    assert r2["rows_appended"] == 1 and r2["watermark"] == "2024-01-03"
+    assert spark.read.parquet(path).count() == 3
+
+    # idempotent rerun of the same batch appends nothing
+    r3 = writers.run_incremental_load(spark, batch2, path, "d", control, "t")
+    assert r3["rows_appended"] == 0
+    assert spark.read.parquet(path).count() == 3

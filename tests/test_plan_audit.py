@@ -1,0 +1,73 @@
+"""Physical-plan audit: the scale posture is part of the contract.
+
+These tests pin the plan shapes that matter at 100 TB: filters reach
+the parquet scan, scans are column-pruned, dimension joins broadcast,
+and aggregates partial-combine before the exchange. A regression here
+is a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from retail_sales_etl_spark.operators.modeling import build_sales_fact
+from retail_sales_etl_spark.catalog import load_table
+from retail_sales_etl_spark.plans.analytics import (
+    q_pricing_summary,
+    q_revenue_by_nation,
+    q_star_flagship,
+)
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_star_flagship_broadcasts_all_dims(spark, sf_dir):
+    plan = _formatted_plan(q_star_flagship(spark, sf_dir))
+    # customer, nation, region broadcast (orders too at this scale)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # partial agg before the exchange
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _formatted_plan(q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_scan_is_column_pruned(spark, sf_dir):
+    plan = _formatted_plan(q_pricing_summary(spark, sf_dir))
+    # 7 of 11 lineitem columns are needed; the scan must not read keys
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_revenue_by_nation_pushes_date_filter(spark, sf_dir):
+    plan = _formatted_plan(q_revenue_by_nation(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_sales_fact_prunes_unused_columns(spark, sf_dir):
+    plan = _formatted_plan(build_sales_fact(load_table(spark, sf_dir, "lineitem")))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_linestatus" not in read_schema
+
+
+def test_whole_stage_codegen_and_aqe_active(spark, sf_dir):
+    df = q_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan at execution
+    final = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "isFinalPlan=true" in final
+    # '*(n)' marks whole-stage-codegen'd subtrees in the final plan
+    assert "*(" in final
+    # AQE coalesced the over-provisioned shuffle partitions at this SF
+    assert "AQEShuffleRead" in final
