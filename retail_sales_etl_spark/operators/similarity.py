@@ -118,9 +118,90 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def _centroids_long(emb: DataFrame) -> DataFrame:
+    """Per-label centroid in long form (label, dim_idx, centroid).
+
+    posexplode -> (label, dim) grouped mean with decimal-exact sums:
+    the IVF coarse-quantizer build as one shuffle on (label, dim).
+    """
+    exploded = emb.select(
+        "label", F.posexplode(F.col("v")).alias("dim_idx", "val")
+    )
+    return exploded.groupBy("label", "dim_idx").agg(
+        (F.sum(F.col("val").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("centroid")
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double_array("embedding").alias("v")
+    )
+    return _centroids_long(emb)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: route the query to its nearest centroid (coarse
+    quantizer), then exact top-k within that cluster only.
+
+    At scale the table is partitioned by cluster id, so the probe reads
+    1/n_clusters of the data; here clusters are the label column and
+    centroids are computed exactly (decimal means).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    cent_arr = (
+        _centroids_long(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    best = (
+        cent_arr.crossJoin(broadcast(query))
+        .select(
+            F.col("label").alias("best_label"),
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                6,
+            ).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("best_label"))
+        .limit(1)
+        .select("best_label")
+    )
+    candidates = emb.join(
+        broadcast(best), F.col("label") == F.col("best_label")
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+    scored = candidates.crossJoin(broadcast(query)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+            6,
+        ).alias("cosine"),
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_centroids": q_embedding_centroids,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -141,7 +222,41 @@ _COSINE_SQL = (
     "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
 )
 
+_CENTROIDS_SQL = """
+    SELECT label, i - 1 AS dim_idx,
+           CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS centroid
+    FROM (
+        SELECT label, v, unnest(generate_series(1, len(v))) AS i
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )
+    GROUP BY label, i
+"""
+
 ORACLE = {
+    "embedding_centroids": _CENTROIDS_SQL,
+    "ann_ivf_topk": f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS ({_CENTROIDS_SQL}),
+        carr AS (SELECT label, list(centroid ORDER BY dim_idx) AS cv FROM cent GROUP BY label),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}),
+        best AS (
+            SELECT label AS best_label
+            FROM carr, q
+            ORDER BY round(list_dot_product(cv, qv)
+                           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                     label
+            LIMIT 1
+        )
+        SELECT vec_id, label, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        FROM (
+            SELECT vec_id, label, {_COSINE_SQL} AS cosine
+            FROM emb, q, best
+            WHERE label = best_label AND vec_id <> {QUERY_VEC_ID}
+            ORDER BY cosine DESC, vec_id
+            LIMIT {TOP_K}
+        )
+    """,
     "ann_topk": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID})

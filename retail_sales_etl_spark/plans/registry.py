@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..operators import dedup, events, multimodal, similarity, text
+    from ..streaming import events as streaming_events
     from . import advanced, analytics, etl_queries
 
     return (
@@ -25,6 +26,7 @@ def _modules():
         dedup,
         similarity,
         multimodal,
+        streaming_events,
     )
 
 

@@ -165,6 +165,29 @@ def stateful_sessions(stream: DataFrame) -> DataFrame:
     )
 
 
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: replay the events table through the
+    Structured Streaming window pipeline and return the materialized
+    result. No SQL oracle (streaming execution path) — the batch twin
+    ``events_windowed`` is the oracle-checked equivalent; tests assert
+    the two agree.
+    """
+    import uuid
+
+    from ..catalog import table_path
+
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        windowed_counts(stream), name, spark, output_mode="complete"
+    )
+
+
+QUERIES = {
+    "streaming_windowed": q_streaming_windowed,
+}
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, spark: SparkSession, output_mode: str = "append"
 ) -> DataFrame:
