@@ -92,13 +92,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_expr_sql(j: int) -> str:
+    """Minhash j as a 32-bit slice of a seeded md5 of the shingle.
+
+    Eight independent digests per shingle would be 8x the hash cost;
+    slicing four 8-hex-char (32-bit) pieces out of each of two seeded
+    digests gives 8 effectively-independent uniform hashes for 2 md5
+    calls — the standard few-hashes/many-slices LSH trick.
+    """
+    seed, slice_idx = divmod(j, 4)
+    return f"min(substring(md5('{seed}|' || shingle), {slice_idx * 8 + 1}, 8))"
+
+
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc minhash signature: mh_s = min(md5(s || '|' || shingle))."""
+    """Per-doc minhash signature: string-min over seeded hash slices."""
     sh = _shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(N_MINHASH)
-    ]
+    aggs = [F.expr(f"{_mh_expr_sql(s)} AS mh{s}") for s in range(N_MINHASH)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -164,14 +173,29 @@ def _vote_sql(j: int) -> str:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit simhash per doc: majority vote over token md5 bits."""
+    """64-bit simhash per doc: majority vote over token md5 bits.
+
+    Plan shape chosen for scale: hash only the DISTINCT vocabulary
+    (md5 + nibble extraction on |vocab| rows, broadcast back), then a
+    single weighted-sum aggregation over per-doc token counts — the
+    heavy pass touches no hash functions at all.
+    """
+    from pyspark.sql.functions import broadcast
+
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hashed = words.select("doc_id", F.md5("w").alias("h")).select(
-        "doc_id", *[F.expr(f"{_nib_sql(k)} AS nib{k}") for k in range(16)]
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_bits = (
+        words.select("w")
+        .distinct()
+        .select("w", F.md5("w").alias("h"))
+        .select("w", *[F.expr(f"{_nib_sql(k)} AS nib{k}") for k in range(16)])
+        .select("w", *[F.expr(f"({_vote_sql(j)}) AS b{j}") for j in range(64)])
     )
-    vote_aggs = [F.sum(F.expr(_vote_sql(j))).alias(f"v{j}") for j in range(64)]
-    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+    vote_aggs = [
+        F.sum(F.col("cnt") * F.col(f"b{j}")).alias(f"v{j}") for j in range(64)
+    ]
+    votes = wc.join(broadcast(vocab_bits), "w").groupBy("doc_id").agg(*vote_aggs)
     bits = [
         F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(64)
@@ -246,7 +270,7 @@ _SHINGLES_SQL = """
 """
 
 _MINHASH_SIG_SQL = "SELECT doc_id, " + ", ".join(
-    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+    f"{_mh_expr_sql(s)} AS mh{s}" for s in range(N_MINHASH)
 ) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 
 
