@@ -15,12 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from ..operators import dedup, events, multimodal, similarity, text
     from ..streaming import events as streaming_events
-    from . import advanced, analytics, etl_queries
+    from . import advanced, analytics, behavioral, etl_queries
 
     return (
         etl_queries,
         analytics,
         advanced,
+        behavioral,
         events,
         text,
         dedup,
