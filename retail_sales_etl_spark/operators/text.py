@@ -14,7 +14,7 @@ count functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -156,12 +156,45 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality gate -> exact dedup ->
+    tokenize/fingerprint the survivors.
+
+    One declarative plan end to end — Catalyst fuses the quality filter
+    into the scan, the dedup is the only shuffle, and the token count
+    runs on the deduped survivors only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    kept = docs.filter(n_words >= 20).select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text"))
+    canon = kept.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))
+    canonical_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return canon.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.md5(canonical_text).alias("fingerprint"),
+    )
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "doc_stats": q_doc_stats,
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
 }
 
 
@@ -236,6 +269,23 @@ ORACLE = {
                    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canonical
             FROM documents
         )
+    """,
+    "corpus_clean_pipeline": f"""
+        WITH kept AS (
+            SELECT doc_id, text
+            FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 20
+        ),
+        canon AS (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM kept
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tokens,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM canon
+        WHERE doc_id = canonical_id
     """,
     "doc_stats": """
         SELECT source, lang,
