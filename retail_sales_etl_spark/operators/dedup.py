@@ -132,9 +132,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
+    # cache: the self-join below would otherwise recompute the whole
+    # shingle->signature subtree for each side
     exploded = sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    )
+    ).cache()
     a = exploded.select(
         F.col("doc_id").alias("a_id"), "band_idx", "band_key"
     )

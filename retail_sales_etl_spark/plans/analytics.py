@@ -210,7 +210,93 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped market share: each nation's revenue share within its
+    region-year, via a window sum over the grouped aggregate (no second
+    join back to totals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    grouped = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").alias("order_year"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("region_name", "order_year")
+    return grouped.select(
+        "region_name",
+        "order_year",
+        "nation_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.lit(100.0)
+            * F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("share_pct"),
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped min-cost lookup: per part, the supplier with the lowest
+    average line price (deterministic tie-break on supplier key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_price"), F.col("l_suppkey")
+    )
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.col("l_suppkey").alias("supplier_id"),
+            "avg_price",
+            "n_lines",
+        )
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated average: revenue of lines whose quantity is
+    below half their part's average quantity (decorrelated into an
+    aggregate + join — the plan Spark's optimizer produces for the
+    correlated subquery form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    joined = li.join(broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+    small = joined.filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("small_revenue"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"),
+    )
+
+
 QUERIES = {
+    "nation_market_share": q_nation_market_share,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "small_qty_revenue": q_small_qty_revenue,
     "q1_pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
@@ -223,6 +309,56 @@ QUERIES = {
 }
 
 ORACLE = {
+    "nation_market_share": """
+        SELECT region_name, order_year, nation_name,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               100.0 * CAST(rev_dec AS DOUBLE)
+                     / CAST(sum(rev_dec) OVER (PARTITION BY region_name, order_year) AS DOUBLE)
+                 AS share_pct
+        FROM (
+            SELECT r_name AS region_name,
+                   year(o_orderdate) AS order_year,
+                   n_name AS nation_name,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS rev_dec
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2, 3
+        )
+    """,
+    "cheapest_supplier_per_part": """
+        SELECT l_partkey AS part_id, l_suppkey AS supplier_id, avg_price, n_lines
+        FROM (
+            SELECT l_partkey, l_suppkey, avg_price, n_lines,
+                   row_number() OVER (
+                       PARTITION BY l_partkey ORDER BY avg_price, l_suppkey
+                   ) AS rn
+            FROM (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                         / count(*) AS avg_price,
+                       count(*) AS n_lines
+                FROM lineitem
+                GROUP BY 1, 2
+            )
+        )
+        WHERE rn = 1
+    """,
+    "small_qty_revenue": """
+        SELECT count(*) AS n_small_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS small_revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN (
+            SELECT l_partkey AS pk,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty
+            FROM lineitem
+            GROUP BY 1
+        ) ON l_partkey = pk
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
