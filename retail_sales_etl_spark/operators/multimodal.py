@@ -106,6 +106,41 @@ def extract_features(media: DataFrame, batch_partitions: int | None = None) -> D
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 256) -> DataFrame:
+    """Frame sampling over binary payloads: one input row -> N frame rows.
+
+    The video/audio pattern: slice fixed-size windows out of the payload
+    at a stride (a real decoder would seek keyframes; this deterministic
+    slicer exercises the same 1->N Arrow plumbing and output schema).
+    Frames explode data volume — at scale, repartition the OUTPUT, not
+    the input, before any downstream shuffle.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i, off in enumerate(range(0, max(len(buf) - frame_size, 1), stride)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(buf[off : off + frame_size])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side byte stats over the binary payload column (oracle-checked)."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))

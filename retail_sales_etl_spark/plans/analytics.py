@@ -293,7 +293,41 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped shipping priority: top-10 open orders by pending
+    revenue for one segment — filters pushed to all three scans,
+    customer broadcast, distributed TakeOrdered for the top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= F.lit("1997-06-30").cast("timestamp")
+    )
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("order_id"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    top = agg.orderBy(F.col("rev_dec").desc(), F.col("order_id")).limit(10)
+    return top.select(
+        "order_id",
+        "order_date",
+        "order_priority",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
+
+
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
     "nation_market_share": q_nation_market_share,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "small_qty_revenue": q_small_qty_revenue,
@@ -309,6 +343,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "shipping_priority": """
+        SELECT o_orderkey AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority AS order_priority,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1997-06-30 00:00:00'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2, 3
+        ORDER BY sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) DESC, o_orderkey
+        LIMIT 10
+    """,
     "nation_market_share": """
         SELECT region_name, order_year, nation_name,
                CAST(rev_dec AS DOUBLE) AS revenue,

@@ -37,6 +37,15 @@ def test_csv_reader(spark, tmp_path):
     assert df.columns == ["id", "name"]
 
 
+def test_json_reader(spark, tmp_path):
+    p = str(tmp_path / "src.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}\n')
+    df = readers.read_source(spark, p, fmt="json")
+    assert df.count() == 2
+    assert sorted(df.columns) == ["id", "name"]
+
+
 def test_sanity_check_empty_raises(spark):
     df = spark.createDataFrame([], "id INT, v STRING")
     with pytest.raises(ValueError, match="empty"):

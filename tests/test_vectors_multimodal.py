@@ -43,6 +43,22 @@ def test_media_table_schema(spark, sf_dir):
     assert row["n_bytes"] == len(row["payload"])
 
 
+def test_sample_frames_one_to_many(spark, sf_dir):
+    media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, frame_size=64, stride=256)
+    rows = frames.limit(500).collect()
+    assert len(rows) > 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    some_doc = next(iter(by_doc.values()))
+    idxs = sorted(r["frame_idx"] for r in some_doc)
+    assert idxs == list(range(len(idxs)))  # contiguous frame indices
+    for r in some_doc:
+        assert r["frame_offset"] == r["frame_idx"] * 256
+        assert 0 < len(r["frame_bytes"]) <= 64
+
+
 def test_extract_features_mapinpandas(spark, sf_dir):
     media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, batch_partitions=4)
