@@ -33,6 +33,13 @@ N_MINHASH = 8
 BAND_SIZE = 2  # 4 bands of 2 minhashes each
 JACCARD_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.3
+# Shingles present in more than MAX_SHINGLE_DF docs are dropped from the
+# inverted index before pair generation: a shingle shared by d docs
+# yields d^2 candidate pairs, so one boilerplate/spam shingle can blow
+# up the join quadratically at corpus scale. Per-doc shingle-set sizes
+# (the Jaccard denominators) still come from the FULL shingle sets, so
+# the score only under-counts overlap contributed by junk shingles.
+MAX_SHINGLE_DF = 100
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -67,8 +74,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     ns = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    indexed = sh.join(rare, "shingle")
+    a = indexed.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = indexed.select(
+        F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b")
+    )
     pairs = (
         a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("a_id") < F.col("b_id")))
         .groupBy("a_id", "b_id")
@@ -329,10 +345,17 @@ ORACLE = {
     "dedup_ngram_jaccard": f"""
         WITH sh AS ({_SHINGLES_SQL}),
         ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        indexed AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= {MAX_SHINGLE_DF}
+            )
+        ),
         pairs AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-            FROM sh a
-            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM indexed a
+            JOIN indexed b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT a_id, b_id, shared,
