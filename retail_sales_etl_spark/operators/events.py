@@ -111,14 +111,101 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type statistical outliers: events whose value exceeds
+    mean + 3*stddev of their type.
+
+    The variance comes from decimal-exact sum and sum-of-squares (the
+    two-pass-free parallel formula), so the threshold is identical
+    across engines and partition counts — built-in stddev aggregates
+    are float-accumulation-order dependent and would not be.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(25,6)")
+    x2 = (F.col("value") * F.col("value")).cast("decimal(25,6)")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x2).cast("double").alias("s2"),
+    ).select(
+        "et",
+        (F.col("s") / F.col("n")).alias("mean_value"),
+        F.sqrt(
+            (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_value"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = ev.join(broadcast(stats), F.col("event_type") == F.col("et"))
+    return (
+        joined.filter(
+            F.col("value")
+            > F.col("mean_value") + F.lit(3.0) * F.col("std_value")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            "mean_value",
+            "std_value",
+        )
+    )
+
+
+def q_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (content-farm detector food)."""
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _shingles(docs).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    top = counts.orderBy(F.col("doc_freq").desc(), F.col("shingle")).limit(20)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 QUERIES = {
+    "events_anomaly": q_events_anomaly,
+    "top_shingles": q_top_shingles,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_user_stats": q_events_user_stats,
     "events_retention": q_events_retention,
 }
 
+from .dedup import _SHINGLES_SQL as _SH_SQL
+
 ORACLE = {
+    "events_anomaly": """
+        WITH stats AS (
+            SELECT event_type AS et,
+                   CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mean_value,
+                   sqrt((CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+                         - CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                           * CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+                        / (count(*) - 1)) AS std_value
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_id, event_type, user_id, value, mean_value, std_value
+        FROM events
+        JOIN stats ON event_type = et
+        WHERE value > mean_value + 3.0 * std_value
+    """,
+    "top_shingles": f"""
+        SELECT shingle, doc_freq,
+               CAST(row_number() OVER (ORDER BY doc_freq DESC, shingle) AS INTEGER) AS rank
+        FROM (
+            SELECT shingle, count(*) AS doc_freq
+            FROM ({_SH_SQL})
+            GROUP BY shingle
+            ORDER BY doc_freq DESC, shingle
+            LIMIT 20
+        )
+    """,
     "events_windowed": f"""
         SELECT strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / {WINDOW_SEC}) * {WINDOW_SEC} AS BIGINT)), '{_FMT_DUCK}') AS window_start,
                event_type,
