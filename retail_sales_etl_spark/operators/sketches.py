@@ -1,0 +1,53 @@
+"""Approximate sketch aggregates: HLL distinct counts, quantile sketches.
+
+At 100 TB, exact count-distinct shuffles every distinct key and exact
+percentiles sort whole columns; the sketch forms are one-pass,
+fixed-memory, and mergeable (partial sketches combine associatively
+across partitions). Exact twins exist in the catalog (monthly_orders,
+order_value_percentiles) — these entries trade bounded error for
+constant memory, and the tests pin that error bound.
+
+No DuckDB oracle: sketch estimates are algorithm/seed-specific, so the
+driver records a rows-only check; the unit tests compare against exact
+values with the documented tolerance instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+HLL_RSD = 0.02  # ~2% relative standard deviation
+PCTL_ACCURACY = 10000  # approx_percentile accuracy knob
+
+
+def q_approx_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL daily distinct users per event type (vs exact count_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based order-value percentiles per priority (vs exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), {PCTL_ACCURACY})"
+        ).alias("approx_pctls"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact_pctls"),
+    )
+
+
+QUERIES = {
+    "approx_user_reach": q_approx_user_reach,
+    "approx_order_percentiles": q_approx_order_percentiles,
+}
+
+ORACLE: dict[str, str] = {}

@@ -326,7 +326,33 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive predicate join: OR-of-AND branches mixing
+    part attributes and line measures. Catalyst extracts the common
+    join key and pushes the branch predicates below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    branch2 = (
+        (F.col("p_type") == "STANDARD")
+        & F.col("p_size").between(5, 25)
+        & F.col("l_quantity").between(5, 35)
+    )
+    branch3 = (F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 25)
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return joined.filter(branch1 | branch2 | branch3).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
 QUERIES = {
+    "disjunctive_revenue": q_disjunctive_revenue,
     "shipping_priority": q_shipping_priority,
     "nation_market_share": q_nation_market_share,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -343,6 +369,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "disjunctive_revenue": """
+        SELECT count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_type = 'STANDARD' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 5 AND 35)
+           OR (p_brand = 'Brand#1' AND l_quantity >= 25)
+    """,
     "shipping_priority": """
         SELECT o_orderkey AS order_id,
                CAST(o_orderdate AS DATE) AS order_date,

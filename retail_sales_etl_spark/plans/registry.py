@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from ..operators import dedup, events, multimodal, similarity, text
+    from ..operators import dedup, events, multimodal, similarity, sketches, text
     from ..streaming import events as streaming_events
     from . import advanced, analytics, behavioral, etl_queries
 
@@ -27,6 +27,7 @@ def _modules():
         dedup,
         similarity,
         multimodal,
+        sketches,
         streaming_events,
     )
 
