@@ -46,6 +46,32 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows hopping every 5 minutes (overlapping/sliding).
+
+    Spark's native window(size, slide) — each event lands in
+    size/slide = 2 windows; state and shuffle scale with the overlap
+    factor, which is why the slide should never be tiny relative to
+    the size at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a >30-min silence starts a new session."""
     ev = load_table(spark, sf_dir, "events")
@@ -171,6 +197,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "top_shingles": q_top_shingles,
     "events_windowed": q_events_windowed,
+    "events_hopping": q_events_hopping,
     "events_sessionize": q_events_sessionize,
     "events_user_stats": q_events_user_stats,
     "events_retention": q_events_retention,
@@ -213,6 +240,15 @@ ORACLE = {
                count(DISTINCT user_id) AS n_users,
                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
         FROM events
+        GROUP BY 1, 2
+    """,
+    "events_hopping": f"""
+        SELECT strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / {WINDOW_SEC}) * {WINDOW_SEC} AS BIGINT) - k), '{_FMT_DUCK}') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        CROSS JOIN (VALUES (0), ({WINDOW_SEC})) AS hops(k)
         GROUP BY 1, 2
     """,
     "events_sessionize": f"""
