@@ -93,9 +93,62 @@ def q_sales_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modeling.build_sales_fact(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 clean on the fact at its true grain (orderkey, linenumber,
+    partkey, suppkey) — the synthetic data carries one genuine dup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cleaned = cleaning.run_cleaning(
+        li,
+        primary_key=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        dedupe_order=[
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+    return cleaned.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gaps per customer (lead/lag over customer partitions):
+    average days between consecutive orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    with_gap = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days"),
+    )
+    return with_gap.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("gap_days").alias("n_gaps"),
+        (F.sum("gap_days").cast("double") / F.count("gap_days")).alias("avg_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
 QUERIES = {
     "clean_customer": q_clean_customer,
     "clean_orders": q_clean_orders,
+    "clean_lineitem": q_clean_lineitem,
+    "customer_order_gaps": q_customer_order_gaps,
     "customer_dim": q_customer_dim,
     "part_dim": q_part_dim,
     "supplier_dim": q_supplier_dim,
@@ -136,6 +189,42 @@ ORACLE = {
             WHERE o_orderkey IS NOT NULL
         )
         WHERE rn = 1
+    """,
+    "clean_lineitem": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity, l_extendedprice,
+               CAST(l_shipdate AS DATE) AS ship_date
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+                ORDER BY l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+                         l_discount NULLS FIRST, l_tax NULLS FIRST,
+                         l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                         l_shipdate NULLS FIRST
+            ) AS rn
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+              AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        )
+        WHERE rn = 1
+    """,
+    "customer_order_gaps": """
+        SELECT o_custkey AS customer_id,
+               count(*) AS n_orders,
+               count(gap_days) AS n_gaps,
+               CAST(sum(gap_days) AS DOUBLE) / count(gap_days) AS avg_gap_days,
+               min(gap_days) AS min_gap_days,
+               max(gap_days) AS max_gap_days
+        FROM (
+            SELECT o_custkey,
+                   datediff('day',
+                            CAST(lag(o_orderdate) OVER (
+                                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ) AS DATE),
+                            CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        GROUP BY 1
     """,
     "customer_dim": """
         SELECT c_custkey AS customer_id,
