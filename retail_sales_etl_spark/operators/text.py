@@ -156,6 +156,29 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+NUMBER_RE = "[0-9][0-9][0-9]+"
+
+
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: mask emails and long digit runs, report
+    counts. Pure regexp_replace/extract_all — single scan, codegen'd;
+    the patterns are RE2/Java-compatible so the oracle shares them."""
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), NUMBER_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .alias("n_emails_masked"),
+        F.size(F.regexp_extract_all("text", F.lit(NUMBER_RE), F.lit(0)))
+        .alias("n_numbers_masked"),
+        F.md5(masked).alias("masked_hash"),
+        (F.length("text") - F.length(masked)).alias("len_delta"),
+    )
+
+
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality gate -> exact dedup ->
     tokenize/fingerprint the survivors.
@@ -195,6 +218,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "doc_stats": q_doc_stats,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "text_pii_mask": q_text_pii_mask,
 }
 
 
@@ -269,6 +293,17 @@ ORACLE = {
                    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canonical
             FROM documents
         )
+    """,
+    "text_pii_mask": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails_masked,
+               len(regexp_extract_all(text, '{NUMBER_RE}')) AS n_numbers_masked,
+               md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{NUMBER_RE}', '<NUM>', 'g')) AS masked_hash,
+               length(text)
+                 - length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                         '{NUMBER_RE}', '<NUM>', 'g')) AS len_delta
+        FROM documents
     """,
     "corpus_clean_pipeline": f"""
         WITH kept AS (

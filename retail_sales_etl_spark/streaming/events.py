@@ -183,6 +183,26 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enrich_with_customers(stream: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream against a (static,
+    broadcastable) dimension — the canonical streaming-ETL enrichment.
+    The static side is re-read per micro-batch, so at scale it should
+    be a small dim or a pre-broadcast lookup."""
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(
+        broadcast(customer_dim),
+        stream.user_id == customer_dim.c_custkey,
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
 }

@@ -31,6 +31,22 @@ def test_streaming_windowed_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_static_enrichment(spark, sf_dir):
+    from retail_sales_etl_spark.catalog import load_table
+
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = streaming_events.enrich_with_customers(stream, customer)
+    out = streaming_events.run_to_memory(enriched, "enrich_test", spark)
+    rows = out.collect()
+    ev_count = load_table(spark, sf_dir, "events").count()
+    assert len(rows) == ev_count  # left join preserves every event
+    joined = [r for r in rows if r["segment"] is not None]
+    assert joined  # user_id range overlaps customer keys
+    segs = {r["segment"] for r in joined}
+    assert segs <= {"AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"}
+
+
 def test_stateful_sessions_close_on_gap(spark, sf_dir):
     stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
     out = streaming_events.run_to_memory(
