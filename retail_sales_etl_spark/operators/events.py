@@ -72,6 +72,50 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute -> hour -> day.
+
+    The coarser grains re-aggregate the FINER grain's partials (sums of
+    sums), never the raw events — at scale this is the difference
+    between scanning a fact once and scanning it per resolution. All
+    value sums stay DECIMAL until the final projection, so the rollup
+    chain is exactly associative.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    minute = (
+        ev.groupBy(
+            (F.floor(epoch / 60) * 60).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("val_dec"),
+        )
+    )
+    hour = minute.groupBy(
+        (F.floor(F.col("bucket") / 3600) * 3600).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("val_dec").alias("val_dec"))
+    day = hour.groupBy(
+        (F.floor(F.col("bucket") / 86400) * 86400).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("val_dec").alias("val_dec"))
+
+    def finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format(F.timestamp_seconds("bucket"), _FMT_SPARK).alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n_events",
+            F.col("val_dec").cast("double").alias("total_value"),
+        )
+
+    return finish(minute, "minute").unionAll(finish(hour, "hour")).unionAll(
+        finish(day, "day")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a >30-min silence starts a new session."""
     ev = load_table(spark, sf_dir, "events")
@@ -198,6 +242,7 @@ QUERIES = {
     "top_shingles": q_top_shingles,
     "events_windowed": q_events_windowed,
     "events_hopping": q_events_hopping,
+    "events_multires_rollup": q_events_multires_rollup,
     "events_sessionize": q_events_sessionize,
     "events_user_stats": q_events_user_stats,
     "events_retention": q_events_retention,
@@ -250,6 +295,25 @@ ORACLE = {
         FROM events
         CROSS JOIN (VALUES (0), ({WINDOW_SEC})) AS hops(k)
         GROUP BY 1, 2
+    """,
+    "events_multires_rollup": f"""
+        SELECT 'minute' AS grain,
+               strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / 60) * 60 AS BIGINT)), '{_FMT_DUCK}') AS bucket_start,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'hour',
+               strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)), '{_FMT_DUCK}'),
+               event_type, count(*),
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day',
+               strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)), '{_FMT_DUCK}'),
+               event_type, count(*),
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        FROM events GROUP BY 2, 3
     """,
     "events_sessionize": f"""
         WITH flagged AS (
