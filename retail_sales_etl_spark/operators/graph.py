@@ -1,0 +1,98 @@
+"""Graph operators over the star schema: co-purchase edges + PageRank.
+
+``part_copurchase`` builds the item-item graph (parts appearing in the
+same order) — an inverted-index self-join, same scale shape as the
+shingle dedup: shuffle keyed on order, pair volume bounded by per-order
+basket size, never all-pairs.
+
+``pagerank_parts`` runs bounded-iteration PageRank over that graph as
+the canonical iterative-DataFrame loop: each iteration is one shuffle
+(contributions grouped by destination). Iterative fixpoints are the one
+category the SQL oracle can't express cleanly, so the driver records a
+rows-only check; invariants (rank mass conservation, positivity) are
+pytest-pinned instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+DAMPING = 0.85
+N_ITERATIONS = 5
+MIN_COPURCHASE = 2
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Undirected part-part edges weighted by co-occurrence count."""
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a_part"))
+    b = baskets.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("b_part"))
+    return (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("a_part") < F.col("b_part")))
+        .groupBy("a_part", "b_part")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= MIN_COPURCHASE)
+    )
+
+
+def q_part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration PageRank on the co-purchase graph.
+
+    Degree-normalized contributions, damped; every node (part) keeps a
+    teleport share so rank mass is conserved. 5 iterations, each one
+    shuffle on the destination key.
+    """
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    # undirected -> both directions
+    directed = edges.select(
+        F.col("a_part").alias("src"), F.col("b_part").alias("dst")
+    ).unionAll(edges.select(F.col("b_part").alias("src"), F.col("a_part").alias("dst")))
+    directed = directed.cache()
+    nodes = directed.select(F.col("src").alias("part_id")).distinct().cache()
+    n_nodes = nodes.count()
+    degree = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.select("part_id", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(N_ITERATIONS):
+        contribs = (
+            directed.join(ranks, F.col("src") == F.col("part_id"))
+            .join(degree, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.part_id == contribs.dst, "left")
+            .select(
+                "part_id",
+                (
+                    F.lit((1.0 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING) * F.coalesce(F.col("recv"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("part_id", F.round(F.col("rank") * n_nodes, 6).alias("rank_scaled"))
+
+
+QUERIES = {
+    "part_copurchase": q_part_copurchase,
+    "pagerank_parts": q_pagerank_parts,  # rows-only: iterative fixpoint
+}
+
+ORACLE = {
+    "part_copurchase": f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS a_part, b.l_partkey AS b_part, count(*) AS n_orders
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE}
+    """,
+}

@@ -144,7 +144,57 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: long-format per-column stats (count,
+    nulls, distincts, typed min/max) — the extract layer's sanity
+    checks surfaced as a queryable table. One aggregate pass per
+    column batch; at scale profile from a sample or sketch instead of
+    exact distincts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    parts = []
+    for col, kind in PROFILE_COLS:
+        if kind == "num":
+            mn = F.min(col).cast("double")
+            mx = F.max(col).cast("double")
+            mns, mxs = F.lit(None).cast("string"), F.lit(None).cast("string")
+        elif kind == "date":
+            mn, mx = F.lit(None).cast("double"), F.lit(None).cast("double")
+            mns = F.date_format(F.min(col), "yyyy-MM-dd")
+            mxs = F.date_format(F.max(col), "yyyy-MM-dd")
+        else:
+            mn, mx = F.lit(None).cast("double"), F.lit(None).cast("double")
+            mns, mxs = F.min(col), F.max(col)
+        parts.append(
+            orders.agg(
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.count_distinct(F.col(col)).alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                mns.alias("min_str"),
+                mxs.alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 QUERIES = {
+    "profile_orders": q_profile_orders,
     "clean_customer": q_clean_customer,
     "clean_orders": q_clean_orders,
     "clean_lineitem": q_clean_lineitem,
@@ -156,7 +206,31 @@ QUERIES = {
     "sales_fact": q_sales_fact,
 }
 
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(min({col}) AS DOUBLE)", f"CAST(max({col}) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "date":
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns = f"strftime(min({col}), '%Y-%m-%d')"
+            mxs = f"strftime(max({col}), '%Y-%m-%d')"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"min({col})", f"max({col})"
+        parts.append(
+            f"SELECT '{col}' AS column_name, count(*) AS n_rows, "
+            f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"count(DISTINCT {col}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{mns} AS min_str, {mxs} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
 ORACLE = {
+    "profile_orders": _profile_oracle(),
     "clean_customer": """
         SELECT c_custkey, c_name, c_nationkey,
                coalesce(c_acctbal, 0.0) AS c_acctbal,

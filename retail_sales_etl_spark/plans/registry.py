@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from ..operators import dedup, events, multimodal, similarity, sketches, text
+    from ..operators import (
+        dedup,
+        events,
+        graph,
+        multimodal,
+        similarity,
+        sketches,
+        text,
+    )
     from ..streaming import events as streaming_events
     from . import advanced, analytics, behavioral, etl_queries
 
@@ -28,6 +36,7 @@ def _modules():
         similarity,
         multimodal,
         sketches,
+        graph,
         streaming_events,
     )
 

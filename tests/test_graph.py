@@ -1,0 +1,30 @@
+"""Graph operators: co-purchase edges (oracle-covered by parity suite)
+and PageRank invariants (iterative — no SQL oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from retail_sales_etl_spark.operators import graph
+
+
+def test_copurchase_edges_symmetric_key_order(spark, sf_dir):
+    edges = graph.q_part_copurchase(spark, sf_dir).collect()
+    assert edges
+    for e in edges:
+        assert e["a_part"] < e["b_part"]
+        assert e["n_orders"] >= graph.MIN_COPURCHASE
+
+
+def test_pagerank_conserves_mass_and_is_positive(spark, sf_dir):
+    ranks = graph.q_pagerank_parts(spark, sf_dir).collect()
+    n = len(ranks)
+    assert n > 0
+    total = sum(r["rank_scaled"] for r in ranks)
+    # damped PageRank with teleportation conserves total mass ~= n
+    assert math.isclose(total, n, rel_tol=0.02)
+    assert all(r["rank_scaled"] > 0 for r in ranks)
+    # a graph with edges must differentiate ranks
+    assert max(r["rank_scaled"] for r in ranks) > min(
+        r["rank_scaled"] for r in ranks
+    )
