@@ -99,6 +99,33 @@ def validate_loaded(
     return {"row_count": stats["n"], "distinct_pk": stats["distinct_pk"]}
 
 
+def compact_table(
+    spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
+) -> dict:
+    """Small-file compaction: rewrite a table directory into
+    ``target_files`` files.
+
+    Streaming/incremental sinks accumulate small files; scan cost at
+    100 TB tracks file count as much as bytes. Rewrites via coalesce
+    (no shuffle) into a temp dir, then swaps atomically-enough for a
+    single-writer batch context.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.format(fmt).load(path)
+    n_before = df.count()
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(tmp)
+    n_after = spark.read.format(fmt).load(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(f"Compaction row-count drift: {n_before} -> {n_after}")
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return {"row_count": n_after, "target_files": target_files}
+
+
 def run_incremental_load(
     spark: SparkSession,
     df: DataFrame,

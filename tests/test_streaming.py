@@ -47,6 +47,42 @@ def test_stream_static_enrichment(spark, sf_dir):
     assert segs <= {"AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"}
 
 
+def test_stream_dedupe_drops_replays(spark, sf_dir, tmp_path):
+    import shutil
+
+    from retail_sales_etl_spark.catalog import load_table
+
+    # replayed source: the same events file twice in one directory
+    src_dir = str(tmp_path / "replayed")
+    import os
+
+    os.makedirs(src_dir)
+    shutil.copy(table_path(sf_dir, "events"), f"{src_dir}/events_a.parquet")
+    shutil.copy(table_path(sf_dir, "events"), f"{src_dir}/events_b.parquet")
+    stream = streaming_events.read_events_stream(spark, src_dir, max_files_per_trigger=2)
+    out = streaming_events.run_to_memory(
+        streaming_events.dedupe_stream(stream), "dedup_stream_test", spark
+    )
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_unique  # every replayed event_id dropped
+
+
+def test_foreachbatch_sink_idempotent_keys(spark, sf_dir, tmp_path):
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    out_path = str(tmp_path / "sink")
+    q = streaming_events.write_batches_to_parquet(
+        stream.select("event_id", "ts", "event_type"),
+        out_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    from retail_sales_etl_spark.catalog import load_table
+
+    landed = spark.read.parquet(out_path)
+    assert landed.count() == load_table(spark, sf_dir, "events").count()
+    assert "__batch_id" in landed.columns
+
+
 def test_stateful_sessions_close_on_gap(spark, sf_dir):
     stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
     out = streaming_events.run_to_memory(
