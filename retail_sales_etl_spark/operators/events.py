@@ -326,10 +326,10 @@ ORACLE = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
-            SELECT *, sum(new_session) OVER (
+            SELECT *, CAST(sum(new_session) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) + 1 AS session_seq
+            ) + 1 AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq,
@@ -344,12 +344,12 @@ ORACLE = {
     "events_user_stats": """
         SELECT user_id,
                count(*) AS n_events,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
                count(DISTINCT event_type) AS n_event_types,
                strftime(min(ts), '%Y-%m-%d') AS first_day,
                strftime(max(ts), '%Y-%m-%d') AS last_day,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                  / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
         FROM events

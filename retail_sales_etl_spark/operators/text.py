@@ -325,7 +325,7 @@ ORACLE = {
     "doc_stats": """
         SELECT source, lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars

@@ -147,12 +147,12 @@ ORACLE = {
     """,
     "events_funnel": """
         SELECT count(*) AS n_users,
-               sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-               sum(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
-                         AND first_click > first_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
-               sum(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+               CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+               CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+                         AND first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+               CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
                          AND first_click > first_view AND first_purchase IS NOT NULL
-                         AND first_purchase > first_click THEN 1 ELSE 0 END) AS n_purchased_after_click,
+                         AND first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click,
                CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
                          AND first_click > first_view AND first_purchase IS NOT NULL
                          AND first_purchase > first_click THEN 1 ELSE 0 END) AS DOUBLE)

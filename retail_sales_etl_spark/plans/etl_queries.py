@@ -157,40 +157,48 @@ PROFILE_COLS = [
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling operator: long-format per-column stats (count,
     nulls, distincts, typed min/max) — the extract layer's sanity
-    checks surfaced as a queryable table. One aggregate pass per
-    column batch; at scale profile from a sample or sketch instead of
-    exact distincts.
+    checks surfaced as a queryable table (`/root/reference/etl/
+    extract.py:42-132`).
+
+    ONE aggregate pass computes every per-column stat (wide one-row
+    aggregate), then `stack()` unpivots to long form — at 100 TB this
+    is a single table scan regardless of how many columns are
+    profiled, vs one scan per column for the naive union-of-aggs
+    shape. At scale swap exact `count_distinct` for
+    `approx_count_distinct`.
     """
     orders = load_table(spark, sf_dir, "orders")
-    parts = []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}")
+        )
+        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+        if kind == "num":
+            aggs.append(F.min(col).cast("double").alias(f"mn_{col}"))
+            aggs.append(F.max(col).cast("double").alias(f"mx_{col}"))
+        elif kind == "date":
+            aggs.append(F.date_format(F.min(col), "yyyy-MM-dd").alias(f"mns_{col}"))
+            aggs.append(F.date_format(F.max(col), "yyyy-MM-dd").alias(f"mxs_{col}"))
+        else:
+            aggs.append(F.min(col).alias(f"mns_{col}"))
+            aggs.append(F.max(col).alias(f"mxs_{col}"))
+    wide = orders.agg(*aggs)
+    groups = []
     for col, kind in PROFILE_COLS:
         if kind == "num":
-            mn = F.min(col).cast("double")
-            mx = F.max(col).cast("double")
-            mns, mxs = F.lit(None).cast("string"), F.lit(None).cast("string")
-        elif kind == "date":
-            mn, mx = F.lit(None).cast("double"), F.lit(None).cast("double")
-            mns = F.date_format(F.min(col), "yyyy-MM-dd")
-            mxs = F.date_format(F.max(col), "yyyy-MM-dd")
+            mn, mx = f"mn_{col}", f"mx_{col}"
+            mns = mxs = "CAST(NULL AS STRING)"
         else:
-            mn, mx = F.lit(None).cast("double"), F.lit(None).cast("double")
-            mns, mxs = F.min(col), F.max(col)
-        parts.append(
-            orders.agg(
-                F.lit(col).alias("column_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
-                F.count_distinct(F.col(col)).alias("n_distinct"),
-                mn.alias("min_num"),
-                mx.alias("max_num"),
-                mns.alias("min_str"),
-                mxs.alias("max_str"),
-            )
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"mns_{col}", f"mxs_{col}"
+        groups.append(
+            f"'{col}', n_rows, nn_{col}, nd_{col}, {mn}, {mx}, {mns}, {mxs}"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {', '.join(groups)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
 
 
 QUERIES = {
@@ -207,26 +215,41 @@ QUERIES = {
 }
 
 def _profile_oracle() -> str:
-    parts = []
+    """Single-scan oracle twin: one wide aggregate CTE, unpivoted by
+    UNION ALL over the (already 1-row) aggregate. n_nulls is CAST to
+    BIGINT — DuckDB types sum(int) as HUGEINT, Spark as bigint."""
+    wide = ["count(*) AS n_rows"]
+    rows = []
     for col, kind in PROFILE_COLS:
+        wide.append(
+            f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn_{col}"
+        )
+        wide.append(f"count(DISTINCT {col}) AS nd_{col}")
         if kind == "num":
-            mn, mx = f"CAST(min({col}) AS DOUBLE)", f"CAST(max({col}) AS DOUBLE)"
+            wide.append(f"CAST(min({col}) AS DOUBLE) AS mn_{col}")
+            wide.append(f"CAST(max({col}) AS DOUBLE) AS mx_{col}")
+            mn, mx = f"mn_{col}", f"mx_{col}"
             mns = mxs = "CAST(NULL AS VARCHAR)"
         elif kind == "date":
+            wide.append(f"strftime(min({col}), '%Y-%m-%d') AS mns_{col}")
+            wide.append(f"strftime(max({col}), '%Y-%m-%d') AS mxs_{col}")
             mn = mx = "CAST(NULL AS DOUBLE)"
-            mns = f"strftime(min({col}), '%Y-%m-%d')"
-            mxs = f"strftime(max({col}), '%Y-%m-%d')"
+            mns, mxs = f"mns_{col}", f"mxs_{col}"
         else:
+            wide.append(f"min({col}) AS mns_{col}")
+            wide.append(f"max({col}) AS mxs_{col}")
             mn = mx = "CAST(NULL AS DOUBLE)"
-            mns, mxs = f"min({col})", f"max({col})"
-        parts.append(
-            f"SELECT '{col}' AS column_name, count(*) AS n_rows, "
-            f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
-            f"count(DISTINCT {col}) AS n_distinct, "
-            f"{mn} AS min_num, {mx} AS max_num, "
-            f"{mns} AS min_str, {mxs} AS max_str FROM orders"
+            mns, mxs = f"mns_{col}", f"mxs_{col}"
+        rows.append(
+            f"SELECT '{col}' AS column_name, n_rows, nn_{col} AS n_nulls, "
+            f"nd_{col} AS n_distinct, {mn} AS min_num, {mx} AS max_num, "
+            f"{mns} AS min_str, {mxs} AS max_str FROM s"
         )
-    return " UNION ALL ".join(parts)
+    return (
+        f"WITH s AS (SELECT {', '.join(wide)} FROM orders) "
+        + " UNION ALL ".join(rows)
+    )
 
 
 ORACLE = {

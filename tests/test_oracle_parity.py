@@ -79,6 +79,48 @@ def test_query_matches_oracle(spark, sf_dir, name):
     _compare_rows(spark_rows, duck_rows, cols)
 
 
+# DuckDB result type -> acceptable Spark simpleStrings. Any duck type NOT
+# in this map (HUGEINT above all: DuckDB types sum(int) as int128 where
+# Spark emits bigint — the round-1 hash-FAIL class) fails the gate
+# outright, so type drift is caught locally before the driver's
+# type-sensitive hash sees it. Int WIDTH differences (int vs bigint) are
+# allowed: 12 round-1 queries carried them and hashed green, so the driver
+# canonicalizes widths — only the unmapped types break it.
+_DUCK_TO_SPARK = {
+    "BOOLEAN": {"boolean"},
+    "TINYINT": {"tinyint", "smallint", "int", "bigint"},
+    "SMALLINT": {"tinyint", "smallint", "int", "bigint"},
+    "INTEGER": {"tinyint", "smallint", "int", "bigint"},
+    "BIGINT": {"tinyint", "smallint", "int", "bigint"},
+    "FLOAT": {"float", "double"},
+    "DOUBLE": {"float", "double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_types_spark_compatible(spark, sf_dir, name):
+    """Schema-only check (no execution): every oracle output column's
+    DuckDB type must map to a Spark type the driver hash treats as
+    equal to the Spark column's type."""
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    con = _duck_con(sf_dir)
+    rel = con.sql(ORACLES[name])
+    for col, dtype in zip(rel.columns, rel.types):
+        d = str(dtype)
+        assert d in _DUCK_TO_SPARK, (
+            f"{name}.{col}: oracle type {d} has no Spark equivalent — "
+            f"cast it in the oracle SQL (sum(int) -> CAST(... AS BIGINT))"
+        )
+        actual = spark_types[col]
+        assert actual in _DUCK_TO_SPARK[d], (
+            f"{name}.{col}: oracle {d} incompatible with spark {actual}"
+        )
+
+
 def test_all_queries_have_callables():
     assert QUERIES, "query registry is empty"
     for name in ORACLES:
