@@ -48,6 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine's time semantics are UTC everywhere; pin it even when
     # the caller (e.g. the verify driver) built a vanilla session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # A vanilla session ships Spark's 200 shuffle partitions — at test
+    # scale that is 200 near-empty tasks of pure scheduling overhead per
+    # shuffle. If the caller left the default in place, size shuffles to
+    # the session's actual parallelism instead (a deliberate non-200
+    # setting is respected; at cluster scale the operator owns this).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

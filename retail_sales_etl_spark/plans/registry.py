@@ -25,19 +25,24 @@ def _modules():
     from ..streaming import events as streaming_events
     from . import advanced, analytics, behavioral, etl_queries
 
+    # Order matters: the round-1 driver recorded only the FIRST 50
+    # registry entries, so the modules whose queries have never received
+    # a driver verdict (similarity, multimodal, graph, sketches,
+    # streaming, dedup tail) come first; the long-proven ETL/analytics
+    # tail comes last.
     return (
+        similarity,
+        multimodal,
+        graph,
+        sketches,
+        streaming_events,
+        dedup,
         etl_queries,
         analytics,
         advanced,
         behavioral,
         events,
         text,
-        dedup,
-        similarity,
-        multimodal,
-        sketches,
-        graph,
-        streaming_events,
     )
 
 
