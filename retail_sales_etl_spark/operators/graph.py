@@ -22,6 +22,7 @@ from ..catalog import load_table
 
 DAMPING = 0.85
 N_ITERATIONS = 5
+CHECKPOINT_EVERY = 3
 MIN_COPURCHASE = 2
 
 
@@ -42,14 +43,19 @@ def q_part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_edges(load_table(spark, sf_dir, "lineitem"))
 
 
-def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-iteration PageRank on the co-purchase graph.
+def pagerank(
+    edges: DataFrame, n_iterations: int = N_ITERATIONS
+) -> DataFrame:
+    """Bounded-iteration PageRank over undirected (a_part, b_part) edges.
 
     Degree-normalized contributions, damped; every node (part) keeps a
-    teleport share so rank mass is conserved. 5 iterations, each one
-    shuffle on the destination key.
+    teleport share so rank mass is conserved. Each iteration is one
+    shuffle on the destination key. Every CHECKPOINT_EVERY iterations
+    the rank frame is localCheckpoint()ed: the iterative union of joins
+    otherwise grows the lineage/plan exponentially in analysis cost —
+    at 20+ iterations an uncheckpointed loop spends more time in
+    Catalyst than in execution.
     """
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     # undirected -> both directions
     directed = edges.select(
         F.col("a_part").alias("src"), F.col("b_part").alias("dst")
@@ -60,7 +66,7 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = nodes.select("part_id", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(N_ITERATIONS):
+    for i in range(n_iterations):
         contribs = (
             directed.join(ranks, F.col("src") == F.col("part_id"))
             .join(degree, "src")
@@ -78,7 +84,15 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < n_iterations:
+            # truncate lineage; eager so the cut happens now
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("part_id", F.round(F.col("rank") * n_nodes, 6).alias("rank_scaled"))
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return pagerank(edges, N_ITERATIONS)
 
 
 QUERIES = {

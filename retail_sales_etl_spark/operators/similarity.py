@@ -140,17 +140,21 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroids_long(emb)
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: route the query to its nearest centroid (coarse
-    quantizer), then exact top-k within that cluster only.
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    nprobe: int = 2,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF ANN core: route the query to its ``nprobe`` nearest
+    centroids (coarse quantizer), then exact top-k within the union of
+    those clusters.
 
-    At scale the table is partitioned by cluster id, so the probe reads
-    1/n_clusters of the data; here clusters are the label column and
-    centroids are computed exactly (decimal means).
+    nprobe>1 is the standard IVF recall guard: with a single probe, a
+    true neighbor sitting just across a Voronoi boundary in the
+    second-nearest cluster is silently missed. ``emb`` must carry
+    (vec_id, label, v) where label is the cluster id.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double_array("embedding").alias("v")
-    )
     cent_arr = (
         _centroids_long(emb)
         .groupBy("label")
@@ -163,26 +167,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv")
     )
-    best = (
+    probes = (
         cent_arr.crossJoin(broadcast(query))
         .select(
-            F.col("label").alias("best_label"),
+            F.col("label").alias("probe_label"),
             F.round(
                 _dot(F.col("cv"), F.col("qv"))
                 / (F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
                 6,
             ).alias("ccos"),
         )
-        .orderBy(F.col("ccos").desc(), F.col("best_label"))
-        .limit(1)
-        .select("best_label")
+        .orderBy(F.col("ccos").desc(), F.col("probe_label"))
+        .limit(nprobe)
+        .select("probe_label")
     )
     candidates = emb.join(
-        broadcast(best), F.col("label") == F.col("best_label")
-    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+        broadcast(probes), F.col("label") == F.col("probe_label")
+    ).filter(F.col("vec_id") != query_vec_id)
     scored = candidates.crossJoin(broadcast(query)).select(
         "vec_id",
         "label",
@@ -192,9 +196,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cosine"),
     )
-    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(top_k)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table: nprobe=2 coarse routing, then
+    exact top-k within the probed clusters. At scale the table is
+    partitioned by cluster id, so the probe reads nprobe/n_clusters of
+    the data; here clusters are the label column and centroids are
+    computed exactly (decimal means).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    return ivf_topk(emb, QUERY_VEC_ID, nprobe=2, top_k=TOP_K)
 
 
 QUERIES = {
@@ -239,20 +256,21 @@ ORACLE = {
         cent AS ({_CENTROIDS_SQL}),
         carr AS (SELECT label, list(centroid ORDER BY dim_idx) AS cv FROM cent GROUP BY label),
         q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}),
-        best AS (
-            SELECT label AS best_label
+        probes AS (
+            SELECT label AS probe_label
             FROM carr, q
             ORDER BY round(list_dot_product(cv, qv)
                            / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
                      label
-            LIMIT 1
+            LIMIT 2
         )
         SELECT vec_id, label, cosine,
                CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         FROM (
             SELECT vec_id, label, {_COSINE_SQL} AS cosine
-            FROM emb, q, best
-            WHERE label = best_label AND vec_id <> {QUERY_VEC_ID}
+            FROM emb, q
+            WHERE label IN (SELECT probe_label FROM probes)
+              AND vec_id <> {QUERY_VEC_ID}
             ORDER BY cosine DESC, vec_id
             LIMIT {TOP_K}
         )

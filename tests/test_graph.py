@@ -16,6 +16,25 @@ def test_copurchase_edges_symmetric_key_order(spark, sf_dir):
         assert e["n_orders"] >= graph.MIN_COPURCHASE
 
 
+def test_pagerank_20_iterations_no_lineage_blowup(spark, sf_dir):
+    """20 iterations must stay tractable (localCheckpoint truncates the
+    lineage every CHECKPOINT_EVERY rounds) and keep conserving mass."""
+    import time
+
+    from retail_sales_etl_spark.catalog import load_table
+
+    edges = graph.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    t0 = time.time()
+    ranks = graph.pagerank(edges, n_iterations=20).collect()
+    elapsed = time.time() - t0
+    n = len(ranks)
+    assert n > 0
+    assert math.isclose(sum(r["rank_scaled"] for r in ranks), n, rel_tol=0.02)
+    # uncheckpointed, 20 iterations of nested joins send Catalyst
+    # analysis superlinear; with the cut this runs in well under this
+    assert elapsed < 120, f"20-iteration PageRank took {elapsed:.0f}s"
+
+
 def test_pagerank_conserves_mass_and_is_positive(spark, sf_dir):
     ranks = graph.q_pagerank_parts(spark, sf_dir).collect()
     n = len(ranks)
