@@ -90,16 +90,22 @@ def run_cleaning(
     type_map: Mapping[str, str] | None = None,
     dedupe_order: Sequence[Column | str] | None = None,
 ) -> DataFrame:
-    """Full T1 pipeline: normalize -> drop-null-PK -> fill -> dedup -> cast.
+    """Full T1 pipeline: normalize -> drop-null-PK -> dedup -> fill -> cast.
 
     Declarative end to end: Catalyst collapses the projections and pushes
     the null-PK filter to the parquet scan; the only shuffle is the dedup.
+
+    Dedup runs BEFORE default filling, so keep-first ordering sees the
+    RAW column values (Spark windows sort ascending NULLS FIRST, same as
+    the oracles pin) — filling first would let a defaulted value change
+    which duplicate wins when rows tie on earlier sort keys and differ
+    only in a defaulted column's null-ness.
     """
     df = standardize_column_names(df)
     df = drop_null_keys(df, primary_key)
+    df = dedupe_by_key(df, primary_key, dedupe_order)
     if defaults:
         df = fill_defaults(df, defaults)
-    df = dedupe_by_key(df, primary_key, dedupe_order)
     if type_map:
         df = cast_types(df, type_map)
     return df

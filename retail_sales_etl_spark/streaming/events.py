@@ -102,6 +102,47 @@ def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def _fold_events(
+    user_id: int,
+    pdfs: Iterable[pd.DataFrame],
+    start_us: int | None,
+    end_us: int | None,
+    n: int,
+) -> tuple[list[tuple], int | None, int | None, int]:
+    """Fold a micro-batch's events into session state.
+
+    ALL Arrow chunks for the group are concatenated and sorted as one
+    timestamp sequence before folding — a user whose rows span multiple
+    chunks would otherwise be processed in arrival order, splitting or
+    merging sessions incorrectly.
+    """
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    closed: list[tuple] = []
+    if frames:
+        all_ts = pd.concat(frames, ignore_index=True)["ts"].sort_values()
+        for ts in all_ts:
+            ts_us = int(ts.value // 1000)  # pandas ns -> us
+            if start_us is None:
+                start_us, end_us, n = ts_us, ts_us, 1
+            elif ts_us - end_us > SESSION_GAP_SEC * 1_000_000:
+                closed.append((user_id, start_us, end_us, n))
+                start_us, end_us, n = ts_us, ts_us, 1
+            else:
+                end_us, n = ts_us, n + 1
+    return closed, start_us, end_us, n
+
+
+def _sessions_pdf(closed: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [c[0] for c in closed],
+            "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+            "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+            "n_events": [c[3] for c in closed],
+        }
+    )
+
+
 def _session_func(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
@@ -113,29 +154,44 @@ def _session_func(
     else:
         start_us, end_us, n = None, None, 0
 
-    closed: list[tuple] = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            ts_us = int(ts.value // 1000)  # pandas ns -> us
-            if start_us is None:
-                start_us, end_us, n = ts_us, ts_us, 1
-            elif ts_us - end_us > SESSION_GAP_SEC * 1_000_000:
-                closed.append((user_id, start_us, end_us, n))
-                start_us, end_us, n = ts_us, ts_us, 1
-            else:
-                end_us, n = ts_us, n + 1
-
+    closed, start_us, end_us, n = _fold_events(user_id, pdfs, start_us, end_us, n)
     state.update((start_us, end_us, n))
 
     if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [c[0] for c in closed],
-                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
-                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
-                "n_events": [c[3] for c in closed],
-            }
-        )
+        yield _sessions_pdf(closed)
+
+
+def _session_func_event_timeout(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """EventTimeTimeout variant: when the watermark passes a user's
+    session_end + gap without new events, the open session is flushed by
+    the timeout callback instead of waiting for the next event (or the
+    end of the stream)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        if start_us is not None:
+            yield _sessions_pdf([(user_id, start_us, end_us, n)])
+        return
+
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us, end_us, n = None, None, 0
+
+    closed, start_us, end_us, n = _fold_events(user_id, pdfs, start_us, end_us, n)
+    state.update((start_us, end_us, n))
+    # Flush when the event-time watermark passes the session close
+    # boundary. Spark requires the timeout timestamp to sit beyond the
+    # current watermark; a session already expired relative to the
+    # watermark flushes at the next watermark tick.
+    timeout_ms = end_us // 1000 + SESSION_GAP_SEC * 1000
+    state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+    if closed:
+        yield _sessions_pdf(closed)
 
 
 STATE_SCHEMA = "start_us LONG, end_us LONG, n LONG"
@@ -146,11 +202,11 @@ def stateful_sessions(stream: DataFrame) -> DataFrame:
 
     Emits a session row whenever a user's event gap exceeds the
     threshold — semantics matching q_events_sessionize for closed
-    sessions. The still-open session per user lives in state; a
-    production deployment on an unbounded stream would add an
-    event-time timeout to flush idle users (timeout-driven flushing is
-    deliberately out of scope for the bounded file-replay harness,
-    where timeout batches spin forever under availableNow).
+    sessions. The still-open session per user lives in state. This is
+    the NoTimeout form for bounded file replay (ProcessingTimeTimeout
+    under availableNow spins endless empty timeout batches);
+    ``stateful_sessions_event_timeout`` is the production form that
+    flushes idle users as the watermark advances.
     """
     return (
         stream.select("user_id", "ts")
@@ -161,6 +217,32 @@ def stateful_sessions(stream: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_sessions_event_timeout(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Production stateful sessionization: EventTimeTimeout flush.
+
+    A user whose session has gone quiet is emitted as soon as the
+    event-time watermark passes session_end + gap — no waiting for the
+    user's next event or the end of the stream, and state for idle
+    users is freed instead of accumulating unboundedly. The watermark
+    also bounds how late an event may arrive and still extend its
+    session.
+    """
+    return (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_func_event_timeout,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

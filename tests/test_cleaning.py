@@ -44,6 +44,23 @@ def test_dedupe_by_key_deterministic(spark):
     assert vals == {1: "a", 2: "c"}
 
 
+def test_dedupe_sees_raw_nulls_not_filled_defaults(spark):
+    """Keep-first must be decided on RAW values (NULL sorts first, as
+    the oracles pin) — not on defaulted values. Rows tie on 'name' and
+    differ only in seg's null-ness: the NULL row must win and then be
+    defaulted, not lose to a value that sorts below the default."""
+    df = spark.createDataFrame(
+        [(1, "x", "AUTO"), (1, "x", None)], ["id", "name", "seg"]
+    )
+    out = cleaning.run_cleaning(
+        df,
+        primary_key=["id"],
+        defaults={"seg": "UNKNOWN"},
+        dedupe_order=["name", "seg"],
+    ).collect()
+    assert [(r["id"], r["seg"]) for r in out] == [(1, "UNKNOWN")]
+
+
 def test_cast_types(spark):
     df = spark.createDataFrame([("1", "2.5")], ["a", "b"])
     out = cleaning.cast_types(df, {"a": "bigint", "b": "double"})

@@ -83,6 +83,75 @@ def test_foreachbatch_sink_idempotent_keys(spark, sf_dir, tmp_path):
     assert "__batch_id" in landed.columns
 
 
+def _write_events_file(path, rows):
+    """rows: (event_id, ts_iso, user_id). ts written as TIMESTAMP-shaped
+    int64 nanos, matching the testdata's TIMESTAMP(NANOS) layout."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [int(pd.Timestamp(r[1]).value) for r in rows], pa.int64()
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_event_time_timeout_flushes_idle_sessions_mid_stream(spark, tmp_path):
+    """Users 1 and 2 go idle after file 1; later files only advance the
+    watermark (user 3's events). Their sessions must be emitted by the
+    EventTimeTimeout — NOT by a later event of theirs, and NOT by end of
+    stream (user 3's open session proves end-of-stream does not flush)."""
+    import os
+    import time
+
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src)
+    _write_events_file(
+        f"{src}/f1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-01 10:05:00", 1),
+            (3, "2024-01-01 10:00:00", 2),
+            (4, "2024-01-01 10:02:00", 2),
+        ],
+    )
+    _write_events_file(f"{src}/f2.parquet", [(5, "2024-01-01 14:00:00", 3)])
+    # within user 3's session gap: extends the open session, only
+    # advances the watermark
+    _write_events_file(f"{src}/f3.parquet", [(6, "2024-01-01 14:10:00", 3)])
+    # file source processes oldest-mtime first; pin the order
+    now = time.time()
+    for i, f in enumerate(("f1.parquet", "f2.parquet", "f3.parquet")):
+        os.utime(f"{src}/{f}", (now + i, now + i))
+
+    stream = streaming_events.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_events.run_to_memory(
+        streaming_events.stateful_sessions_event_timeout(stream),
+        "sess_evt_test",
+        spark,
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    # watermark after f2 (14:00 - 30min = 13:30) passes both idle users'
+    # session_end + gap (10:35 / 10:32) -> timeout flush during f3's batch
+    assert set(rows) == {1, 2}, f"expected users 1,2 flushed, got {sorted(rows)}"
+    assert rows[1]["n_events"] == 2
+    assert rows[2]["n_events"] == 2
+    assert rows[1]["session_start"].isoformat() == "2024-01-01T10:00:00"
+    assert rows[1]["session_end"].isoformat() == "2024-01-01T10:05:00"
+    # user 3 is still within gap of the final watermark: stays in state,
+    # proving the emissions above were timeout-driven
+    assert 3 not in rows
+
+
 def test_stateful_sessions_close_on_gap(spark, sf_dir):
     stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
     out = streaming_events.run_to_memory(
