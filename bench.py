@@ -31,6 +31,7 @@ HEADLINE = [
     "events_windowed",
     "events_sessionize",
     "events_user_stats",
+    "bucketed_fact_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

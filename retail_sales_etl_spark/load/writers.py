@@ -44,17 +44,21 @@ def write_bucketed_table(
     n_buckets: int,
     sort_by: Sequence[str] | None = None,
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: pre-shuffled layout for co-located joins.
 
     Two tables bucketed on the same key with the same bucket count join
     WITHOUT a shuffle — at 100 TB this converts the fact-fact join's
     dominant cost into a local merge. Requires saveAsTable (bucketing
-    metadata lives in the session catalog).
+    metadata lives in the session catalog). ``path`` makes it an
+    external table (data at ``path``, metadata in the catalog).
     """
     writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

@@ -201,8 +201,60 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact revenue rollup on a co-bucketed warehouse layout.
+
+    The load layer owns the physical layout (the reference loads once
+    and queries many, /root/reference/etl/load.py:103): both facts are
+    written bucketed on the join key via
+    ``load.writers.write_bucketed_table``, so the lineitem⋈orders join
+    reads pre-shuffled buckets — NO Exchange on either join side
+    (pinned by tests/test_plan_audit.py). At 100 TB the fact-fact
+    shuffle is this query's dominant cost; the bucketed layout removes
+    it for every downstream consumer at the price of one write. Scale
+    knob: n_buckets tracks cluster cores (1024+ in production, 8 here).
+    """
+    import os
+    import tempfile
+
+    from ..load import writers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # Deterministic per-process layout dir: repeat calls overwrite in
+    # place instead of accreting temp dirs.
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{os.getpid()}")
+    writers.write_bucketed_table(
+        li, "li_bucketed", ["l_orderkey"], 8,
+        sort_by=["l_orderkey"], path=f"{base}/lineitem",
+    )
+    writers.write_bucketed_table(
+        orders, "orders_bucketed", ["o_orderkey"], 8,
+        sort_by=["o_orderkey"], path=f"{base}/orders",
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        spark.table("li_bucketed")
+        .join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.sum(rev.cast("decimal(25,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
+    "bucketed_fact_join": q_bucketed_fact_join,
     "clean_customer": q_clean_customer,
     "clean_orders": q_clean_orders,
     "clean_lineitem": q_clean_lineitem,
@@ -254,6 +306,15 @@ def _profile_oracle() -> str:
 
 ORACLE = {
     "profile_orders": _profile_oracle(),
+    "bucketed_fact_join": """
+        SELECT o_orderpriority AS order_priority,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
     "clean_customer": """
         SELECT c_custkey, c_name, c_nationkey,
                coalesce(c_acctbal, 0.0) AS c_acctbal,

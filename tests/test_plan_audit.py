@@ -71,3 +71,31 @@ def test_whole_stage_codegen_and_aqe_active(spark, sf_dir):
     assert "*(" in final
     # AQE coalesced the over-provisioned shuffle partitions at this SF
     assert "AQEShuffleRead" in final
+
+
+def test_bucketed_fact_join_has_no_join_shuffle(spark, sf_dir):
+    """The co-bucketed layout must eliminate the fact-fact Exchange:
+    with broadcast disabled, the raw join of the two bucketed tables
+    plans as SortMergeJoin over bucketed scans with ZERO Exchange."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.plans.etl_queries import q_bucketed_fact_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q_bucketed_fact_join(spark, sf_dir)  # writes the bucketed layout
+        j = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+        # the full rollup may shuffle for the final agg, but never on
+        # the join key alone
+        full = _formatted_plan(q_bucketed_fact_join(spark, sf_dir))
+        assert "hashpartitioning(l_orderkey" not in full
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
