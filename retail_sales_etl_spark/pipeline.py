@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import table_path
 from .control.runlog import ControlLog, new_run_id
+from .control.textlog import get_logger
 from .load import writers
 from .operators import cleaning, modeling
 from .sources import readers
@@ -134,9 +135,13 @@ def run_pipeline(
         raise ValueError(f"Invalid pipeline: {pipeline_name}")
     spec = PIPELINES[pipeline_name]
 
-    log = ControlLog(control_dir or os.path.join(warehouse_dir, "_control"))
+    control = control_dir or os.path.join(warehouse_dir, "_control")
+    log = ControlLog(control)
     run_id = new_run_id()
     run = log.insert_run(run_id, pipeline_name, "STARTED")
+    # Per-run text log artifact (reference utils/text_logger.py:24)
+    tlog = get_logger(run_id, pipeline_name, os.path.join(control, "logs"))
+    tlog.info("Pipeline started (sf_dir=%s warehouse=%s)", sf_dir, warehouse_dir)
     stage = None
     try:
         # EXTRACT
@@ -149,6 +154,7 @@ def run_pipeline(
         )
         n_sourced = sourced.count()
         log.update_stage(stage, "SUCCESS", n_sourced, n_sourced, None)
+        tlog.info("EXTRACT ok: %d rows", n_sourced)
 
         # TRANSFORM CLEAN (T1)
         stage = log.insert_stage(run_id, "TRANSFORM_P1", "STARTED", n_sourced)
@@ -160,6 +166,7 @@ def run_pipeline(
         )
         n_cleaned = cleaned.count()
         log.update_stage(stage, "SUCCESS", n_sourced, n_cleaned, None)
+        tlog.info("TRANSFORM_P1 ok: %d -> %d rows", n_sourced, n_cleaned)
 
         # TRANSFORM MODEL (T2)
         stage = log.insert_stage(run_id, "TRANSFORM_P2", "STARTED", n_cleaned)
@@ -194,6 +201,7 @@ def run_pipeline(
             partition_by=spec.partition_by,
         )
         log.update_stage(stage, "SUCCESS", n_cleaned, result["row_count"], None)
+        tlog.info("LOAD ok: %d rows -> %s", result["row_count"], spec.target_table)
         log.register_table(
             spec.target_table,
             spec.source_table,
@@ -201,9 +209,13 @@ def run_pipeline(
             primary_key=spec.model_primary_key or spec.primary_key,
         )
 
+        tlog.info("Pipeline SUCCESS")
         return log.update_run(run, "SUCCESS", None)
 
     except Exception as err:
+        tlog.error(
+            "Pipeline FAILED at %s: %s", stage["stage_name"] if stage else "?", err
+        )
         if stage is not None:
             log.update_stage(stage, "FAILED", None, None, str(err))
         log.update_run(run, "FAILED", str(err))

@@ -33,3 +33,20 @@ def test_lineitem_pipeline_builds_date_dim(spark, sf_dir, tmp_path):
     # date_dim loaded alongside (sales pipeline parity)
     dd = spark.read.parquet(os.path.join(wh, "date_dim"))
     assert dd.count() > 0
+
+
+def test_pipeline_writes_per_run_text_log(spark, sf_dir, tmp_path):
+    """Reference utils/text_logger.py parity: a run leaves a grep-able
+    text log with ts | level | module | pipeline | run_id | message."""
+    wh = str(tmp_path / "warehouse")
+    run = run_pipeline(spark, "customer", sf_dir, wh)
+    log_file = os.path.join(wh, "_control", "logs", "etl_logs.log")
+    assert os.path.exists(log_file)
+    lines = open(log_file).read().splitlines()
+    mine = [ln for ln in lines if run["run_id"] in ln]
+    assert any("Pipeline started" in ln for ln in mine)
+    assert any("EXTRACT ok" in ln for ln in mine)
+    assert any("Pipeline SUCCESS" in ln for ln in mine)
+    # field layout parity with the reference formatter
+    parts = mine[0].split(" | ")
+    assert parts[1] == "INFO" and parts[3] == "customer"
