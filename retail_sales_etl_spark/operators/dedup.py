@@ -272,8 +272,41 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH candidate graph.
+
+    Pair lists (a~b, b~c) under-describe dedup decisions — keeping one
+    doc per transitive cluster needs component ids. Edges are the LSH
+    band-bucket pairs; components come from iterative min-label
+    propagation (operators/graph.py connected_components); every doc
+    not in any pair is its own singleton cluster. Output: one row per
+    doc with its cluster id (min doc_id in the cluster), the cluster
+    size, and the keep/drop verdict (keep the canonical min doc).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    from .graph import connected_components
+
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("node_id")), pairs
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node_id").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -340,6 +373,50 @@ def _minhash_lsh_oracle() -> str:
     """
 
 
+def _clusters_oracle() -> str:
+    """Transitive closure via recursive CTE: reach(doc, lab) holds every
+    label reachable through the symmetric LSH edge set; min(lab) per doc
+    is the component min — the same unique fixpoint the Spark label
+    propagation converges to."""
+    n_bands = N_MINHASH // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ") AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH RECURSIVE
+        sig AS ({_MINHASH_SIG_SQL}),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_key = b.band_key
+                        AND a.band_idx = b.band_idx
+                        AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id AS src, a_id AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id, doc_id AS lab FROM documents
+            UNION
+            SELECT e.dst AS doc_id, r.lab
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        lab AS (
+            SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM lab
+    """
+
+
 ORACLE = {
     "dedup_exact": """
         SELECT doc_id,
@@ -372,6 +449,7 @@ ORACLE = {
         WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_THRESHOLD}
     """,
     "minhash_signatures": _MINHASH_SIG_SQL,
+    "dedup_clusters": _clusters_oracle(),
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding": f"""

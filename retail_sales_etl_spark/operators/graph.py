@@ -90,6 +90,49 @@ def pagerank(
     return ranks.select("part_id", F.round(F.col("rank") * n_nodes, 6).alias("rank_scaled"))
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``node_id``; ``edges``: undirected pairs
+    ``(a, b)``. Returns ``(node_id, component_id)`` where component_id
+    is the minimum node id in the component — a unique deterministic
+    fixpoint, so a recursive-CTE oracle reproduces it exactly.
+
+    Each iteration is join + min-agg (two shuffles) and converges in
+    O(component diameter) rounds; labels are localCheckpoint()ed every
+    round because each round references the last (same lineage-blowup
+    guard as pagerank). Convergence is detected by the label sum — it
+    strictly decreases until fixpoint, so one scalar agg per round,
+    no old-vs-new join. At 100 TB with large-diameter graphs the
+    published alternating large-star/small-star algorithm (same
+    join + min-agg building blocks) cuts round count to O(log n);
+    dedup clusters from LSH pairs are near-cliques, so diameter stays
+    small and plain propagation is the cheaper constant.
+    """
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+    labels = nodes.select("node_id", F.col("node_id").alias("component_id"))
+    prev_sum = None
+    for _ in range(max_iterations):
+        neigh = sym.join(
+            labels.withColumnRenamed("node_id", "src"), "src"
+        ).select(F.col("dst").alias("node_id"), "component_id")
+        labels = (
+            labels.unionAll(neigh)
+            .groupBy("node_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     return pagerank(edges, N_ITERATIONS)

@@ -47,3 +47,34 @@ def test_pagerank_conserves_mass_and_is_positive(spark, sf_dir):
     assert max(r["rank_scaled"] for r in ranks) > min(
         r["rank_scaled"] for r in ranks
     )
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A 5-node chain (diameter 4) forces multiple propagation rounds;
+    a disjoint pair and a singleton pin component isolation."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["node_id"])
+    # chain 1-2-3-4-5, pair 6-7, singleton 8
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (7, 6)], ["a", "b"]
+    )
+    out = {r["node_id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
+
+
+def test_dedup_clusters_covers_every_doc_once(spark, sf_dir):
+    from retail_sales_etl_spark.operators.dedup import q_dedup_clusters
+
+    out = q_dedup_clusters(spark, sf_dir)
+    rows = out.collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) == n_docs  # exactly one cluster per doc
+    # every cluster's canonical doc is a member of the cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
