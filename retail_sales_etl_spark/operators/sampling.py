@@ -1,0 +1,128 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs,
+partitionings, and engines; a training pipeline needs the SAME sample
+every run so downstream shards/dedups/evals stay stable. Both
+operators key the decision on a cryptographic hash of the doc id:
+
+- ``sample_stratified``: per-language keep RATES (downsample the
+  dominant languages, keep the long tail whole — the standard
+  data-mixture rebalance). A doc is kept iff the first 8 hex chars of
+  md5('sample|' || doc_id) sort below the stratum's threshold; on
+  lowercase hex, string order == numeric order, so the threshold for
+  rate r is just hex(floor(r * 2^32)) — portable to any engine with
+  md5 and no int-parsing of hex anywhere.
+- ``sample_topk_per_stratum``: exactly k docs per source (fixed-size
+  strata for eval sets), the k smallest hash keys per group — a
+  deterministic reservoir. Window rank per group, never a global sort.
+
+Both are single-scan + (for top-k) one hash-partitioned window; no
+shuffle at all for the rate filter. At 100 TB the rate filter runs
+entirely map-side and prunes before any downstream shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Keep rates per language stratum; absent languages keep everything.
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5}
+TOPK_PER_SOURCE = 10
+_SALT = "sample|"
+
+
+def _threshold_hex(rate: float) -> str:
+    """8-hex-char threshold with string order == numeric order.
+
+    rate >= 1.0 maps to 'g', which sorts after every hex digit, so the
+    predicate is vacuously true without a 9-char carry case.
+    """
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 0x100000000), "08x")
+
+
+def _key(col: F.Column) -> F.Column:
+    return F.substring(F.md5(F.concat(F.lit(_SALT), col.cast("string"))), 1, 8)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based stratified sample: keep iff hash key < stratum threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = None
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        branch = F.when(F.col("lang") == lang, F.lit(_threshold_hex(rate)))
+        thr = branch if thr is None else thr.when(
+            F.col("lang") == lang, F.lit(_threshold_hex(rate))
+        )
+    thr = thr.otherwise(F.lit(_threshold_hex(1.0)))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            _key(F.col("doc_id")).alias("sample_key"),
+            thr.alias("threshold"),
+        )
+        .filter(F.col("sample_key") < F.col("threshold"))
+        .drop("threshold")
+    )
+
+
+def q_sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size strata: the k smallest hash keys per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", _key(F.col("doc_id")).alias("sample_key")
+        )
+        .withColumn("rank_in_stratum", F.row_number().over(w))
+        .filter(F.col("rank_in_stratum") <= TOPK_PER_SOURCE)
+    )
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_threshold_hex(rate)}'"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang, source, sample_key
+        FROM (
+            SELECT doc_id, lang, source,
+                   substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS sample_key,
+                   CASE lang {cases} ELSE '{_threshold_hex(1.0)}' END AS threshold
+            FROM documents
+        )
+        WHERE sample_key < threshold
+    """
+
+
+QUERIES = {
+    "sample_stratified": q_sample_stratified,
+    "sample_topk_per_stratum": q_sample_topk_per_stratum,
+}
+
+ORACLE = {
+    "sample_stratified": _stratified_oracle(),
+    "sample_topk_per_stratum": f"""
+        SELECT doc_id, source, sample_key, rank_in_stratum
+        FROM (
+            SELECT doc_id, source,
+                   substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS sample_key,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id
+                   ) AS rank_in_stratum
+            FROM documents
+        )
+        WHERE rank_in_stratum <= {TOPK_PER_SOURCE}
+    """,
+}

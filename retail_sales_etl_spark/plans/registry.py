@@ -18,6 +18,7 @@ def _modules():
         events,
         graph,
         multimodal,
+        sampling,
         similarity,
         sketches,
         text,
@@ -35,6 +36,7 @@ def _modules():
         multimodal,
         graph,
         sketches,
+        sampling,
         streaming_events,
         dedup,
         etl_queries,

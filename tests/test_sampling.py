@@ -1,0 +1,44 @@
+"""Deterministic sampling: reproducibility, strata rates, fixed-k."""
+
+from __future__ import annotations
+
+from retail_sales_etl_spark.operators import sampling
+
+
+def test_stratified_sample_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, sampling.q_sample_stratified(spark, sf_dir).collect()))
+    b = sorted(map(tuple, sampling.q_sample_stratified(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stratified_rates_approximately_hold(spark, sf_dir):
+    from retail_sales_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = {
+        r["lang"]: r["count"]
+        for r in sampling.q_sample_stratified(spark, sf_dir)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for lang, rate in sampling.SAMPLE_RATES.items():
+        if totals.get(lang, 0) >= 50:
+            observed = kept.get(lang, 0) / totals[lang]
+            assert abs(observed - rate) < 0.2, (lang, observed, rate)
+    # un-listed languages are kept whole
+    for lang in totals:
+        if lang not in sampling.SAMPLE_RATES:
+            assert kept.get(lang, 0) == totals[lang]
+
+
+def test_topk_per_stratum_exact_size(spark, sf_dir):
+    out = sampling.q_sample_topk_per_stratum(spark, sf_dir)
+    sizes = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(n == sampling.TOPK_PER_SOURCE for n in sizes.values())
+    # sample must actually subset (the testdata has >k docs per source)
+    from retail_sales_etl_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() < n_docs
