@@ -65,6 +65,56 @@ def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_JOIN_WINDOW_SEC = 1800
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: every click within 30 minutes before a
+    purchase by the same user (attribution candidate set — the as-of
+    join keeps only the latest, this keeps the window).
+
+    Executes as an equi-join on user_id with the time band as a join
+    filter: shuffle is keyed on user, pair volume is bounded by per-user
+    activity inside the window, never all-pairs. The streaming twin
+    (streaming/events.py interval_join_clicks_purchases) runs the same
+    predicate as a watermarked stream-stream join; tests pin batch ==
+    streaming.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECONDS")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("gap_sec"),
+        )
+    )
+
+
 def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (non-equi) join: lineitem quantity against a bands dim.
 
@@ -158,6 +208,7 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_interval_join": q_events_interval_join,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "range_band_join": q_range_band_join,
     "rolling_daily_revenue": q_rolling_daily_revenue,
@@ -168,6 +219,22 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QTY_BANDS)
 
 ORACLE = {
+    "events_interval_join": f"""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECOND
+    """,
     "asof_click_before_purchase": """
         SELECT event_id, user_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,

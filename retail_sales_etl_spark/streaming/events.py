@@ -298,6 +298,65 @@ def write_batches_to_parquet(
     )
 
 
+def interval_join_clicks_purchases(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound.
+
+    Same predicate as the batch q_events_interval_join (plans/
+    advanced.py): clicks within INTERVAL_JOIN_WINDOW_SEC before a
+    purchase by the same user. Watermarks on BOTH inputs plus the time
+    band let Spark bound join state: a buffered click is purged once
+    the purchase-side watermark passes click_ts + window, so state is
+    O(events inside the horizon), not O(stream). This is the pattern
+    for streaming attribution at scale — the batch twin is the oracle.
+    """
+    from ..plans.advanced import INTERVAL_JOIN_WINDOW_SEC
+
+    clicks = (
+        clicks_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        purchases_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECONDS")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("gap_sec"),
+        )
+    )
+
+
 def enrich_with_customers(stream: DataFrame, customer_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a (static,
     broadcastable) dimension — the canonical streaming-ETL enrichment.

@@ -165,3 +165,20 @@ def test_stateful_sessions_close_on_gap(spark, sf_dir):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch interval-join result when the whole stream is replayed."""
+    from retail_sales_etl_spark.plans.advanced import q_events_interval_join
+
+    path = table_path(sf_dir, "events")
+    joined = streaming_events.interval_join_clicks_purchases(
+        streaming_events.read_events_stream(spark, path, max_files_per_trigger=10),
+        streaming_events.read_events_stream(spark, path, max_files_per_trigger=10),
+    )
+    out = streaming_events.run_to_memory(joined, "ss_interval_join", spark)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, q_events_interval_join(spark, sf_dir).collect()))
+    assert len(got) > 0
+    assert got == want
