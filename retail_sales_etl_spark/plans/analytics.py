@@ -180,6 +180,138 @@ def q_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped value concentration: suppliers whose lineitem revenue
+    exceeds 1.1x the average supplier's.
+
+    The scalar subquery (global avg) is a 1-row aggregate broadcast
+    back over the per-supplier rollup — no second scan of the fact, no
+    correlated per-row subquery. Threshold is relative, so the result
+    stays meaningful at any scale factor.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    stats = per_supp.agg(
+        (F.sum("rev_dec").cast("double") / F.count(F.lit(1))).alias("avg_rev"),
+        F.sum("rev_dec").cast("double").alias("total_rev"),
+    )
+    return (
+        per_supp.crossJoin(broadcast(stats))
+        .filter(F.col("rev_dec").cast("double") > F.lit(1.1) * F.col("avg_rev"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.lit(100.0) * F.col("rev_dec").cast("double") / F.col("total_rev"))
+            .alias("share_pct"),
+        )
+    )
+
+
+def q_exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped exclusive-existence: for multi-supplier orders where
+    EXACTLY ONE supplier shipped late (>90 days after the order date),
+    charge that supplier; count charged orders per supplier.
+
+    The EXISTS/NOT-EXISTS pair decorrelates into one per-order
+    aggregate (distinct suppliers vs distinct late suppliers) — a
+    single fact shuffle on the order key instead of two correlated
+    probes per row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("n_charged_orders"))
+        .join(broadcast(supplier), F.col("late_supp") == F.col("s_suppkey"))
+        .select(
+            F.col("late_supp").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            "n_charged_orders",
+        )
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped anti-join: customers with above-average positive
+    balance and NO orders since 2000, rolled up per nation.
+
+    Scalar avg broadcast + left-anti join against the recent-orders
+    keys — the anti side is distinct order custkeys, far smaller than
+    the fact.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped semi-join chain: suppliers shipping >10% of a part's
+    total quantity, with the count of parts they dominate.
+
+    Per-(supplier, part) rollup joined to the per-part total — the
+    part total reuses the pair rollup (no second fact scan), and the
+    comparison happens on the already-aggregated (small) side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("qty_dec")
+    )
+    part_tot = pair.groupBy("l_partkey").agg(
+        F.sum("qty_dec").alias("part_qty_dec")
+    )
+    return (
+        pair.join(part_tot, "l_partkey")
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.lit(0.1) * F.col("part_qty_dec").cast("double")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            "n_dominant_parts",
+        )
+    )
+
+
 def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full star join, revenue rollup by region x year.
 
@@ -352,6 +484,10 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "supplier_value_concentration": q_supplier_value_concentration,
+    "exclusive_late_suppliers": q_exclusive_late_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
     "disjunctive_revenue": q_disjunctive_revenue,
     "shipping_priority": q_shipping_priority,
     "nation_market_share": q_nation_market_share,
@@ -369,6 +505,82 @@ QUERIES = {
 }
 
 ORACLE = {
+    "supplier_value_concentration": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS rev_dec
+            FROM lineitem GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(sum(rev_dec) AS DOUBLE) / count(*) AS avg_rev,
+                   CAST(sum(rev_dec) AS DOUBLE) AS total_rev
+            FROM per_supp
+        )
+        SELECT l_suppkey AS supplier_id,
+               s_name AS supplier_name,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               100.0 * CAST(rev_dec AS DOUBLE) / total_rev AS share_pct
+        FROM per_supp, stats
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE CAST(rev_dec AS DOUBLE) > 1.1 * avg_rev
+    """,
+    "exclusive_late_suppliers": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                       THEN l_suppkey END) AS n_late_supp,
+                   min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN l_suppkey END) AS late_supp
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        )
+        SELECT late_supp AS supplier_id,
+               s_name AS supplier_name,
+               count(*) AS n_charged_orders
+        FROM per_order
+        JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late_supp = 1
+        GROUP BY 1, 2
+    """,
+    "idle_rich_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT n_name AS nation_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+        FROM customer, avg_bal
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY 1
+    """,
+    "dominant_part_suppliers": """
+        WITH pair AS (
+            SELECT l_suppkey, l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(25,6))) AS qty_dec
+            FROM lineitem GROUP BY 1, 2
+        ),
+        part_tot AS (
+            SELECT l_partkey, sum(qty_dec) AS part_qty_dec
+            FROM pair GROUP BY 1
+        )
+        SELECT p.l_suppkey AS supplier_id,
+               s_name AS supplier_name,
+               count(*) AS n_dominant_parts
+        FROM pair p
+        JOIN part_tot t ON p.l_partkey = t.l_partkey
+        JOIN supplier ON p.l_suppkey = s_suppkey
+        WHERE CAST(qty_dec AS DOUBLE) > 0.1 * CAST(part_qty_dec AS DOUBLE)
+        GROUP BY 1, 2
+    """,
     "disjunctive_revenue": """
         SELECT count(*) AS n_lines,
                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
