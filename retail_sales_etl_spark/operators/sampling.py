@@ -85,6 +85,57 @@ def q_sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 20_000
+
+
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: downsample each language so every
+    language contributes ~equally to a fixed total token budget.
+
+    The per-language keep RATE is derived from the data (rate =
+    min(1, (budget / n_langs) / lang_tokens)), so the static
+    hex-threshold trick doesn't apply; instead the hash prefix becomes
+    a numeric uniform u in [0,1) (32-bit slice / 2^32 — exact in a
+    double) and the doc is kept iff u < rate. Both engines compute
+    rate and u with the same integer inputs and the same double ops,
+    so the comparison is bit-identical. Plan shape: one scan for the
+    per-language totals (tiny agg, broadcast back) + one map-side
+    filter pass — no shuffle of the corpus itself.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    lang_tot = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("lang_tokens")
+    )
+    n_langs = lang_tot.agg(F.count(F.lit(1)).alias("n_langs"))
+    rates = lang_tot.crossJoin(broadcast(n_langs)).select(
+        "lang",
+        "lang_tokens",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(TOKEN_BUDGET)) / F.col("n_langs"))
+            / F.col("lang_tokens").cast("double"),
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(_key(F.col("doc_id")), 16, 10).cast("bigint").cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        toks.join(broadcast(rates), "lang")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select("doc_id", "lang", "n_tokens", "keep_rate", "u")
+    )
+
+
 def _stratified_oracle() -> str:
     cases = " ".join(
         f"WHEN '{lang}' THEN '{_threshold_hex(rate)}'"
@@ -106,10 +157,35 @@ def _stratified_oracle() -> str:
 QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sample_topk_per_stratum": q_sample_topk_per_stratum,
+    "mix_token_budget": q_mix_token_budget,
 }
 
 ORACLE = {
     "sample_stratified": _stratified_oracle(),
+    "mix_token_budget": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents
+        ),
+        lang_tot AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+            FROM toks GROUP BY 1
+        ),
+        rates AS (
+            SELECT lang, lang_tokens,
+                   least(1.0, ({TOKEN_BUDGET}.0 / (SELECT count(*) FROM lang_tot))
+                              / CAST(lang_tokens AS DOUBLE)) AS keep_rate
+            FROM lang_tot
+        )
+        SELECT doc_id, t.lang AS lang, n_tokens, keep_rate,
+               CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+        FROM toks t
+        JOIN rates r ON t.lang = r.lang
+        WHERE CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < keep_rate
+    """,
     "sample_topk_per_stratum": f"""
         SELECT doc_id, source, sample_key, rank_in_stratum
         FROM (

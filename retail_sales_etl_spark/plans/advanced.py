@@ -115,6 +115,48 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style history build (gaps-and-islands run collapse).
+
+    Derives each user's spend-band timeline from raw events: band each
+    event, collapse consecutive same-band runs into one validity row
+    ``[valid_from, valid_to)`` with ``valid_to`` taken from the next
+    run's start (NULL = current row) — exactly the Type-2 slowly
+    changing dimension build, from an append-only event log, with no
+    self-join: two window row_numbers make the island key, one agg
+    per run, one lead() for the interval close. Everything partitions
+    by user, so at 100 TB it is one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 20.0, F.lit("LOW"))
+        .when(F.col("value") < 70.0, F.lit("MID"))
+        .otherwise(F.lit("HIGH"))
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ub = Window.partitionBy("user_id", "band").orderBy("ts", "event_id")
+    islands = ev.select(
+        "user_id", "ts", "event_id", band.alias("band")
+    ).withColumn(
+        "isl", F.row_number().over(w_u) - F.row_number().over(w_ub)
+    )
+    runs = islands.groupBy("user_id", "band", "isl").agg(
+        F.min("ts").alias("valid_from_ts"),
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from_ts", "first_event_id")
+    nxt = F.lead("valid_from_ts").over(w_hist)
+    return runs.select(
+        "user_id",
+        "band",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
 def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (non-equi) join: lineitem quantity against a bands dim.
 
@@ -209,6 +251,7 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_interval_join": q_events_interval_join,
+    "user_band_history": q_user_band_history,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "range_band_join": q_range_band_join,
     "rolling_daily_revenue": q_rolling_daily_revenue,
@@ -234,6 +277,36 @@ ORACLE = {
          AND c.event_type = 'click'
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECOND
+    """,
+    "user_band_history": """
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value < 20.0 THEN 'LOW'
+                        WHEN value < 70.0 THEN 'MID'
+                        ELSE 'HIGH' END AS band
+            FROM events
+        ),
+        isl AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - row_number() OVER (PARTITION BY user_id, band ORDER BY ts, event_id)
+                       AS isl
+            FROM ev
+        ),
+        runs AS (
+            SELECT user_id, band, isl,
+                   min(ts) AS valid_from_ts,
+                   min(event_id) AS first_event_id,
+                   count(*) AS n_events
+            FROM isl GROUP BY 1, 2, 3
+        )
+        SELECT user_id, band,
+               strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(valid_from_ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               lead(valid_from_ts) OVER w IS NULL AS is_current,
+               n_events
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_ts, first_event_id)
     """,
     "asof_click_before_purchase": """
         SELECT event_id, user_id,

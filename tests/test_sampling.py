@@ -42,3 +42,21 @@ def test_topk_per_stratum_exact_size(spark, sf_dir):
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert out.count() < n_docs
+
+
+def test_mix_token_budget_equalizes_language_shares(spark, sf_dir):
+    """Downsampled languages must land near budget/n_langs tokens;
+    languages below their share are kept whole (rate capped at 1)."""
+    out = sampling.q_mix_token_budget(spark, sf_dir).collect()
+    assert len(out) > 0
+    per_lang = {}
+    rates = {}
+    for r in out:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_tokens"]
+        rates[r["lang"]] = r["keep_rate"]
+    n_langs = len(rates)
+    share = sampling.TOKEN_BUDGET / n_langs
+    for lang, kept_tokens in per_lang.items():
+        if rates[lang] < 1.0:  # downsampled language: near its share
+            assert abs(kept_tokens - share) / share < 0.35, (lang, kept_tokens, share)
+        assert rates[lang] <= 1.0
