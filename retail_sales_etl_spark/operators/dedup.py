@@ -133,7 +133,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 minhash band bucket."""
-    sig = _minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs over an arbitrary (doc_id, text) frame."""
+    sig = _minhash_signatures(docs)
     n_bands = N_MINHASH // BAND_SIZE
     bands = F.array(
         *[
@@ -304,9 +309,74 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_WORDS = 20
+
+
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE declarative plan:
+
+    quality gate (>= MIN_WORDS words) -> exact dedup (md5 canonical)
+    -> near-dup cluster dedup (MinHash-LSH pairs -> connected
+    components, keep each cluster's canonical doc) -> deterministic
+    per-language stratified downsample. Output: the kept corpus with
+    its lineage facts (cluster size, token count).
+
+    This is the "switchboard" query a reference user runs nightly:
+    every stage is one of this module's audited operators composed
+    (same shuffles, no new scan patterns), so the 100 TB posture is
+    the per-stage posture. Dedup runs BEFORE sampling so keep rates
+    apply to unique content, not to duplicate-inflated counts.
+    """
+    from ..operators.graph import connected_components
+    from ..operators.sampling import SAMPLE_RATES, _key, _threshold_hex
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    gated = docs.select(
+        "doc_id", "lang", "source", "text", n_words.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= MIN_WORDS)
+    w_exact = Window.partitionBy(F.md5("text"))
+    exact = gated.withColumn(
+        "canonical_id", F.min("doc_id").over(w_exact)
+    ).filter(F.col("doc_id") == F.col("canonical_id"))
+
+    pairs = minhash_lsh_pairs(exact.select("doc_id", "text")).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    labels = connected_components(
+        exact.select(F.col("doc_id").alias("node_id")), pairs
+    )
+    w_cl = Window.partitionBy("component_id")
+    canon = (
+        labels.withColumn("cluster_size", F.count(F.lit(1)).over(w_cl))
+        .filter(F.col("node_id") == F.col("component_id"))
+        .select(F.col("node_id").alias("doc_id"), "cluster_size")
+    )
+
+    thr = None
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        branch_val = F.lit(_threshold_hex(rate))
+        if thr is None:
+            thr = F.when(F.col("lang") == lang, branch_val)
+        else:
+            thr = thr.when(F.col("lang") == lang, branch_val)
+    thr = thr.otherwise(F.lit(_threshold_hex(1.0)))
+
+    return (
+        canon.join(exact, "doc_id")
+        .filter(_key(F.col("doc_id")) < thr)
+        .select("doc_id", "lang", "source", "n_tokens", "cluster_size")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "prepare_corpus": q_prepare_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -314,21 +384,31 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
 }
 
-_SHINGLES_SQL = """
+def _shingles_sql(src: str = "documents") -> str:
+    return f"""
     SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
     FROM (
         SELECT doc_id, w, unnest(generate_series(0, len(w) - 3)) AS i
         FROM (
             SELECT doc_id, string_split(text, ' ') AS w
-            FROM documents
+            FROM {src}
             WHERE len(string_split(text, ' ')) >= 3
         )
     )
 """
 
-_MINHASH_SIG_SQL = "SELECT doc_id, " + ", ".join(
-    f"{_mh_expr_sql(s)} AS mh{s}" for s in range(N_MINHASH)
-) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+def _minhash_sig_sql(src: str = "documents") -> str:
+    return (
+        "SELECT doc_id, "
+        + ", ".join(f"{_mh_expr_sql(s)} AS mh{s}" for s in range(N_MINHASH))
+        + f" FROM ({_shingles_sql(src)}) GROUP BY doc_id"
+    )
+
+
+_SHINGLES_SQL = _shingles_sql()
+
+_MINHASH_SIG_SQL = _minhash_sig_sql()
 
 
 def _simhash_oracle() -> str:
@@ -417,6 +497,72 @@ def _clusters_oracle() -> str:
     """
 
 
+def _prepare_corpus_oracle() -> str:
+    from ..operators.sampling import SAMPLE_RATES, _SALT, _threshold_hex
+
+    n_bands = N_MINHASH // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ") AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_threshold_hex(rate)}'"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH RECURSIVE
+        gated AS (
+            SELECT doc_id, lang, source, text,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) + 1 >= {MIN_WORDS}
+        ),
+        exact AS (
+            SELECT * FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+                FROM gated
+            ) WHERE doc_id = canonical_id
+        ),
+        sig AS ({_minhash_sig_sql('exact')}),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_key = b.band_key
+                        AND a.band_idx = b.band_idx
+                        AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id AS src, a_id AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id, doc_id AS lab FROM exact
+            UNION
+            SELECT e.dst AS doc_id, r.lab
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        lab AS (
+            SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        canon AS (
+            SELECT doc_id, cluster_size FROM (
+                SELECT doc_id, cluster_id,
+                       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                FROM lab
+            ) WHERE doc_id = cluster_id
+        )
+        SELECT e.doc_id AS doc_id, lang, source, n_tokens, cluster_size
+        FROM canon c
+        JOIN exact e ON c.doc_id = e.doc_id
+        WHERE substring(md5('{_SALT}' || CAST(e.doc_id AS VARCHAR)), 1, 8)
+              < CASE lang {cases} ELSE '{_threshold_hex(1.0)}' END
+    """
+
+
 ORACLE = {
     "dedup_exact": """
         SELECT doc_id,
@@ -450,6 +596,7 @@ ORACLE = {
     """,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "dedup_clusters": _clusters_oracle(),
+    "prepare_corpus": _prepare_corpus_oracle(),
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding": f"""

@@ -214,11 +214,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, QUERY_VEC_ID, nprobe=2, top_k=TOP_K)
 
 
+KNN_K = 3
+
+
+def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN self-join: top-k nearest neighbors for EVERY vector, blocked
+    by label (IVF-cell analog) — the all-pairs companion to the
+    single-query ANN entries, and the workhorse of embedding-based
+    corpus curation (near-dup mining, cluster labeling, retrieval eval).
+
+    Per block, one BLAS pairwise-cosine matrix inside ``applyInPandas``
+    (same kernel family as dedup_embedding — measured ~20x over a
+    per-pair expression fold at 10x scale); ties broken by neighbor id
+    so the result is deterministic and oracle-exact. At 100 TB the
+    block must be an ANN cell sized to worker memory; the blocked join
+    never materializes cross-block pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        label = pdf["label"].iloc[0]
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        n = len(ids)
+        k = min(KNN_K, n - 1)
+        rows = []
+        for i in range(n):
+            c = cos[i].copy()
+            c[i] = -np.inf
+            # sort by (-cosine, neighbor id): deterministic under ties
+            order = np.lexsort((ids, -c))[:k]
+            for rank, j in enumerate(order, 1):
+                rows.append((ids[i], ids[j], label, c[j], rank))
+        return pd.DataFrame(
+            rows, columns=["q_id", "n_id", "label", "cosine", "rank"]
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        _topk, schema="q_id long, n_id long, label int, cosine double, rank int"
+    )
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_centroids": q_embedding_centroids,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "knn_join_blocked": q_knn_join_blocked,
 }
 
 
@@ -249,7 +298,29 @@ _CENTROIDS_SQL = """
     GROUP BY label, i
 """
 
+_PAIR_COSINE_SQL = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
 ORACLE = {
+    "knn_join_blocked": f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id, a.label AS label,
+                   {_PAIR_COSINE_SQL} AS cosine
+            FROM emb a
+            JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT q_id, n_id, label, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, n_id
+            ) AS rank
+            FROM pairs
+        )
+        WHERE rank <= {KNN_K}
+    """,
     "embedding_centroids": _CENTROIDS_SQL,
     "ann_ivf_topk": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
