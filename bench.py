@@ -38,6 +38,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "ann_topk",
+    "knn_join_blocked",
+    "prepare_corpus",
     "multimodal_bytes",
 ]
 
@@ -62,8 +64,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
+        # plan construction INSIDE the timer: iterative operators
+        # (connected components, pagerank) run eager actions while the
+        # DataFrame is being built, and that work is part of the query
         t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

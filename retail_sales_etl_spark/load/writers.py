@@ -130,6 +130,74 @@ def compact_table(
     return {"row_count": n_after, "target_files": target_files}
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    primary_key: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """MERGE INTO semantics on a parquet table: matched keys take the
+    update row, unmatched update rows are inserted, everything else is
+    kept.
+
+    Expressed as left-anti(target, update keys) ∪ updates — one shuffle
+    on the key, never a wide full-outer. Partitioned targets rewrite
+    ONLY the partitions present in the update set (semi-join prune +
+    ``partitionOverwriteMode=dynamic``), which is the 100 TB shape: a
+    daily upsert touches days, not the table. Unpartitioned targets
+    fall back to a row-count-guarded temp-dir swap (same pattern as
+    compact_table). A lakehouse table format would add file-level
+    pruning and ACID on top; the semantics here are identical.
+    """
+    import shutil
+    import uuid
+
+    target = spark.read.format(fmt).load(path)
+    n_target = target.count()
+    n_updates = updates.count()
+    key_cols = list(primary_key)
+
+    if partition_by:
+        parts = [p for p in partition_by]
+        affected = target.join(
+            F.broadcast(updates.select(*parts).distinct()), parts, "left_semi"
+        )
+        n_affected = affected.count()
+        kept = affected.join(updates.select(*key_cols), key_cols, "left_anti")
+        n_kept = kept.count()
+        # materialize BEFORE overwriting: the merged lineage reads the
+        # very files the dynamic overwrite replaces
+        merged = kept.unionByName(updates.select(*target.columns)).localCheckpoint(
+            eager=True
+        )
+        (
+            merged.write.mode("overwrite")
+            .format(fmt)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .save(path)
+        )
+        n_after = spark.read.format(fmt).load(path).count()
+        expected = n_target - n_affected + n_kept + n_updates
+    else:
+        kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates.select(*target.columns))
+        expected = kept.count() + n_updates
+        tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").format(fmt).save(tmp)
+        n_after = spark.read.format(fmt).load(tmp).count()
+        if n_after != expected:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(f"Merge row-count drift: {expected} -> {n_after}")
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+    if n_after != expected:
+        raise ValueError(f"Merge row-count drift: {expected} -> {n_after}")
+    return {"rows_before": n_target, "rows_after": n_after, "rows_upserted": n_updates}
+
+
 def run_incremental_load(
     spark: SparkSession,
     df: DataFrame,

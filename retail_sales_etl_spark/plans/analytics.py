@@ -312,6 +312,36 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_revenue_pivot_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted rollup: nation x market-segment revenue matrix.
+
+    ``pivot`` with an EXPLICIT value list — without it Spark runs an
+    extra distinct-scan to discover the columns and the output schema
+    becomes data-dependent (a breaking change waiting to happen at
+    100 TB). With the list, this is one pass: partial aggs per
+    (nation, segment) then a width-5 reshape, no second scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    pivoted = (
+        joined.groupBy(F.col("n_name").alias("nation_name"))
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast("double"))
+    )
+    return pivoted.select(
+        "nation_name",
+        *[F.col(s).alias(f"rev_{s.lower()}") for s in SEGMENTS],
+    )
+
+
 def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full star join, revenue rollup by region x year.
 
@@ -488,6 +518,7 @@ QUERIES = {
     "exclusive_late_suppliers": q_exclusive_late_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "dominant_part_suppliers": q_dominant_part_suppliers,
+    "revenue_pivot_by_segment": q_revenue_pivot_by_segment,
     "disjunctive_revenue": q_disjunctive_revenue,
     "shipping_priority": q_shipping_priority,
     "nation_market_share": q_nation_market_share,
@@ -580,6 +611,28 @@ ORACLE = {
         JOIN supplier ON p.l_suppkey = s_suppkey
         WHERE CAST(qty_dec AS DOUBLE) > 0.1 * CAST(part_qty_dec AS DOUBLE)
         GROUP BY 1, 2
+    """,
+    "revenue_pivot_by_segment": """
+        SELECT n_name AS nation_name,
+               CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                             THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+                   AS rev_automobile,
+               CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                             THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+                   AS rev_building,
+               CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'
+                             THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+                   AS rev_furniture,
+               CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+                             THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+                   AS rev_household,
+               CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                             THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+                   AS rev_machinery
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
     """,
     "disjunctive_revenue": """
         SELECT count(*) AS n_lines,

@@ -90,3 +90,40 @@ def test_incremental_load_watermark(spark, tmp_path):
     r3 = writers.run_incremental_load(spark, batch2, path, "d", control, "t")
     assert r3["rows_appended"] == 0
     assert spark.read.parquet(path).count() == 3
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["id", "v"])
+    res = writers.merge_upsert(spark, path, updates, ["id"])
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert res["rows_after"] == 4
+
+
+def test_merge_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tp")
+    spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], ["id", "v", "day"]
+    ).write.partitionBy("day").parquet(path)
+
+    def files_in(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    d2_before = files_in("d2")
+    updates = spark.createDataFrame([(2, "B", "d1"), (9, "z", "d1")], ["id", "v", "day"])
+    writers.merge_upsert(spark, path, updates, ["id"], partition_by=["day"])
+    rows = {r["id"]: (r["v"], r["day"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", "d1"), 2: ("B", "d1"), 3: ("c", "d2"), 9: ("z", "d1")}
+    # untouched partition: same files, same mtimes (no rewrite)
+    assert files_in("d2") == d2_before
