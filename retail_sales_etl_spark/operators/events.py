@@ -237,7 +237,34 @@ def q_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+TOPK_WINDOW = 3
+
+
+def q_events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-k event types per hour by event count.
+
+    Hour rollup then a per-window rank — the rank window partitions on
+    the hour, so the heavy agg output (hours x types, already small) is
+    the only thing shuffled twice; the raw stream is shuffled once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), _FMT_SPARK)
+    counts = ev.groupBy(
+        hour.alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK_WINDOW
+    )
+
+
 QUERIES = {
+    "events_topk_per_window": q_events_topk_per_window,
     "events_anomaly": q_events_anomaly,
     "top_shingles": q_top_shingles,
     "events_windowed": q_events_windowed,
@@ -251,6 +278,25 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "events_topk_per_window": f"""
+        SELECT window_start, event_type, n_events, total_value,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY n_events DESC, event_type
+            ) AS rank
+            FROM (
+                SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+                       event_type,
+                       count(*) AS n_events,
+                       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+                FROM events
+                GROUP BY 1, 2
+            )
+        )
+        WHERE rank <= {TOPK_WINDOW}
+    """,
     "events_anomaly": """
         WITH stats AS (
             SELECT event_type AS et,

@@ -154,8 +154,28 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling rollup: run the 1->N ``mapInPandas`` frame slicer
+    over every payload and aggregate per asset (frame count, frame
+    bytes, last offset).
+
+    The slicer is the deterministic stub (documented above), so the
+    whole Arrow round-trip — binary in, exploded frames out, JVM agg
+    back — is oracle-checkable from closed-form arithmetic on the
+    payload length. In production only the decoder body changes.
+    """
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_bytes")).cast("bigint").alias("total_frame_bytes"),
+        F.max("frame_offset").alias("max_offset"),
+    )
+
+
 QUERIES = {
     "multimodal_bytes": q_multimodal_bytes,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE = {
@@ -167,5 +187,20 @@ ORACLE = {
                (octet_length(encode(text)) % 64) + 1 AS synth_width,
                (octet_length(encode(text)) % 48) + 1 AS synth_height
         FROM documents
+    """,
+    "multimodal_frames": """
+        SELECT doc_id,
+               n_frames,
+               CAST(CASE WHEN n_bytes <= 64 THEN n_bytes
+                         ELSE 64 * n_frames END AS BIGINT) AS total_frame_bytes,
+               CAST(256 * (n_frames - 1) AS BIGINT) AS max_offset
+        FROM (
+            SELECT doc_id, n_bytes,
+                   ((greatest(n_bytes - 64, 1) - 1) // 256) + 1 AS n_frames
+            FROM (
+                SELECT doc_id, octet_length(encode(text)) AS n_bytes
+                FROM documents
+            )
+        )
     """,
 }
