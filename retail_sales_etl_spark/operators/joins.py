@@ -85,3 +85,46 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[F.sum(name).alias(name) for name in aggs]
     )
+
+
+def q_salted_flag_revenue(spark, sf_dir):
+    """Skew-safe revenue rollup on a 3-value group key (returnflag).
+
+    A 3-key groupBy concentrates the whole fact on 3 reducers; the
+    salted two-phase agg spreads each hot key over n_salts partial
+    groups first, so no reducer sees more than ~1/n_salts of a key.
+    Result is EXACTLY the plain GROUP BY (decimal partials re-sum
+    associatively) — which is what the DuckDB oracle runs.
+    """
+    from ..catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(25,6)")
+    rows = li.select("l_returnflag", rev.alias("rev_dec"))
+    agged = salted_agg(
+        rows,
+        ["l_returnflag"],
+        {"rev_dec": F.sum("rev_dec"), "n_lines": F.count(F.lit(1))},
+    )
+    return agged.select(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+    )
+
+
+QUERIES = {
+    "salted_flag_revenue": q_salted_flag_revenue,
+}
+
+ORACLE = {
+    "salted_flag_revenue": """
+        SELECT l_returnflag AS return_flag,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY 1
+    """,
+}

@@ -17,6 +17,7 @@ def _modules():
         dedup,
         events,
         graph,
+        joins,
         multimodal,
         sampling,
         similarity,
@@ -36,6 +37,7 @@ def _modules():
         multimodal,
         graph,
         sketches,
+        joins,
         sampling,
         streaming_events,
         dedup,

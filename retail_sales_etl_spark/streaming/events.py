@@ -377,8 +377,27 @@ def enrich_with_customers(stream: DataFrame, customer_dim: DataFrame) -> DataFra
     )
 
 
+def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the custom stateful operator: replay
+    the events table through ``applyInPandasWithState`` sessionization
+    and return the CLOSED sessions. Rows-only check (streaming
+    execution path); tests pin closed-session equality against the
+    oracle-checked batch ``events_sessionize``.
+    """
+    import uuid
+
+    from ..catalog import table_path
+
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=10
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(stateful_sessions(stream), name, spark)
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
+    "streaming_sessionized": q_streaming_sessionized,
 }
 
 
