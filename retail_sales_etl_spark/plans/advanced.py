@@ -249,9 +249,63 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: every date in the orders range gets a row,
+    zero-revenue days included (time-series need dense axes; a missing
+    day is data, not absence).
+
+    The spine is generated from the min/max aggregate (sequence() on a
+    1-row frame — no driver loop), then left-joined to the daily
+    rollup. The rollup side is small (days), so the join broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    spine = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("date"))
+    )
+    return spine.join(broadcast(daily), spine.date == daily.d, "left").select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.coalesce(F.col("rev_dec").cast("double"), F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("rev_dec").isNull().alias("is_gap"),
+    )
+
+
+HIST_BIN_WIDTH = 25_000.0
+HIST_MAX_BIN = 19
+
+
+def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (map-side binning, one
+    tiny agg — the distribution profile that drives skew decisions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_idx = F.least(
+        F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("int"),
+        F.lit(HIST_MAX_BIN),
+    )
+    return (
+        orders.groupBy(bin_idx.alias("bin_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+        )
+        .withColumn("bin_lo", F.col("bin_idx") * HIST_BIN_WIDTH)
+    )
+
+
 QUERIES = {
     "events_interval_join": q_events_interval_join,
     "user_band_history": q_user_band_history,
+    "daily_revenue_gapfilled": q_daily_revenue_gapfilled,
+    "order_value_histogram": q_order_value_histogram,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "range_band_join": q_range_band_join,
     "rolling_daily_revenue": q_rolling_daily_revenue,
@@ -277,6 +331,40 @@ ORACLE = {
          AND c.event_type = 'click'
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECOND
+    """,
+    "daily_revenue_gapfilled": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series(
+                (SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+                (SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+                INTERVAL 1 DAY)) AS date
+        )
+        SELECT strftime(spine.date, '%Y-%m-%d') AS date,
+               coalesce(CAST(rev_dec AS DOUBLE), 0.0) AS revenue,
+               coalesce(n_orders, 0) AS n_orders,
+               rev_dec IS NULL AS is_gap
+        FROM spine
+        LEFT JOIN daily ON CAST(spine.date AS DATE) = daily.d
+    """,
+    "order_value_histogram": f"""
+        SELECT bin_idx,
+               count(*) AS n_orders,
+               min(o_totalprice) AS min_value,
+               max(o_totalprice) AS max_value,
+               CAST(bin_idx * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo
+        FROM (
+            SELECT *,
+                   CAST(least(floor(o_totalprice / {HIST_BIN_WIDTH}),
+                              {HIST_MAX_BIN}) AS INTEGER) AS bin_idx
+            FROM orders
+        )
+        GROUP BY bin_idx
     """,
     "user_band_history": """
         WITH ev AS (

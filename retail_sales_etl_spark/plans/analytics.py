@@ -216,22 +216,31 @@ def q_exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY ONE supplier shipped late (>90 days after the order date),
     charge that supplier; count charged orders per supplier.
 
-    The EXISTS/NOT-EXISTS pair decorrelates into one per-order
-    aggregate (distinct suppliers vs distinct late suppliers) — a
-    single fact shuffle on the order key instead of two correlated
-    probes per row.
+    The EXISTS/NOT-EXISTS pair decorrelates into per-order aggregates —
+    a fact shuffle on the order key instead of two correlated probes
+    per row. Two-stage shape: first collapse to (order, supplier,
+    any_late) grain, THEN count per order. The single-agg double
+    count_distinct alternative plans an Expand (3x the joined rows
+    into the shuffle); measured at the 100x probe this two-stage form
+    is ~4x faster (53.5s -> 13.5s), identical results.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    per_order = (
+    per_pair = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late_supp"),
+            F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
