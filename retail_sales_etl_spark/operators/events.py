@@ -263,7 +263,46 @@ def q_events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COHORT_OFFSETS = [0, 1, 2, 3]
+
+
+def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by FIRST-PURCHASE day,
+    distinct purchasers again at day offsets 0..3, pivoted wide.
+
+    Two aggs over the (user, day) purchase grid — the grid is tiny
+    next to the raw stream (one row per purchaser-day), so the cohort
+    pivot costs nothing compared to the single scan that builds it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    activity = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("d"))
+        .distinct()
+    )
+    first = activity.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    grid = activity.join(first, "user_id").select(
+        "user_id",
+        F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.col("d"), F.col("cohort_d")).alias("off"),
+    )
+    pivoted = (
+        grid.groupBy("cohort_day")
+        .pivot("off", COHORT_OFFSETS)
+        .agg(F.count_distinct("user_id"))
+    )
+    return pivoted.select(
+        "cohort_day",
+        *[
+            F.coalesce(F.col(str(o)), F.lit(0)).alias(f"day{o}")
+            for o in COHORT_OFFSETS
+        ],
+    )
+
+
 QUERIES = {
+    "events_cohort_matrix": q_events_cohort_matrix,
     "events_topk_per_window": q_events_topk_per_window,
     "events_anomaly": q_events_anomaly,
     "top_shingles": q_top_shingles,
@@ -278,6 +317,28 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "events_cohort_matrix": """
+        WITH activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        first AS (
+            SELECT user_id, min(d) AS cohort_d FROM activity GROUP BY 1
+        ),
+        grid AS (
+            SELECT a.user_id,
+                   strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+                   datediff('day', cohort_d, d) AS off
+            FROM activity a JOIN first f ON a.user_id = f.user_id
+        )
+        SELECT cohort_day,
+               count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS day0,
+               count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS day1,
+               count(DISTINCT CASE WHEN off = 2 THEN user_id END) AS day2,
+               count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS day3
+        FROM grid
+        GROUP BY 1
+    """,
     "events_topk_per_window": f"""
         SELECT window_start, event_type, n_events, total_value,
                CAST(rank AS INTEGER) AS rank

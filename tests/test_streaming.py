@@ -182,3 +182,37 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     want = sorted(map(tuple, q_events_interval_join(spark, sf_dir).collect()))
     assert len(got) > 0
     assert got == want
+
+
+def test_watermark_drops_late_events_from_windowed_agg(spark, tmp_path):
+    """An event arriving after the watermark passed its window must not
+    be counted (append-mode windowed agg finalizes on watermark)."""
+    import os
+    import time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    _write_events_file(
+        f"{src}/f1.parquet",
+        [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:01:00", 2)],
+    )
+    # advances max event time far past the 10:00 window (+10min wm)
+    _write_events_file(f"{src}/f2.parquet", [(3, "2024-01-01 12:00:00", 3)])
+    # one more batch so the 11:50 watermark takes effect for FILTERING
+    # (Spark applies a newly-computed watermark starting the next batch)
+    _write_events_file(f"{src}/f3.parquet", [(4, "2024-01-01 12:01:00", 3)])
+    # late arrival INTO the already-finalized 10:00 window -> dropped
+    _write_events_file(f"{src}/f4.parquet", [(5, "2024-01-01 10:02:00", 4)])
+    now = time.time()
+    files = ("f1.parquet", "f2.parquet", "f3.parquet", "f4.parquet")
+    for i, f in enumerate(files):
+        os.utime(f"{src}/{f}", (now + i, now + i))
+
+    stream = streaming_events.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_events.run_to_memory(
+        streaming_events.windowed_counts(stream), "late_drop_test", spark
+    )
+    rows = {r["window_start"]: r["n_events"] for r in out.collect()}
+    # the 10:00 window was emitted when the watermark passed it, with
+    # only the 2 on-time events; the late third never appears
+    assert rows.get("2024-01-01 10:00:00") == 2
