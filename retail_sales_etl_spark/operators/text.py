@@ -211,7 +211,79 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40  # 10-word overlap
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap: each doc becomes ceil(n/stride)
+    50-word chunks starting every 40 words — the standard pre-training
+    windowing step (overlap preserves cross-boundary context).
+
+    Pure Catalyst: split -> sequence of offsets -> explode -> slice +
+    concat_ws; one scan, map-side only, output volume = input x
+    (words/stride) with zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / CHUNK_STRIDE).cast("int"), F.lit(0)
+        ) * CHUNK_STRIDE,
+        F.lit(CHUNK_STRIDE),
+    )
+    d = docs.select("doc_id", "lang", words.alias("w"), F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("w"), F.col("s") + 1, CHUNK_WORDS)
+    return d.select(
+        "doc_id",
+        "lang",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+MAX_SEQ_WORDS = 120
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to training sequences of <=
+    MAX_SEQ_WORDS by sequential fill per source shard.
+
+    pack_id = floor(exclusive-prefix-sum(words) / budget) — one window
+    cumsum per shard, no iterative bin-packing loop; the shard is the
+    parallel unit so packing never serializes the corpus. (Greedy
+    first-fit-decreasing packs ~5% tighter but is inherently
+    sequential — the cumsum form is the one that scales.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "source", n_words.alias("n_words"))
+    cum = toks.withColumn("cum_words", F.sum("n_words").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.floor((F.col("cum_words") - F.col("n_words")) / MAX_SEQ_WORDS)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
 QUERIES = {
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -272,6 +344,36 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    "chunk_documents": f"""
+        SELECT doc_id, lang,
+               CAST(s / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               len(w[s + 1 : s + {CHUNK_WORDS}]) AS chunk_words,
+               md5(array_to_string(w[s + 1 : s + {CHUNK_WORDS}], ' ')) AS chunk_md5
+        FROM (
+            SELECT doc_id, lang, w,
+                   unnest(generate_series(0,
+                       greatest(((len(w) - 1) // {CHUNK_STRIDE}), 0) * {CHUNK_STRIDE},
+                       {CHUNK_STRIDE})) AS s
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        )
+    """,
+    "pack_sequences": f"""
+        SELECT doc_id, source, n_words,
+               CAST(floor(CAST(cum_words - n_words AS DOUBLE) / {MAX_SEQ_WORDS})
+                    AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id, source, n_words,
+                   sum(n_words) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_words
+            FROM (
+                SELECT doc_id, source,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+                FROM documents
+            )
+        )
+    """,
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),
     "text_tokens": f"""

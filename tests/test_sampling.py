@@ -60,3 +60,34 @@ def test_mix_token_budget_equalizes_language_shares(spark, sf_dir):
         if rates[lang] < 1.0:  # downsampled language: near its share
             assert abs(kept_tokens - share) / share < 0.35, (lang, kept_tokens, share)
         assert rates[lang] <= 1.0
+
+
+def test_pack_sequences_contiguous_and_bounded(spark, sf_dir):
+    """Pack ids per source are contiguous from 0, and every doc's pack
+    start offset lies inside that pack's budget window."""
+    from retail_sales_etl_spark.operators.text import MAX_SEQ_WORDS, q_pack_sequences
+
+    rows = q_pack_sequences(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        packs = sorted({r["pack_id"] for r in docs})
+        assert packs == list(range(len(packs)))
+        cum = 0
+        for r in docs:
+            assert r["pack_id"] == cum // MAX_SEQ_WORDS
+            cum += r["n_words"]
+
+
+def test_chunk_documents_contiguous_overlapping(spark, sf_dir):
+    from retail_sales_etl_spark.operators.text import q_chunk_documents
+
+    rows = q_chunk_documents(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_idx"])
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+    assert any(len(v) > 1 for v in by_doc.values())  # real multi-chunk docs
