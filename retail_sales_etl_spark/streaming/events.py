@@ -400,6 +400,56 @@ QUERIES = {
     "streaming_sessionized": q_streaming_sessionized,
 }
 
+# Full SQL oracles for the STREAMING execution path: the replayed
+# streaming results are deterministic, so they hash-check against
+# DuckDB like any batch query — the stream is not a weaker surface.
+ORACLE = {
+    "streaming_windowed": f"""
+        SELECT strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT)),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # the stateful operator emits a session only when a LATER event
+    # closes it, so full replay yields every session except each
+    # user's final (still-open) one
+    "streaming_sessionized": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                             > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, CAST(sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) + 1 AS BIGINT) AS session_seq
+            FROM flagged
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_seq
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM (
+            SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq
+            FROM sess
+        )
+        WHERE session_seq <> last_seq
+    """,
+}
+
 
 def run_to_memory(
     df: DataFrame, query_name: str, spark: SparkSession, output_mode: str = "append"
