@@ -140,10 +140,64 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "part_copurchase": q_part_copurchase,
-    "pagerank_parts": q_pagerank_parts,  # rows-only: iterative fixpoint
+    "pagerank_parts": q_pagerank_parts,
 }
 
+
+def _pagerank_oracle() -> str:
+    """Unrolled N_ITERATIONS-stage PageRank as chained CTEs.
+
+    Mirrors the Spark loop operation-for-operation (same IEEE double
+    expressions, same teleport term); per-node fan-in is small so
+    summation-order drift is ~1e-15, absorbed by the 6-dp round both
+    sides apply. Bounded iteration counts make even 'iterative'
+    operators oracle-checkable."""
+    prev = "r0"
+    stages = []
+    for i in range(1, N_ITERATIONS + 1):
+        cur = f"r{i}"
+        stages.append(f"""
+        {cur} AS (
+            SELECT nd.part_id,
+                   (1.0 - {DAMPING}) / n.n + {DAMPING} * coalesce(c.recv, 0.0) AS rank
+            FROM nodes nd
+            CROSS JOIN n
+            LEFT JOIN (
+                SELECT e.dst AS pid, sum(r.rank / d.deg) AS recv
+                FROM edges e
+                JOIN {prev} r ON e.src = r.part_id
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) c ON nd.part_id = c.pid
+        )""")
+        prev = cur
+    return f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        cop AS (
+            SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_COPURCHASE}
+        ),
+        edges AS (
+            SELECT a_part AS src, b_part AS dst FROM cop
+            UNION ALL
+            SELECT b_part AS src, a_part AS dst FROM cop
+        ),
+        nodes AS (SELECT DISTINCT src AS part_id FROM edges),
+        n AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        r0 AS (SELECT part_id, 1.0 / n.n AS rank FROM nodes, n),
+        {",".join(stages)}
+        SELECT part_id, round(rank * n.n, 6) AS rank_scaled FROM {prev}, n
+    """
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
 ORACLE = {
+    "pagerank_parts": ORACLE_PAGERANK,
     "part_copurchase": f"""
         WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         SELECT a.l_partkey AS a_part, b.l_partkey AS b_part, count(*) AS n_orders
