@@ -252,8 +252,65 @@ def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (dbt-test shape): evaluate
+    every rule in ONE aggregate pass plus one anti-join, emit a
+    long-form violations report.
+
+    Rules: PK/FK non-null, non-negative amounts, dates inside the
+    calendar spine, referential integrity to customer. The conditional
+    sums share a single scan; only the orphan-FK check needs a join,
+    and its probe side is the distinct FK set. At 100 TB this is the
+    shape that replaces per-rule full scans.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    viol = orders.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_orderkey"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") < 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("negative_totalprice"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("orderdate_out_of_range"),
+    )
+    # NULL FKs belong to the null_custkey check, not the orphan check
+    # (a left-anti join would count them as unmatched)
+    orphans = (
+        orders.select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+        .distinct()
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_custkeys"))
+    )
+    wide = viol.crossJoin(orphans)
+    checks = [
+        "null_orderkey",
+        "null_custkey",
+        "negative_totalprice",
+        "orderdate_out_of_range",
+        "orphan_custkeys",
+    ]
+    pairs = ", ".join(f"'{c}', {c}" for c in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check_name, n_violations)"
+    ).withColumn("passed", F.col("n_violations") == 0)
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
+    "dq_check_orders": q_dq_check_orders,
     "bucketed_fact_join": q_bucketed_fact_join,
     "clean_customer": q_clean_customer,
     "clean_orders": q_clean_orders,
@@ -306,6 +363,35 @@ def _profile_oracle() -> str:
 
 ORACLE = {
     "profile_orders": _profile_oracle(),
+    "dq_check_orders": """
+        WITH wide AS (
+            SELECT
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS null_orderkey,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS null_custkey,
+                CAST(sum(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS negative_totalprice,
+                CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                               OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00'
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                    AS orderdate_out_of_range,
+                (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT DISTINCT o_custkey FROM orders
+                ) o LEFT JOIN customer ON o.o_custkey = c_custkey
+                 WHERE c_custkey IS NULL AND o.o_custkey IS NOT NULL)
+                    AS orphan_custkeys
+            FROM orders
+        )
+        SELECT check_name, n_violations, n_violations = 0 AS passed
+        FROM (
+            SELECT 'null_orderkey' AS check_name, null_orderkey AS n_violations FROM wide
+            UNION ALL SELECT 'null_custkey', null_custkey FROM wide
+            UNION ALL SELECT 'negative_totalprice', negative_totalprice FROM wide
+            UNION ALL SELECT 'orderdate_out_of_range', orderdate_out_of_range FROM wide
+            UNION ALL SELECT 'orphan_custkeys', orphan_custkeys FROM wide
+        )
+    """,
     "bucketed_fact_join": """
         SELECT o_orderpriority AS order_priority,
                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
