@@ -281,9 +281,90 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_PREFIX_LEN = 32
+FUZZY_BLOCK_LEN = 4
+FUZZY_MAX_DIST = 8
+
+
+def q_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match join: doc pairs whose canonical 32-char prefixes are
+    within Levenshtein distance 8, BLOCKED on the 4-char prefix key.
+
+    The block key turns the quadratic all-pairs edit-distance join
+    into per-block pair spaces (same posture as every dedup operator);
+    levenshtein() runs JVM-side with identical unit-cost semantics in
+    DuckDB, so the fuzzy join is oracle-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    pref = docs.select(
+        "doc_id",
+        F.substring(canonical, 1, FUZZY_PREFIX_LEN).alias("prefix"),
+        F.substring(canonical, 1, FUZZY_BLOCK_LEN).alias("block"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("a_id"), F.col("prefix").alias("pa"), "block"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("prefix").alias("pb"),
+        F.col("block").alias("block_b"),
+    )
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("a_id", "b_id", "block", "dist")
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by TF-IDF (tf x ln(N/df), 6-dp rounded).
+
+    One explode -> (doc, term) counts; document frequency and the
+    corpus size are aggregates OVER that grid (no second corpus scan);
+    rank window partitions per doc. ln() is IEEE-identical across
+    engines at 6 dp.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wc.join(dfreq, "w")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "tfidf", "rank")
+    )
+
+
 QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "fuzzy_prefix_match": q_fuzzy_prefix_match,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -356,6 +437,49 @@ ORACLE = {
                        {CHUNK_STRIDE})) AS s
             FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
         )
+    """,
+    "fuzzy_prefix_match": f"""
+        WITH pref AS (
+            SELECT doc_id,
+                   substring(canon, 1, {FUZZY_PREFIX_LEN}) AS prefix,
+                   substring(canon, 1, {FUZZY_BLOCK_LEN}) AS block
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+                FROM documents
+            )
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.block AS block,
+               levenshtein(a.prefix, b.prefix) AS dist
+        FROM pref a
+        JOIN pref b ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= {FUZZY_MAX_DIST}
+    """,
+    "tfidf_top_terms": f"""
+        WITH wc AS (
+            SELECT doc_id, w, count(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, wc.w AS w, tf, df,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM wc JOIN dfreq ON wc.w = dfreq.w CROSS JOIN n
+        )
+        SELECT doc_id, w AS term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, w
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TFIDF_TOP_K}
     """,
     "pack_sequences": f"""
         SELECT doc_id, source, n_words,
