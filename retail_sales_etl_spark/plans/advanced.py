@@ -301,11 +301,40 @@ def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, segment): every margin plus the grand total
+    in ONE pass (the grouping-sets expansion happens map-side; the
+    fact is scanned and shuffled once, not once per grouping)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.cube("r_name", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
 QUERIES = {
     "events_interval_join": q_events_interval_join,
     "user_band_history": q_user_band_history,
     "daily_revenue_gapfilled": q_daily_revenue_gapfilled,
     "order_value_histogram": q_order_value_histogram,
+    "revenue_cube": q_revenue_cube,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "range_band_join": q_range_band_join,
     "rolling_daily_revenue": q_rolling_daily_revenue,
@@ -331,6 +360,17 @@ ORACLE = {
          AND c.event_type = 'click'
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECOND
+    """,
+    "revenue_cube": """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, c_mktsegment)
     """,
     "daily_revenue_gapfilled": """
         WITH daily AS (
