@@ -27,11 +27,10 @@ def _modules():
     from ..streaming import events as streaming_events
     from . import advanced, analytics, behavioral, etl_queries
 
-    # Order matters: the round-1 driver recorded only the FIRST 50
-    # registry entries, so the modules whose queries have never received
-    # a driver verdict (similarity, multimodal, graph, sketches,
-    # streaming, dedup tail) come first; the long-proven ETL/analytics
-    # tail comes last.
+    # Module order is only the SECONDARY sort key: all_queries()
+    # partitions by driver-proven status first (see _proven_names), so
+    # queries still awaiting a verdict always precede long-proven ones
+    # regardless of module position.
     return (
         similarity,
         multimodal,
