@@ -48,3 +48,72 @@ def test_dedupe_by_key_yields_unique_keys(spark, rows):
             by_key[k] = cand
     for r in collected:
         assert (r["a"], r["b"]) == by_key[r["k"]]
+
+
+def _union_find_components(nodes, edges):
+    """Reference union-find: node -> min node id in its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=24),
+            st.integers(min_value=1, max_value=24),
+        ),
+        max_size=30,
+    ),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_equals_union_find(spark, n_nodes, raw_edges):
+    from retail_sales_etl_spark.operators.graph import connected_components
+
+    nodes = list(range(1, n_nodes + 1))
+    edges = [(a, b) for a, b in raw_edges if a <= n_nodes and b <= n_nodes and a != b]
+    want = _union_find_components(nodes, edges)
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["node_id"])
+    if edges:
+        edges_df = spark.createDataFrame(edges, ["a", "b"])
+    else:
+        edges_df = spark.createDataFrame([], "a long, b long")
+    got = {
+        r["node_id"]: r["component_id"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == want
+
+
+def test_merge_upsert_matches_dict_semantics(spark, tmp_path):
+    """merge_upsert == build-a-dict-and-overwrite reference semantics."""
+    base = [(i, f"v{i}") for i in range(1, 8)]
+    updates = [(3, "V3"), (5, "V5"), (9, "V9"), (12, "V12")]
+    want = dict(base)
+    want.update(dict(updates))
+
+    from retail_sales_etl_spark.load import writers
+
+    path = str(tmp_path / "merge_prop")
+    spark.createDataFrame(base, ["id", "v"]).write.parquet(path)
+    writers.merge_upsert(
+        spark, path, spark.createDataFrame(updates, ["id", "v"]), ["id"]
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == want
