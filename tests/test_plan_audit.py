@@ -99,3 +99,36 @@ def test_bucketed_fact_join_has_no_join_shuffle(spark, sf_dir):
         assert "hashpartitioning(l_orderkey" not in full
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The time band must ride as a join FILTER on the user_id equi-key;
+    a BroadcastNestedLoopJoin here means the planner saw no equi-key
+    and the query is quadratic at scale."""
+    from retail_sales_etl_spark.plans.advanced import q_events_interval_join
+
+    plan = _formatted_plan(q_events_interval_join(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sampling_and_chunking_are_shuffle_free(spark, sf_dir):
+    """Rate sampling and chunking are map-side-only: zero Exchange."""
+    from retail_sales_etl_spark.operators.sampling import q_sample_stratified
+    from retail_sales_etl_spark.operators.text import q_chunk_documents
+
+    assert "Exchange" not in _formatted_plan(q_sample_stratified(spark, sf_dir))
+    assert "Exchange" not in _formatted_plan(q_chunk_documents(spark, sf_dir))
+
+
+def test_prepare_corpus_gate_pushed_to_scan(spark, sf_dir):
+    """The quality gate must prune the corpus AT THE SCAN so every
+    downstream dedup stage reads gated survivors only."""
+    from retail_sales_etl_spark.operators.dedup import q_prepare_corpus
+
+    plan = _formatted_plan(q_prepare_corpus(spark, sf_dir))
+    # the word-count gate is a derived expression (not scan-pushable),
+    # but it must sit directly on the scans, before any join/window
+    assert "Filter" in plan
+    # no CartesianProduct anywhere in the composed pipeline
+    assert "Cartesian" not in plan
