@@ -176,6 +176,46 @@ class ControlLog:
             },
         )
 
+    # -- pipeline lifecycle (reference metadata_table_helpers.py:60,107)
+    def _pipeline_state(self) -> dict[str, dict]:
+        """Current state per pipeline: later appended records overlay
+        earlier ones (the append-only-log equivalent of the reference's
+        UPDATE pipeline_md)."""
+        by_name: dict[str, dict] = {}
+        for r in self._read(PIPELINE_MD):
+            name = r.get("pipeline_name")
+            if name:
+                by_name[name] = {**by_name.get(name, {}), **r}
+        return by_name
+
+    def get_pipeline(self, pipeline_name: str) -> dict | None:
+        """Reference metadata_table_helpers.get_pipeline parity."""
+        return self._pipeline_state().get(pipeline_name)
+
+    def list_active_pipelines(self) -> list[dict]:
+        """Active pipelines only (reference WHERE is_active = 1)."""
+        return [p for p in self._pipeline_state().values() if p.get("is_active")]
+
+    def set_pipeline_active(self, pipeline_name: str, active: bool) -> None:
+        if self.get_pipeline(pipeline_name) is None:
+            raise ValueError(f"Unknown pipeline: {pipeline_name}")
+        self._append(
+            PIPELINE_MD,
+            {
+                "pipeline_name": pipeline_name,
+                "is_active": active,
+                "updated_at": _utc_now(),
+            },
+        )
+
+    def deactivate_pipeline(self, pipeline_name: str) -> None:
+        """Pause a feed without a code change (reference
+        metadata_table_helpers.deactivate_pipeline)."""
+        self.set_pipeline_active(pipeline_name, False)
+
+    def activate_pipeline(self, pipeline_name: str) -> None:
+        self.set_pipeline_active(pipeline_name, True)
+
     # -- queries
     def runs(self) -> list[dict]:
         return self._read(RUN_LOG)

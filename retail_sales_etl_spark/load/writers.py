@@ -151,6 +151,7 @@ def merge_upsert(
     compact_table). A lakehouse table format would add file-level
     pruning and ACID on top; the semantics here are identical.
     """
+    import os
     import shutil
     import uuid
 
@@ -161,9 +162,26 @@ def merge_upsert(
 
     if partition_by:
         parts = [p for p in partition_by]
-        affected = target.join(
-            F.broadcast(updates.select(*parts).distinct()), parts, "left_semi"
+        # Affected partitions = partitions the update rows land in UNION
+        # partitions currently holding any updated KEY. The second leg
+        # matters when an update moves a key across partitions (d1->d2):
+        # the old d1 partition must be rewritten too, or its stale row
+        # survives as a duplicate PK.
+        touched = (
+            updates.select(*parts)
+            .unionByName(
+                target.join(
+                    F.broadcast(updates.select(*key_cols).distinct()),
+                    key_cols,
+                    "left_semi",
+                ).select(*parts)
+            )
+            .distinct()
         )
+        # Materialize now: the lineage reads the target files the
+        # overwrite below replaces. Small — bounded by the update set.
+        touched_rows = [r.asDict() for r in touched.collect()]
+        affected = target.join(F.broadcast(touched), parts, "left_semi")
         n_affected = affected.count()
         kept = affected.join(updates.select(*key_cols), key_cols, "left_anti")
         n_kept = kept.count()
@@ -179,6 +197,19 @@ def merge_upsert(
             .partitionBy(*parts)
             .save(path)
         )
+        # Dynamic overwrite only replaces partitions present in the
+        # written data — a partition whose every row migrated away has
+        # no rows in `merged`, so its directory (all stale) must be
+        # dropped explicitly. Bounded by the update set, never wide.
+        # (`merged` is checkpointed, so reading it post-write is safe.)
+        written = {
+            tuple(r[p] for p in parts)
+            for r in merged.select(*parts).distinct().collect()
+        }
+        for vals in touched_rows:
+            if tuple(vals[p] for p in parts) not in written:
+                sub = "/".join(f"{p}={vals[p]}" for p in parts)
+                shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
         n_after = spark.read.format(fmt).load(path).count()
         expected = n_target - n_affected + n_kept + n_updates
     else:

@@ -114,23 +114,38 @@ def connected_components(
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).cache()
-    labels = nodes.select("node_id", F.col("node_id").alias("component_id"))
-    prev_sum = None
-    for _ in range(max_iterations):
-        neigh = sym.join(
-            labels.withColumnRenamed("node_id", "src"), "src"
-        ).select(F.col("dst").alias("node_id"), "component_id")
-        labels = (
-            labels.unionAll(neigh)
-            .groupBy("node_id")
-            .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("component_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
+    try:
+        labels = nodes.select("node_id", F.col("node_id").alias("component_id"))
+        prev_sum = None
+        converged = False
+        for _ in range(max_iterations):
+            neigh = sym.join(
+                labels.withColumnRenamed("node_id", "src"), "src"
+            ).select(F.col("dst").alias("node_id"), "component_id")
+            labels = (
+                labels.unionAll(neigh)
+                .groupBy("node_id")
+                .agg(F.min("component_id").alias("component_id"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("component_id")).first()[0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        if not converged:
+            # Falling off the loop without a fixpoint means some
+            # component's diameter exceeded the budget: labels are WRONG
+            # (under-merged), and silently so — every consumer
+            # (dedup_clusters -> prepare_corpus) would keep duplicates.
+            raise RuntimeError(
+                "connected_components did not converge within "
+                f"{max_iterations} iterations; raise max_iterations "
+                "(diameter-bound) for this graph"
+            )
+        return labels
+    finally:
+        sym.unpersist()
 
 
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,10 +51,20 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based order-value percentiles per priority — bounded-size
     histogram per group, no full value sort."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+    sketched = orders.groupBy(
+        F.col("o_orderpriority").alias("order_priority")
+    ).agg(
         F.expr(
             f"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), {PCTL_ACCURACY})"
         ).alias("approx_pctls"),
+    )
+    # Scalar columns (not array<double>): array cells are unhashable for
+    # pandas-side canonicalizers, and scalars are the friendlier surface.
+    return sketched.select(
+        "order_priority",
+        F.element_at("approx_pctls", 1).alias("p50"),
+        F.element_at("approx_pctls", 2).alias("p90"),
+        F.element_at("approx_pctls", 3).alias("p99"),
     )
 
 

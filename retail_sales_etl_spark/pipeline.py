@@ -137,6 +137,16 @@ def run_pipeline(
 
     control = control_dir or os.path.join(warehouse_dir, "_control")
     log = ControlLog(control)
+    # Lifecycle gate: a registered-but-deactivated pipeline refuses to
+    # run — an operator pauses a broken feed via metadata, no code
+    # change (reference metadata_table_helpers.py:60,107). Unregistered
+    # pipelines run (registration is optional bootstrap metadata).
+    md = log.get_pipeline(pipeline_name)
+    if md is not None and not md.get("is_active"):
+        raise RuntimeError(
+            f"Pipeline '{pipeline_name}' is deactivated in pipeline_md; "
+            "reactivate it (ControlLog.activate_pipeline) to run"
+        )
     run_id = new_run_id()
     run = log.insert_run(run_id, pipeline_name, "STARTED")
     # Per-run text log artifact (reference utils/text_logger.py:24)

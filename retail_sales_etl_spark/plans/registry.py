@@ -65,6 +65,14 @@ def _proven_names() -> set[str]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    return _proven_names_in(root)
+
+
+def _proven_names_in(root: str) -> set[str]:
+    import glob
+    import json
+    import os
+
     proven: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:

@@ -128,7 +128,14 @@ def _fold_events(
                 closed.append((user_id, start_us, end_us, n))
                 start_us, end_us, n = ts_us, ts_us, 1
             else:
-                end_us, n = ts_us, n + 1
+                # min/max, not assignment: a late-but-within-watermark
+                # event from a PREVIOUS batch can carry ts < end_us
+                # (state spans batches; only this batch is sorted) — a
+                # bare `end_us = ts_us` would shrink the session and
+                # mis-split later events.
+                start_us = min(start_us, ts_us)
+                end_us = max(end_us, ts_us)
+                n += 1
     return closed, start_us, end_us, n
 
 

@@ -78,3 +78,22 @@ def test_dedup_clusters_covers_every_doc_once(spark, sf_dir):
         by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A component whose diameter exceeds the iteration budget must be a
+    loud error, never silently under-merged labels (the consumer is
+    dedup -- wrong labels mean kept duplicates with no oracle to catch
+    them)."""
+    import pytest
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(nodes, chain, max_iterations=2)
+    # and the same graph with budget >= diameter labels every node 0
+    labels = graph.connected_components(nodes, chain, max_iterations=n + 2)
+    assert {r["component_id"] for r in labels.collect()} == {0}

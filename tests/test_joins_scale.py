@@ -127,3 +127,34 @@ def test_merge_upsert_partitioned_touches_only_affected_partitions(spark, tmp_pa
     assert rows == {1: ("a", "d1"), 2: ("B", "d1"), 3: ("c", "d2"), 9: ("z", "d1")}
     # untouched partition: same files, same mtimes (no rewrite)
     assert files_in("d2") == d2_before
+
+
+def test_merge_upsert_partition_migration_drops_stale_row(spark, tmp_path):
+    """An update that MOVES a key across partitions (d1->d2) must rewrite
+    the old partition too, or the stale d1 row survives as a duplicate
+    PK invisible to the row-count guard."""
+    path = str(tmp_path / "tm")
+    spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], ["id", "v", "day"]
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame([(1, "A", "d2")], ["id", "v", "day"])
+    writers.merge_upsert(spark, path, updates, ["id"], partition_by=["day"])
+    rows = {r["id"]: (r["v"], r["day"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("A", "d2"), 2: ("b", "d1"), 3: ("c", "d2")}
+
+
+def test_merge_upsert_partition_migration_empties_partition(spark, tmp_path):
+    """If the migrating key was its old partition's ONLY row, that
+    partition directory must disappear entirely (dynamic overwrite alone
+    never rewrites a partition absent from the written data)."""
+    import os
+
+    path = str(tmp_path / "te")
+    spark.createDataFrame(
+        [(1, "a", "d1"), (3, "c", "d2")], ["id", "v", "day"]
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame([(1, "A", "d2")], ["id", "v", "day"])
+    writers.merge_upsert(spark, path, updates, ["id"], partition_by=["day"])
+    rows = {r["id"]: (r["v"], r["day"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("A", "d2"), 3: ("c", "d2")}
+    assert not os.path.isdir(os.path.join(path, "day=d1"))

@@ -50,3 +50,35 @@ def test_pipeline_writes_per_run_text_log(spark, sf_dir, tmp_path):
     # field layout parity with the reference formatter
     parts = mine[0].split(" | ")
     assert parts[1] == "INFO" and parts[3] == "customer"
+
+
+def test_pipeline_lifecycle_gating(spark, sf_dir, tmp_path):
+    """Deactivated pipelines refuse to run; listing excludes them;
+    reactivation restores both (reference metadata_table_helpers
+    list_active_pipelines / deactivate_pipeline parity)."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    control = os.path.join(wh, "_control")
+    log = ControlLog(control)
+    log.register_pipeline("customer", "customer")
+    log.register_pipeline("part", "part")
+    assert {p["pipeline_name"] for p in log.list_active_pipelines()} == {
+        "customer",
+        "part",
+    }
+
+    log.deactivate_pipeline("customer")
+    assert {p["pipeline_name"] for p in log.list_active_pipelines()} == {"part"}
+    assert log.get_pipeline("customer")["is_active"] is False
+    with pytest.raises(RuntimeError, match="deactivated"):
+        run_pipeline(spark, "customer", sf_dir, wh, control_dir=control)
+    # no run row was recorded for the refused run
+    assert all(r["pipeline_name"] != "customer" for r in log.runs())
+
+    log.activate_pipeline("customer")
+    run = run_pipeline(spark, "customer", sf_dir, wh, control_dir=control)
+    assert run["status"] == "SUCCESS"
+    # unknown pipeline names cannot be toggled
+    with pytest.raises(ValueError, match="Unknown pipeline"):
+        log.deactivate_pipeline("nope")

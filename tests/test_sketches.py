@@ -41,7 +41,7 @@ def test_hll_within_error_bound(spark, sf_dir):
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
     approx = {
-        r["order_priority"]: r["approx_pctls"]
+        r["order_priority"]: [r["p50"], r["p90"], r["p99"]]
         for r in sketches.q_approx_order_percentiles(spark, sf_dir).collect()
     }
     exact = {

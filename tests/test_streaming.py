@@ -216,3 +216,32 @@ def test_watermark_drops_late_events_from_windowed_agg(spark, tmp_path):
     # the 10:00 window was emitted when the watermark passed it, with
     # only the 2 on-time events; the late third never appears
     assert rows.get("2024-01-01 10:00:00") == 2
+
+
+def test_fold_events_late_event_does_not_shrink_session():
+    """State spans micro-batches: a late-but-within-watermark event whose
+    ts precedes the carried session_end must extend membership without
+    REGRESSING session_end (or session_start moving forward)."""
+    import pandas as pd
+
+    from retail_sales_etl_spark.streaming.events import _fold_events
+
+    us = 1_000_000
+
+    def batch(*secs):
+        return [pd.DataFrame({"ts": [pd.Timestamp(s * us * 1000) for s in secs]})]
+
+    # batch 1: events at t=100s and t=200s -> open session [100, 200]
+    closed, start_us, end_us, n = _fold_events(7, batch(100, 200), None, None, 0)
+    assert (closed, start_us, end_us, n) == ([], 100 * us, 200 * us, 2)
+    # batch 2: a LATE event at t=150s (ts < carried end_us)
+    closed, start_us, end_us, n = _fold_events(7, batch(150), start_us, end_us, n)
+    assert closed == []
+    assert start_us == 100 * us
+    assert end_us == 200 * us  # unchanged -- the old code shrank it to 150s
+    assert n == 3
+    # t=2000s is within the 1800s gap of the TRUE end (200s) but outside
+    # the gap of the shrunken end (150s) -- must not be mis-split
+    closed, start_us, end_us, n = _fold_events(7, batch(2000), start_us, end_us, n)
+    assert closed == [], "event within gap of true session_end was mis-split"
+    assert end_us == 2000 * us and n == 4
