@@ -280,6 +280,56 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by COMPUTED IVF cell.
+
+    Same BLAS pairwise kernel as ``dedup_embedding``, but the block key
+    is each vector's nearest-centroid assignment
+    (similarity.assign_ivf_cells), not the trusted 10-value ``label``
+    column. This is the 100 TB shape: cells come from the quantizer and
+    can be sized to worker memory (split hot cells, merge cold ones),
+    where a fixed metadata label is a skew hazard and unavailable for
+    unlabeled corpora. tests/test_similarity.py pins that cell-blocked
+    pairs equal label-blocked pairs at the threshold on the testdata.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _as_double_array, assign_ivf_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    cells = assign_ivf_cells(emb)
+    blocked = emb.join(cells, "vec_id").select("vec_id", "cell", "v")
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        cell = pdf["cell"].iloc[0]
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a, b = ids[iu], ids[ju]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        cos = np.round(sims[iu, ju], 6)
+        keep = cos >= COSINE_THRESHOLD
+        return pd.DataFrame(
+            {
+                "a_id": a2[keep],
+                "b_id": b2[keep],
+                "cell": np.full(keep.sum(), cell),
+                "cosine": cos[keep],
+            }
+        )
+
+    return blocked.groupBy("cell").applyInPandas(
+        _pairs, schema="a_id long, b_id long, cell int, cosine double"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     MinHash-LSH candidate graph.
@@ -389,6 +439,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
 }
 
 def _shingles_sql(src: str = "documents") -> str:
@@ -606,6 +657,52 @@ ORACLE = {
     "prepare_corpus": _prepare_corpus_oracle(),
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_ivf": f"""
+        WITH emb AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT label, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS centroid
+            FROM (
+                SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM emb
+            )
+            GROUP BY label, i
+        ),
+        carr AS (
+            SELECT label AS cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cell,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM emb e CROSS JOIN carr c
+        ),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY ccos DESC, cell
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        blocked AS (
+            SELECT e.vec_id, cells.cell, e.v
+            FROM emb e JOIN cells ON e.vec_id = cells.vec_id
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM blocked a
+        JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_THRESHOLD}
+    """,
     "dedup_embedding": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
                round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -201,6 +201,51 @@ def ivf_topk(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def assign_ivf_cells(emb: DataFrame) -> DataFrame:
+    """Route every vector to its nearest centroid: (vec_id, cell).
+
+    The IVF coarse-quantizer ASSIGNMENT step — the computed-cell
+    replacement for trusting a metadata label as the block key. The
+    centroid table is tiny (n_cells x dims) and broadcast; assignment
+    is one map-side cosine per (vector, centroid) followed by a
+    partial-aggregatable ``max_by`` argmax per vector — no window sort,
+    one shuffle on vec_id. Cosines rounded to 6 dp before the argmax
+    (ties broken by lowest cell id) so Spark and the DuckDB oracle pick
+    identical cells. ``emb`` must carry (vec_id, label, v); at 100 TB
+    the centroids would come from sampled k-means, here from the
+    per-label means (``embedding_centroids``) — assignment is computed
+    either way.
+    """
+    cent_arr = (
+        _centroids_long(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    scored = emb.crossJoin(broadcast(cent_arr)).select(
+        "vec_id",
+        "cell",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            ),
+            6,
+        ).alias("ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, named_struct('c', ccos, 'l', -cell)) AS cell")
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the embeddings table: nprobe=2 coarse routing, then
     exact top-k within the probed clusters. At scale the table is

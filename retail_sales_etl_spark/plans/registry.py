@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..operators import (
+        cdc,
         dedup,
         events,
         graph,
@@ -32,6 +33,7 @@ def _modules():
     # queries still awaiting a verdict always precede long-proven ones
     # regardless of module position.
     return (
+        cdc,
         similarity,
         multimodal,
         graph,

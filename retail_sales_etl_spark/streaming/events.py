@@ -364,6 +364,69 @@ def interval_join_clicks_purchases(
     )
 
 
+def interval_join_clicks_purchases_outer(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits,
+    attribution columns null-padded when no qualifying click exists.
+
+    The outer form is the honest attribution feed — an inner join
+    silently drops unattributed purchases. Emission semantics (pinned
+    by tests/test_streaming.py): a matched pair emits as soon as both
+    rows arrive; an UNMATCHED purchase emits null-padded only once the
+    watermark passes purchase_ts + window (before that a matching click
+    could still arrive), so purchases near the head of the stream stay
+    buffered in state, unemitted. Same state-retention bound as the
+    inner form: the time band + both watermarks purge buffered rows at
+    the horizon.
+    """
+    from ..plans.advanced import INTERVAL_JOIN_WINDOW_SEC
+
+    clicks = (
+        clicks_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        purchases_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {INTERVAL_JOIN_WINDOW_SEC} SECONDS")
+            ),
+            "leftOuter",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("gap_sec"),
+        )
+    )
+
+
 def enrich_with_customers(stream: DataFrame, customer_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a (static,
     broadcastable) dimension — the canonical streaming-ETL enrichment.
@@ -402,9 +465,29 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stateful_sessions(stream), name, spark)
 
 
+def q_streaming_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the stream-stream LEFT OUTER interval
+    join. Rows-only check: null-padded emission timing is a function of
+    watermark mechanics, not SQL-expressible — the emission contract is
+    pinned by tests/test_streaming.py against the batch inner twin.
+    """
+    import uuid
+
+    from ..catalog import table_path
+
+    path = table_path(sf_dir, "events")
+    joined = interval_join_clicks_purchases_outer(
+        read_events_stream(spark, path, max_files_per_trigger=10),
+        read_events_stream(spark, path, max_files_per_trigger=10),
+    )
+    name = f"stream_outer_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(joined, name, spark)
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_sessionized": q_streaming_sessionized,
+    "streaming_interval_outer": q_streaming_interval_outer,
 }
 
 # Full SQL oracles for the STREAMING execution path: the replayed

@@ -43,3 +43,63 @@ def test_query_cluster_centroid_is_nearest(boundary_emb):
     # centroid IS the closer one, so probe #1 alone cannot see vec 10.
     top3 = ivf_topk(boundary_emb, query_vec_id=0, nprobe=2, top_k=3).collect()
     assert {r.vec_id for r in top3} == {10, 1, 2}
+
+
+def test_assign_ivf_cells_is_total_and_single(spark, sf_dir):
+    """Every vector gets exactly one computed cell."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.similarity import (
+        _as_double_array,
+        assign_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    cells = assign_ivf_cells(emb).collect()
+    assert len(cells) == emb.count()
+    assert len({r["vec_id"] for r in cells}) == len(cells)
+
+
+def test_ivf_cell_blocking_recall_at_least_label_blocking(spark, sf_dir):
+    """Both blockings are SOUND (every emitted pair is a true >=tau
+    pair); the computed-cell blocking must recall at least as many true
+    pairs as trusting the metadata label — the point of routing by the
+    quantizer instead of a fixed 10-value column."""
+    import numpy as np
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        q_dedup_embedding,
+        q_dedup_embedding_ivf,
+    )
+
+    # ground truth: brute-force all-pairs cosine (test-side only; the
+    # operators themselves never materialize all pairs)
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = np.round(sims[iu, ju], 6) >= COSINE_THRESHOLD
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu][keep], ids[ju][keep])
+    }
+
+    label_pairs = {
+        (r["a_id"], r["b_id"]) for r in q_dedup_embedding(spark, sf_dir).collect()
+    }
+    cell_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in q_dedup_embedding_ivf(spark, sf_dir).collect()
+    }
+    assert label_pairs <= truth, "label blocking emitted a non-pair"
+    assert cell_pairs <= truth, "cell blocking emitted a non-pair"
+    assert len(cell_pairs & truth) >= len(label_pairs & truth)

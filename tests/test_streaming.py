@@ -245,3 +245,54 @@ def test_fold_events_late_event_does_not_shrink_session():
     closed, start_us, end_us, n = _fold_events(7, batch(2000), start_us, end_us, n)
     assert closed == [], "event within gap of true session_end was mis-split"
     assert end_us == 2000 * us and n == 4
+
+
+def test_stream_stream_outer_interval_join_emission(spark, sf_dir):
+    """LEFT OUTER form: all inner matches present; unmatched purchases
+    whose horizon the final watermark passed emit null-padded; purchases
+    still inside the horizon stay buffered (do NOT emit)."""
+    from retail_sales_etl_spark.plans.advanced import (
+        INTERVAL_JOIN_WINDOW_SEC,
+        q_events_interval_join,
+    )
+
+    path = table_path(sf_dir, "events")
+    joined = streaming_events.interval_join_clicks_purchases_outer(
+        streaming_events.read_events_stream(spark, path, max_files_per_trigger=10),
+        streaming_events.read_events_stream(spark, path, max_files_per_trigger=10),
+    )
+    out = streaming_events.run_to_memory(joined, "ss_interval_outer", spark)
+    rows = out.collect()
+
+    matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None
+    )
+    want_matched = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in q_events_interval_join(spark, sf_dir).collect()
+    )
+    assert matched == want_matched, "outer join lost/invented inner matches"
+
+    # null-padded rows: purchases with NO qualifying click in the batch
+    # twin, and none inside the stream's retention horizon
+    batch_matched_purchases = {p for p, _ in want_matched}
+    padded = [r for r in rows if r["click_id"] is None]
+    assert padded, "no null-padded purchases emitted"
+    for r in padded:
+        assert r["purchase_id"] not in batch_matched_purchases
+        assert r["click_ts"] is None and r["gap_sec"] is None
+
+    # retention pin: a purchase within `window` of the stream's max ts
+    # cannot emit null-padded (its click could still arrive)
+    from retail_sales_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(seconds=INTERVAL_JOIN_WINDOW_SEC)
+    for r in padded:
+        assert (
+            datetime.datetime.fromisoformat(r["purchase_ts"]) <= horizon
+        ), "purchase inside the retention horizon emitted prematurely"
