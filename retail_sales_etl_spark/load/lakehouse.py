@@ -1,0 +1,345 @@
+"""Lakehouse-lite: an ACID table format over plain parquet + a JSON
+transaction log.
+
+The reference's load layer (/root/reference/etl/load.py:103) gets
+idempotency from SQLite transactions; plain parquet directories (our
+``writers.py``) get it from whole-directory overwrite, which loses
+history and makes concurrent readers see partial state. This module
+adds the missing piece using only public, published design — the
+transaction-log architecture of the Delta Lake paper (Armbrust et al.,
+VLDB 2020): data lives in immutable parquet files, and a sequentially
+numbered JSON log under ``_log/`` records which files are live at each
+version. Everything a reader needs is derived by replaying the log, so
+
+- **snapshot isolation**: a reader resolves its file list once; later
+  commits add/remove files but never mutate them, so the scan is
+  consistent no matter how long it runs;
+- **time travel**: any retained version replays to an exact file list;
+- **atomic commits**: a commit IS the atomic creation of the next log
+  entry (``open(..., "x")`` — create-exclusive). Writers race on the
+  version number, not on data files; losers rebase (append) or abort
+  (overwrite/merge) — optimistic concurrency, again per the paper;
+- **O(changed files) MERGE**: upserts rewrite only the data files that
+  actually contain a matched key (found distributedly via
+  ``input_file_name()``), not the table, not even the partition;
+- **compaction as metadata**: OPTIMIZE swaps N small files for few big
+  ones in one commit; concurrent readers of older versions still see
+  the old files until VACUUM ages them out.
+
+At 100 TB this is the difference between "rewrite the table" and
+"commit a few KB of JSON": the log scales with change rate, data files
+are immutable and cache-friendly, and the driver only ever handles
+file *names* (the log), never rows. Local filesystem rename/create-
+exclusive stands in for what object stores do with conditional PUTs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_log"
+_VERSION_DIGITS = 20  # zero-padded so lexicographic == numeric order
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A conflicting commit landed between this writer's read and its
+    attempted commit, and the operation cannot be safely rebased."""
+
+
+class LakehouseTable:
+    """A versioned parquet table at ``path`` with a ``_log/`` commit log.
+
+    All metadata operations are driver-side by design (the log is KBs);
+    all data operations are Spark jobs.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+
+    # ---------------------------------------------------------------- log
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._log_path(version)) as fh:
+            return json.load(fh)
+
+    def _replay(self, as_of: int | None = None) -> tuple[list[str], dict | None]:
+        """Replay the log up to ``as_of`` (inclusive); return the live
+        relative file list (in add order) and the last commit entry."""
+        live: dict[str, None] = {}  # ordered set
+        last = None
+        for v in self._versions():
+            if as_of is not None and v > as_of:
+                break
+            entry = self._read_commit(v)
+            for f in entry.get("remove", []):
+                live.pop(f, None)
+            for f in entry.get("add", []):
+                live[f] = None
+            last = entry
+        return list(live), last
+
+    def history(self) -> list[dict]:
+        """Commit metadata, oldest first (DESCRIBE HISTORY)."""
+        return [self._read_commit(v) for v in self._versions()]
+
+    # -------------------------------------------------------------- write
+
+    def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write ``df`` as immutable parquet files into the table dir
+        under commit-unique names; return (relative names, row count).
+
+        Files are invisible to readers until a log entry references
+        them, so a failed job leaves only unreferenced garbage for
+        VACUUM — never a torn table.
+        """
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f"_staging_{token}")
+        df.write.mode("overwrite").parquet(staging)
+        n = self.spark.read.parquet(staging).count()
+        names = []
+        for i, f in enumerate(sorted(os.listdir(staging))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{token}-{i:05d}.parquet"
+            os.replace(os.path.join(staging, f), os.path.join(self.path, name))
+            names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names, n
+
+    def _check_schema(self, df: DataFrame, last: dict | None, evolve: bool) -> str:
+        """Enforce write-time schema-on-write (the lakehouse contract
+        plain parquet dirs lack). Returns the schema JSON to commit."""
+        incoming = df.schema
+        if last is None or "schema" not in last:
+            return incoming.json()
+        table = StructType.fromJson(json.loads(last["schema"]))
+        table_fields = {f.name: f.dataType for f in table.fields}
+        new = [f for f in incoming.fields if f.name not in table_fields]
+        for f in incoming.fields:
+            if f.name in table_fields and f.dataType != table_fields[f.name]:
+                raise ValueError(
+                    f"Schema mismatch on {f.name}: table has "
+                    f"{table_fields[f.name].simpleString()}, incoming "
+                    f"{f.dataType.simpleString()}"
+                )
+        missing = [f.name for f in table.fields if f.name not in
+                   {g.name for g in incoming.fields}]
+        if missing:
+            raise ValueError(f"Incoming data lacks table columns {missing}")
+        if new and not evolve:
+            raise ValueError(
+                f"Incoming columns {[f.name for f in new]} not in table "
+                f"schema; pass evolve=True to add them"
+            )
+        if new:
+            merged = StructType(table.fields + new)
+            return merged.json()
+        return incoming.json()
+
+    def _try_commit(self, entry: dict, read_version: int | None) -> int:
+        """Optimistic-concurrency commit loop. ``entry`` was computed
+        against ``read_version``; if other commits landed since, append
+        rebases over them, anything that removes files aborts."""
+        while True:
+            next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
+            for v in self._versions():
+                if read_version is not None and v <= read_version:
+                    continue
+                interloper = self._read_commit(v)
+                if entry["operation"] == "append" and not interloper.get("remove"):
+                    continue  # blind appends commute
+                raise ConcurrentWriteError(
+                    f"Version {v} ({interloper['operation']}) landed after "
+                    f"this writer read v{read_version}; "
+                    f"{entry['operation']} cannot be rebased"
+                )
+            os.makedirs(self.log_dir, exist_ok=True)
+            entry["version"] = next_v
+            try:
+                fd = os.open(
+                    self._log_path(next_v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                continue  # lost the race on the number; re-validate + retry
+            with os.fdopen(fd, "w") as fh:
+                json.dump(entry, fh)
+            return next_v
+
+    def write(self, df: DataFrame, mode: str = "append", evolve: bool = False) -> int:
+        """Commit ``df`` as a new table version. ``mode``: append |
+        overwrite. Returns the committed version number."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        read_version = self.latest_version()
+        live, last = self._replay()
+        schema_json = self._check_schema(df, last, evolve)
+        files, n = self._stage_files(df)
+        entry = {
+            "operation": mode,
+            "add": files,
+            "remove": live if mode == "overwrite" else [],
+            "schema": schema_json,
+            "rows_written": n,
+        }
+        return self._try_commit(entry, read_version)
+
+    # --------------------------------------------------------------- read
+
+    def _resolve_files(self, version: int | None) -> tuple[list[str], dict]:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"No lakehouse log at {self.log_dir}")
+        if version is not None and version not in vs:
+            raise ValueError(f"Version {version} not in retained log {vs}")
+        live, last = self._replay(as_of=version)
+        missing = [f for f in live if not os.path.exists(os.path.join(self.path, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"Version {version or vs[-1]} references vacuumed files "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+            )
+        return live, last
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel when ``version`` is given). The
+        file list is resolved ONCE, here — later commits cannot change
+        what this DataFrame scans (snapshot isolation)."""
+        live, last = self._resolve_files(version)
+        schema = StructType.fromJson(json.loads(last["schema"]))
+        if not live:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in live]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -------------------------------------------------------------- merge
+
+    def merge(
+        self, updates: DataFrame, primary_key: Sequence[str]
+    ) -> dict:
+        """MERGE INTO: matched keys take the update row, unmatched
+        update rows insert. Rewrites ONLY data files containing a
+        matched key — found distributedly by tagging each target row
+        with ``input_file_name()`` and semi-joining the (broadcast)
+        update keys. At 100 TB a point-upsert touches a handful of
+        files; everything else is carried forward as metadata.
+        """
+        read_version = self.latest_version()
+        live, last = self._resolve_files(None)
+        keys = list(primary_key)
+        target = self.read()
+
+        tagged = target.withColumn("_lh_file", F.input_file_name())
+        touched_files = [
+            os.path.basename(r[0])
+            for r in tagged.join(
+                F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+            )
+            .select("_lh_file")
+            .distinct()
+            .collect()
+        ]
+        touched_set = set(touched_files)
+        untouched = [f for f in live if f not in touched_set]
+
+        if touched_files:
+            paths = [os.path.join(self.path, f) for f in touched_files]
+            affected = self.spark.read.schema(target.schema).parquet(*paths)
+            kept = affected.join(updates.select(*keys), keys, "left_anti")
+        else:
+            kept = None
+        merged = (
+            kept.unionByName(updates.select(*target.columns))
+            if kept is not None
+            else updates.select(*target.columns)
+        )
+        files, n = self._stage_files(merged)
+        entry = {
+            "operation": "merge",
+            "add": files,
+            "remove": touched_files,
+            "schema": last["schema"],
+            "rows_written": n,
+            "files_rewritten": len(touched_files),
+            "files_carried": len(untouched),
+        }
+        v = self._try_commit(entry, read_version)
+        return {
+            "version": v,
+            "files_rewritten": len(touched_files),
+            "files_carried": len(untouched),
+            "rows_written": n,
+        }
+
+    # ----------------------------------------------------- optimize/vacuum
+
+    def optimize(self, target_files: int = 1) -> dict:
+        """Compaction as a metadata swap: coalesce the live files into
+        ``target_files`` new files and commit add+remove atomically.
+        Readers pinned to older versions keep working — their files
+        are removed from the LOG, not the disk (that's VACUUM)."""
+        read_version = self.latest_version()
+        live, last = self._resolve_files(None)
+        df = self.read()
+        n_before = df.count()
+        files, n = self._stage_files(df.coalesce(target_files))
+        if n != n_before:
+            for f in files:
+                os.remove(os.path.join(self.path, f))
+            raise ValueError(f"Compaction row drift: {n_before} -> {n}")
+        entry = {
+            "operation": "optimize",
+            "add": files,
+            "remove": live,
+            "schema": last["schema"],
+            "rows_written": n,
+        }
+        v = self._try_commit(entry, read_version)
+        return {"version": v, "files_before": len(live), "files_after": len(files)}
+
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """Delete data files unreferenced by the newest
+        ``retain_versions`` versions (plus orphaned staging debris).
+        Time travel older than the horizon stops working — by contract,
+        as in any lakehouse."""
+        vs = self._versions()
+        horizon = vs[-retain_versions:] if retain_versions > 0 else vs[-1:]
+        keep: set[str] = set()
+        for v in horizon:
+            live, _ = self._replay(as_of=v)
+            keep.update(live)
+        removed = 0
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if f.startswith("_staging_") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+            elif f.endswith(".parquet") and os.path.isfile(full) and f not in keep:
+                os.remove(full)
+                removed += 1
+        return {"files_removed": removed, "retained_versions": [v for v in horizon]}

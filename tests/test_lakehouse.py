@@ -1,0 +1,187 @@
+"""Lakehouse-lite transaction-log table: ACID commits, time travel,
+schema enforcement, file-pruned MERGE, optimize/vacuum lifecycle."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from retail_sales_etl_spark.load.lakehouse import (
+    ConcurrentWriteError,
+    LakehouseTable,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakehouseTable(spark, str(tmp_path / "tbl"))
+
+
+def _rows(n, start=0, src="a"):
+    return [Row(id=i, src=src, val=float(i) * 1.5) for i in range(start, start + n)]
+
+
+def test_append_versions_and_time_travel(spark, table):
+    v1 = table.write(spark.createDataFrame(_rows(10)), mode="append")
+    v2 = table.write(spark.createDataFrame(_rows(5, start=10)), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 15
+    assert table.read(version=1).count() == 10
+    ids = {r.id for r in table.read(version=1).collect()}
+    assert ids == set(range(10))
+
+
+def test_overwrite_preserves_history(spark, table):
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    table.write(spark.createDataFrame(_rows(3, src="b")), mode="overwrite")
+    assert table.read().count() == 3
+    assert {r.src for r in table.read().collect()} == {"b"}
+    # time travel reaches pre-overwrite state: files were unlinked from
+    # the log, not the disk
+    assert table.read(version=1).count() == 10
+    ops = [h["operation"] for h in table.history()]
+    assert ops == ["append", "overwrite"]
+
+
+def test_snapshot_isolation_across_commits(spark, table):
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    snap = table.read()  # file list resolved here
+    table.write(spark.createDataFrame(_rows(99, src="late")), mode="overwrite")
+    # the pre-overwrite snapshot still scans its original files
+    assert snap.count() == 10
+    assert table.read().count() == 99
+
+
+def test_schema_enforcement_and_evolution(spark, table):
+    table.write(spark.createDataFrame(_rows(4)), mode="append")
+    # type change rejected
+    bad = spark.createDataFrame([Row(id="x", src="a", val=1.0)])
+    with pytest.raises(ValueError, match="Schema mismatch on id"):
+        table.write(bad, mode="append")
+    # missing column rejected
+    with pytest.raises(ValueError, match="lacks table columns"):
+        table.write(spark.createDataFrame([Row(id=1, src="a")]), mode="append")
+    # new column requires evolve=True
+    wide = spark.createDataFrame([Row(id=99, src="a", val=0.5, extra="e")])
+    with pytest.raises(ValueError, match="evolve=True"):
+        table.write(wide, mode="append")
+    table.write(wide, mode="append", evolve=True)
+    df = table.read()
+    assert "extra" in df.columns
+    got = {r.id: r.extra for r in df.collect()}
+    assert got[99] == "e" and got[0] is None  # old files null-fill
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    # three separate commits -> >=3 data files
+    for k in range(3):
+        table.write(
+            spark.createDataFrame(_rows(10, start=k * 10)), mode="append"
+        )
+    live_before, _ = table._replay()
+    updates = spark.createDataFrame(
+        [Row(id=5, src="UPD", val=-1.0), Row(id=999, src="NEW", val=-2.0)]
+    )
+    res = table.merge(updates, primary_key=["id"])
+    # id=5 lives in exactly one commit's files; the other commits carry
+    assert res["files_rewritten"] >= 1
+    assert res["files_carried"] >= len(live_before) - res["files_rewritten"]
+    df = table.read()
+    assert df.count() == 31  # 30 - 1 replaced + 1 new + 1 replacement
+    got = {r.id: (r.src, r.val) for r in df.collect()}
+    assert got[5] == ("UPD", -1.0)
+    assert got[999] == ("NEW", -2.0)
+    assert got[6][0] == "a"
+    # PK uniqueness survived
+    assert df.select("id").distinct().count() == 31
+
+
+def test_merge_into_empty_matches_insert_only(spark, table):
+    table.write(spark.createDataFrame(_rows(6)), mode="append")
+    updates = spark.createDataFrame([Row(id=100, src="n", val=0.0)])
+    res = table.merge(updates, primary_key=["id"])
+    assert res["files_rewritten"] == 0  # no key matched: pure insert
+    assert table.read().count() == 7
+
+
+def test_optimize_compacts_then_vacuum_ages_out(spark, table):
+    for k in range(4):
+        table.write(spark.createDataFrame(_rows(5, start=k * 5)), mode="append")
+    live_before, _ = table._replay()
+    assert len(live_before) >= 4
+    res = table.optimize(target_files=1)
+    assert res["files_after"] == 1
+    assert table.read().count() == 20
+    # pre-optimize version still readable (files still on disk)
+    assert table.read(version=4).count() == 20
+    # vacuum to latest only -> old files gone, time travel now fails loudly
+    table.vacuum(retain_versions=1)
+    assert table.read().count() == 20
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.read(version=2).count()
+
+
+def test_concurrent_append_rebases_but_overwrite_aborts(spark, table):
+    table.write(spark.createDataFrame(_rows(5)), mode="append")
+
+    # Simulate an interloper committing between read and commit: a
+    # second handle appends AFTER the first handle captured its read
+    # version. Blind appends commute -> rebase succeeds.
+    t2 = LakehouseTable(spark, table.path)
+    read_v = table.latest_version()
+    live, last = table._replay()
+    files, n = table._stage_files(spark.createDataFrame(_rows(2, start=100)))
+    t2.write(spark.createDataFrame(_rows(3, start=50)), mode="append")  # interloper
+    v = table._try_commit(
+        {"operation": "append", "add": files, "remove": [],
+         "schema": last["schema"], "rows_written": n},
+        read_v,
+    )
+    assert v == 3 and table.read().count() == 10
+
+    # An overwrite prepared against a stale read version must abort:
+    # its remove-set no longer describes the table.
+    read_v = table.latest_version()
+    live, last = table._replay()
+    files, n = table._stage_files(spark.createDataFrame(_rows(1, start=999)))
+    t2.write(spark.createDataFrame(_rows(1, start=500)), mode="append")
+    with pytest.raises(ConcurrentWriteError):
+        table._try_commit(
+            {"operation": "overwrite", "add": files, "remove": live,
+             "schema": last["schema"], "rows_written": n},
+            read_v,
+        )
+
+
+def test_failed_stage_leaves_no_visible_rows(spark, table):
+    """Files staged without a log entry are invisible and vacuumable."""
+    table.write(spark.createDataFrame(_rows(5)), mode="append")
+    # stage files but 'crash' before commit
+    table._stage_files(spark.createDataFrame(_rows(7, start=100)))
+    assert table.read().count() == 5  # reader sees only committed files
+    res = table.vacuum(retain_versions=1)
+    assert res["files_removed"] >= 1
+    assert table.read().count() == 5
+
+
+def test_log_is_json_and_ordered(spark, table):
+    table.write(spark.createDataFrame(_rows(2)), mode="append")
+    table.write(spark.createDataFrame(_rows(2, start=2)), mode="append")
+    names = sorted(os.listdir(table.log_dir))
+    assert names == sorted(names) and len(names) == 2
+    entry = json.load(open(os.path.join(table.log_dir, names[0])))
+    assert entry["version"] == 1 and entry["operation"] == "append"
+    assert entry["rows_written"] == 2
+
+
+def test_empty_overwrite_then_read_schema(spark, table):
+    table.write(spark.createDataFrame(_rows(4)), mode="append")
+    empty = spark.createDataFrame([], table.read().schema)
+    table.write(empty, mode="overwrite")
+    df = table.read()
+    assert df.count() == 0
+    assert df.columns == ["id", "src", "val"]
