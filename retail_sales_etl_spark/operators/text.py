@@ -360,8 +360,132 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_TOP2_THRESH = 0.2  # Gopher-style repetition gates (Rae et al. 2021)
+REP_DUP3_THRESH = 0.3
+
+
+def _word_ngrams(words: F.Column, n: int) -> F.Column:
+    """Array of word n-grams via sequence+slice — pure Catalyst, no
+    Python. Guarded: short docs yield an empty array (Spark's
+    ``sequence(1, 0)`` counts DOWN, unlike SQL generate_series)."""
+    count = F.size(words) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-doc fraction of word
+    positions covered by the most frequent 2-gram and by duplicated
+    2-/3-grams — the published gates for boilerplate/looping text
+    (Rae et al. 2021, public).
+
+    Shape at scale: one explode to the (doc, gram) grid, count, then a
+    per-doc re-aggregate — two keyed shuffles over ~corpus-token rows,
+    the same budget as tfidf_top_terms; no windows, no self-joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("n_words"))
+
+    def per_doc(n: int, tag: str):
+        counts = (
+            base.select("doc_id", F.explode(_word_ngrams(F.col("w"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return counts.groupBy("doc_id").agg(
+            F.max("cnt").alias(f"top_{tag}"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                f"dup_{tag}"
+            ),
+        )
+
+    g2, g3 = per_doc(2, "g2"), per_doc(3, "g3")
+    out = base.select("doc_id", "n_words").join(g2, "doc_id", "left").join(
+        g3, "doc_id", "left"
+    )
+    n2 = F.col("n_words") - 1
+    n3 = F.col("n_words") - 2
+    top2_frac = F.when(
+        n2 > 0, F.coalesce(F.col("top_g2"), F.lit(0)).cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    dup2_frac = F.when(
+        n2 > 0, F.coalesce(F.col("dup_g2"), F.lit(0)).cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    dup3_frac = F.when(
+        n3 > 0, F.coalesce(F.col("dup_g3"), F.lit(0)).cast("double") / n3
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("top_g2"), F.lit(0)).cast("bigint").alias("top_2gram_count"),
+        top2_frac.alias("top_2gram_frac"),
+        dup2_frac.alias("dup_2gram_frac"),
+        dup3_frac.alias("dup_3gram_frac"),
+        (
+            (top2_frac > F.lit(REP_TOP2_THRESH))
+            | (dup3_frac > F.lit(REP_DUP3_THRESH))
+        ).alias("is_repetitive"),
+    )
+
+
+DECON_N = 5  # word n-gram size for contamination matching
+DECON_EVAL_MOD = 37  # doc_id % 37 == 0 plays the held-out benchmark set
+DECON_FRAC_THRESH = 0.1
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 paper's
+    public recipe): flag training docs sharing 5-grams with a held-out
+    eval set (here a deterministic doc_id slice standing in for the
+    benchmark corpus).
+
+    Scale shape: the eval side reduces to DISTINCT grams — benchmarks
+    are MBs while the corpus is TBs — so the probe is a broadcast hash
+    join against the exploded training grid; the corpus is scanned
+    once and never shuffled on the gram key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(w, DECON_N)).alias("gram")
+    ).distinct()
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_grams = (
+        grams.filter(is_eval).select("gram").distinct().withColumn("hit", F.lit(1))
+    )
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    train = docs.filter(~is_eval).select("doc_id")
+    out = train.join(hits, "doc_id", "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint")
+    frac = F.when(n_grams > 0, n_cont.cast("double") / n_grams).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_cont.alias("n_contaminated"),
+        frac.alias("contamination_frac"),
+        (frac >= F.lit(DECON_FRAC_THRESH)).alias("is_contaminated"),
+    )
+
+
 QUERIES = {
     "chunk_documents": q_chunk_documents,
+    "text_repetition": q_text_repetition,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "pack_sequences": q_pack_sequences,
     "fuzzy_prefix_match": q_fuzzy_prefix_match,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -425,6 +549,103 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    "text_repetition": f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        ),
+        c2 AS (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM (
+                SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS gram
+                FROM (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM base
+                )
+            )
+            GROUP BY 1, 2
+        ),
+        a2 AS (
+            SELECT doc_id, max(cnt) AS top_g2,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                       AS dup_g2
+            FROM c2 GROUP BY 1
+        ),
+        c3 AS (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM (
+                SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS gram
+                FROM (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 2)) AS i
+                    FROM base
+                )
+            )
+            GROUP BY 1, 2
+        ),
+        a3 AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                       AS dup_g3
+            FROM c3 GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_words,
+               CAST(coalesce(top_g2, 0) AS BIGINT) AS top_2gram_count,
+               CASE WHEN b.n_words - 1 > 0
+                    THEN CAST(coalesce(top_g2, 0) AS DOUBLE) / (b.n_words - 1)
+                    ELSE 0.0 END AS top_2gram_frac,
+               CASE WHEN b.n_words - 1 > 0
+                    THEN CAST(coalesce(dup_g2, 0) AS DOUBLE) / (b.n_words - 1)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN b.n_words - 2 > 0
+                    THEN CAST(coalesce(dup_g3, 0) AS DOUBLE) / (b.n_words - 2)
+                    ELSE 0.0 END AS dup_3gram_frac,
+               (CASE WHEN b.n_words - 1 > 0
+                     THEN CAST(coalesce(top_g2, 0) AS DOUBLE) / (b.n_words - 1)
+                     ELSE 0.0 END) > {REP_TOP2_THRESH}
+               OR (CASE WHEN b.n_words - 2 > 0
+                        THEN CAST(coalesce(dup_g3, 0) AS DOUBLE) / (b.n_words - 2)
+                        ELSE 0.0 END) > {REP_DUP3_THRESH} AS is_repetitive
+        FROM base b
+        LEFT JOIN a2 ON b.doc_id = a2.doc_id
+        LEFT JOIN a3 ON b.doc_id = a3.doc_id
+    """,
+    "decontaminate_ngram": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i : i + {DECON_N - 1}], ' ') AS gram
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - {DECON_N - 1})) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            )
+        ),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+        ),
+        hits AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   count(e.gram) AS n_contaminated
+            FROM grams g
+            LEFT JOIN eval_grams e ON g.gram = e.gram
+            WHERE g.doc_id % {DECON_EVAL_MOD} <> 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               CASE WHEN coalesce(n_grams, 0) > 0
+                    THEN CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams
+                    ELSE 0.0 END AS contamination_frac,
+               (CASE WHEN coalesce(n_grams, 0) > 0
+                     THEN CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams
+                     ELSE 0.0 END) >= {DECON_FRAC_THRESH} AS is_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0) d
+        LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
     "chunk_documents": f"""
         SELECT doc_id, lang,
                CAST(s / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
