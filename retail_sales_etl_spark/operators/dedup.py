@@ -330,6 +330,68 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_EPS = 0.35  # within-cell cosine above which vectors are semantic dups
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster embeddings with the IVF coarse quantizer, then
+    within each cell drop vectors that have a near-duplicate
+    (cosine >= eps) sitting CLOSER to the centroid — the survivor of
+    every dup pair is the example farthest from the centroid, which
+    the paper finds keeps the most diverse training set.
+
+    Scale shape: assignment is the broadcast-centroid argmax
+    (assign_ivf_cells_scored), then ONE ``applyInPandas`` BLAS kernel
+    per cell computes the pairwise-cosine matrix and the dominance
+    flag in-block — no cross-cell pairs, no second shuffle; cells are
+    quantizer-sized to worker memory at 100 TB. Deterministic: 6-dp
+    cosines, centroid-distance priority, ties broken by vec_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _as_double_array, assign_ivf_cells_scored
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    assigned = assign_ivf_cells_scored(emb)
+    blocked = emb.join(assigned, "vec_id").select("vec_id", "cell", "ccos", "v")
+
+    def _flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        ccos = pdf["ccos"].to_numpy()
+        cell = pdf["cell"].iloc[0]
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(sims, -np.inf)
+        near = sims >= SEMANTIC_EPS
+        # neighbor j dominates i when j is closer to the centroid
+        # (higher ccos), ties broken by lower vec_id
+        dom = (ccos[None, :] > ccos[:, None]) | (
+            (ccos[None, :] == ccos[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(len(ids), cell),
+                "centroid_cos": ccos,
+                "n_neighbors": near.sum(axis=1).astype(np.int64),
+                "is_semantic_dup": (near & dom).any(axis=1),
+            }
+        )
+
+    return blocked.groupBy("cell").applyInPandas(
+        _flag,
+        schema=(
+            "vec_id long, cell int, centroid_cos double,"
+            " n_neighbors long, is_semantic_dup boolean"
+        ),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     MinHash-LSH candidate graph.
@@ -440,6 +502,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 def _shingles_sql(src: str = "documents") -> str:
@@ -657,6 +720,62 @@ ORACLE = {
     "prepare_corpus": _prepare_corpus_oracle(),
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_semantic": f"""
+        WITH emb AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT label, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS centroid
+            FROM (
+                SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM emb
+            )
+            GROUP BY label, i
+        ),
+        carr AS (
+            SELECT label AS cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cell,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM emb e CROSS JOIN carr c
+        ),
+        assigned AS (
+            SELECT vec_id, cell, ccos FROM (
+                SELECT vec_id, cell, ccos,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY ccos DESC, cell
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        blocked AS (
+            SELECT e.vec_id, a.cell, a.ccos, e.v
+            FROM emb e JOIN assigned a ON e.vec_id = a.vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id,
+                   count(*) AS n_neighbors,
+                   bool_or(b.ccos > a.ccos
+                           OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+                       AS has_dominator
+            FROM blocked a
+            JOIN blocked b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6)
+                  >= {SEMANTIC_EPS}
+            GROUP BY 1
+        )
+        SELECT bl.vec_id, bl.cell, bl.ccos AS centroid_cos,
+               CAST(coalesce(p.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+               coalesce(p.has_dominator, FALSE) AS is_semantic_dup
+        FROM blocked bl
+        LEFT JOIN pairs p ON bl.vec_id = p.vec_id
+    """,
     "dedup_embedding_ivf": f"""
         WITH emb AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -216,6 +216,14 @@ def assign_ivf_cells(emb: DataFrame) -> DataFrame:
     per-label means (``embedding_centroids``) — assignment is computed
     either way.
     """
+    return assign_ivf_cells_scored(emb).select("vec_id", "cell")
+
+
+def assign_ivf_cells_scored(emb: DataFrame) -> DataFrame:
+    """Like ``assign_ivf_cells`` but keeps the winning centroid cosine:
+    (vec_id, cell, ccos). The centroid distance is the priority signal
+    semantic dedup ranks by, so the assignment argmax carries it along
+    instead of recomputing it downstream."""
     cent_arr = (
         _centroids_long(emb)
         .groupBy("label")
@@ -241,8 +249,14 @@ def assign_ivf_cells(emb: DataFrame) -> DataFrame:
             6,
         ).alias("ccos"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.expr("max_by(cell, named_struct('c', ccos, 'l', -cell)) AS cell")
+    best = scored.groupBy("vec_id").agg(
+        F.expr(
+            "max_by(named_struct('cell', cell, 'ccos', ccos),"
+            " named_struct('c', ccos, 'l', -cell)) AS best"
+        )
+    )
+    return best.select(
+        "vec_id", F.col("best.cell").alias("cell"), F.col("best.ccos").alias("ccos")
     )
 
 
@@ -257,6 +271,135 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _as_double_array("embedding").alias("v")
     )
     return ivf_topk(emb, QUERY_VEC_ID, nprobe=2, top_k=TOP_K)
+
+
+KMEANS_K = 10
+KMEANS_ITERS = 3
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings — the REAL coarse-quantizer
+    build for IVF/SemDeDup (the other entries bootstrap centroids from
+    the label column; unlabeled corpora need this).
+
+    Fixed ``KMEANS_ITERS`` Lloyd rounds, deterministic init (the K
+    lowest vec_ids), cosine assignment with 6-dp rounding and
+    lowest-cell tie-break, decimal-exact means — so the whole iterative
+    algorithm is bit-reproducible and oracle-checkable (the DuckDB twin
+    unrolls the same rounds as CTEs). Each round is one broadcast of
+    the K x dim centroid table + one shuffle on (cell, dim): per-round
+    cost is linear in vectors, round count is fixed — at 100 TB the
+    standard practice this mirrors is running exactly this plan on a
+    uniform sample, then one final assignment pass over the corpus.
+    Empty cells drop out (their id simply stops appearing), as in any
+    Lloyd implementation without re-seeding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    wi = Window.orderBy("vec_id")
+    cent_arr = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(wi) - 1).cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+        )
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        scored = emb.crossJoin(broadcast(cent_arr)).select(
+            "vec_id",
+            "cell",
+            "v",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.expr("max_by(cell, named_struct('c', ccos, 'l', -cell)) AS cell"),
+            # v is constant within the vec_id group; any_value avoids a
+            # re-join against emb per round
+            F.expr("any_value(v) AS v"),
+        )
+        cent_long = assigned.select(
+            "cell", F.posexplode("v").alias("dim_idx", "val")
+        ).groupBy("cell", "dim_idx").agg(
+            (
+                F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        cent_arr = cent_long.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return cent_long.join(counts, "cell").select(
+        "cell", "dim_idx", "centroid", "n_members"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin: the same Lloyd rounds unrolled as CTEs."""
+    cos = (
+        "round(list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    ctes = [
+        """emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )""",
+        f"""carr_0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {KMEANS_K})
+        )""",
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""assigned_{it} AS (
+            SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, c.cell, e.v,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+                       ) AS rn
+                FROM emb e CROSS JOIN carr_{it - 1} c
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""cent_{it} AS (
+            SELECT cell, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                       AS centroid
+            FROM (
+                SELECT cell, v, unnest(generate_series(1, len(v))) AS i
+                FROM assigned_{it}
+            )
+            GROUP BY cell, i
+        )""")
+        ctes.append(f"""carr_{it} AS (
+            SELECT cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM cent_{it} GROUP BY cell
+        )""")
+    last = KMEANS_ITERS
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT c.cell, c.dim_idx, c.centroid,
+               CAST(n.n_members AS BIGINT) AS n_members
+        FROM cent_{last} c
+        JOIN (
+            SELECT cell, count(*) AS n_members FROM assigned_{last} GROUP BY 1
+        ) n ON c.cell = n.cell
+    """
 
 
 KNN_K = 3
@@ -313,6 +456,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "ann_ivf_topk": q_ann_ivf_topk,
     "knn_join_blocked": q_knn_join_blocked,
+    "kmeans_centroids": q_kmeans_centroids,
 }
 
 
@@ -349,6 +493,7 @@ _PAIR_COSINE_SQL = (
 )
 
 ORACLE = {
+    "kmeans_centroids": _kmeans_oracle(),
     "knn_join_blocked": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         pairs AS (
