@@ -191,9 +191,17 @@ class LakehouseTable:
                 json.dump(entry, fh)
             return next_v
 
-    def write(self, df: DataFrame, mode: str = "append", evolve: bool = False) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        evolve: bool = False,
+        extra: dict | None = None,
+    ) -> int:
         """Commit ``df`` as a new table version. ``mode``: append |
-        overwrite. Returns the committed version number."""
+        overwrite. ``extra`` merges caller metadata into the log entry
+        (e.g. a streaming batch_id for replay idempotence). Returns the
+        committed version number."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         read_version = self.latest_version()
@@ -206,6 +214,7 @@ class LakehouseTable:
             "remove": live if mode == "overwrite" else [],
             "schema": schema_json,
             "rows_written": n,
+            **(extra or {}),
         }
         return self._try_commit(entry, read_version)
 

@@ -305,6 +305,43 @@ def write_batches_to_parquet(
     )
 
 
+def lakehouse_batch_sink(batch_df: DataFrame, batch_id: int, table_path: str) -> bool:
+    """One micro-batch -> one lakehouse commit, keyed by batch_id.
+    Returns False (and writes nothing) when this batch_id already has a
+    log entry — the replay-skip half of the exactly-once contract."""
+    from ..load.lakehouse import LakehouseTable
+
+    table = LakehouseTable(batch_df.sparkSession, table_path)
+    committed = {e.get("batch_id") for e in table.history()}
+    if batch_id in committed:
+        return False
+    table.write(batch_df, mode="append", extra={"batch_id": batch_id})
+    return True
+
+
+def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: str):
+    """Exactly-once streaming sink into the lakehouse table: each
+    micro-batch is ONE atomic transaction-log commit carrying its
+    batch_id, and a replayed batch (checkpoint rewind, restart between
+    sink and checkpoint-commit, speculative rerun) is detected in the
+    log and skipped — the table's own log, not the stream checkpoint,
+    is the source of truth for what landed. This is the published
+    Delta streaming-sink idempotence pattern, and it upgrades
+    ``write_batches_to_parquet``'s at-least-once append (dedupable via
+    __batch_id) to true exactly-once: a torn write is invisible
+    because files without a log entry don't exist to readers.
+    """
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        lakehouse_batch_sink(batch_df, batch_id, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def interval_join_clicks_purchases(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,

@@ -83,6 +83,42 @@ def test_foreachbatch_sink_idempotent_keys(spark, sf_dir, tmp_path):
     assert "__batch_id" in landed.columns
 
 
+def test_lakehouse_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch -> lakehouse commit log: every batch
+    lands exactly once, and a replayed batch_id is skipped because the
+    TABLE log (not the checkpoint) records what committed."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl_path = str(tmp_path / "lake_sink")
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    q = streaming_events.write_batches_to_lakehouse(
+        stream.select("event_id", "ts", "event_type"),
+        tbl_path,
+        str(tmp_path / "ckpt_lake"),
+    )
+    q.awaitTermination()
+
+    table = LakehouseTable(spark, tbl_path)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert table.read().count() == n_events
+    hist = table.history()
+    batch_ids = [e.get("batch_id") for e in hist]
+    assert all(b is not None for b in batch_ids)
+    assert len(set(batch_ids)) == len(batch_ids)  # one commit per batch
+
+    # checkpoint rewind replays batch 0 through the same sink entry
+    # point: the table log detects it -> no new commit, no duplicates
+    replay = table.read().limit(5)
+    committed_before = len(hist)
+    assert streaming_events.lakehouse_batch_sink(replay, 0, tbl_path) is False
+    assert len(table.history()) == committed_before
+    assert table.read().count() == n_events
+    # a genuinely new batch id commits
+    assert streaming_events.lakehouse_batch_sink(replay, 10_000, tbl_path) is True
+    assert table.read().count() == n_events + 5
+
+
 def _write_events_file(path, rows):
     """rows: (event_id, ts_iso, user_id). ts written as TIMESTAMP-shaped
     int64 nanos, matching the testdata's TIMESTAMP(NANOS) layout."""
