@@ -445,16 +445,17 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set (here a deterministic doc_id slice standing in for the
     benchmark corpus).
 
-    Scale shape: the eval side reduces to DISTINCT grams — benchmarks
-    are MBs while the corpus is TBs — so the probe is a broadcast hash
-    join against the exploded training grid; the corpus is scanned
-    once and never shuffled on the gram key.
+    Scale shape: per-doc gram dedup happens MAP-SIDE (``array_distinct``
+    before the explode — the (doc, gram) grid is never shuffled on the
+    gram key); the eval side reduces to DISTINCT grams — benchmarks are
+    MBs while the corpus is TBs — and broadcasts, so the corpus is
+    shuffled exactly once, on doc_id, for the final per-doc counts.
     """
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     grams = docs.select(
-        "doc_id", F.explode(_word_ngrams(w, DECON_N)).alias("gram")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(w, DECON_N))).alias("gram")
+    )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     eval_grams = (
         grams.filter(is_eval).select("gram").distinct().withColumn("hit", F.lit(1))

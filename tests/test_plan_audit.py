@@ -132,3 +132,34 @@ def test_prepare_corpus_gate_pushed_to_scan(spark, sf_dir):
     assert "Filter" in plan
     # no CartesianProduct anywhere in the composed pipeline
     assert "Cartesian" not in plan
+
+
+def test_decontaminate_never_shuffles_on_gram(spark, sf_dir):
+    """Per-doc gram dedup is map-side (array_distinct before explode)
+    and the eval side broadcasts: the training grid must never hash-
+    partition on the gram key — that shuffle is the 100 TB killer."""
+    from retail_sales_etl_spark.operators.text import q_decontaminate_ngram
+
+    plan = _formatted_plan(q_decontaminate_ngram(spark, sf_dir))
+    # exactly ONE gram-keyed exchange: the eval side's DISTINCT, whose
+    # input is bounded by the benchmark corpus. The training grid adding
+    # a second one would be the scale killer.
+    assert plan.count("hashpartitioning(gram") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_semantic_dedup_blocks_stay_in_cell(spark, sf_dir):
+    """dedup_semantic's quadratic kernel must be keyed by cell (one
+    FlatMapGroupsInPandas over the cell partition), never a self-join."""
+    from retail_sales_etl_spark.operators.dedup import q_dedup_semantic
+
+    import re
+
+    plan = _formatted_plan(q_dedup_semantic(spark, sf_dir))
+    assert "Cartesian" not in plan
+    # exactly one pandas kernel (assignment is pure Catalyst); formatted
+    # explain prints every node twice (tree + detail), so count detail
+    # headers only
+    kernels = re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan, re.MULTILINE)
+    assert len(kernels) == 1
