@@ -185,3 +185,37 @@ def test_empty_overwrite_then_read_schema(spark, table):
     df = table.read()
     assert df.count() == 0
     assert df.columns == ["id", "src", "val"]
+
+
+def test_parallel_appends_all_land(spark, table):
+    """Real-concurrency race on the commit log: N threads append
+    simultaneously through separate table handles. Blind appends
+    commute, so every one must land, versions must be gapless, and the
+    row count must be the exact sum — the O_CREAT|O_EXCL loser path."""
+    import threading
+
+    table.write(spark.createDataFrame(_rows(1)), mode="append")
+    n_writers, per_batch = 6, 3
+    errors = []
+
+    def _append(k: int) -> None:
+        try:
+            t = LakehouseTable(spark, table.path)
+            t.write(
+                spark.createDataFrame(_rows(per_batch, start=100 * (k + 1))),
+                mode="append",
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=_append, args=(k,)) for k in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert table.latest_version() == 1 + n_writers
+    assert table._versions() == list(range(1, n_writers + 2))  # gapless
+    assert table.read().count() == 1 + n_writers * per_batch
+    ids = [r.id for r in table.read().collect()]
+    assert len(ids) == len(set(ids))  # no batch landed twice
