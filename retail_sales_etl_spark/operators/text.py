@@ -483,10 +483,76 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_CHUNK_WORDS = 10
+BOILER_FRAC_THRESH = 0.3
+
+
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the exact-substring
+    motivation of Lee et al. 2021, public): hash each doc's
+    non-overlapping 10-word chunks and flag chunks appearing in MORE
+    THAN ONE distinct document — headers, license blocks, templated
+    paragraphs that whole-doc dedup misses and within-doc repetition
+    can't see.
+
+    Scale shape: chunking is map-side (sequence+slice+md5, no overlap
+    so output volume = tokens/10); the chunk->n_docs aggregate shuffles
+    once on the chunk hash (count-distinct with partial aggregation);
+    the per-doc rollup shuffles once on doc_id. No df-cap here on
+    purpose — boilerplate IS the high-df tail, capping it would delete
+    the signal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_full = F.floor(F.size(w) / BOILER_CHUNK_WORDS).cast("int")
+    starts = F.when(
+        n_full >= 1,
+        F.sequence(
+            F.lit(1), (n_full - 1) * BOILER_CHUNK_WORDS + 1, F.lit(BOILER_CHUNK_WORDS)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = docs.select(
+        "doc_id",
+        F.explode(starts).alias("i"),
+        w.alias("w"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), BOILER_CHUNK_WORDS)))
+        .alias("chunk"),
+    )
+    chunk_docs = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        chunks.join(chunk_docs, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n_chunks = F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint")
+    n_shared = F.coalesce(F.col("n_shared_chunks"), F.lit(0)).cast("bigint")
+    frac = F.when(n_chunks > 0, n_shared.cast("double") / n_chunks).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        n_shared.alias("n_shared_chunks"),
+        frac.alias("shared_frac"),
+        (frac >= F.lit(BOILER_FRAC_THRESH)).alias("is_boilerplate"),
+    )
+
+
 QUERIES = {
     "chunk_documents": q_chunk_documents,
     "text_repetition": q_text_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "doc_boilerplate": q_doc_boilerplate,
     "pack_sequences": q_pack_sequences,
     "fuzzy_prefix_match": q_fuzzy_prefix_match,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -550,6 +616,45 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    "doc_boilerplate": f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       w[i : i + {BOILER_CHUNK_WORDS - 1}], ' ')) AS chunk
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(
+                           1,
+                           (CAST(floor(len(w) / {BOILER_CHUNK_WORDS}) AS INT) - 1)
+                               * {BOILER_CHUNK_WORDS} + 1,
+                           {BOILER_CHUNK_WORDS})) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+                WHERE len(w) >= {BOILER_CHUNK_WORDS}
+            )
+        ),
+        chunk_docs AS (
+            SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT c.doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN cd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared_chunks
+            FROM chunks c JOIN chunk_docs cd ON c.chunk = cd.chunk
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(coalesce(n_shared_chunks, 0) AS BIGINT) AS n_shared_chunks,
+               CASE WHEN coalesce(n_chunks, 0) > 0
+                    THEN CAST(coalesce(n_shared_chunks, 0) AS DOUBLE) / n_chunks
+                    ELSE 0.0 END AS shared_frac,
+               (CASE WHEN coalesce(n_chunks, 0) > 0
+                     THEN CAST(coalesce(n_shared_chunks, 0) AS DOUBLE) / n_chunks
+                     ELSE 0.0 END) >= {BOILER_FRAC_THRESH} AS is_boilerplate
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
     "text_repetition": f"""
         WITH base AS (
             SELECT doc_id, string_split(text, ' ') AS w,

@@ -85,3 +85,39 @@ def test_eval_mod_is_stable():
     # the eval split is part of the operator's contract; changing it
     # silently changes which docs are "benchmark" rows
     assert DECON_EVAL_MOD == 37
+
+
+def test_doc_boilerplate_cross_doc_only(spark, tmp_path):
+    """The shared-chunk flag needs ANOTHER doc: within-doc repeats
+    alone don't count, and docs under one chunk length report zeros."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_doc_boilerplate
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        # docs 1+2 share the SAME leading 10-word chunk, then diverge
+        Row(doc_id=1, text=boiler + " a b c d e f g h i j", lang="en",
+            source="s", n_chars=0),
+        Row(doc_id=2, text=boiler + " k l m n o p q r s t", lang="en",
+            source="s", n_chars=0),
+        # doc 3 repeats ITS OWN chunk twice: both instances are
+        # within-doc only -> not shared
+        Row(doc_id=3, text="x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 "
+                            "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", lang="en",
+            source="s", n_chars=0),
+        # doc 4 is too short for a single chunk
+        Row(doc_id=4, text="short doc", lang="en", source="s", n_chars=0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in q_doc_boilerplate(spark, d).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_shared_chunks == 1
+    assert got[1].shared_frac == 0.5 and bool(got[1].is_boilerplate)
+    assert got[2].n_shared_chunks == 1
+    # within-doc repetition does NOT count as shared (n_docs == 1)
+    assert got[3].n_chunks == 2 and got[3].n_shared_chunks == 0
+    assert not bool(got[3].is_boilerplate)
+    assert got[4].n_chunks == 0 and got[4].shared_frac == 0.0
