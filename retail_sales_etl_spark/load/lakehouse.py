@@ -307,16 +307,70 @@ class LakehouseTable:
 
     # ----------------------------------------------------- optimize/vacuum
 
-    def optimize(self, target_files: int = 1) -> dict:
+    def optimize(
+        self, target_files: int = 1, zorder_by: Sequence[str] | None = None
+    ) -> dict:
         """Compaction as a metadata swap: coalesce the live files into
         ``target_files`` new files and commit add+remove atomically.
         Readers pinned to older versions keep working — their files
-        are removed from the LOG, not the disk (that's VACUUM)."""
+        are removed from the LOG, not the disk (that's VACUUM).
+
+        ``zorder_by`` additionally CLUSTERS the rewrite on a Z-order
+        (Morton) curve over the given numeric columns: each column is
+        bucketed into 8-bit cells (equal-width over its min/max — one
+        broadcast aggregate, fully map-side after that; production
+        systems refine this with sampled rank boundaries under heavy
+        skew) and the bits interleaved, then rows range-partition by
+        the curve. Rows close in EVERY dimension land in the same
+        file, so per-file min/max footers become tight in all
+        Z-ordered columns at once and a reader's filter on ANY of them
+        prunes files — the published lakehouse data-skipping layout,
+        where a single-column sort only prunes its own column.
+        """
         read_version = self.latest_version()
         live, last = self._resolve_files(None)
         df = self.read()
         n_before = df.count()
-        files, n = self._stage_files(df.coalesce(target_files))
+        out = df
+        if zorder_by:
+            bits = 8
+            stats = df.agg(
+                *[
+                    f
+                    for c in zorder_by
+                    for f in (
+                        F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                        F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                    )
+                ]
+            )
+            out = df.crossJoin(F.broadcast(stats))
+            for c in zorder_by:
+                span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+                frac = F.when(span > 0, (
+                    F.col(c).cast("double") - F.col(f"__mn_{c}")
+                ) / span).otherwise(F.lit(0.0))
+                cell = F.least(
+                    F.floor(frac * (2**bits)).cast("long"), F.lit(2**bits - 1)
+                )
+                out = out.withColumn(f"__cell_{c}", F.coalesce(cell, F.lit(0)))
+            z = F.lit(0).cast("long")
+            for b in range(bits - 1, -1, -1):
+                for c in zorder_by:
+                    bit = F.shiftright(F.col(f"__cell_{c}"), b).bitwiseAND(1)
+                    z = F.shiftleft(z, 1).bitwiseOR(bit.cast("long"))
+            helper = [f"__cell_{c}" for c in zorder_by] + [
+                f"__mn_{c}" for c in zorder_by
+            ] + [f"__mx_{c}" for c in zorder_by]
+            out = (
+                out.withColumn("__z", z)
+                .repartitionByRange(max(target_files, 1), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z", *helper)
+            )
+        else:
+            out = out.coalesce(target_files)
+        files, n = self._stage_files(out)
         if n != n_before:
             for f in files:
                 os.remove(os.path.join(self.path, f))
@@ -327,6 +381,7 @@ class LakehouseTable:
             "remove": live,
             "schema": last["schema"],
             "rows_written": n,
+            "zorder_by": list(zorder_by) if zorder_by else None,
         }
         v = self._try_commit(entry, read_version)
         return {"version": v, "files_before": len(live), "files_after": len(files)}

@@ -219,3 +219,48 @@ def test_parallel_appends_all_land(spark, table):
     assert table.read().count() == 1 + n_writers * per_batch
     ids = [r.id for r in table.read().collect()]
     assert len(ids) == len(set(ids))  # no batch landed twice
+
+
+def test_optimize_zorder_tightens_file_ranges(spark, table):
+    """Z-order OPTIMIZE must cluster BOTH dimensions: after the
+    rewrite, each data file covers a narrow slice of each z-ordered
+    column, so a filter on either column can prune files. Compare the
+    summed per-file value-range widths against the unclustered layout."""
+    import itertools
+
+    rows = [
+        Row(id=i, src="s", val=float(v))
+        for i, v in itertools.product(range(40), range(40))
+    ]
+    # shuffled insert order so the naive layout has wide file ranges
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    for k in range(4):
+        table.write(spark.createDataFrame(rows[k * 400 : (k + 1) * 400]),
+                    mode="append")
+
+    def spread(files):
+        tot = 0.0
+        for f in files:
+            d = spark.read.parquet(os.path.join(table.path, f))
+            mm = d.agg(
+                F.max("id") - F.min("id"), F.max("val") - F.min("val")
+            ).first()
+            tot += float(mm[0]) + float(mm[1])
+        return tot
+
+    naive_files, _ = table._replay()
+    naive = spread(naive_files)
+    res = table.optimize(target_files=4, zorder_by=["id", "val"])
+    z_files, _ = table._replay()
+    assert len(z_files) == 4
+    assert table.read().count() == 1600
+    zs = spread(z_files)
+    # clustered layout covers dramatically less range per file
+    assert zs < naive * 0.7, (zs, naive)
+    assert table.history()[-1]["zorder_by"] == ["id", "val"]
+    # round-trip content unchanged
+    got = sorted((r.id, r.val) for r in table.read().collect())
+    assert got == sorted((r.id, r.val) for r in rows)
