@@ -386,6 +386,27 @@ class LakehouseTable:
         v = self._try_commit(entry, read_version)
         return {"version": v, "files_before": len(live), "files_after": len(files)}
 
+    def table_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        primary_key: Sequence[str] = ("id",),
+    ) -> DataFrame:
+        """Change-data-feed between two retained versions: time-travel
+        both snapshots and diff them into insert/update/delete rows
+        (operators.cdc.table_changes — one co-partitioned full-outer
+        join on the PK). This is the lakehouse CDF surface consumers
+        poll instead of re-reading the table: at 100 TB the output is
+        the (small) set of changed keys, and the inputs are file-list
+        resolutions from a KB-scale log."""
+        from ..operators.cdc import table_changes as _diff
+
+        return _diff(
+            self.read(version=from_version),
+            self.read(version=to_version),
+            primary_key=list(primary_key),
+        )
+
     def vacuum(self, retain_versions: int = 1) -> dict:
         """Delete data files unreferenced by the newest
         ``retain_versions`` versions (plus orphaned staging debris).

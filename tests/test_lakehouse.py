@@ -264,3 +264,29 @@ def test_optimize_zorder_tightens_file_ranges(spark, table):
     # round-trip content unchanged
     got = sorted((r.id, r.val) for r in table.read().collect())
     assert got == sorted((r.id, r.val) for r in rows)
+
+
+def test_table_changes_between_versions(spark, table):
+    """CDF across versions: merge-driven inserts/updates/deletes show
+    up as typed change rows between any two retained versions."""
+    table.write(spark.createDataFrame(_rows(5)), mode="append")          # v1
+    table.merge(
+        spark.createDataFrame([Row(id=2, src="UPD", val=-2.0),
+                               Row(id=50, src="NEW", val=50.0)]),
+        primary_key=["id"],
+    )                                                                    # v2
+    table.write(                                                         # v3
+        spark.createDataFrame([Row(id=0, src="only", val=0.0)]),
+        mode="overwrite",
+    )
+    # v1 -> v2: one update (id=2), one insert (id=50)
+    ch = {(r.id, r.change_type): r for r in
+          table.table_changes(1, 2, primary_key=["id"]).collect()}
+    assert set(ch) == {(2, "update"), (50, "insert")}
+    assert ch[(2, "update")].old_src == "a" and ch[(2, "update")].new_src == "UPD"
+    assert ch[(50, "insert")].old_src is None
+    # v2 -> latest (v3 overwrite): everything but id=0 deleted
+    ch2 = {(r.id, r.change_type) for r in
+           table.table_changes(2, primary_key=["id"]).collect()}
+    assert (0, "update") in ch2  # val 0.0 stayed but src changed a->only
+    assert {(i, "delete") for i in (1, 2, 3, 4, 50)} <= ch2
