@@ -522,7 +522,123 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped custdist: how many customers placed exactly N
+    non-urgent orders — INCLUDING the zero bucket, which is why the
+    join must be a left outer with the order filter on the JOIN side
+    (a WHERE would silently drop order-less customers).
+
+    Two aggregations: per-customer count (shuffle on custkey, the
+    orders side pre-filtered at the scan) then the tiny distribution
+    rollup.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo share: % of 1997 discounted revenue from PROMO
+    parts. Conditional decimal sums in ONE pass over the date-pruned
+    scan; part joins broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    joined = li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+            ).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped volume shipping: cross-border revenue by (supplier
+    nation, customer nation, ship year). Both nation lookups broadcast;
+    the fact shuffles once for the orders join, and the final rollup
+    groups a few hundred keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped priority mix: for late vs on-time shipments (shipped
+    >60 days after ordering), how many lines carry critical (URGENT/
+    HIGH) vs normal priority. One fact-fact shuffle, conditional counts
+    combine map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.when(late, "late").otherwise("ontime").alias("ship_class"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("critical_lines"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("normal_lines"),
+            F.count(F.lit(1)).alias("total_lines"),
+        )
+    )
+
+
 QUERIES = {
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "nation_trade_flows": q_nation_trade_flows,
+    "late_shipment_priority_mix": q_late_shipment_priority_mix,
     "supplier_value_concentration": q_supplier_value_concentration,
     "exclusive_late_suppliers": q_exclusive_late_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
@@ -545,6 +661,59 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_order_distribution": """
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+    "promo_revenue_share": """
+        SELECT
+            CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS promo_revenue,
+            CAST(sum(rev) AS DOUBLE) AS total_revenue,
+            100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                / CAST(sum(rev) AS DOUBLE) AS promo_share_pct
+        FROM (
+            SELECT p_type,
+                   CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)) AS rev
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        )
+    """,
+    "nation_trade_flows": """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               year(l_shipdate) AS ship_year,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "late_shipment_priority_mix": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'late' ELSE 'ontime' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS normal_lines,
+               count(*) AS total_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
     "supplier_value_concentration": """
         WITH per_supp AS (
             SELECT l_suppkey,
