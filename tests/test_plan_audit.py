@@ -163,3 +163,15 @@ def test_semantic_dedup_blocks_stay_in_cell(spark, sf_dir):
     # headers only
     kernels = re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan, re.MULTILINE)
     assert len(kernels) == 1
+
+
+def test_nation_trade_flows_broadcasts_all_dims(spark, sf_dir):
+    """Q7 shape: four broadcast joins (customer, supplier, 2x nation);
+    the only shuffle-partitioned join is lineitem x orders."""
+    from retail_sales_etl_spark.plans.analytics import q_nation_trade_flows
+
+    plan = _formatted_plan(q_nation_trade_flows(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # the fact join may SortMerge or shuffle-hash, but only on orderkey
+    assert "hashpartitioning(c_custkey" not in plan
