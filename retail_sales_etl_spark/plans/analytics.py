@@ -634,7 +634,86 @@ def q_late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped profit rollup: per (supplier nation, order year),
+    profit = discounted revenue - retail cost of the shipped quantity
+    (p_retailprice stands in for ps_supplycost — this dataset carries
+    no partsupp table). Supplier/nation/part broadcast; one fact
+    shuffle for the orders join; decimal-exact money math. The cost
+    product (2-dec price x integer qty) and the revenue product stay
+    within DECIMAL(25,6), so the subtraction is exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _dec(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ) - _dec(F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum(amount).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+RETURNED_TOP_K = 20
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-item report: top customers by revenue lost
+    to returns (l_returnflag = 'R') in one order-date year. Revenue
+    aggregates per customer (one keyed shuffle), the top-k is a
+    distributed TakeOrdered with a deterministic custkey tie-break,
+    and the customer/nation decoration joins AFTER the limit — k rows,
+    broadcast side only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("double").alias("returned_revenue"))
+    )
+    w = Window.orderBy(F.col("returned_revenue").desc(), F.col("o_custkey"))
+    top = (
+        per_cust.orderBy(F.col("returned_revenue").desc(), F.col("o_custkey"))
+        .limit(RETURNED_TOP_K)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        top.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_acctbal").alias("acct_balance"),
+            "returned_revenue",
+            "rank",
+        )
+    )
+
+
 QUERIES = {
+    "product_profit": q_product_profit,
+    "returned_item_revenue": q_returned_item_revenue,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue_share": q_promo_revenue_share,
     "nation_trade_flows": q_nation_trade_flows,
@@ -661,6 +740,51 @@ QUERIES = {
 }
 
 ORACLE = {
+    "product_profit": """
+        SELECT n_name AS nation_name,
+               year(o_orderdate) AS order_year,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+                        - CAST(p_retailprice * l_quantity AS DECIMAL(25,6)))
+                    AS DOUBLE) AS profit,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "returned_item_revenue": f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(25,6))) AS DOUBLE) AS returned_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT o_custkey, returned_revenue,
+                   CAST(row_number() OVER (
+                       ORDER BY returned_revenue DESC, o_custkey
+                   ) AS INTEGER) AS rank
+            FROM per_cust
+            ORDER BY returned_revenue DESC, o_custkey
+            LIMIT {RETURNED_TOP_K}
+        )
+        SELECT o_custkey AS customer_id,
+               c_name AS customer_name,
+               n_name AS nation_name,
+               c_acctbal AS acct_balance,
+               returned_revenue,
+               rank
+        FROM top
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    """,
     "customer_order_distribution": """
         SELECT n_orders, count(*) AS n_customers
         FROM (

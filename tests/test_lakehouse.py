@@ -290,3 +290,30 @@ def test_table_changes_between_versions(spark, table):
            table.table_changes(2, primary_key=["id"]).collect()}
     assert (0, "update") in ch2  # val 0.0 stayed but src changed a->only
     assert {(i, "delete") for i in (1, 2, 3, 4, 50)} <= ch2
+
+
+def test_concurrent_merge_aborts_not_corrupts(spark, table):
+    """Two writers merge from the same read version: the winner lands,
+    the loser must ABORT (its remove-set is stale) - never silently
+    double-apply or drop the winner's rewrite."""
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    t2 = LakehouseTable(spark, table.path)
+
+    # writer A prepares its merge state, then writer B commits first
+    read_v = table.latest_version()
+    live, last = table._replay()
+    files, n = table._stage_files(
+        spark.createDataFrame([Row(id=3, src="A", val=-3.0)])
+    )
+    t2.merge(spark.createDataFrame([Row(id=3, src="B", val=-9.0)]),
+             primary_key=["id"])
+    with pytest.raises(ConcurrentWriteError):
+        table._try_commit(
+            {"operation": "merge", "add": files, "remove": live,
+             "schema": last["schema"], "rows_written": n},
+            read_v,
+        )
+    # winner's state intact, no duplicate PK
+    got = {r.id: r.src for r in table.read().collect()}
+    assert got[3] == "B"
+    assert table.read().count() == 10
