@@ -711,7 +711,33 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped forecast: revenue given up to discounts in a band
+    (1997 shipments, discount 5-7%, qty < 24). The canonical
+    every-predicate-pushed single-scan aggregate: no join, no group —
+    at 100 TB this reads only the row groups the filters and column
+    pruning leave behind.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("forecast_revenue_change"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
+    "forecast_revenue_change": q_forecast_revenue_change,
     "product_profit": q_product_profit,
     "returned_item_revenue": q_returned_item_revenue,
     "customer_order_distribution": q_customer_order_distribution,
@@ -740,6 +766,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "forecast_revenue_change": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+                    AS DOUBLE) AS forecast_revenue_change,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
     "product_profit": """
         SELECT n_name AS nation_name,
                year(o_orderdate) AS order_year,
