@@ -736,8 +736,128 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped local supplier volume: revenue per nation where the
+    customer and supplier sit in the SAME nation, restricted to one
+    region and one order year.
+
+    Scale shape: region/nation/customer/supplier are all broadcast (the
+    region filter prunes the broadcast sides before shipping); the only
+    shuffle is the lineitem⋈orders fact join, and the locality predicate
+    (``c_nationkey == s_nationkey``) is evaluated map-side after the
+    broadcasts, never as a join explosion.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    # Nation keys inside the target region only — prunes every
+    # downstream broadcast to the region's slice.
+    region_nations = (
+        nation.join(
+            region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    joined = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            broadcast(region_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped top supplier: per-supplier revenue over one quarter,
+    returning the supplier(s) whose revenue equals the maximum.
+
+    The max is a 1-row aggregate broadcast back over the tiny
+    per-supplier rollup (scalar-subquery decorrelation, same pattern as
+    supplier_value_concentration); equality is compared on the exact
+    DECIMAL sums, not on doubles, so ties are engine-portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum(rev).alias("_rev_exact"))
+    )
+    mx = srev.agg(F.max("_rev_exact").alias("_rev_max"))
+    return (
+        srev.join(broadcast(mx))
+        .filter(F.col("_rev_exact") == F.col("_rev_max"))
+        .join(broadcast(supp), "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev_exact").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped supplier-variety count: distinct suppliers per
+    (brand, type, size) over the observed part-supplier pairs, with a
+    NOT-IN supplier blacklist (``s_suppkey % 7 == 0`` stands in for the
+    reference benchmark's complaints predicate — the schema has no
+    comment column).
+
+    Scale shape: the part filter is a pruned broadcast; the blacklist is
+    a broadcast anti-join; the only fact shuffle is the DISTINCT over
+    (partkey, suppkey) pairs, which also feeds the count-distinct — the
+    pair grid is already unique, so the final agg is a plain count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    sizes = [1, 4, 7, 10, 14, 19, 25, 28]
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = supp.filter(F.col("s_suppkey") % 7 == 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(broadcast(blacklist), "l_suppkey", "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 QUERIES = {
     "forecast_revenue_change": q_forecast_revenue_change,
+    "local_supplier_volume": q_local_supplier_volume,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "part_supplier_variety": q_part_supplier_variety,
     "product_profit": q_product_profit,
     "returned_item_revenue": q_returned_item_revenue,
     "customer_order_distribution": q_customer_order_distribution,
@@ -766,6 +886,51 @@ QUERIES = {
 }
 
 ORACLE = {
+    "local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "top_revenue_supplier": """
+        WITH srev AS (
+            SELECT l_suppkey AS s_suppkey,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(25,6))) AS rev_exact
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.rev_exact AS DOUBLE) AS total_revenue
+        FROM srev r
+        JOIN supplier s ON r.s_suppkey = s.s_suppkey
+        WHERE r.rev_exact = (SELECT max(rev_exact) FROM srev)
+    """,
+    "part_supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
     "forecast_revenue_change": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
                     AS DOUBLE) AS forecast_revenue_change,
