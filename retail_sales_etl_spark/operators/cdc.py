@@ -108,11 +108,104 @@ def q_cdc_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental view maintenance: decimal type wide enough to carry any
+# per-row contribution exactly (proven double->decimal cast scale).
+_IVM_DEC = "decimal(25,6)"
+
+
+def _ivm_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Same insert/delete/update key sets as ``_snapshots``, but the
+    price raise is computed IN DECIMAL (x * 1.1 as DECIMAL(2,1)) so the
+    maintained aggregate is exact — summing doubles would make
+    base+delta differ from a full recompute by float-order noise.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(_IVM_DEC).alias("price"),
+    )
+    before = orders.filter(F.col("o_orderkey") % 10 != _INSERT_MOD)
+    raised = (
+        F.col("price") * F.lit("1.1").cast("decimal(2,1)")
+    ).cast(_IVM_DEC)
+    after = orders.filter(F.col("o_orderkey") % 10 != _DELETE_MOD).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % _UPDATE_MOD == 0, raised).otherwise(
+            F.col("price")
+        ),
+    )
+    return before, after
+
+
+def q_ivm_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a grouped aggregate from the
+    change feed: maintained = base(before) + delta(changes), where each
+    change row contributes +new (insert/update) and -old
+    (delete/update) to its group — the continuous-aggregate refresh
+    every warehouse needs so a 100 TB fact is never rescanned.
+
+    Cost is O(|view| + |changes|): the base is the already-materialized
+    rollup (tiny), the delta rows come straight from ``table_changes``
+    (one key-partitioned join over the two snapshots), and the final
+    re-aggregate shuffles only view-grain rows. Arithmetic is DECIMAL
+    end-to-end, so base+delta is bit-identical to the full recompute
+    the oracle runs — groups whose maintained count reaches zero drop
+    out, matching the recompute exactly.
+    """
+    before, after = _ivm_snapshots(spark, sf_dir)
+    base = before.groupBy("o_orderpriority").agg(
+        F.sum("price").cast(_IVM_DEC).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ch = table_changes(
+        before, after, ["o_orderkey"], ["o_orderpriority", "price"]
+    )
+    adds = ch.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col("new_o_orderpriority").alias("o_orderpriority"),
+        F.col("new_price").cast(_IVM_DEC).alias("rev"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    subs = ch.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col("old_o_orderpriority").alias("o_orderpriority"),
+        (-F.col("old_price")).cast(_IVM_DEC).alias("rev"),
+        F.lit(-1).cast("bigint").alias("n"),
+    )
+    return (
+        base.unionByName(adds)
+        .unionByName(subs)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderpriority",
+            F.col("rev").cast("double").alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
 QUERIES = {
     "cdc_order_changes": q_cdc_order_changes,
+    "ivm_priority_revenue": q_ivm_priority_revenue,
 }
 
 ORACLE = {
+    "ivm_priority_revenue": f"""
+        WITH after_snap AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderkey % {_UPDATE_MOD} = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(25,6))
+                                  * CAST(1.1 AS DECIMAL(2,1))
+                                  AS DECIMAL(25,6))
+                        ELSE CAST(o_totalprice AS DECIMAL(25,6))
+                   END AS price
+            FROM orders WHERE o_orderkey % 10 <> {_DELETE_MOD}
+        )
+        SELECT o_orderpriority,
+               CAST(sum(price) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM after_snap GROUP BY o_orderpriority
+    """,
     "cdc_order_changes": f"""
         WITH before_snap AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -136,6 +136,78 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixing (the p^alpha recipe used
+    by multilingual LM data pipelines): sampling share q_l is
+    proportional to p_l^alpha where p_l is the language's natural token
+    share — alpha < 1 flattens the distribution toward the long tail
+    without going fully uniform (mix_token_budget is the alpha=0 case).
+
+    keep_rate_l = min(1, (BUDGET * q_l) / lang_tokens). Engine
+    portability: pow() goes through libm on DuckDB but java.lang.Math
+    on Spark, so each p^alpha is rounded to 6 dp and cast to DECIMAL
+    before the normalizing sum (order-independent, exact) — the same
+    rule the tf-idf ln() path uses. The doc-level decision reuses the
+    hash-prefix uniform: keep iff u < keep_rate. One tiny agg broadcast
+    back + a map-side filter; the corpus itself never shuffles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    lang_tot = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("lang_tokens")
+    )
+    tot = lang_tot.agg(
+        F.sum("lang_tokens").cast("bigint").alias("total_tokens")
+    )
+    w = F.round(
+        F.pow(
+            F.col("lang_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            F.lit(MIX_ALPHA),
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    weighted = lang_tot.join(broadcast(tot)).select(
+        "lang", "lang_tokens", w.alias("w")
+    )
+    wsum = weighted.agg(F.sum("w").alias("w_sum"))
+    rates = weighted.join(broadcast(wsum)).select(
+        "lang",
+        "lang_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(float(TOKEN_BUDGET))
+                    * (F.col("w").cast("double") / F.col("w_sum").cast("double"))
+                )
+                / F.col("lang_tokens").cast("double"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(_key(F.col("doc_id")), 16, 10).cast("bigint").cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        toks.join(broadcast(rates), "lang")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select("doc_id", "lang", "n_tokens", "keep_rate", "u")
+    )
+
+
 def _stratified_oracle() -> str:
     cases = " ".join(
         f"WHEN '{lang}' THEN '{_threshold_hex(rate)}'"
@@ -158,6 +230,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sample_topk_per_stratum": q_sample_topk_per_stratum,
     "mix_token_budget": q_mix_token_budget,
+    "mix_temperature": q_mix_temperature,
 }
 
 ORACLE = {
@@ -177,6 +250,42 @@ ORACLE = {
                    least(1.0, ({TOKEN_BUDGET}.0 / (SELECT count(*) FROM lang_tot))
                               / CAST(lang_tokens AS DOUBLE)) AS keep_rate
             FROM lang_tot
+        )
+        SELECT doc_id, t.lang AS lang, n_tokens, keep_rate,
+               CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+        FROM toks t
+        JOIN rates r ON t.lang = r.lang
+        WHERE CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < keep_rate
+    """,
+    "mix_temperature": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents
+        ),
+        lang_tot AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+            FROM toks GROUP BY 1
+        ),
+        weighted AS (
+            SELECT lang, lang_tokens,
+                   CAST(round(pow(CAST(lang_tokens AS DOUBLE)
+                                  / (SELECT CAST(sum(lang_tokens) AS DOUBLE)
+                                     FROM lang_tot),
+                                  {MIX_ALPHA}), 6) AS DECIMAL(18,6)) AS w
+            FROM lang_tot
+        ),
+        rates AS (
+            SELECT lang, lang_tokens,
+                   round(least(1.0,
+                               ({TOKEN_BUDGET}.0
+                                * (CAST(w AS DOUBLE)
+                                   / (SELECT CAST(sum(w) AS DOUBLE)
+                                      FROM weighted)))
+                               / CAST(lang_tokens AS DOUBLE)), 6) AS keep_rate
+            FROM weighted
         )
         SELECT doc_id, t.lang AS lang, n_tokens, keep_rate,
                CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))

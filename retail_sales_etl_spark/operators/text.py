@@ -548,8 +548,74 @@ def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_WORDS = 10
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (the CCNet/"dedup at paragraph
+    granularity" recipe, public): split each document into fixed
+    10-word lines, keep only the globally FIRST occurrence of every
+    duplicated line (ordered by doc_id, line position), and rebuild the
+    cleaned text — headers and templated paragraphs vanish from every
+    copy but one, which whole-document dedup cannot do.
+
+    Unlike ``doc_boilerplate`` (which only FLAGS shared chunks), this
+    emits the surviving corpus. Scale shape: line splitting is map-side
+    (sequence+slice, non-overlapping so the grid is tokens/10 rows);
+    keep/drop is ONE window over the line-hash shuffle (row_number on a
+    high-cardinality key); reconstruction is one doc_id shuffle with an
+    order-restoring array_sort — no joins against the raw corpus, no
+    driver-side state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_seg = F.ceil(F.size(w) / F.lit(LINE_WORDS)).cast("int")
+    starts = F.sequence(
+        F.lit(1), (n_seg - 1) * LINE_WORDS + 1, F.lit(LINE_WORDS)
+    )
+    segs = (
+        docs.select("doc_id", F.explode(starts).alias("i"), w.alias("w"))
+        .select(
+            "doc_id",
+            F.floor((F.col("i") - 1) / LINE_WORDS).cast("bigint").alias(
+                "line_no"
+            ),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("i"), LINE_WORDS)
+            ).alias("seg"),
+        )
+        .withColumn("line_hash", F.md5("seg"))
+    )
+    first_occ = Window.partitionBy("line_hash").orderBy("doc_id", "line_no")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(first_occ))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "seg"))
+                    ),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 QUERIES = {
     "chunk_documents": q_chunk_documents,
+    "dedup_lines": q_dedup_lines,
     "text_repetition": q_text_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
     "doc_boilerplate": q_doc_boilerplate,
@@ -616,6 +682,44 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    "dedup_lines": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        seg AS (
+            SELECT doc_id,
+                   CAST(floor((i - 1) / {LINE_WORDS}.0) AS BIGINT) AS line_no,
+                   array_to_string(w[i : i + {LINE_WORDS - 1}], ' ') AS seg
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(
+                           1,
+                           (CAST(ceil(len(w) / {LINE_WORDS}.0) AS INT) - 1)
+                               * {LINE_WORDS} + 1,
+                           {LINE_WORDS})) AS i
+                FROM words
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, line_no, seg,
+                   row_number() OVER (
+                       PARTITION BY md5(seg) ORDER BY doc_id, line_no
+                   ) AS rn
+            FROM seg
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_lines FROM seg GROUP BY 1
+        ),
+        kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY line_no) AS clean_text
+            FROM ranked WHERE rn = 1 GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_lines,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(k.clean_text, '') AS clean_text
+        FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
     "doc_boilerplate": f"""
         WITH chunks AS (
             SELECT doc_id,

@@ -175,3 +175,45 @@ def test_nation_trade_flows_broadcasts_all_dims(spark, sf_dir):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     # the fact join may SortMerge or shuffle-hash, but only on orderkey
     assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective dimension
+    filter and a non-broadcast join, the optimizer injects a
+    might_contain() predicate on the fact side so the big scan drops
+    non-joining rows BEFORE the shuffle — the row-group-skipping path
+    that matters when the fact is 100 TB and the filtered dim is not.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = _formatted_plan(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

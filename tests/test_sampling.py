@@ -91,3 +91,51 @@ def test_chunk_documents_contiguous_overlapping(spark, sf_dir):
     for doc_id, idxs in by_doc.items():
         assert sorted(idxs) == list(range(len(idxs)))
     assert any(len(v) > 1 for v in by_doc.values())  # real multi-chunk docs
+
+
+def test_mix_temperature_flattens_but_keeps_order(spark, sf_dir):
+    """alpha<1 temperature sampling: keep_rate strictly decreases as a
+    language's token mass grows (rate ~ p^(alpha-1)), and sampled
+    shares sit BETWEEN the natural distribution and uniform."""
+    from retail_sales_etl_spark.operators.sampling import q_mix_temperature
+
+    rows = q_mix_temperature(spark, sf_dir).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        assert 0.0 < r["keep_rate"] <= 1.0
+        assert 0.0 <= r["u"] < r["keep_rate"]
+        per_lang.setdefault(r["lang"], r["keep_rate"])
+    # recover lang_tokens from any row's rate ordering: bigger language
+    # -> strictly smaller keep rate (ties impossible on this corpus)
+    from retail_sales_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    )
+    tokens = {r["lang"]: r["tot"] for r in toks}
+    langs = [l for l in per_lang if l in tokens]
+    for a in langs:
+        for b in langs:
+            if tokens[a] < tokens[b]:
+                assert per_lang[a] >= per_lang[b]
+
+
+def test_mix_temperature_deterministic(spark, sf_dir):
+    from retail_sales_etl_spark.operators.sampling import q_mix_temperature
+
+    one = sorted(r["doc_id"] for r in q_mix_temperature(spark, sf_dir).collect())
+    two = sorted(r["doc_id"] for r in q_mix_temperature(spark, sf_dir).collect())
+    assert one == two and one

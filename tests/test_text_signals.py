@@ -121,3 +121,41 @@ def test_doc_boilerplate_cross_doc_only(spark, tmp_path):
     assert got[3].n_chunks == 2 and got[3].n_shared_chunks == 0
     assert not bool(got[3].is_boilerplate)
     assert got[4].n_chunks == 0 and got[4].shared_frac == 0.0
+
+
+def test_dedup_lines_keeps_global_first_occurrence(spark, tmp_path):
+    """Line-level dedup: a line shared across docs survives only in
+    the lowest (doc_id, line_no) position; within-doc repeats collapse
+    to the first; fully-duplicated docs come back empty; short unique
+    docs pass through untouched."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_dedup_lines
+
+    A = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    B = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    C = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    D = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"
+    rows = [
+        Row(doc_id=1, text=A + " " + B, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=A + " " + C, lang="en", source="s", n_chars=0),
+        Row(doc_id=3, text=A + " " + B, lang="en", source="s", n_chars=0),
+        Row(doc_id=4, text="tiny unique doc", lang="en", source="s", n_chars=0),
+        Row(doc_id=5, text=D + " " + D, lang="en", source="s", n_chars=0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in q_dedup_lines(spark, d).collect()}
+    assert got[1].n_lines == 2 and got[1].n_kept == 2
+    assert got[1].clean_text == A + " " + B
+    # doc 2: A already seen in doc 1 -> only C survives
+    assert got[2].n_kept == 1 and got[2].clean_text == C
+    # doc 3: both lines are dups -> empty output
+    assert got[3].n_kept == 0 and got[3].clean_text == ""
+    # doc 4: sub-line-length doc is one unique line
+    assert got[4].n_lines == 1 and got[4].clean_text == "tiny unique doc"
+    # doc 5: within-doc repeat keeps the first copy only
+    assert got[5].n_lines == 2 and got[5].n_kept == 1
+    assert got[5].clean_text == D
