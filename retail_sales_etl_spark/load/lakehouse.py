@@ -249,7 +249,10 @@ class LakehouseTable:
     # -------------------------------------------------------------- merge
 
     def merge(
-        self, updates: DataFrame, primary_key: Sequence[str]
+        self,
+        updates: DataFrame,
+        primary_key: Sequence[str],
+        extra: dict | None = None,
     ) -> dict:
         """MERGE INTO: matched keys take the update row, unmatched
         update rows insert. Rewrites ONLY data files containing a
@@ -257,6 +260,8 @@ class LakehouseTable:
         with ``input_file_name()`` and semi-joining the (broadcast)
         update keys. At 100 TB a point-upsert touches a handful of
         files; everything else is carried forward as metadata.
+        ``extra`` merges caller metadata into the log entry (e.g. a
+        streaming batch_id for replay idempotence).
         """
         read_version = self.latest_version()
         live, last = self._resolve_files(None)
@@ -296,6 +301,7 @@ class LakehouseTable:
             "rows_written": n,
             "files_rewritten": len(touched_files),
             "files_carried": len(untouched),
+            **(extra or {}),
         }
         v = self._try_commit(entry, read_version)
         return {

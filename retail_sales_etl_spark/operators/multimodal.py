@@ -173,9 +173,56 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SHARED_THRESH = 0.5
+
+
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level near-dup detection across assets: hash every sampled
+    frame (the ``mapInPandas`` 1->N slicer) and flag assets whose
+    frames largely appear in OTHER assets — the video/audio analogue of
+    boilerplate detection (shared intros, watermarked segments,
+    re-encoded copies share raw frames even when whole-file hashes
+    differ).
+
+    Scale shape: frame hashing rides the existing Arrow slicer
+    (map-side, 1->N bounded by payload/stride); the frame-hash ->
+    n_docs aggregate shuffles once on a high-cardinality hash
+    (count-distinct partially aggregated); the per-asset rollup
+    shuffles once on doc_id. Payload bytes never shuffle — only
+    32-char hashes do, which is what makes this viable when frames are
+    4K images instead of 64-byte stubs.
+    """
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media).select(
+        "doc_id", F.md5("frame_bytes").alias("frame_hash")
+    )
+    hash_docs = frames.groupBy("frame_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        frames.join(hash_docs, "frame_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_frames"),
+        )
+    )
+    frac = F.col("n_shared_frames").cast("double") / F.col("n_frames")
+    return per_doc.select(
+        "doc_id",
+        "n_frames",
+        "n_shared_frames",
+        frac.alias("shared_frac"),
+        (frac >= F.lit(FRAME_SHARED_THRESH)).alias("is_near_dup"),
+    )
+
+
 QUERIES = {
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_frame_dedup": q_multimodal_frame_dedup,
 }
 
 ORACLE = {
@@ -187,6 +234,39 @@ ORACLE = {
                (octet_length(encode(text)) % 64) + 1 AS synth_width,
                (octet_length(encode(text)) % 48) + 1 AS synth_height
         FROM documents
+    """,
+    "multimodal_frame_dedup": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   ((greatest(octet_length(encode(text)) - 64, 1) - 1) // 256)
+                       + 1 AS n_frames
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id,
+                   md5(substring(text, 256 * (i - 1) + 1, 64)) AS frame_hash
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, n_frames)) AS i
+                FROM base
+            )
+        ),
+        hash_docs AS (
+            SELECT frame_hash, count(DISTINCT doc_id) AS n_docs
+            FROM frames GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT f.doc_id, count(*) AS n_frames,
+                   CAST(sum(CASE WHEN hd.n_docs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared_frames
+            FROM frames f JOIN hash_docs hd USING (frame_hash)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_frames, n_shared_frames,
+               CAST(n_shared_frames AS DOUBLE) / n_frames AS shared_frac,
+               (CAST(n_shared_frames AS DOUBLE) / n_frames)
+                   >= {FRAME_SHARED_THRESH} AS is_near_dup
+        FROM per_doc
     """,
     "multimodal_frames": """
         SELECT doc_id,

@@ -548,6 +548,42 @@ def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-unigram Shannon entropy (nats) — the diversity
+    quality signal: near-zero entropy means looping/templated text that
+    length and stopword gates miss; natural prose sits well above it.
+
+    H = ln(n) - (sum_w c_w * ln(c_w)) / n. Portability: each
+    c*ln(c) term is rounded to 6 dp and summed in DECIMAL
+    (order-independent, exact — a raw double sum would differ between
+    engines by accumulation order), then one double division and a
+    final 6-dp round. Plan: one explode -> (doc, word) count grid ->
+    per-doc re-agg; same shuffle budget as tf-idf.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(F.col("c") * F.log(F.col("c")), 6).cast("decimal(25,6)")
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("_clogc"),
+    )
+    entropy = F.round(
+        F.log(F.col("n_words"))
+        - F.col("_clogc").cast("double") / F.col("n_words"),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        entropy.alias("entropy_nats"),
+    )
+
+
 LINE_WORDS = 10
 
 
@@ -616,6 +652,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "chunk_documents": q_chunk_documents,
     "dedup_lines": q_dedup_lines,
+    "text_entropy": q_text_entropy,
     "text_repetition": q_text_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
     "doc_boilerplate": q_doc_boilerplate,
@@ -682,6 +719,27 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    "text_entropy": """
+        WITH wc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            GROUP BY doc_id, w
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   count(*) AS n_distinct,
+                   sum(CAST(round(c * ln(c), 6) AS DECIMAL(25,6))) AS clogc
+            FROM wc GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_distinct,
+               round(ln(n_words) - CAST(clogc AS DOUBLE) / n_words, 6)
+                   AS entropy_nats
+        FROM per_doc
+    """,
     "dedup_lines": f"""
         WITH words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

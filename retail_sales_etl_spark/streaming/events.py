@@ -342,6 +342,78 @@ def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: s
     )
 
 
+_IVM_DEC = "decimal(25,6)"
+
+
+def ivm_lakehouse_sink(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """Streaming incremental view maintenance: fold one micro-batch
+    into a materialized per-event_type rollup (n_events, total_value)
+    stored as a lakehouse table — the streaming twin of
+    ``ivm_priority_revenue``'s base+delta refresh.
+
+    Per batch: aggregate the batch (map-side partial over at most
+    |batch| rows), read the tiny current view, add the partial to the
+    touched groups, and MERGE — one atomic commit that rewrites only
+    files containing touched keys. The raw stream is never re-read and
+    the view is never recomputed from scratch. Exactly-once: the
+    commit carries batch_id; a replayed batch finds its id in the
+    TABLE log and is skipped, so counts never double even across
+    checkpoint rewinds. Sums are DECIMAL so the maintained view is
+    bit-identical to a from-scratch aggregate of everything delivered.
+
+    Returns False when the batch was a replay (nothing written).
+    """
+    from ..load.lakehouse import LakehouseTable
+
+    table = LakehouseTable(batch_df.sparkSession, table_path)
+    committed = {e.get("batch_id") for e in table.history()}
+    if batch_id in committed:
+        return False
+    partial = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_IVM_DEC)).cast(_IVM_DEC).alias(
+            "total_value"
+        ),
+    )
+    if table.latest_version() is None:
+        table.write(partial, mode="append", extra={"batch_id": batch_id})
+        return True
+    current = table.read()
+    combined = (
+        partial.alias("p")
+        .join(current.alias("c"), "event_type", "left")
+        .select(
+            "event_type",
+            (
+                F.col("p.n_events")
+                + F.coalesce(F.col("c.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.col("p.total_value")
+                + F.coalesce(F.col("c.total_value"), F.lit(0).cast(_IVM_DEC))
+            ).cast(_IVM_DEC).alias("total_value"),
+        )
+    )
+    table.merge(combined, ["event_type"], extra={"batch_id": batch_id})
+    return True
+
+
+def maintain_event_rollup(stream: DataFrame, table_path: str, checkpoint: str):
+    """Run the streaming IVM sink under foreachBatch (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivm_lakehouse_sink(batch_df, batch_id, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def interval_join_clicks_purchases(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,

@@ -332,3 +332,66 @@ def test_stream_stream_outer_interval_join_emission(spark, sf_dir):
         assert (
             datetime.datetime.fromisoformat(r["purchase_ts"]) <= horizon
         ), "purchase inside the retention horizon emitted prematurely"
+
+
+def test_streaming_ivm_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming incremental view maintenance: after the stream drains,
+    the lakehouse rollup equals a from-scratch batch aggregate, every
+    micro-batch is one commit, and a replayed batch changes nothing."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl_path = str(tmp_path / "ivm_rollup")
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    q = streaming_events.maintain_event_rollup(
+        stream.select("event_type", "value"),
+        tbl_path,
+        str(tmp_path / "ckpt_ivm"),
+    )
+    q.awaitTermination()
+
+    table = LakehouseTable(spark, tbl_path)
+    got = {
+        r["event_type"]: (r["n_events"], float(r["total_value"]))
+        for r in table.read().collect()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], float(r["total_value"]))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("decimal(25,6)")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    hist = table.history()
+    batch_ids = [e.get("batch_id") for e in hist]
+    assert all(b is not None for b in batch_ids)
+    assert len(set(batch_ids)) == len(batch_ids)
+
+    # replayed batch (checkpoint rewind) is detected in the table log:
+    # no commit, counts unchanged
+    replay = load_table(spark, sf_dir, "events").limit(7).select(
+        "event_type", "value"
+    )
+    before = len(hist)
+    assert streaming_events.ivm_lakehouse_sink(replay, 0, tbl_path) is False
+    assert len(table.history()) == before
+    assert {
+        r["event_type"]: r["n_events"] for r in table.read().collect()
+    } == {k: v[0] for k, v in got.items()}
+
+    # a genuinely new batch folds in incrementally
+    assert streaming_events.ivm_lakehouse_sink(replay, 99_999, tbl_path) is True
+    merged = {r["event_type"]: r["n_events"] for r in table.read().collect()}
+    extra = {r["event_type"]: r["cnt"] for r in replay.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for k, n in merged.items():
+        assert n == got[k][0] + extra.get(k, 0)
