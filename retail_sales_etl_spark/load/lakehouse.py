@@ -48,6 +48,41 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_log"
 _VERSION_DIGITS = 20  # zero-padded so lexicographic == numeric order
 
+# Commit-entry fields owned by the table itself. Caller metadata
+# (``extra=``) may never shadow these — a silent overwrite of ``add`` /
+# ``remove`` would corrupt the transaction log.
+_RESERVED_ENTRY_KEYS = frozenset(
+    {
+        "operation",
+        "add",
+        "remove",
+        "schema",
+        "rows_written",
+        "version",
+        "files_rewritten",
+        "files_carried",
+        "files_before",
+        "files_after",
+        "zorder_by",
+        "retained",
+    }
+)
+
+
+def _merge_extra(entry: dict, extra: dict | None) -> dict:
+    """Merge caller metadata into a commit entry, rejecting any key that
+    collides with a reserved transaction-log field."""
+    if extra:
+        clash = _RESERVED_ENTRY_KEYS.intersection(extra)
+        if clash:
+            raise ValueError(
+                f"extra metadata keys {sorted(clash)} collide with reserved "
+                "commit-entry fields; rename them (e.g. nest under a "
+                "caller-owned key)"
+            )
+        entry.update(extra)
+    return entry
+
 
 class ConcurrentWriteError(RuntimeError):
     """A conflicting commit landed between this writer's read and its
@@ -107,6 +142,13 @@ class LakehouseTable:
     def history(self) -> list[dict]:
         """Commit metadata, oldest first (DESCRIBE HISTORY)."""
         return [self._read_commit(v) for v in self._versions()]
+
+    def latest_entry(self) -> dict | None:
+        """The newest commit entry, or None on an empty table — O(1) log
+        reads, for callers (e.g. streaming sinks) that keep a watermark
+        in the latest entry instead of scanning the whole history."""
+        v = self.latest_version()
+        return self._read_commit(v) if v is not None else None
 
     # -------------------------------------------------------------- write
 
@@ -208,14 +250,16 @@ class LakehouseTable:
         live, last = self._replay()
         schema_json = self._check_schema(df, last, evolve)
         files, n = self._stage_files(df)
-        entry = {
-            "operation": mode,
-            "add": files,
-            "remove": live if mode == "overwrite" else [],
-            "schema": schema_json,
-            "rows_written": n,
-            **(extra or {}),
-        }
+        entry = _merge_extra(
+            {
+                "operation": mode,
+                "add": files,
+                "remove": live if mode == "overwrite" else [],
+                "schema": schema_json,
+                "rows_written": n,
+            },
+            extra,
+        )
         return self._try_commit(entry, read_version)
 
     # --------------------------------------------------------------- read
@@ -293,16 +337,18 @@ class LakehouseTable:
             else updates.select(*target.columns)
         )
         files, n = self._stage_files(merged)
-        entry = {
-            "operation": "merge",
-            "add": files,
-            "remove": touched_files,
-            "schema": last["schema"],
-            "rows_written": n,
-            "files_rewritten": len(touched_files),
-            "files_carried": len(untouched),
-            **(extra or {}),
-        }
+        entry = _merge_extra(
+            {
+                "operation": "merge",
+                "add": files,
+                "remove": touched_files,
+                "schema": last["schema"],
+                "rows_written": n,
+                "files_rewritten": len(touched_files),
+                "files_carried": len(untouched),
+            },
+            extra,
+        )
         v = self._try_commit(entry, read_version)
         return {
             "version": v,

@@ -243,8 +243,15 @@ ORACLE = {
             FROM documents
         ),
         frames AS (
+            -- Byte-exact frame key: the Spark side hashes BYTE slices of
+            -- the UTF-8 payload, so the oracle groups on the hex encoding
+            -- of the same byte range (bytes 256*(i-1) .. +64 == hex chars
+            -- 512*(i-1)+1 .. +128). Grouping on the hex slice is equality-
+            -- equivalent to grouping on md5(bytes), and stays correct for
+            -- multibyte text where character substrings would diverge.
             SELECT doc_id,
-                   md5(substring(text, 256 * (i - 1) + 1, 64)) AS frame_hash
+                   substring(hex(encode(text)), 512 * (i - 1) + 1, 128)
+                       AS frame_hash
             FROM (
                 SELECT doc_id, text,
                        unnest(generate_series(1, n_frames)) AS i

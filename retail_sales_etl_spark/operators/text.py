@@ -598,8 +598,12 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike ``doc_boilerplate`` (which only FLAGS shared chunks), this
     emits the surviving corpus. Scale shape: line splitting is map-side
     (sequence+slice, non-overlapping so the grid is tokens/10 rows);
-    keep/drop is ONE window over the line-hash shuffle (row_number on a
-    high-cardinality key); reconstruction is one doc_id shuffle with an
+    keep/drop is a min-struct AGGREGATE per line_hash — it partial-
+    aggregates map-side, so a line duplicated corpus-wide (exactly the
+    boilerplate this targets, e.g. a universal header) reduces to one
+    candidate per input partition BEFORE the shuffle, where a
+    row_number window would funnel every occurrence into one hot
+    partition; reconstruction is one doc_id shuffle with an
     order-restoring array_sort — no joins against the raw corpus, no
     driver-side state.
     """
@@ -622,11 +626,17 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("line_hash", F.md5("seg"))
     )
-    first_occ = Window.partitionBy("line_hash").orderBy("doc_id", "line_no")
+    # Global first occurrence per line_hash: min over (doc_id, line_no)
+    # orders exactly like the old row_number window, but as an aggregate
+    # it combines map-side — no hot partition for corpus-wide lines.
+    # `seg` rides along (identical for every occurrence of a hash).
+    winners = (
+        segs.groupBy("line_hash")
+        .agg(F.min(F.struct("doc_id", "line_no", "seg")).alias("first"))
+        .select("first.doc_id", "first.line_no", "first.seg")
+    )
     kept = (
-        segs.withColumn("rn", F.row_number().over(first_occ))
-        .filter(F.col("rn") == 1)
-        .groupBy("doc_id")
+        winners.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.concat_ws(

@@ -741,11 +741,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer and supplier sit in the SAME nation, restricted to one
     region and one order year.
 
-    Scale shape: region/nation/customer/supplier are all broadcast (the
-    region filter prunes the broadcast sides before shipping); the only
-    shuffle is the lineitem⋈orders fact join, and the locality predicate
-    (``c_nationkey == s_nationkey``) is evaluated map-side after the
-    broadcasts, never as a join explosion.
+    Scale shape: region/nation/customer/supplier are all broadcast, and
+    every broadcast side is PRUNED to the target region before shipping
+    — customer and supplier are semi-joined against the region's nation
+    keys first, so only the ~1/5 regional slice is serialized to
+    executors; the only shuffle is the lineitem⋈orders fact join, and
+    the locality predicate (``c_nationkey == s_nationkey``) is
+    evaluated map-side after the broadcasts, never as a join explosion.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -762,6 +764,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         ).select("n_nationkey", "n_name")
     )
+    nation_keys = broadcast(region_nations.select("n_nationkey"))
+    local_cust = cust.join(
+        nation_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    local_supp = supp.join(
+        nation_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
     joined = (
         li.join(
             orders.filter(
@@ -770,8 +779,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(local_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(local_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(
             broadcast(region_nations),

@@ -357,20 +357,40 @@ def ivm_lakehouse_sink(
     |batch| rows), read the tiny current view, add the partial to the
     touched groups, and MERGE — one atomic commit that rewrites only
     files containing touched keys. The raw stream is never re-read and
-    the view is never recomputed from scratch. Exactly-once: the
-    commit carries batch_id; a replayed batch finds its id in the
-    TABLE log and is skipped, so counts never double even across
-    checkpoint rewinds. Sums are DECIMAL so the maintained view is
-    bit-identical to a from-scratch aggregate of everything delivered.
+    the view is never recomputed from scratch. Exactly-once: every
+    commit carries ``ivm_batch_hwm``, the high-water batch_id, so a
+    replay check is ONE log read (the latest entry) regardless of how
+    many commits exist — foreachBatch batch_ids are monotone, so
+    ``batch_id <= hwm`` means replay. Multi-writer safety comes from
+    the commit itself being conditional: the first batch uses
+    ``overwrite`` (which, unlike a blind append, refuses to rebase
+    over an interloper) and every later batch MERGEs, so of two
+    concurrent writers of the same batch one loses with
+    ConcurrentWriteError — caught here and reported as a replay.
+    Sums are DECIMAL so the maintained view is bit-identical to a
+    from-scratch aggregate of everything delivered.
 
     Returns False when the batch was a replay (nothing written).
     """
-    from ..load.lakehouse import LakehouseTable
+    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
 
     table = LakehouseTable(batch_df.sparkSession, table_path)
-    committed = {e.get("batch_id") for e in table.history()}
-    if batch_id in committed:
+
+    def _hwm() -> int:
+        latest = table.latest_entry()
+        if latest is None:
+            return -1
+        if "ivm_batch_hwm" in latest:
+            return latest["ivm_batch_hwm"]
+        # Pre-watermark table: one full-history fallback scan.
+        return max(
+            (e["batch_id"] for e in table.history() if "batch_id" in e),
+            default=-1,
+        )
+
+    if batch_id <= _hwm():
         return False
+    marker = {"batch_id": batch_id, "ivm_batch_hwm": batch_id}
     partial = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(_IVM_DEC)).cast(_IVM_DEC).alias(
@@ -378,7 +398,15 @@ def ivm_lakehouse_sink(
         ),
     )
     if table.latest_version() is None:
-        table.write(partial, mode="append", extra={"batch_id": batch_id})
+        try:
+            # overwrite-on-empty == append, but commits CONDITIONALLY:
+            # a concurrent first-batch writer aborts instead of
+            # double-appending the same partial.
+            table.write(partial, mode="overwrite", extra=marker)
+        except ConcurrentWriteError:
+            if batch_id <= _hwm():
+                return False
+            raise
         return True
     current = table.read()
     combined = (
@@ -396,7 +424,12 @@ def ivm_lakehouse_sink(
             ).cast(_IVM_DEC).alias("total_value"),
         )
     )
-    table.merge(combined, ["event_type"], extra={"batch_id": batch_id})
+    try:
+        table.merge(combined, ["event_type"], extra=marker)
+    except ConcurrentWriteError:
+        if batch_id <= _hwm():
+            return False
+        raise
     return True
 
 

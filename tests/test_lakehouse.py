@@ -317,3 +317,31 @@ def test_concurrent_merge_aborts_not_corrupts(spark, table):
     got = {r.id: r.src for r in table.read().collect()}
     assert got[3] == "B"
     assert table.read().count() == 10
+
+
+def test_extra_metadata_cannot_shadow_reserved_keys(spark, table):
+    """Caller metadata that collides with transaction-log fields must be
+    rejected, not silently splatted over add/remove/operation."""
+    df = spark.createDataFrame(_rows(3))
+    with pytest.raises(ValueError, match="reserved"):
+        table.write(df, mode="append", extra={"add": ["evil.parquet"]})
+    table.write(df, mode="append", extra={"batch_id": 7})
+    with pytest.raises(ValueError, match="reserved"):
+        table.merge(
+            spark.createDataFrame([Row(id=0, src="b", val=9.0)]),
+            primary_key=["id"],
+            extra={"remove": [], "operation": "append"},
+        )
+    # benign metadata still lands in the entry
+    assert table.latest_entry()["batch_id"] == 7
+
+
+def test_latest_entry_is_newest_commit(spark, table):
+    assert table.latest_entry() is None
+    table.write(spark.createDataFrame(_rows(2)), mode="append",
+                extra={"tag": "first"})
+    table.write(spark.createDataFrame(_rows(2, start=2)), mode="append",
+                extra={"tag": "second"})
+    latest = table.latest_entry()
+    assert latest["tag"] == "second"
+    assert latest["version"] == table.latest_version()

@@ -395,3 +395,34 @@ def test_streaming_ivm_rollup_matches_batch(spark, sf_dir, tmp_path):
         F.count(F.lit(1)).alias("cnt")).collect()}
     for k, n in merged.items():
         assert n == got[k][0] + extra.get(k, 0)
+
+
+def test_ivm_replay_check_reads_only_latest_entry(spark, sf_dir, tmp_path):
+    """The replay gate is O(1) log reads: commits carry ivm_batch_hwm and
+    the sink consults only the LATEST entry, never the full history."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl_path = str(tmp_path / "ivm_hwm")
+    batch = load_table(spark, sf_dir, "events").limit(5).select(
+        "event_type", "value"
+    )
+    for bid in (0, 1, 2):
+        assert streaming_events.ivm_lakehouse_sink(batch, bid, tbl_path) is True
+
+    table = LakehouseTable(spark, tbl_path)
+    assert table.latest_entry()["ivm_batch_hwm"] == 2
+
+    # Replays of ANY committed batch are detected from the watermark
+    # alone — prove it by making full-history reads blow up.
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        LakehouseTable, "history",
+        side_effect=AssertionError("replay check scanned full history"),
+    ):
+        for bid in (0, 1, 2):
+            assert (
+                streaming_events.ivm_lakehouse_sink(batch, bid, tbl_path)
+                is False
+            )
