@@ -13,8 +13,9 @@ the streaming correctness reference (tests assert batch == streaming).
   windows can't express.
 
 The file source streams the same parquet the batch path reads; the
-events ts column is TIMESTAMP(NANOS) so the stream schema reads it as
-long and converts (see catalog.load_table).
+events ts column may arrive as TIMESTAMP(NANOS)/raw int64 (read as long
+and converted — see catalog.load_table) or TIMESTAMP(MICROS) (read
+natively) — the reader sniffs the footer and adapts.
 """
 
 from __future__ import annotations
@@ -37,7 +38,8 @@ from pyspark.sql.types import (
 
 from ..operators.events import SESSION_GAP_SEC
 
-# Parquet schema with ts as nanos-long (TIMESTAMP(NANOS) source).
+# Parquet schema with ts as nanos-long (TIMESTAMP(NANOS) / raw-int64
+# sources — see _events_ts_stored_as_long).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -48,6 +50,56 @@ EVENTS_RAW_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+# Same layout with ts as a real timestamp (TIMESTAMP(MICROS/MILLIS)
+# sources, which Spark reads natively).
+EVENTS_TS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_ts_stored_as_long(events_path: str) -> bool:
+    """Peek ONE parquet footer to learn how ``ts`` is physically stored.
+
+    True  -> plain int64 or TIMESTAMP(NANOS): force a LONG schema (with
+             ``nanosAsLong`` for the NANOS case) and convert
+             nanos -> microsecond timestamp in the plan.
+    False -> TIMESTAMP(MICROS/MILLIS) (or no file yet): Spark reads the
+             column natively as a timestamp; no conversion.
+
+    A footer read is driver-side metadata only (a few KB) — done once
+    at stream construction, never per micro-batch. Needed because the
+    same logical events table appears in both encodings: synthetic
+    fixtures write raw int64 nanos, parquet writers emit micros.
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = events_path
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not cands:
+            return False
+        path = cands[0]
+    try:
+        t = pq.ParquetFile(path).schema_arrow.field("ts").type
+    except (OSError, KeyError):
+        return False
+    return pa.types.is_int64(t) or (
+        pa.types.is_timestamp(t) and t.unit == "ns"
+    )
 
 SESSION_SCHEMA = StructType(
     [
@@ -62,10 +114,17 @@ SESSION_SCHEMA = StructType(
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over an events parquet directory."""
+    """File-source stream over an events parquet directory.
+
+    The ``ts`` encoding is sniffed from the first file's footer (see
+    ``_events_ts_stored_as_long``) so the same code streams both the
+    raw-int64/NANOS fixtures and native TIMESTAMP(MICROS) tables.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+    ts_as_long = _events_ts_stored_as_long(events_dir)
+    schema = EVENTS_RAW_SCHEMA if ts_as_long else EVENTS_TS_SCHEMA
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     # The file source needs a directory; a single-file path (e.g.
@@ -76,7 +135,9 @@ def read_events_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
         events_dir = os.path.dirname(events_dir)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_as_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
