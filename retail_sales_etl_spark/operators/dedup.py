@@ -492,6 +492,99 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Set-similarity join threshold tau = SETSIM_NUM/SETSIM_DEN (kept as a
+# ratio so prefix lengths use exact integer arithmetic — float
+# ceil(0.7*n) can round the wrong way and silently break the filter's
+# no-false-negative guarantee).
+SETSIM_NUM = 7
+SETSIM_DEN = 10
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (Jaccard >= tau) with PPJoin-style
+    prefix filtering (Xiao et al., WWW'08 — public algorithm).
+
+    Instead of inverted-indexing EVERY shingle (all-pairs on hot
+    shingles) or capping document frequency (a recall heuristic), each
+    doc's shingles are globally ordered rarest-first and only the first
+    ``n - ceil(tau*n) + 1`` (the *prefix*) are indexed. The lemma: two
+    sets with Jaccard >= tau MUST share at least one prefix token under
+    any consistent global order — so joining prefixes only is lossless,
+    and ordering rarest-first makes the joined buckets the smallest
+    possible ones. At 100 TB this is the canonical exact-similarity
+    shape: the shuffle carries ~(1-tau) of the shingle index, hot
+    (high-df) shingles land in the un-indexed suffixes, and the final
+    verification is a per-candidate-pair array intersect, never
+    all-pairs.
+
+    Reference parity: extends the reference's duplicate detection
+    (pandas drop_duplicates, retail-sales-etl transform/clean.py) to
+    graded similarity. Output matches dedup_ngram_jaccard's shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # (df, shingle) ascending = rarest-first total order, ties broken
+    # lexically -> consistent across docs (required by the lemma).
+    arrs = (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.expr("transform(ts, t -> t.shingle)").alias("toks"),
+            F.size("ts").alias("n"),
+        )
+    )
+    # prefix_len = n - ceil(tau*n) + 1, computed in exact integers:
+    # ceil(NUM*n/DEN) = (NUM*n + DEN - 1) div DEN
+    prefix = arrs.select(
+        "doc_id",
+        F.expr(
+            f"explode(slice(toks, 1, "
+            f"n - ((n*{SETSIM_NUM} + {SETSIM_DEN - 1}) div {SETSIM_DEN}) + 1))"
+        ).alias("shingle"),
+    )
+    a = prefix.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b")
+    )
+    cand = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    fa = arrs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        F.col("n").alias("na"),
+    )
+    fb = arrs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        F.col("n").alias("nb"),
+    )
+    tau = F.lit(SETSIM_NUM) / F.lit(SETSIM_DEN)
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_toks", "b_toks")).alias("shared"),
+            "na",
+            "nb",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("a_id", "b_id", "shared", "jaccard")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -503,6 +596,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_semantic": q_dedup_semantic,
+    "setsim_join": q_setsim_join,
 }
 
 def _shingles_sql(src: str = "documents") -> str:
@@ -714,6 +808,26 @@ ORACLE = {
         JOIN ns na ON pairs.a_id = na.doc_id
         JOIN ns nb ON pairs.b_id = nb.doc_id
         WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_THRESHOLD}
+    """,
+    # The oracle runs the UNFILTERED inverted-index join (every shingle,
+    # no prefix, no df cap) — if the prefix filter dropped a qualifying
+    # pair, the hash check would catch it.
+    "setsim_join": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, shared,
+               CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+        FROM pairs
+        JOIN ns na ON pairs.a_id = na.doc_id
+        JOIN ns nb ON pairs.b_id = nb.doc_id
+        WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared)
+              >= CAST({SETSIM_NUM} AS DOUBLE) / {SETSIM_DEN}
     """,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "dedup_clusters": _clusters_oracle(),
