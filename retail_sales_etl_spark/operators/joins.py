@@ -87,6 +87,121 @@ def salted_agg(
     )
 
 
+# Bloom sizing for the demo query: 2^16 bits / 5 hashes ~ 7e-5 FPR at
+# ~2k build keys. At real scale, size m to the build-side cardinality.
+BLOOM_LOG2_BITS = 16
+BLOOM_K = 5
+
+
+def bloom_build(keys: DataFrame, key: str, m_log2: int = BLOOM_LOG2_BITS,
+                k: int = BLOOM_K) -> DataFrame:
+    """Distributed Bloom-filter build: a 1-row DataFrame holding the
+    filter as map<word_idx, 64-bit word>.
+
+    Fully distributed — bit positions are computed map-side, OR-folded
+    per word with a partial-aggregating bit_or, and only the final
+    (word, bits) entries (<= m/64 rows) concentrate into the 1-row map.
+    No driver collect: the filter travels as a broadcast scalar row,
+    the same pattern Spark itself uses for runtime bloom pruning
+    (spark.sql.optimizer.runtime.bloomFilter), expressed here in the
+    DataFrame API so the pruned plan is explicit and testable.
+    """
+    m = 1 << m_log2
+    pos = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m)) for i in range(k)
+    ]
+    return (
+        keys.select(F.explode(F.array(*pos)).alias("pos"))
+        .distinct()
+        .select(
+            F.shiftrightunsigned("pos", 6).alias("word"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
+                "__bloom"
+            )
+        )
+    )
+
+
+def bloom_might_contain(key: str, bloom: str = "__bloom",
+                        m_log2: int = BLOOM_LOG2_BITS, k: int = BLOOM_K):
+    """Membership predicate (pure Catalyst, codegen-able): true when all
+    k probed bits are set. No false negatives by construction."""
+    m = 1 << m_log2
+    tests = []
+    for i in range(k):
+        p = f"pmod(xxhash64({key}, {i}), {m}L)"
+        word = f"shiftrightunsigned({p}, 6)"
+        bit = f"CAST(pmod({p}, 64) AS INT)"
+        tests.append(
+            f"(coalesce(element_at({bloom}, {word}), 0L)"
+            f" & shiftleft(1L, {bit})) != 0"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def bloom_pruned_semi_join(
+    large: DataFrame, keys: DataFrame, large_key: str, build_key: str
+) -> DataFrame:
+    """Exact semi-join with a Bloom pre-filter on the large side.
+
+    The broadcast filter discards non-matching fact rows BEFORE the
+    semi-join's exchange — at 100 TB, when the build side is too big to
+    broadcast-join outright (so the semi-join must shuffle both sides),
+    the few-KB bloom still broadcasts and typically removes >95% of the
+    fact from the shuffle. False positives are removed by the real
+    semi-join, so the result is exactly ``large SEMI JOIN keys``.
+    """
+    bloom = bloom_build(keys.select(build_key), build_key)
+    pruned = (
+        large.join(F.broadcast(bloom))
+        .where(bloom_might_contain(large_key))
+        .drop("__bloom")
+    )
+    return pruned.join(
+        keys, pruned[large_key] == keys[build_key], "left_semi"
+    )
+
+
+def q_bloom_pruned_revenue(spark, sf_dir):
+    """Revenue of lineitems belonging to urgent high-value orders,
+    with the fact side bloom-pruned before the semi-join shuffle.
+
+    Oracle ignores the bloom entirely (plain semi-join + GROUP BY):
+    since the bloom admits no false negatives and the semi-join removes
+    its false positives, any divergence is a filter bug.
+    """
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    matched = bloom_pruned_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(25,6)")
+    return (
+        matched.select("l_returnflag", rev.alias("rev_dec"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("rev_dec").alias("rev_sum"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("rev_sum").cast("double").alias("revenue"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
 def q_salted_flag_revenue(spark, sf_dir):
     """Skew-safe revenue rollup on a 3-value group key (returnflag).
 
@@ -117,9 +232,21 @@ def q_salted_flag_revenue(spark, sf_dir):
 
 QUERIES = {
     "salted_flag_revenue": q_salted_flag_revenue,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
 }
 
 ORACLE = {
+    "bloom_pruned_revenue": """
+        SELECT l_returnflag AS return_flag,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        )
+        GROUP BY 1
+    """,
     "salted_flag_revenue": """
         SELECT l_returnflag AS return_flag,
                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,

@@ -158,3 +158,31 @@ def test_merge_upsert_partition_migration_empties_partition(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["day"]) for r in spark.read.parquet(path).collect()}
     assert rows == {1: ("A", "d2"), 3: ("c", "d2")}
     assert not os.path.isdir(os.path.join(path, "day=d1"))
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    # large side: ids 0..9999; build side: every 37th id (sparse)
+    large = spark.range(0, 10000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 10000, 37).select(F.col("id").alias("bk"))
+    bloom = joins.bloom_build(keys, "bk")
+    passed = (
+        large.join(F.broadcast(bloom))
+        .where(joins.bloom_might_contain("k"))
+        .drop("__bloom")
+    )
+    passed_keys = {r["k"] for r in passed.collect()}
+    true_keys = {r["bk"] for r in keys.collect()}
+    # no false negatives: every true key survives the prefilter
+    assert true_keys <= passed_keys
+    # prunes: the pass-set is a small superset, not the whole fact
+    assert len(passed_keys) < 2 * len(true_keys)
+
+
+def test_bloom_pruned_semi_join_exact(spark):
+    large = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    keys = spark.range(0, 5000, 13).select(F.col("id").alias("bk"))
+    out = joins.bloom_pruned_semi_join(large, keys, "k", "bk")
+    plain = large.join(keys, large.k == keys.bk, "left_semi")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
