@@ -301,7 +301,58 @@ def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` operator
+    (the scale path: a single partial-merging aggregate, no window
+    functions — session merging happens inside the aggregation operator
+    so no per-user sort partition is materialized).
+
+    Semantics differ subtly from the window-function q_events_sessionize:
+    session_window splits at microsecond precision (next event at
+    exactly start+gap opens a NEW session, i.e. gap >= 30min splits),
+    while the window version compares whole-second unix_timestamps. The
+    oracle below mirrors the native (epoch_us, >=) semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_SEC} seconds")
+        )
+        .agg(
+            F.date_format(F.min("ts"), _FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), _FMT_SPARK).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+_SESSION_NATIVE_SESS_SQL = f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= {SESSION_GAP_SEC}000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+            FROM flagged
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   min(ts) AS s, max(ts) AS e, count(*) AS n
+            FROM numbered GROUP BY 1, 2
+        )
+"""
+
+
 QUERIES = {
+    "events_session_native": q_events_session_native,
     "events_cohort_matrix": q_events_cohort_matrix,
     "events_topk_per_window": q_events_topk_per_window,
     "events_anomaly": q_events_anomaly,
@@ -317,6 +368,14 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "events_session_native": _SESSION_NATIVE_SESS_SQL
+    + f"""
+        SELECT user_id,
+               strftime(s, '{_FMT_DUCK}') AS session_start,
+               strftime(e, '{_FMT_DUCK}') AS session_end,
+               n AS n_events
+        FROM sess
+    """,
     "events_cohort_matrix": """
         WITH activity AS (
             SELECT DISTINCT user_id, date_trunc('day', ts) AS d

@@ -687,10 +687,57 @@ def q_streaming_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, name, spark)
 
 
+def session_windows_native(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap sessionization with Spark's BUILT-IN streaming session_window
+    (vs the applyInPandasWithState custom operator): one watermarked
+    aggregate, state merged inside the operator, sessions emitted in
+    append mode once the watermark passes session_end + gap.
+    """
+    from ..operators.events import SESSION_GAP_SEC
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_SEC} seconds"))
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("s", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("e", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def q_streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the native streaming session_window.
+
+    Emission is deterministic under full replay: append mode emits a
+    session when the final watermark (global max ts - 30 min) passes
+    its close boundary (session_end + gap) — which the oracle encodes
+    exactly, so this streams to a hash-exact SQL check.
+    """
+    import uuid
+
+    from ..catalog import table_path
+
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=10
+    )
+    name = f"stream_sessnat_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(session_windows_native(stream), name, spark)
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_sessionized": q_streaming_sessionized,
     "streaming_interval_outer": q_streaming_interval_outer,
+    "streaming_session_native": q_streaming_session_native,
 }
 
 # Full SQL oracles for the STREAMING execution path: the replayed
@@ -709,6 +756,38 @@ ORACLE = {
     # the stateful operator emits a session only when a LATER event
     # closes it, so full replay yields every session except each
     # user's final (still-open) one
+    # Native session_window semantics: microsecond precision, gap >=
+    # 30min splits; append-mode emission = sessions whose close
+    # boundary (end + gap) the final watermark (max ts - 30min) passed.
+    "streaming_session_native": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+            FROM flagged
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   min(ts) AS s, max(ts) AS e, count(*) AS n
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT user_id,
+               strftime(s, '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(e, '%Y-%m-%d %H:%M:%S') AS session_end,
+               n AS n_events
+        FROM sess
+        WHERE epoch_us(e) + 1800000000
+              < (SELECT max(epoch_us(ts)) FROM events) - 1800000000
+    """,
     "streaming_sessionized": """
         WITH flagged AS (
             SELECT user_id, ts, event_id,
