@@ -69,6 +69,16 @@ _RESERVED_ENTRY_KEYS = frozenset(
 )
 
 
+def _stat_json(v):
+    """JSON-safe, order-preserving stat value (ISO strings for temporal
+    types sort the same as the underlying values)."""
+    if v is None:
+        return None
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 def _merge_extra(entry: dict, extra: dict | None) -> dict:
     """Merge caller metadata into a commit entry, rejecting any key that
     collides with a reserved transaction-log field."""
@@ -126,7 +136,18 @@ class LakehouseTable:
     def _replay(self, as_of: int | None = None) -> tuple[list[str], dict | None]:
         """Replay the log up to ``as_of`` (inclusive); return the live
         relative file list (in add order) and the last commit entry."""
+        live, last, _ = self._replay_stats(as_of)
+        return live, last
+
+    def _replay_stats(
+        self, as_of: int | None = None
+    ) -> tuple[list[str], dict | None, dict]:
+        """_replay plus the per-file column stats manifest: a dict
+        file -> {column: [min, max]} accumulated from each add's
+        ``stats`` entry (files from pre-stats commits simply have no
+        entry and are never pruned)."""
         live: dict[str, None] = {}  # ordered set
+        stats: dict[str, dict] = {}
         last = None
         for v in self._versions():
             if as_of is not None and v > as_of:
@@ -134,10 +155,14 @@ class LakehouseTable:
             entry = self._read_commit(v)
             for f in entry.get("remove", []):
                 live.pop(f, None)
+                stats.pop(f, None)
+            entry_stats = entry.get("stats", {})
             for f in entry.get("add", []):
                 live[f] = None
+                if f in entry_stats:
+                    stats[f] = entry_stats[f]
             last = entry
-        return list(live), last
+        return list(live), last, stats
 
     def history(self) -> list[dict]:
         """Commit metadata, oldest first (DESCRIBE HISTORY)."""
@@ -152,27 +177,71 @@ class LakehouseTable:
 
     # -------------------------------------------------------------- write
 
-    def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:
+    # Column dtypes that get per-file min/max stats in the commit log.
+    # JSON-representable with order-preserving serialization (dates and
+    # timestamps via ISO strings, which sort lexically); decimals and
+    # nested types are skipped, never mis-pruned.
+    _STATS_DTYPES = frozenset(
+        {"tinyint", "smallint", "int", "bigint", "float", "double",
+         "string", "date", "timestamp", "timestamp_ntz"}
+    )
+
+    def _stage_files(self, df: DataFrame) -> tuple[list[str], int, dict]:
         """Write ``df`` as immutable parquet files into the table dir
-        under commit-unique names; return (relative names, row count).
+        under commit-unique names; return (relative names, row count,
+        per-file column stats).
 
         Files are invisible to readers until a log entry references
         them, so a failed job leaves only unreferenced garbage for
         VACUUM — never a torn table.
+
+        Stats are collected by ONE distributed pass over the staged
+        files (groupBy input_file_name, min/max per eligible column)
+        and ride in the commit entry — the manifest-stats pattern every
+        lakehouse format uses for data skipping. The collect() is
+        metadata-scale: one row per staged file.
         """
         token = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f"_staging_{token}")
         df.write.mode("overwrite").parquet(staging)
-        n = self.spark.read.parquet(staging).count()
+        staged = self.spark.read.parquet(staging)
+        cols = [c for c, t in staged.dtypes if t in self._STATS_DTYPES]
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            f
+            for i, c in enumerate(cols)
+            for f in (
+                F.min(F.col(c)).alias(f"__mn_{i}"),
+                F.max(F.col(c)).alias(f"__mx_{i}"),
+            )
+        ]
+        per_file = (
+            staged.withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        file_stats: dict[str, dict] = {}
+        file_rows: dict[str, int] = {}
+        for r in per_file:
+            base = os.path.basename(r["__f"])
+            file_rows[base] = r["__n"]
+            file_stats[base] = {
+                c: [_stat_json(r[f"__mn_{i}"]), _stat_json(r[f"__mx_{i}"])]
+                for i, c in enumerate(cols)
+            }
+        n = sum(file_rows.values())
         names = []
+        stats: dict[str, dict] = {}
         for i, f in enumerate(sorted(os.listdir(staging))):
             if not f.endswith(".parquet"):
                 continue
             name = f"part-{token}-{i:05d}.parquet"
             os.replace(os.path.join(staging, f), os.path.join(self.path, name))
             names.append(name)
+            if f in file_stats:
+                stats[name] = file_stats[f]
         shutil.rmtree(staging, ignore_errors=True)
-        return names, n
+        return names, n, stats
 
     def _check_schema(self, df: DataFrame, last: dict | None, evolve: bool) -> str:
         """Enforce write-time schema-on-write (the lakehouse contract
@@ -249,7 +318,7 @@ class LakehouseTable:
         read_version = self.latest_version()
         live, last = self._replay()
         schema_json = self._check_schema(df, last, evolve)
-        files, n = self._stage_files(df)
+        files, n, stats = self._stage_files(df)
         entry = _merge_extra(
             {
                 "operation": mode,
@@ -257,6 +326,7 @@ class LakehouseTable:
                 "remove": live if mode == "overwrite" else [],
                 "schema": schema_json,
                 "rows_written": n,
+                "stats": stats,
             },
             extra,
         )
@@ -289,6 +359,67 @@ class LakehouseTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f) for f in live]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def prune_files(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Data skipping: the live files whose [min, max] range for
+        ``column`` can intersect [lower, upper], plus the total live
+        count. Files without stats for the column are conservatively
+        kept; files whose stats are all-null are skipped (a range
+        predicate never matches NULL). Pure log arithmetic — no file
+        footer is opened, no Spark job runs."""
+        live, _, stats = self._replay_stats(as_of=version)
+        lo = _stat_json(lower)
+        hi = _stat_json(upper)
+        keep = []
+        for f in live:
+            s = stats.get(f, {}).get(column)
+            if s is None:
+                keep.append(f)
+                continue
+            mn, mx = s
+            if mn is None:  # every value in the file is NULL
+                continue
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+            keep.append(f)
+        return keep, len(live)
+
+    def read_where(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read of ``column BETWEEN lower AND upper`` (either
+        bound optional) that opens ONLY the files the stats manifest
+        can't rule out, then applies the exact residual filter — same
+        rows as ``read().where(...)``, a fraction of the scan. This is
+        why OPTIMIZE's Z-order exists: clustered files have tight
+        min/max ranges, so a point/range query skips almost all of
+        them."""
+        keep, _ = self.prune_files(column, lower, upper, version=version)
+        _, last = self._resolve_files(version)
+        schema = StructType.fromJson(json.loads(last["schema"]))
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f) for f in keep]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        c = F.col(column)
+        if lower is not None:
+            df = df.where(c >= F.lit(lower))
+        if upper is not None:
+            df = df.where(c <= F.lit(upper))
+        return df
 
     # -------------------------------------------------------------- merge
 
@@ -336,7 +467,7 @@ class LakehouseTable:
             if kept is not None
             else updates.select(*target.columns)
         )
-        files, n = self._stage_files(merged)
+        files, n, stats = self._stage_files(merged)
         entry = _merge_extra(
             {
                 "operation": "merge",
@@ -344,6 +475,7 @@ class LakehouseTable:
                 "remove": touched_files,
                 "schema": last["schema"],
                 "rows_written": n,
+                "stats": stats,
                 "files_rewritten": len(touched_files),
                 "files_carried": len(untouched),
             },
@@ -422,7 +554,7 @@ class LakehouseTable:
             )
         else:
             out = out.coalesce(target_files)
-        files, n = self._stage_files(out)
+        files, n, stats = self._stage_files(out)
         if n != n_before:
             for f in files:
                 os.remove(os.path.join(self.path, f))
@@ -433,6 +565,7 @@ class LakehouseTable:
             "remove": live,
             "schema": last["schema"],
             "rows_written": n,
+            "stats": stats,
             "zorder_by": list(zorder_by) if zorder_by else None,
         }
         v = self._try_commit(entry, read_version)

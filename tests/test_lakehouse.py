@@ -134,7 +134,7 @@ def test_concurrent_append_rebases_but_overwrite_aborts(spark, table):
     t2 = LakehouseTable(spark, table.path)
     read_v = table.latest_version()
     live, last = table._replay()
-    files, n = table._stage_files(spark.createDataFrame(_rows(2, start=100)))
+    files, n, _stats = table._stage_files(spark.createDataFrame(_rows(2, start=100)))
     t2.write(spark.createDataFrame(_rows(3, start=50)), mode="append")  # interloper
     v = table._try_commit(
         {"operation": "append", "add": files, "remove": [],
@@ -147,7 +147,7 @@ def test_concurrent_append_rebases_but_overwrite_aborts(spark, table):
     # its remove-set no longer describes the table.
     read_v = table.latest_version()
     live, last = table._replay()
-    files, n = table._stage_files(spark.createDataFrame(_rows(1, start=999)))
+    files, n, _stats = table._stage_files(spark.createDataFrame(_rows(1, start=999)))
     t2.write(spark.createDataFrame(_rows(1, start=500)), mode="append")
     with pytest.raises(ConcurrentWriteError):
         table._try_commit(
@@ -302,7 +302,7 @@ def test_concurrent_merge_aborts_not_corrupts(spark, table):
     # writer A prepares its merge state, then writer B commits first
     read_v = table.latest_version()
     live, last = table._replay()
-    files, n = table._stage_files(
+    files, n, _stats = table._stage_files(
         spark.createDataFrame([Row(id=3, src="A", val=-3.0)])
     )
     t2.merge(spark.createDataFrame([Row(id=3, src="B", val=-9.0)]),
@@ -345,3 +345,76 @@ def test_latest_entry_is_newest_commit(spark, table):
     latest = table.latest_entry()
     assert latest["tag"] == "second"
     assert latest["version"] == table.latest_version()
+
+
+def test_stats_recorded_per_file(spark, table):
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    entry = table.latest_entry()
+    assert entry["stats"], "commit entry carries a stats manifest"
+    for f, st in entry["stats"].items():
+        assert st["id"][0] is not None and st["id"][1] is not None
+        assert st["id"][0] <= st["id"][1]
+        assert "val" in st and "src" in st
+
+
+def test_read_where_prunes_disjoint_batches(spark, table):
+    # two appends with disjoint id ranges -> separate files
+    table.write(spark.createDataFrame(_rows(100, start=0)), mode="append")
+    table.write(spark.createDataFrame(_rows(100, start=1000)), mode="append")
+    keep, total = table.prune_files("id", 1000, 1050)
+    assert total > len(keep), "stats pruned at least one file"
+    got = sorted(r.id for r in table.read_where("id", 1000, 1050).collect())
+    want = sorted(
+        r.id
+        for r in table.read().where((F.col("id") >= 1000) & (F.col("id") <= 1050)).collect()
+    )
+    assert got == want == list(range(1000, 1051))
+
+
+def test_read_where_exact_on_overlapping_ranges(spark, table):
+    table.write(spark.createDataFrame(_rows(50, start=0)), mode="append")
+    table.write(spark.createDataFrame(_rows(50, start=25)), mode="append")
+    got = sorted((r.id, r.val) for r in table.read_where("id", 30, 60).collect())
+    want = sorted(
+        (r.id, r.val)
+        for r in table.read().where(F.col("id").between(30, 60)).collect()
+    )
+    assert got == want
+
+
+def test_read_where_open_bounds_and_strings(spark, table):
+    table.write(spark.createDataFrame(_rows(20, src="a")), mode="append")
+    table.write(spark.createDataFrame(_rows(20, start=20, src="b")), mode="append")
+    only_b = table.read_where("src", lower="b")
+    assert {r.src for r in only_b.collect()} == {"b"}
+    keep, total = table.prune_files("src", lower="b")
+    assert len(keep) < total
+
+
+def test_prune_skips_all_null_files(spark, table):
+    df = spark.createDataFrame(
+        [(i, None, 1.0) for i in range(5)], "id bigint, src string, val double"
+    )
+    table.write(df, mode="append")
+    table.write(spark.createDataFrame(_rows(5, src="z")), mode="append")
+    keep, total = table.prune_files("src", "a", "zz")
+    assert len(keep) < total  # the all-null file is skipped
+    assert {r.src for r in table.read_where("src", "a", "zz").collect()} == {"z"}
+
+
+def test_zorder_then_read_where_prunes(spark, table):
+    import random
+
+    rng = random.Random(7)
+    rows = [Row(id=i, src="s", val=float(rng.randrange(10000))) for i in range(4000)]
+    table.write(spark.createDataFrame(rows).repartition(8), mode="append")
+    table.optimize(target_files=8, zorder_by=["val"])
+    keep, total = table.prune_files("val", 100.0, 300.0)
+    assert total == 8 and len(keep) <= 2, (
+        f"z-ordered table should skip most files, kept {len(keep)}/{total}"
+    )
+    got = sorted(r.id for r in table.read_where("val", 100.0, 300.0).collect())
+    want = sorted(
+        r.id for r in table.read().where(F.col("val").between(100.0, 300.0)).collect()
+    )
+    assert got == want
