@@ -659,7 +659,52 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM scoring: per-doc average negative log-prob of
+    its tokens under the corpus's own unigram distribution — the
+    public CCNet-style quality/fluency proxy (docs full of rare or
+    garbled tokens score high, plain prose low), computable without any
+    external model.
+
+    Two aggregations over one exploded scan: the (doc, word) count grid
+    (map-side combinable), then global word counts derived FROM the
+    grid's partials (never a second scan). The per-doc re-join is keyed
+    on word; Zipf-hot words fan out at most n_docs rows each and AQE
+    skew-split handles the head. Portability: per-term
+    ``c * ln(c_w/N)`` rounded to 6 dp and summed in DECIMAL
+    (order-independent), one double division, final 6-dp round — same
+    discipline as q_text_entropy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = wc.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = vocab.agg(F.sum("cw").alias("n_total"))
+    term = F.round(
+        F.col("c") * F.log(F.col("cw") / F.col("n_total")), 6
+    ).cast("decimal(25,6)")
+    per_doc = (
+        wc.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(term).alias("_s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            -F.col("_s").cast("double") / F.col("n_words"), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
 QUERIES = {
+    "unigram_logprob": q_unigram_logprob,
     "chunk_documents": q_chunk_documents,
     "dedup_lines": q_dedup_lines,
     "text_entropy": q_text_entropy,
@@ -729,6 +774,22 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    "unigram_logprob": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        vocab AS (SELECT w, sum(c) AS cw FROM wc GROUP BY 1),
+        tot AS (SELECT sum(cw) AS n_total FROM vocab)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               round(-CAST(sum(CAST(round(c * ln(cw / n_total), 6)
+                                    AS DECIMAL(25,6))) AS DOUBLE)
+                     / sum(c), 6) AS avg_neg_logprob
+        FROM wc JOIN vocab USING (w), tot
+        GROUP BY doc_id
+    """,
     "text_entropy": """
         WITH wc AS (
             SELECT doc_id, w, count(*) AS c
