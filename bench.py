@@ -41,6 +41,11 @@ HEADLINE = [
     "knn_join_blocked",
     "prepare_corpus",
     "multimodal_bytes",
+    "setsim_join",
+    "triangle_count",
+    "bloom_pruned_revenue",
+    "events_session_native",
+    "unigram_logprob",
 ]
 
 
