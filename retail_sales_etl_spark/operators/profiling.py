@@ -1,0 +1,154 @@
+"""Distribution profiling for 100 TB planning: exact heavy hitters
+without a full-key shuffle, and join-key skew diagnostics.
+
+Both answer the question an operator asks BEFORE running a big join or
+aggregate: "which keys are hot, and how hot?" — the inputs to choosing
+broadcast vs shuffle, salt factors, and AQE skew thresholds.
+
+Reference parity: extends the reference's profiling stage
+(retail-sales-etl transform/profile.py — null/dup/range checks) with
+the distributional checks a distributed engine needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Heavy-hitter support threshold phi = 1/HH_DENOM (a key is heavy when
+# count * HH_DENOM >= n). Integer arithmetic end-to-end — no float
+# threshold to disagree across engines.
+HH_DENOM = 20
+
+
+def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries summary with k = HH_DENOM counters.
+
+    Soundness (standard MG result): any key whose partition-local
+    frequency exceeds local_n / k survives the counter eviction; a key
+    with GLOBAL frequency >= n / k must exceed that bound in at least
+    one partition (pigeonhole), so the union of partition candidates
+    is a superset of the true heavy hitters. The exact recount pass
+    then removes false candidates.
+    """
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for key in pdf["key"]:
+            if key in counters:
+                counters[key] += 1
+            elif len(counters) < HH_DENOM:
+                counters[key] = 1
+            else:  # decrement-all eviction
+                dead = []
+                for c in counters:
+                    counters[c] -= 1
+                    if counters[c] == 0:
+                        dead.append(c)
+                for c in dead:
+                    del counters[c]
+    yield pd.DataFrame({"key": list(counters.keys())})
+
+
+def heavy_hitters(df: DataFrame, key_col: str) -> DataFrame:
+    """EXACT keys with frequency >= n / HH_DENOM, found without ever
+    shuffling the full key grid.
+
+    Pass 1 (Arrow-batched Misra-Gries per partition) emits at most
+    HH_DENOM candidate keys per partition — KBs, not the key space.
+    Pass 2 recounts ONLY candidate rows (broadcast semi-join filters
+    map-side) and applies the exact integer threshold. At 100 TB the
+    full groupBy(key) this replaces shuffles every distinct key;
+    this shuffles |candidates| partial counts.
+    """
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+    candidates = (
+        keyed.mapInPandas(_mg_candidates, schema="key string").distinct()
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        keyed.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") * HH_DENOM >= F.col("n_total"))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy event types (share >= 1/HH_DENOM) over the events stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type")
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey: the one-row
+    report that says whether the key needs salting.
+
+    One groupBy builds the key-count grid (map-side combinable; the
+    grid is |keys| rows, not |fact|); one aggregate over the grid
+    yields max/avg/percentile counts, the top-key share, and the salt
+    factor = ceil(max / avg) a salted join would use. Exact
+    percentiles are fine here because the grid is already the small
+    side — at 100 TB this is the profile you run once per key before
+    sizing the real job.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.sum("c") / F.count(F.lit(1)), 6).alias("avg_per_key"),
+        F.expr("percentile(c, 0.5)").cast("double").alias("p50_per_key"),
+        F.expr("percentile(c, 0.99)").cast("double").alias("p99_per_key"),
+        F.ceil(F.max("c") * F.count(F.lit(1)) / F.sum("c"))
+        .cast("bigint")
+        .alias("suggested_salts"),
+    )
+
+
+QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
+    "key_skew_profile": q_key_skew_profile,
+}
+
+ORACLE = {
+    "heavy_hitters": f"""
+        WITH counts AS (
+            SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n_rows
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS n_total FROM events)
+        SELECT key, n_rows,
+               round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
+        FROM counts, tot
+        WHERE n_rows * {HH_DENOM} >= n_total
+    """,
+    "key_skew_profile": """
+        WITH grid AS (
+            SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               max(c) AS max_per_key,
+               round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_per_key,
+               CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_per_key,
+               CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_per_key,
+               CAST(ceil(CAST(max(c) AS DOUBLE) * count(*) / sum(c)) AS BIGINT)
+                   AS suggested_salts
+        FROM grid
+    """,
+}

@@ -20,6 +20,7 @@ def _modules():
         graph,
         joins,
         multimodal,
+        profiling,
         sampling,
         similarity,
         sketches,
@@ -34,6 +35,7 @@ def _modules():
     # regardless of module position.
     return (
         cdc,
+        profiling,
         similarity,
         multimodal,
         graph,

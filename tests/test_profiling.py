@@ -1,0 +1,66 @@
+"""Heavy hitters (two-phase Misra-Gries) and key-skew profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_etl_spark.operators import profiling
+
+
+def _truth(df, denom):
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()
+    return {
+        r["k"]: r["n"]
+        for r in counts.collect()
+        if r["n"] * denom >= total
+    }
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    # key "hot" holds ~40%, "warm" ~10%, the rest uniform cold tail
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 4, F.lit("hot"))
+        .when(F.col("id") % 10 == 4, F.lit("warm"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 500).cast("string")))
+        .alias("k")
+    )
+    got = {
+        r["key"]: r["n_rows"]
+        for r in profiling.heavy_hitters(df, "k").collect()
+    }
+    assert got == _truth(df, profiling.HH_DENOM)
+    assert "hot" in got and all(not k.startswith("cold") for k in got)
+
+
+def test_heavy_hitters_survive_adversarial_partitioning(spark):
+    # the heavy key is diluted across MANY partitions; MG must still
+    # surface it from at least one
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 15 == 0, F.lit("heavy"))
+        .otherwise((F.col("id") % 3000).cast("string"))
+        .alias("k")
+    ).repartition(32)
+    got = {r["key"] for r in profiling.heavy_hitters(df, "k").collect()}
+    assert got == set(_truth(df, profiling.HH_DENOM))
+
+
+def test_key_skew_profile_fields(spark, sf_dir):
+    row = profiling.q_key_skew_profile(spark, sf_dir).collect()[0]
+    assert row["n_keys"] > 0
+    assert row["max_per_key"] >= row["p99_per_key"] >= row["p50_per_key"]
+    assert row["suggested_salts"] >= 1
+    assert abs(row["avg_per_key"] - row["n_rows"] / row["n_keys"]) < 1e-4
+
+
+def test_skyline_prefilter_shrinks_input(spark, sf_dir):
+    """The bucket prefilter must leave a survivor set orders of
+    magnitude under the fact — that's the whole scale story."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.plans.advanced import q_skyline_orders
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    out = q_skyline_orders(spark, sf_dir)
+    # exact result (already oracle-pinned); here pin the shape instead:
+    # survivors after the anti-join == true skyline, and it is tiny
+    assert out.count() < max(20, n_orders // 100)
