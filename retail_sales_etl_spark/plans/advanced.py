@@ -329,7 +329,84 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKYLINE_BUCKETS = 64
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of orders maximizing (o_totalprice,
+    o_orderdate): the orders no other order beats on both axes — the
+    classic multi-criteria shortlist query.
+
+    Scale shape (two-phase, public grid-pruning design): rows bucket by
+    equal-width price cell (one broadcast min/max, map-side after);
+    per-bucket max order date aggregates to SKYLINE_BUCKETS rows, whose
+    strictly-higher-bucket suffix max broadcasts back. A row with a
+    HIGHER-priced bucket containing a strictly later date is dominated
+    (price >= by bucket edge, date > strictly) and drops map-side —
+    at 100 TB the survivor set is ~(skyline + per-bucket tails), not
+    the fact. Survivors then run the exact quadratic dominance
+    anti-join, valid because a dropped dominator is itself dominated
+    by a survivor (the strictly-later-date chain terminates in the
+    survivor set). Tie semantics match SQL NOT EXISTS: equal points
+    don't dominate each other.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    rng = orders.agg(
+        F.min("o_totalprice").alias("__mn"), F.max("o_totalprice").alias("__mx")
+    )
+    span = F.col("__mx") - F.col("__mn")
+    frac = F.when(span > 0, (F.col("o_totalprice") - F.col("__mn")) / span).otherwise(
+        F.lit(0.0)
+    )
+    bucket = F.least(
+        F.floor(frac * SKYLINE_BUCKETS).cast("int"), F.lit(SKYLINE_BUCKETS - 1)
+    )
+    bucketed = orders.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    per_bucket = bucketed.groupBy("__b").agg(F.max("o_orderdate").alias("bmax"))
+    # suffix max over STRICTLY higher buckets; the frame is
+    # SKYLINE_BUCKETS rows, so the unpartitioned window is constant-size
+    w = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suffix = per_bucket.select(
+        "__b", F.max("bmax").over(w).alias("above_max")
+    )
+    survivors = (
+        bucketed.join(F.broadcast(suffix), "__b")
+        .filter(
+            F.col("above_max").isNull()
+            | (F.col("above_max") <= F.col("o_orderdate"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    dom = survivors.select(
+        F.col("o_totalprice").alias("s_price"), F.col("o_orderdate").alias("s_date")
+    )
+    dominated = (
+        (F.col("s_price") >= F.col("o_totalprice"))
+        & (F.col("s_date") >= F.col("o_orderdate"))
+        & (
+            (F.col("s_price") > F.col("o_totalprice"))
+            | (F.col("s_date") > F.col("o_orderdate"))
+        )
+    )
+    return (
+        survivors.join(F.broadcast(dom), dominated, "left_anti")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "order_date"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "skyline_orders": q_skyline_orders,
     "events_interval_join": q_events_interval_join,
     "user_band_history": q_user_band_history,
     "daily_revenue_gapfilled": q_daily_revenue_gapfilled,
@@ -345,6 +422,18 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QTY_BANDS)
 
 ORACLE = {
+    "skyline_orders": """
+        SELECT o_orderkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+        FROM orders r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders s
+            WHERE s.o_totalprice >= r.o_totalprice
+              AND s.o_orderdate >= r.o_orderdate
+              AND (s.o_totalprice > r.o_totalprice
+                   OR s.o_orderdate > r.o_orderdate)
+        )
+    """,
     "events_interval_join": f"""
         SELECT p.event_id AS purchase_id,
                c.event_id AS click_id,
