@@ -226,7 +226,38 @@ def _stratified_oracle() -> str:
     """
 
 
+# train/valid/test cumulative hash-threshold boundaries
+SPLIT_TRAIN = 0.9
+SPLIT_VALID = 0.95
+_SPLIT_SALT = "split|"
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment: the split every LLM
+    data pipeline needs to be STABLE across reruns, repartitions, and
+    engines (a doc must never migrate from test into train between
+    pipeline versions — that's eval contamination).
+
+    Same hash-threshold machinery as sample_stratified: the first 8
+    hex chars of a salted md5(doc_id) partition [0,1) into
+    train/valid/test bands. Pure map-side projection — no shuffle, no
+    RNG, and adding new docs never reassigns existing ones (each doc's
+    band depends only on its own id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(key < F.lit(_threshold_hex(SPLIT_TRAIN)), F.lit("train"))
+        .when(key < F.lit(_threshold_hex(SPLIT_VALID)), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
 QUERIES = {
+    "corpus_split": q_corpus_split,
     "sample_stratified": q_sample_stratified,
     "sample_topk_per_stratum": q_sample_topk_per_stratum,
     "mix_token_budget": q_mix_token_budget,
@@ -234,6 +265,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_split": f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{_threshold_hex(SPLIT_TRAIN)}' THEN 'train'
+                    WHEN substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{_threshold_hex(SPLIT_VALID)}' THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
     "sample_stratified": _stratified_oracle(),
     "mix_token_budget": f"""
         WITH toks AS (

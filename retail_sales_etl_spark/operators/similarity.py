@@ -450,7 +450,63 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization QC for the vector store: per-vector
+    scale (max|x|/127), reconstruction MSE and max abs error — the
+    report that says whether 4x-smaller int8 vectors are safe for ANN
+    (the standard vector-infra compression step).
+
+    Pure Catalyst array expressions, fully map-side, no shuffle at
+    all. Portability discipline: quantized value is
+    floor(x/scale + 0.5) (explicit floor-based rounding, identical in
+    every engine, no banker's-rounding ambiguity); per-term squared
+    errors round to 12 dp and sum in DECIMAL before the final divide.
+    Scalars out, never arrays (driver canonicalizer contract).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    d = emb.select(
+        "vec_id",
+        "label",
+        x.alias("v"),
+        scale.alias("scale"),
+        F.size("embedding").alias("dim"),
+    )
+    err = F.transform(
+        "v",
+        lambda v: v
+        - F.floor(v / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
+    sq_terms = F.transform(err, lambda e: F.round(e * e, 12))
+    sse = F.aggregate(
+        sq_terms,
+        F.lit(0).cast("decimal(25,12)"),
+        lambda acc, t: (acc + t.cast("decimal(25,12)")).cast("decimal(25,12)"),
+    )
+    # NB: the error metrics and the display rounding of `scale` must
+    # live in SEPARATE selects — in one select, Spark's lateral column
+    # alias resolution would make the err expressions read the
+    # freshly-aliased round(scale, 9) instead of the raw scale.
+    scored = d.select(
+        "vec_id",
+        "label",
+        "scale",
+        (sse.cast("double") / F.col("dim")).alias("_mse"),
+        F.array_max(F.transform(err, lambda e: F.abs(e))).alias("_mae"),
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale"),
+        F.round("_mse", 9).alias("mse"),
+        F.round("_mae", 9).alias("max_abs_err"),
+    )
+
+
 QUERIES = {
+    "embedding_quantize": q_embedding_quantize,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_centroids": q_embedding_centroids,
@@ -493,6 +549,34 @@ _PAIR_COSINE_SQL = (
 )
 
 ORACLE = {
+    "embedding_quantize": """
+        WITH emb AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   len(embedding) AS dim
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, label, v, dim,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                        THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                        ELSE 1.0 END AS scale
+            FROM emb
+        ),
+        errs AS (
+            SELECT vec_id, label, scale, dim,
+                   list_transform(v, x -> x - floor(x / scale + 0.5) * scale)
+                       AS err
+            FROM scaled
+        )
+        SELECT vec_id, label,
+               round(scale, 9) AS scale,
+               round(CAST(list_sum(list_transform(err,
+                         e -> CAST(round(e * e, 12) AS DECIMAL(25,12))))
+                     AS DOUBLE) / dim, 9) AS mse,
+               round(list_max(list_transform(err, e -> abs(e))), 9)
+                   AS max_abs_err
+        FROM errs
+    """,
     "kmeans_centroids": _kmeans_oracle(),
     "knn_join_blocked": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
