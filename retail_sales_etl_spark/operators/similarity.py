@@ -450,6 +450,86 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_QUERY_IDS = (0, 1, 2, 3, 4)
+BATCH_TOP_K = 5
+
+
+def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF retrieval: top-k neighbors for a SET of query vectors
+    in ONE plan — the real retrieval workload (RAG lookups arrive in
+    batches, not one vector at a time).
+
+    All queries route through the same broadcast centroid table
+    (per-query nprobe best cells via a window over K*|Q| rows), then
+    one cell-keyed join pulls each query's candidate cells and a
+    per-query window ranks top-k. Cost: one corpus-side join keyed on
+    cell id regardless of |Q| — per-query plans would scan the corpus
+    |Q| times. At 100 TB the corpus is partitioned by cell, so each
+    query batch touches nprobe/K of the data.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    cent_arr = (
+        _centroids_long(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+    )
+    queries = emb.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    routed = cent_arr.crossJoin(broadcast(queries)).select(
+        "q_id",
+        "qv",
+        "label",
+        F.round(
+            _dot(F.col("cv"), F.col("qv"))
+            / (
+                F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            ),
+            6,
+        ).alias("ccos"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("label")
+    )
+    probes = (
+        routed.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 2)
+        .select("q_id", "qv", F.col("label").alias("probe_label"))
+    )
+    cands = emb.join(
+        broadcast(probes), F.col("label") == F.col("probe_label")
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("qv"))
+            / (
+                F.sqrt(_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= BATCH_TOP_K
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization QC for the vector store: per-vector
     scale (max|x|/127), reconstruction MSE and max abs error — the
@@ -506,6 +586,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ann_batch_ivf": q_ann_batch_ivf,
     "embedding_quantize": q_embedding_quantize,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -596,6 +677,43 @@ ORACLE = {
         WHERE rank <= {KNN_K}
     """,
     "embedding_centroids": _CENTROIDS_SQL,
+    "ann_batch_ivf": f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS ({_CENTROIDS_SQL}),
+        carr AS (SELECT label, list(centroid ORDER BY dim_idx) AS cv FROM cent GROUP BY label),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM emb
+              WHERE vec_id IN {BATCH_QUERY_IDS}),
+        routed AS (
+            SELECT q_id, qv, label,
+                   round(list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS ccos
+            FROM carr, q
+        ),
+        probes AS (
+            SELECT q_id, qv, label AS probe_label
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY ccos DESC, label) AS r
+                FROM routed
+            ) WHERE r <= 2
+        ),
+        scored AS (
+            SELECT p.q_id, e.vec_id, e.label,
+                   round(list_dot_product(e.v, p.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+            FROM emb e JOIN probes p
+              ON e.label = p.probe_label AND e.vec_id <> p.q_id
+        )
+        SELECT * FROM (
+            SELECT q_id, vec_id, label, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+                       AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {BATCH_TOP_K}
+    """,
     "ann_ivf_topk": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS ({_CENTROIDS_SQL}),
