@@ -500,7 +500,7 @@ SETSIM_NUM = 7
 SETSIM_DEN = 10
 
 
-def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setsim_pairs(docs: DataFrame) -> DataFrame:
     """Exact set-similarity self-join (Jaccard >= tau) with PPJoin-style
     prefix filtering (Xiao et al., WWW'08 — public algorithm).
 
@@ -521,7 +521,6 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pandas drop_duplicates, retail-sales-etl transform/clean.py) to
     graded similarity. Output matches dedup_ngram_jaccard's shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # (df, shingle) ascending = rarest-first total order, ties broken
@@ -583,6 +582,10 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= tau)
         .select("a_id", "b_id", "shared", "jaccard")
     )
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setsim_pairs(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES = {

@@ -117,3 +117,54 @@ def test_merge_upsert_matches_dict_semantics(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=25), min_size=3, max_size=30),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_setsim_prefix_filter_equals_bruteforce(spark, token_lists):
+    """The PPJoin prefix filter must be LOSSLESS: for random small
+    corpora, the prefix-filtered join equals brute-force Jaccard over
+    the same shingle sets (the lemma's soundness, not just the one
+    real corpus where every qualifying pair is a near-exact dup)."""
+    from retail_sales_etl_spark.operators.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        setsim_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in setsim_pairs(docs).collect()
+    }
+
+    # brute force on word-trigram shingle sets
+    def shingles(toks):
+        ws = [f"w{t}" for t in toks]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(token_lists) if len(t) >= 3}
+    want = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= SETSIM_NUM / SETSIM_DEN:
+                want[(a, b)] = j
+    assert set(got) == set(want), (
+        f"prefix filter dropped/added pairs: got {sorted(got)} want {sorted(want)}"
+    )
