@@ -12,6 +12,7 @@ the distributional checks a distributed engine needs.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -120,9 +121,60 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford first-digit expectations log10(1 + 1/d), precomputed in
+# Python and embedded as literals in BOTH engines — no runtime log()
+# whose last-ulp could differ across libm implementations.
+BENFORD = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals — the classic anomaly/
+    fraud data-quality check: fabricated or unit-mixed monetary data
+    drifts from the log-uniform first-digit distribution.
+
+    First digit extracted via floor -> BIGINT -> string (portable:
+    double->bigint CAST truncates in Spark but ROUNDS in DuckDB, so
+    floor first; integer-to-string is deterministic everywhere,
+    unlike double formatting or log10 at power-of-ten boundaries).
+    One map-side digit projection + a 9-group aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD.items() for x in kv]
+        ),
+        F.col("first_digit"),
+    )
+    counts = orders.select(digit.alias("first_digit")).groupBy(
+        "first_digit"
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counts.agg(F.sum("n_orders").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n_total"), 6).alias(
+                "observed_share"
+            ),
+            expected.alias("benford_share"),
+            F.round(
+                F.abs(
+                    F.round(F.col("n_orders") / F.col("n_total"), 6) - expected
+                ),
+                6,
+            ).alias("abs_deviation"),
+        )
+    )
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "key_skew_profile": q_key_skew_profile,
+    "benford_prices": q_benford_prices,
 }
 
 ORACLE = {
@@ -136,6 +188,27 @@ ORACLE = {
                round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
         FROM counts, tot
         WHERE n_rows * {HH_DENOM} >= n_total
+    """,
+    "benford_prices": f"""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INTEGER)
+                       AS first_digit
+            FROM orders
+        ),
+        counts AS (
+            SELECT first_digit, count(*) AS n_orders FROM digits GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_orders) AS n_total FROM counts),
+        benford(first_digit, benford_share) AS (
+            VALUES {", ".join(f"({d}, {v})" for d, v in BENFORD.items())}
+        )
+        SELECT c.first_digit, c.n_orders,
+               round(CAST(c.n_orders AS DOUBLE) / n_total, 6) AS observed_share,
+               CAST(b.benford_share AS DOUBLE) AS benford_share,
+               round(abs(round(CAST(c.n_orders AS DOUBLE) / n_total, 6)
+                         - CAST(b.benford_share AS DOUBLE)), 6) AS abs_deviation
+        FROM counts c JOIN benford b USING (first_digit), tot
     """,
     "key_skew_profile": """
         WITH grid AS (
