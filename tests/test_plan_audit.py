@@ -217,3 +217,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_probe_filters_fact_before_join(spark, sf_dir):
+    """The bloom membership predicate must sit on the fact side BELOW
+    the semi-join — that's the entire point (prune before exchange)."""
+    from retail_sales_etl_spark.operators.joins import q_bloom_pruned_revenue
+
+    plan = _formatted_plan(q_bloom_pruned_revenue(spark, sf_dir))
+    # the probe expression (map element_at & bit test) is present...
+    assert "element_at" in plan and "shiftleft" in plan
+    # ...and a semi-join still performs the exact check
+    assert "LeftSemi" in plan
+
+
+def test_session_native_has_no_window_sort(spark, sf_dir):
+    """Native session_window is an aggregate, not a window function:
+    no Window operator (whose per-user sort partition the
+    window-function variant needs)."""
+    from retail_sales_etl_spark.operators.events import q_events_session_native
+
+    plan = _formatted_plan(q_events_session_native(spark, sf_dir))
+    assert "session_window" in plan.lower()
+    assert "RunningWindowFunction" not in plan and "Window\n" not in plan
