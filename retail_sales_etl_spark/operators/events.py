@@ -351,8 +351,53 @@ _SESSION_NATIVE_SESS_SQL = f"""
 """
 
 
+# 3 * 1.4826 (the normal-consistency constant), precomputed so both
+# engines share the literal
+MAD_K = round(3 * 1.4826, 6)
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median/MAD instead of mean/
+    stddev (q_events_anomaly's 3-sigma breaks down when the outliers
+    themselves inflate sigma; MAD has a 50% breakdown point).
+
+    Two grouped exact-percentile aggregates (median, then median of
+    6-dp-rounded absolute deviations after a broadcast join of the
+    tiny per-type medians) and one outlier count. Each aggregate is
+    one shuffle on event_type; rounding at every step keeps the
+    statistic engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    adev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
+    )
+    mad = adev.groupBy("event_type").agg(
+        F.first("med").alias("median_value"),
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+    )
+    return (
+        adev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("median_value").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 QUERIES = {
     "events_session_native": q_events_session_native,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "events_cohort_matrix": q_events_cohort_matrix,
     "events_topk_per_window": q_events_topk_per_window,
     "events_anomaly": q_events_anomaly,
@@ -368,6 +413,32 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "events_anomaly_mad": f"""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY 1
+        ),
+        adev AS (
+            SELECT e.event_type, m.med,
+                   round(abs(e.value - m.med), 6) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type,
+                   any_value(med) AS median_value,
+                   round(quantile_cont(adev, 0.5), 6) AS mad
+            FROM adev GROUP BY 1
+        )
+        SELECT a.event_type,
+               any_value(m.median_value) AS median_value,
+               any_value(m.mad) AS mad,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN a.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM adev a JOIN mad m USING (event_type)
+        GROUP BY 1
+    """,
     "events_session_native": _SESSION_NATIVE_SESS_SQL
     + f"""
         SELECT user_id,

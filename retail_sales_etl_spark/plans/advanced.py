@@ -405,7 +405,48 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_BUCKETS = 10
+
+
+def q_equidepth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of order totals — the
+    histogram an optimizer actually wants (equal row mass per bucket,
+    tight tails), vs the equi-WIDTH q_order_value_histogram.
+
+    One exact-percentile aggregate computes the NB-1 boundaries
+    (6-dp rounded so both engines share the exact cut points), the
+    1-row boundary frame broadcasts, and bucket assignment is a
+    map-side CASE — the fact is scanned twice, shuffled never (the
+    9-group count aggregate partial-combines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    nb = EQUIDEPTH_BUCKETS
+    bounds = orders.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {i / nb})"), 6).alias(
+                f"b{i}"
+            )
+            for i in range(1, nb)
+        ]
+    )
+    bucket = None
+    for i in range(1, nb):
+        cond = F.col("o_totalprice") <= F.col(f"b{i}")
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = bucket.otherwise(nb)
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        )
+    )
+
+
 QUERIES = {
+    "equidepth_order_values": q_equidepth_order_values,
     "skyline_orders": q_skyline_orders,
     "events_interval_join": q_events_interval_join,
     "user_band_history": q_user_band_history,
@@ -421,7 +462,28 @@ QUERIES = {
 
 _BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QTY_BANDS)
 
+def _equidepth_oracle() -> str:
+    nb = EQUIDEPTH_BUCKETS
+    bound_cols = ", ".join(
+        f"round(quantile_cont(o_totalprice, {i / nb}), 6) AS b{i}"
+        for i in range(1, nb)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN o_totalprice <= b{i} THEN {i}" for i in range(1, nb)
+    ) + f" ELSE {nb} END"
+    return f"""
+        WITH bounds AS (SELECT {bound_cols} FROM orders)
+        SELECT {case} AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 6) AS min_price,
+               round(max(o_totalprice), 6) AS max_price
+        FROM orders, bounds
+        GROUP BY 1
+    """
+
+
 ORACLE = {
+    "equidepth_order_values": _equidepth_oracle(),
     "skyline_orders": """
         SELECT o_orderkey, o_totalprice,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
