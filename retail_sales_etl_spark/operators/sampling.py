@@ -256,8 +256,59 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source", split.alias("split"))
 
 
+WEIGHTED_K = 20
+_ES_SALT = "wsample|"
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, public algorithm): k docs drawn with probability
+    proportional to token count — the data-mixing primitive for
+    "sample by token mass, not doc count".
+
+    Each doc gets key = ln(u)/w where u is its hash-uniform in (0,1)
+    and w its weight; the k LARGEST keys are the sample. Same
+    hash-not-RNG discipline as the other samplers (stable across
+    runs/engines/partitionings); the key is 9-dp rounded with doc_id
+    tie-break so the cross-engine ranking is exact. Top-k is a
+    distributed TakeOrdered — no global sort materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    # hash-uniform u in (0,1): first 8 hex chars as a 32-bit numerator
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_ES_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(0x100000000 + 1))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(F.log(u) / n_tokens, 9).alias("es_key"),
+    )
+    top = scored.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(
+        WEIGHTED_K
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
+    "sample_weighted": q_sample_weighted,
     "sample_stratified": q_sample_stratified,
     "sample_topk_per_stratum": q_sample_topk_per_stratum,
     "mix_token_budget": q_mix_token_budget,
@@ -265,6 +316,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_weighted": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source,
+                   length(text) - length(replace(text, ' ', '')) + 1
+                       AS n_tokens,
+                   round(ln((CAST(
+                       CAST('0x' || substring(
+                           md5('{_ES_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS UBIGINT) AS DOUBLE) + 1.0)
+                       / {float(0x100000000 + 1)})
+                     / (length(text) - length(replace(text, ' ', '')) + 1), 9)
+                       AS es_key
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_tokens, es_key,
+               CAST(row_number() OVER (ORDER BY es_key DESC, doc_id)
+                    AS INTEGER) AS rank
+        FROM scored
+        ORDER BY es_key DESC, doc_id
+        LIMIT {WEIGHTED_K}
+    """,
     "corpus_split": f"""
         SELECT doc_id, lang, source,
                CASE WHEN substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
