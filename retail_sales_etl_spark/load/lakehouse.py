@@ -99,6 +99,12 @@ class ConcurrentWriteError(RuntimeError):
     attempted commit, and the operation cannot be safely rebased."""
 
 
+class DuplicateCommitError(ConcurrentWriteError):
+    """An interloping commit carries the same ``conflict_on`` key value
+    as this writer's entry — the unique-commit-key contract (e.g. a
+    streaming batch_id) would be violated by landing both."""
+
+
 class LakehouseTable:
     """A versioned parquet table at ``path`` with a ``_log/`` commit log.
 
@@ -174,6 +180,20 @@ class LakehouseTable:
         in the latest entry instead of scanning the whole history."""
         v = self.latest_version()
         return self._read_commit(v) if v is not None else None
+
+    def latest_value(self, key: str):
+        """Newest committed value for metadata ``key``, scanning backward
+        from the latest version and stopping at the first entry that
+        carries it. For a writer that stamps ``key`` on every one of its
+        commits (a streaming sink's watermark), the scan cost is
+        O(commits by OTHER writers since its last commit) — not
+        O(all commits) — the full history is only walked once, on a
+        table the key has never been written to."""
+        for v in reversed(self._versions()):
+            entry = self._read_commit(v)
+            if key in entry:
+                return entry[key]
+        return None
 
     # -------------------------------------------------------------- write
 
@@ -273,16 +293,38 @@ class LakehouseTable:
             return merged.json()
         return incoming.json()
 
-    def _try_commit(self, entry: dict, read_version: int | None) -> int:
+    def _try_commit(
+        self,
+        entry: dict,
+        read_version: int | None,
+        conflict_on: str | None = None,
+    ) -> int:
         """Optimistic-concurrency commit loop. ``entry`` was computed
         against ``read_version``; if other commits landed since, append
-        rebases over them, anything that removes files aborts."""
+        rebases over them, anything that removes files aborts.
+
+        ``conflict_on`` names a metadata key that must be unique across
+        commits: an interloper carrying the same value for it raises
+        DuplicateCommitError even when the operations would otherwise
+        commute (two blind appends). The check is race-free because a
+        writer that loses the version-number O_EXCL race loops back
+        here and re-scans — so of two concurrent writers with the same
+        key value, exactly one commits."""
         while True:
             next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
             for v in self._versions():
                 if read_version is not None and v <= read_version:
                     continue
                 interloper = self._read_commit(v)
+                if (
+                    conflict_on is not None
+                    and conflict_on in interloper
+                    and interloper[conflict_on] == entry.get(conflict_on)
+                ):
+                    raise DuplicateCommitError(
+                        f"Version {v} already committed "
+                        f"{conflict_on}={entry.get(conflict_on)!r}"
+                    )
                 if entry["operation"] == "append" and not interloper.get("remove"):
                     continue  # blind appends commute
                 raise ConcurrentWriteError(
@@ -308,11 +350,15 @@ class LakehouseTable:
         mode: str = "append",
         evolve: bool = False,
         extra: dict | None = None,
+        conflict_on: str | None = None,
     ) -> int:
         """Commit ``df`` as a new table version. ``mode``: append |
         overwrite. ``extra`` merges caller metadata into the log entry
-        (e.g. a streaming batch_id for replay idempotence). Returns the
-        committed version number."""
+        (e.g. a streaming batch_id for replay idempotence);
+        ``conflict_on`` names an ``extra`` key that must be unique
+        across commits (DuplicateCommitError if a concurrent writer
+        lands the same value first). Returns the committed version
+        number."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         read_version = self.latest_version()
@@ -330,7 +376,17 @@ class LakehouseTable:
             },
             extra,
         )
-        return self._try_commit(entry, read_version)
+        try:
+            return self._try_commit(entry, read_version, conflict_on)
+        except ConcurrentWriteError:
+            # The staged files will never be referenced by any commit;
+            # removing them now saves VACUUM the work.
+            for f in files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+            raise
 
     # --------------------------------------------------------------- read
 

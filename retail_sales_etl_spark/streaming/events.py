@@ -368,15 +368,43 @@ def write_batches_to_parquet(
 
 def lakehouse_batch_sink(batch_df: DataFrame, batch_id: int, table_path: str) -> bool:
     """One micro-batch -> one lakehouse commit, keyed by batch_id.
-    Returns False (and writes nothing) when this batch_id already has a
-    log entry — the replay-skip half of the exactly-once contract."""
-    from ..load.lakehouse import LakehouseTable
+    Returns False (and writes nothing) when the batch already landed —
+    the replay-skip half of the exactly-once contract.
+
+    Replay detection is a committed-batch WATERMARK, not a history
+    scan: every sink commit stamps ``batch_hwm`` (its batch_id —
+    foreachBatch ids are monotone per checkpoint, so the newest stamp
+    IS the high-water mark), and the check reads the log backward only
+    until the first stamped entry — O(commits by other writers since
+    the sink last ran), O(1) in steady state, instead of O(all
+    commits) per micro-batch. The concurrent-duplicate half is the
+    commit itself: ``conflict_on="batch_id"`` makes landing the same
+    batch twice a log-level conflict, so of two racing writers that
+    both passed the watermark check exactly one commits and the loser
+    sees DuplicateCommitError and reports the batch as a replay.
+    """
+    from ..load.lakehouse import DuplicateCommitError, LakehouseTable
 
     table = LakehouseTable(batch_df.sparkSession, table_path)
-    committed = {e.get("batch_id") for e in table.history()}
-    if batch_id in committed:
+    hwm = table.latest_value("batch_hwm")
+    if hwm is None:
+        # Pre-watermark table (or other writers only): one fallback
+        # scan over entries that carry a bare batch_id.
+        hwm = max(
+            (e["batch_id"] for e in table.history() if "batch_id" in e),
+            default=None,
+        )
+    if hwm is not None and batch_id <= hwm:
         return False
-    table.write(batch_df, mode="append", extra={"batch_id": batch_id})
+    try:
+        table.write(
+            batch_df,
+            mode="append",
+            extra={"batch_id": batch_id, "batch_hwm": batch_id},
+            conflict_on="batch_id",
+        )
+    except DuplicateCommitError:
+        return False
     return True
 
 

@@ -119,6 +119,128 @@ def test_lakehouse_sink_exactly_once(spark, sf_dir, tmp_path):
     assert table.read().count() == n_events + 5
 
 
+def test_lakehouse_sink_two_writer_race(spark, sf_dir, tmp_path):
+    """Two concurrent writers of the SAME batch_id: exactly one commits,
+    the loser sees a duplicate-key conflict at commit time and reports a
+    replay — the batch lands once even though both passed the watermark
+    pre-check before either wrote."""
+    import threading
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl_path = str(tmp_path / "lake_race")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(50)
+    )
+    n_batch = batch.count()
+
+    barrier = threading.Barrier(2)
+    results: dict[str, bool] = {}
+    errors: list[Exception] = []
+
+    def writer(name: str) -> None:
+        try:
+            barrier.wait()
+            results[name] = streaming_events.lakehouse_batch_sink(
+                batch, 7, tbl_path
+            )
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert sorted(results.values()) == [False, True]  # exactly one landed
+    table = LakehouseTable(spark, tbl_path)
+    assert table.read().count() == n_batch  # no double-counted batch
+    batch_ids = [e["batch_id"] for e in table.history() if "batch_id" in e]
+    assert batch_ids == [7]
+
+
+def test_lakehouse_sink_duplicate_conflict_at_commit(spark, sf_dir, tmp_path):
+    """Deterministic half of the race: a writer whose read_version is
+    stale must fail its commit when an interloper already landed the
+    same batch_id — even though blind appends normally commute."""
+    import pytest
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import (
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    tbl_path = str(tmp_path / "lake_dup")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(10)
+    )
+    table = LakehouseTable(spark, tbl_path)
+    table.write(batch, mode="append", extra={"batch_id": 1, "batch_hwm": 1})
+    stale_read_version = table.latest_version()
+    # interloper lands batch 2 after our writer's read...
+    table.write(batch, mode="append", extra={"batch_id": 2, "batch_hwm": 2})
+    # ...and our writer now tries to commit batch 2 as well
+    with pytest.raises(DuplicateCommitError):
+        files, n, stats = table._stage_files(batch)
+        table._try_commit(
+            {
+                "operation": "append",
+                "add": files,
+                "remove": [],
+                "schema": batch.schema.json(),
+                "rows_written": n,
+                "stats": stats,
+                "batch_id": 2,
+                "batch_hwm": 2,
+            },
+            stale_read_version,
+            conflict_on="batch_id",
+        )
+    # non-conflicting batch 3 still rebases over the interloper fine
+    assert streaming_events.lakehouse_batch_sink(batch, 3, tbl_path) is True
+
+
+def test_lakehouse_sink_replay_check_is_o1(spark, sf_dir, tmp_path):
+    """The replay check must read O(1) log entries on a sink-only table,
+    not replay the whole history — counted by instrumenting the log
+    reader."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    tbl_path = str(tmp_path / "lake_o1")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(5)
+    )
+    for b in range(8):
+        assert streaming_events.lakehouse_batch_sink(batch, b, tbl_path)
+
+    reads = {"n": 0}
+    orig = lh.LakehouseTable._read_commit
+
+    def counting(self, version):
+        reads["n"] += 1
+        return orig(self, version)
+
+    lh.LakehouseTable._read_commit = counting
+    try:
+        assert streaming_events.lakehouse_batch_sink(batch, 3, tbl_path) is False
+    finally:
+        lh.LakehouseTable._read_commit = orig
+    # one read finds the newest batch_hwm stamp; a full-history scan
+    # would have read all 8
+    assert reads["n"] <= 2, reads["n"]
+
+
 def _write_events_file(path, rows):
     """rows: (event_id, ts_iso, user_id). ts written as TIMESTAMP-shaped
     int64 nanos, matching the testdata's TIMESTAMP(NANOS) layout."""
