@@ -53,17 +53,45 @@ def _modules():
     )
 
 
+_PROOF_STATE_FILE = "PROOF_HASHES.json"
+
+
+def _module_hashes() -> dict[str, str]:
+    """sha256 of each registry module's source, keyed by every query
+    name the module contributes — the invalidation unit for proofs."""
+    import hashlib
+    import inspect
+
+    out: dict[str, str] = {}
+    for mod in _modules():
+        try:
+            src = inspect.getsource(mod)
+        except (OSError, TypeError):
+            continue
+        h = hashlib.sha256(src.encode("utf-8")).hexdigest()
+        for name in getattr(mod, "QUERIES", {}):
+            out[name] = h
+    return out
+
+
 def _proven_names() -> set[str]:
-    """Queries already green in a recorded driver verdict.
+    """Queries already green in a recorded driver verdict AND unchanged
+    since that verdict.
 
     The per-round driver budget covers ~50 registry entries; queries it
     has already proven (rows+schema green, hash not red, no error in
     any CORRECTNESS_r*.json at the repo root) yield their slot to
     queries still awaiting a first verdict. Self-maintaining: each
     round's record sinks that round's proven queries to the back.
+
+    Proofs are tied to the implementing module's source hash, recorded
+    in PROOF_HASHES.json when a verdict round newer than the recorded
+    one lands: rewriting a module invalidates every proof it carries,
+    so the rewritten queries re-sort to the FRONT of the driver queue
+    and get re-proven before long-stable ones consume budget. A proof
+    predating the hash bookkeeping (or whose source changed since) is
+    not trusted.
     """
-    import glob
-    import json
     import os
 
     root = os.path.dirname(
@@ -76,9 +104,13 @@ def _proven_names_in(root: str) -> set[str]:
     import glob
     import json
     import os
+    import re
 
-    proven: set[str] = set()
+    # name -> newest round number in which the driver proved it green
+    latest_green: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        round_no = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as f:
                 data = json.load(f)
@@ -92,7 +124,37 @@ def _proven_names_in(root: str) -> set[str]:
                 and rec.get("schema_match")
                 and rec.get("hash_match") is not False
             ):
-                proven.add(name)
+                latest_green[name] = max(latest_green.get(name, -1), round_no)
+
+    state_path = os.path.join(root, _PROOF_STATE_FILE)
+    try:
+        with open(state_path, encoding="utf-8") as f:
+            state: dict[str, dict] = json.load(f)
+    except (OSError, ValueError):
+        state = {}
+
+    hashes = _module_hashes()
+    proven: set[str] = set()
+    changed = False
+    for name, round_no in latest_green.items():
+        cur = hashes.get(name)
+        rec = state.get(name)
+        if rec is None or round_no > rec.get("round", -1):
+            # A verdict newer than the bookkeeping: the driver ran the
+            # code as committed, which is the code we hash now — bind
+            # the proof to it.
+            state[name] = {"round": round_no, "hash": cur}
+            changed = True
+            proven.add(name)
+        elif rec.get("hash") == cur:
+            proven.add(name)
+        # else: source rewritten since the proof — needs re-proving.
+    if changed:
+        try:
+            with open(state_path, "w", encoding="utf-8") as f:
+                json.dump(state, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: fall back to in-memory result
     return proven
 
 

@@ -54,6 +54,32 @@ def test_repo_root_artifacts_are_visible_to_registry():
         )
 
 
+def test_proof_invalidated_when_module_source_changes(tmp_path, monkeypatch):
+    """A driver proof is only trusted while the implementing module's
+    source hash matches the one recorded with the proof: a rewrite
+    drops the query back into the unproven (front-of-queue) set until
+    a NEWER verdict round re-proves it."""
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps({"q_x": green}))
+    monkeypatch.setattr(registry, "_module_hashes", lambda: {"q_x": "h1"})
+    assert "q_x" in registry._proven_names_in(str(tmp_path))  # binds h1
+
+    # source rewritten after the proof -> proof invalidated
+    monkeypatch.setattr(registry, "_module_hashes", lambda: {"q_x": "h2"})
+    assert "q_x" not in registry._proven_names_in(str(tmp_path))
+
+    # a newer verdict round re-proves the rewritten code -> rebinds
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({"q_x": green}))
+    assert "q_x" in registry._proven_names_in(str(tmp_path))
+    state = json.loads((tmp_path / "PROOF_HASHES.json").read_text())
+    assert state["q_x"] == {"round": 7, "hash": "h2"}
+
+
 def test_all_queries_and_oracles_consistent():
     queries = registry.all_queries()
     oracles = registry.all_oracles()
