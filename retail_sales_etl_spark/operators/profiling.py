@@ -29,31 +29,36 @@ HH_DENOM = 20
 
 
 def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition Misra-Gries summary with k = HH_DENOM counters.
+    """Per-partition Misra-Gries summary with k = HH_DENOM counters,
+    vectorized: each Arrow batch is reduced to exact per-key counts
+    with ``value_counts`` (C speed), then MERGED into the running
+    summary once per batch — the mergeable-summaries MG merge
+    (Agarwal/Cormode et al., PODS 2012): add the counts, and if more
+    than k counters remain, subtract the (k+1)-th largest from all and
+    drop the non-positive. Python touches O(distinct-per-batch) items,
+    not every row.
 
-    Soundness (standard MG result): any key whose partition-local
-    frequency exceeds local_n / k survives the counter eviction; a key
-    with GLOBAL frequency >= n / k must exceed that bound in at least
-    one partition (pigeonhole), so the union of partition candidates
-    is a superset of the true heavy hitters. The exact recount pass
-    then removes false candidates.
+    Soundness: the merge preserves MG's undercount bound (error <=
+    local_n / (k+1)), so any key with partition-local frequency >=
+    local_n / k keeps a positive counter; a key with GLOBAL frequency
+    >= n / k must reach that bound in at least one partition
+    (pigeonhole), so the union of partition candidates is a superset
+    of the true heavy hitters. The exact recount pass then removes
+    false candidates.
     """
-    counters: dict[str, int] = {}
+    counters: dict = {}
     for pdf in batches:
-        for key in pdf["key"]:
-            if key in counters:
-                counters[key] += 1
-            elif len(counters) < HH_DENOM:
-                counters[key] = 1
-            else:  # decrement-all eviction
-                dead = []
-                for c in counters:
-                    counters[c] -= 1
-                    if counters[c] == 0:
-                        dead.append(c)
-                for c in dead:
-                    del counters[c]
-    yield pd.DataFrame({"key": list(counters.keys())})
+        vc = pdf["key"].value_counts(dropna=False)
+        for key, cnt in vc.items():
+            # pandas may surface a NULL key as NaN; normalize to None
+            # so the candidate survives Arrow round-tripping.
+            if isinstance(key, float) and math.isnan(key):
+                key = None
+            counters[key] = counters.get(key, 0) + int(cnt)
+        if len(counters) > HH_DENOM:
+            cut = sorted(counters.values(), reverse=True)[HH_DENOM]
+            counters = {c: v - cut for c, v in counters.items() if v > cut}
+    yield pd.DataFrame({"key": list(counters.keys())}, dtype=object)
 
 
 def heavy_hitters(df: DataFrame, key_col: str) -> DataFrame:
@@ -72,8 +77,11 @@ def heavy_hitters(df: DataFrame, key_col: str) -> DataFrame:
         keyed.mapInPandas(_mg_candidates, schema="key string").distinct()
     )
     total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    # eqNullSafe: a NULL key can itself be a heavy hitter, and a plain
+    # equi semi-join would silently drop it after the MG pass found it.
+    cand = F.broadcast(candidates).withColumnRenamed("key", "__cand_key")
     counts = (
-        keyed.join(F.broadcast(candidates), "key", "left_semi")
+        keyed.join(cand, F.col("key").eqNullSafe(F.col("__cand_key")), "left_semi")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
@@ -137,8 +145,17 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor first; integer-to-string is deterministic everywhere,
     unlike double formatting or log10 at power-of-ten boundaries).
     One map-side digit projection + a 9-group aggregate.
+
+    Only values >= 1 participate: Benford's law is about leading
+    significant digits, and totals in [0, 1) would yield digit 0 and
+    negatives a '-' character — both outside the 1-9 expectation map
+    (NULL benford_share rows) rather than excluded. TPC-H totals are
+    all positive, but the guard keeps the screen correct on general
+    monetary columns; it is mirrored in the oracle SQL.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
     digit = F.substring(
         F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     ).cast("int")
@@ -195,6 +212,7 @@ ORACLE = {
                                        AS VARCHAR), 1, 1) AS INTEGER)
                        AS first_digit
             FROM orders
+            WHERE o_totalprice >= 1
         ),
         counts AS (
             SELECT first_digit, count(*) AS n_orders FROM digits GROUP BY 1

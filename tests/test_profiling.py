@@ -45,6 +45,22 @@ def test_heavy_hitters_survive_adversarial_partitioning(spark):
     assert got == set(_truth(df, profiling.HH_DENOM))
 
 
+def test_heavy_hitters_null_key_is_reported(spark):
+    """NULL can itself be a heavy hitter (e.g. a mostly-absent optional
+    field); the recount semi-join must be null-safe or the candidate
+    found by the MG pass is silently dropped."""
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 400).cast("string")))
+        .alias("k")
+    ).repartition(8)
+    got = {
+        r["key"]: r["n_rows"]
+        for r in profiling.heavy_hitters(df, "k").collect()
+    }
+    assert got == {None: 334}
+
+
 def test_key_skew_profile_fields(spark, sf_dir):
     row = profiling.q_key_skew_profile(spark, sf_dir).collect()[0]
     assert row["n_keys"] > 0
