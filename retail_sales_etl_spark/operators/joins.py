@@ -155,11 +155,34 @@ def bloom_pruned_semi_join(
     the few-KB bloom still broadcasts and typically removes >95% of the
     fact from the shuffle. False positives are removed by the real
     semi-join, so the result is exactly ``large SEMI JOIN keys``.
+
+    xxhash64 is TYPE-sensitive (int, bigint, and string hash the same
+    logical value differently), so the no-false-negatives guarantee
+    requires both key columns to hash identically: mismatched integral
+    types are widened to bigint on BOTH sides of the bloom; any other
+    dtype mismatch raises instead of silently dropping matching rows.
     """
-    bloom = bloom_build(keys.select(build_key), build_key)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    large_t = dict(large.dtypes)[large_key]
+    build_t = dict(keys.dtypes)[build_key]
+    if large_t == build_t:
+        build_side = keys.select(build_key)
+        probe_key = large_key
+    elif large_t in integral and build_t in integral:
+        build_side = keys.select(
+            F.col(build_key).cast("bigint").alias(build_key)
+        )
+        probe_key = f"CAST({large_key} AS BIGINT)"
+    else:
+        raise ValueError(
+            f"bloom key dtypes differ ({large_key}: {large_t} vs "
+            f"{build_key}: {build_t}); xxhash64 hashes them differently, "
+            "which would drop matching rows — cast to a common type first"
+        )
+    bloom = bloom_build(build_side, build_key)
     pruned = (
         large.join(F.broadcast(bloom))
-        .where(bloom_might_contain(large_key))
+        .where(bloom_might_contain(probe_key))
         .drop("__bloom")
     )
     return pruned.join(

@@ -186,3 +186,26 @@ def test_bloom_pruned_semi_join_exact(spark):
     out = joins.bloom_pruned_semi_join(large, keys, "k", "bk")
     plain = large.join(keys, large.k == keys.bk, "left_semi")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_pruned_semi_join_mixed_integral_widths(spark):
+    """xxhash64 hashes int and bigint differently; mismatched integral
+    key widths must be widened to a common type or every row would be
+    (wrongly) bloom-rejected."""
+    large = spark.range(0, 2000).select(F.col("id").alias("k"))  # bigint
+    keys = spark.range(0, 2000, 7).select(
+        F.col("id").cast("int").alias("bk")  # int on purpose
+    )
+    out = joins.bloom_pruned_semi_join(large, keys, "k", "bk")
+    assert out.count() == keys.count()  # no false negatives
+
+
+def test_bloom_pruned_semi_join_rejects_incomparable_key_types(spark):
+    import pytest
+
+    large = spark.range(0, 100).select(F.col("id").alias("k"))
+    keys = spark.range(0, 100, 5).select(
+        F.col("id").cast("string").alias("bk")
+    )
+    with pytest.raises(ValueError, match="dtypes differ"):
+        joins.bloom_pruned_semi_join(large, keys, "k", "bk")
