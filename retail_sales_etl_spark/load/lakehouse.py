@@ -79,6 +79,54 @@ def _stat_json(v):
     return v
 
 
+def _normalize_bound(column: str, value, schema: StructType | None):
+    """Coerce a pruning bound to the same canonical representation the
+    stats manifest stores for ``column``'s logical type, or raise when
+    the bound's type cannot be compared against that column. Without a
+    committed schema (pre-schema log) the raw ``_stat_json`` form is
+    used, matching the previous best-effort behavior."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    if schema is None:
+        return _stat_json(value)
+    field = next((f for f in schema.fields if f.name == column), None)
+    if field is None:
+        raise KeyError(f"Column {column!r} is not in the table schema")
+    t = field.dataType.typeName()
+    if t == "date":
+        if isinstance(value, dt.datetime):
+            return value.date().isoformat()
+        if isinstance(value, dt.date):
+            return value.isoformat()
+        if isinstance(value, str):
+            try:
+                return dt.date.fromisoformat(value).isoformat()
+            except ValueError:
+                # datetime-shaped string on a date column: truncating
+                # to the date only loosens the prune; the caller's
+                # exact bound is still applied by read_where's
+                # residual filter.
+                return dt.datetime.fromisoformat(value).date().isoformat()
+    elif t in ("timestamp", "timestamp_ntz"):
+        if isinstance(value, dt.datetime):
+            return value.isoformat()
+        if isinstance(value, dt.date):
+            return dt.datetime.combine(value, dt.time.min).isoformat()
+        if isinstance(value, str):
+            return dt.datetime.fromisoformat(value).isoformat()
+    elif t == "string":
+        if isinstance(value, str):
+            return value
+    elif not isinstance(value, bool) and isinstance(value, (int, float)):
+        return value
+    raise TypeError(
+        f"Bound {value!r} ({type(value).__name__}) cannot be compared "
+        f"against column {column!r} of type {field.dataType.simpleString()}"
+    )
+
+
 def _merge_extra(entry: dict, extra: dict | None) -> dict:
     """Merge caller metadata into a commit entry, rejecting any key that
     collides with a reserved transaction-log field."""
@@ -428,10 +476,24 @@ class LakehouseTable:
         count. Files without stats for the column are conservatively
         kept; files whose stats are all-null are skipped (a range
         predicate never matches NULL). Pure log arithmetic — no file
-        footer is opened, no Spark job runs."""
-        live, _, stats = self._replay_stats(as_of=version)
-        lo = _stat_json(lower)
-        hi = _stat_json(upper)
+        footer is opened, no Spark job runs.
+
+        Bounds are validated against the column's logical type from the
+        committed schema before comparing: temporal stats live in the
+        log as canonical isoformat strings, so a caller's string bound
+        is re-parsed and re-serialized to the same canonical form (a
+        space-separated timestamp bound would otherwise compare
+        lexically wrong against the 'T' separator and silently drop
+        live files), and a bound whose type cannot match the column
+        raises instead of corrupting the prune."""
+        live, last, stats = self._replay_stats(as_of=version)
+        schema = (
+            StructType.fromJson(json.loads(last["schema"]))
+            if last and "schema" in last
+            else None
+        )
+        lo = _normalize_bound(column, lower, schema)
+        hi = _normalize_bound(column, upper, schema)
         keep = []
         for f in live:
             s = stats.get(f, {}).get(column)

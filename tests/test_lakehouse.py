@@ -391,6 +391,48 @@ def test_read_where_open_bounds_and_strings(spark, table):
     assert len(keep) < total
 
 
+def test_prune_bounds_normalized_against_schema(spark, table):
+    """Temporal stats live in the log as isoformat ('T'-separated)
+    strings; a space-separated timestamp bound must be re-canonicalized
+    (lexically ' ' < 'T', so raw comparison would wrongly drop files),
+    and an incomparable bound type must raise, not mis-prune."""
+    import datetime as dt
+
+    import pytest
+
+    for d in range(4):  # one append per day -> disjoint per-file ranges
+        df = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, d + 1, 12, 0, 0)) for i in
+             (d * 10, d * 10 + 1)],
+            "id bigint, ts timestamp",
+        ).coalesce(1)
+        table.write(df, mode="append")
+
+    want = sorted(
+        r.id for r in table.read()
+        .where(F.col("ts") >= F.lit("2024-01-03 00:00:00")).collect()
+    )
+    assert want  # sanity: the window matches rows
+    # space-separated string bound: same rows as the exact filter
+    got = sorted(
+        r.id for r in table.read_where("ts", lower="2024-01-03 00:00:00").collect()
+    )
+    assert got == want
+    # canonical pruning still skips files (days 1-2 are out of range)
+    keep, total = table.prune_files("ts", lower="2024-01-03 00:00:00")
+    assert len(keep) < total
+    # native datetime bound agrees with the string form
+    keep2, _ = table.prune_files("ts", lower=dt.datetime(2024, 1, 3))
+    assert keep2 == keep
+
+    with pytest.raises(TypeError):
+        table.prune_files("ts", lower=123)
+    with pytest.raises(TypeError):
+        table.prune_files("id", lower="10")
+    with pytest.raises(KeyError):
+        table.prune_files("nope", lower=1)
+
+
 def test_prune_skips_all_null_files(spark, table):
     df = spark.createDataFrame(
         [(i, None, 1.0) for i in range(5)], "id bigint, src string, val double"
