@@ -355,20 +355,37 @@ _SESSION_NATIVE_SESS_SQL = f"""
 # engines share the literal
 MAD_K = round(3 * 1.4826, 6)
 
+# Scale-path sketch size (see plans/advanced.py PCTL_ACCURACY).
+_PCTL_ACCURACY = 10_000
 
-def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def q_events_anomaly_mad(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Robust per-type outlier screen: median/MAD instead of mean/
     stddev (q_events_anomaly's 3-sigma breaks down when the outliers
     themselves inflate sigma; MAD has a 50% breakdown point).
 
-    Two grouped exact-percentile aggregates (median, then median of
+    Two grouped percentile aggregates (median, then median of
     6-dp-rounded absolute deviations after a broadcast join of the
     tiny per-type medians) and one outlier count. Each aggregate is
     one shuffle on event_type; rounding at every step keeps the
-    statistic engine-portable."""
+    statistic engine-portable.
+
+    Default medians are exact percentiles — per-group buffers are
+    O(group size), so a hot event_type at 100x is an OOM hazard.
+    ``approx=True`` is the scale path: approx_percentile's fixed-size
+    sketch medians (rank error <= n/accuracy) — a robust screen does
+    not need the median to the last ulp."""
     ev = load_table(spark, sf_dir, "events")
+    if approx:
+        med_of = lambda c: F.expr(
+            f"approx_percentile({c}, 0.5, {_PCTL_ACCURACY})"
+        )
+    else:
+        med_of = lambda c: F.expr(f"percentile({c}, 0.5)")
     med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        F.round(med_of("value"), 6).alias("med")
     )
     adev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -377,7 +394,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = adev.groupBy("event_type").agg(
         F.first("med").alias("median_value"),
-        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+        F.round(med_of("adev"), 6).alias("mad"),
     )
     return (
         adev.join(F.broadcast(mad), "event_type")

@@ -238,13 +238,38 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per order priority."""
+# approx_percentile accuracy for the scale paths: a GK sketch holds
+# O(accuracy) entries per group REGARDLESS of group size — rank error
+# <= n/accuracy — where exact percentile buffers every value of the
+# group on one reducer (OOM on a fact-sized group at 100x).
+PCTL_ACCURACY = 10_000
+
+
+def q_order_value_percentiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """Percentiles of order value per order priority.
+
+    Exact linear-interpolation percentiles by default (the oracle-
+    parity form — cross-engine bit-stable). ``approx=True`` is the
+    scale path: fixed-memory approx_percentile sketches replace the
+    per-group sort buffer, because an exact per-group percentile holds
+    the whole group in one aggregation buffer — fine when groups are
+    small, an OOM hazard when one priority holds 20% of a 100 TB fact.
+    """
     orders = load_table(spark, sf_dir, "orders")
+    if approx:
+        pctl = (
+            lambda p: F.expr(
+                f"approx_percentile(o_totalprice, {p}, {PCTL_ACCURACY})"
+            )
+        )
+    else:
+        pctl = lambda p: F.expr(f"percentile(o_totalprice, {p})")
     return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(pctl(0.5), 4).alias("p50"),
+        F.round(pctl(0.9), 4).alias("p90"),
+        F.round(pctl(0.99), 4).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -374,6 +399,11 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = per_bucket.select(
         "__b", F.max("bmax").over(w).alias("above_max")
     )
+    # The survivor set feeds BOTH sides of the dominance anti-join
+    # (probe rows and the broadcast build); an eager localCheckpoint
+    # materializes the grid-pruned scan once instead of twice — the
+    # survivor set is ~(skyline + per-bucket tails), orders of
+    # magnitude smaller than the fact it came from.
     survivors = (
         bucketed.join(F.broadcast(suffix), "__b")
         .filter(
@@ -381,6 +411,7 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("above_max") <= F.col("o_orderdate"))
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .localCheckpoint(eager=True)
     )
     dom = survivors.select(
         F.col("o_totalprice").alias("s_price"), F.col("o_orderdate").alias("s_date")
@@ -408,26 +439,50 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 EQUIDEPTH_BUCKETS = 10
 
 
-def q_equidepth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_equidepth_order_values(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Equi-depth (quantile-bucket) histogram of order totals — the
     histogram an optimizer actually wants (equal row mass per bucket,
     tight tails), vs the equi-WIDTH q_order_value_histogram.
 
-    One exact-percentile aggregate computes the NB-1 boundaries
-    (6-dp rounded so both engines share the exact cut points), the
-    1-row boundary frame broadcasts, and bucket assignment is a
-    map-side CASE — the fact is scanned twice, shuffled never (the
-    9-group count aggregate partial-combines)."""
+    One percentile aggregate computes the NB-1 boundaries (6-dp
+    rounded so both engines share the exact cut points), the 1-row
+    boundary frame broadcasts, and bucket assignment is a map-side
+    CASE — the fact is scanned twice, shuffled never (the 9-group
+    count aggregate partial-combines).
+
+    The default (oracle-parity) boundaries are EXACT percentiles — a
+    single-group aggregate whose buffer holds every fact value on one
+    reducer, fine at test SF and an OOM at 100x. ``approx=True`` is
+    the scale path: approx_percentile's fixed-size GK sketch computes
+    all NB-1 cut points map-side-combinably (histogram boundaries
+    don't need exactness — a cut point off by rank n/accuracy moves a
+    ~0.01% sliver of rows one bucket over)."""
     orders = load_table(spark, sf_dir, "orders")
     nb = EQUIDEPTH_BUCKETS
-    bounds = orders.agg(
-        *[
-            F.round(F.expr(f"percentile(o_totalprice, {i / nb})"), 6).alias(
-                f"b{i}"
-            )
-            for i in range(1, nb)
-        ]
-    )
+    if approx:
+        pcts = ", ".join(str(i / nb) for i in range(1, nb))
+        bounds = orders.agg(
+            F.expr(
+                f"approx_percentile(o_totalprice, array({pcts}), "
+                f"{PCTL_ACCURACY})"
+            ).alias("__bs")
+        ).select(
+            *[
+                F.round(F.element_at("__bs", i), 6).alias(f"b{i}")
+                for i in range(1, nb)
+            ]
+        )
+    else:
+        bounds = orders.agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(o_totalprice, {i / nb})"), 6
+                ).alias(f"b{i}")
+                for i in range(1, nb)
+            ]
+        )
     bucket = None
     for i in range(1, nb):
         cond = F.col("o_totalprice") <= F.col(f"b{i}")

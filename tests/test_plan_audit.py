@@ -240,3 +240,69 @@ def test_session_native_has_no_window_sort(spark, sf_dir):
     plan = _formatted_plan(q_events_session_native(spark, sf_dir))
     assert "session_window" in plan.lower()
     assert "RunningWindowFunction" not in plan and "Window\n" not in plan
+
+
+def test_scale_percentile_paths_use_fixed_memory_sketches(spark, sf_dir):
+    """approx=True is the 100x path for every query whose default uses
+    an exact percentile over fact-sized input: the plan must carry ONLY
+    approx_percentile (fixed-size GK sketch, map-side combinable) — a
+    single bare percentile() there buffers the whole group on one
+    reducer and is the OOM the scale mode exists to remove."""
+    from retail_sales_etl_spark.operators.events import q_events_anomaly_mad
+    from retail_sales_etl_spark.plans.advanced import (
+        q_equidepth_order_values,
+        q_order_value_percentiles,
+    )
+
+    for q in (
+        q_equidepth_order_values,
+        q_order_value_percentiles,
+        q_events_anomaly_mad,
+    ):
+        plan = _formatted_plan(q(spark, sf_dir, approx=True))
+        assert "approx_percentile" in plan, q.__name__
+        assert plan.count("percentile(") == plan.count(
+            "approx_percentile("
+        ), f"{q.__name__} scale path still has an exact percentile"
+
+
+def test_approx_percentile_paths_track_exact(spark, sf_dir):
+    """Sketch-mode results stay close to the exact (oracle) form and
+    keep its schema — the scale path is the same query, cheaper."""
+    from retail_sales_etl_spark.operators.events import q_events_anomaly_mad
+    from retail_sales_etl_spark.plans.advanced import (
+        q_equidepth_order_values,
+        q_order_value_percentiles,
+    )
+
+    exact = {
+        r["order_priority"]: r
+        for r in q_order_value_percentiles(spark, sf_dir).collect()
+    }
+    approx = q_order_value_percentiles(spark, sf_dir, approx=True)
+    assert approx.columns == ["order_priority", "p50", "p90", "p99", "n_orders"]
+    for r in approx.collect():
+        e = exact[r["order_priority"]]
+        assert r["n_orders"] == e["n_orders"]
+        for c in ("p50", "p90", "p99"):
+            assert abs(r[c] - e[c]) <= 0.05 * e[c], (r["order_priority"], c)
+
+    eq_exact = q_equidepth_order_values(spark, sf_dir)
+    eq_approx = q_equidepth_order_values(spark, sf_dir, approx=True)
+    assert eq_approx.columns == eq_exact.columns
+    n = sum(r["n_orders"] for r in eq_exact.collect())
+    counts = [r["n_orders"] for r in eq_approx.collect()]
+    assert sum(counts) == n  # every order lands in exactly one bucket
+    # near-equi-depth: no bucket more than 2x its fair share off
+    assert max(counts) <= 2 * (n / len(counts) + 1)
+
+    mad_exact = q_events_anomaly_mad(spark, sf_dir)
+    mad_approx = q_events_anomaly_mad(spark, sf_dir, approx=True)
+    assert mad_approx.columns == mad_exact.columns
+    em = {r["event_type"]: r for r in mad_exact.collect()}
+    for r in mad_approx.collect():
+        e = em[r["event_type"]]
+        assert r["n_events"] == e["n_events"]
+        assert abs(r["median_value"] - e["median_value"]) <= max(
+            0.05 * abs(e["median_value"]), 1e-6
+        )
