@@ -698,9 +698,14 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the stream-stream LEFT OUTER interval
-    join. Rows-only check: null-padded emission timing is a function of
-    watermark mechanics, not SQL-expressible — the emission contract is
-    pinned by tests/test_streaming.py against the batch inner twin.
+    join. Emission is deterministic under full replay, so it oracle-
+    checks hash-exact: matched pairs always emit (both rows arrive),
+    and an unmatched purchase emits null-padded iff the FINAL global
+    watermark — min(max click ts, max purchase ts) - 30 min, the min
+    because Spark's single global watermark tracks the slowest of the
+    two watermarked inputs — passed purchase_ts, after which no
+    qualifying click (click_ts <= purchase_ts) can still arrive. The
+    oracle SQL encodes exactly that set.
     """
     import uuid
 
@@ -847,6 +852,48 @@ ORACLE = {
             FROM sess
         )
         WHERE session_seq <> last_seq
+    """,
+    # LEFT OUTER interval join under full replay: matched pairs emit
+    # unconditionally; an unmatched purchase emits null-padded iff the
+    # final global watermark — min of the two sides' (max event time -
+    # 30 min), since the global watermark tracks the SLOWEST watermarked
+    # input — passed purchase_ts (no qualifying click can still arrive).
+    "streaming_interval_outer": """
+        WITH wm AS (
+            SELECT min(mx) - 1800000000 AS w FROM (
+                SELECT max(epoch_us(ts)) AS mx FROM events
+                WHERE event_type = 'click'
+                UNION ALL
+                SELECT max(epoch_us(ts)) FROM events
+                WHERE event_type = 'purchase'
+            )
+        )
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1800 SECOND
+        UNION ALL
+        SELECT p.event_id, NULL, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S'), NULL, NULL
+        FROM events p, wm
+        WHERE p.event_type = 'purchase'
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click'
+                AND c.user_id = p.user_id
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 1800 SECOND
+          )
+          AND epoch_us(p.ts) < wm.w
     """,
 }
 
