@@ -26,6 +26,7 @@ RUN_LOG = "etl_run_log"
 STAGE_LOG = "etl_stage_log"
 PIPELINE_MD = "pipeline_md"
 TABLE_MD = "table_md"
+PIPELINE_TABLE_MAP = "pipeline_table_map"
 
 
 def _utc_now() -> str:
@@ -215,6 +216,126 @@ class ControlLog:
 
     def activate_pipeline(self, pipeline_name: str) -> None:
         self.set_pipeline_active(pipeline_name, True)
+
+    # -- table metadata getters (reference metadata_table_helpers.py:132,148)
+    def _table_state(self) -> dict[str, dict]:
+        """Current state per table: later appended records overlay
+        earlier ones (the append-only-log equivalent of the reference's
+        UPDATE table_md)."""
+        by_name: dict[str, dict] = {}
+        for r in self._read(TABLE_MD):
+            name = r.get("table_name")
+            if name:
+                by_name[name] = {**by_name.get(name, {}), **r}
+        return by_name
+
+    def get_table(self, table_name: str) -> dict | None:
+        """Table metadata by name (reference
+        metadata_table_helpers.get_table, :132)."""
+        return self._table_state().get(table_name)
+
+    def list_active_tables_for_source(self, source_name: str) -> list[dict]:
+        """Active tables fed by a source (reference
+        metadata_table_helpers.list_active_tables_for_source, :148)."""
+        return [
+            t
+            for t in self._table_state().values()
+            if t.get("source_name") == source_name and t.get("is_active")
+        ]
+
+    def set_table_active(self, table_name: str, active: bool) -> None:
+        """Table lifecycle toggle, mirroring the pipeline one: pause a
+        target without a code change (reference table_md.is_active)."""
+        if self.get_table(table_name) is None:
+            raise ValueError(f"Unknown table: {table_name}")
+        self._append(
+            TABLE_MD,
+            {
+                "table_name": table_name,
+                "is_active": active,
+                "updated_at": _utc_now(),
+            },
+        )
+
+    # -- pipeline<->table mapping (reference pipeline_table_map,
+    #    sql/create_control_tables.sql:144 and
+    #    metadata_table_helpers.list_tables_for_pipeline, :194)
+    def map_table_to_pipeline(
+        self,
+        pipeline_name: str,
+        table_name: str,
+        load_order: int,
+        table_role: str,
+    ) -> None:
+        """Upsert one (pipeline, table) mapping row — the reference's
+        PRIMARY KEY (pipeline_name, table_name) becomes overlay-by-key
+        in the append-only log, so re-registering on every run is
+        idempotent."""
+        self._append(
+            PIPELINE_TABLE_MAP,
+            {
+                "pipeline_name": pipeline_name,
+                "table_name": table_name,
+                "load_order": load_order,
+                "table_role": table_role,
+                "updated_at": _utc_now(),
+            },
+        )
+
+    def _map_state(self) -> dict[tuple[str, str], dict]:
+        by_key: dict[tuple[str, str], dict] = {}
+        for r in self._read(PIPELINE_TABLE_MAP):
+            key = (r.get("pipeline_name"), r.get("table_name"))
+            if all(key):
+                by_key[key] = {**by_key.get(key, {}), **r}
+        return by_key
+
+    def list_tables_for_pipeline(self, pipeline_name: str) -> list[dict]:
+        """Tables a pipeline owns, in execution order — table metadata
+        joined with its mapping row (load_order, table_role), ACTIVE
+        tables only, ordered by load_order; parity with the reference's
+        JOIN table_md / WHERE is_active / ORDER BY load_order
+        (metadata_table_helpers.py:194)."""
+        tables = self._table_state()
+        rows = []
+        for (p, t), m in self._map_state().items():
+            if p != pipeline_name:
+                continue
+            tm = tables.get(t)
+            if tm is None or not tm.get("is_active"):
+                continue
+            rows.append(
+                {**tm, "load_order": m["load_order"], "table_role": m["table_role"]}
+            )
+        return sorted(rows, key=lambda r: (r["load_order"], r["table_name"]))
+
+    def bootstrap_metadata(
+        self,
+        pipelines: list[tuple] | None = None,
+        tables: list[tuple] | None = None,
+        mapping: list[tuple] | None = None,
+    ) -> None:
+        """Idempotently seed pipeline/table/map metadata before a first
+        run (reference scripts/bootstrap_metadata.py:42): existing
+        pipeline and table records are left untouched (re-seeding never
+        resets lifecycle flags or watermarks); mapping rows upsert by
+        their (pipeline, table) key.
+
+        ``pipelines``: (pipeline_name, source_name, load_strategy,
+        schedule) tuples; ``tables``: (table_name, source_name, grain,
+        primary_key_list, load_strategy, watermark_column); ``mapping``:
+        (pipeline_name, table_name, load_order, table_role).
+        """
+        have_p = self._pipeline_state()
+        for p in pipelines or []:
+            if p[0] not in have_p:
+                self.register_pipeline(*p)
+        have_t = self._table_state()
+        for t in tables or []:
+            if t[0] not in have_t:
+                self.register_table(*t)
+        for m in mapping or []:
+            self.map_table_to_pipeline(*m)
 
     # -- queries
     def runs(self) -> list[dict]:

@@ -200,6 +200,12 @@ def run_pipeline(
             log.update_stage(
                 stage, "SUCCESS", result["row_count"], result["row_count"], None
             )
+            log.register_table(
+                "date_dim", "orders", grain="date", primary_key=["date"]
+            )
+            log.map_table_to_pipeline(
+                pipeline_name, "date_dim", load_order=1, table_role="dimension"
+            )
 
         # LOAD
         stage = log.insert_stage(run_id, "LOAD", "STARTED", n_cleaned)
@@ -217,6 +223,14 @@ def run_pipeline(
             spec.source_table,
             grain="row" if spec.modeler else "source",
             primary_key=spec.model_primary_key or spec.primary_key,
+        )
+        # pipeline<->table ownership map (reference pipeline_table_map:
+        # the fact lands after its same-run dimensions, load_order 2)
+        log.map_table_to_pipeline(
+            pipeline_name,
+            spec.target_table,
+            load_order=2 if pipeline_name == "lineitem" else 1,
+            table_role="fact" if pipeline_name == "lineitem" else "dimension",
         )
 
         tlog.info("Pipeline SUCCESS")

@@ -82,3 +82,73 @@ def test_pipeline_lifecycle_gating(spark, sf_dir, tmp_path):
     # unknown pipeline names cannot be toggled
     with pytest.raises(ValueError, match="Unknown pipeline"):
         log.deactivate_pipeline("nope")
+
+
+def test_pipeline_table_map_populated_by_runner(spark, sf_dir, tmp_path):
+    """run_pipeline populates the pipeline<->table ownership map the
+    way the reference runner does: the fact pipeline owns date_dim
+    (load_order 1, dimension) then its fact (load_order 2), and the
+    getters answer 'which tables does pipeline X own?' in execution
+    order (reference metadata_table_helpers.list_tables_for_pipeline)."""
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, "lineitem", sf_dir, wh)
+    log = ControlLog(os.path.join(wh, "_control"))
+
+    owned = log.list_tables_for_pipeline("lineitem")
+    assert [(t["table_name"], t["load_order"], t["table_role"]) for t in owned] == [
+        ("date_dim", 1, "dimension"),
+        ("sales_fact", 2, "fact"),
+    ]
+    # re-running is idempotent on the map (upsert by PK, not duplicate)
+    run_pipeline(spark, "lineitem", sf_dir, wh)
+    assert len(log.list_tables_for_pipeline("lineitem")) == 2
+
+    # table getters (reference get_table / list_active_tables_for_source)
+    fact = log.get_table("sales_fact")
+    assert fact is not None and fact["source_name"] == "lineitem"
+    assert log.get_table("nope") is None
+    assert {t["table_name"] for t in log.list_active_tables_for_source("orders")} == {
+        "date_dim"
+    }
+
+    # deactivating a table drops it from the active views, reference
+    # semantics (WHERE is_active = 1) in both list helpers
+    log.set_table_active("date_dim", False)
+    assert [t["table_name"] for t in log.list_tables_for_pipeline("lineitem")] == [
+        "sales_fact"
+    ]
+    assert log.list_active_tables_for_source("orders") == []
+    log.set_table_active("date_dim", True)
+    assert len(log.list_tables_for_pipeline("lineitem")) == 2
+
+
+def test_bootstrap_metadata_idempotent(tmp_path):
+    """Standalone seed-everything entrypoint (reference
+    scripts/bootstrap_metadata.py): seeds pipeline/table/map records,
+    and re-seeding never resets lifecycle flags or watermarks."""
+    log = ControlLog(str(tmp_path / "control"))
+    pipelines = [("customer", "customer", "full", "manual")]
+    tables = [
+        ("customer_dim", "customer", "row", ["c_custkey"], "full", None),
+        ("sales_fact", "lineitem", "row", ["l_orderkey", "l_linenumber"],
+         "full", None),
+    ]
+    mapping = [
+        ("customer", "customer_dim", 1, "dimension"),
+        ("lineitem", "sales_fact", 2, "fact"),
+    ]
+    log.bootstrap_metadata(pipelines, tables, mapping)
+    assert log.get_pipeline("customer")["is_active"]
+    assert log.get_table("customer_dim")["primary_key"] == "c_custkey"
+
+    # mutate state, then re-seed: bootstrap must not clobber it
+    log.deactivate_pipeline("customer")
+    log.update_watermark("sales_fact", "2024-01-01", 42)
+    log.bootstrap_metadata(pipelines, tables, mapping)
+    assert not log.get_pipeline("customer")["is_active"]
+    assert log.get_table("sales_fact")["last_loaded_value"] == "2024-01-01"
+    # the map filters on TABLE active only (reference WHERE tm.is_active
+    # = 1) — a paused pipeline still owns its tables
+    assert [t["table_name"] for t in log.list_tables_for_pipeline("customer")] == [
+        "customer_dim"
+    ]
