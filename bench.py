@@ -46,7 +46,63 @@ HEADLINE = [
     "bloom_pruned_revenue",
     "events_session_native",
     "unigram_logprob",
+    "dedup_semantic",
+    "kmeans_centroids",
+    "cdc_order_changes",
 ]
+
+
+def _bench_lakehouse_read(spark, sf_dir: str) -> float:
+    """Data-skipping read path: orders landed as date-range commits
+    (LOAD-time work, outside the timer), then a one-month range
+    aggregate through read_where — the stats manifest should open ~1/12
+    of the files. Timed min-of-2 like the registry queries."""
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    lake_root = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        table = LakehouseTable(spark, os.path.join(lake_root, "orders"))
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        d0, d1 = orders.selectExpr(
+            "min(o_orderdate)", "max(o_orderdate)"
+        ).first()
+        # ~12 range-clustered commits (a monthly ingest layout)
+        n_slices = 12
+        span_days = (d1 - d0).days + 1
+        step = max(1, (span_days + n_slices - 1) // n_slices)
+        slices = []
+        lo = d0
+        while lo <= d1:
+            hi = min(lo + timedelta(days=step - 1), d1)
+            slices.append((lo, hi))
+            lo = hi + timedelta(days=1)
+        for lo, hi in slices:
+            table.write(
+                orders.where(F.col("o_orderdate").between(lo, hi)),
+                mode="append",
+            )
+        q_lo, q_hi = slices[len(slices) // 2]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                table.read_where("o_orderdate", q_lo, q_hi)
+                .groupBy("o_orderpriority")
+                .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
+    finally:
+        shutil.rmtree(lake_root, ignore_errors=True)
 
 
 def main() -> None:
@@ -89,6 +145,8 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(
