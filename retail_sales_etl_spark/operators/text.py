@@ -703,7 +703,81 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 constants (Robertson et al.; the Lucene-default parametrization)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Fixed query — terms present in the synthetic corpus vocabulary.
+BM25_QUERY = ("hash", "join", "stream")
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 ranked retrieval for a fixed term query — the lexical
+    retrieval baseline every RAG / training-data pipeline needs next to
+    the embedding ANN path.
+
+    Scale shape: the term filter lands map-side BEFORE the (doc, term)
+    grid aggregates, so the shuffled grid is |matching docs| x |query
+    terms|, never the corpus vocabulary; document length and corpus
+    stats (N, avgdl) are a broadcast 1-row frame; the final top-k is
+    orderBy+limit = distributed TakeOrdered, not a global sort. Per-term
+    scores are 6-dp rounded then summed as DECIMAL so the total is
+    order-independent (bit-stable under any partitioning) and matches
+    the oracle exactly. idf = ln(1 + (N - df + .5)/(df + .5)) — the
+    Robertson/Lucene form, positive for any df.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    dl = toks.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    words = toks.select("doc_id", F.explode("ws").alias("w")).filter(
+        F.col("w").isin(*BM25_QUERY)
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        wc.join(broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score.cast("decimal(18,6)")).alias("_s"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .select(
+            "doc_id",
+            F.col("_s").cast("double").alias("bm25_score"),
+            "n_terms_matched",
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
 QUERIES = {
+    "bm25_retrieval": q_bm25_retrieval,
     "unigram_logprob": q_unigram_logprob,
     "chunk_documents": q_chunk_documents,
     "dedup_lines": q_dedup_lines,
@@ -774,6 +848,48 @@ def _quality_oracle() -> str:
 
 
 ORACLE = {
+    # Constants are CAST to DOUBLE so DuckDB's DECIMAL literal
+    # arithmetic can't diverge from Spark's double literals; operation
+    # order mirrors the Spark expression exactly.
+    "bm25_retrieval": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS tf
+            FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+            WHERE w IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+        scored AS (
+            SELECT wc.doc_id,
+                   CAST(round(
+                       ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5))
+                       * tf * CAST({BM25_K1 + 1} AS DOUBLE)
+                       / (tf + CAST({BM25_K1} AS DOUBLE)
+                          * (CAST({1 - BM25_B} AS DOUBLE)
+                             + CAST({BM25_B} AS DOUBLE) * dl / avgdl)),
+                       6) AS DECIMAL(18,6)) AS s
+            FROM wc
+            JOIN dfreq USING (w)
+            JOIN dl ON wc.doc_id = dl.doc_id
+            CROSS JOIN stats
+        )
+        SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25_score,
+               count(*) AS n_terms_matched
+        FROM scored GROUP BY 1
+        ORDER BY bm25_score DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """,
     "unigram_logprob": """
         WITH words AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

@@ -306,3 +306,14 @@ def test_approx_percentile_paths_track_exact(spark, sf_dir):
         assert abs(r["median_value"] - e["median_value"]) <= max(
             0.05 * abs(e["median_value"]), 1e-6
         )
+
+
+def test_bm25_topk_is_take_ordered_and_filters_before_agg(spark, sf_dir):
+    """BM25's final top-k must plan as a distributed TakeOrdered (no
+    global sort of the scored set), and the query-term filter must land
+    before the (doc, term) grid aggregates."""
+    from retail_sales_etl_spark.operators.text import q_bm25_retrieval
+
+    plan = _formatted_plan(q_bm25_retrieval(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
