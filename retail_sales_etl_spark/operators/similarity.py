@@ -402,6 +402,237 @@ def _kmeans_oracle() -> str:
     """
 
 
+# Product quantization (Jégou et al., TPAMI 2011): split each vector
+# into PQ_M subvectors, learn a PQ_K-code codebook per subspace (Lloyd,
+# deterministic like kmeans_centroids), store each vector as PQ_M
+# 4-bit codes, and answer queries with an ADC table — PQ_M*PQ_K
+# distances computed ONCE per query, every corpus distance is then a
+# table-lookup sum. At 100 TB this is the memory story of ANN: 64
+# doubles (512 B) become 4 codes (2 B), so the scan is ~256x smaller,
+# and the codebooks (PQ_M*PQ_K subvectors) broadcast in KBs.
+PQ_M = 8
+PQ_K = 16
+PQ_ITERS = 2
+PQ_DSUB = DIM // PQ_M
+# ADC shortlist size for the exact re-rank stage: the coded scan ranks
+# everything, raw floats are touched for only PQ_RERANK candidates.
+PQ_RERANK = 100
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 as in-order dot products (dot(a,a) - 2 dot(a,b) +
+    dot(b,b)) — the same sequential-fold float computation DuckDB's
+    list_dot_product performs, so both engines agree to the last ulp
+    (a zip_with squared-diff fold would compute DIFFERENT float ops
+    than any SQL twin could)."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _pq_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and assign codes.
+
+    Returns (codebook: sub, code, cv; codes: vec_id, sub, code).
+    One Lloyd chain handles ALL subspaces at once — 'sub' is just an
+    extra group key, so each round is one broadcast of the M*K codebook
+    rows plus one shuffle on (sub, code, dim); no per-subspace jobs.
+    Deterministic throughout: init from the K lowest vec_ids per
+    subspace, 6-dp rounded distances, lowest-code tie-break,
+    decimal-exact means — bit-reproducible and oracle-checkable (the
+    DuckDB twin unrolls the same rounds as CTEs).
+    """
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub", "sv"),
+    )
+    wi = Window.partitionBy("sub").orderBy("vec_id")
+    codebook = (
+        subs.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= PQ_K)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("int").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    assigned = None
+    for _ in range(PQ_ITERS):
+        scored = subs.join(broadcast(codebook), "sub").select(
+            "vec_id",
+            "sub",
+            "code",
+            "sv",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+        )
+        assigned = scored.groupBy("vec_id", "sub").agg(
+            F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"),
+            F.expr("any_value(sv) AS sv"),
+        )
+        cent_long = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("dim_idx", "val")
+            )
+            .groupBy("sub", "code", "dim_idx")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("centroid")
+            )
+        )
+        codebook = cent_long.groupBy("sub", "code").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+    codes = assigned.select("vec_id", "sub", "code")
+    return codebook, codes
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC retrieval with exact re-rank: train the codebooks, build
+    the query's M x K ADC distance table (one tiny broadcast), rank
+    every corpus vector by the SUM of table lookups over its codes (the
+    coded scan never touches raw floats), shortlist the PQ_RERANK best,
+    and re-rank ONLY the shortlist with exact L2 — the standard
+    two-stage PQ pipeline: full-corpus work happens on 2-byte codes,
+    float work on a constant-size candidate set. Both stages are
+    orderBy+limit (distributed TakeOrdered). Recall vs the exact
+    baseline is pytest-pinned; the ranking itself is deterministic and
+    oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    codebook, codes = _pq_train(emb)
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    qsubs = query.select(
+        F.posexplode(
+            F.array(
+                *[F.slice("qv", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub", "qsv"),
+    )
+    table = qsubs.join(codebook, "sub").select(
+        "sub",
+        "code",
+        F.round(_l2sq(F.col("qsv"), F.col("cv")), 6).alias("d"),
+    )
+    shortlist = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(broadcast(table), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(18,6)")).alias("_s"))
+        .select("vec_id", F.col("_s").cast("double").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    return (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(broadcast(query))
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.round(_l2sq(F.col("v"), F.col("qv")), 6).alias("l2_dist"),
+        )
+        .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin: the same per-subspace Lloyd rounds unrolled as
+    CTEs (sub is an extra group key), then the same ADC table sum."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    ctes = [
+        """emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )""",
+        f"""subs AS (
+            SELECT vec_id, sub,
+                   list_slice(v, sub * {PQ_DSUB} + 1,
+                              sub * {PQ_DSUB} + {PQ_DSUB}) AS sv
+            FROM emb
+            CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub)
+        )""",
+        f"""cb_0 AS (
+            SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS cv FROM (
+                SELECT sub, sv, row_number() OVER (
+                    PARTITION BY sub ORDER BY vec_id
+                ) AS rn FROM subs
+            ) WHERE rn <= {PQ_K}
+        )""",
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        ctes.append(f"""assigned_{it} AS (
+            SELECT vec_id, sub, code, sv FROM (
+                SELECT s.vec_id, s.sub, c.code, s.sv,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.sub
+                           ORDER BY {d2('s.sv', 'c.cv')}, c.code
+                       ) AS rn
+                FROM subs s JOIN cb_{it - 1} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""cent_{it} AS (
+            SELECT sub, code, i - 1 AS dim_idx,
+                   CAST(sum(CAST(sv[i] AS DECIMAL(25,6))) AS DOUBLE)
+                       / count(*) AS centroid
+            FROM (
+                SELECT sub, code, sv, unnest(generate_series(1, len(sv))) AS i
+                FROM assigned_{it}
+            )
+            GROUP BY sub, code, i
+        )""")
+        ctes.append(f"""cb_{it} AS (
+            SELECT sub, code, list(centroid ORDER BY dim_idx) AS cv
+            FROM cent_{it} GROUP BY sub, code
+        )""")
+    last = PQ_ITERS
+    return f"""
+        WITH {', '.join(ctes)},
+        qsubs AS (
+            SELECT sub, sv AS qsv FROM subs WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        tbl AS (
+            SELECT c.sub, c.code, {d2('q.qsv', 'c.cv')} AS d
+            FROM cb_{last} c JOIN qsubs q ON c.sub = q.sub
+        ),
+        shortlist AS (
+            SELECT a.vec_id,
+                   CAST(sum(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+            FROM assigned_{last} a
+            JOIN tbl t ON a.sub = t.sub AND a.code = t.code
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+            GROUP BY a.vec_id
+            ORDER BY adc_dist ASC, a.vec_id
+            LIMIT {PQ_RERANK}
+        ),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID})
+        SELECT s.vec_id, s.adc_dist,
+               {d2('e.v', 'q.qv')} AS l2_dist
+        FROM shortlist s
+        JOIN emb e ON s.vec_id = e.vec_id
+        CROSS JOIN q
+        ORDER BY l2_dist ASC, s.vec_id
+        LIMIT {TOP_K}
+    """
+
+
 KNN_K = 3
 
 
@@ -594,6 +825,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "knn_join_blocked": q_knn_join_blocked,
     "kmeans_centroids": q_kmeans_centroids,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 
@@ -659,6 +891,7 @@ ORACLE = {
         FROM errs
     """,
     "kmeans_centroids": _kmeans_oracle(),
+    "ann_pq_topk": _pq_oracle(),
     "knn_join_blocked": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         pairs AS (

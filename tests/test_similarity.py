@@ -103,3 +103,57 @@ def test_ivf_cell_blocking_recall_at_least_label_blocking(spark, sf_dir):
     assert label_pairs <= truth, "label blocking emitted a non-pair"
     assert cell_pairs <= truth, "cell blocking emitted a non-pair"
     assert len(cell_pairs & truth) >= len(label_pairs & truth)
+
+
+def test_pq_codes_shape_and_adc_recall(spark, sf_dir):
+    """PQ structural contract + retrieval quality: every vector gets
+    exactly PQ_M codes in [0, PQ_K); the ADC top-10 is deterministic,
+    excludes the query, and recalls a healthy fraction of the exact
+    L2 top-10 (the whole point of the 256x-smaller scan)."""
+    import numpy as np
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_ID,
+        TOP_K,
+        _as_double_array,
+        _pq_train,
+        q_ann_pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    n_vecs = emb.count()
+    _, codes = _pq_train(emb)
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.min("code").alias("mn"),
+        F.max("code").alias("mx"),
+    ).first()
+    assert stats["n"] == n_vecs * PQ_M  # M codes per vector
+    assert stats["n_vecs"] == n_vecs
+    assert 0 <= stats["mn"] and stats["mx"] < PQ_K
+
+    got = q_ann_pq_topk(spark, sf_dir).collect()
+    assert len(got) == TOP_K
+    ids = [r["vec_id"] for r in got]
+    assert QUERY_VEC_ID not in ids
+    dists = [r["l2_dist"] for r in got]
+    assert dists == sorted(dists)  # re-ranked by ascending exact L2
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    q = vecs[QUERY_VEC_ID]
+    exact = sorted(
+        ((np.sum((v - q) ** 2), vid) for vid, v in vecs.items()
+         if vid != QUERY_VEC_ID)
+    )[:TOP_K]
+    exact_ids = {vid for _, vid in exact}
+    # two-stage PQ (ADC shortlist of PQ_RERANK + exact re-rank) should
+    # recover nearly the whole exact top-10
+    assert len(set(ids) & exact_ids) >= 8, (ids, exact_ids)
