@@ -100,7 +100,28 @@ def _proven_names() -> set[str]:
     return _proven_names_in(root)
 
 
+def _proof_rank() -> dict[str, int]:
+    """Scheduling rank for the driver queue: 0 = never green in any
+    verdict (genuinely new — must get a slot), 1 = green once but
+    invalidated by a source rewrite (re-proof wanted, can wait a round
+    if the budget is tight), 2 = proven and unchanged (yield the
+    slot)."""
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    proven, ever_green = _proof_sets_in(root)
+    return {
+        name: (2 if name in proven else 1) for name in ever_green
+    }
+
+
 def _proven_names_in(root: str) -> set[str]:
+    return _proof_sets_in(root)[0]
+
+
+def _proof_sets_in(root: str) -> tuple[set[str], set[str]]:
     import glob
     import json
     import os
@@ -155,7 +176,7 @@ def _proven_names_in(root: str) -> set[str]:
                 json.dump(state, f, indent=1, sort_keys=True)
         except OSError:
             pass  # read-only checkout: fall back to in-memory result
-    return proven
+    return proven, set(latest_green)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -165,10 +186,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if name in out:
                 raise ValueError(f"Duplicate query name: {name}")
             out[name] = fn
-    proven = _proven_names()
-    # stable partition: never-proven first (module order kept within
-    # each group), already-proven last
-    return {k: out[k] for k in sorted(out, key=lambda n: n in proven)}
+    rank = _proof_rank()
+    # stable three-way partition (module order kept within each group):
+    # genuinely NEW queries first (they must land inside the driver's
+    # ~50-slot budget), rewrite-invalidated re-proof candidates second,
+    # proven-and-unchanged last.
+    return {k: out[k] for k in sorted(out, key=lambda n: rank.get(n, 0))}
 
 
 def all_oracles() -> dict[str, str]:
