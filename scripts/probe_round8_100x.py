@@ -11,7 +11,10 @@ events unchanged (same key distribution — the heavy set and shares
 must be IDENTICAL at any scale, which the probe asserts). No testdata
 writes; staging under /tmp.
 
-Run: python scripts/probe_round8_100x.py [copies]  (results -> SURVEY §6)
+Run: python scripts/probe_round8_100x.py [copies] [ops]
+     ops: comma list of heavy,bloom,triangle,setsim (default all) —
+     lets each section run under a separate driver/time budget.
+Results -> SURVEY §6.
 """
 
 from __future__ import annotations
@@ -37,19 +40,9 @@ def _time(fn):
     return out, time.time() - t0
 
 
-def main() -> None:
-    copies_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    spark = get_spark(app_name="probe-round8-100x")
-    spark.sparkContext.setLogLevel("ERROR")
-    from retail_sales_etl_spark.operators.dedup import q_setsim_join
-    from retail_sales_etl_spark.operators.graph import q_triangle_count
-    from retail_sales_etl_spark.operators.joins import q_bloom_pruned_revenue
+def probe_heavy(spark, copies, copies_n):
     from retail_sales_etl_spark.operators.profiling import q_heavy_hitters
 
-    copies = spark.range(copies_n).select(F.col("id").alias("copy"))
-    os.makedirs(STAGE, exist_ok=True)
-
-    # ------------------------------------------------------ heavy_hitters
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n_ev = ev.count()
     big_ev_dir = f"{STAGE}/events"
@@ -64,9 +57,9 @@ def main() -> None:
         lambda: q_heavy_hitters(spark, SF_DIR).write.mode("overwrite")
         .format("noop").save()
     )
-    hh_big = q_heavy_hitters(spark, big_ev_dir)
     _, t100 = _time(
-        lambda: hh_big.write.mode("overwrite").format("noop").save()
+        lambda: q_heavy_hitters(spark, big_ev_dir).write.mode("overwrite")
+        .format("noop").save()
     )
     big = {
         (r["key"], round(r["share"], 6))
@@ -79,7 +72,10 @@ def main() -> None:
         f"heavy set identical ({sorted(k for k, _ in big)})"
     )
 
-    # ------------------------------------------- bloom_pruned_revenue
+
+def probe_bloom(spark, copies, copies_n):
+    from retail_sales_etl_spark.operators.joins import q_bloom_pruned_revenue
+
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     n_li = li.count()
@@ -118,7 +114,13 @@ def main() -> None:
         f"x{copies_n} data; counts exactly x{copies_n}"
     )
 
-    # ---------------------------------------------------- triangle_count
+
+def probe_triangle(spark, copies, copies_n):
+    from retail_sales_etl_spark.operators.graph import q_triangle_count
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_li = li.count()
+    off = F.col("copy") * F.lit(1_000_000_000)
     big_li_dir = f"{STAGE}/li_graph"
     li.crossJoin(copies).select(
         (F.col("l_orderkey") + off).alias("l_orderkey"),
@@ -141,7 +143,10 @@ def main() -> None:
         f"x{copies_n} data; output exactly x{copies_n}"
     )
 
-    # -------------------------------------------------------- setsim_join
+
+def probe_setsim(spark, copies, copies_n):
+    from retail_sales_etl_spark.operators.dedup import q_setsim_join
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     big_docs_dir = f"{STAGE}/docs"
@@ -163,6 +168,26 @@ def main() -> None:
         f"wall x{t100 / t1:.1f} for x{copies_n} data; pairs exactly x{copies_n}"
     )
 
+
+PROBES = {
+    "heavy": probe_heavy,
+    "bloom": probe_bloom,
+    "triangle": probe_triangle,
+    "setsim": probe_setsim,
+}
+
+
+def main() -> None:
+    copies_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    ops = (
+        sys.argv[2].split(",") if len(sys.argv) > 2 else list(PROBES)
+    )
+    spark = get_spark(app_name="probe-round8-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = spark.range(copies_n).select(F.col("id").alias("copy"))
+    os.makedirs(STAGE, exist_ok=True)
+    for op in ops:
+        PROBES[op](spark, copies, copies_n)
     shutil.rmtree(STAGE, ignore_errors=True)
 
 
