@@ -306,7 +306,74 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+# Top-p quality selection: per source, keep the highest-quality docs
+# holding the first MIX_TOP_P share of the source's tokens.
+MIX_TOP_P = 0.6
+
+
+def q_mix_top_p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-ranked top-p token selection — the 'keep the
+    best p of each source by token mass' curation step (nucleus-style
+    cut over a quality score instead of probabilities).
+
+    Scale shape: the corpus never sorts. Docs aggregate map-side into a
+    (source, quality) BUCKET GRID (quality is 6-dp rounded, so the grid
+    is bounded by distinct rounded scores, not docs); the cumulative
+    token share runs as a window over that small grid (the skyline
+    suffix-max pattern); a bucket is kept iff the tokens of strictly
+    higher-quality buckets are still under p * source_tokens (the
+    boundary bucket is included whole — deterministic, no intra-bucket
+    order needed). Docs then keep/drop map-side by joining their
+    bucket's verdict. A naive per-source cumsum window over DOCS would
+    put each source's whole corpus in one window partition — the exact
+    hot-partition hazard this grid formulation removes.
+
+    Quality proxy: word density (n_tokens / n_chars), deterministic
+    from the data; both engines round it identically at 6 dp.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(n_tokens.cast("double") / F.col("n_chars"), 6).alias(
+            "quality"
+        ),
+    )
+    grid = scored.groupBy("source", "quality").agg(
+        F.sum("n_tokens").cast("bigint").alias("bucket_tokens")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("source")
+    verdict = grid.select(
+        "source",
+        "quality",
+        F.coalesce(F.sum("bucket_tokens").over(w_cum), F.lit(0)).alias(
+            "cum_before"
+        ),
+        F.sum("bucket_tokens").over(w_tot).alias("source_tokens"),
+    ).filter(
+        F.col("cum_before")
+        < F.lit(MIX_TOP_P) * F.col("source_tokens").cast("double")
+    )
+    return scored.join(
+        broadcast(verdict.select("source", "quality")), ["source", "quality"]
+    ).select("doc_id", "source", "quality", "n_tokens")
+
+
 QUERIES = {
+    "mix_top_p_quality": q_mix_top_p_quality,
     "corpus_split": q_corpus_split,
     "sample_weighted": q_sample_weighted,
     "sample_stratified": q_sample_stratified,
@@ -316,6 +383,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mix_top_p_quality": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   length(text) - length(replace(text, ' ', '')) + 1
+                       AS n_tokens,
+                   round(CAST(length(text) - length(replace(text, ' ', ''))
+                              + 1 AS DOUBLE) / n_chars, 6) AS quality
+            FROM documents WHERE n_chars > 0
+        ),
+        grid AS (
+            SELECT source, quality,
+                   CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+            FROM scored GROUP BY 1, 2
+        ),
+        verdict AS (
+            SELECT source, quality FROM (
+                SELECT source, quality,
+                       coalesce(sum(bucket_tokens) OVER (
+                           PARTITION BY source ORDER BY quality DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before,
+                       sum(bucket_tokens) OVER (
+                           PARTITION BY source
+                       ) AS source_tokens
+                FROM grid
+            )
+            WHERE cum_before < {MIX_TOP_P} * CAST(source_tokens AS DOUBLE)
+        )
+        SELECT s.doc_id, s.source, s.quality, s.n_tokens
+        FROM scored s JOIN verdict v
+          ON s.source = v.source AND s.quality = v.quality
+    """,
     "sample_weighted": f"""
         WITH scored AS (
             SELECT doc_id, lang, source,

@@ -139,3 +139,55 @@ def test_mix_temperature_deterministic(spark, sf_dir):
     one = sorted(r["doc_id"] for r in q_mix_temperature(spark, sf_dir).collect())
     two = sorted(r["doc_id"] for r in q_mix_temperature(spark, sf_dir).collect())
     assert one == two and one
+
+
+def test_mix_top_p_keeps_top_share_per_source(spark, sf_dir):
+    """Selected docs are the HIGHEST-quality buckets of each source and
+    hold at least MIX_TOP_P of its tokens (boundary bucket included
+    whole), never the whole source unless the cut demands it."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.sampling import (
+        MIX_TOP_P,
+        q_mix_top_p_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(n_tokens).alias("t"))
+        .collect()
+    }
+    sel = q_mix_top_p_quality(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in sel:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(totals)
+    all_quality = {
+        (r["doc_id"], r["source"]): r["q"]
+        for r in docs.select(
+            "doc_id",
+            "source",
+            F.round(n_tokens.cast("double") / F.col("n_chars"), 6).alias("q"),
+        ).collect()
+    }
+    for src, rows in by_src.items():
+        kept = sum(r["n_tokens"] for r in rows)
+        # at least the top-p mass (boundary bucket included whole)...
+        assert kept >= MIX_TOP_P * totals[src]
+        # ...but a strict subset (the cut actually bites)
+        assert kept < totals[src]
+        # quality-downward-closed: every dropped doc of this source has
+        # quality strictly below the lowest kept bucket
+        min_kept_q = min(r["quality"] for r in rows)
+        kept_ids = {r["doc_id"] for r in rows}
+        for (doc_id, s), q in all_quality.items():
+            if s == src and doc_id not in kept_ids:
+                assert q < min_kept_q, (src, doc_id, q, min_kept_q)
