@@ -483,6 +483,57 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_N = 2  # word n-gram size for per-item containment
+CONTAIN_THRESH = 0.3
+
+
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-item containment decontamination — the stronger leakage
+    signal the pooled-gram screen can't give: for each (train doc,
+    eval doc) pair, the fraction of the EVAL doc's distinct n-grams
+    the train doc contains. A train doc containing >= CONTAIN_THRESH
+    of a benchmark item is flagged WITH the item it leaks (so the item
+    can be dropped from eval, or the doc from training) — the recipe
+    benchmark cards publish as 'n-gram containment'.
+
+    Scale shape: same as decontaminate_ngram — per-doc gram dedup is
+    map-side, the eval side ((eval_id, gram) pairs + per-item sizes —
+    benchmarks are MBs) broadcasts, and the corpus shuffles once on
+    (doc_id, eval_id) for the pair counts. The quadratic term is
+    |pairs sharing a gram|, bounded by eval size, never corpus^2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(w, CONTAIN_N))).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    eval_sizes = eval_grams.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("eval_grams")
+    )
+    pairs = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(eval_sizes), "eval_id")
+    )
+    containment = F.round(
+        F.col("n_shared").cast("double") / F.col("eval_grams"), 6
+    )
+    return pairs.select(
+        "doc_id",
+        "eval_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("eval_grams").cast("bigint").alias("eval_grams"),
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= CONTAIN_THRESH)
+
+
 BOILER_CHUNK_WORDS = 10
 BOILER_FRAC_THRESH = 0.3
 
@@ -784,6 +835,7 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     "text_repetition": q_text_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "decontaminate_containment": q_decontaminate_containment,
     "doc_boilerplate": q_doc_boilerplate,
     "pack_sequences": q_pack_sequences,
     "fuzzy_prefix_match": q_fuzzy_prefix_match,
@@ -1066,6 +1118,38 @@ ORACLE = {
         FROM base b
         LEFT JOIN a2 ON b.doc_id = a2.doc_id
         LEFT JOIN a3 ON b.doc_id = a3.doc_id
+    """,
+    "decontaminate_containment": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i : i + {CONTAIN_N - 1}], ' ') AS gram
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - {CONTAIN_N - 1})) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            )
+        ),
+        eval_grams AS (
+            SELECT doc_id AS eval_id, gram FROM grams
+            WHERE doc_id % {DECON_EVAL_MOD} = 0
+        ),
+        eval_sizes AS (
+            SELECT eval_id, count(*) AS eval_grams FROM eval_grams GROUP BY 1
+        ),
+        pairs AS (
+            SELECT g.doc_id, e.eval_id, count(*) AS n_shared
+            FROM grams g JOIN eval_grams e ON g.gram = e.gram
+            WHERE g.doc_id % {DECON_EVAL_MOD} <> 0
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_id, p.eval_id,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(s.eval_grams AS BIGINT) AS eval_grams,
+               round(CAST(p.n_shared AS DOUBLE) / s.eval_grams, 6)
+                   AS containment
+        FROM pairs p JOIN eval_sizes s ON p.eval_id = s.eval_id
+        WHERE round(CAST(p.n_shared AS DOUBLE) / s.eval_grams, 6)
+              >= {CONTAIN_THRESH}
     """,
     "decontaminate_ngram": f"""
         WITH grams AS (
