@@ -49,6 +49,10 @@ HEADLINE = [
     "dedup_semantic",
     "kmeans_centroids",
     "cdc_order_changes",
+    "ann_pq_topk",
+    "bm25_retrieval",
+    "mix_top_p_quality",
+    "decontaminate_containment",
 ]
 
 

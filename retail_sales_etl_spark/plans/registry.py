@@ -101,19 +101,23 @@ def _proven_names() -> set[str]:
 
 
 def _proof_rank() -> dict[str, int]:
-    """Scheduling rank for the driver queue: 0 = never green in any
-    verdict (genuinely new — must get a slot), 1 = green once but
-    invalidated by a source rewrite (re-proof wanted, can wait a round
-    if the budget is tight), 2 = proven and unchanged (yield the
-    slot)."""
+    """Scheduling rank for the driver queue: 0 = must get a slot this
+    round — never green in any verdict (genuinely new) OR manually
+    marked for re-proof (a recorded hash starting 'invalidated-', the
+    deliberate poison for a correctness-relevant rewrite); 1 = green
+    once but invalidated by an ordinary source edit (re-proof wanted,
+    can wait a round if the budget is tight); 2 = proven and unchanged
+    (yield the slot)."""
     import os
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    proven, ever_green = _proof_sets_in(root)
+    proven, ever_green, forced = _proof_sets_in(root)
     return {
-        name: (2 if name in proven else 1) for name in ever_green
+        name: (2 if name in proven else 1)
+        for name in ever_green
+        if name not in forced
     }
 
 
@@ -121,7 +125,7 @@ def _proven_names_in(root: str) -> set[str]:
     return _proof_sets_in(root)[0]
 
 
-def _proof_sets_in(root: str) -> tuple[set[str], set[str]]:
+def _proof_sets_in(root: str) -> tuple[set[str], set[str], set[str]]:
     import glob
     import json
     import os
@@ -156,6 +160,7 @@ def _proof_sets_in(root: str) -> tuple[set[str], set[str]]:
 
     hashes = _module_hashes()
     proven: set[str] = set()
+    forced: set[str] = set()
     changed = False
     for name, round_no in latest_green.items():
         cur = hashes.get(name)
@@ -169,6 +174,10 @@ def _proof_sets_in(root: str) -> tuple[set[str], set[str]]:
             proven.add(name)
         elif rec.get("hash") == cur:
             proven.add(name)
+        elif str(rec.get("hash", "")).startswith("invalidated-"):
+            # Manually poisoned: a correctness-relevant rewrite whose
+            # re-proof must not wait for a free slot.
+            forced.add(name)
         # else: source rewritten since the proof — needs re-proving.
     if changed:
         try:
@@ -176,7 +185,7 @@ def _proof_sets_in(root: str) -> tuple[set[str], set[str]]:
                 json.dump(state, f, indent=1, sort_keys=True)
         except OSError:
             pass  # read-only checkout: fall back to in-memory result
-    return proven, set(latest_green)
+    return proven, set(latest_green), forced
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

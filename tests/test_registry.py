@@ -80,6 +80,39 @@ def test_proof_invalidated_when_module_source_changes(tmp_path, monkeypatch):
     assert state["q_x"] == {"round": 7, "hash": "h2"}
 
 
+def test_manually_poisoned_proof_ranks_as_must_reprove(tmp_path, monkeypatch):
+    """A proof hash manually set to 'invalidated-…' marks a
+    correctness-relevant rewrite: the query must rank with the
+    never-proven group (guaranteed driver slot), not with ordinary
+    edit-invalidated entries that can wait a round."""
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({"q_poisoned": green, "q_edited": green})
+    )
+    (tmp_path / "PROOF_HASHES.json").write_text(
+        json.dumps(
+            {
+                "q_poisoned": {"round": 6, "hash": "invalidated-rewrite"},
+                "q_edited": {"round": 6, "hash": "old"},
+            }
+        )
+    )
+    monkeypatch.setattr(
+        registry,
+        "_module_hashes",
+        lambda: {"q_poisoned": "h1", "q_edited": "h2"},
+    )
+    proven, ever_green, forced = registry._proof_sets_in(str(tmp_path))
+    assert forced == {"q_poisoned"}
+    assert proven == set()
+    assert ever_green == {"q_poisoned", "q_edited"}
+
+
 def test_all_queries_and_oracles_consistent():
     queries = registry.all_queries()
     oracles = registry.all_oracles()
