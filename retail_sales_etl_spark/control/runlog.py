@@ -244,8 +244,13 @@ class ControlLog:
         ]
 
     def set_table_active(self, table_name: str, active: bool) -> None:
-        """Table lifecycle toggle, mirroring the pipeline one: pause a
-        target without a code change (reference table_md.is_active)."""
+        """Table lifecycle toggle (reference table_md.is_active). Scope
+        matches the reference exactly: the flag filters the metadata
+        READ API (list_active_tables_for_source,
+        list_tables_for_pipeline — what downstream readers consult),
+        while the RUNNER gates on pipeline activity only; the runner
+        registers tables if-absent, so a pause set here survives
+        re-runs."""
         if self.get_table(table_name) is None:
             raise ValueError(f"Unknown table: {table_name}")
         self._append(

@@ -355,8 +355,9 @@ _SESSION_NATIVE_SESS_SQL = f"""
 # engines share the literal
 MAD_K = round(3 * 1.4826, 6)
 
-# Scale-path sketch size (see plans/advanced.py PCTL_ACCURACY).
-_PCTL_ACCURACY = 10_000
+# Scale-path sketch size — the single shared knob (cycle-free import:
+# plans.advanced pulls nothing from operators).
+from ..plans.advanced import PCTL_ACCURACY as _PCTL_ACCURACY
 
 
 def q_events_anomaly_mad(

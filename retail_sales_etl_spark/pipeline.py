@@ -200,9 +200,12 @@ def run_pipeline(
             log.update_stage(
                 stage, "SUCCESS", result["row_count"], result["row_count"], None
             )
-            log.register_table(
-                "date_dim", "orders", grain="date", primary_key=["date"]
-            )
+            # Register-if-absent: a re-run must not overlay the table's
+            # lifecycle flag or watermark with bootstrap defaults.
+            if log.get_table("date_dim") is None:
+                log.register_table(
+                    "date_dim", "orders", grain="date", primary_key=["date"]
+                )
             log.map_table_to_pipeline(
                 pipeline_name, "date_dim", load_order=1, table_role="dimension"
             )
@@ -218,12 +221,13 @@ def run_pipeline(
         )
         log.update_stage(stage, "SUCCESS", n_cleaned, result["row_count"], None)
         tlog.info("LOAD ok: %d rows -> %s", result["row_count"], spec.target_table)
-        log.register_table(
-            spec.target_table,
-            spec.source_table,
-            grain="row" if spec.modeler else "source",
-            primary_key=spec.model_primary_key or spec.primary_key,
-        )
+        if log.get_table(spec.target_table) is None:
+            log.register_table(
+                spec.target_table,
+                spec.source_table,
+                grain="row" if spec.modeler else "source",
+                primary_key=spec.model_primary_key or spec.primary_key,
+            )
         # pipeline<->table ownership map (reference pipeline_table_map:
         # the fact lands after its same-run dimensions, load_order 2)
         log.map_table_to_pipeline(

@@ -168,7 +168,14 @@ def _proof_sets_in(root: str) -> tuple[set[str], set[str], set[str]]:
         if rec is None or round_no > rec.get("round", -1):
             # A verdict newer than the bookkeeping: the driver ran the
             # code as committed, which is the code we hash now — bind
-            # the proof to it.
+            # the proof to it. KNOWN WINDOW: a rewrite landing between
+            # the driver's verdict and the first registry load after it
+            # would bind the proof to the rewritten source. In this
+            # workflow the first load happens at session start (pytest/
+            # verify) before edits begin, so the window is the idle gap
+            # between rounds; a correctness-relevant rewrite made in
+            # that gap must be poisoned manually ('invalidated-…', see
+            # _proof_rank) — the dedup_lines precedent.
             state[name] = {"round": round_no, "hash": cur}
             changed = True
             proven.add(name)

@@ -65,7 +65,7 @@ def probe_heavy(spark, copies, copies_n):
         (r["key"], round(r["share"], 6))
         for r in q_heavy_hitters(spark, big_ev_dir).collect()
     }
-    assert {k for k, _ in big} == {k for k, _ in base}, (base, big)
+    assert big == base, (base, big)  # keys AND 6-dp shares identical
     print(
         f"heavy_hitters: {n_ev} events {t1:.2f}s -> {n_ev * copies_n} "
         f"events {t100:.2f}s; wall x{t100 / t1:.1f} for x{copies_n} data; "

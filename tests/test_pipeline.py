@@ -122,6 +122,28 @@ def test_pipeline_table_map_populated_by_runner(spark, sf_dir, tmp_path):
     assert len(log.list_tables_for_pipeline("lineitem")) == 2
 
 
+def test_rerun_preserves_table_lifecycle_and_watermark(spark, sf_dir, tmp_path):
+    """A re-run registers tables if-absent: an operator's pause
+    (set_table_active False) and a recorded watermark must survive the
+    next run instead of being overlaid with bootstrap defaults."""
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, "lineitem", sf_dir, wh)
+    log = ControlLog(os.path.join(wh, "_control"))
+    log.set_table_active("date_dim", False)
+    log.update_watermark("sales_fact", "2024-06-01", 123)
+
+    run_pipeline(spark, "lineitem", sf_dir, wh)
+    assert log.get_table("date_dim")["is_active"] is False
+    assert log.get_table("sales_fact")["last_loaded_value"] == "2024-06-01"
+    assert log.latest_watermark("sales_fact") == "2024-06-01"
+    # the paused table stays out of the active views until reactivated
+    assert [t["table_name"] for t in log.list_tables_for_pipeline("lineitem")] == [
+        "sales_fact"
+    ]
+    log.set_table_active("date_dim", True)
+    assert len(log.list_tables_for_pipeline("lineitem")) == 2
+
+
 def test_bootstrap_metadata_idempotent(tmp_path):
     """Standalone seed-everything entrypoint (reference
     scripts/bootstrap_metadata.py): seeds pipeline/table/map records,

@@ -317,3 +317,29 @@ def test_bm25_topk_is_take_ordered_and_filters_before_agg(spark, sf_dir):
     plan = _formatted_plan(q_bm25_retrieval(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_round8_operators_broadcast_their_small_sides(spark, sf_dir):
+    """The round-8 operators' small sides must broadcast: containment's
+    eval gram set, top-p's bucket verdict, and PQ's codebook/ADC table —
+    a SortMergeJoin on any of them would shuffle the corpus on a key it
+    never needs to shuffle on."""
+    from retail_sales_etl_spark.operators.sampling import q_mix_top_p_quality
+    from retail_sales_etl_spark.operators.similarity import q_ann_pq_topk
+    from retail_sales_etl_spark.operators.text import (
+        q_decontaminate_containment,
+    )
+
+    plan = _formatted_plan(q_decontaminate_containment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _formatted_plan(q_mix_top_p_quality(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _formatted_plan(q_ann_pq_topk(spark, sf_dir))
+    # ADC lookup table and codebook joins broadcast; the final top-k is
+    # a TakeOrdered, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
