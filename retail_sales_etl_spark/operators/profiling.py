@@ -46,19 +46,52 @@ def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     of the true heavy hitters. The exact recount pass then removes
     false candidates.
     """
+    yield pd.DataFrame(
+        {"key": list(_mg_fold(batches).keys())}, dtype=object
+    )
+
+
+def _mg_fold(batches: Iterator[pd.DataFrame], k: int = HH_DENOM) -> dict:
+    """Fold Arrow batches into one weighted MG summary dict (the kernel
+    behind ``_mg_candidates`` and the streaming summary)."""
     counters: dict = {}
     for pdf in batches:
         vc = pdf["key"].value_counts(dropna=False)
-        for key, cnt in vc.items():
-            # pandas may surface a NULL key as NaN; normalize to None
-            # so the candidate survives Arrow round-tripping.
-            if isinstance(key, float) and math.isnan(key):
-                key = None
-            counters[key] = counters.get(key, 0) + int(cnt)
-        if len(counters) > HH_DENOM:
-            cut = sorted(counters.values(), reverse=True)[HH_DENOM]
-            counters = {c: v - cut for c, v in counters.items() if v > cut}
-    yield pd.DataFrame({"key": list(counters.keys())}, dtype=object)
+        counters = mg_merge(counters, vc.items(), k)
+    return counters
+
+
+def mg_merge(counters: dict, items, k: int = HH_DENOM) -> dict:
+    """Merge weighted (key, count) items into an MG summary with at
+    most ``k`` positive counters — the mergeable-summaries merge
+    (Agarwal/Cormode et al., PODS 2012): add the counts; if more than
+    k counters remain, subtract the (k+1)-th largest from all and drop
+    the non-positive. Preserves MG's bound (undercount <= n/(k+1))
+    under arbitrary merge trees, which is what lets per-partition and
+    per-micro-batch summaries combine into one stream-lifetime
+    summary."""
+    for key, cnt in items:
+        # pandas may surface a NULL key as NaN; normalize to None
+        # so the candidate survives Arrow round-tripping.
+        if isinstance(key, float) and math.isnan(key):
+            key = None
+        counters[key] = counters.get(key, 0) + int(cnt)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {c: v - cut for c, v in counters.items() if v > cut}
+    return counters
+
+
+def _mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition WEIGHTED MG summary (key, cnt) — the mergeable
+    form a streaming sink folds across partitions and micro-batches."""
+    counters = _mg_fold(batches)
+    yield pd.DataFrame(
+        {
+            "key": pd.Series(list(counters.keys()), dtype=object),
+            "cnt": pd.Series(list(counters.values()), dtype="int64"),
+        }
+    )
 
 
 def heavy_hitters(df: DataFrame, key_col: str) -> DataFrame:

@@ -431,6 +431,90 @@ def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: s
     )
 
 
+def heavy_hitter_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_col: str = "event_type",
+) -> bool:
+    """Streaming heavy-hitter sketch maintenance: fold one micro-batch
+    into a stream-lifetime Misra-Gries summary stored as a lakehouse
+    table (<= HH_DENOM rows: key, cnt, plus a stream row count).
+
+    Per batch: each partition reduces to a weighted MG summary
+    (Arrow-batched, <= HH_DENOM entries), the driver folds the
+    partition summaries and the current table through ``mg_merge`` —
+    all driver-side data is O(partitions x HH_DENOM), never the key
+    space — and ONE overwrite commit lands the new summary. Because MG
+    summaries are mergeable (Agarwal/Cormode et al., PODS 2012), the
+    maintained summary carries the standard bound over the WHOLE
+    stream so far: counters undercount by at most n/(HH_DENOM+1), so
+    every key with true share >= 1/HH_DENOM has a positive counter —
+    the streaming candidates are a superset of the true heavy hitters
+    at every point in the stream's life. Exactly-once: same
+    batch-watermark + conditional-commit contract as
+    ``lakehouse_batch_sink``.
+    """
+    from ..load.lakehouse import DuplicateCommitError, LakehouseTable
+    from ..operators.profiling import HH_DENOM, _mg_summaries, mg_merge
+
+    spark = batch_df.sparkSession
+    table = LakehouseTable(spark, table_path)
+    hwm = table.latest_value("batch_hwm")
+    if hwm is not None and batch_id <= hwm:
+        return False
+    part_summaries = (
+        batch_df.select(F.col(key_col).cast("string").alias("key"))
+        .mapInPandas(_mg_summaries, schema="key string, cnt long")
+        .collect()
+    )
+    n_batch = batch_df.count()
+    counters: dict = {}
+    n_seen = 0
+    if table.latest_version() is not None:
+        latest = table.latest_entry() or {}
+        n_seen = latest.get("hh_rows_seen", 0)
+        counters = {
+            r["key"]: r["cnt"] for r in table.read().collect()
+        }
+    counters = mg_merge(
+        counters, ((r["key"], r["cnt"]) for r in part_summaries), HH_DENOM
+    )
+    summary = spark.createDataFrame(
+        [(k, int(v)) for k, v in counters.items()], "key string, cnt long"
+    )
+    try:
+        table.write(
+            summary,
+            mode="overwrite",
+            extra={
+                "batch_id": batch_id,
+                "batch_hwm": batch_id,
+                "hh_rows_seen": n_seen + n_batch,
+            },
+            conflict_on="batch_id",
+        )
+    except DuplicateCommitError:
+        return False
+    return True
+
+
+def maintain_heavy_hitters(stream: DataFrame, table_path: str, checkpoint: str):
+    """Run the streaming MG summary sink under foreachBatch
+    (availableNow) — the streaming twin of the batch ``heavy_hitters``
+    candidate pass."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        heavy_hitter_sink(batch_df, batch_id, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _IVM_DEC = "decimal(25,6)"
 
 

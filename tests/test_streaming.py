@@ -548,3 +548,55 @@ def test_ivm_replay_check_reads_only_latest_entry(spark, sf_dir, tmp_path):
                 streaming_events.ivm_lakehouse_sink(batch, bid, tbl_path)
                 is False
             )
+
+
+def test_streaming_heavy_hitter_summary(spark, sf_dir, tmp_path):
+    """The maintained MG summary over a multi-batch replay must carry
+    the textbook bound for the WHOLE stream: every true heavy key has a
+    positive counter, and counters undercount by at most n/(k+1)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.profiling import HH_DENOM
+
+    # split events into 4 files so availableNow runs 4 micro-batches
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_split")
+    ev.repartition(4).write.parquet(src_dir)
+
+    tbl_path = str(tmp_path / "hh_table")
+    stream = streaming_events.read_events_stream(
+        spark, src_dir, max_files_per_trigger=1
+    )
+    q = streaming_events.maintain_heavy_hitters(
+        stream, tbl_path, str(tmp_path / "ckpt_hh")
+    )
+    q.awaitTermination()
+
+    table = LakehouseTable(spark, tbl_path)
+    counters = {r["key"]: r["cnt"] for r in table.read().collect()}
+    assert 0 < len(counters) <= HH_DENOM
+    n = ev.count()
+    assert table.latest_entry()["hh_rows_seen"] == n
+    true_counts = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # every true heavy hitter survives with a positive counter
+    for key, c in true_counts.items():
+        if c * HH_DENOM >= n:
+            assert counters.get(key, 0) > 0, (key, c, counters)
+    # counters never overcount and undercount at most n/(k+1)
+    for key, approx in counters.items():
+        true = true_counts.get(key, 0)
+        assert approx <= true
+        assert true - approx <= n / (HH_DENOM + 1)
+
+    # replay of an already-landed batch is skipped, summary unchanged
+    versions_before = table.latest_version()
+    replay = ev.limit(10)
+    assert (
+        streaming_events.heavy_hitter_sink(replay, 0, tbl_path) is False
+    )
+    assert table.latest_version() == versions_before
