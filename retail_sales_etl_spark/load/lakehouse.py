@@ -48,6 +48,11 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_log"
 _VERSION_DIGITS = 20  # zero-padded so lexicographic == numeric order
 
+# Sentinel distinguishing "caller did not pin a read version" from a
+# pinned None (= the caller observed an EMPTY table): a read-modify-
+# write caller must be able to pin either.
+_UNPINNED = object()
+
 # Commit-entry fields owned by the table itself. Caller metadata
 # (``extra=``) may never shadow these — a silent overwrite of ``add`` /
 # ``remove`` would corrupt the transaction log.
@@ -229,15 +234,17 @@ class LakehouseTable:
         v = self.latest_version()
         return self._read_commit(v) if v is not None else None
 
-    def latest_value(self, key: str):
-        """Newest committed value for metadata ``key``, scanning backward
-        from the latest version and stopping at the first entry that
-        carries it. For a writer that stamps ``key`` on every one of its
-        commits (a streaming sink's watermark), the scan cost is
-        O(commits by OTHER writers since its last commit) — not
-        O(all commits) — the full history is only walked once, on a
-        table the key has never been written to."""
+    def latest_value(self, key: str, as_of: int | None = None):
+        """Newest committed value for metadata ``key`` (at or before
+        ``as_of`` when given), scanning backward and stopping at the
+        first entry that carries it. For a writer that stamps ``key``
+        on every one of its commits (a streaming sink's watermark), the
+        scan cost is O(commits by OTHER writers since its last commit)
+        — not O(all commits) — the full history is only walked once, on
+        a table the key has never been written to."""
         for v in reversed(self._versions()):
+            if as_of is not None and v > as_of:
+                continue
             entry = self._read_commit(v)
             if key in entry:
                 return entry[key]
@@ -399,18 +406,25 @@ class LakehouseTable:
         evolve: bool = False,
         extra: dict | None = None,
         conflict_on: str | None = None,
+        read_version=_UNPINNED,
     ) -> int:
         """Commit ``df`` as a new table version. ``mode``: append |
         overwrite. ``extra`` merges caller metadata into the log entry
         (e.g. a streaming batch_id for replay idempotence);
         ``conflict_on`` names an ``extra`` key that must be unique
         across commits (DuplicateCommitError if a concurrent writer
-        lands the same value first). Returns the committed version
-        number."""
+        lands the same value first). ``read_version`` pins the version
+        the caller's input was DERIVED from: a read-modify-write caller
+        (e.g. a streaming sketch sink) passes the version it read —
+        None meaning it observed an EMPTY table — so any commit landing
+        in between aborts the overwrite instead of being silently
+        clobbered; left unpinned, it is captured here (the plain
+        blind-write case). Returns the committed version number."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        read_version = self.latest_version()
-        live, last = self._replay()
+        if read_version is _UNPINNED:
+            read_version = self.latest_version()
+        live, last = self._replay(as_of=read_version)
         schema_json = self._check_schema(df, last, evolve)
         files, n, stats = self._stage_files(df)
         entry = _merge_extra(
@@ -546,6 +560,7 @@ class LakehouseTable:
         updates: DataFrame,
         primary_key: Sequence[str],
         extra: dict | None = None,
+        read_version=_UNPINNED,
     ) -> dict:
         """MERGE INTO: matched keys take the update row, unmatched
         update rows insert. Rewrites ONLY data files containing a
@@ -554,12 +569,16 @@ class LakehouseTable:
         update keys. At 100 TB a point-upsert touches a handful of
         files; everything else is carried forward as metadata.
         ``extra`` merges caller metadata into the log entry (e.g. a
-        streaming batch_id for replay idempotence).
+        streaming batch_id for replay idempotence). ``read_version``
+        pins the snapshot the caller's ``updates`` were derived from
+        (see ``write``): a commit landing after it aborts the merge
+        instead of rebasing stale derived rows over fresh state.
         """
-        read_version = self.latest_version()
-        live, last = self._resolve_files(None)
+        if read_version is _UNPINNED:
+            read_version = self.latest_version()
+        live, last = self._resolve_files(read_version)
         keys = list(primary_key)
-        target = self.read()
+        target = self.read(version=read_version)
 
         tagged = target.withColumn("_lh_file", F.input_file_name())
         touched_files = [

@@ -84,12 +84,26 @@ def mg_merge(counters: dict, items, k: int = HH_DENOM) -> dict:
 
 def _mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-partition WEIGHTED MG summary (key, cnt) — the mergeable
-    form a streaming sink folds across partitions and micro-batches."""
-    counters = _mg_fold(batches)
+    form a streaming sink folds across partitions and micro-batches.
+    ``part_rows`` carries the partition's row count on the FIRST summary
+    row (0 elsewhere), so one pass yields both the summary and the
+    batch size — no second scan of the micro-batch."""
+    n_rows = 0
+
+    def counting(batches):
+        nonlocal n_rows
+        for pdf in batches:
+            n_rows += len(pdf)
+            yield pdf
+
+    counters = _mg_fold(counting(batches))
     yield pd.DataFrame(
         {
             "key": pd.Series(list(counters.keys()), dtype=object),
             "cnt": pd.Series(list(counters.values()), dtype="int64"),
+            "part_rows": pd.Series(
+                [n_rows] + [0] * (len(counters) - 1), dtype="int64"
+            ),
         }
     )
 

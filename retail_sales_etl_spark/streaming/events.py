@@ -341,6 +341,16 @@ def dedupe_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def _run_foreach_batch(stream: DataFrame, sink, checkpoint: str):
+    """Shared foreachBatch/availableNow wiring for every batch sink."""
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_batches_to_parquet(
     stream: DataFrame, path: str, checkpoint: str
 ):
@@ -358,12 +368,7 @@ def write_batches_to_parquet(
             .parquet(path)
         )
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _run_foreach_batch(stream, _sink, checkpoint)
 
 
 def lakehouse_batch_sink(batch_df: DataFrame, batch_id: int, table_path: str) -> bool:
@@ -423,12 +428,7 @@ def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: s
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         lakehouse_batch_sink(batch_df, batch_id, table_path)
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _run_foreach_batch(stream, _sink, checkpoint)
 
 
 def heavy_hitter_sink(
@@ -455,48 +455,68 @@ def heavy_hitter_sink(
     batch-watermark + conditional-commit contract as
     ``lakehouse_batch_sink``.
     """
-    from ..load.lakehouse import DuplicateCommitError, LakehouseTable
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
     from ..operators.profiling import HH_DENOM, _mg_summaries, mg_merge
 
     spark = batch_df.sparkSession
     table = LakehouseTable(spark, table_path)
-    hwm = table.latest_value("batch_hwm")
-    if hwm is not None and batch_id <= hwm:
-        return False
+    # One scan of the micro-batch: summaries + per-partition row counts.
     part_summaries = (
         batch_df.select(F.col(key_col).cast("string").alias("key"))
-        .mapInPandas(_mg_summaries, schema="key string, cnt long")
+        .mapInPandas(_mg_summaries, schema="key string, cnt long, part_rows long")
         .collect()
     )
-    n_batch = batch_df.count()
-    counters: dict = {}
-    n_seen = 0
-    if table.latest_version() is not None:
-        latest = table.latest_entry() or {}
-        n_seen = latest.get("hh_rows_seen", 0)
-        counters = {
-            r["key"]: r["cnt"] for r in table.read().collect()
-        }
-    counters = mg_merge(
-        counters, ((r["key"], r["cnt"]) for r in part_summaries), HH_DENOM
-    )
-    summary = spark.createDataFrame(
-        [(k, int(v)) for k, v in counters.items()], "key string, cnt long"
-    )
-    try:
-        table.write(
-            summary,
-            mode="overwrite",
-            extra={
-                "batch_id": batch_id,
-                "batch_hwm": batch_id,
-                "hh_rows_seen": n_seen + n_batch,
-            },
-            conflict_on="batch_id",
+    n_batch = sum(r["part_rows"] for r in part_summaries)
+    for _ in range(3):
+        # Pin the snapshot BEFORE reading: the overwrite below commits
+        # against this exact version, so a commit landing between the
+        # read and the write aborts instead of being clobbered (the
+        # zombie-instance failover case).
+        read_version = table.latest_version()
+        hwm = table.latest_value("batch_hwm", as_of=read_version)
+        if hwm is not None and batch_id <= hwm:
+            return False
+        counters: dict = {}
+        n_seen = 0
+        if read_version is not None:
+            # as-of backward scan: a maintenance commit without the
+            # stamp (e.g. OPTIMIZE) must not reset the lifetime count
+            n_seen = table.latest_value("hh_rows_seen", as_of=read_version) or 0
+            counters = {
+                r["key"]: r["cnt"]
+                for r in table.read(version=read_version).collect()
+            }
+        merged = mg_merge(
+            counters, ((r["key"], r["cnt"]) for r in part_summaries), HH_DENOM
         )
-    except DuplicateCommitError:
-        return False
-    return True
+        summary = spark.createDataFrame(
+            [(k, int(v)) for k, v in merged.items()], "key string, cnt long"
+        )
+        try:
+            table.write(
+                summary,
+                mode="overwrite",
+                extra={
+                    "batch_id": batch_id,
+                    "batch_hwm": batch_id,
+                    "hh_rows_seen": n_seen + n_batch,
+                },
+                conflict_on="batch_id",
+                read_version=read_version,
+            )
+            return True
+        except DuplicateCommitError:
+            return False
+        except ConcurrentWriteError:
+            continue  # someone else advanced the table; re-fold fresh
+    raise RuntimeError(
+        f"heavy_hitter_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {table_path})"
+    )
 
 
 def maintain_heavy_hitters(stream: DataFrame, table_path: str, checkpoint: str):
@@ -507,12 +527,7 @@ def maintain_heavy_hitters(stream: DataFrame, table_path: str, checkpoint: str):
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         heavy_hitter_sink(batch_df, batch_id, table_path)
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _run_foreach_batch(stream, _sink, checkpoint)
 
 
 _IVM_DEC = "decimal(25,6)"
@@ -531,17 +546,18 @@ def ivm_lakehouse_sink(
     touched groups, and MERGE — one atomic commit that rewrites only
     files containing touched keys. The raw stream is never re-read and
     the view is never recomputed from scratch. Exactly-once: every
-    commit carries ``ivm_batch_hwm``, the high-water batch_id, so a
-    replay check is ONE log read (the latest entry) regardless of how
-    many commits exist — foreachBatch batch_ids are monotone, so
-    ``batch_id <= hwm`` means replay. Multi-writer safety comes from
-    the commit itself being conditional: the first batch uses
-    ``overwrite`` (which, unlike a blind append, refuses to rebase
-    over an interloper) and every later batch MERGEs, so of two
-    concurrent writers of the same batch one loses with
-    ConcurrentWriteError — caught here and reported as a replay.
-    Sums are DECIMAL so the maintained view is bit-identical to a
-    from-scratch aggregate of everything delivered.
+    commit carries ``ivm_batch_hwm``, the high-water batch_id, so the
+    replay check is a backward scan to the newest stamp (O(1) on a
+    sink-only table, robust to interleaved maintenance commits) —
+    foreachBatch batch_ids are monotone, so ``batch_id <= hwm`` means
+    replay. Multi-writer safety: the snapshot version is PINNED before
+    the hwm check and view read, and both the first-batch ``overwrite``
+    and every later MERGE commit conditionally against that exact
+    version — an interloping commit (a zombie instance, a duplicate
+    batch) aborts with ConcurrentWriteError and the sink re-checks and
+    re-folds from fresh state instead of clobbering it. Sums are
+    DECIMAL so the maintained view is bit-identical to a from-scratch
+    aggregate of everything delivered.
 
     Returns False when the batch was a replay (nothing written).
     """
@@ -549,20 +565,16 @@ def ivm_lakehouse_sink(
 
     table = LakehouseTable(batch_df.sparkSession, table_path)
 
-    def _hwm() -> int:
-        latest = table.latest_entry()
-        if latest is None:
-            return -1
-        if "ivm_batch_hwm" in latest:
-            return latest["ivm_batch_hwm"]
+    def _hwm(as_of) -> int:
+        hwm = table.latest_value("ivm_batch_hwm", as_of=as_of)
+        if hwm is not None:
+            return hwm
         # Pre-watermark table: one full-history fallback scan.
         return max(
             (e["batch_id"] for e in table.history() if "batch_id" in e),
             default=-1,
         )
 
-    if batch_id <= _hwm():
-        return False
     marker = {"batch_id": batch_id, "ivm_batch_hwm": batch_id}
     partial = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -570,40 +582,55 @@ def ivm_lakehouse_sink(
             "total_value"
         ),
     )
-    if table.latest_version() is None:
-        try:
-            # overwrite-on-empty == append, but commits CONDITIONALLY:
-            # a concurrent first-batch writer aborts instead of
-            # double-appending the same partial.
-            table.write(partial, mode="overwrite", extra=marker)
-        except ConcurrentWriteError:
-            if batch_id <= _hwm():
-                return False
-            raise
-        return True
-    current = table.read()
-    combined = (
-        partial.alias("p")
-        .join(current.alias("c"), "event_type", "left")
-        .select(
-            "event_type",
-            (
-                F.col("p.n_events")
-                + F.coalesce(F.col("c.n_events"), F.lit(0))
-            ).alias("n_events"),
-            (
-                F.col("p.total_value")
-                + F.coalesce(F.col("c.total_value"), F.lit(0).cast(_IVM_DEC))
-            ).cast(_IVM_DEC).alias("total_value"),
-        )
-    )
-    try:
-        table.merge(combined, ["event_type"], extra=marker)
-    except ConcurrentWriteError:
-        if batch_id <= _hwm():
+    for _ in range(3):
+        # Pin the snapshot BEFORE deciding/reading: the commit below is
+        # conditional on this exact version, so a commit landing in
+        # between aborts (and we re-fold) instead of being clobbered.
+        read_version = table.latest_version()
+        if batch_id <= _hwm(read_version):
             return False
-        raise
-    return True
+        if read_version is None:
+            try:
+                # overwrite-on-empty == append, but commits
+                # CONDITIONALLY: a concurrent first-batch writer aborts
+                # instead of double-appending the same partial.
+                table.write(
+                    partial, mode="overwrite", extra=marker,
+                    read_version=read_version,
+                )
+                return True
+            except ConcurrentWriteError:
+                continue  # someone landed first; re-check hwm, re-fold
+        current = table.read(version=read_version)
+        combined = (
+            partial.alias("p")
+            .join(current.alias("c"), "event_type", "left")
+            .select(
+                "event_type",
+                (
+                    F.col("p.n_events")
+                    + F.coalesce(F.col("c.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.col("p.total_value")
+                    + F.coalesce(
+                        F.col("c.total_value"), F.lit(0).cast(_IVM_DEC)
+                    )
+                ).cast(_IVM_DEC).alias("total_value"),
+            )
+        )
+        try:
+            table.merge(
+                combined, ["event_type"], extra=marker,
+                read_version=read_version,
+            )
+            return True
+        except ConcurrentWriteError:
+            continue
+    raise RuntimeError(
+        f"ivm_lakehouse_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {table_path})"
+    )
 
 
 def maintain_event_rollup(stream: DataFrame, table_path: str, checkpoint: str):
@@ -612,12 +639,7 @@ def maintain_event_rollup(stream: DataFrame, table_path: str, checkpoint: str):
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ivm_lakehouse_sink(batch_df, batch_id, table_path)
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _run_foreach_batch(stream, _sink, checkpoint)
 
 
 def interval_join_clicks_purchases(

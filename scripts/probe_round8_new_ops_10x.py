@@ -2,9 +2,11 @@
 ann_pq_topk, bm25_retrieval, mix_top_p_quality,
 decontaminate_containment.
 
-Same shard-disjoint growth construction as the other probes: documents
-get copy-unique word prefixes (disjoint vocabulary per copy — BM25 df
-and containment pairs stay per-copy), embeddings get key-offset vec_ids
+Same shard-disjoint growth construction as the other probes:
+containment documents get copy-unique word prefixes (disjoint
+vocabulary per copy, pairs stay per-copy); BM25 documents are PLAIN
+id-offset copies (prefixing would leave the fixed query matching
+nothing — df and N scale together instead); embeddings get key-offset vec_ids
 with the ORIGINAL vectors repeated (PQ codebooks see 10x the training
 points; the query's exact neighbors gain 10 identical twins, so the
 re-ranked top-k must consist of copies of the base top-k ids).
@@ -42,6 +44,15 @@ def _time(fn):
 def main() -> None:
     spark = get_spark(app_name="probe-round8-new-ops-10x")
     spark.sparkContext.setLogLevel("ERROR")
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+    os.makedirs(STAGE, exist_ok=True)
+    try:
+        _run(spark, copies)
+    finally:
+        shutil.rmtree(STAGE, ignore_errors=True)
+
+
+def _run(spark, copies):
     from retail_sales_etl_spark.operators.sampling import (
         MIX_TOP_P,
         q_mix_top_p_quality,
@@ -54,9 +65,6 @@ def main() -> None:
         q_bm25_retrieval,
         q_decontaminate_containment,
     )
-
-    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
-    os.makedirs(STAGE, exist_ok=True)
 
     # staged 10x documents (disjoint vocab per copy)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -83,11 +91,35 @@ def main() -> None:
     ).write.mode("overwrite").parquet(f"{emb_dir}/embeddings.parquet")
 
     # ------------------------------------------------------------- bm25
-    _, t1 = _time(lambda: q_bm25_retrieval(spark, SF_DIR).collect())
-    _, t10 = _time(lambda: q_bm25_retrieval(spark, docs_dir).collect())
+    # BM25 needs the ORIGINAL vocabulary (the disjoint-vocab prefixing
+    # would leave the fixed query matching nothing): plain id-offset
+    # copies, so df and N scale x10 and every base match has 10 copies.
+    bm25_dir = f"{STAGE}/docs_bm25"
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("copy") * F.lit(111_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{bm25_dir}/documents.parquet")
+    r1, t1 = _time(lambda: q_bm25_retrieval(spark, SF_DIR).collect())
+    r10, t10 = _time(lambda: q_bm25_retrieval(spark, bm25_dir).collect())
+    assert len(r1) == len(r10) and len(r10) > 0
+    # df and N scale together, so scores are NEARLY scale-invariant
+    # (only the +0.5 idf smoothing doesn't scale): the 10x top-k should
+    # be mostly copies of base top-k docs at nearly the base scores
+    base_scores = {r["doc_id"]: r["bm25_score"] for r in r1}
+    hits = [
+        r for r in r10 if (r["doc_id"] % 111_000_000) in base_scores
+    ]
+    assert len(hits) >= len(r10) - 2, (r1, r10)
+    for r in hits:
+        b = base_scores[r["doc_id"] % 111_000_000]
+        assert abs(r["bm25_score"] - b) <= 0.02 * abs(b), (r, b)
     print(
         f"bm25_retrieval: {n_docs} docs {t1:.2f}s -> {n_docs * COPIES} docs "
-        f"{t10:.2f}s; wall x{t10 / t1:.1f} for x{COPIES} data"
+        f"{t10:.2f}s; wall x{t10 / t1:.1f} for x{COPIES} data; top-k are "
+        f"near-score-identical copies of the base top-k"
     )
 
     # ------------------------------------------------------ containment
@@ -105,6 +137,7 @@ def main() -> None:
         sel = q_mix_top_p_quality(spark, sf)
         tot = (
             spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("n_chars") > 0)  # mirror the operator's guard
             .select(
                 "source",
                 (
@@ -151,8 +184,6 @@ def main() -> None:
         f"{t10:.2f}s; wall x{t10 / t1:.1f} for x{COPIES} data; all "
         f"{COPIES - 1} exact query twins retrieved first"
     )
-
-    shutil.rmtree(STAGE, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -460,3 +460,35 @@ def test_zorder_then_read_where_prunes(spark, table):
         r.id for r in table.read().where(F.col("val").between(100.0, 300.0)).collect()
     )
     assert got == want
+
+
+def test_pinned_read_version_aborts_stale_read_modify_write(spark, table):
+    """A read-modify-write caller pins the version its input derived
+    from; a commit landing in between must abort the overwrite/merge
+    (zombie-instance case) instead of silently clobbering it."""
+    table.write(spark.createDataFrame(_rows(5)), mode="append")
+    v0 = table.latest_version()
+    # interloper advances the table after the caller's read
+    table.write(spark.createDataFrame(_rows(5, start=100)), mode="append")
+    with pytest.raises(ConcurrentWriteError):
+        table.write(
+            spark.createDataFrame(_rows(2, start=200)),
+            mode="overwrite",
+            read_version=v0,
+        )
+    with pytest.raises(ConcurrentWriteError):
+        table.merge(
+            spark.createDataFrame(_rows(1, start=0, src="upd")),
+            ["id"],
+            read_version=v0,
+        )
+    # pinned empty-table observation (None) also aborts once rows exist
+    with pytest.raises(ConcurrentWriteError):
+        table.write(
+            spark.createDataFrame(_rows(2, start=300)),
+            mode="overwrite",
+            read_version=None,
+        )
+    # unpinned writes still work (blind-write case unchanged)
+    table.write(spark.createDataFrame(_rows(2, start=400)), mode="overwrite")
+    assert {r.id for r in table.read().collect()} == {400, 401}
