@@ -618,7 +618,19 @@ class LakehouseTable:
             },
             extra,
         )
-        v = self._try_commit(entry, read_version)
+        try:
+            v = self._try_commit(entry, read_version)
+        except ConcurrentWriteError:
+            # The staged rewrite will never be referenced by any commit;
+            # a retrying caller (e.g. the IVM sink's 3-attempt loop)
+            # would otherwise orphan a full file set per aborted attempt
+            # until VACUUM.
+            for f in files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+            raise
         return {
             "version": v,
             "files_rewritten": len(touched_files),

@@ -71,11 +71,20 @@ def mg_merge(counters: dict, items, k: int = HH_DENOM) -> dict:
     per-micro-batch summaries combine into one stream-lifetime
     summary."""
     for key, cnt in items:
+        # Skip padding / degenerate items: a null or zero count carries
+        # no weight and must not materialize a spurious counter (the
+        # summary schema pads empty partitions with a cnt=0 row, and a
+        # null cnt would TypeError on int()).
+        if cnt is None or (isinstance(cnt, float) and math.isnan(cnt)):
+            continue
+        cnt = int(cnt)
+        if cnt == 0:
+            continue
         # pandas may surface a NULL key as NaN; normalize to None
         # so the candidate survives Arrow round-tripping.
         if isinstance(key, float) and math.isnan(key):
             key = None
-        counters[key] = counters.get(key, 0) + int(cnt)
+        counters[key] = counters.get(key, 0) + cnt
     if len(counters) > k:
         cut = sorted(counters.values(), reverse=True)[k]
         counters = {c: v - cut for c, v in counters.items() if v > cut}
@@ -97,12 +106,21 @@ def _mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pdf
 
     counters = _mg_fold(counting(batches))
+    # Pad to at least one row so the row count survives even when the
+    # summary is empty (empty partition, or an MG cut that evicted
+    # every counter — e.g. > HH_DENOM equally-frequent keys). The pad
+    # row's cnt=0 is skipped by mg_merge; without the pad, the
+    # unequal-length dict-of-Series constructor index-aligns into a
+    # single NaN row whose null cnt crashes the driver-side merge.
+    n_pad = max(1, len(counters))
+    keys = list(counters.keys()) + [None] * (n_pad - len(counters))
+    cnts = list(counters.values()) + [0] * (n_pad - len(counters))
     yield pd.DataFrame(
         {
-            "key": pd.Series(list(counters.keys()), dtype=object),
-            "cnt": pd.Series(list(counters.values()), dtype="int64"),
+            "key": pd.Series(keys, dtype=object),
+            "cnt": pd.Series(cnts, dtype="int64"),
             "part_rows": pd.Series(
-                [n_rows] + [0] * (len(counters) - 1), dtype="int64"
+                [n_rows] + [0] * (n_pad - 1), dtype="int64"
             ),
         }
     )

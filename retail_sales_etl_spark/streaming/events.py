@@ -387,30 +387,58 @@ def lakehouse_batch_sink(batch_df: DataFrame, batch_id: int, table_path: str) ->
     batch twice a log-level conflict, so of two racing writers that
     both passed the watermark check exactly one commits and the loser
     sees DuplicateCommitError and reports the batch as a replay.
+
+    The snapshot version is PINNED before the watermark check and the
+    commit validates against that exact version: without the pin, a
+    rival commit of the SAME batch_id landing between the check and the
+    write's own (later) version capture would be <= the effective
+    read_version and escape the conflict scan — both writers would
+    append the batch. Appends by OTHER batch_ids still commute past the
+    pin; a non-append interloper (OPTIMIZE, an overwrite) aborts the
+    attempt and the sink re-pins and re-checks from fresh state.
     """
-    from ..load.lakehouse import DuplicateCommitError, LakehouseTable
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
 
     table = LakehouseTable(batch_df.sparkSession, table_path)
-    hwm = table.latest_value("batch_hwm")
-    if hwm is None:
-        # Pre-watermark table (or other writers only): one fallback
-        # scan over entries that carry a bare batch_id.
-        hwm = max(
-            (e["batch_id"] for e in table.history() if "batch_id" in e),
-            default=None,
-        )
-    if hwm is not None and batch_id <= hwm:
-        return False
-    try:
-        table.write(
-            batch_df,
-            mode="append",
-            extra={"batch_id": batch_id, "batch_hwm": batch_id},
-            conflict_on="batch_id",
-        )
-    except DuplicateCommitError:
-        return False
-    return True
+    for _ in range(3):
+        read_version = table.latest_version()
+        hwm = table.latest_value("batch_hwm", as_of=read_version)
+        if hwm is None:
+            # Pre-watermark table (or other writers only): one fallback
+            # scan over entries (<= the pinned version) that carry a
+            # bare batch_id.
+            hwm = max(
+                (
+                    e["batch_id"]
+                    for e in table.history()
+                    if "batch_id" in e
+                    and (read_version is None or e["version"] <= read_version)
+                ),
+                default=None,
+            )
+        if hwm is not None and batch_id <= hwm:
+            return False
+        try:
+            table.write(
+                batch_df,
+                mode="append",
+                extra={"batch_id": batch_id, "batch_hwm": batch_id},
+                conflict_on="batch_id",
+                read_version=read_version,
+            )
+            return True
+        except DuplicateCommitError:
+            return False
+        except ConcurrentWriteError:
+            continue  # non-append interloper advanced the table; re-check
+    raise RuntimeError(
+        f"lakehouse_batch_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent non-append writers kept advancing {table_path})"
+    )
 
 
 def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: str):

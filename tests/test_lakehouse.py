@@ -492,3 +492,26 @@ def test_pinned_read_version_aborts_stale_read_modify_write(spark, table):
     # unpinned writes still work (blind-write case unchanged)
     table.write(spark.createDataFrame(_rows(2, start=400)), mode="overwrite")
     assert {r.id for r in table.read().collect()} == {400, 401}
+
+
+def test_aborted_merge_leaves_no_orphan_files(spark, table):
+    """A merge whose commit aborts (stale read version) must delete its
+    staged rewrite — a retrying caller (the IVM sink loops 3x under
+    contention) would otherwise orphan a full file set per attempt."""
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    v0 = table.latest_version()
+    # interloper advances the table after the merge caller's read
+    table.write(spark.createDataFrame(_rows(5, start=100)), mode="append")
+    referenced = {
+        f for e in table.history() for f in e.get("add", [])
+    }
+    with pytest.raises(ConcurrentWriteError):
+        table.merge(
+            spark.createDataFrame(_rows(1, start=0, src="upd")),
+            ["id"],
+            read_version=v0,
+        )
+    on_disk = {
+        f for f in os.listdir(table.path) if f.endswith(".parquet")
+    }
+    assert on_disk <= referenced  # aborted merge staged nothing lasting

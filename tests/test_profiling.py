@@ -80,3 +80,38 @@ def test_skyline_prefilter_shrinks_input(spark, sf_dir):
     # exact result (already oracle-pinned); here pin the shape instead:
     # survivors after the anti-join == true skyline, and it is tiny
     assert out.count() < max(20, n_orders // 100)
+
+
+def test_mg_summary_pads_empty_and_evicted_partitions():
+    """_mg_summaries must stay rectangular when the MG cut evicts every
+    counter (or the partition is empty): the row count rides a cnt=0
+    pad row that mg_merge skips — no NaN index-alignment, no spurious
+    None counter."""
+    import pandas as pd
+
+    from retail_sales_etl_spark.operators.profiling import (
+        HH_DENOM,
+        _mg_summaries,
+        mg_merge,
+    )
+
+    # empty partition
+    out = next(iter(_mg_summaries(iter([]))))
+    assert list(out.columns) == ["key", "cnt", "part_rows"]
+    assert len(out) == 1
+    assert out["cnt"].iloc[0] == 0 and out["part_rows"].iloc[0] == 0
+    assert mg_merge({}, zip(out["key"], out["cnt"])) == {}
+
+    # > HH_DENOM equally-frequent keys: the cut evicts everything
+    pdf = pd.DataFrame({"key": [f"k{i}" for i in range(2 * HH_DENOM)]})
+    out = next(iter(_mg_summaries(iter([pdf]))))
+    assert out["part_rows"].sum() == 2 * HH_DENOM
+    merged = mg_merge({}, zip(out["key"], out["cnt"]))
+    assert merged == {}  # pad row must not materialize a counter
+
+
+def test_mg_merge_skips_null_and_zero_counts():
+    from retail_sales_etl_spark.operators.profiling import mg_merge
+
+    merged = mg_merge({"a": 3}, [("b", None), ("c", float("nan")), ("d", 0), ("b", 2)])
+    assert merged == {"a": 3, "b": 2}

@@ -600,3 +600,107 @@ def test_streaming_heavy_hitter_summary(spark, sf_dir, tmp_path):
         streaming_events.heavy_hitter_sink(replay, 0, tbl_path) is False
     )
     assert table.latest_version() == versions_before
+
+
+def test_lakehouse_sink_pins_read_version_against_gap_rival(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A rival commit of the SAME batch_id landing between the sink's
+    watermark check and its write must NOT slip under the write's
+    conflict scan: the sink pins read_version at the check, so the
+    rival is > read_version and raises DuplicateCommitError — the batch
+    lands exactly once."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    tbl_path = str(tmp_path / "lake_gap")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(10)
+    )
+    assert streaming_events.lakehouse_batch_sink(batch, 0, tbl_path) is True
+
+    fired = {"done": False}
+    orig = lh.LakehouseTable.latest_value
+
+    def inject_rival(self, key, as_of=None):
+        out = orig(self, key, as_of=as_of)
+        if not fired["done"]:
+            fired["done"] = True
+            # rival writer lands the same batch in the check->write gap
+            lh.LakehouseTable(spark, tbl_path).write(
+                batch,
+                mode="append",
+                extra={"batch_id": 5, "batch_hwm": 5},
+                conflict_on="batch_id",
+            )
+        return out
+
+    monkeypatch.setattr(lh.LakehouseTable, "latest_value", inject_rival)
+    assert streaming_events.lakehouse_batch_sink(batch, 5, tbl_path) is False
+    monkeypatch.undo()
+
+    table = lh.LakehouseTable(spark, tbl_path)
+    ids = [e["batch_id"] for e in table.history() if "batch_id" in e]
+    assert ids.count(5) == 1
+    assert table.read().count() == 20  # batches 0 and 5, once each
+
+
+def test_lakehouse_sink_retries_past_non_append_interloper(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An OPTIMIZE-style commit landing in the pinned window aborts the
+    first attempt; the sink re-pins and the batch still lands once."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    tbl_path = str(tmp_path / "lake_optgap")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(10)
+    )
+    assert streaming_events.lakehouse_batch_sink(batch, 0, tbl_path) is True
+
+    fired = {"done": False}
+    orig = lh.LakehouseTable.latest_value
+
+    def inject_optimize(self, key, as_of=None):
+        out = orig(self, key, as_of=as_of)
+        if not fired["done"]:
+            fired["done"] = True
+            lh.LakehouseTable(spark, tbl_path).optimize(target_files=1)
+        return out
+
+    monkeypatch.setattr(lh.LakehouseTable, "latest_value", inject_optimize)
+    assert streaming_events.lakehouse_batch_sink(batch, 1, tbl_path) is True
+    monkeypatch.undo()
+
+    table = lh.LakehouseTable(spark, tbl_path)
+    assert table.read().count() == 20
+    ids = [e["batch_id"] for e in table.history() if "batch_id" in e]
+    assert sorted(ids) == [0, 1]
+
+
+def test_heavy_hitter_sink_survives_all_unique_batch(spark, tmp_path):
+    """A batch whose partition evicts EVERY MG counter (more than
+    HH_DENOM keys, all equally frequent) must still fold cleanly: the
+    empty summary is padded, not index-aligned into a null-cnt row that
+    crashes the driver-side merge."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl_path = str(tmp_path / "hh_unique")
+    df = (
+        spark.range(200)
+        .select(F.concat(F.lit("k"), F.col("id")).alias("event_type"))
+        .coalesce(1)
+    )
+    assert streaming_events.heavy_hitter_sink(df, 0, tbl_path) is True
+    table = LakehouseTable(spark, tbl_path)
+    assert table.latest_value("hh_rows_seen") == 200
+    summary = table.read().collect()
+    # pad rows never become counters
+    assert all(r["key"] is not None and r["cnt"] > 0 for r in summary)
