@@ -53,6 +53,12 @@ HEADLINE = [
     "bm25_retrieval",
     "mix_top_p_quality",
     "decontaminate_containment",
+    # round-9 additions: sampled-training k-means, real PPM decode,
+    # streaming CDC-apply and streaming heavy-hitter maintenance
+    "kmeans_sampled_assign",
+    "multimodal_ppm_stats",
+    "streaming_cdc_apply",
+    "streaming_heavy_hitters",
 ]
 
 
@@ -133,22 +139,28 @@ def main() -> None:
 
     _ensure_bucketed_layout(spark, sf_dir)
 
-    # Two timed repetitions per query, report the min: the box this
-    # runs on shows ±25% ambient-load noise run-to-run (same code
-    # measured 14.5s..34.7s across rounds), and min-of-2 is the
-    # standard way to estimate the machine-independent cost. Both
-    # repetitions build the plan from scratch inside the timer —
-    # iterative operators (connected components, pagerank) run eager
-    # actions during construction and that work is part of the query.
+    # Three timed repetitions per query, report the min plus the
+    # relative spread ((max-min)/min): the box this runs on shows ±25%
+    # ambient-load noise run-to-run (same code measured 14.5s..34.7s
+    # across rounds), min-of-N estimates the machine-independent cost,
+    # and the per-query spread separates code regressions from box
+    # noise when comparing rounds. Every repetition builds the plan
+    # from scratch inside the timer — iterative operators (connected
+    # components, pagerank) run eager actions during construction and
+    # that work is part of the query.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
+        spreads[name] = round((max(runs) - best) / best, 3) if best > 0 else 0.0
 
     timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
@@ -160,6 +172,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "reps": reps,
                 "sf": sf,
             }
         )

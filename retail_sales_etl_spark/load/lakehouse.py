@@ -47,6 +47,16 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 _VERSION_DIGITS = 20  # zero-padded so lexicographic == numeric order
+_CKPT_SUFFIX = ".checkpoint.json"
+# Snapshot-checkpoint cadence (the Delta paper's log checkpointing):
+# every N commits the committer also writes <version>.checkpoint.json
+# holding the fully-replayed state at that version, and every replay
+# starts from the newest checkpoint at or below its target instead of
+# from version 0. Without this, each read/prune/CDC pays O(all
+# commits) of driver-side JSON opens, and a long-lived streaming sink
+# doing one read-modify-write per micro-batch turns quadratic over the
+# stream's life.
+_CHECKPOINT_INTERVAL = 10
 
 # Sentinel distinguishing "caller did not pin a read version" from a
 # pinned None (= the caller observed an EMPTY table): a read-modify-
@@ -181,8 +191,90 @@ class LakehouseTable:
         return sorted(
             int(f[: -len(".json")])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.endswith(_CKPT_SUFFIX)
         )
+
+    # ---------------------------------------------------- checkpoints
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(
+            self.log_dir, f"{version:0{_VERSION_DIGITS}d}{_CKPT_SUFFIX}"
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[: -len(_CKPT_SUFFIX)])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(_CKPT_SUFFIX)
+        )
+
+    def _load_checkpoint(self, version: int) -> dict | None:
+        """The checkpoint payload at ``version``, or None when the file
+        is unreadable (a torn legacy write) — callers fall back to a
+        deeper replay, never to wrong state."""
+        try:
+            with open(self._ckpt_path(version)) as fh:
+                ck = json.load(fh)
+            if ck.get("version") != version:
+                return None
+            return ck
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _newest_checkpoint(self, as_of: int | None = None) -> tuple[int, dict] | None:
+        """Newest loadable checkpoint at or below ``as_of`` (latest when
+        None): (version, payload), walking past corrupt files."""
+        for v in reversed(self._checkpoint_versions()):
+            if as_of is not None and v > as_of:
+                continue
+            ck = self._load_checkpoint(v)
+            if ck is not None:
+                return v, ck
+        return None
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the replayed state at ``version`` as a snapshot
+        checkpoint: live file list (in add order), per-file stats
+        manifest, the last commit entry (schema carrier), and the
+        latest value of every metadata key committed so far. Built
+        incrementally from the previous checkpoint, so the cost is
+        O(interval) commit reads, and written atomically via rename —
+        concurrent committers of the same version produce identical
+        content, so last-writer-wins is harmless. Best-effort: a
+        failure leaves replay correctness untouched."""
+        live, last, stats = self._replay_stats(as_of=version)
+        key_values: dict = {}
+        start = 0
+        prev = self._newest_checkpoint(version - 1)
+        if prev is not None:
+            start, ck = prev
+            key_values = dict(ck.get("key_values", {}))
+        for v in self._versions():
+            if v <= start or v > version:
+                continue
+            entry = self._read_commit(v)
+            for k, val in entry.items():
+                if k not in ("add", "remove", "stats"):
+                    key_values[k] = val
+        payload = {
+            "version": version,
+            "live": live,
+            "stats": stats,
+            "last": last,
+            "key_values": key_values,
+        }
+        tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, self._ckpt_path(version))
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def latest_version(self) -> int | None:
         vs = self._versions()
@@ -204,11 +296,24 @@ class LakehouseTable:
         """_replay plus the per-file column stats manifest: a dict
         file -> {column: [min, max]} accumulated from each add's
         ``stats`` entry (files from pre-stats commits simply have no
-        entry and are never pruned)."""
+        entry and are never pruned). Starts from the newest snapshot
+        checkpoint at or below ``as_of`` — O(commits since checkpoint)
+        JSON opens, bounded by the checkpoint interval, instead of
+        O(all commits); time travel below the oldest checkpoint still
+        replays from version 0 (commit JSONs are never deleted)."""
         live: dict[str, None] = {}  # ordered set
         stats: dict[str, dict] = {}
         last = None
+        start = 0
+        ckpt = self._newest_checkpoint(as_of)
+        if ckpt is not None:
+            start, ck = ckpt
+            live = dict.fromkeys(ck["live"])
+            stats = dict(ck["stats"])
+            last = ck["last"]
         for v in self._versions():
+            if v <= start:
+                continue
             if as_of is not None and v > as_of:
                 break
             entry = self._read_commit(v)
@@ -240,14 +345,22 @@ class LakehouseTable:
         first entry that carries it. For a writer that stamps ``key``
         on every one of its commits (a streaming sink's watermark), the
         scan cost is O(commits by OTHER writers since its last commit)
-        — not O(all commits) — the full history is only walked once, on
-        a table the key has never been written to."""
+        — not O(all commits) — and the backward walk stops at the
+        newest snapshot checkpoint, whose accumulated ``key_values``
+        map answers for everything at or below it: even a key last
+        written long ago costs O(commits since checkpoint)."""
+        ckpt = self._newest_checkpoint(as_of)
+        ckpt_v = ckpt[0] if ckpt is not None else 0
         for v in reversed(self._versions()):
             if as_of is not None and v > as_of:
                 continue
+            if v <= ckpt_v:
+                break
             entry = self._read_commit(v)
             if key in entry:
                 return entry[key]
+        if ckpt is not None:
+            return ckpt[1].get("key_values", {}).get(key)
         return None
 
     # -------------------------------------------------------------- write
@@ -397,6 +510,8 @@ class LakehouseTable:
                 continue  # lost the race on the number; re-validate + retry
             with os.fdopen(fd, "w") as fh:
                 json.dump(entry, fh)
+            if next_v % _CHECKPOINT_INTERVAL == 0:
+                self._write_checkpoint(next_v)
             return next_v
 
     def write(
@@ -561,18 +676,24 @@ class LakehouseTable:
         primary_key: Sequence[str],
         extra: dict | None = None,
         read_version=_UNPINNED,
+        deletes: DataFrame | None = None,
+        conflict_on: str | None = None,
     ) -> dict:
         """MERGE INTO: matched keys take the update row, unmatched
-        update rows insert. Rewrites ONLY data files containing a
-        matched key — found distributedly by tagging each target row
+        update rows insert, and keys in ``deletes`` (a DataFrame of
+        primary-key rows) are removed — the WHEN MATCHED THEN DELETE
+        clause a CDC-apply needs. Rewrites ONLY data files containing a
+        changed key — found distributedly by tagging each target row
         with ``input_file_name()`` and semi-joining the (broadcast)
-        update keys. At 100 TB a point-upsert touches a handful of
+        change keys. At 100 TB a point-upsert touches a handful of
         files; everything else is carried forward as metadata.
         ``extra`` merges caller metadata into the log entry (e.g. a
-        streaming batch_id for replay idempotence). ``read_version``
-        pins the snapshot the caller's ``updates`` were derived from
-        (see ``write``): a commit landing after it aborts the merge
-        instead of rebasing stale derived rows over fresh state.
+        streaming batch_id for replay idempotence); ``conflict_on``
+        names an extra key that must be unique across commits (see
+        ``write``). ``read_version`` pins the snapshot the caller's
+        ``updates`` were derived from (see ``write``): a commit landing
+        after it aborts the merge instead of rebasing stale derived
+        rows over fresh state.
         """
         if read_version is _UNPINNED:
             read_version = self.latest_version()
@@ -580,11 +701,15 @@ class LakehouseTable:
         keys = list(primary_key)
         target = self.read(version=read_version)
 
+        change_keys = updates.select(*keys)
+        if deletes is not None:
+            change_keys = change_keys.unionByName(deletes.select(*keys))
+        change_keys = change_keys.distinct()
         tagged = target.withColumn("_lh_file", F.input_file_name())
         touched_files = [
             os.path.basename(r[0])
             for r in tagged.join(
-                F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+                F.broadcast(change_keys), keys, "left_semi"
             )
             .select("_lh_file")
             .distinct()
@@ -596,7 +721,7 @@ class LakehouseTable:
         if touched_files:
             paths = [os.path.join(self.path, f) for f in touched_files]
             affected = self.spark.read.schema(target.schema).parquet(*paths)
-            kept = affected.join(updates.select(*keys), keys, "left_anti")
+            kept = affected.join(change_keys, keys, "left_anti")
         else:
             kept = None
         merged = (
@@ -619,7 +744,7 @@ class LakehouseTable:
             extra,
         )
         try:
-            v = self._try_commit(entry, read_version)
+            v = self._try_commit(entry, read_version, conflict_on)
         except ConcurrentWriteError:
             # The staged rewrite will never be referenced by any commit;
             # a retrying caller (e.g. the IVM sink's 3-attempt loop)

@@ -84,6 +84,64 @@ def _decode_image_stub(payload: bytes) -> dict:
     }
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decoder for binary PPM (P6) — pure bytes arithmetic, no
+    codec library needed: parse the whitespace-delimited header (magic,
+    width, height, maxval; one whitespace byte before the raster), then
+    read the raw interleaved RGB plane. Returns integer-exact stats
+    (dims, pixel count, per-channel byte sums) so a wrong header parse,
+    an off-by-one raster offset, or a channel swap is a hard test/oracle
+    failure — this is the production decode slot, proven end-to-end,
+    where the stub covers formats the sandbox lacks codecs for."""
+    payload = bytes(payload)
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    width, height, maxval = fields
+    raw = payload[i : i + 3 * width * height]
+    if maxval != 255 or len(raw) != 3 * width * height:
+        raise ValueError("unsupported maxval or truncated PPM raster")
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_r": sum(raw[0::3]),
+        "sum_g": sum(raw[1::3]),
+        "sum_b": sum(raw[2::3]),
+    }
+
+
+def _decode_media(payload: bytes, mime_type: str) -> dict:
+    """Per-mime decode dispatch for the feature extractor: real P6 PPM
+    decode where the format is pure bytes; deterministic stub for
+    payloads whose codecs the sandbox lacks."""
+    if mime_type == PPM_MIME:
+        d = decode_ppm(payload)
+        checksum = (
+            (d["sum_r"] * 131 + d["sum_g"]) * 131 + d["sum_b"]
+        ) % (1 << 31)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": 1,
+            "feature_checksum": checksum,
+        }
+    return _decode_image_stub(payload)
+
+
 def extract_features(media: DataFrame, batch_partitions: int | None = None) -> DataFrame:
     """Arrow-batched decode/feature-extract over ``mapInPandas``.
 
@@ -96,7 +154,10 @@ def extract_features(media: DataFrame, batch_partitions: int | None = None) -> D
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            feats = [
+                _decode_media(p, m)
+                for p, m in zip(pdf["payload"], pdf["mime_type"])
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "n_bytes", pdf["n_bytes"].values)
             out.insert(0, "mime_type", pdf["mime_type"].values)
@@ -219,13 +280,132 @@ def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image dims (2..9 x 2..7) — small enough
+    that the whole synthetic raster stays a few hundred bytes, large
+    enough that every header/raster offset is exercised."""
+    return (doc_id % 8) + 2, (doc_id % 6) + 2
+
+
+def _ppm_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Closed-form RGB generator — pure modular arithmetic, so a SQL
+    oracle can recompute every channel sum without ever seeing bytes."""
+    return (
+        (doc_id + 7 * x + 13 * y) % 256,
+        (3 * doc_id + 5 * x + y) % 256,
+        (doc_id + x * y) % 256,
+    )
+
+
+def synthesize_ppm(docs: DataFrame) -> DataFrame:
+    """One REAL binary P6 PPM payload per document, generated from the
+    closed-form pixel function: 'P6\\n{w} {h}\\n255\\n' + raw RGB raster.
+    Arrow-batched; the raster is bounded (<= 9x7 pixels) by design."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _ppm_dims(d)
+                buf = bytearray(f"P6\n{w} {h}\n255\n".encode("ascii"))
+                for y in range(h):
+                    for x in range(w):
+                        buf.extend(_ppm_pixel(d, x, y))
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": PPM_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+PPM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def q_multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode proof: synthesize an actual P6 byte
+    stream per document, then decode it back with the pure-bytes parser
+    and emit integer-exact per-channel sums. The oracle recomputes the
+    same stats closed-form from the generator — so the hash check
+    covers the full encode->Arrow->decode path (header parse, raster
+    offset, channel interleave), not a stub."""
+    media = synthesize_ppm(load_table(spark, sf_dir, "documents"))
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_ppm(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=PPM_STATS_SCHEMA)
+
+
 QUERIES = {
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
+    "multimodal_ppm_stats": q_multimodal_ppm_stats,
 }
 
 ORACLE = {
+    # closed-form twin of the generator: the Spark side must recover
+    # these exact sums by DECODING the bytes it synthesized.
+    "multimodal_ppm_stats": """
+        WITH grid AS (
+            SELECT doc_id,
+                   (doc_id % 8) + 2 AS w,
+                   (doc_id % 6) + 2 AS h
+            FROM documents
+        ),
+        xs AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, w - 1)) AS x
+            FROM grid
+        ),
+        pix AS (
+            SELECT doc_id, w, h, x,
+                   unnest(generate_series(0, h - 1)) AS y
+            FROM xs
+        )
+        SELECT doc_id,
+               CAST(any_value(w) AS INTEGER) AS width,
+               CAST(any_value(h) AS INTEGER) AS height,
+               count(*) AS n_pixels,
+               CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((3 * doc_id + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_b
+        FROM pix
+        GROUP BY doc_id
+    """,
     "multimodal_bytes": """
         SELECT doc_id,
                'text/plain' AS mime_type,

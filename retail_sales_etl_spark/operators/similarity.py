@@ -277,37 +277,26 @@ KMEANS_K = 10
 KMEANS_ITERS = 3
 
 
-def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embeddings — the REAL coarse-quantizer
-    build for IVF/SemDeDup (the other entries bootstrap centroids from
-    the label column; unlabeled corpora need this).
-
-    Fixed ``KMEANS_ITERS`` Lloyd rounds, deterministic init (the K
-    lowest vec_ids), cosine assignment with 6-dp rounding and
-    lowest-cell tie-break, decimal-exact means — so the whole iterative
-    algorithm is bit-reproducible and oracle-checkable (the DuckDB twin
-    unrolls the same rounds as CTEs). Each round is one broadcast of
-    the K x dim centroid table + one shuffle on (cell, dim): per-round
-    cost is linear in vectors, round count is fixed — at 100 TB the
-    standard practice this mirrors is running exactly this plan on a
-    uniform sample, then one final assignment pass over the corpus.
-    Empty cells drop out (their id simply stops appearing), as in any
-    Lloyd implementation without re-seeding.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double_array("embedding").alias("v")
-    )
+def _lloyd(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """The shared deterministic Lloyd chain over ``emb`` (vec_id, v):
+    init from the k lowest vec_ids (distributed TakeOrdered), cosine
+    assignment with 6-dp rounding and lowest-cell tie-break,
+    decimal-exact means. Returns (cent_arr: cell, cv; cent_long: cell,
+    dim_idx, centroid; assigned: vec_id, cell, v) after ``iters``
+    rounds — bit-reproducible, so a DuckDB twin can unroll the same
+    rounds as CTEs."""
     wi = Window.orderBy("vec_id")
     cent_arr = (
         emb.orderBy("vec_id")
-        .limit(KMEANS_K)
+        .limit(k)
         .select(
             (F.row_number().over(wi) - 1).cast("int").alias("cell"),
             F.col("v").alias("cv"),
         )
     )
     assigned = None
-    for _ in range(KMEANS_ITERS):
+    cent_long = None
+    for _ in range(iters):
         scored = emb.crossJoin(broadcast(cent_arr)).select(
             "vec_id",
             "cell",
@@ -343,10 +332,181 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.centroid,
             ).alias("cv")
         )
+    return cent_arr, cent_long, assigned
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings — the REAL coarse-quantizer
+    build for IVF/SemDeDup (the other entries bootstrap centroids from
+    the label column; unlabeled corpora need this).
+
+    Fixed ``KMEANS_ITERS`` Lloyd rounds, deterministic init (the K
+    lowest vec_ids), cosine assignment with 6-dp rounding and
+    lowest-cell tie-break, decimal-exact means — so the whole iterative
+    algorithm is bit-reproducible and oracle-checkable (the DuckDB twin
+    unrolls the same rounds as CTEs). Each round is one broadcast of
+    the K x dim centroid table + one shuffle on (cell, dim): per-round
+    cost is linear in vectors, round count is fixed — at 100 TB the
+    standard practice this mirrors is running exactly this plan on a
+    uniform sample, then one final assignment pass over the corpus.
+    Empty cells drop out (their id simply stops appearing), as in any
+    Lloyd implementation without re-seeding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    _, cent_long, assigned = _lloyd(emb)
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     return cent_long.join(counts, "cell").select(
         "cell", "dim_idx", "centroid", "n_members"
     )
+
+
+# Fixed-size deterministic training sample for the sampled-k-means
+# mode: the N vectors with the smallest md5 hash keys — a
+# deterministic reservoir (same trick as sample_topk_per_stratum,
+# global). Fixed N means Lloyd's per-round cost is CONSTANT as the
+# corpus grows; only the single final assignment pass is linear.
+KMEANS_SAMPLE_N = 256
+_KMEANS_SALT = "kmeans|"
+
+
+def _kmeans_sample_key(col: F.Column) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(_KMEANS_SALT), col.cast("string"))), 1, 8
+    )
+
+
+def q_kmeans_sampled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-training k-means — the 100 TB Lloyd recipe made
+    explicit, per the scale story documented on ``q_kmeans_centroids``:
+
+    1. TRAIN on a fixed-size deterministic sample: the KMEANS_SAMPLE_N
+       vectors with the smallest md5('kmeans|'||vec_id) keys
+       (distributed TakeOrdered — map-side partial top-N per
+       partition, no RNG, same sample on any engine/partitioning).
+       Training cost is CONSTANT in the corpus size.
+    2. ASSIGN the full corpus in ONE broadcast pass against the
+       trained K x dim centroid table (KBs) — the only linear stage,
+       and it is map-side until the final per-cell rollup.
+
+    Output is the per-cell census of the full-corpus assignment
+    (cell, n_members, avg_ccos): small, hash-checkable, and pinning
+    both stages end-to-end. Deterministic throughout (6-dp cosines,
+    lowest-cell tie-break, decimal-exact mean), so the DuckDB twin
+    unrolls the same sample + rounds + assignment.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    sample = (
+        emb.withColumn("__sk", _kmeans_sample_key(F.col("vec_id")))
+        .orderBy("__sk", "vec_id")
+        .limit(KMEANS_SAMPLE_N)
+        .select("vec_id", "v")
+    )
+    cent_arr, _, _ = _lloyd(sample)
+    scored = emb.crossJoin(broadcast(cent_arr)).select(
+        "vec_id",
+        "cell",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            ),
+            6,
+        ).alias("ccos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.expr(
+            "max_by(named_struct('cell', cell, 'ccos', ccos),"
+            " named_struct('c', ccos, 'l', -cell)) AS best"
+        )
+    )
+    return (
+        best.select(
+            F.col("best.cell").alias("cell"), F.col("best.ccos").alias("ccos")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("ccos").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ccos"),
+        )
+    )
+
+
+def _kmeans_sampled_oracle() -> str:
+    """DuckDB twin of q_kmeans_sampled_assign: the same fixed-size
+    hash sample, the same unrolled Lloyd rounds over it, then the same
+    full-corpus assignment + per-cell census."""
+    cos = (
+        "round(list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    ctes = [
+        """emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )""",
+        f"""semb AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY substring(md5('{_KMEANS_SALT}' || CAST(vec_id AS VARCHAR)), 1, 8),
+                     vec_id
+            LIMIT {KMEANS_SAMPLE_N}
+        )""",
+        f"""carr_0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM semb ORDER BY vec_id LIMIT {KMEANS_K})
+        )""",
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""assigned_{it} AS (
+            SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, c.cell, e.v,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+                       ) AS rn
+                FROM semb e CROSS JOIN carr_{it - 1} c
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""cent_{it} AS (
+            SELECT cell, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                       AS centroid
+            FROM (
+                SELECT cell, v, unnest(generate_series(1, len(v))) AS i
+                FROM assigned_{it}
+            )
+            GROUP BY cell, i
+        )""")
+        ctes.append(f"""carr_{it} AS (
+            SELECT cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM cent_{it} GROUP BY cell
+        )""")
+    last = KMEANS_ITERS
+    ctes.append(f"""fassign AS (
+        SELECT vec_id, cell, ccos FROM (
+            SELECT e.vec_id, c.cell, {cos} AS ccos,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+                   ) AS rn
+            FROM emb e CROSS JOIN carr_{last} c
+        ) WHERE rn = 1
+    )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT cell, count(*) AS n_members,
+               round(CAST(sum(CAST(ccos AS DECIMAL(25,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_ccos
+        FROM fassign
+        GROUP BY cell
+    """
 
 
 def _kmeans_oracle() -> str:
@@ -448,16 +608,28 @@ def _pq_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("sub", "sv"),
     )
-    wi = Window.partitionBy("sub").orderBy("vec_id")
-    codebook = (
-        subs.withColumn("rn", F.row_number().over(wi))
-        .filter(F.col("rn") <= PQ_K)
-        .select(
-            "sub",
-            (F.col("rn") - 1).cast("int").alias("code"),
-            F.col("sv").alias("cv"),
-        )
+    # Init: every vec_id appears in ALL M subspaces, so the K lowest
+    # vec_ids per subspace ARE the K lowest vec_ids globally — take
+    # them once with a distributed TakeOrdered (orderBy+limit, same as
+    # q_kmeans_centroids' init) and slice the M subvectors from those K
+    # rows. The previous form (row_number over an M-partition window on
+    # the full exploded grid) sorted the ENTIRE corpus inside each of
+    # the M window partitions — a hot-partition global sort at scale,
+    # just to pick K seeds. Identical rows out, so the oracle's init
+    # CTE is untouched.
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
     )
+    codebook = seed.select(
+        (F.col("rn") - 1).cast("int").alias("code"),
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub", "cv"),
+    ).select("sub", "code", "cv")
     assigned = None
     for _ in range(PQ_ITERS):
         scored = subs.join(broadcast(codebook), "sub").select(
@@ -825,6 +997,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "knn_join_blocked": q_knn_join_blocked,
     "kmeans_centroids": q_kmeans_centroids,
+    "kmeans_sampled_assign": q_kmeans_sampled_assign,
     "ann_pq_topk": q_ann_pq_topk,
 }
 
@@ -891,6 +1064,7 @@ ORACLE = {
         FROM errs
     """,
     "kmeans_centroids": _kmeans_oracle(),
+    "kmeans_sampled_assign": _kmeans_sampled_oracle(),
     "ann_pq_topk": _pq_oracle(),
     "knn_join_blocked": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.events import SESSION_GAP_SEC
+from ..operators.profiling import HH_DENOM
 
 # Parquet schema with ts as nanos-long (TIMESTAMP(NANOS) / raw-int64
 # sources — see _events_ts_stored_as_long).
@@ -670,6 +671,95 @@ def maintain_event_rollup(stream: DataFrame, table_path: str, checkpoint: str):
     return _run_foreach_batch(stream, _sink, checkpoint)
 
 
+def cdc_apply_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    primary_key: Iterable[str],
+) -> bool:
+    """Streaming CDC-apply: MERGE one micro-batch of a change feed
+    (rows carrying ``op`` in insert/update/delete plus the full new row
+    values) into a lakehouse table — the standard Delta CDC-apply
+    pattern, composed from the existing pieces: ``merge`` with a
+    deletes set (one commit rewrites only the files containing changed
+    keys), the ``cdc_batch_hwm`` replay watermark, the pinned
+    read_version, and ``conflict_on="batch_id"`` so two racing writers
+    of the same batch land it exactly once. Upserts take the batch's
+    row for the key; deletes drop it. Returns False on replay.
+    """
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    table = LakehouseTable(batch_df.sparkSession, table_path)
+    keys = list(primary_key)
+    marker = {"batch_id": batch_id, "cdc_batch_hwm": batch_id}
+    ups = batch_df.filter(F.col("op").isin("insert", "update")).drop("op")
+    dels = batch_df.filter(F.col("op") == "delete").select(*keys)
+    for _ in range(3):
+        read_version = table.latest_version()
+        hwm = table.latest_value("cdc_batch_hwm", as_of=read_version)
+        if hwm is None:
+            hwm = max(
+                (
+                    e["batch_id"]
+                    for e in table.history()
+                    if "batch_id" in e
+                    and (read_version is None or e["version"] <= read_version)
+                ),
+                default=None,
+            )
+        if hwm is not None and batch_id <= hwm:
+            return False
+        try:
+            if read_version is None:
+                # first batch: deletes against an empty table are no-ops
+                table.write(
+                    ups,
+                    mode="overwrite",
+                    extra=marker,
+                    conflict_on="batch_id",
+                    read_version=None,
+                )
+            else:
+                table.merge(
+                    ups,
+                    keys,
+                    deletes=dels,
+                    extra=marker,
+                    conflict_on="batch_id",
+                    read_version=read_version,
+                )
+            return True
+        except DuplicateCommitError:
+            return False
+        except ConcurrentWriteError:
+            continue  # rival advanced the table; re-pin and re-check
+    raise RuntimeError(
+        f"cdc_apply_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {table_path})"
+    )
+
+
+def apply_changes_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    primary_key: Iterable[str],
+):
+    """Run the CDC-apply sink under foreachBatch (availableNow): a
+    change-feed stream materializes into an exactly-once-maintained
+    lakehouse table."""
+    keys = list(primary_key)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_apply_sink(batch_df, batch_id, table_path, keys)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
 def interval_join_clicks_purchases(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,
@@ -900,8 +990,126 @@ def q_streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(session_windows_native(stream), name, spark)
 
 
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the streaming CDC-apply sink: build a
+    deterministic two-batch change feed from the orders table (batch 1
+    inserts every order; batch 2 updates keys ≡0 mod 7 — +1000 on the
+    total — and deletes keys ≡0 mod 10), stream it through
+    ``apply_changes_stream`` (one file per micro-batch, MERGE with
+    deletes, batch-watermark exactly-once), and return the maintained
+    table. The oracle is the full recompute: orders minus deleted keys
+    with updated totals — hash-exact, proving insert/update/delete
+    application end-to-end through the lakehouse commit log.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+
+    work = tempfile.mkdtemp(prefix="cdc_apply_")
+    src = f"{work}/changes"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    inserts = orders.select(
+        F.lit("insert").alias("op"), "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select(
+        F.lit("update").alias("op"),
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("delete").alias("op"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    )
+    # two files, written in order so the file source replays them as
+    # two ordered micro-batches (max_files_per_trigger=1); mtimes are
+    # pinned explicitly because the file source orders by timestamp
+    # and back-to-back writes can land in the same clock tick
+    import os
+    import time
+
+    inserts.coalesce(1).write.parquet(f"{src}/b1")
+    updates.unionByName(deletes).coalesce(1).write.parquet(f"{src}/b2")
+    now = time.time()
+    for sub, ts in (("b1", now - 10), ("b2", now)):
+        for f in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{f}", (ts, ts))
+
+    stream = (
+        spark.readStream.schema(inserts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    tbl_path = f"{work}/orders_table"
+    apply_changes_stream(
+        stream, tbl_path, f"{work}/ckpt", ["o_orderkey"]
+    ).awaitTermination()
+
+    from ..load.lakehouse import LakehouseTable
+
+    return LakehouseTable(spark, tbl_path).read()
+
+
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the streaming MG sketch path: replay
+    the events table through ``maintain_heavy_hitters`` (multi-batch —
+    one file per micro-batch) into a throwaway lakehouse table, then
+    exact-recount the MAINTAINED candidates over the same events and
+    apply the integer threshold. The mergeable-summary bound makes the
+    output deterministic: the maintained candidates are a superset of
+    the true heavy keys for the whole stream, and the recount removes
+    every false candidate — so the result is IDENTICAL to the batch
+    ``heavy_hitters`` and hash-checks against the same SQL oracle.
+    """
+    import tempfile
+
+    from ..catalog import load_table, table_path
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.profiling import HH_DENOM
+
+    work = tempfile.mkdtemp(prefix="hh_stream_")
+    tbl_path = f"{work}/hh_table"
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=1
+    )
+    maintain_heavy_hitters(
+        stream, tbl_path, f"{work}/ckpt"
+    ).awaitTermination()
+
+    table = LakehouseTable(spark, tbl_path)
+    candidates = [r["key"] for r in table.read().collect()]  # <= HH_DENOM rows
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string").alias("key")
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        keyed.filter(
+            F.col("key").isin(candidates) if candidates else F.lit(False)
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") * HH_DENOM >= F.col("n_total"))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "streaming_cdc_apply": q_streaming_cdc_apply,
     "streaming_sessionized": q_streaming_sessionized,
     "streaming_interval_outer": q_streaming_interval_outer,
     "streaming_session_native": q_streaming_session_native,
@@ -911,6 +1119,28 @@ QUERIES = {
 # streaming results are deterministic, so they hash-check against
 # DuckDB like any batch query — the stream is not a weaker surface.
 ORACLE = {
+    # the maintained CDC-apply table == the full recompute of the same
+    # change feed: every surviving key with its last-applied values.
+    "streaming_cdc_apply": """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 10 <> 0
+    """,
+    # candidate-superset + exact recount == the batch heavy_hitters
+    # output, so the streaming sketch path shares its oracle.
+    "streaming_heavy_hitters": f"""
+        WITH counts AS (
+            SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n_rows
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS n_total FROM events)
+        SELECT key, n_rows,
+               round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
+        FROM counts, tot
+        WHERE n_rows * {HH_DENOM} >= n_total
+    """,
     "streaming_windowed": f"""
         SELECT strftime(to_timestamp(CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT)),
                         '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -515,3 +515,134 @@ def test_aborted_merge_leaves_no_orphan_files(spark, table):
         f for f in os.listdir(table.path) if f.endswith(".parquet")
     }
     assert on_disk <= referenced  # aborted merge staged nothing lasting
+
+
+def _count_commit_reads(monkeypatch):
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    reads = {"n": 0}
+    orig = lh.LakehouseTable._read_commit
+
+    def counting(self, version):
+        reads["n"] += 1
+        return orig(self, version)
+
+    monkeypatch.setattr(lh.LakehouseTable, "_read_commit", counting)
+    return reads
+
+
+def test_checkpoint_bounds_replay_reads(spark, table, monkeypatch):
+    """After K commits a snapshot read must open only the commits since
+    the newest checkpoint (bounded by the interval), never all K — the
+    de-quadratification of long-lived streaming tables."""
+    for i in range(23):
+        table.write(spark.createDataFrame(_rows(2, start=i * 10)), mode="append")
+    assert 20 in table._checkpoint_versions()
+    reads = _count_commit_reads(monkeypatch)
+    assert table.read().count() == 46
+    monkeypatch.undo()
+    assert reads["n"] <= 3, reads["n"]  # commits 21..23 only
+
+
+def test_time_travel_below_and_between_checkpoints(spark, table):
+    for i in range(12):
+        table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
+    # below the oldest checkpoint: full replay from v0 still works
+    assert {r.id for r in table.read(version=5).collect()} == set(range(5))
+    # between checkpoint 10 and head
+    assert {r.id for r in table.read(version=11).collect()} == set(range(11))
+    # exactly at the checkpoint
+    assert {r.id for r in table.read(version=10).collect()} == set(range(10))
+
+
+def test_latest_value_answers_from_checkpoint_key_values(spark, table, monkeypatch):
+    """A metadata key last stamped long before the newest checkpoint is
+    answered from the checkpoint's accumulated key_values map in
+    O(commits since checkpoint), not by walking the whole log."""
+    table.write(
+        spark.createDataFrame(_rows(1)), mode="append", extra={"batch_hwm": 3}
+    )
+    for i in range(12):
+        table.write(spark.createDataFrame(_rows(1, start=10 + i)), mode="append")
+    reads = _count_commit_reads(monkeypatch)
+    assert table.latest_value("batch_hwm") == 3
+    monkeypatch.undo()
+    assert reads["n"] <= 3, reads["n"]  # v13..v11, then the checkpoint map
+    # as_of below the checkpoint still honors the pin
+    assert table.latest_value("batch_hwm", as_of=5) == 3
+
+
+def test_checkpoint_replay_equals_full_replay(spark, table, monkeypatch):
+    """The checkpointed fast path must reconstruct byte-identical state
+    to a from-zero replay across mixed append/merge/overwrite/optimize
+    history."""
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    table.write(spark.createDataFrame(_rows(6)), mode="append")
+    for i in range(9):
+        table.write(spark.createDataFrame(_rows(2, start=50 + 2 * i)), mode="append")
+    table.merge(
+        spark.createDataFrame([Row(id=2, src="upd", val=-2.0)]), primary_key=["id"]
+    )
+    table.optimize(target_files=2)
+    for i in range(10):
+        table.write(spark.createDataFrame(_rows(1, start=200 + i)), mode="append")
+    assert table._checkpoint_versions()  # at least v10, v20
+    fast = table._replay_stats()
+    monkeypatch.setattr(
+        lh.LakehouseTable, "_newest_checkpoint", lambda self, as_of=None: None
+    )
+    full = table._replay_stats()
+    monkeypatch.undo()
+    assert fast[0] == full[0]  # live files, in add order
+    assert fast[2] == full[2]  # stats manifest
+    assert fast[1] == full[1]  # last entry
+
+
+def test_vacuum_respects_checkpointed_reads(spark, table):
+    for i in range(12):
+        table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
+    table.optimize(target_files=1)
+    table.vacuum(retain_versions=1)
+    assert table.read().count() == 12  # head read via checkpoint + tail commits
+    assert table._checkpoint_versions()  # checkpoints survive vacuum
+
+
+def test_corrupt_checkpoint_falls_back_to_replay(spark, table):
+    for i in range(12):
+        table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
+    with open(table._ckpt_path(10), "w") as fh:
+        fh.write("{not json")
+    assert table.read().count() == 12  # torn checkpoint never corrupts reads
+    assert {r.id for r in table.read(version=11).collect()} == set(range(11))
+
+
+def test_merge_with_deletes_removes_keys_and_prunes_files(spark, table):
+    """MERGE with a deletes set: deleted keys vanish, updates land,
+    untouched files are carried as metadata (never rewritten)."""
+    for start in (0, 10, 20):  # three files, disjoint key ranges
+        table.write(
+            spark.createDataFrame(_rows(10, start=start)).coalesce(1),
+            mode="append",
+        )
+    res = table.merge(
+        spark.createDataFrame([Row(id=3, src="upd", val=-3.0)]),
+        primary_key=["id"],
+        deletes=spark.createDataFrame([Row(id=5)]),
+    )
+    got = {r.id: r.src for r in table.read().collect()}
+    assert 5 not in got and got[3] == "upd"
+    assert len(got) == 29
+    # keys 3 and 5 live in the same (first) file: one rewritten, two carried
+    assert res["files_rewritten"] == 1 and res["files_carried"] == 2
+
+
+def test_merge_delete_only_and_missing_keys(spark, table):
+    table.write(spark.createDataFrame(_rows(5)), mode="append")
+    empty_updates = spark.createDataFrame([], table.read().schema)
+    table.merge(
+        empty_updates,
+        primary_key=["id"],
+        deletes=spark.createDataFrame([Row(id=2), Row(id=999)]),  # 999 absent
+    )
+    assert {r.id for r in table.read().collect()} == {0, 1, 3, 4}

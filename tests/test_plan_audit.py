@@ -343,3 +343,26 @@ def test_round8_operators_broadcast_their_small_sides(spark, sf_dir):
     # a TakeOrdered, not a global sort
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_codebook_init_is_takeordered_not_corpus_window_sort(spark, sf_dir):
+    """The PQ seed codebook must come from a distributed TakeOrdered
+    over the corpus (orderBy vec_id + limit K), NOT a row_number window
+    partitioned by subspace over the full exploded (vec_id x sub) grid
+    — that shape sorts the whole corpus inside each of the M window
+    partitions before training even starts."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.similarity import (
+        _as_double_array,
+        _pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    codebook, _ = _pq_train(emb)
+    plan = _formatted_plan(codebook)
+    assert "TakeOrderedAndProject" in plan
+    # the only window left ranks the K seed rows (post-limit, K=16),
+    # never a partition-by-subspace pass over the exploded corpus
+    assert "partitionBy=[sub" not in plan.replace(" ", "")

@@ -704,3 +704,64 @@ def test_heavy_hitter_sink_survives_all_unique_batch(spark, tmp_path):
     summary = table.read().collect()
     # pad rows never become counters
     assert all(r["key"] is not None and r["cnt"] > 0 for r in summary)
+
+
+def _cdc_feed(spark):
+    from pyspark.sql import Row
+
+    inserts = [Row(op="insert", id=i, val=float(i)) for i in range(10)]
+    changes = [Row(op="update", id=3, val=333.0), Row(op="delete", id=5, val=None)]
+    return spark.createDataFrame(inserts), spark.createDataFrame(changes)
+
+
+def test_cdc_apply_sink_replay_and_semantics(spark, tmp_path):
+    """Insert/update/delete application, then replays of BOTH batches
+    are detected from the table log and skipped."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl = str(tmp_path / "cdc_tbl")
+    b0, b1 = _cdc_feed(spark)
+    assert streaming_events.cdc_apply_sink(b0, 0, tbl, ["id"]) is True
+    assert streaming_events.cdc_apply_sink(b1, 1, tbl, ["id"]) is True
+    table = LakehouseTable(spark, tbl)
+    got = {r["id"]: r["val"] for r in table.read().collect()}
+    assert got[3] == 333.0 and 5 not in got and len(got) == 9
+    v_before = table.latest_version()
+    # checkpoint-rewind replay of either batch: no new commit
+    assert streaming_events.cdc_apply_sink(b0, 0, tbl, ["id"]) is False
+    assert streaming_events.cdc_apply_sink(b1, 1, tbl, ["id"]) is False
+    assert table.latest_version() == v_before
+    assert {r["id"]: r["val"] for r in table.read().collect()} == got
+
+
+def test_cdc_apply_sink_two_writer_race(spark, tmp_path):
+    """Two concurrent writers of the same change batch: exactly one
+    commits; the final table equals a single application."""
+    import threading
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl = str(tmp_path / "cdc_race")
+    b0, b1 = _cdc_feed(spark)
+    assert streaming_events.cdc_apply_sink(b0, 0, tbl, ["id"]) is True
+
+    barrier = threading.Barrier(2)
+    results: dict[str, bool] = {}
+    errors: list[Exception] = []
+
+    def writer(name: str) -> None:
+        try:
+            barrier.wait()
+            results[name] = streaming_events.cdc_apply_sink(b1, 1, tbl, ["id"])
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results.values()) == [False, True]
+    got = {r["id"]: r["val"] for r in LakehouseTable(spark, tbl).read().collect()}
+    assert got[3] == 333.0 and 5 not in got and len(got) == 9

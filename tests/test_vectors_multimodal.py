@@ -70,3 +70,75 @@ def test_extract_features_mapinpandas(spark, sf_dir):
     assert sample["height"] == (sample["n_bytes"] % 48) + 1
     assert sample["n_frames"] == 1
     assert sample["feature_checksum"] >= 0
+
+
+def test_decode_ppm_parses_real_bytes():
+    from retail_sales_etl_spark.operators.multimodal import decode_ppm
+
+    # 2x1 image: pixels (1,2,3) and (250,251,252); multi-digit dims and
+    # maxval exercise the whitespace-delimited header walk
+    payload = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    d = decode_ppm(payload)
+    assert d == {
+        "width": 2, "height": 1, "n_pixels": 2,
+        "sum_r": 251, "sum_g": 253, "sum_b": 255,
+    }
+    # header may use any whitespace between fields
+    d2 = decode_ppm(b"P6 12\t1\n255 " + bytes(range(36)))
+    assert (d2["width"], d2["height"]) == (12, 1)
+    assert d2["sum_r"] == sum(range(0, 36, 3))
+
+
+def test_decode_ppm_rejects_bad_payloads():
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import decode_ppm
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))  # raster needs 12 bytes
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(3))
+
+
+def test_extract_features_dispatches_real_decode_by_mime(spark):
+    """PPM payloads take the real decoder (true dims from the header);
+    other mimes keep the deterministic stub — same FEATURE_SCHEMA out."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        PPM_MIME,
+        extract_features,
+    )
+
+    ppm = b"P6\n3 2\n255\n" + bytes(18)
+    txt = b"hello world"
+    media = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=ppm, mime_type=PPM_MIME, n_bytes=len(ppm)),
+            Row(doc_id=2, payload=txt, mime_type="text/plain", n_bytes=len(txt)),
+        ]
+    )
+    got = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (3, 2)  # real header dims
+    # stub dims derive from byte length, not a header
+    assert got[2]["width"] == (len(txt) % 64) + 1
+    assert got[2]["n_frames"] == 1
+
+
+def test_ppm_roundtrip_synth_decode(spark, sf_dir):
+    """synthesize -> decode roundtrip recovers the generator's stats."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _ppm_dims,
+        _ppm_pixel,
+        q_multimodal_ppm_stats,
+    )
+
+    rows = {r["doc_id"]: r for r in q_multimodal_ppm_stats(spark, sf_dir).collect()}
+    assert rows
+    for doc_id in list(rows)[:5]:
+        w, h = _ppm_dims(doc_id)
+        want_r = sum(_ppm_pixel(doc_id, x, y)[0] for x in range(w) for y in range(h))
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["sum_r"]) == (w, h, want_r)
