@@ -59,6 +59,8 @@ HEADLINE = [
     "multimodal_ppm_stats",
     "streaming_cdc_apply",
     "streaming_heavy_hitters",
+    "dsir_select",
+    "multimodal_ppm_resize",
 ]
 
 

@@ -311,6 +311,18 @@ class LakehouseTable:
             live = dict.fromkeys(ck["live"])
             stats = dict(ck["stats"])
             last = ck["last"]
+        else:
+            vs = self._versions()
+            if vs and vs[0] > 1:
+                # Commits always number from 1; a log whose oldest
+                # surviving commit is >1 with no checkpoint at or below
+                # the target has been retention-cleaned (clean_log) —
+                # replaying the remainder from empty state would
+                # silently produce a WRONG snapshot.
+                raise FileNotFoundError(
+                    f"Log cleaned below version {vs[0]}; no checkpoint "
+                    f"covers a replay at version {as_of}"
+                )
         for v in self._versions():
             if v <= start:
                 continue
@@ -865,6 +877,50 @@ class LakehouseTable:
             self.read(version=to_version),
             primary_key=list(primary_key),
         )
+
+    def clean_log(self, retain_versions: int = 20) -> dict:
+        """Metadata retention cleanup (the Delta log-cleanup analogue
+        of VACUUM): delete commit JSONs — and superseded checkpoints —
+        strictly below the newest checkpoint that still covers every
+        retained version. The replay base checkpoint and its commit
+        stay, so every version >= it remains queryable; time travel
+        below it raises by contract (``_replay_stats`` detects the
+        truncated prefix — commits number from 1 — instead of silently
+        replaying partial state). A table whose log would otherwise
+        grow one entry per streaming micro-batch forever stays
+        O(retain + interval) JSON files."""
+        vs = self._versions()
+        if len(vs) <= retain_versions:
+            return {"log_entries_removed": 0, "checkpoints_removed": 0}
+        horizon = vs[-retain_versions]  # oldest version that must stay queryable
+        base = None
+        for v in reversed(self._checkpoint_versions()):
+            if v <= horizon and self._load_checkpoint(v) is not None:
+                base = v
+                break
+        if base is None:
+            return {"log_entries_removed": 0, "checkpoints_removed": 0}
+        n_log = 0
+        for v in vs:
+            if v < base:
+                try:
+                    os.remove(self._log_path(v))
+                    n_log += 1
+                except OSError:
+                    pass
+        n_ck = 0
+        for v in self._checkpoint_versions():
+            if v < base:
+                try:
+                    os.remove(self._ckpt_path(v))
+                    n_ck += 1
+                except OSError:
+                    pass
+        return {
+            "log_entries_removed": n_log,
+            "checkpoints_removed": n_ck,
+            "replay_base": base,
+        }
 
     def vacuum(self, retain_versions: int = 1) -> dict:
         """Delete data files unreferenced by the newest

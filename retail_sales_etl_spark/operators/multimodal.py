@@ -87,15 +87,11 @@ def _decode_image_stub(payload: bytes) -> dict:
 PPM_MIME = "image/x-portable-pixmap"
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """REAL decoder for binary PPM (P6) — pure bytes arithmetic, no
-    codec library needed: parse the whitespace-delimited header (magic,
-    width, height, maxval; one whitespace byte before the raster), then
-    read the raw interleaved RGB plane. Returns integer-exact stats
-    (dims, pixel count, per-channel byte sums) so a wrong header parse,
-    an off-by-one raster offset, or a channel swap is a hard test/oracle
-    failure — this is the production decode slot, proven end-to-end,
-    where the stub covers formats the sandbox lacks codecs for."""
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) payload into (width, height, raster) —
+    pure bytes arithmetic: whitespace-delimited header (magic, width,
+    height, maxval; exactly one whitespace byte before the raster),
+    then the raw interleaved RGB plane."""
     payload = bytes(payload)
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
@@ -114,6 +110,17 @@ def decode_ppm(payload: bytes) -> dict:
     raw = payload[i : i + 3 * width * height]
     if maxval != 255 or len(raw) != 3 * width * height:
         raise ValueError("unsupported maxval or truncated PPM raster")
+    return width, height, raw
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decoder for binary PPM (P6) — no codec library needed.
+    Returns integer-exact stats (dims, pixel count, per-channel byte
+    sums) so a wrong header parse, an off-by-one raster offset, or a
+    channel swap is a hard test/oracle failure — this is the production
+    decode slot, proven end-to-end, where the stub covers formats the
+    sandbox lacks codecs for."""
+    width, height, raw = _parse_ppm(payload)
     return {
         "width": width,
         "height": height,
@@ -121,6 +128,37 @@ def decode_ppm(payload: bytes) -> dict:
         "sum_r": sum(raw[0::3]),
         "sum_g": sum(raw[1::3]),
         "sum_b": sum(raw[2::3]),
+    }
+
+
+# Fixed target dims for the nearest-neighbor resize operator (the
+# thumbnail/normalize step of an image pipeline).
+PPM_RESIZE_W = 4
+PPM_RESIZE_H = 3
+
+
+def resize_ppm_nn(payload: bytes) -> dict:
+    """Nearest-neighbor resize on a REAL decoded raster: target pixel
+    (x', y') samples source pixel (x'*w // W', y'*h // H') — the
+    standard NN kernel, integer arithmetic only. Returns the source
+    dims plus per-channel sums of the RESIZED raster, so a wrong
+    source-coordinate mapping or raster stride is oracle-visible."""
+    width, height, raw = _parse_ppm(payload)
+    sr = sg = sb = 0
+    for y2 in range(PPM_RESIZE_H):
+        sy = (y2 * height) // PPM_RESIZE_H
+        for x2 in range(PPM_RESIZE_W):
+            sx = (x2 * width) // PPM_RESIZE_W
+            off = 3 * (sy * width + sx)
+            sr += raw[off]
+            sg += raw[off + 1]
+            sb += raw[off + 2]
+    return {
+        "src_width": width,
+        "src_height": height,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
     }
 
 
@@ -369,14 +407,90 @@ def q_multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_stats, schema=PPM_STATS_SCHEMA)
 
 
+PPM_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def q_multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end: synthesize P6 bytes, decode, and
+    nearest-neighbor resize each raster to PPM_RESIZE_W x PPM_RESIZE_H
+    inside ``mapInPandas``, emitting per-channel sums of the resized
+    image. The oracle recomputes the same sums closed-form (target
+    pixel (x', y') -> generator(doc_id, x'*w // W', y'*h // H')), so
+    the NN coordinate mapping and raster stride are hash-checked."""
+    media = synthesize_ppm(load_table(spark, sf_dir, "documents"))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "src_width": [],
+                "src_height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = resize_ppm_nn(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=PPM_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_ppm_stats": q_multimodal_ppm_stats,
+    "multimodal_ppm_resize": q_multimodal_ppm_resize,
 }
 
 ORACLE = {
+    # NN-resize twin: target pixel (x2, y2) samples the generator at
+    # (x2*w // W', y2*h // H') — recovered by Spark from decoded bytes.
+    "multimodal_ppm_resize": f"""
+        WITH grid AS (
+            SELECT doc_id,
+                   (doc_id % 8) + 2 AS w,
+                   (doc_id % 6) + 2 AS h
+            FROM documents
+        ),
+        xs AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+            FROM grid
+        ),
+        pix AS (
+            SELECT doc_id, w, h, x2,
+                   unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+            FROM xs
+        ),
+        src AS (
+            SELECT doc_id, w, h,
+                   (x2 * w) // {PPM_RESIZE_W} AS sx,
+                   (y2 * h) // {PPM_RESIZE_H} AS sy
+            FROM pix
+        )
+        SELECT doc_id,
+               CAST(any_value(w) AS INTEGER) AS src_width,
+               CAST(any_value(h) AS INTEGER) AS src_height,
+               CAST(sum((doc_id + 7 * sx + 13 * sy) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((3 * doc_id + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id + sx * sy) % 256) AS BIGINT) AS sum_b
+        FROM src
+        GROUP BY doc_id
+    """,
     # closed-form twin of the generator: the Spark side must recover
     # these exact sums by DECODING the bytes it synthesized.
     "multimodal_ppm_stats": """

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
 
@@ -372,7 +373,107 @@ def q_mix_top_p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "quality", "n_tokens")
 
 
+# DSIR (Data Selection with Importance Resampling — Xie et al.,
+# NeurIPS 2023): rank raw-corpus docs by how target-like they are under
+# two hashed n-gram bag-of-words models. Features are word unigrams +
+# bigrams hashed into DSIR_BUCKETS buckets; the importance weight of a
+# doc is sum over its grams of log p_target(bucket) - log p_raw(bucket)
+# with Laplace smoothing. The top-DSIR_TOP_K docs by weight are the
+# selected set (deterministic counterpart of the paper's Gumbel-top-k
+# resample — swap the tie-break key for logw + Gumbel(hash-uniform)
+# noise to get the sampled variant; see sample_weighted for the A-ES
+# form of that trick).
+DSIR_BUCKETS = 1024
+DSIR_TOP_K = 200
+DSIR_TARGET_LANG = "en"
+_DSIR_SALT = "dsir|"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every doc by its hashed-n-gram
+    importance weight against the target slice (lang='en' plays the
+    target distribution; the whole corpus is the raw distribution) and
+    keep the top-k.
+
+    Scale shape: one exploded (doc, gram) scan; bucket counts are a
+    DSIR_BUCKETS-row aggregate (map-side combinable — the bucket table
+    is KBs no matter the corpus) broadcast back onto the grid; the
+    per-doc sum is the only doc-keyed shuffle; the final cut is a
+    distributed TakeOrdered on the exact DECIMAL weight. Portability:
+    bucket = hex-prefix of md5 (both engines parse the same 4 hex
+    chars), per-bucket log-ratios rounded to 6 dp and summed in
+    DECIMAL (order-independent), ranking on the exact sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        toks.alias("__t"),
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(sequence(0, size(__t) - 2),"
+            " i -> concat(__t[i], ' ', __t[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grid = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("__t"), bigrams)).alias("__g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_DSIR_SALT), F.col("__g"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    bc = grid.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tc"),
+        F.count(F.lit(1)).alias("sc"),
+    )
+    tot = bc.agg(F.sum("tc").alias("t_total"), F.sum("sc").alias("s_total"))
+    lp = bc.crossJoin(broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("tc") + 1.0) / (F.col("t_total") + float(DSIR_BUCKETS))
+            )
+            - F.log(
+                (F.col("sc") + 1.0) / (F.col("s_total") + float(DSIR_BUCKETS))
+            ),
+            6,
+        )
+        .cast("decimal(25,6)")
+        .alias("lpv"),
+    )
+    per_doc = (
+        grid.join(broadcast(lp), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lpv").alias("_s"),
+        )
+    )
+    return (
+        per_doc.orderBy(F.col("_s").desc(), "doc_id")
+        .limit(DSIR_TOP_K)
+        .select(
+            "doc_id", "n_grams", F.col("_s").cast("double").alias("dsir_logw")
+        )
+    )
+
+
 QUERIES = {
+    "dsir_select": q_dsir_select,
     "mix_top_p_quality": q_mix_top_p_quality,
     "corpus_split": q_corpus_split,
     "sample_weighted": q_sample_weighted,
@@ -383,6 +484,56 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dsir_select": f"""
+        WITH toks AS (
+            SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_target,
+                   unnest(list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(
+                                generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END
+                   )) AS g
+            FROM toks
+        ),
+        grid AS (
+            SELECT doc_id, is_target,
+                   ('0x' || substring(md5('{_DSIR_SALT}' || g), 1, 4))::BIGINT
+                       % {DSIR_BUCKETS} AS bucket
+            FROM grams
+        ),
+        bc AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+                   count(*) AS sc
+            FROM grid GROUP BY 1
+        ),
+        tot AS (SELECT sum(tc) AS t_total, sum(sc) AS s_total FROM bc),
+        lp AS (
+            SELECT bucket,
+                   CAST(round(
+                       ln((tc + 1.0) / (t_total + {DSIR_BUCKETS}.0))
+                       - ln((sc + 1.0) / (s_total + {DSIR_BUCKETS}.0)), 6)
+                       AS DECIMAL(25,6)) AS lpv
+            FROM bc, tot
+        ),
+        per_doc AS (
+            SELECT g.doc_id, count(*) AS n_grams, sum(l.lpv) AS s
+            FROM grid g JOIN lp l USING (bucket)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_grams, CAST(s AS DOUBLE) AS dsir_logw
+        FROM per_doc
+        ORDER BY s DESC, doc_id
+        LIMIT {DSIR_TOP_K}
+    """,
     "mix_top_p_quality": f"""
         WITH scored AS (
             SELECT doc_id, source,

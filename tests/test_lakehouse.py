@@ -646,3 +646,45 @@ def test_merge_delete_only_and_missing_keys(spark, table):
         deletes=spark.createDataFrame([Row(id=2), Row(id=999)]),  # 999 absent
     )
     assert {r.id for r in table.read().collect()} == {0, 1, 3, 4}
+
+
+def test_clean_log_prunes_metadata_keeps_recent_reads(spark, table, monkeypatch):
+    """Log retention cleanup: commit JSONs below the replay-base
+    checkpoint are deleted, recent versions stay queryable (from the
+    checkpoint), and time travel below the base raises instead of
+    silently replaying partial state."""
+    for i in range(25):
+        table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
+    res = table.clean_log(retain_versions=5)
+    assert res["replay_base"] == 20  # newest checkpoint <= v21
+    assert res["log_entries_removed"] == 19  # commits 1..19
+    assert res["checkpoints_removed"] == 1  # checkpoint 10
+    assert table._versions()[0] == 20
+    # head and retained time travel still exact
+    assert {r.id for r in table.read().collect()} == set(range(25))
+    assert {r.id for r in table.read(version=22).collect()} == set(range(22))
+    assert {r.id for r in table.read(version=20).collect()} == set(range(20))
+    # below the base: hard error, never partial state
+    with pytest.raises(ValueError):
+        table.read(version=15)
+    # replay with the base checkpoint unreadable must refuse, not
+    # silently rebuild from the truncated tail
+    import json as _json
+
+    ck = _json.load(open(table._ckpt_path(20)))
+    with open(table._ckpt_path(20), "w") as fh:
+        fh.write("{broken")
+    with pytest.raises(FileNotFoundError, match="cleaned below"):
+        table._replay_stats()
+    with open(table._ckpt_path(20), "w") as fh:
+        _json.dump(ck, fh)
+    # appends continue normally after cleanup
+    table.write(spark.createDataFrame(_rows(1, start=100)), mode="append")
+    assert table.read().count() == 26
+
+
+def test_clean_log_noop_without_covering_checkpoint(spark, table):
+    for i in range(8):  # below the checkpoint interval: no checkpoint yet
+        table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
+    assert table.clean_log(retain_versions=2)["log_entries_removed"] == 0
+    assert table.read().count() == 8

@@ -366,3 +366,31 @@ def test_pq_codebook_init_is_takeordered_not_corpus_window_sort(spark, sf_dir):
     # the only window left ranks the K seed rows (post-limit, K=16),
     # never a partition-by-subspace pass over the exploded corpus
     assert "partitionBy=[sub" not in plan.replace(" ", "")
+
+
+def test_dsir_bucket_table_broadcasts_and_cut_is_takeordered(spark, sf_dir):
+    """dsir_select's scale posture: the DSIR_BUCKETS-row count/log-ratio
+    tables join back onto the gram grid as broadcasts (never a
+    SortMergeJoin of the corpus against metadata), and the final top-k
+    cut is a distributed TakeOrdered, not a global sort."""
+    from retail_sales_etl_spark.operators.sampling import q_dsir_select
+
+    plan = _formatted_plan(q_dsir_select(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ppm_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The synthesize->decode PPM pipeline is two chained mapInPandas
+    over the scan — zero Exchange — and the scan reads ONLY doc_id (the
+    payload is generated, not carried)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_ppm_resize,
+        q_multimodal_ppm_stats,
+    )
+
+    for q in (q_multimodal_ppm_stats, q_multimodal_ppm_resize):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, q.__name__
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__
