@@ -242,35 +242,39 @@ class LakehouseTable:
         incrementally from the previous checkpoint, so the cost is
         O(interval) commit reads, and written atomically via rename —
         concurrent committers of the same version produce identical
-        content, so last-writer-wins is harmless. Best-effort: a
-        failure leaves replay correctness untouched."""
-        live, last, stats = self._replay_stats(as_of=version)
-        key_values: dict = {}
-        start = 0
-        prev = self._newest_checkpoint(version - 1)
-        if prev is not None:
-            start, ck = prev
-            key_values = dict(ck.get("key_values", {}))
-        for v in self._versions():
-            if v <= start or v > version:
-                continue
-            entry = self._read_commit(v)
-            for k, val in entry.items():
-                if k not in ("add", "remove", "stats"):
-                    key_values[k] = val
-        payload = {
-            "version": version,
-            "live": live,
-            "stats": stats,
-            "last": last,
-            "key_values": key_values,
-        }
+        content, so last-writer-wins is harmless. Best-effort END TO
+        END: the caller just committed successfully, so NO failure here
+        (an unreadable base checkpoint, a commit swept by a concurrent
+        clean_log, a full disk) may propagate and make the committer
+        report a landed commit as failed — replay correctness never
+        depends on this file existing."""
         tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         try:
+            live, last, stats = self._replay_stats(as_of=version)
+            key_values: dict = {}
+            start = 0
+            prev = self._newest_checkpoint(version - 1)
+            if prev is not None:
+                start, ck = prev
+                key_values = dict(ck.get("key_values", {}))
+            for v in self._versions():
+                if v <= start or v > version:
+                    continue
+                entry = self._read_commit(v)
+                for k, val in entry.items():
+                    if k not in ("add", "remove", "stats"):
+                        key_values[k] = val
+            payload = {
+                "version": version,
+                "live": live,
+                "stats": stats,
+                "last": last,
+                "key_values": key_values,
+            }
             with open(tmp, "w") as fh:
                 json.dump(payload, fh)
             os.replace(tmp, self._ckpt_path(version))
-        except OSError:
+        except Exception:
             try:
                 os.remove(tmp)
             except OSError:
@@ -306,28 +310,35 @@ class LakehouseTable:
         last = None
         start = 0
         ckpt = self._newest_checkpoint(as_of)
+        vs = self._versions()
         if ckpt is not None:
             start, ck = ckpt
             live = dict.fromkeys(ck["live"])
             stats = dict(ck["stats"])
             last = ck["last"]
-        else:
-            vs = self._versions()
-            if vs and vs[0] > 1:
-                # Commits always number from 1; a log whose oldest
-                # surviving commit is >1 with no checkpoint at or below
-                # the target has been retention-cleaned (clean_log) —
-                # replaying the remainder from empty state would
-                # silently produce a WRONG snapshot.
-                raise FileNotFoundError(
-                    f"Log cleaned below version {vs[0]}; no checkpoint "
-                    f"covers a replay at version {as_of}"
-                )
-        for v in self._versions():
-            if v <= start:
-                continue
-            if as_of is not None and v > as_of:
-                break
+        elif vs and vs[0] > 1:
+            # Commits always number from 1; a log whose oldest
+            # surviving commit is >1 with no checkpoint at or below
+            # the target has been retention-cleaned (clean_log) —
+            # replaying the remainder from empty state would
+            # silently produce a WRONG snapshot.
+            raise FileNotFoundError(
+                f"Log cleaned below version {vs[0]}; no checkpoint "
+                f"covers a replay at version {as_of}"
+            )
+        # Continuity guard: commit numbers are consecutive by
+        # construction, so every version in (start, target] must still
+        # be listed — a gap means a concurrent clean_log deleted
+        # commits after the checkpoint was chosen, and replaying past
+        # it would silently return a stale snapshot labeled ``as_of``.
+        target = as_of if as_of is not None else (vs[-1] if vs else start)
+        to_apply = [v for v in vs if start < v <= target]
+        if len(to_apply) != max(0, target - start):
+            raise FileNotFoundError(
+                f"Commits ({start}, {target}] are incomplete — log "
+                f"cleaned concurrently; retry the read"
+            )
+        for v in to_apply:
             entry = self._read_commit(v)
             for f in entry.get("remove", []):
                 live.pop(f, None)
@@ -360,19 +371,51 @@ class LakehouseTable:
         — not O(all commits) — and the backward walk stops at the
         newest snapshot checkpoint, whose accumulated ``key_values``
         map answers for everything at or below it: even a key last
-        written long ago costs O(commits since checkpoint)."""
-        ckpt = self._newest_checkpoint(as_of)
-        ckpt_v = ckpt[0] if ckpt is not None else 0
-        for v in reversed(self._versions()):
+        written long ago costs O(commits since checkpoint). The
+        checkpoint PAYLOAD is only parsed when the walk actually
+        reaches the boundary without finding the key — in the steady
+        state (a sink stamping ``key`` on every commit) the answer
+        comes from the newest commit and no checkpoint JSON is opened,
+        keeping the per-micro-batch metadata cost O(1) even as the
+        checkpoint grows with the table's file count."""
+        vs = self._versions()
+        ck_versions = [
+            v
+            for v in self._checkpoint_versions()
+            if as_of is None or v <= as_of
+        ]
+        boundary = ck_versions[-1] if ck_versions else 0
+        for v in reversed(vs):
             if as_of is not None and v > as_of:
                 continue
-            if v <= ckpt_v:
+            if v <= boundary:
                 break
             entry = self._read_commit(v)
             if key in entry:
                 return entry[key]
-        if ckpt is not None:
-            return ckpt[1].get("key_values", {}).get(key)
+        if boundary:
+            ckpt = self._newest_checkpoint(as_of)  # loads, skipping corrupt
+            ckpt_v = ckpt[0] if ckpt is not None else 0
+            # commits between the loadable checkpoint and the (possibly
+            # corrupt, unloadable) boundary still need scanning
+            for v in reversed(vs):
+                if v <= ckpt_v or v > boundary:
+                    continue
+                entry = self._read_commit(v)
+                if key in entry:
+                    return entry[key]
+            if ckpt is not None:
+                return ckpt[1].get("key_values", {}).get(key)
+        if vs and vs[0] > 1:
+            # Same contract as _replay_stats: below a cleaned log's
+            # replay base, "not found" is indistinguishable from
+            # "cleaned away" — refuse rather than let a caller pinned
+            # to a pre-cleanup version treat a landed watermark as
+            # absent (and, e.g., re-apply a committed batch).
+            raise FileNotFoundError(
+                f"Log cleaned below version {vs[0]}; "
+                f"latest_value(as_of={as_of}) cannot see pre-cleanup commits"
+            )
         return None
 
     # -------------------------------------------------------------- write

@@ -95,14 +95,21 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
     payload = bytes(payload)
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
+    n = len(payload)
     fields: list[int] = []
     i = 2
     while len(fields) < 3:
-        while payload[i : i + 1].isspace():
+        # every scan is bounded by the payload length: a truncated
+        # header (EOF mid-field, or no whitespace after maxval) must
+        # raise, never spin — this parser runs inside executor tasks
+        # on arbitrary upstream bytes
+        while i < n and payload[i : i + 1].isspace():
             i += 1
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < n and not payload[j : j + 1].isspace():
             j += 1
+        if j == i or j >= n:
+            raise ValueError("truncated PPM header")
         fields.append(int(payload[i:j]))
         i = j
     i += 1  # exactly one whitespace byte separates maxval from the raster

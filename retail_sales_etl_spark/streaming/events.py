@@ -676,6 +676,7 @@ def cdc_apply_sink(
     batch_id: int,
     table_path: str,
     primary_key: Iterable[str],
+    sequence_by: str | None = None,
 ) -> bool:
     """Streaming CDC-apply: MERGE one micro-batch of a change feed
     (rows carrying ``op`` in insert/update/delete plus the full new row
@@ -686,6 +687,15 @@ def cdc_apply_sink(
     read_version, and ``conflict_on="batch_id"`` so two racing writers
     of the same batch land it exactly once. Upserts take the batch's
     row for the key; deletes drop it. Returns False on replay.
+
+    A micro-batch may carry SEVERAL events for one key; applying them
+    setwise would be wrong (an insert+delete pair would resurrect the
+    key, two updates would both insert). ``sequence_by`` names the
+    event-order column (Delta's SEQUENCE BY): the batch is reduced to
+    each key's LATEST event before applying — the per-key window runs
+    over the micro-batch only, never the table. Without it, the sink
+    REFUSES a batch containing duplicate keys rather than corrupt the
+    table.
     """
     from ..load.lakehouse import (
         ConcurrentWriteError,
@@ -695,6 +705,28 @@ def cdc_apply_sink(
 
     table = LakehouseTable(batch_df.sparkSession, table_path)
     keys = list(primary_key)
+    if sequence_by is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(sequence_by).desc())
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", sequence_by)
+        )
+    else:
+        dup = (
+            batch_df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "cdc_apply_sink: batch carries multiple change events for "
+                "one key; pass sequence_by to apply each key's latest event"
+            )
     marker = {"batch_id": batch_id, "cdc_batch_hwm": batch_id}
     ups = batch_df.filter(F.col("op").isin("insert", "update")).drop("op")
     dels = batch_df.filter(F.col("op") == "delete").select(*keys)
@@ -748,6 +780,7 @@ def apply_changes_stream(
     table_path: str,
     checkpoint: str,
     primary_key: Iterable[str],
+    sequence_by: str | None = None,
 ):
     """Run the CDC-apply sink under foreachBatch (availableNow): a
     change-feed stream materializes into an exactly-once-maintained
@@ -755,7 +788,7 @@ def apply_changes_stream(
     keys = list(primary_key)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        cdc_apply_sink(batch_df, batch_id, table_path, keys)
+        cdc_apply_sink(batch_df, batch_id, table_path, keys, sequence_by)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
 
@@ -1069,15 +1102,17 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from ..catalog import load_table, table_path
+    from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
-    from ..operators.profiling import HH_DENOM
 
     work = tempfile.mkdtemp(prefix="hh_stream_")
     tbl_path = f"{work}/hh_table"
-    stream = read_events_stream(
-        spark, table_path(sf_dir, "events"), max_files_per_trigger=1
-    )
+    # split the events into 4 files so availableNow really runs 4
+    # micro-batches — the maintained summary is folded across batches,
+    # not built in one shot
+    src = f"{work}/src"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
     maintain_heavy_hitters(
         stream, tbl_path, f"{work}/ckpt"
     ).awaitTermination()

@@ -688,3 +688,56 @@ def test_clean_log_noop_without_covering_checkpoint(spark, table):
         table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
     assert table.clean_log(retain_versions=2)["log_entries_removed"] == 0
     assert table.read().count() == 8
+
+
+def test_replay_detects_concurrent_log_cleaning_gap(spark, table):
+    """A commit deleted between the replay's checkpoint choice and its
+    version listing (concurrent clean_log) must fail the read loudly —
+    never return a stale snapshot labeled with the requested version."""
+    for i in range(15):
+        table.write(spark.createDataFrame(_rows(1, start=i)), mode="append")
+    for v in (12, 13, 14):  # simulate the concurrent cleaner's deletions
+        os.remove(table._log_path(v))
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        table.read(version=15)
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        table.read()  # head read crosses the same gap
+    # versions at or below the checkpoint still resolve exactly
+    assert {r.id for r in table.read(version=10).collect()} == set(range(10))
+
+
+def test_latest_value_contract_after_clean_log(spark, table):
+    """Below a cleaned log's replay base, latest_value must raise (a
+    cleaned-away watermark is not 'never written'); above it, answers
+    keep coming without parsing the checkpoint payload in steady
+    state."""
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    table.write(
+        spark.createDataFrame(_rows(1)), mode="append", extra={"batch_hwm": 1}
+    )
+    for i in range(24):
+        table.write(
+            spark.createDataFrame(_rows(1, start=10 + i)),
+            mode="append",
+            extra={"batch_hwm": i + 2},
+        )
+    table.clean_log(retain_versions=5)
+    with pytest.raises(FileNotFoundError, match="cleaned below"):
+        table.latest_value("batch_hwm", as_of=5)
+    assert table.latest_value("batch_hwm") == 25
+    # steady state (key stamped on the newest commit): the checkpoint
+    # payload is never parsed
+    loads = {"n": 0}
+    orig = lh.LakehouseTable._load_checkpoint
+
+    def counting(self, version):
+        loads["n"] += 1
+        return orig(self, version)
+
+    lh.LakehouseTable._load_checkpoint = counting
+    try:
+        assert table.latest_value("batch_hwm") == 25
+    finally:
+        lh.LakehouseTable._load_checkpoint = orig
+    assert loads["n"] == 0

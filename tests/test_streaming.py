@@ -765,3 +765,40 @@ def test_cdc_apply_sink_two_writer_race(spark, tmp_path):
     assert sorted(results.values()) == [False, True]
     got = {r["id"]: r["val"] for r in LakehouseTable(spark, tbl).read().collect()}
     assert got[3] == 333.0 and 5 not in got and len(got) == 9
+
+
+def test_cdc_apply_sink_multi_event_per_key(spark, tmp_path):
+    """Several events for one key in ONE micro-batch: without
+    sequence_by the sink refuses (setwise apply would resurrect deleted
+    keys / duplicate PKs); with sequence_by each key's LATEST event
+    wins — insert-then-delete leaves the key absent, update-then-update
+    keeps only the last row."""
+    import pytest
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tbl = str(tmp_path / "cdc_multi")
+    seed = spark.createDataFrame(
+        [Row(op="insert", id=i, val=float(i), seq=0) for i in range(5)]
+    )
+    assert streaming_events.cdc_apply_sink(
+        seed, 0, tbl, ["id"], sequence_by="seq"
+    ) is True
+    batch = spark.createDataFrame(
+        [
+            Row(op="insert", id=9, val=9.0, seq=1),
+            Row(op="delete", id=9, val=None, seq=2),  # same-batch resurrect trap
+            Row(op="update", id=2, val=20.0, seq=1),
+            Row(op="update", id=2, val=22.0, seq=2),  # last update wins
+        ]
+    )
+    with pytest.raises(ValueError, match="sequence_by"):
+        streaming_events.cdc_apply_sink(batch.drop("seq"), 1, tbl, ["id"])
+    assert streaming_events.cdc_apply_sink(
+        batch, 1, tbl, ["id"], sequence_by="seq"
+    ) is True
+    got = {r["id"]: r["val"] for r in LakehouseTable(spark, tbl).read().collect()}
+    assert 9 not in got  # the delete (seq 2) beat the insert (seq 1)
+    assert got[2] == 22.0
+    assert len(got) == 5  # no duplicated PK rows

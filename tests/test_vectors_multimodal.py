@@ -142,3 +142,16 @@ def test_ppm_roundtrip_synth_decode(spark, sf_dir):
         want_r = sum(_ppm_pixel(doc_id, x, y)[0] for x in range(w) for y in range(h))
         r = rows[doc_id]
         assert (r["width"], r["height"], r["sum_r"]) == (w, h, want_r)
+
+
+def test_decode_ppm_truncated_header_raises_not_hangs():
+    """A header cut off mid-field (or missing the whitespace after
+    maxval) must raise promptly — the parser runs on arbitrary upstream
+    bytes inside executor tasks, where an unbounded scan is a hang."""
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import decode_ppm
+
+    for bad in (b"P6", b"P6\n2", b"P6\n2 2", b"P6\n2 2\n255", b"P6\n  "):
+        with pytest.raises(ValueError, match="truncated PPM header"):
+            decode_ppm(bad)
