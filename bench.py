@@ -61,6 +61,7 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "dsir_select",
     "multimodal_ppm_resize",
+    "hard_negatives",
 ]
 
 

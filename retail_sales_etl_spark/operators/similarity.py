@@ -933,6 +933,93 @@ def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HN_K = 5  # hard negatives kept per query
+HN_NPROBE = 2  # foreign cells probed per query
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the
+    DPR/SimCSE prep step): for each query vector, the most-similar
+    vectors whose label DIFFERS from the query's — the negatives that
+    actually teach a bi-encoder something.
+
+    Scale shape = batch IVF with a foreign-cell constraint: every
+    query routes through the broadcast centroid table to its
+    HN_NPROBE most-similar cells EXCLUDING its own label (the hardest
+    negatives live in the most query-similar foreign cells — IVF
+    routing finds exactly those), then ONE cell-keyed corpus join
+    scores the candidates and a per-query window keeps the top HN_K.
+    One corpus join regardless of |Q|; candidates are negative by
+    construction (foreign cell), so no post-filter rescans anything.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    cent_arr = (
+        _centroids_long(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+    )
+    queries = emb.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    routed = (
+        cent_arr.crossJoin(broadcast(queries))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "qv",
+            "label",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probes = (
+        routed.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= HN_NPROBE)
+        .select("q_id", "q_label", "qv", F.col("label").alias("probe_label"))
+    )
+    scored = emb.join(
+        broadcast(probes), F.col("label") == F.col("probe_label")
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(
+            _dot(F.col("v"), F.col("qv"))
+            / (
+                F.sqrt(_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(wk).cast("int")
+    ).filter(F.col("rank") <= HN_K)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization QC for the vector store: per-vector
     scale (max|x|/127), reconstruction MSE and max abs error — the
@@ -999,6 +1086,7 @@ QUERIES = {
     "kmeans_centroids": q_kmeans_centroids,
     "kmeans_sampled_assign": q_kmeans_sampled_assign,
     "ann_pq_topk": q_ann_pq_topk,
+    "hard_negatives": q_hard_negatives,
 }
 
 
@@ -1084,6 +1172,43 @@ ORACLE = {
         WHERE rank <= {KNN_K}
     """,
     "embedding_centroids": _CENTROIDS_SQL,
+    "hard_negatives": f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS ({_CENTROIDS_SQL}),
+        carr AS (SELECT label, list(centroid ORDER BY dim_idx) AS cv FROM cent GROUP BY label),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM emb
+              WHERE vec_id IN {BATCH_QUERY_IDS}),
+        routed AS (
+            SELECT q_id, q_label, qv, label,
+                   round(list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS ccos
+            FROM carr, q
+            WHERE label <> q_label
+        ),
+        probes AS (
+            SELECT q_id, q_label, qv, label AS probe_label
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY ccos DESC, label) AS r
+                FROM routed
+            ) WHERE r <= {HN_NPROBE}
+        ),
+        scored AS (
+            SELECT p.q_id, p.q_label, e.vec_id, e.label AS neg_label,
+                   round(list_dot_product(e.v, p.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+            FROM emb e JOIN probes p ON e.label = p.probe_label
+        )
+        SELECT * FROM (
+            SELECT q_id, q_label, vec_id, neg_label, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+                       AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {HN_K}
+    """,
     "ann_batch_ivf": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS ({_CENTROIDS_SQL}),

@@ -1025,14 +1025,19 @@ def q_streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the streaming CDC-apply sink: build a
-    deterministic two-batch change feed from the orders table (batch 1
-    inserts every order; batch 2 updates keys ≡0 mod 7 — +1000 on the
-    total — and deletes keys ≡0 mod 10), stream it through
-    ``apply_changes_stream`` (one file per micro-batch, MERGE with
-    deletes, batch-watermark exactly-once), and return the maintained
-    table. The oracle is the full recompute: orders minus deleted keys
-    with updated totals — hash-exact, proving insert/update/delete
-    application end-to-end through the lakehouse commit log.
+    deterministic two-batch change feed from the orders table and
+    stream it through ``apply_changes_stream`` (one file per
+    micro-batch, MERGE with deletes, batch-watermark exactly-once,
+    per-key latest-event reduction via ``sequence_by``), returning the
+    maintained table. Batch 1 inserts every order. Batch 2 carries
+    MULTIPLE events per key on purpose: keys ≡0 mod 7 get two updates
+    (seq 1: +500, seq 2: +1000 — the later one must win) and keys ≡0
+    mod 10 get an insert (seq 1) followed by a delete (seq 2 — the key
+    must stay deleted, the classic same-batch resurrection trap). The
+    oracle is the full recompute: orders minus deleted keys with the
+    FINAL update applied — hash-exact, proving insert/update/delete
+    application AND intra-batch event ordering end-to-end through the
+    lakehouse commit log.
     """
     import tempfile
 
@@ -1043,22 +1048,28 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    inserts = orders.select(
-        F.lit("insert").alias("op"), "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    updates = orders.filter(
+
+    def _ev(df, op, seq, price_col):
+        return df.select(
+            F.lit(op).alias("op"),
+            "o_orderkey",
+            "o_custkey",
+            price_col.alias("o_totalprice"),
+            F.lit(seq).alias("seq"),
+        )
+
+    inserts = _ev(orders, "insert", 0, F.col("o_totalprice"))
+    upd_keys = orders.filter(
         (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 0)
-    ).select(
-        F.lit("update").alias("op"),
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
     )
-    deletes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
-        F.lit("delete").alias("op"),
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
+    del_keys = orders.filter(F.col("o_orderkey") % 10 == 0)
+    batch2 = (
+        _ev(upd_keys, "update", 1, F.col("o_totalprice") + F.lit(500.0))
+        .unionByName(
+            _ev(upd_keys, "update", 2, F.col("o_totalprice") + F.lit(1000.0))
+        )
+        .unionByName(_ev(del_keys, "insert", 1, F.col("o_totalprice")))
+        .unionByName(_ev(del_keys, "delete", 2, F.col("o_totalprice")))
     )
     # two files, written in order so the file source replays them as
     # two ordered micro-batches (max_files_per_trigger=1); mtimes are
@@ -1068,7 +1079,7 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     inserts.coalesce(1).write.parquet(f"{src}/b1")
-    updates.unionByName(deletes).coalesce(1).write.parquet(f"{src}/b2")
+    batch2.coalesce(1).write.parquet(f"{src}/b2")
     now = time.time()
     for sub, ts in (("b1", now - 10), ("b2", now)):
         for f in os.listdir(f"{src}/{sub}"):
@@ -1081,7 +1092,7 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl_path = f"{work}/orders_table"
     apply_changes_stream(
-        stream, tbl_path, f"{work}/ckpt", ["o_orderkey"]
+        stream, tbl_path, f"{work}/ckpt", ["o_orderkey"], sequence_by="seq"
     ).awaitTermination()
 
     from ..load.lakehouse import LakehouseTable

@@ -134,6 +134,83 @@ def probe_lakehouse_checkpoint(spark) -> None:
     )
 
 
+def probe_dsir_10x(spark) -> None:
+    """dsir_select at 10x docs: the bucket tables stay a fixed 1024
+    rows (broadcast), so wall should track the linear gram explode."""
+    from retail_sales_etl_spark.operators.sampling import q_dsir_select
+
+    _, t1 = _time(
+        lambda: q_dsir_select(spark, SF_DIR)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n1 = docs.count()
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+    big_dir = f"{STAGE}/dsir10x"
+    os.makedirs(big_dir, exist_ok=True)
+    (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * F.lit(111_000_000)).alias(
+                "doc_id"
+            ),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{big_dir}/documents.parquet")
+    )
+    out, t10 = _time(lambda: q_dsir_select(spark, big_dir).collect())
+    print(
+        f"[dsir] {n1} docs {t1:.2f}s -> {n1 * COPIES} docs {t10:.2f}s "
+        f"(x{t10 / t1:.1f} wall for x{COPIES} docs; {len(out)} selected, "
+        f"bucket tables fixed at 1024 rows)"
+    )
+
+
+def probe_cdc_apply_10x(spark) -> None:
+    """Streaming CDC-apply at 10x orders: two micro-batches, MERGE
+    rewrites only files containing changed keys."""
+    from retail_sales_etl_spark.streaming.events import q_streaming_cdc_apply
+
+    _, t1 = _time(
+        lambda: q_streaming_cdc_apply(spark, SF_DIR)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n1 = orders.count()
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+    big_dir = f"{STAGE}/cdc10x"
+    os.makedirs(big_dir, exist_ok=True)
+    (
+        orders.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * F.lit(700_000_000)).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{big_dir}/orders.parquet")
+    )
+    out, t10 = _time(lambda: q_streaming_cdc_apply(spark, big_dir).count())
+    print(
+        f"[cdc-apply] {n1} orders {t1:.2f}s -> {n1 * COPIES} orders "
+        f"{t10:.2f}s (x{t10 / t1:.1f} wall for x{COPIES} orders; "
+        f"{out} maintained rows)"
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="probe-round9-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -141,6 +218,8 @@ def main() -> None:
     try:
         probe_sampled_kmeans(spark)
         probe_lakehouse_checkpoint(spark)
+        probe_dsir_10x(spark)
+        probe_cdc_apply_10x(spark)
     finally:
         shutil.rmtree(STAGE, ignore_errors=True)
 

@@ -394,3 +394,14 @@ def test_ppm_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
         plan = _formatted_plan(q(spark, sf_dir))
         assert "Exchange" not in plan, q.__name__
         assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__
+
+
+def test_hard_negatives_routes_broadcast_foreign_cells(spark, sf_dir):
+    """hard_negatives keeps the batch-IVF shape: centroid routing and
+    the probe set join as broadcasts (one cell-keyed corpus join, no
+    SortMergeJoin anywhere)."""
+    from retail_sales_etl_spark.operators.similarity import q_hard_negatives
+
+    plan = _formatted_plan(q_hard_negatives(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
