@@ -442,7 +442,29 @@ def lakehouse_batch_sink(batch_df: DataFrame, batch_id: int, table_path: str) ->
     )
 
 
-def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: str):
+def _maybe_clean_log(spark, table_path: str, log_retention: int | None) -> None:
+    """Opt-in metadata retention for long-lived streaming sinks: after
+    a batch lands, prune commit JSONs below the replay-base checkpoint
+    so the table's log stays O(retention + checkpoint interval) files
+    for the stream's whole life instead of one JSON per micro-batch
+    forever. No-op until a checkpoint covers the horizon; replay
+    detection keeps working because the batch watermark survives in
+    the checkpoint's key_values. Time travel below the base raises by
+    clean_log's contract — callers that need deep history leave
+    ``log_retention`` unset."""
+    if log_retention is None:
+        return
+    from ..load.lakehouse import LakehouseTable
+
+    LakehouseTable(spark, table_path).clean_log(retain_versions=log_retention)
+
+
+def write_batches_to_lakehouse(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
     """Exactly-once streaming sink into the lakehouse table: each
     micro-batch is ONE atomic transaction-log commit carrying its
     batch_id, and a replayed batch (checkpoint rewind, restart between
@@ -456,6 +478,7 @@ def write_batches_to_lakehouse(stream: DataFrame, table_path: str, checkpoint: s
     """
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         lakehouse_batch_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
 
@@ -548,13 +571,19 @@ def heavy_hitter_sink(
     )
 
 
-def maintain_heavy_hitters(stream: DataFrame, table_path: str, checkpoint: str):
+def maintain_heavy_hitters(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
     """Run the streaming MG summary sink under foreachBatch
     (availableNow) — the streaming twin of the batch ``heavy_hitters``
     candidate pass."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         heavy_hitter_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
 
@@ -662,11 +691,17 @@ def ivm_lakehouse_sink(
     )
 
 
-def maintain_event_rollup(stream: DataFrame, table_path: str, checkpoint: str):
+def maintain_event_rollup(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
     """Run the streaming IVM sink under foreachBatch (availableNow)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ivm_lakehouse_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
 
@@ -781,6 +816,7 @@ def apply_changes_stream(
     checkpoint: str,
     primary_key: Iterable[str],
     sequence_by: str | None = None,
+    log_retention: int | None = None,
 ):
     """Run the CDC-apply sink under foreachBatch (availableNow): a
     change-feed stream materializes into an exactly-once-maintained
@@ -789,6 +825,7 @@ def apply_changes_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         cdc_apply_sink(batch_df, batch_id, table_path, keys, sequence_by)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
 

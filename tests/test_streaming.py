@@ -802,3 +802,40 @@ def test_cdc_apply_sink_multi_event_per_key(spark, tmp_path):
     assert 9 not in got  # the delete (seq 2) beat the insert (seq 1)
     assert got[2] == 22.0
     assert len(got) == 5  # no duplicated PK rows
+
+
+def test_lakehouse_sink_log_retention_bounds_metadata(spark, sf_dir, tmp_path):
+    """A long-lived sink with log_retention keeps the table's log at
+    O(retention + checkpoint interval) files while reads stay exact and
+    replays stay detected (the batch watermark survives in the
+    checkpoint's key_values)."""
+    import os
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src = str(tmp_path / "split")
+    ev.repartition(25).write.parquet(src)  # 25 micro-batches
+    tbl = str(tmp_path / "lake_ret")
+    q = streaming_events.write_batches_to_lakehouse(
+        streaming_events.read_events_stream(spark, src, max_files_per_trigger=1),
+        tbl,
+        str(tmp_path / "ckpt"),
+        log_retention=5,
+    )
+    q.awaitTermination()
+    table = LakehouseTable(spark, tbl)
+    assert table.read().count() == ev.count()  # nothing lost
+    commit_jsons = [
+        f
+        for f in os.listdir(table.log_dir)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+    ]
+    # 25 commits happened; retention keeps only those above the replay
+    # base (newest checkpoint <= horizon) — bounded, not O(batches)
+    assert len(commit_jsons) <= 15, len(commit_jsons)
+    # replayed batch ids are still detected through the cleaned log
+    replay = table.read().limit(3)
+    assert streaming_events.lakehouse_batch_sink(replay, 0, tbl) is False
+    assert streaming_events.lakehouse_batch_sink(replay, 24, tbl) is False
