@@ -62,6 +62,7 @@ HEADLINE = [
     "dsir_select",
     "multimodal_ppm_resize",
     "hard_negatives",
+    "ann_pq_sampled_topk",
 ]
 
 

@@ -682,6 +682,14 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double_array("embedding").alias("v")
     )
     codebook, codes = _pq_train(emb)
+    return _pq_retrieve(emb, codebook, codes)
+
+
+def _pq_retrieve(emb: DataFrame, codebook: DataFrame, codes: DataFrame) -> DataFrame:
+    """The shared two-stage PQ retrieval: build the query's M x K ADC
+    table against ``codebook`` (one tiny broadcast), rank every coded
+    corpus vector by table-lookup sums, exact-L2 re-rank the PQ_RERANK
+    shortlist."""
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
@@ -717,6 +725,226 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+# Fixed-size deterministic PQ training sample — same TakeOrdered trick
+# as the sampled k-means, PQ's own salt so the two samples decorrelate.
+PQ_SAMPLE_N = 256
+_PQ_SALT = "pq|"
+
+
+def q_ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval in its 100 TB training form: codebooks learned from
+    a FIXED-SIZE deterministic hash sample (PQ_SAMPLE_N vectors —
+    constant training cost no matter the corpus, the standard practice
+    the full-corpus ``ann_pq_topk`` documents), then the WHOLE corpus
+    coded in ONE broadcast pass against the final codebooks, then the
+    same ADC + exact-re-rank retrieval. The exact-L2 re-rank stage
+    absorbs the coarser sampled codebooks, so recall stays pinned while
+    training drops from O(corpus x iters) to O(sample x iters +
+    corpus). Deterministic end-to-end; the DuckDB twin unrolls the
+    sampled rounds plus the full-corpus coding pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    sample = (
+        emb.withColumn(
+            "__sk",
+            F.substring(
+                F.md5(F.concat(F.lit(_PQ_SALT), F.col("vec_id").cast("string"))),
+                1,
+                8,
+            ),
+        )
+        .orderBy("__sk", "vec_id")
+        .limit(PQ_SAMPLE_N)
+        .select("vec_id", "v")
+    )
+    ssubs = sample.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub", "sv"),
+    )
+    seed = (
+        sample.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+    )
+    codebook = seed.select(
+        (F.col("rn") - 1).cast("int").alias("code"),
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub", "cv"),
+    ).select("sub", "code", "cv")
+    for _ in range(PQ_ITERS):
+        scored = ssubs.join(broadcast(codebook), "sub").select(
+            "vec_id",
+            "sub",
+            "code",
+            "sv",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+        )
+        assigned = scored.groupBy("vec_id", "sub").agg(
+            F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"),
+            F.expr("any_value(sv) AS sv"),
+        )
+        cent_long = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("dim_idx", "val")
+            )
+            .groupBy("sub", "code", "dim_idx")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("centroid")
+            )
+        )
+        codebook = cent_long.groupBy("sub", "code").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+    # one broadcast coding pass over the FULL corpus vs the FINAL
+    # codebooks — the only corpus-sized stage of training
+    fsubs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+            )
+        ).alias("sub", "sv"),
+    )
+    codes = (
+        fsubs.join(broadcast(codebook), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"))
+    )
+    return _pq_retrieve(emb, codebook, codes)
+
+
+def _pq_sampled_oracle() -> str:
+    """DuckDB twin of q_ann_pq_sampled_topk: the sampled Lloyd rounds
+    unrolled as CTEs, one full-corpus coding pass against the final
+    codebooks, then the same ADC + re-rank."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    ctes = [
+        """emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )""",
+        f"""semb AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY substring(md5('{_PQ_SALT}' || CAST(vec_id AS VARCHAR)), 1, 8),
+                     vec_id
+            LIMIT {PQ_SAMPLE_N}
+        )""",
+        f"""ssubs AS (
+            SELECT vec_id, sub,
+                   list_slice(v, sub * {PQ_DSUB} + 1,
+                              sub * {PQ_DSUB} + {PQ_DSUB}) AS sv
+            FROM semb
+            CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub)
+        )""",
+        f"""cb_0 AS (
+            SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS cv FROM (
+                SELECT sub, sv, row_number() OVER (
+                    PARTITION BY sub ORDER BY vec_id
+                ) AS rn FROM ssubs
+            ) WHERE rn <= {PQ_K}
+        )""",
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        ctes.append(f"""assigned_{it} AS (
+            SELECT vec_id, sub, code, sv FROM (
+                SELECT s.vec_id, s.sub, c.code, s.sv,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.sub
+                           ORDER BY {d2('s.sv', 'c.cv')}, c.code
+                       ) AS rn
+                FROM ssubs s JOIN cb_{it - 1} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""cent_{it} AS (
+            SELECT sub, code, i - 1 AS dim_idx,
+                   CAST(sum(CAST(sv[i] AS DECIMAL(25,6))) AS DOUBLE)
+                       / count(*) AS centroid
+            FROM (
+                SELECT sub, code, sv, unnest(generate_series(1, len(sv))) AS i
+                FROM assigned_{it}
+            )
+            GROUP BY sub, code, i
+        )""")
+        ctes.append(f"""cb_{it} AS (
+            SELECT sub, code, list(centroid ORDER BY dim_idx) AS cv
+            FROM cent_{it} GROUP BY sub, code
+        )""")
+    last = PQ_ITERS
+    return f"""
+        WITH {', '.join(ctes)},
+        fsubs AS (
+            SELECT vec_id, sub,
+                   list_slice(v, sub * {PQ_DSUB} + 1,
+                              sub * {PQ_DSUB} + {PQ_DSUB}) AS sv
+            FROM emb
+            CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub)
+        ),
+        fcodes AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT f.vec_id, f.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY f.vec_id, f.sub
+                           ORDER BY {d2('f.sv', 'c.cv')}, c.code
+                       ) AS rn
+                FROM fsubs f JOIN cb_{last} c ON f.sub = c.sub
+            ) WHERE rn = 1
+        ),
+        qsubs AS (
+            SELECT sub, sv AS qsv FROM fsubs WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        tbl AS (
+            SELECT c.sub, c.code, {d2('q.qsv', 'c.cv')} AS d
+            FROM cb_{last} c JOIN qsubs q ON c.sub = q.sub
+        ),
+        shortlist AS (
+            SELECT a.vec_id,
+                   CAST(sum(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+            FROM fcodes a
+            JOIN tbl t ON a.sub = t.sub AND a.code = t.code
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+            GROUP BY a.vec_id
+            ORDER BY adc_dist ASC, a.vec_id
+            LIMIT {PQ_RERANK}
+        ),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID})
+        SELECT s.vec_id, s.adc_dist,
+               {d2('e.v', 'q.qv')} AS l2_dist
+        FROM shortlist s
+        JOIN emb e ON s.vec_id = e.vec_id
+        CROSS JOIN q
+        ORDER BY l2_dist ASC, s.vec_id
+        LIMIT {TOP_K}
+    """
 
 
 def _pq_oracle() -> str:
@@ -1086,6 +1314,7 @@ QUERIES = {
     "kmeans_centroids": q_kmeans_centroids,
     "kmeans_sampled_assign": q_kmeans_sampled_assign,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_sampled_topk": q_ann_pq_sampled_topk,
     "hard_negatives": q_hard_negatives,
 }
 
@@ -1154,6 +1383,7 @@ ORACLE = {
     "kmeans_centroids": _kmeans_oracle(),
     "kmeans_sampled_assign": _kmeans_sampled_oracle(),
     "ann_pq_topk": _pq_oracle(),
+    "ann_pq_sampled_topk": _pq_sampled_oracle(),
     "knn_join_blocked": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         pairs AS (

@@ -157,3 +157,19 @@ def test_pq_codes_shape_and_adc_recall(spark, sf_dir):
     # two-stage PQ (ADC shortlist of PQ_RERANK + exact re-rank) should
     # recover nearly the whole exact top-10
     assert len(set(ids) & exact_ids) >= 8, (ids, exact_ids)
+
+
+def test_pq_sampled_training_recall_vs_exact(spark, sf_dir):
+    """Sampled-codebook PQ must keep high recall against the exact
+    brute-force baseline — the exact-L2 re-rank of the PQ_RERANK
+    shortlist absorbs the coarser 256-vector training sample."""
+    from retail_sales_etl_spark.operators.similarity import (
+        TOP_K,
+        q_ann_pq_sampled_topk,
+        q_ann_topk,
+    )
+
+    exact = {r["vec_id"] for r in q_ann_topk(spark, sf_dir).collect()}
+    sampled = {r["vec_id"] for r in q_ann_pq_sampled_topk(spark, sf_dir).collect()}
+    assert len(sampled) == TOP_K
+    assert len(exact & sampled) >= 8, exact & sampled
