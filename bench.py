@@ -63,6 +63,11 @@ HEADLINE = [
     "multimodal_ppm_resize",
     "hard_negatives",
     "ann_pq_sampled_topk",
+    # span-granular exact dedup + events analytics additions
+    "dedup_spans",
+    "events_ewma",
+    "attribution_time_decay",
+    "pmi_bigrams",
 ]
 
 

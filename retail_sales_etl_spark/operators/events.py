@@ -413,7 +413,161 @@ def q_events_anomaly_mad(
     )
 
 
+# EWMA decay: alpha = 1/2 so every weight is a power of two — EXACT in
+# IEEE doubles, so Spark and DuckDB compute bit-identical terms (libm
+# pow() with non-integer exponents is the one thing that varies across
+# engines; integer powers of 0.5 never do). Horizon 64: the weight of
+# an observation 64 steps back is 2^-64 ~ 5e-20, far below the 6-dp
+# output rounding, so truncation is lossless AND bounds the join grid.
+EWMA_HORIZON = 64
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exponentially-weighted moving average of daily event
+    volume (the adjust=True form: s_t = sum w_i x_i / sum w_i with
+    w_i = 0.5^(t-i)) — the smoothing baseline every ops dashboard and
+    rate-anomaly monitor needs.
+
+    Scale shape: the heavy part is the raw-event daily rollup — one
+    map-combinable shuffle on (type, day). Everything after runs on
+    the |types| x |days| grid, which is bounded by the calendar, not
+    the data: the weighted window is a bounded range self-join
+    (<= EWMA_HORIZON rows per output row), never a window over raw
+    events. Portability: weights are exact powers of two, weighted
+    terms are rounded to 9 dp and summed in DECIMAL
+    (order-independent), one double division, final 6-dp round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    idx = daily.withColumn("t", t)
+    a = idx.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day"),
+        F.col("cnt").alias("cnt"),
+        F.col("t").alias("ta"),
+    )
+    b = idx.select(
+        F.col("event_type").alias("etb"),
+        F.col("cnt").alias("xi"),
+        F.col("t").alias("tb"),
+    )
+    grid = a.join(
+        b,
+        (F.col("et") == F.col("etb"))
+        & (F.col("tb") <= F.col("ta"))
+        & (F.col("tb") > F.col("ta") - EWMA_HORIZON),
+    )
+    w = F.pow(F.lit(0.5), F.col("ta") - F.col("tb"))
+    terms = grid.select(
+        "et",
+        "day",
+        "cnt",
+        F.round(F.col("xi") * w, 9).cast("decimal(38,9)").alias("tn"),
+        F.round(w, 9).cast("decimal(38,9)").alias("td"),
+    )
+    return (
+        terms.groupBy(F.col("et").alias("event_type"), "day")
+        .agg(
+            F.first("cnt").alias("cnt"),
+            F.sum("tn").alias("_n"),
+            F.sum("td").alias("_d"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round(
+                F.col("_n").cast("double") / F.col("_d").cast("double"), 6
+            ).alias("ewma"),
+        )
+    )
+
+
+# Attribution: clicks within 30 min before a purchase share its value,
+# weighted by 0.5^(whole minutes of lead time) — integer exponent, so
+# the weights are exact doubles in both engines (same discipline as
+# EWMA above). Normalization per purchase, then a per-user rollup.
+ATTR_WINDOW_SEC = 1800
+
+
+def q_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch time-decay attribution: every click in the 30 min
+    before a purchase (same user) earns a share of the purchase value
+    proportional to 0.5^(minutes of lead time); shares are normalized
+    per purchase and rolled up per user. The sibling of
+    ``asof_click_before_purchase`` (last-touch) — this one splits
+    credit instead of winner-takes-all.
+
+    Scale shape: purchases ⋈ clicks is an equi-join on user_id with a
+    map-side time-band residual — per-user fan-out is bounded by the
+    30-min window, AQE skew-split covers hot users. The per-purchase
+    normalizer is a decimal aggregate (order-independent); attributed
+    terms are rounded to 6 dp and decimal-summed per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    lead_sec = F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (lead_sec <= ATTR_WINDOW_SEC),
+    ).select(
+        "p_id",
+        "p_user",
+        "p_value",
+        "c_id",
+        F.pow(F.lit(0.5), F.floor(lead_sec / 60)).alias("w"),
+    )
+    norm = pairs.groupBy("p_id").agg(
+        F.sum(F.round(F.col("w"), 9).cast("decimal(38,9)")).alias("sw")
+    )
+    attributed = pairs.join(norm, "p_id").select(
+        "p_user",
+        "p_id",
+        "c_id",
+        F.round(
+            F.col("p_value") * F.col("w") / F.col("sw").cast("double"), 6
+        )
+        .cast("decimal(25,6)")
+        .alias("share"),
+    )
+    return (
+        attributed.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("share").cast("double").alias("attributed_value"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_touches",
+            F.round("attributed_value", 6).alias("attributed_value"),
+        )
+    )
+
+
 QUERIES = {
+    "events_ewma": q_events_ewma,
+    "attribution_time_decay": q_attribution_time_decay,
     "events_session_native": q_events_session_native,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_cohort_matrix": q_events_cohort_matrix,
@@ -431,6 +585,75 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "events_ewma": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, day, cnt,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS t
+            FROM daily
+        ),
+        grid AS (
+            SELECT a.event_type, a.day, a.cnt, b.cnt AS xi,
+                   a.t - b.t AS lag
+            FROM idx a JOIN idx b
+              ON a.event_type = b.event_type
+             AND b.t <= a.t AND b.t > a.t - {EWMA_HORIZON}
+        ),
+        terms AS (
+            SELECT event_type, day, cnt,
+                   CAST(round(xi * pow(0.5, lag), 9)
+                        AS DECIMAL(38,9)) AS tn,
+                   CAST(round(pow(0.5, lag), 9)
+                        AS DECIMAL(38,9)) AS td
+            FROM grid
+        )
+        SELECT event_type, day, cnt,
+               round(CAST(sum(tn) AS DOUBLE)
+                     / CAST(sum(td) AS DOUBLE), 6) AS ewma
+        FROM terms GROUP BY 1, 2, 3
+    """,
+    "attribution_time_decay": f"""
+        WITH p AS (
+            SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+                   value AS p_value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+            FROM events WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT p_id, p_user, p_value, c_id,
+                   pow(0.5, floor(
+                       (CAST(floor(epoch(p_ts)) AS BIGINT)
+                        - CAST(floor(epoch(c_ts)) AS BIGINT)) / 60)) AS w
+            FROM p JOIN c
+              ON p_user = c_user AND c_ts < p_ts
+             AND CAST(floor(epoch(p_ts)) AS BIGINT)
+                 - CAST(floor(epoch(c_ts)) AS BIGINT)
+                 <= {ATTR_WINDOW_SEC}
+        ),
+        norm AS (
+            SELECT p_id,
+                   sum(CAST(round(w, 9) AS DECIMAL(38,9))) AS sw
+            FROM pairs GROUP BY 1
+        ),
+        att AS (
+            SELECT p_user, pr.p_id, c_id,
+                   CAST(round(p_value * w / CAST(sw AS DOUBLE), 6)
+                        AS DECIMAL(25,6)) AS share
+            FROM pairs pr JOIN norm n ON pr.p_id = n.p_id
+        )
+        SELECT p_user AS user_id,
+               count(DISTINCT p_id) AS n_purchases,
+               count(*) AS n_touches,
+               round(CAST(sum(share) AS DOUBLE), 6) AS attributed_value
+        FROM att GROUP BY 1
+    """,
     "events_anomaly_mad": f"""
         WITH med AS (
             SELECT event_type,

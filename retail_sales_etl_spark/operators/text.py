@@ -710,6 +710,164 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs (Church & Hanks 1990) — the classic phrase-mining /
+    tokenizer-vocabulary signal: high-PMI pairs are multi-word units
+    worth fusing, low-PMI frequent pairs are syntax.
+
+    PMI = ln( p(ab) / (p(a) p(b)) ) with p from corpus counts; pairs
+    below PMI_MIN_COUNT are noise-gated (MLE PMI is biased for rare
+    pairs). Scale shape: one map-side adjacent-pair explode (~|tokens|
+    rows), two map-combinable count aggregates (pair grid + unigram
+    grid), two joins of the pair grid against the unigram counts —
+    Zipf-hot unigram keys fan out at most |distinct pairs touching
+    them|, AQE handles the head — then a distributed TakeOrdered
+    top-k. No windows over raw data, no pairs beyond adjacency.
+
+    The 1-row totals frame is crossJoin-broadcast like
+    q_unigram_logprob; ln() at 6-dp rounding is engine-portable (the
+    entropy/logprob precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("w"))
+    pairs = toks.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                " element_at(w, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    uni = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    totals = pair_counts.agg(
+        F.sum("n_ab").alias("n_pairs")
+    ).crossJoin(uni.agg(F.sum("n_t").alias("n_uni")))
+    pmi = (
+        pair_counts.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("t").alias("w1"), F.col("n_t").alias("na")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("n_t").alias("nb")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n_pairs"))
+                    / (
+                        (F.col("na") / F.col("n_uni"))
+                        * (F.col("nb") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOP_K)
+
+
+SPAN_K = 16
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-substring removal (the suffix-array dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): any run of ``SPAN_K``
+    consecutive tokens that occurs more than once ANYWHERE in the
+    corpus (across documents or repeated within one) is masked out of
+    every occurrence, and the surviving text is rebuilt. This is the
+    span-granular member of the dedup suite — sharper than
+    ``dedup_lines`` (which only catches aligned fixed-width lines) and
+    exact where minhash/simhash are probabilistic.
+
+    Relational form of the suffix-array scan: a duplicated substring of
+    length >= K contains a duplicated K-gram, so K-gram occurrence
+    counts find exactly the covered token positions. Scale shape: the
+    overlapping K-gram grid is one map-side pass (sequence + slice;
+    ~|tokens| rows keyed by a 128-bit gram hash, never the gram text
+    on the wire beyond the map stage... the md5 IS the shuffle key and
+    payload), one count aggregate (map-side combinable), one join of
+    the grid against the (small) duplicated-hash set — AQE broadcasts
+    it when it fits — and then everything collapses to DOC grain: the
+    covered-position sets aggregate per doc_id and the rebuild is a
+    doc-keyed join + map-side array filter over the original token
+    array. The token grid is never shuffled row-wise; no pairs, no
+    windows, linear end-to-end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # Overlapping K-gram starts (1-based), keyed by gram hash. The
+    # size->=K filter guarantees sequence() ascends.
+    grams = (
+        toks.filter(F.size("w") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SPAN_K} + 1),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(array_join(slice(w, i, {SPAN_K}), ' ')) AS gh))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.pos", "x.gh")
+    )
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup_hashes, "gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("cov"))
+    )
+    kept = F.expr(
+        "filter(transform(w, (t, i) -> struct(i + 1 AS pos, t AS tok)),"
+        " s -> NOT array_contains(cov, s.pos))"
+    )
+    out = (
+        toks.join(covered, "doc_id", "left")
+        .withColumn("cov", F.coalesce("cov", F.expr("array()")))
+        .withColumn("kept", kept)
+    )
+    n_tokens = F.size("w").cast("bigint")
+    n_kept = F.size("kept").cast("bigint")
+    return out.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_kept.alias("n_kept"),
+        F.round(
+            (n_tokens - n_kept).cast("double") / n_tokens, 6
+        ).alias("dup_frac"),
+        F.expr("array_join(transform(kept, s -> s.tok), ' ')").alias(
+            "clean_text"
+        ),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM scoring: per-doc average negative log-prob of
     its tokens under the corpus's own unigram distribution — the
@@ -832,6 +990,8 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "chunk_documents": q_chunk_documents,
     "dedup_lines": q_dedup_lines,
+    "dedup_spans": q_dedup_spans,
+    "pmi_bigrams": q_pmi_bigrams,
     "text_entropy": q_text_entropy,
     "text_repetition": q_text_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
@@ -1016,6 +1176,91 @@ ORACLE = {
                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
                coalesce(k.clean_text, '') AS clean_text
         FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    "pmi_bigrams": f"""
+        WITH words AS (
+            SELECT string_split(lower(text), ' ') AS w FROM documents
+        ),
+        pairs AS (
+            SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM (
+                SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM words WHERE len(w) >= 2
+            )
+        ),
+        pc AS (
+            SELECT w1, w2, count(*) AS n_ab FROM pairs GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT t, count(*) AS n_t
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS t
+                FROM documents
+            ) GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT sum(n_ab) FROM pc) AS n_pairs,
+                   (SELECT sum(n_t) FROM uni) AS n_uni
+        )
+        SELECT w1, w2, n_ab,
+               round(ln((n_ab / n_pairs)
+                        / ((a.n_t / n_uni) * (b.n_t / n_uni))), 6) AS pmi
+        FROM pc
+        JOIN uni a ON pc.w1 = a.t
+        JOIN uni b ON pc.w2 = b.t
+        CROSS JOIN tot
+        WHERE n_ab >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, w1, w2
+        LIMIT {PMI_TOP_K}
+    """,
+    "dedup_spans": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(w[i : i + {SPAN_K - 1}], ' ')) AS gh
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - {SPAN_K} + 1)) AS i
+                FROM words WHERE len(w) >= {SPAN_K}
+            )
+        ),
+        dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+        cov AS (
+            SELECT DISTINCT doc_id, p FROM (
+                SELECT g.doc_id,
+                       unnest(generate_series(
+                           g.pos, g.pos + {SPAN_K - 1})) AS p
+                FROM grams g JOIN dupg d ON g.gh = d.gh
+            )
+        ),
+        toks AS (
+            SELECT doc_id, i AS pos, w[i] AS tok
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w))) AS i
+                FROM words
+            )
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toks t LEFT JOIN cov c
+              ON t.doc_id = c.doc_id AND t.pos = c.p
+            WHERE c.p IS NULL
+        ),
+        ka AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(len(d.w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               round(CAST(len(d.w) - coalesce(k.n_kept, 0) AS DOUBLE)
+                     / len(d.w), 6) AS dup_frac,
+               coalesce(k.clean_text, '') AS clean_text
+        FROM words d LEFT JOIN ka k ON d.doc_id = k.doc_id
     """,
     "doc_boilerplate": f"""
         WITH chunks AS (

@@ -1,0 +1,85 @@
+"""Behavioral pins for the events-analytics additions: EWMA smoothing
+and time-decay attribution (the oracle-parity suite covers hash
+equality; these pin the closed-form semantics on crafted inputs)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+
+
+def test_ewma_constant_series_is_flat(spark, tmp_path):
+    """A constant daily series has EWMA == the constant on every day
+    (adjust=True normalizes the weights away)."""
+    from retail_sales_etl_spark.operators.events import q_events_ewma
+
+    rows = [
+        Row(event_id=d * 3 + i, ts=datetime(2024, 1, 1 + d, 10),
+            user_id=1, event_type="click", value=1.0, props="{}")
+        for d in range(10) for i in range(3)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = q_events_ewma(spark, str(tmp_path)).collect()
+    assert len(got) == 10
+    assert all(r.cnt == 3 and r.ewma == 3.0 for r in got)
+
+
+def test_ewma_step_series_halves_toward_new_level(spark, tmp_path):
+    """alpha=1/2 adjusted EWMA after a 0->N step: day t has
+    s_t = sum(w*x)/sum(w) with exact power-of-two weights."""
+    from retail_sales_etl_spark.operators.events import q_events_ewma
+
+    # day 1: 1 event, day 2: 1 event, day 3: 4 events
+    rows = []
+    eid = 0
+    for day, n in [(1, 1), (2, 1), (3, 4)]:
+        for _ in range(n):
+            rows.append(Row(event_id=eid, ts=datetime(2024, 1, day, 12),
+                            user_id=1, event_type="view", value=0.0,
+                            props="{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.day.isoformat(): r.ewma
+           for r in q_events_ewma(spark, str(tmp_path)).collect()}
+    assert got["2024-01-01"] == 1.0
+    # (0.5*1 + 1*1) / 1.5 = 1.0
+    assert got["2024-01-02"] == 1.0
+    # (0.25*1 + 0.5*1 + 1*4) / 1.75 = 4.75/1.75
+    assert abs(got["2024-01-03"] - 4.75 / 1.75) < 1e-6
+
+
+def test_attribution_shares_sum_to_purchase_value(spark, tmp_path):
+    """Two clicks 1 and 11 minutes before a 100.0 purchase split its
+    value 2^10 : 1 after per-minute halving; shares sum to the full
+    value and the out-of-window click earns nothing."""
+    from retail_sales_etl_spark.operators.events import (
+        q_attribution_time_decay,
+    )
+
+    rows = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 12, 0, 0), user_id=7,
+            event_type="purchase", value=100.0, props="{}"),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 11, 59, 0), user_id=7,
+            event_type="click", value=0.0, props="{}"),
+        Row(event_id=3, ts=datetime(2024, 1, 1, 11, 49, 0), user_id=7,
+            event_type="click", value=0.0, props="{}"),
+        # 40 min before: outside the 30-min window
+        Row(event_id=4, ts=datetime(2024, 1, 1, 11, 20, 0), user_id=7,
+            event_type="click", value=0.0, props="{}"),
+        # another user's click: never joined
+        Row(event_id=5, ts=datetime(2024, 1, 1, 11, 59, 0), user_id=8,
+            event_type="click", value=0.0, props="{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = q_attribution_time_decay(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.user_id == 7 and r.n_purchases == 1 and r.n_touches == 2
+    assert abs(r.attributed_value - 100.0) < 1e-4

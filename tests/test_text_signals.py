@@ -159,3 +159,47 @@ def test_dedup_lines_keeps_global_first_occurrence(spark, tmp_path):
     # doc 5: within-doc repeat keeps the first copy only
     assert got[5].n_lines == 2 and got[5].n_kept == 1
     assert got[5].clean_text == D
+
+
+def test_dedup_spans_masks_every_duplicated_span_occurrence(spark, tmp_path):
+    """Span dedup (Lee et al. 2021 semantics): a 16-token run occurring
+    twice anywhere in the corpus is removed from ALL occurrences (not
+    keep-first); unaligned offsets are caught (unlike dedup_lines);
+    unique docs and sub-K docs pass through untouched; a within-doc
+    repeat masks both copies."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_dedup_spans
+
+    span = " ".join(f"s{i}" for i in range(1, 17))  # 16 shared tokens
+    rows = [
+        # doc 1: prefix u1 u2 shifts the span off any line boundary
+        Row(doc_id=1, text="u1 u2 " + span + " u3", lang="en",
+            source="s", n_chars=0),
+        Row(doc_id=2, text=span + " v1 v2 v3", lang="en",
+            source="s", n_chars=0),
+        Row(doc_id=3, text=" ".join(f"w{i}" for i in range(1, 21)),
+            lang="en", source="s", n_chars=0),
+        Row(doc_id=4, text="too short to gram", lang="en",
+            source="s", n_chars=0),
+        # doc 5 repeats its OWN 16-token run back-to-back: every gram
+        # of the doubled text occurs twice within the doc, so the
+        # whole doc collapses (within-doc repeats count).
+        Row(doc_id=5, text=span + " " + span, lang="en",
+            source="s", n_chars=0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in q_dedup_spans(spark, d).collect()}
+    # the shared span vanishes from BOTH docs, at different offsets
+    assert got[1].n_tokens == 19 and got[1].clean_text == "u1 u2 u3"
+    assert got[2].n_tokens == 19 and got[2].clean_text == "v1 v2 v3"
+    # unique 20-token doc untouched
+    assert got[3].n_kept == 20 and got[3].dup_frac == 0.0
+    # sub-K doc has no grams -> untouched
+    assert got[4].clean_text == "too short to gram"
+    # within-doc repeat masks every covered position
+    assert got[5].n_kept == 0 and got[5].clean_text == ""
+    assert got[5].dup_frac == 1.0
