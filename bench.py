@@ -68,6 +68,8 @@ HEADLINE = [
     "events_ewma",
     "attribution_time_decay",
     "pmi_bigrams",
+    "kcore_parts",
+    "streaming_dedup_lsh",
 ]
 
 

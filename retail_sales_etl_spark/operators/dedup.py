@@ -136,8 +136,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs over an arbitrary (doc_id, text) frame."""
+def band_rows(docs: DataFrame) -> DataFrame:
+    """LSH band rows ``(doc_id, band_idx, band_key)`` for an arbitrary
+    (doc_id, text) frame — the shared index grain for batch pair
+    generation AND the streaming signature table the incremental dedup
+    sink maintains."""
     sig = _minhash_signatures(docs)
     n_bands = N_MINHASH // BAND_SIZE
     bands = F.array(
@@ -153,11 +156,18 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs over an arbitrary (doc_id, text) frame."""
     # cache: the self-join below would otherwise recompute the whole
     # shingle->signature subtree for each side
-    exploded = sig.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    ).cache()
+    exploded = band_rows(docs).cache()
     a = exploded.select(
         F.col("doc_id").alias("a_id"), "band_idx", "band_key"
     )
@@ -651,17 +661,24 @@ def _simhash_oracle() -> str:
     """
 
 
-def _minhash_lsh_oracle() -> str:
+def _bands_sql() -> str:
+    """SQL twin of ``band_rows`` (expects a CTE named ``sig``)."""
     n_bands = N_MINHASH // BAND_SIZE
-    band_rows = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, md5("
         + " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
         + ") AS band_key FROM sig"
         for b in range(n_bands)
     )
+
+
+_BANDS_SQL = _bands_sql()
+
+
+def _minhash_lsh_oracle() -> str:
     return f"""
         WITH sig AS ({_MINHASH_SIG_SQL}),
-        bands AS ({band_rows})
+        bands AS ({_BANDS_SQL})
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
         FROM bands a
         JOIN bands b ON a.band_key = b.band_key
@@ -676,17 +693,10 @@ def _clusters_oracle() -> str:
     label reachable through the symmetric LSH edge set; min(lab) per doc
     is the component min — the same unique fixpoint the Spark label
     propagation converges to."""
-    n_bands = N_MINHASH // BAND_SIZE
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, md5("
-        + " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
-        + ") AS band_key FROM sig"
-        for b in range(n_bands)
-    )
     return f"""
         WITH RECURSIVE
         sig AS ({_MINHASH_SIG_SQL}),
-        bands AS ({band_rows}),
+        bands AS ({_BANDS_SQL}),
         pairs AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bands a

@@ -269,7 +269,120 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["triangle_count"] = q_triangle_count
 
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K,
+          max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983 /
+    Batagelj-Zaversnik): repeatedly drop nodes with degree < k until
+    the fixpoint; returns the surviving nodes with their degree INSIDE
+    the core subgraph. The density skeleton under the co-purchase
+    analytics — the k-core is where communities, dense bundles, and
+    recommendation neighborhoods live.
+
+    ``edges``: undirected ``(a_part, b_part)`` with a_part < b_part.
+    Each round is one degree aggregate (map-combinable) plus two
+    semi-joins of the shrinking edge set against the surviving-node
+    set — never all-pairs; the edge frame is localCheckpoint()ed per
+    round (same lineage guard as pagerank/CC). Convergence by edge
+    count: each round's edges are a subset of the last, so equal
+    counts == fixpoint; the peel provably converges in <= |V| rounds
+    and in practice O(log)-ish, but the loop still raises loudly on
+    budget exhaustion instead of returning a half-peeled graph (the
+    CC precedent — a silently unconverged core overstates density).
+    """
+    cur = edges.select("a_part", "b_part")
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a_part").alias("node"))
+            .unionAll(cur.select(F.col("b_part").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(
+                keep.withColumnRenamed("node", "a_part"), "a_part", "semi"
+            )
+            .join(
+                keep.withColumnRenamed("node", "b_part"), "b_part", "semi"
+            )
+            .select("a_part", "b_part")
+            .localCheckpoint(eager=True)
+        )
+        n_cur = cur.count()
+        if n_cur == n_prev:
+            return (
+                cur.select(F.col("a_part").alias("part_id"))
+                .unionAll(cur.select(F.col("b_part").alias("part_id")))
+                .groupBy("part_id")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+            )
+        n_prev = n_cur
+    raise RuntimeError(
+        f"kcore did not converge within {max_rounds} rounds; "
+        "raise max_rounds for this graph"
+    )
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return kcore(edges)
+
+
+QUERIES["kcore_parts"] = q_kcore_parts
+
+
+def _kcore_oracle() -> str:
+    """Unrolled KCORE_MAX_ROUNDS-stage peel as chained CTEs. The Spark
+    loop early-stops at the fixpoint; the oracle's extra rounds are
+    no-ops past it, so both converge to the same core whenever the
+    Spark side returns at all (it raises otherwise). Every stage is
+    MATERIALIZED: DuckDB inlines CTEs by default, and each stage
+    references its predecessor three times — inlining would expand
+    the chain 3^rounds-fold."""
+    stages = []
+    prev = "e0"
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        cur = f"e{i}"
+        stages.append(f"""
+        n{i} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT a_part AS node FROM {prev}
+                UNION ALL SELECT b_part FROM {prev}
+            ) GROUP BY 1 HAVING count(*) >= {KCORE_K}
+        ),
+        {cur} AS MATERIALIZED (
+            SELECT a_part, b_part FROM {prev}
+            WHERE a_part IN (SELECT node FROM n{i})
+              AND b_part IN (SELECT node FROM n{i})
+        )""")
+        prev = cur
+    return f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_COPURCHASE}
+        ),
+        {",".join(stages)}
+        SELECT part_id, count(*) AS core_degree
+        FROM (
+            SELECT a_part AS part_id FROM {prev}
+            UNION ALL SELECT b_part FROM {prev}
+        )
+        GROUP BY 1
+    """
+
+
 ORACLE = {
+    "kcore_parts": _kcore_oracle(),
     "pagerank_parts": ORACLE_PAGERANK,
     "triangle_count": f"""
         WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -588,6 +588,157 @@ def maintain_heavy_hitters(
     return _run_foreach_batch(stream, _sink, checkpoint)
 
 
+def lsh_dedup_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    sigs_path: str,
+    verdicts_path: str,
+) -> bool:
+    """Incremental MinHash-LSH dedup: judge one micro-batch of
+    documents against every document already ingested, at arrival
+    time — the streaming form of ``dedup_minhash_lsh`` (the batch
+    pipeline re-scans the whole corpus per run; a 100 TB ingest
+    pipeline can't, so it maintains the LSH index as a lakehouse
+    table and probes it per batch).
+
+    Two maintained tables: ``sigs`` (append-only LSH band rows
+    ``(doc_id, band_idx, band_key)`` of every ingested doc — the
+    probe index) and ``verdicts`` (one row per doc:
+    ``is_dup`` = shares >=1 band bucket with any SMALLER doc_id seen
+    so far, ``dup_of`` = the smallest such partner, ``n_dup_sources``
+    = distinct partners). With batches delivered in doc_id order,
+    "seen so far" == "smaller doc_id", so the arrival-time verdicts
+    equal the batch LSH pair relation and hash-check against the
+    same oracle.
+
+    Scale shape: band rows are ~4 narrow rows/doc; the probe is one
+    equi-join of the (small) batch band set against the index on
+    (band_idx, band_key) — Catalyst broadcasts the batch side, the
+    index is never shuffled — plus an intra-batch self-join. Both
+    tables follow the exactly-once contract: pinned read_version,
+    ``batch_hwm`` replay watermark, ``conflict_on="batch_id"``
+    conditional commits; verdicts commit FIRST (computed from the
+    pinned pre-batch index), then the batch's band rows append —
+    a crash between the two replays into a verdict skip + index
+    append, never a double verdict or a doc judged against itself.
+    """
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from ..operators.dedup import band_rows
+
+    spark = batch_df.sparkSession
+    sigs = LakehouseTable(spark, sigs_path)
+    verd = LakehouseTable(spark, verdicts_path)
+    bands = band_rows(batch_df.select("doc_id", "text")).cache()
+    try:
+        for _ in range(3):
+            rv_s = sigs.latest_version()
+            hwm_s = sigs.latest_value("batch_hwm", as_of=rv_s)
+            if hwm_s is not None and batch_id <= hwm_s:
+                return False  # fully landed (sigs commits last)
+            if rv_s is not None:
+                seen = sigs.read(version=rv_s)
+            else:
+                seen = spark.createDataFrame(
+                    [], "doc_id long, band_idx int, band_key string"
+                )
+            cross = bands.alias("n").join(
+                seen.alias("o"),
+                (F.col("n.band_idx") == F.col("o.band_idx"))
+                & (F.col("n.band_key") == F.col("o.band_key")),
+            ).select(
+                F.col("n.doc_id").alias("doc_id"),
+                F.col("o.doc_id").alias("partner"),
+            )
+            intra = bands.alias("x").join(
+                bands.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            ).select(
+                F.col("y.doc_id").alias("doc_id"),
+                F.col("x.doc_id").alias("partner"),
+            )
+            partners = (
+                cross.unionAll(intra)
+                .groupBy("doc_id")
+                .agg(
+                    F.countDistinct("partner").alias("n_dup_sources"),
+                    F.min("partner").alias("dup_of"),
+                )
+            )
+            verdicts = (
+                batch_df.select("doc_id")
+                .distinct()
+                .join(partners, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of",
+                    F.coalesce("n_dup_sources", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_dup_sources"),
+                )
+            )
+            marker = {"batch_id": batch_id, "batch_hwm": batch_id}
+            rv_v = verd.latest_version()
+            hwm_v = verd.latest_value("batch_hwm", as_of=rv_v)
+            if not (hwm_v is not None and batch_id <= hwm_v):
+                try:
+                    verd.write(
+                        verdicts,
+                        mode="append",
+                        extra=marker,
+                        conflict_on="batch_id",
+                        read_version=rv_v,
+                    )
+                except DuplicateCommitError:
+                    pass  # a rival landed this batch's verdicts
+                except ConcurrentWriteError:
+                    continue  # re-pin both tables and retry
+            try:
+                sigs.write(
+                    bands,
+                    mode="append",
+                    extra=marker,
+                    conflict_on="batch_id",
+                    read_version=rv_s,
+                )
+                return True
+            except DuplicateCommitError:
+                return False
+            except ConcurrentWriteError:
+                continue
+        raise RuntimeError(
+            f"lsh_dedup_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {sigs_path})"
+        )
+    finally:
+        bands.unpersist()
+
+
+def maintain_lsh_dedup(
+    stream: DataFrame,
+    sigs_path: str,
+    verdicts_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
+    """Run the incremental LSH dedup sink under foreachBatch
+    (availableNow) — the streaming twin of ``dedup_minhash_lsh``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_dedup_sink(batch_df, batch_id, sigs_path, verdicts_path)
+        spark = batch_df.sparkSession
+        _maybe_clean_log(spark, sigs_path, log_retention)
+        _maybe_clean_log(spark, verdicts_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
 _IVM_DEC = "decimal(25,6)"
 
 
@@ -1189,8 +1340,63 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the incremental LSH dedup sink:
+    replay the documents table in 4 doc_id-range micro-batches (file
+    mtimes pinned so FileStreamSource delivers them in range order)
+    through ``maintain_lsh_dedup``, then return the maintained
+    verdicts table. Because batches arrive in doc_id order, the
+    arrival-time verdict ("shares a band with anything seen before
+    me") equals the batch relation ("shares a band with any smaller
+    doc_id") — so the streamed output hash-checks against the batch
+    LSH oracle, proving the maintained-index path end-to-end through
+    the lakehouse commit log.
+    """
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="lsh_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        # FileStreamSource orders new files by modification time: pin
+        # strictly-increasing mtimes so batch i really is range i.
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_lsh_dedup(
+        stream, f"{work}/sigs", f"{work}/verdicts", f"{work}/ckpt"
+    ).awaitTermination()
+    return LakehouseTable(spark, f"{work}/verdicts").read().select(
+        "doc_id", "is_dup", "dup_of", "n_dup_sources"
+    )
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
+    "streaming_dedup_lsh": q_streaming_dedup_lsh,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "streaming_cdc_apply": q_streaming_cdc_apply,
     "streaming_sessionized": q_streaming_sessionized,
@@ -1201,7 +1407,35 @@ QUERIES = {
 # Full SQL oracles for the STREAMING execution path: the replayed
 # streaming results are deterministic, so they hash-check against
 # DuckDB like any batch query — the stream is not a weaker surface.
+from ..operators.dedup import _BANDS_SQL as _LSH_BANDS_SQL
+from ..operators.dedup import _MINHASH_SIG_SQL as _LSH_SIG_SQL
+
 ORACLE = {
+    # the maintained verdicts table == the batch LSH pair relation:
+    # a doc is a dup iff it shares >=1 band bucket with a smaller
+    # doc_id (delivery is doc_id-ordered, so "earlier" == "smaller").
+    "streaming_dedup_lsh": f"""
+        WITH sig AS ({_LSH_SIG_SQL}),
+        bands AS ({_LSH_BANDS_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_key = b.band_key
+                        AND a.band_idx = b.band_idx
+                        AND a.doc_id < b.doc_id
+        ),
+        agg AS (
+            SELECT b_id AS doc_id, count(*) AS n_dup_sources,
+                   min(a_id) AS dup_of
+            FROM pairs GROUP BY 1
+        )
+        SELECT d.doc_id,
+               a.doc_id IS NOT NULL AS is_dup,
+               a.dup_of,
+               CAST(coalesce(a.n_dup_sources, 0) AS BIGINT)
+                   AS n_dup_sources
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
     # the maintained CDC-apply table == the full recompute of the same
     # change feed: every surviving key with its last-applied values.
     "streaming_cdc_apply": """

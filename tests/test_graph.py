@@ -97,3 +97,34 @@ def test_connected_components_raises_when_not_converged(spark):
     # and the same graph with budget >= diameter labels every node 0
     labels = graph.connected_components(nodes, chain, max_iterations=n + 2)
     assert {r["component_id"] for r in labels.collect()} == {0}
+
+
+def test_kcore_peels_tails_and_keeps_clique(spark):
+    """4-clique + pendant chain: the 3-core is exactly the clique (each
+    member at degree 3); the chain peels away even though its nodes
+    start at degree 2 attached to the clique. A pure path graph has an
+    empty 3-core."""
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, ["a_part", "b_part"])
+    got = {r.part_id: r.core_degree for r in graph.kcore(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["a_part", "b_part"]
+    )
+    assert graph.kcore(path).count() == 0
+
+
+def test_kcore_raises_when_budget_exhausted(spark):
+    """A long peel sequence (nested chain that unravels one layer per
+    round) must hit the loud guard when max_rounds is too small, and
+    converge with a bigger budget."""
+    import pytest
+
+    # chain of length 8 peels from both ends: needs ~4 rounds at k=2
+    chain = [(i, i + 1) for i in range(1, 9)]
+    edges = spark.createDataFrame(chain, ["a_part", "b_part"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(edges, k=2, max_rounds=2)
+    assert graph.kcore(edges, k=2, max_rounds=10).count() == 0

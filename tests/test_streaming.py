@@ -839,3 +839,87 @@ def test_lakehouse_sink_log_retention_bounds_metadata(spark, sf_dir, tmp_path):
     replay = table.read().limit(3)
     assert streaming_events.lakehouse_batch_sink(replay, 0, tbl) is False
     assert streaming_events.lakehouse_batch_sink(replay, 24, tbl) is False
+
+
+def _doc_batches(spark):
+    """Two document micro-batches with a planned cross-batch near-dup
+    (doc 10 ~ doc 1) and an intra-batch near-dup (doc 11 ~ doc 10)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about spark catalyst plans here"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, uniq)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base + " tail"), (11, base + " tail")],
+        "doc_id long, text string",
+    )
+    return b0, b1
+
+
+def test_lsh_dedup_sink_replay_and_verdicts(spark, tmp_path):
+    """Cross-batch dup detected against the maintained index,
+    intra-batch dup against the earlier same-batch doc; replays of
+    both batches are skipped on both tables."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    sigs = str(tmp_path / "sigs")
+    verd = str(tmp_path / "verd")
+    b0, b1 = _doc_batches(spark)
+    assert streaming_events.lsh_dedup_sink(b0, 0, sigs, verd) is True
+    assert streaming_events.lsh_dedup_sink(b1, 1, sigs, verd) is True
+    got = {
+        r["doc_id"]: r
+        for r in LakehouseTable(spark, verd).read().collect()
+    }
+    assert not got[1]["is_dup"] and not got[2]["is_dup"]
+    assert got[10]["is_dup"] and got[10]["dup_of"] == 1
+    assert got[11]["is_dup"] and got[11]["dup_of"] in (1, 10)
+    s_table = LakehouseTable(spark, sigs)
+    v_s, v_v = s_table.latest_version(), LakehouseTable(
+        spark, verd
+    ).latest_version()
+    # checkpoint-rewind replay: neither table advances
+    assert streaming_events.lsh_dedup_sink(b0, 0, sigs, verd) is False
+    assert streaming_events.lsh_dedup_sink(b1, 1, sigs, verd) is False
+    assert s_table.latest_version() == v_s
+    assert LakehouseTable(spark, verd).latest_version() == v_v
+    assert LakehouseTable(spark, verd).read().count() == 4
+
+
+def test_lsh_dedup_sink_two_writer_race(spark, tmp_path):
+    """Two concurrent writers of the same document batch: the batch
+    lands once per table — verdicts stay one-row-per-doc and the
+    index holds one band set per doc."""
+    import threading
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    sigs = str(tmp_path / "sigs_race")
+    verd = str(tmp_path / "verd_race")
+    b0, b1 = _doc_batches(spark)
+    assert streaming_events.lsh_dedup_sink(b0, 0, sigs, verd) is True
+
+    barrier = threading.Barrier(2)
+    results: dict[str, bool] = {}
+    errors: list[Exception] = []
+
+    def writer(name: str) -> None:
+        try:
+            barrier.wait()
+            results[name] = streaming_events.lsh_dedup_sink(
+                b1, 1, sigs, verd
+            )
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results.values()) == [False, True]
+    verdicts = LakehouseTable(spark, verd).read().collect()
+    assert len(verdicts) == 4  # one verdict per doc, no double batch
+    per_doc = LakehouseTable(spark, sigs).read().groupBy("doc_id").count()
+    assert {r["count"] for r in per_doc.collect()} == {4}  # 4 bands/doc
