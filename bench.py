@@ -70,6 +70,9 @@ HEADLINE = [
     "pmi_bigrams",
     "kcore_parts",
     "streaming_dedup_lsh",
+    "embedding_rp_project",
+    "nation_revenue_trend",
+    "session_ngram_examples",
 ]
 
 

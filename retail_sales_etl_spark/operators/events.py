@@ -565,8 +565,52 @@ def q_attribution_time_decay(
     )
 
 
+NGRAM_CTX_MIN_COUNT = 3
+NGRAM_CTX_TOP_K = 100
+
+
+def q_session_ngram_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training examples: for every event, the
+    3-gram context of the user's preceding event types and the event
+    that followed, aggregated into the (context, next) transition
+    table — the dataset-construction step for behavior-sequence
+    models (and the classical session n-gram recommender baseline).
+
+    One window pass per user (lag x3 over (ts, event_id) — the
+    event_id tiebreak makes colliding timestamps deterministic), one
+    map-combinable count aggregate, distributed TakeOrdered for the
+    reporting cut. Per-user partitions are bounded by user activity;
+    no global window, no self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("l3"),
+        F.lag("event_type", 2).over(w).alias("l2"),
+        F.lag("event_type", 1).over(w).alias("l1"),
+    ).filter(
+        F.col("l3").isNotNull()
+        & F.col("l2").isNotNull()
+        & F.col("l1").isNotNull()
+    )
+    counts = (
+        lagged.select(
+            F.concat_ws(">", "l3", "l2", "l1").alias("context"),
+            F.col("event_type").alias("next_event"),
+        )
+        .groupBy("context", "next_event")
+        .agg(F.count(F.lit(1)).alias("n_examples"))
+        .filter(F.col("n_examples") >= NGRAM_CTX_MIN_COUNT)
+    )
+    return counts.orderBy(
+        F.col("n_examples").desc(), "context", "next_event"
+    ).limit(NGRAM_CTX_TOP_K)
+
+
 QUERIES = {
     "events_ewma": q_events_ewma,
+    "session_ngram_examples": q_session_ngram_examples,
     "attribution_time_decay": q_attribution_time_decay,
     "events_session_native": q_events_session_native,
     "events_anomaly_mad": q_events_anomaly_mad,
@@ -585,6 +629,29 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "session_ngram_examples": f"""
+        WITH lagged AS (
+            SELECT event_type,
+                   lag(event_type, 3) OVER w AS l3,
+                   lag(event_type, 2) OVER w AS l2,
+                   lag(event_type, 1) OVER w AS l1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        counts AS (
+            SELECT l3 || '>' || l2 || '>' || l1 AS context,
+                   event_type AS next_event,
+                   count(*) AS n_examples
+            FROM lagged
+            WHERE l3 IS NOT NULL AND l2 IS NOT NULL AND l1 IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT context, next_event, n_examples
+        FROM counts
+        WHERE n_examples >= {NGRAM_CTX_MIN_COUNT}
+        ORDER BY n_examples DESC, context, next_event
+        LIMIT {NGRAM_CTX_TOP_K}
+    """,
     "events_ewma": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt

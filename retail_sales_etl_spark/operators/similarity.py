@@ -1303,7 +1303,78 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Random projection: 64 -> 8 dims with a +-1 sign matrix derived from
+# md5 (Achlioptas 2003 database-friendly JL projections — sign matrices
+# preserve pairwise distances like Gaussian ones). The matrix is
+# PRECOMPUTED as literals from one helper shared by the Spark builder
+# and the SQL oracle, so the two engines cannot diverge on the hash.
+RP_OUT_DIM = 8
+RP_IN_DIM = 64
+
+
+def _rp_sign(i: int, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction for the vector
+    store: project 64-dim embeddings to 8 dims through a deterministic
+    +-1 sign matrix, scaled 1/sqrt(k) — the cheap preprocessing step
+    in front of coarse ANN routing / LSH when the full dimension is
+    too wide to shuffle.
+
+    Fully map-side (zero shuffles, whole-stage codegen over 512 +-
+    terms); at 100 TB this is a pure scan-transform whose output is
+    8/64 the width of its input. Portability: the +-v_i terms sum in
+    a LEFT-DEEP double chain in a fixed order — IEEE add/div are
+    exactly rounded and neither engine reassociates a float
+    expression tree, so the accumulation is bit-identical (decimal
+    staging is unnecessary AND would hurt here: round(double, 9)
+    itself differs across engines at shortest-repr edges). One
+    division by the shared sqrt(k) literal, final 6-dp round. Output
+    dims are scalar COLUMNS p0..p7 (driver canonicalizer contract:
+    scalars, never arrays).
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    inv = F.lit(math.sqrt(RP_OUT_DIM))
+    cols = []
+    for j in range(RP_OUT_DIM):
+        acc = None
+        for i in range(RP_IN_DIM):
+            term = F.element_at("v", i + 1)
+            term = term if _rp_sign(i, j) > 0 else -term
+            acc = term if acc is None else acc + term
+        cols.append(F.round(acc / inv, 6).alias(f"p{j}"))
+    return emb.select("vec_id", "label", *cols)
+
+
+def _rp_oracle() -> str:
+    import math
+
+    outs = []
+    for j in range(RP_OUT_DIM):
+        terms = " + ".join(
+            ("-" if _rp_sign(i, j) < 0 else "")
+            + f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(RP_IN_DIM)
+        )
+        outs.append(
+            f"round(({terms}) / {math.sqrt(RP_OUT_DIM)!r}, 6) AS p{j}"
+        )
+    return (
+        "SELECT vec_id, label, " + ", ".join(outs) + " FROM embeddings"
+    )
+
+
 QUERIES = {
+    "embedding_rp_project": q_embedding_rp_project,
     "ann_batch_ivf": q_ann_batch_ivf,
     "embedding_quantize": q_embedding_quantize,
     "ann_topk": q_ann_topk,
@@ -1352,6 +1423,7 @@ _PAIR_COSINE_SQL = (
 )
 
 ORACLE = {
+    "embedding_rp_project": _rp_oracle(),
     "embedding_quantize": """
         WITH emb AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

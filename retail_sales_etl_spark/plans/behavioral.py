@@ -103,13 +103,105 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_EPOCH = "1992-01-01"
+
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form OLS (slope + intercept) of
+    daily order revenue against the day index — the one-pass
+    regression a dashboard runs per key to rank growth/decline, with
+    no iterative fitting.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); all five sufficient
+    statistics are DECIMAL-exact aggregates (x is an integer day
+    offset, y an exact DECIMAL revenue sum), so the closed form is
+    bit-identical across engines — the float math happens once per
+    nation, after the aggregation. Plan: one fact shuffle to the
+    (nation, day) grid, one re-agg to nations, broadcast dims; the
+    regression itself is free.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(
+            broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.lit(TREND_EPOCH).cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("y"))
+    )
+    stats = daily.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("decimal(25,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(25,0)") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).cast("decimal(38,6)").alias("sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return stats.select(
+        "nation_name",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 QUERIES = {
     "customer_rfm": q_customer_rfm,
     "nation_revenue_rank": q_nation_revenue_rank,
+    "nation_revenue_trend": q_nation_revenue_trend,
     "events_funnel": q_events_funnel,
 }
 
+_TREND_SLOPE = (
+    "(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
 ORACLE = {
+    "nation_revenue_trend": f"""
+        WITH daily AS (
+            SELECT n_name AS nation_name,
+                   datediff('day', DATE '{TREND_EPOCH}',
+                            CAST(o_orderdate AS DATE)) AS x,
+                   sum(CAST(o_totalprice AS DECIMAL(25,6))) AS y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT nation_name, count(*) AS n_days,
+                   CAST(sum(x) AS DECIMAL(25,0)) AS sx,
+                   sum(CAST(x AS DECIMAL(25,0)) * x) AS sxx,
+                   sum(y) AS sy,
+                   CAST(sum(y * x) AS DECIMAL(38,6)) AS sxy
+            FROM daily GROUP BY 1
+        )
+        SELECT nation_name, n_days,
+               round({_TREND_SLOPE}, 6) AS slope,
+               round((CAST(sy AS DOUBLE) - ({_TREND_SLOPE})
+                      * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6)
+                   AS intercept
+        FROM stats
+    """,
     "customer_rfm": """
         SELECT customer_id, last_order_date, frequency,
                CAST(monetary_dec AS DOUBLE) AS monetary,

@@ -173,3 +173,37 @@ def test_pq_sampled_training_recall_vs_exact(spark, sf_dir):
     sampled = {r["vec_id"] for r in q_ann_pq_sampled_topk(spark, sf_dir).collect()}
     assert len(sampled) == TOP_K
     assert len(exact & sampled) >= 8, exact & sampled
+
+
+def test_rp_project_preserves_norms_on_average(spark, sf_dir):
+    """JL sanity for the +-1 sign projection: E[||Pv||^2] = ||v||^2, so
+    the MEAN squared-norm ratio over the corpus must sit near 1 even
+    though any single vector's ratio spreads with k=8 (measured
+    per-vector range ~[0.15, 2.94] on the deterministic matrix)."""
+    import numpy as np
+
+    from retail_sales_etl_spark.operators.similarity import (
+        RP_OUT_DIM,
+        _as_double_array,
+        q_embedding_rp_project,
+    )
+
+    proj = {
+        r["vec_id"]: np.array([r[f"p{j}"] for j in range(RP_OUT_DIM)])
+        for r in q_embedding_rp_project(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["v"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _as_double_array("embedding").alias("v"))
+        .collect()
+    }
+    ratios = [
+        float(proj[k] @ proj[k]) / float(emb[k] @ emb[k])
+        for k in emb
+        if float(emb[k] @ emb[k]) > 0
+    ]
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+    # and the projection is 8 scalar columns, not an array column
+    assert len(proj[next(iter(proj))]) == RP_OUT_DIM
