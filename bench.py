@@ -73,6 +73,9 @@ HEADLINE = [
     "embedding_rp_project",
     "nation_revenue_trend",
     "session_ngram_examples",
+    "part_affinity_lift",
+    "ppr_related_parts",
+    "weekday_seasonality",
 ]
 
 

@@ -269,6 +269,63 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["triangle_count"] = q_triangle_count
 
+LIFT_TOP_K = 100
+
+
+def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength for co-purchased part pairs: support,
+    confidence and LIFT (Agrawal/Srikant market-basket measures) over
+    the order-basket grid — the ranking layer on top of the raw
+    ``part_copurchase`` counts (high-count pairs are often just two
+    popular items; lift > 1 is actual affinity).
+
+    Reuses the co-purchase edge aggregate (min-support-gated, never
+    all-pairs); per-item basket counts join onto the pair grid by
+    item key (Zipf-hot items fan out at most |pairs touching them|);
+    the 1-row basket total broadcasts. All ratios are computed from
+    exact BIGINT counts in one expression shape shared with the
+    oracle, 6-dp rounded; distributed TakeOrdered cut.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    pair = copurchase_edges(li)
+    item = baskets.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    total = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    scored = (
+        pair.join(
+            item.select(F.col("pk").alias("a_part"), F.col("n_item").alias("na")),
+            "a_part",
+        )
+        .join(
+            item.select(F.col("pk").alias("b_part"), F.col("n_item").alias("nb")),
+            "b_part",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a_part",
+            "b_part",
+            F.col("n_orders").alias("n_ab"),
+            F.round(
+                (F.col("n_orders") * F.col("n_baskets"))
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+            F.round(F.col("n_orders") / F.col("na").cast("double"), 6).alias(
+                "conf_a_to_b"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "a_part", "b_part"
+    ).limit(LIFT_TOP_K)
+
+
+QUERIES["part_affinity_lift"] = q_part_affinity_lift
+
 KCORE_K = 3
 KCORE_MAX_ROUNDS = 16
 
@@ -381,7 +438,173 @@ def _kcore_oracle() -> str:
     """
 
 
+PPR_SEED_TOP_K = 20
+
+
+def _max_degree_seed(edges: DataFrame) -> DataFrame:
+    """1-row frame with the highest-degree node (min part_id on ties)
+    — the deterministic seed for personalized PageRank."""
+    deg = (
+        edges.select(F.col("a_part").alias("node"))
+        .unionAll(edges.select(F.col("b_part").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.orderBy(F.col("deg").desc(), F.col("node"))
+        .limit(1)
+        .select(F.col("node").alias("seed"))
+    )
+
+
+def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the highest-degree part: the
+    related-items ranking around one anchor product (teleport mass
+    returns to the SEED instead of spreading uniformly — Haveliwala
+    2002). Top-k parts by PPR score, seed included.
+
+    Same iterative shape as ``pagerank``: per round one destination-
+    keyed shuffle of degree-normalized contributions plus the seeded
+    teleport term; ranks checkpoint through the bounded loop. The
+    seed is itself computed as a distributed TakeOrdered (no driver
+    collect of the degree grid — only the single seed row lands on
+    the driver via the broadcast join)."""
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    seed = _max_degree_seed(edges)
+    directed = edges.select(
+        F.col("a_part").alias("src"), F.col("b_part").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b_part").alias("src"), F.col("a_part").alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = directed.select(F.col("src").alias("part_id")).distinct()
+    is_seed = F.when(
+        F.col("part_id") == F.col("seed"), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.crossJoin(F.broadcast(seed)).select(
+        "part_id", is_seed.alias("rank")
+    )
+    for i in range(N_ITERATIONS):
+        recv = (
+            directed.join(
+                deg, "src"
+            )
+            .join(
+                ranks.withColumnRenamed("part_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("part_id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(seed))
+            .join(recv, "part_id", "left")
+            .select(
+                "part_id",
+                (
+                    (1.0 - DAMPING) * is_seed
+                    + DAMPING * F.coalesce("recv", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.select("part_id", F.round("rank", 6).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "part_id")
+        .limit(PPR_SEED_TOP_K)
+    )
+
+
+QUERIES["ppr_related_parts"] = q_ppr_related_parts
+
+
+def _ppr_oracle() -> str:
+    """Unrolled seeded-PageRank CTE chain (the _pagerank_oracle
+    pattern with a seed teleport; stages MATERIALIZED like kcore)."""
+    prev = "r0"
+    stages = []
+    for i in range(1, N_ITERATIONS + 1):
+        cur = f"r{i}"
+        stages.append(f"""
+        {cur} AS MATERIALIZED (
+            SELECT nd.part_id,
+                   (1.0 - {DAMPING})
+                       * (CASE WHEN nd.part_id = s.seed
+                               THEN 1.0 ELSE 0.0 END)
+                   + {DAMPING} * coalesce(c.recv, 0.0) AS rank
+            FROM nodes nd
+            CROSS JOIN seed s
+            LEFT JOIN (
+                SELECT e.dst AS pid, sum(r.rank / d.deg) AS recv
+                FROM edges e
+                JOIN {prev} r ON e.src = r.part_id
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) c ON nd.part_id = c.pid
+        )""")
+        prev = cur
+    return f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        cop AS MATERIALIZED (
+            SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_COPURCHASE}
+        ),
+        edges AS MATERIALIZED (
+            SELECT a_part AS src, b_part AS dst FROM cop
+            UNION ALL
+            SELECT b_part AS src, a_part AS dst FROM cop
+        ),
+        nodes AS (SELECT DISTINCT src AS part_id FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        seed AS (
+            SELECT src AS seed FROM deg
+            ORDER BY deg DESC, src LIMIT 1
+        ),
+        r0 AS (
+            SELECT nd.part_id,
+                   CASE WHEN nd.part_id = s.seed THEN 1.0 ELSE 0.0 END
+                       AS rank
+            FROM nodes nd CROSS JOIN seed s
+        ),
+        {",".join(stages)}
+        SELECT part_id, round(rank, 6) AS ppr FROM {prev}
+        ORDER BY ppr DESC, part_id LIMIT {PPR_SEED_TOP_K}
+    """
+
+
 ORACLE = {
+    "ppr_related_parts": _ppr_oracle(),
+    "part_affinity_lift": f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pair AS (
+            SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+                   count(*) AS n_ab
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_COPURCHASE}
+        ),
+        item AS (
+            SELECT l_partkey AS pk, count(*) AS n_item
+            FROM baskets GROUP BY 1
+        ),
+        tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets)
+        SELECT a_part, b_part, n_ab,
+               round((n_ab * n_baskets)
+                     / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift,
+               round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_to_b
+        FROM pair
+        JOIN item ia ON pair.a_part = ia.pk
+        JOIN item ib ON pair.b_part = ib.pk
+        CROSS JOIN tot
+        ORDER BY lift DESC, a_part, b_part
+        LIMIT {LIFT_TOP_K}
+    """,
     "kcore_parts": _kcore_oracle(),
     "pagerank_parts": ORACLE_PAGERANK,
     "triangle_count": f"""

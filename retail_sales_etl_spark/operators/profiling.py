@@ -253,13 +253,99 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASON_EPOCH = "1992-01-01"
+
+
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality DQ screen over order dates: the 7-bucket
+    day-of-week profile plus a chi-square uniformity statistic — the
+    companion to the Benford screen (synthetic/garbled date columns
+    are flat or single-spiked; real ordering behavior has a weekly
+    shape worth knowing before calendar-partitioned loads).
+
+    Engine-portable weekday: ``datediff(day, epoch) % 7`` (an index
+    relative to 1992-01-01, a Wednesday) — calendar dayofweek()
+    numbering differs across engines, an epoch-modulus cannot. One
+    map-combinable 7-bucket aggregate; chi-square terms are rounded
+    to 6 dp and DECIMAL-summed over the fixed 7-row grid; the peak
+    bucket resolves by (count desc, index) — fully deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dow = (
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
+        )
+        % 7
+    )
+    buckets = orders.groupBy(dow.cast("bigint").alias("dow_idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = buckets.agg(F.sum("cnt").alias("n_orders"))
+    term = F.round(
+        (F.col("cnt") - F.col("n_orders") / 7.0)
+        * (F.col("cnt") - F.col("n_orders") / 7.0)
+        / (F.col("n_orders") / 7.0),
+        6,
+    ).cast("decimal(25,6)")
+    g = buckets.crossJoin(F.broadcast(total))
+    peak = (
+        g.orderBy(F.col("cnt").desc(), F.col("dow_idx"))
+        .limit(1)
+        .select(
+            F.col("dow_idx").alias("peak_idx"),
+            F.col("cnt").alias("peak_cnt"),
+        )
+    )
+    stats = g.agg(
+        F.first("n_orders").alias("n_orders"),
+        F.sum(term).alias("_chi2"),
+    )
+    return stats.crossJoin(F.broadcast(peak)).select(
+        "n_orders",
+        F.round(F.col("_chi2").cast("double"), 6).alias("chi_square"),
+        "peak_idx",
+        F.round(
+            F.col("peak_cnt") / F.col("n_orders").cast("double"), 6
+        ).alias("peak_share"),
+    )
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "key_skew_profile": q_key_skew_profile,
     "benford_prices": q_benford_prices,
+    "weekday_seasonality": q_weekday_seasonality,
 }
 
 ORACLE = {
+    "weekday_seasonality": f"""
+        WITH buckets AS (
+            SELECT datediff('day', DATE '{SEASON_EPOCH}',
+                            CAST(o_orderdate AS DATE)) % 7 AS dow_idx,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        tot AS (SELECT sum(cnt) AS n_orders FROM buckets),
+        terms AS (
+            SELECT dow_idx, cnt, n_orders,
+                   CAST(round((cnt - n_orders / 7.0)
+                              * (cnt - n_orders / 7.0)
+                              / (n_orders / 7.0), 6)
+                        AS DECIMAL(25,6)) AS term
+            FROM buckets CROSS JOIN tot
+        ),
+        peak AS (
+            SELECT dow_idx AS peak_idx, cnt AS peak_cnt
+            FROM buckets ORDER BY cnt DESC, dow_idx LIMIT 1
+        )
+        SELECT CAST(any_value(n_orders) AS BIGINT) AS n_orders,
+               round(CAST(sum(term) AS DOUBLE), 6) AS chi_square,
+               any_value(peak_idx) AS peak_idx,
+               round(any_value(peak_cnt)
+                     / CAST(any_value(n_orders) AS DOUBLE), 6)
+                   AS peak_share
+        FROM terms CROSS JOIN peak
+    """,
     "heavy_hitters": f"""
         WITH counts AS (
             SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n_rows

@@ -726,13 +726,31 @@ def maintain_lsh_dedup(
     verdicts_path: str,
     checkpoint: str,
     log_retention: int | None = None,
+    optimize_every: int | None = None,
 ):
     """Run the incremental LSH dedup sink under foreachBatch
-    (availableNow) — the streaming twin of ``dedup_minhash_lsh``."""
+    (availableNow) — the streaming twin of ``dedup_minhash_lsh``.
+
+    ``optimize_every=N`` compacts the signature table every N batches
+    (metadata-swap OPTIMIZE): an append-per-batch index otherwise
+    accumulates one small file per micro-batch forever, and the
+    per-batch probe join opens O(batches) files instead of O(1) — the
+    standard streaming-ingest small-file problem, solved the standard
+    lakehouse way. Compaction commits carry no batch_id, so they
+    never collide with the exactly-once watermark; a probe pinned to
+    an older version keeps its files (OPTIMIZE removes from the log,
+    not the disk)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
         lsh_dedup_sink(batch_df, batch_id, sigs_path, verdicts_path)
         spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            try:
+                LakehouseTable(spark, sigs_path).optimize()
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
         _maybe_clean_log(spark, sigs_path, log_retention)
         _maybe_clean_log(spark, verdicts_path, log_retention)
 

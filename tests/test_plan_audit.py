@@ -405,3 +405,42 @@ def test_hard_negatives_routes_broadcast_foreign_cells(spark, sf_dir):
     plan = _formatted_plan(q_hard_negatives(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rp_project_is_shuffle_free(spark, sf_dir):
+    """embedding_rp_project is a pure scan-transform: 512 +- terms in
+    whole-stage codegen, ZERO Exchange anywhere in the plan."""
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_rp_project,
+    )
+
+    plan = _formatted_plan(q_embedding_rp_project(spark, sf_dir))
+    assert "Exchange" not in plan
+    # formatted mode marks codegen stages with a '*' prefix
+    assert "* Project" in plan
+
+
+def test_dedup_spans_no_window_no_cartesian(spark, sf_dir):
+    """dedup_spans must never global-sort or pair up the token grid:
+    no Window operator (the gram grid is built map-side from
+    sequence+slice), no cartesian/nested-loop join (the dup-hash set
+    joins by key), and the rebuild collapses to doc grain."""
+    from retail_sales_etl_spark.operators.text import q_dedup_spans
+
+    plan = _formatted_plan(q_dedup_spans(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_window_join_is_on_daily_grid_not_raw_events(spark, sf_dir):
+    """events_ewma's weighted range join runs over the (type, day)
+    grid: the raw-event aggregate must appear BELOW the self-join in
+    the plan (i.e. the join inputs are HashAggregate outputs), and
+    the only Window is the row_number over the daily grid."""
+    from retail_sales_etl_spark.operators.events import q_events_ewma
+
+    plan = _formatted_plan(q_events_ewma(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the raw scan aggregates to the daily grid before any join
+    assert plan.index("HashAggregate") < plan.index("Join")

@@ -923,3 +923,45 @@ def test_lsh_dedup_sink_two_writer_race(spark, tmp_path):
     assert len(verdicts) == 4  # one verdict per doc, no double batch
     per_doc = LakehouseTable(spark, sigs).read().groupBy("doc_id").count()
     assert {r["count"] for r in per_doc.collect()} == {4}  # 4 bands/doc
+
+
+def test_lsh_dedup_sink_optimize_bounds_index_files(spark, tmp_path):
+    """With optimize_every=2, the signature table's live-file count
+    stays bounded as micro-batches accumulate (the streaming
+    small-file problem), verdicts still land once per doc, and the
+    compaction commit never disturbs the exactly-once watermark."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    src = str(tmp_path / "src")
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique doc number "), F.col("id").cast("string"),
+            F.lit(" with enough words to form shingles here"),
+        ).alias("text"),
+    )
+    for i in range(8):
+        docs.filter((F.col("doc_id") % 8) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sigs = str(tmp_path / "sigs")
+    verd = str(tmp_path / "verd")
+    streaming_events.maintain_lsh_dedup(
+        stream, sigs, verd, str(tmp_path / "ckpt"), optimize_every=2
+    ).awaitTermination()
+    table = LakehouseTable(spark, sigs)
+    live = table.read().inputFiles()
+    # 8 append batches; without compaction the index would hold >= 8
+    # files — every-2 OPTIMIZE keeps the live set at O(1)
+    assert len(live) <= 3, live
+    assert table.read().count() == 40 * 4  # 4 band rows per doc
+    assert LakehouseTable(spark, verd).read().count() == 40
