@@ -76,6 +76,9 @@ HEADLINE = [
     "part_affinity_lift",
     "ppr_related_parts",
     "weekday_seasonality",
+    "bigram_logprob",
+    "corpus_source_report",
+    "embedding_dim_stats",
 ]
 
 

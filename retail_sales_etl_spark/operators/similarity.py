@@ -1373,8 +1373,53 @@ def _rp_oracle() -> str:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature QC over the embedding corpus: n, mean,
+    std, min, max for each of the 64 dimensions — the report that
+    catches dead dimensions (std≈0), scale drift between embedding
+    model versions, and clipping (hard min/max walls) before vectors
+    enter ANN indexes or quantizers.
+
+    One posexplode -> 64-group aggregate (map-side combinable; the
+    shuffle carries 64 keys x partial rows). Portability: the
+    variance uses the decimal-exact parallel sum/sum-of-squares
+    formula (the q_events_anomaly discipline — built-in stddev is
+    float-accumulation-order dependent, this is not).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    dims = emb.select(
+        F.posexplode("v").alias("dim0", "x")
+    ).select((F.col("dim0") + 1).cast("bigint").alias("dim"), "x")
+    xd = F.round(F.col("x"), 9).cast("decimal(30,9)")
+    x2d = F.round(F.col("x") * F.col("x"), 12).cast("decimal(30,12)")
+    stats = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("s"),
+        F.sum(x2d).cast("double").alias("s2"),
+        F.round(F.min("x"), 6).alias("vmin"),
+        F.round(F.max("x"), 6).alias("vmax"),
+    )
+    return stats.select(
+        "dim",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("std"),
+        "vmin",
+        "vmax",
+    )
+
+
 QUERIES = {
     "embedding_rp_project": q_embedding_rp_project,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "ann_batch_ivf": q_ann_batch_ivf,
     "embedding_quantize": q_embedding_quantize,
     "ann_topk": q_ann_topk,
@@ -1424,6 +1469,29 @@ _PAIR_COSINE_SQL = (
 
 ORACLE = {
     "embedding_rp_project": _rp_oracle(),
+    "embedding_dim_stats": """
+        WITH dims AS (
+            SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1,
+                          len(embedding))) AS i)
+        ),
+        stats AS (
+            SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                   CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9)))
+                        AS DOUBLE) AS s,
+                   CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12)))
+                        AS DOUBLE) AS s2,
+                   round(min(x), 6) AS vmin,
+                   round(max(x), 6) AS vmax
+            FROM dims GROUP BY 1
+        )
+        SELECT dim, n,
+               round(s / n, 6) AS mean,
+               round(sqrt((s2 - s * s / n) / (n - 1)), 6) AS std,
+               vmin, vmax
+        FROM stats
+    """,
     "embedding_quantize": """
         WITH emb AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

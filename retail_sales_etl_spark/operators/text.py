@@ -710,6 +710,75 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ADD_K = 0.5
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM scoring with add-k smoothing: per-doc average
+    negative log-prob of its adjacent token pairs under
+    p(w2|w1) = (c12 + k) / (c1 + k·V) — one order deeper than
+    ``unigram_logprob`` (a doc of real words in scrambled order scores
+    fluent under a unigram model; the bigram model catches it), still
+    computed from the corpus itself with no external model.
+
+    Plan: one (doc, w1, w2) adjacent-pair count grid (map-side
+    combinable explode); corpus pair counts re-aggregate FROM the
+    grid's partials; unigram counts + vocab size from one token
+    explode; two keyed joins (Zipf-hot w1 keys fan out at most
+    |distinct pairs touching them| — AQE skew-split) and a broadcast
+    1-row vocab frame. Per-term ``c·ln(p)`` rounds to 6 dp and sums
+    in DECIMAL; one double division; final 6-dp round.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    grid = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_counts = grid.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uni = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v_size"))
+    logp = F.log(
+        (F.col("c12") + F.lit(BIGRAM_ADD_K))
+        / (F.col("c1") + F.lit(BIGRAM_ADD_K) * F.col("v_size"))
+    )
+    term = F.round(F.col("c") * logp, 6).cast("decimal(25,6)")
+    per_doc = (
+        grid.join(pair_counts, ["w1", "w2"])
+        .join(uni.select(F.col("t").alias("w1"), "c1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(term).alias("_s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -F.col("_s").cast("double") / F.col("n_bigrams"), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 
@@ -779,6 +848,52 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(PMI_TOP_K)
+
+
+def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the rollup a corpus owner reads before
+    mixing sources into a training run — document and token volume,
+    language concentration, and the exact-duplicate rate attributable
+    to each source (a doc counts as a dup if its canonical md5 was
+    already seen at a smaller doc_id ANYWHERE in the corpus, so a
+    source that re-crawls another source's content wears the dups).
+
+    One doc-grain scan computes tokens/langs map-side; the dup flag is
+    a min-doc_id aggregate per md5 (map-combinable, the dedup_exact
+    keep-first rule) joined back at doc grain; everything then
+    collapses to the |sources| grid. No windows, no pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    first = d.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    flagged = d.join(first, "h").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_toks",
+        (F.col("doc_id") > F.col("first_id")).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("n_toks") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).cast("bigint").alias("n_en"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+        F.round(
+            F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_frac"),
+    )
 
 
 SPAN_K = 16
@@ -992,6 +1107,8 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "dedup_spans": q_dedup_spans,
     "pmi_bigrams": q_pmi_bigrams,
+    "bigram_logprob": q_bigram_logprob,
+    "corpus_source_report": q_corpus_source_report,
     "text_entropy": q_text_entropy,
     "text_repetition": q_text_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
@@ -1176,6 +1293,74 @@ ORACLE = {
                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
                coalesce(k.clean_text, '') AS clean_text
         FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    "bigram_logprob": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id, w1, w2, count(*) AS c
+            FROM (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM words WHERE len(w) >= 2
+                )
+            ) GROUP BY 1, 2, 3
+        ),
+        pc AS (SELECT w1, w2, sum(c) AS c12 FROM grid GROUP BY 1, 2),
+        uni AS (
+            SELECT t, count(*) AS c1
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS t
+                FROM documents
+            ) GROUP BY 1
+        ),
+        voc AS (SELECT count(*) AS v_size FROM uni),
+        terms AS (
+            SELECT g.doc_id, g.c,
+                   CAST(round(g.c * ln((pc.c12 + {BIGRAM_ADD_K})
+                              / (uni.c1 + {BIGRAM_ADD_K} * v.v_size)), 6)
+                        AS DECIMAL(25,6)) AS term
+            FROM grid g
+            JOIN pc ON g.w1 = pc.w1 AND g.w2 = pc.w2
+            JOIN uni ON g.w1 = uni.t
+            CROSS JOIN voc v
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(-CAST(sum(term) AS DOUBLE) / sum(c), 6)
+                   AS avg_neg_logprob
+        FROM terms GROUP BY 1
+    """,
+    "corpus_source_report": """
+        WITH d AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   md5(text) AS h
+            FROM documents
+        ),
+        first AS (SELECT h, min(doc_id) AS first_id FROM d GROUP BY 1),
+        flagged AS (
+            SELECT d.doc_id, d.source, d.lang, d.n_toks,
+                   CASE WHEN d.doc_id > f.first_id THEN 1 ELSE 0 END
+                       AS is_dup
+            FROM d JOIN first f ON d.h = f.h
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               round(sum(n_toks) / CAST(count(*) AS DOUBLE), 6)
+                   AS avg_tokens,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en,
+               CAST(sum(is_dup) AS BIGINT) AS n_exact_dups,
+               round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6)
+                   AS dup_frac
+        FROM flagged GROUP BY 1
     """,
     "pmi_bigrams": f"""
         WITH words AS (
