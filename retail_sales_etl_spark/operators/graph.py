@@ -350,7 +350,11 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
     budget exhaustion instead of returning a half-peeled graph (the
     CC precedent — a silently unconverged core overstates density).
     """
-    cur = edges.select("a_part", "b_part")
+    # materialize the input up front: the first round otherwise
+    # re-derives the basket self-join behind `edges` four times (the
+    # seed count plus three references) — the triangle_count
+    # precedent, measured >2x there
+    cur = edges.select("a_part", "b_part").localCheckpoint(eager=True)
     n_prev = cur.count()
     for _ in range(max_rounds):
         deg = (
@@ -469,15 +473,26 @@ def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed is itself computed as a distributed TakeOrdered (no driver
     collect of the degree grid — only the single seed row lands on
     the driver via the broadcast join)."""
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    # checkpoint the edge list once: seed, degrees, nodes and all 5
+    # iterations reference it — uncached, every broadcast(seed) build
+    # and iteration would re-run the lineitem basket self-join (the
+    # pagerank cache precedent in this file)
+    edges = copurchase_edges(
+        load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint(eager=True)
     seed = _max_degree_seed(edges)
     directed = edges.select(
         F.col("a_part").alias("src"), F.col("b_part").alias("dst")
     ).unionAll(
         edges.select(F.col("b_part").alias("src"), F.col("a_part").alias("dst"))
     )
-    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = directed.select(F.col("src").alias("part_id")).distinct()
+    deg = directed.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    nodes = directed.select(
+        F.col("src").alias("part_id")
+    ).distinct().localCheckpoint(eager=True)
+    seed = seed.localCheckpoint(eager=True)
     is_seed = F.when(
         F.col("part_id") == F.col("seed"), F.lit(1.0)
     ).otherwise(F.lit(0.0))

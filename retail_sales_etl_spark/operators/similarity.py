@@ -1405,10 +1405,18 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         "n",
         F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        # greatest(0, ·): for a dead (constant) dimension the rounding
+        # error of the 9-dp term dominates the 12-dp square's, so the
+        # parallel-formula variance can come out ~-1e-10 — exactly the
+        # input this report exists to catch. Clamp instead of NaN
+        # (Spark) / hard sqrt-of-negative error (DuckDB).
         F.round(
             F.sqrt(
-                (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
-                / (F.col("n") - 1)
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                    / (F.col("n") - 1),
+                )
             ),
             6,
         ).alias("std"),
@@ -1488,7 +1496,8 @@ ORACLE = {
         )
         SELECT dim, n,
                round(s / n, 6) AS mean,
-               round(sqrt((s2 - s * s / n) / (n - 1)), 6) AS std,
+               round(sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1))), 6)
+                   AS std,
                vmin, vmax
         FROM stats
     """,

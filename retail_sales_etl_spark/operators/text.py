@@ -710,6 +710,27 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adjacent-token-pair grid, shared by the bigram-LM and PMI operators
+# (one tokenization fix must hit both): Spark expression over a token
+# array column `w`, and its SQL twin over a CTE named `words`.
+_ADJ_PAIRS_EXPR = (
+    "transform(sequence(1, size(w) - 1),"
+    " i -> struct(element_at(w, i) AS w1,"
+    " element_at(w, i + 1) AS w2))"
+)
+
+
+def _adj_pairs_sql(with_doc_id: bool) -> str:
+    cols = "doc_id, " if with_doc_id else ""
+    return f"""
+            SELECT {cols}w[i] AS w1, w[i + 1] AS w2
+            FROM (
+                SELECT {cols}w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM words WHERE len(w) >= 2
+            )"""
+
+
 BIGRAM_ADD_K = 0.5
 
 
@@ -735,16 +756,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = (
         toks.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1),"
-                    " i -> struct(element_at(w, i) AS w1,"
-                    " element_at(w, i + 1) AS w2))"
-                )
-            ).alias("p"),
-        )
+        .select("doc_id", F.explode(F.expr(_ADJ_PAIRS_EXPR)).alias("p"))
         .groupBy("doc_id", "p.w1", "p.w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -805,13 +817,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split(F.lower("text"), " ").alias("w"))
     pairs = toks.filter(F.size("w") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> struct(element_at(w, i) AS w1,"
-                " element_at(w, i + 1) AS w2))"
-            )
-        ).alias("p")
+        F.explode(F.expr(_ADJ_PAIRS_EXPR)).alias("p")
     ).select("p.w1", "p.w2")
     pair_counts = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_ab")
@@ -1301,13 +1307,7 @@ ORACLE = {
         ),
         grid AS (
             SELECT doc_id, w1, w2, count(*) AS c
-            FROM (
-                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-                FROM (
-                    SELECT doc_id, w,
-                           unnest(generate_series(1, len(w) - 1)) AS i
-                    FROM words WHERE len(w) >= 2
-                )
+            FROM ({_adj_pairs_sql(True)}
             ) GROUP BY 1, 2, 3
         ),
         pc AS (SELECT w1, w2, sum(c) AS c12 FROM grid GROUP BY 1, 2),
@@ -1366,12 +1366,7 @@ ORACLE = {
         WITH words AS (
             SELECT string_split(lower(text), ' ') AS w FROM documents
         ),
-        pairs AS (
-            SELECT w[i] AS w1, w[i + 1] AS w2
-            FROM (
-                SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
-                FROM words WHERE len(w) >= 2
-            )
+        pairs AS ({_adj_pairs_sql(False)}
         ),
         pc AS (
             SELECT w1, w2, count(*) AS n_ab FROM pairs GROUP BY 1, 2

@@ -151,13 +151,16 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
     intercept = (sy - slope * sx) / n
+    # a nation with one observed day has denom exactly 0 (integer-
+    # derived doubles): emit NULL, not Spark NaN vs DuckDB NULL
     return stats.select(
         "nation_name",
         "n_days",
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        F.when(denom != 0.0, F.round(slope, 6)).alias("slope"),
+        F.when(denom != 0.0, F.round(intercept, 6)).alias("intercept"),
     )
 
 
@@ -168,11 +171,14 @@ QUERIES = {
     "events_funnel": q_events_funnel,
 }
 
+_TREND_DENOM = (
+    "(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
 _TREND_SLOPE = (
     "(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    f" / {_TREND_DENOM}"
 )
 
 ORACLE = {
@@ -196,10 +202,12 @@ ORACLE = {
             FROM daily GROUP BY 1
         )
         SELECT nation_name, n_days,
-               round({_TREND_SLOPE}, 6) AS slope,
-               round((CAST(sy AS DOUBLE) - ({_TREND_SLOPE})
-                      * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6)
-                   AS intercept
+               CASE WHEN {_TREND_DENOM} <> 0.0
+                    THEN round({_TREND_SLOPE}, 6) END AS slope,
+               CASE WHEN {_TREND_DENOM} <> 0.0
+                    THEN round((CAST(sy AS DOUBLE) - ({_TREND_SLOPE})
+                         * CAST(sx AS DOUBLE))
+                         / CAST(n_days AS DOUBLE), 6) END AS intercept
         FROM stats
     """,
     "customer_rfm": """

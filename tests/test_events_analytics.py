@@ -83,3 +83,40 @@ def test_attribution_shares_sum_to_purchase_value(spark, tmp_path):
     r = got[0]
     assert r.user_id == 7 and r.n_purchases == 1 and r.n_touches == 2
     assert abs(r.attributed_value - 100.0) < 1e-4
+
+
+def test_revenue_trend_single_day_nation_yields_null_not_nan(spark, tmp_path):
+    """A nation whose orders all land on one day has a zero OLS
+    denominator: slope/intercept must be NULL (matching DuckDB's
+    0/0 semantics), never NaN."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.behavioral import (
+        q_nation_revenue_trend,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderdate="1995-01-05",
+             o_totalprice=10.0),
+         Row(o_orderkey=2, o_custkey=1, o_orderdate="1995-01-05",
+             o_totalprice=20.0),
+         Row(o_orderkey=3, o_custkey=2, o_orderdate="1995-01-05",
+             o_totalprice=5.0),
+         Row(o_orderkey=4, o_custkey=2, o_orderdate="1995-01-08",
+             o_totalprice=9.0)]
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [Row(c_custkey=1, c_nationkey=10), Row(c_custkey=2, c_nationkey=20)]
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [Row(n_nationkey=10, n_name="ONEDAY"),
+         Row(n_nationkey=20, n_name="TWODAY")]
+    ).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+    got = {r["nation_name"]: r
+           for r in q_nation_revenue_trend(spark, d).collect()}
+    assert got["ONEDAY"]["n_days"] == 1
+    assert got["ONEDAY"]["slope"] is None
+    assert got["ONEDAY"]["intercept"] is None
+    # two observed days: slope = (9-5)/3 days, exact
+    assert abs(got["TWODAY"]["slope"] - 4.0 / 3.0) < 1e-5

@@ -442,5 +442,10 @@ def test_ewma_window_join_is_on_daily_grid_not_raw_events(spark, sf_dir):
 
     plan = _formatted_plan(q_events_ewma(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the raw scan aggregates to the daily grid before any join
-    assert plan.index("HashAggregate") < plan.index("Join")
+    # BOTH join inputs must be aggregate outputs: in the formatted
+    # tree, at least two HashAggregate nodes print BELOW the first
+    # Join line (the root-side final aggregate prints above it, so a
+    # raw-event join would leave at most one below).
+    tree = plan.split("(1) Scan")[0]
+    join_pos = tree.index("Join")
+    assert tree[join_pos:].count("HashAggregate") >= 2, tree

@@ -207,3 +207,28 @@ def test_rp_project_preserves_norms_on_average(spark, sf_dir):
     assert 0.85 < mean < 1.15, mean
     # and the projection is 8 scalar columns, not an array column
     assert len(proj[next(iter(proj))]) == RP_OUT_DIM
+
+
+def test_dim_stats_dead_dimension_reports_zero_std(spark, tmp_path):
+    """A constant (dead) dimension must report std exactly 0.0 — the
+    rounding-error-negative variance is clamped, not NaN'd (and the
+    DuckDB oracle twin would hard-error on sqrt of a negative)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_dim_stats,
+    )
+
+    rows = [
+        Row(vec_id=i, label=0, embedding=[0.123456789, float(i)])
+        for i in range(10)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {r["dim"]: r for r in q_embedding_dim_stats(spark, d).collect()}
+    assert got[1]["std"] == 0.0 and not math.isnan(got[1]["std"])
+    assert got[2]["std"] > 0
