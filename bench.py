@@ -79,6 +79,7 @@ HEADLINE = [
     "bigram_logprob",
     "corpus_source_report",
     "embedding_dim_stats",
+    "events_cusum",
 ]
 
 

@@ -900,6 +900,43 @@ class LakehouseTable:
         v = self._try_commit(entry, read_version)
         return {"version": v, "files_before": len(live), "files_after": len(files)}
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE ... TO VERSION (the Delta/Iceberg rollback
+        command): make an old snapshot current again by committing a
+        new entry whose live set IS that snapshot's file list — pure
+        metadata, no data files touched, and the bad versions stay in
+        the log for forensics/time travel. The recovery story after a
+        bad write or MERGE: roll forward-by-rolling-back instead of
+        hand-editing state.
+
+        Fails if the target snapshot's files were VACUUMed (same
+        contract as time travel). Stats manifests for the restored
+        files are carried over so data skipping keeps working on the
+        restored snapshot. Optimistic concurrency: the commit aborts
+        if a rival lands after the current version was pinned."""
+        read_version = self.latest_version()
+        if read_version is None:
+            raise FileNotFoundError(f"No lakehouse log at {self.log_dir}")
+        # validates the version AND that its files survived VACUUM
+        target_live, target_last = self._resolve_files(version)
+        _, _, all_stats = self._replay_stats(as_of=version)
+        entry = {
+            "operation": "restore",
+            "restored_version": version,
+            "add": target_live,
+            "remove": [
+                f
+                for f in self._resolve_files(None)[0]
+                if f not in set(target_live)
+            ],
+            "schema": target_last["schema"],
+            "rows_written": target_last.get("rows_written"),
+            "stats": {f: all_stats[f] for f in target_live if f in all_stats},
+        }
+        v = self._try_commit(entry, read_version)
+        return {"version": v, "restored_version": version,
+                "n_files": len(target_live)}
+
     def table_changes(
         self,
         from_version: int,

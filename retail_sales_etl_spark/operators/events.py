@@ -565,6 +565,69 @@ def q_attribution_time_decay(
     )
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: the running sum of
+    (daily count − overall mean) peaks in magnitude at the most likely
+    level-shift day (Page 1954) — the classic "did this event's volume
+    step-change, and when?" monitor next to the EWMA smoother.
+
+    Heavy work is the same map-combinable (type, day) rollup as
+    events_ewma; the cumulative window and the argmax both run over
+    the calendar-bounded daily grid. Portability: deviations are
+    6-dp-rounded DECIMALs summed cumulatively (order fixed by the
+    window sort), the peak resolves by (|cusum| desc, day) — fully
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_type = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("total"),
+    )
+    dev = (
+        daily.join(
+            F.broadcast(per_type), F.col("event_type") == F.col("et")
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            F.round(
+                F.col("cnt") - F.col("total") / F.col("n_days").cast("double"),
+                6,
+            )
+            .cast("decimal(25,6)")
+            .alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = dev.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum("d").over(w).cast("double").alias("s"),
+    )
+    rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.abs(F.col("s")), 6).alias("max_cusum"),
+            F.col("day").alias("change_day"),
+        )
+    )
+
+
 NGRAM_CTX_MIN_COUNT = 3
 NGRAM_CTX_TOP_K = 100
 
@@ -610,6 +673,7 @@ def q_session_ngram_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_ewma": q_events_ewma,
+    "events_cusum": q_events_cusum,
     "session_ngram_examples": q_session_ngram_examples,
     "attribution_time_decay": q_attribution_time_decay,
     "events_session_native": q_events_session_native,
@@ -629,6 +693,43 @@ QUERIES = {
 from .dedup import _SHINGLES_SQL as _SH_SQL
 
 ORACLE = {
+    "events_cusum": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        per_type AS (
+            SELECT event_type AS et, count(*) AS n_days,
+                   sum(cnt) AS total
+            FROM daily GROUP BY 1
+        ),
+        dev AS (
+            SELECT event_type, day, n_days,
+                   CAST(round(cnt - total / CAST(n_days AS DOUBLE), 6)
+                        AS DECIMAL(25,6)) AS d
+            FROM daily JOIN per_type ON event_type = et
+        ),
+        cusum AS (
+            SELECT event_type, day, n_days,
+                   CAST(sum(d) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS s
+            FROM dev
+        ),
+        ranked AS (
+            SELECT event_type, n_days, s, day,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(s) DESC, day
+                   ) AS rn
+            FROM cusum
+        )
+        SELECT event_type, n_days,
+               round(abs(s), 6) AS max_cusum,
+               day AS change_day
+        FROM ranked WHERE rn = 1
+    """,
     "session_ngram_examples": f"""
         WITH lagged AS (
             SELECT event_type,

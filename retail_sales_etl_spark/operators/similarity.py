@@ -1679,3 +1679,83 @@ ORACLE = {
         )
     """,
 }
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of every approximate ANN path against the
+    exact scan — the acceptance report an index owner runs before
+    routing production traffic through LSH / IVF / PQ: per method, how
+    many of the true top-k survive the approximation.
+
+    Composes the existing query plans (exact top-k broadcast as the
+    truth set, one left join + count per method); the oracle composes
+    the same methods' SQL twins, so the report is hash-exact end to
+    end. Cost is the sum of the member queries — an eval op, not a
+    serving path.
+    """
+    exact = q_ann_topk(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    methods = [
+        ("lsh", q_ann_lsh_topk),
+        ("ivf", q_ann_ivf_topk),
+        ("pq", q_ann_pq_topk),
+    ]
+    parts = []
+    for name, fn in methods:
+        approx = fn(spark, sf_dir).select("vec_id")
+        agg = approx.join(F.broadcast(exact), "vec_id", "left").agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_hits"
+            ),
+        )
+        parts.append(
+            agg.select(
+                F.lit(name).alias("method"),
+                "n_retrieved",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+QUERIES["ann_recall_report"] = q_ann_recall_report
+
+
+def _recall_member_sql(name: str) -> str:
+    """A member oracle wrapped as a derived table (DuckDB allows a
+    WITH inside a parenthesized subquery)."""
+    return f"(SELECT vec_id FROM ({ORACLE[name]}))"
+
+
+ORACLE["ann_recall_report"] = f"""
+    WITH exact AS (SELECT vec_id FROM {_recall_member_sql("ann_topk")}),
+    m_lsh AS (SELECT vec_id FROM {_recall_member_sql("ann_lsh_topk")}),
+    m_ivf AS (SELECT vec_id FROM {_recall_member_sql("ann_ivf_topk")}),
+    m_pq AS (SELECT vec_id FROM {_recall_member_sql("ann_pq_topk")})
+    SELECT method, n_retrieved, n_hits,
+           round(n_hits / {float(TOP_K)!r}, 6) AS recall_at_k
+    FROM (
+        SELECT 'lsh' AS method, count(*) AS n_retrieved,
+               CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM m_lsh
+        UNION ALL
+        SELECT 'ivf', count(*),
+               CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM m_ivf
+        UNION ALL
+        SELECT 'pq', count(*),
+               CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM m_pq
+    )
+"""

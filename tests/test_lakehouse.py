@@ -741,3 +741,53 @@ def test_latest_value_contract_after_clean_log(spark, table):
     finally:
         lh.LakehouseTable._load_checkpoint = orig
     assert loads["n"] == 0
+
+
+def test_restore_rolls_back_to_old_snapshot(spark, table):
+    """RESTORE makes an old snapshot current via a pure metadata
+    commit: the bad version stays time-travelable, the restored read
+    matches the target bit-for-bit, and appends continue on top."""
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    table.write(spark.createDataFrame(_rows(5, start=10)), mode="append")
+    # the bad write: clobbers everything
+    table.write(spark.createDataFrame(_rows(2, src="oops")), mode="overwrite")
+    assert table.read().count() == 2
+    out = table.restore(2)
+    assert out["restored_version"] == 2 and out["version"] == 4
+    assert {r.id for r in table.read().collect()} == set(range(15))
+    # forensics: the bad snapshot is still reachable
+    assert table.read(version=3).count() == 2
+    # life goes on: append lands on the restored state
+    table.write(spark.createDataFrame(_rows(1, start=100)), mode="append")
+    assert table.read().count() == 16
+
+
+def test_restore_carries_stats_for_data_skipping(spark, table):
+    """Files re-added by RESTORE keep their min/max manifests: a
+    read_where on the restored snapshot still prunes files."""
+    for lo in (0, 100, 200):
+        table.write(
+            spark.createDataFrame(_rows(50, start=lo)), mode="append"
+        )
+    table.write(spark.createDataFrame(_rows(1, src="bad")), mode="overwrite")
+    table.restore(3)
+    files, total = table.prune_files("id", 200, 249)
+    # statless files would be conservatively kept (all `total` open):
+    # pruning to the [200, 250) commit's files proves the manifests
+    # were carried through the restore
+    assert len(files) < total
+    got = table.read_where("id", 200, 249)
+    assert got.count() == 50
+
+
+def test_restore_refuses_vacuumed_target(spark, table):
+    """Restoring to a snapshot whose files were VACUUMed must fail
+    loudly (same contract as time travel), and an unknown version is
+    rejected."""
+    table.write(spark.createDataFrame(_rows(5)), mode="append")
+    table.write(spark.createDataFrame(_rows(3, src="b")), mode="overwrite")
+    table.vacuum(retain_versions=1)
+    with pytest.raises(FileNotFoundError):
+        table.restore(1)
+    with pytest.raises(ValueError):
+        table.restore(99)
