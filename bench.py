@@ -80,6 +80,12 @@ HEADLINE = [
     "corpus_source_report",
     "embedding_dim_stats",
     "events_cusum",
+    # hybrid retrieval + corpus-prep wave
+    "hybrid_rrf_retrieval",
+    "vocab_oov_rate",
+    "shard_serpentine",
+    "bpe_merge_rounds",
+    "source_minhash_jaccard",
 ]
 
 

@@ -963,3 +963,75 @@ ORACLE = {
                     6) >= {COSINE_THRESHOLD}
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level similarity: per-source mergeable MinHash sketches.
+
+
+def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity ESTIMATE between sources from
+    per-source MinHash sketches — the corpus-overlap matrix a curator
+    reads before mixing sources (two crawls of the same site show up
+    as a high-similarity pair long before doc-level dedup runs).
+
+    The per-source sketch is the component-wise MIN of the source's
+    shingle hashes — min is associative/commutative, so the sketch is
+    map-combinable and MERGEABLE: at 100 TB each executor folds its
+    partition's shingles into 8 string-mins, the shuffle carries
+    |sources| x 8 values, and sketches of disjoint corpus shards merge
+    by another min. The estimator is the classic one-permutation
+    match-rate over N_MINHASH components (Broder 1997); the pair grid
+    is |sources|^2 rows of arithmetic, never touching the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).join(docs.select("doc_id", "source"), "doc_id")
+    aggs = [F.expr(f"{_mh_expr_sql(s)} AS mh{s}") for s in range(N_MINHASH)]
+    sk = sh.groupBy("source").agg(*aggs)
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    n_match = None
+    for j in range(N_MINHASH):
+        t = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            n_match.cast("int").alias("n_match"),
+            F.round(n_match / F.lit(float(N_MINHASH)), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
+QUERIES["source_minhash_jaccard"] = q_source_minhash_jaccard
+
+_SRC_SKETCH_SQL = (
+    "SELECT d.source, "
+    + ", ".join(f"{_mh_expr_sql(s)} AS mh{s}" for s in range(N_MINHASH))
+    + f" FROM ({_shingles_sql()}) sh JOIN documents d USING (doc_id)"
+    + " GROUP BY d.source"
+)
+
+ORACLE["source_minhash_jaccard"] = f"""
+    WITH sk AS ({_SRC_SKETCH_SQL})
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({" + ".join(
+               f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+               for j in range(N_MINHASH)
+           )} AS INTEGER) AS n_match,
+           round(({" + ".join(
+               f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+               for j in range(N_MINHASH)
+           )}) / {float(N_MINHASH)!r}, 6) AS jaccard_est
+    FROM sk a JOIN sk b ON a.source < b.source
+"""

@@ -673,3 +673,78 @@ ORACLE = {
         WHERE rank_in_stratum <= {TOPK_PER_SOURCE}
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard assignment via a distributed global rank.
+
+N_SHARDS = 8
+
+
+def q_shard_serpentine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to ``N_SHARDS`` size-balanced output shards by
+    serpentine (boustrophedon) order over document length — the
+    pre-training sharding step that keeps every shard's token total
+    within one document of optimal for sorted inputs, instead of the
+    2x imbalance round-robin can give on a skewed length distribution.
+
+    The interesting part at scale is the GLOBAL rank by (n_chars desc,
+    doc_id) computed WITHOUT a global sort: the bounded (n_chars)
+    bucket grid is counted (map-combinable agg), cumulative offsets
+    are a window over that grid only (bounded rows, never the corpus),
+    and each doc's rank = its bucket's offset + a row_number windowed
+    WITHIN its bucket — the distributed two-phase row_number pattern.
+    Serpentine position is pure arithmetic on the rank; the output is
+    the per-shard balance report.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    grid = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("bc"))
+    # Bounded grid (distinct lengths), same dodge as mix_top_p_quality:
+    # the unpartitioned window runs over grid rows, never documents.
+    wg = (
+        Window.orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = grid.select(
+        "n_chars", F.coalesce(F.sum("bc").over(wg), F.lit(0)).alias("off")
+    )
+    wb = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = docs.join(broadcast(offsets), "n_chars").withColumn(
+        "rk", F.col("off") + F.row_number().over(wb)
+    )
+    pos = (F.col("rk") - 1) % (2 * N_SHARDS)
+    shard = (
+        F.when(pos < N_SHARDS, pos)
+        .otherwise(2 * N_SHARDS - 1 - pos)
+        .cast("int")
+    )
+    return (
+        ranked.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+QUERIES["shard_serpentine"] = q_shard_serpentine
+
+ORACLE["shard_serpentine"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ),
+    assigned AS (
+        SELECT n_chars,
+               CAST(CASE WHEN (rk - 1) % {2 * N_SHARDS} < {N_SHARDS}
+                         THEN (rk - 1) % {2 * N_SHARDS}
+                         ELSE {2 * N_SHARDS - 1} - (rk - 1) % {2 * N_SHARDS}
+                    END AS INTEGER) AS shard
+        FROM ranked
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY shard
+"""

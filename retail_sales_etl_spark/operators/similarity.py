@@ -1759,3 +1759,80 @@ ORACLE["ann_recall_report"] = f"""
         FROM m_pq
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of the lexical (BM25) and
+# semantic (exact cosine) rankers.
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR 2009)
+RRF_TOP = 10
+
+
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009): fuse the BM25 top-k and
+    the exact-cosine ANN top-k into one ranking by
+    ``sum(1 / (RRF_K + rank))`` — the standard production hybrid-search
+    pattern (keyword recall + embedding recall, no score calibration
+    needed because only ranks are fused).
+
+    The document corpus and the embedding corpus are 1:1 paired
+    (doc_id == vec_id), so the fusion key is the shared id. Both member
+    rankings are existing driver-proven plans; the fusion itself is a
+    full outer join of two k-row lists — constant-size work on top of
+    the member costs, so the 100 TB story is the members' story.
+    Deterministic: both members tie-break by id, and the fused order
+    tie-breaks (rrf_score desc, doc_id).
+    """
+    from .text import q_bm25_retrieval
+
+    lex = q_bm25_retrieval(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+    sem = q_ann_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+    )
+
+
+QUERIES["hybrid_rrf_retrieval"] = q_hybrid_rrf_retrieval
+
+
+def _rrf_bm25_member_sql() -> str:
+    from .text import ORACLE as _TEXT_ORACLE
+
+    return _TEXT_ORACLE["bm25_retrieval"]
+
+
+ORACLE["hybrid_rrf_retrieval"] = f"""
+    WITH lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+                    AS INTEGER) AS lex_rank
+        FROM ({_rrf_bm25_member_sql()})
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id, CAST(rank AS INTEGER) AS sem_rank
+        FROM ({ORACLE["ann_topk"]})
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           round(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+"""

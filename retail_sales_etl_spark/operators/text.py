@@ -1744,3 +1744,205 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: per-source OOV rate against the corpus top-V vocab.
+
+# 16 < the corpus's distinct-word count at every SF, so the head-vocab
+# cut genuinely bites on the driver's testdata (nonzero OOV rates).
+OOV_VOCAB_SIZE = 16
+
+
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own
+    top-``OOV_VOCAB_SIZE`` word vocabulary — the tokenizer-coverage
+    signal a data curator checks before fixing a vocab: a source whose
+    token mass falls outside the head vocabulary will fragment into
+    long byte-level token sequences.
+
+    Plan: one token explode feeds BOTH the global word-count grid and
+    the (source, word) grid (map-side combinable aggs — the shuffled
+    volume is the distinct-word grid, never per-token rows); the vocab
+    cut is a distributed TakeOrdered (count desc, word asc — boundary
+    ties deterministic) of constant size V, broadcast back; per-source
+    stats are one more bounded agg. No per-token shuffle, no window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("w"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    src_grid = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    joined = src_grid.join(F.broadcast(vocab), "w", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(oov_c).cast("bigint").alias("n_oov"),
+            F.count(F.when(F.col("in_vocab").isNull(), F.lit(1)))
+            .cast("bigint")
+            .alias("n_oov_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "n_oov_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+QUERIES["vocab_oov_rate"] = q_vocab_oov_rate
+
+ORACLE["vocab_oov_rate"] = f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+    vocab AS (
+        SELECT w, 1 AS in_vocab FROM counts
+        ORDER BY c DESC, w LIMIT {OOV_VOCAB_SIZE}
+    ),
+    src_grid AS (
+        SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(count(CASE WHEN in_vocab IS NULL THEN 1 END)
+                AS BIGINT) AS n_oov_types,
+           round(CAST(sum(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END)
+                      AS DOUBLE) / sum(c), 6) AS oov_rate
+    FROM src_grid LEFT JOIN vocab USING (w)
+    GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning: the first rounds of byte-pair-encoding training.
+
+BPE_ROUNDS = 3
+
+
+def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_ROUNDS`` merge rules of byte-pair-encoding
+    tokenizer training (Sennrich, Haddow & Birch, ACL 2016) learned
+    from the corpus: per round, the most frequent adjacent symbol pair
+    (weighted by word frequency) is merged into one symbol everywhere,
+    and the pair becomes that round's merge rule.
+
+    Like every real BPE trainer, after the initial token count ALL
+    work runs on the distinct-word count grid, never the corpus: each
+    round is one pair-explode + map-combinable count over that grid, a
+    1-row argmax picked by distributed TakeOrdered (count desc, then
+    (w1, w2) asc — deterministic), broadcast back, and a map-side
+    string rewrite. Symbol sequences are '|'-terminated strings
+    ("cat" -> "c|a|t|"), so the merge is a plain left-to-right
+    ``replace(seq, w1||'|'||w2||'|', w1||w2||'|')`` whose
+    non-overlapping semantics match classic BPE ("aaa" + (a,a) ->
+    ["aa","a"]) and are identical in Spark and DuckDB. Rounds unroll
+    in the plan (fixed constant), no driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = wc.select(
+        F.concat(F.array_join(F.split("w", ""), "|"), F.lit("|")).alias(
+            "seq"
+        ),
+        "c",
+    )
+    pair_expr = (
+        "transform(sequence(1, size(s) - 1),"
+        " i -> struct(element_at(s, i) AS w1, element_at(s, i + 1) AS w2))"
+    )
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = cur.withColumn(
+            "s", F.filter(F.split("seq", "[|]"), lambda x: x != F.lit(""))
+        )
+        pairs = syms.filter(F.size("s") >= 2).select(
+            F.explode(F.expr(pair_expr)).alias("p"), "c"
+        )
+        cnt = pairs.groupBy("p.w1", "p.w2").agg(
+            F.sum("c").cast("bigint").alias("pair_count")
+        )
+        best = cnt.orderBy(
+            F.col("pair_count").desc(), F.col("w1"), F.col("w2")
+        ).limit(1)
+        rounds.append(
+            best.select(
+                F.lit(r).alias("round"), "w1", "w2", "pair_count"
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "replace(seq, w1 || '|' || w2 || '|', w1 || w2 || '|')"
+            ).alias("seq"),
+            "c",
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+QUERIES["bpe_merge_rounds"] = q_bpe_merge_rounds
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        """wc AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY 1
+        )""",
+        """seq0 AS (
+            SELECT array_to_string(string_split(w, ''), '|') || '|' AS seq, c
+            FROM wc
+        )""",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+            SELECT s[i] AS w1, s[i + 1] AS w2, sum(c) AS cnt
+            FROM (
+                SELECT s, c, unnest(generate_series(1, len(s) - 1)) AS i
+                FROM (SELECT list_filter(string_split(seq, '|'),
+                                         x -> x <> '') AS s, c
+                      FROM seq{r - 1})
+                WHERE len(s) >= 2
+            )
+            GROUP BY 1, 2
+        )""")
+        ctes.append(
+            f"b{r} AS (SELECT w1, w2, cnt FROM p{r}"
+            " ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+        )
+        ctes.append(f"""seq{r} AS (
+            SELECT replace(seq, w1 || '|' || w2 || '|',
+                           w1 || w2 || '|') AS seq, c
+            FROM seq{r - 1}, b{r}
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, w1, w2, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+ORACLE["bpe_merge_rounds"] = _bpe_oracle()

@@ -168,3 +168,34 @@ def test_setsim_prefix_filter_equals_bruteforce(spark, token_lists):
     assert set(got) == set(want), (
         f"prefix filter dropped/added pairs: got {sorted(got)} want {sorted(want)}"
     )
+
+
+def test_source_minhash_jaccard_identical_and_disjoint(spark, tmp_path):
+    """Two sources with identical shingle sets must estimate 1.0;
+    disjoint-vocabulary sources must estimate well below."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.dedup import (
+        q_source_minhash_jaccard,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta"
+    other = "uno dos tres cuatro cinco seis"
+    rows = (
+        [Row(doc_id=i, text=same, lang="en", source="a", n_chars=1)
+         for i in range(3)]
+        + [Row(doc_id=10 + i, text=same, lang="en", source="b", n_chars=1)
+           for i in range(3)]
+        + [Row(doc_id=20 + i, text=other, lang="en", source="c", n_chars=1)
+           for i in range(3)]
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["jaccard_est"]
+        for r in q_source_minhash_jaccard(spark, d).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] < 0.5 and got[("b", "c")] < 0.5

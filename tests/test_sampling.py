@@ -191,3 +191,57 @@ def test_mix_top_p_keeps_top_share_per_source(spark, sf_dir):
         for (doc_id, s), q in all_quality.items():
             if s == src and doc_id not in kept_ids:
                 assert q < min_kept_q, (src, doc_id, q, min_kept_q)
+
+
+def test_shard_serpentine_two_phase_rank_and_balance(spark, tmp_path):
+    """The bucket-offset + within-bucket-window global rank must equal
+    the naive single-window rank, and serpentine assignment must
+    balance shard sizes to within one doc and shard char-totals to
+    within the largest document."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.operators.sampling import (
+        N_SHARDS,
+        q_shard_serpentine,
+    )
+
+    # Skewed lengths with heavy ties (many docs share a length bucket).
+    rows = [
+        Row(doc_id=i, text="x", lang="en", source="s", n_chars=(i % 7) ** 3 + 10)
+        for i in range(200)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r["shard"]: r for r in q_shard_serpentine(spark, d).collect()}
+    assert set(got) == set(range(N_SHARDS))
+
+    counts = [got[s]["n_docs"] for s in range(N_SHARDS)]
+    assert max(counts) - min(counts) <= 1
+
+    totals = [got[s]["total_chars"] for s in range(N_SHARDS)]
+    max_len = max(r.n_chars for r in rows)
+    assert max(totals) - min(totals) <= max_len
+
+    # Result-equality vs the naive global-window rank.
+    naive = (
+        spark.read.parquet(f"{d}/documents.parquet")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            ),
+        )
+        .collect()
+    )
+    exp: dict = {}
+    for r in naive:
+        pos = (r["rk"] - 1) % (2 * N_SHARDS)
+        shard = pos if pos < N_SHARDS else 2 * N_SHARDS - 1 - pos
+        e = exp.setdefault(shard, [0, 0])
+        e[0] += 1
+        e[1] += r["n_chars"]
+    for s in range(N_SHARDS):
+        assert (got[s]["n_docs"], got[s]["total_chars"]) == tuple(exp[s])

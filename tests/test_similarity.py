@@ -232,3 +232,39 @@ def test_dim_stats_dead_dimension_reports_zero_std(spark, tmp_path):
     got = {r["dim"]: r for r in q_embedding_dim_stats(spark, d).collect()}
     assert got[1]["std"] == 0.0 and not math.isnan(got[1]["std"])
     assert got[2]["std"] > 0
+
+
+def test_hybrid_rrf_matches_member_recompute(spark, sf_dir):
+    """The fused ranking must equal a Python recompute from the two
+    member top-k lists (score formula, fusion keys, tie-breaks)."""
+    from retail_sales_etl_spark.operators.similarity import (
+        RRF_K,
+        RRF_TOP,
+        q_ann_topk,
+        q_hybrid_rrf_retrieval,
+    )
+    from retail_sales_etl_spark.operators.text import q_bm25_retrieval
+
+    lex_rows = q_bm25_retrieval(spark, sf_dir).collect()
+    lex = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r["bm25_score"], r["doc_id"]))
+        )
+    }
+    sem = {r["vec_id"]: r["rank"] for r in q_ann_topk(spark, sf_dir).collect()}
+    fused = {}
+    for doc in set(lex) | set(sem):
+        s = 0.0
+        if doc in lex:
+            s += 1.0 / (RRF_K + lex[doc])
+        if doc in sem:
+            s += 1.0 / (RRF_K + sem[doc])
+        fused[doc] = round(s, 6)
+    exp = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+
+    got = q_hybrid_rrf_retrieval(spark, sf_dir).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == exp
+    for r in got:
+        assert r["lex_rank"] == lex.get(r["doc_id"])
+        assert r["sem_rank"] == sem.get(r["doc_id"])

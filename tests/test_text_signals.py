@@ -203,3 +203,113 @@ def test_dedup_spans_masks_every_duplicated_span_occurrence(spark, tmp_path):
     # within-doc repeat masks every covered position
     assert got[5].n_kept == 0 and got[5].clean_text == ""
     assert got[5].dup_frac == 1.0
+
+
+def test_vocab_oov_rate_brute_force(spark, tmp_path):
+    """OOV stats must match a Python brute-force recount, including the
+    deterministic (count desc, word asc) vocab boundary cut."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        OOV_VOCAB_SIZE,
+        q_vocab_oov_rate,
+    )
+
+    # 120 singleton words spread over two sources + one frequent word:
+    # the vocab boundary cuts INSIDE the tied singleton block, so the
+    # alphabetical tie-break decides membership.
+    texts = {}
+    texts["a"] = " ".join(
+        ["the"] * 5 + [f"w{i:03d}" for i in range(0, 120, 2)]
+    )
+    texts["b"] = " ".join(
+        ["the"] * 3 + [f"w{i:03d}" for i in range(1, 120, 2)]
+    )
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+        for i, (s, t) in enumerate(sorted(texts.items()))
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    counts: Counter = Counter()
+    for t in texts.values():
+        counts.update(t.split(" "))
+    vocab = {
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_VOCAB_SIZE
+        ]
+    }
+    got = {r["source"]: r for r in q_vocab_oov_rate(spark, d).collect()}
+    for src, text in texts.items():
+        toks = text.split(" ")
+        n_oov = sum(1 for w in toks if w not in vocab)
+        r = got[src]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_oov"] == n_oov
+        assert r["n_oov_types"] == len({w for w in toks if w not in vocab})
+        assert abs(r["oov_rate"] - round(n_oov / len(toks), 6)) < 1e-9
+    # the boundary actually bit: some singletons are out, some in
+    assert any(got[s]["n_oov"] > 0 for s in texts)
+    assert any(got[s]["n_oov"] < sum(1 for w in texts[s].split(" ")) for s in texts)
+
+
+def test_bpe_merge_rounds_matches_reference_trainer(spark, tmp_path):
+    """The learned merge rules must equal a classic Python BPE trainer
+    (Sennrich-style, non-overlapping left-to-right merges) run on the
+    same word-count dict."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        BPE_ROUNDS,
+        q_bpe_merge_rounds,
+    )
+
+    texts = [
+        "banana bandana banana",
+        "aaa banana cabana",
+        "an ban can banana",
+    ]
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in enumerate(texts)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    wc = Counter(w for t in texts for w in t.lower().split(" "))
+    seqs = {tuple(w): c for w, c in wc.items()}
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        pc: Counter = Counter()
+        for s, c in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append((best[0], best[1], pc[best]))
+        new = {}
+        for s, c in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        seqs = new
+
+    got = sorted(
+        q_bpe_merge_rounds(spark, d).collect(), key=lambda r: r["round"]
+    )
+    assert [(r["w1"], r["w2"], r["pair_count"]) for r in got] == expected
