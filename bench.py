@@ -86,6 +86,8 @@ HEADLINE = [
     "shard_serpentine",
     "bpe_merge_rounds",
     "source_minhash_jaccard",
+    "ann_ivf_pq_topk",
+    "label_prop_communities",
 ]
 
 

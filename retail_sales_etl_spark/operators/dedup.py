@@ -1035,3 +1035,90 @@ ORACLE["source_minhash_jaccard"] = f"""
            )}) / {float(N_MINHASH)!r}, 6) AS jaccard_est
     FROM sk a JOIN sk b ON a.source < b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method acceptance report: precision/recall vs exact ground truth.
+
+
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall acceptance report for the approximate dup-pair
+    finders against the EXACT >=tau n-gram-Jaccard pair set — the
+    ANN recall report's dedup sibling: before trusting minhash-LSH
+    banding (probabilistic) or PPJoin prefix filtering (exact but
+    differently tokenized) at 100 TB, a pipeline owner reads this
+    table. Composes the member query plans (truth set broadcast, one
+    left join + count per method) and nests the member SQL oracles, so
+    the evaluation is hash-exact end to end. Cost = sum of members —
+    an eval op on the small-SF gate, not a serving path.
+    """
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("hit")
+    )
+    methods = [
+        ("minhash_lsh", q_dedup_minhash_lsh),
+        ("setsim_ppjoin", q_setsim_join),
+    ]
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    parts = []
+    for name, fn in methods:
+        cand = fn(spark, sf_dir).select("a_id", "b_id")
+        agg = (
+            cand.join(F.broadcast(truth), ["a_id", "b_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(n_true))
+        )
+        parts.append(
+            agg.select(
+                F.lit(name).alias("method"),
+                "n_candidates",
+                "n_true",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                    "precision"
+                ),
+                F.round(F.col("n_hits") / F.col("n_true"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+QUERIES["dedup_recall_report"] = q_dedup_recall_report
+
+
+def _recall_member(name: str) -> str:
+    return f"(SELECT a_id, b_id FROM ({ORACLE[name]}))"
+
+
+ORACLE["dedup_recall_report"] = f"""
+    WITH truth AS (SELECT a_id, b_id FROM {_recall_member("dedup_ngram_jaccard")}),
+    m_lsh AS (SELECT a_id, b_id FROM {_recall_member("dedup_minhash_lsh")}),
+    m_ppj AS (SELECT a_id, b_id FROM {_recall_member("setsim_join")}),
+    nt AS (SELECT count(*) AS n_true FROM truth)
+    SELECT method, n_candidates, n_true, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
+           round(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
+    FROM (
+        SELECT 'minhash_lsh' AS method, count(*) AS n_candidates,
+               (SELECT n_true FROM nt) AS n_true,
+               CAST(sum(CASE WHEN (a_id, b_id) IN (SELECT (a_id, b_id) FROM truth)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM m_lsh
+        UNION ALL
+        SELECT 'setsim_ppjoin', count(*),
+               (SELECT n_true FROM nt),
+               CAST(sum(CASE WHEN (a_id, b_id) IN (SELECT (a_id, b_id) FROM truth)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM m_ppj
+    )
+"""

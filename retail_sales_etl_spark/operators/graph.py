@@ -655,3 +655,171 @@ ORACLE = {
         HAVING count(*) >= {MIN_COPURCHASE}
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities + modularity report.
+
+LPA_ROUNDS = 4
+
+
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 2007) over the co-purchase graph, with a
+    per-community MODULARITY report (Newman 2004) — the assortment-
+    planning view the co-purchase suite was missing: connected
+    components find reachability, k-core finds density, LPA finds
+    cohesive COMMUNITIES inside one component.
+
+    Deterministic variant: every node starts labeled with its own id;
+    each round every node adopts the most frequent neighbor label
+    (ties -> lowest label), all nodes in lockstep, a FIXED
+    ``LPA_ROUNDS`` rounds (the async coin-flip variant of the paper is
+    not reproducible across engines). Per round: one shuffle to join
+    labels to the neighbor list + one map-combinable (node, label)
+    count + a partial-aggregatable max_by argmax — no windows;
+    lineage localCheckpoint()ed per round (pagerank precedent). The
+    report computes, per final community: size, internal-edge count,
+    degree mass, and its modularity term e_c/m - (d_c/2m)^2 summed in
+    DECIMAL — the number an analyst checks before trusting the
+    partition. Oracle unrolls the rounds as MATERIALIZED CTEs.
+    """
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).select(
+        "a_part", "b_part"
+    )
+    nbr = (
+        edges.select(F.col("a_part").alias("node"), F.col("b_part").alias("nb"))
+        .unionAll(
+            edges.select(
+                F.col("b_part").alias("node"), F.col("a_part").alias("nb")
+            )
+        )
+        .cache()
+    )
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            nbr.join(
+                labels.select(
+                    F.col("node").alias("nb"), F.col("lbl").alias("nlbl")
+                ),
+                "nb",
+            )
+            .groupBy("node", "nlbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.expr(
+                "max_by(nlbl, named_struct('c', cnt, 'l', -nlbl)) AS lbl"
+            )
+        )
+        labels = labels.localCheckpoint(eager=True)
+
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    la = labels.select(F.col("node").alias("a_part"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("b_part"), F.col("lbl").alias("lb"))
+    tagged = edges.join(la, "a_part").join(lb, "b_part")
+    internal = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                - F.pow(
+                    F.col("degree_sum") / (2.0 * F.col("m")), F.lit(2.0)
+                ),
+                6,
+            ).alias("modularity_term"),
+        )
+    )
+
+
+QUERIES["label_prop_communities"] = q_label_prop_communities
+
+
+def _lpa_oracle() -> str:
+    stages = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        cur = f"l{r}"
+        stages.append(f"""
+        {cur} AS MATERIALIZED (
+            SELECT node, nlbl AS lbl FROM (
+                SELECT node, nlbl, cnt,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY cnt DESC, nlbl
+                       ) AS rn
+                FROM (
+                    SELECT n.node, l.lbl AS nlbl, count(*) AS cnt
+                    FROM nbr n JOIN {prev} l ON n.nb = l.node
+                    GROUP BY 1, 2
+                )
+            ) WHERE rn = 1
+        )""")
+        prev = cur
+    return f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_COPURCHASE}
+        ),
+        nbr AS MATERIALIZED (
+            SELECT a_part AS node, b_part AS nb FROM edges
+            UNION ALL SELECT b_part, a_part FROM edges
+        ),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM nbr),
+        {",".join(stages)},
+        m AS (SELECT count(*) AS m FROM edges),
+        internal AS (
+            SELECT la.lbl AS community, count(*) AS internal_edges
+            FROM edges e
+            JOIN {prev} la ON e.a_part = la.node
+            JOIN {prev} lb ON e.b_part = lb.node
+            WHERE la.lbl = lb.lbl
+            GROUP BY 1
+        ),
+        deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1),
+        comm AS (
+            SELECT l.lbl AS community, count(*) AS n_nodes,
+                   CAST(sum(deg) AS BIGINT) AS degree_sum
+            FROM {prev} l JOIN deg USING (node)
+            GROUP BY 1
+        )
+        SELECT community, n_nodes,
+               CAST(COALESCE(internal_edges, 0) AS BIGINT) AS internal_edges,
+               degree_sum,
+               round(COALESCE(internal_edges, 0) / CAST(m AS DOUBLE)
+                     - pow(degree_sum / (2.0 * m), 2.0), 6)
+                   AS modularity_term
+        FROM comm LEFT JOIN internal USING (community)
+        CROSS JOIN m
+    """
+
+
+ORACLE["label_prop_communities"] = _lpa_oracle()

@@ -947,9 +947,14 @@ def _pq_sampled_oracle() -> str:
     """
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(member_ctes: str = "", member_join: str = "") -> str:
     """DuckDB twin: the same per-subspace Lloyd rounds unrolled as
-    CTEs (sub is an extra group key), then the same ADC table sum."""
+    CTEs (sub is an extra group key), then the same ADC table sum.
+
+    ``member_ctes``/``member_join`` let a composing oracle (IVF+PQ)
+    restrict the ADC scan to an inverted-list membership set: extra
+    CTE text appended after the Lloyd chain, and a JOIN clause applied
+    to the coded-scan FROM."""
 
     def d2(a: str, b: str) -> str:
         return (
@@ -1004,7 +1009,7 @@ def _pq_oracle() -> str:
         )""")
     last = PQ_ITERS
     return f"""
-        WITH {', '.join(ctes)},
+        WITH {', '.join(ctes)},{member_ctes}
         qsubs AS (
             SELECT sub, sv AS qsv FROM subs WHERE vec_id = {QUERY_VEC_ID}
         ),
@@ -1016,6 +1021,7 @@ def _pq_oracle() -> str:
             SELECT a.vec_id,
                    CAST(sum(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
             FROM assigned_{last} a
+            {member_join}
             JOIN tbl t ON a.sub = t.sub AND a.code = t.code
             WHERE a.vec_id <> {QUERY_VEC_ID}
             GROUP BY a.vec_id
@@ -1836,3 +1842,131 @@ ORACLE["hybrid_rrf_retrieval"] = f"""
     ORDER BY rrf_score DESC, doc_id
     LIMIT {RRF_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ: coarse routing over inverted lists + coded ADC scan.
+
+IVFPQ_NPROBE = 2
+
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ retrieval (Jégou, Douze & Schmid, TPAMI 2011 — the FAISS
+    ``IVFx,PQy`` index): the coarse quantizer routes the query to its
+    ``IVFPQ_NPROBE`` nearest cells, and the PQ/ADC coded scan runs
+    over ONLY those cells' inverted lists before the exact re-rank.
+    This composes the two scale levers the standalone entries prove
+    separately: IVF cuts the scanned fraction to nprobe/n_cells, PQ
+    cuts the bytes per scanned vector ~256x — together the billion-
+    scale serving shape. Codes are learned on raw vectors (FAISS
+    ``by_residual=false`` variant, so the codebook chain is identical
+    to ``ann_pq_topk``'s and stays oracle-exact).
+
+    At 100 TB the codes table is STORED partitioned by cell, so the
+    membership restriction is partition pruning at the scan, not a
+    join; here it is an explicit vec_id semi-join so the plan is
+    visible and oracle-checkable.
+    """
+    emb3 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    emb = emb3.select("vec_id", "v")
+    cent_arr = (
+        _centroids_long(emb3)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    probes = (
+        cent_arr.crossJoin(broadcast(query))
+        .select(
+            "cell",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("cell"))
+        .limit(IVFPQ_NPROBE)
+        .select("cell")
+    )
+    members = (
+        assign_ivf_cells(emb3)
+        .join(broadcast(probes), "cell")
+        .select("vec_id")
+    )
+    codebook, codes = _pq_train(emb)
+    pcodes = codes.join(members, "vec_id", "left_semi")
+    return _pq_retrieve(emb, codebook, pcodes)
+
+
+QUERIES["ann_ivf_pq_topk"] = q_ann_ivf_pq_topk
+
+_IVFPQ_MEMBER_CTES = f"""
+        embl AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        icent AS (
+            SELECT label, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE)
+                       / count(*) AS centroid
+            FROM (
+                SELECT label, v, unnest(generate_series(1, len(v))) AS i
+                FROM embl
+            )
+            GROUP BY label, i
+        ),
+        icarr AS (
+            SELECT label AS cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM icent GROUP BY label
+        ),
+        iq AS (SELECT v AS qv FROM embl WHERE vec_id = {QUERY_VEC_ID}),
+        iprobes AS (
+            SELECT cell FROM icarr, iq
+            ORDER BY round(list_dot_product(cv, qv)
+                           / (sqrt(list_dot_product(cv, cv))
+                              * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                     cell
+            LIMIT {IVFPQ_NPROBE}
+        ),
+        iscored AS (
+            SELECT e.vec_id, c.cell,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM embl e CROSS JOIN icarr c
+        ),
+        icells AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY ccos DESC, cell
+                       ) AS rn
+                FROM iscored
+            ) WHERE rn = 1
+        ),
+        imembers AS (
+            SELECT vec_id FROM icells
+            WHERE cell IN (SELECT cell FROM iprobes)
+        ),
+"""
+
+ORACLE["ann_ivf_pq_topk"] = _pq_oracle(
+    member_ctes=_IVFPQ_MEMBER_CTES,
+    member_join="JOIN imembers m ON a.vec_id = m.vec_id",
+)

@@ -128,3 +128,59 @@ def test_kcore_raises_when_budget_exhausted(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.kcore(edges, k=2, max_rounds=2)
     assert graph.kcore(edges, k=2, max_rounds=10).count() == 0
+
+
+def test_label_prop_finds_planted_communities(spark, tmp_path):
+    """Two cliques joined by one weak bridge must resolve to two
+    communities whose modularity terms are positive; the bridge must
+    not merge them within the fixed round budget."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.graph import (
+        q_label_prop_communities,
+    )
+
+    rows = []
+    oid = 0
+    # two repeats so every in-clique pair passes MIN_COPURCHASE=2
+    for _ in range(2):
+        for quad in ([1, 2, 3, 4], [11, 12, 13, 14]):
+            oid += 1
+            for p in quad:
+                rows.append(Row(l_orderkey=oid, l_partkey=p))
+    # one weak bridge basket (4, 11) x2 — a single edge between cliques
+    for _ in range(2):
+        oid += 1
+        rows.append(Row(l_orderkey=oid, l_partkey=4))
+        rows.append(Row(l_orderkey=oid, l_partkey=11))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = q_label_prop_communities(spark, d).collect()
+    comm = {r["community"]: r for r in out}
+    assert len(comm) == 2
+    sizes = sorted(r["n_nodes"] for r in out)
+    assert sizes == [4, 4]
+    # each clique: 6 internal edges; the bridge edge is external
+    for r in out:
+        assert r["internal_edges"] == 6
+        assert r["modularity_term"] > 0
+
+
+def test_label_prop_modularity_terms_reconcile(spark, sf_dir):
+    """Internal edges never exceed the total, degree mass reconciles
+    to 2m, and every modularity term is within its theoretical
+    bounds."""
+    from retail_sales_etl_spark.operators.graph import (
+        copurchase_edges,
+        q_label_prop_communities,
+    )
+    from retail_sales_etl_spark.catalog import load_table
+
+    m = copurchase_edges(load_table(spark, sf_dir, "lineitem")).count()
+    out = q_label_prop_communities(spark, sf_dir).collect()
+    assert sum(r["internal_edges"] for r in out) <= m
+    assert sum(r["degree_sum"] for r in out) == 2 * m
+    for r in out:
+        assert -0.25 <= r["modularity_term"] <= 1.0

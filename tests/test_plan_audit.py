@@ -449,3 +449,56 @@ def test_ewma_window_join_is_on_daily_grid_not_raw_events(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     join_pos = tree.index("Join")
     assert tree[join_pos:].count("HashAggregate") >= 2, tree
+
+
+def test_shard_serpentine_window_is_bucket_partitioned(spark, sf_dir):
+    """The only doc-side window must be PARTITIONED by the length
+    bucket (the two-phase global rank); an unpartitioned window over
+    documents would be the single-partition global sort the operator
+    exists to avoid. The grid-side cumulative window is unpartitioned
+    by design but runs over the bounded bucket grid."""
+    from retail_sales_etl_spark.operators.sampling import q_shard_serpentine
+
+    plan = _formatted_plan(q_shard_serpentine(spark, sf_dir))
+    import re
+
+    # every row_number window spec carries a partition key
+    for m in re.finditer(r"row_number\(\)[^\n]*", plan):
+        assert "n_chars" in m.group(0), m.group(0)
+    # the offsets grid joins back via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_oov_and_bpe_broadcast_their_tiny_sides(spark, sf_dir):
+    """The constant-size vocab (OOV) and the 1-row best-pair (BPE)
+    must broadcast; a shuffled join against them would move the whole
+    word grid per round."""
+    from retail_sales_etl_spark.operators.text import (
+        q_bpe_merge_rounds,
+        q_vocab_oov_rate,
+    )
+
+    plan = _formatted_plan(q_vocab_oov_rate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _formatted_plan(q_bpe_merge_rounds(spark, sf_dir))
+    # 3 rounds -> 3 broadcast merges of the 1-row best pair
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the argmax is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_minhash_sketch_is_partial_aggregated(spark, sf_dir):
+    """The per-source min-sketch must partial-combine map-side (the
+    mergeability claim): a HashAggregate appears below the exchange,
+    and the pair join runs on the tiny sketch grid (broadcast)."""
+    from retail_sales_etl_spark.operators.dedup import (
+        q_source_minhash_jaccard,
+    )
+
+    plan = _formatted_plan(q_source_minhash_jaccard(spark, sf_dir))
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

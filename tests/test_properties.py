@@ -199,3 +199,39 @@ def test_source_minhash_jaccard_identical_and_disjoint(spark, tmp_path):
     }
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] < 0.5 and got[("b", "c")] < 0.5
+
+
+def test_dedup_recall_report_reconciles_with_members(spark, sf_dir):
+    """The report's counts must equal a direct recount from the member
+    queries, and the ratios must be consistent."""
+    from retail_sales_etl_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+        q_dedup_recall_report,
+        q_setsim_join,
+    )
+
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    members = {
+        "minhash_lsh": {
+            (r["a_id"], r["b_id"])
+            for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+        },
+        "setsim_ppjoin": {
+            (r["a_id"], r["b_id"])
+            for r in q_setsim_join(spark, sf_dir).collect()
+        },
+    }
+    got = {r["method"]: r for r in q_dedup_recall_report(spark, sf_dir).collect()}
+    assert set(got) == set(members)
+    for name, cand in members.items():
+        r = got[name]
+        hits = len(cand & truth)
+        assert r["n_candidates"] == len(cand)
+        assert r["n_true"] == len(truth)
+        assert r["n_hits"] == hits
+        assert abs(r["precision"] - round(hits / len(cand), 6)) < 1e-9
+        assert abs(r["recall"] - round(hits / len(truth), 6)) < 1e-9

@@ -268,3 +268,59 @@ def test_hybrid_rrf_matches_member_recompute(spark, sf_dir):
     for r in got:
         assert r["lex_rank"] == lex.get(r["doc_id"])
         assert r["sem_rank"] == sem.get(r["doc_id"])
+
+
+def test_ivf_pq_candidates_stay_in_probed_cells(spark, sf_dir):
+    """Every IVFPQ result must belong to one of the query's probed
+    cells (the inverted-list restriction actually bites), and the
+    two-stage ranking must agree with the exact scan on most of the
+    top-k (recall guard)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+        assign_ivf_cells,
+        q_ann_ivf_pq_topk,
+        q_ann_topk,
+        _as_double_array,
+    )
+
+    emb3 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    cells = {
+        r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb3).collect()
+    }
+    got = q_ann_ivf_pq_topk(spark, sf_dir).collect()
+    assert 0 < len(got) <= TOP_K
+    probed = {cells[r["vec_id"]] for r in got}
+    assert len(probed) <= IVFPQ_NPROBE
+    # the query's own cell must be among the probes (it is its own
+    # nearest centroid by construction of the assignment argmax)
+    assert cells[QUERY_VEC_ID] in probed
+
+    # Approximation-quality claim: the ADC shortlist + re-rank must
+    # reproduce the EXACT L2 top-k over the same member set (the IVF
+    # routing decides membership; PQ must not lose candidates inside
+    # it). Note q_ann_topk's global top-k intentionally differs: its
+    # candidates span all cells.
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in emb3.collect()}
+    q = vecs[QUERY_VEC_ID]
+    members = [
+        vid
+        for vid, c in cells.items()
+        if c in probed and vid != QUERY_VEC_ID
+    ]
+    exact_members = sorted(
+        members,
+        key=lambda vid: (
+            round(float(np.sum((vecs[vid] - q) ** 2)), 6),
+            vid,
+        ),
+    )[: len(got)]
+    assert [r["vec_id"] for r in got] == exact_members
