@@ -88,6 +88,9 @@ HEADLINE = [
     "source_minhash_jaccard",
     "ann_ivf_pq_topk",
     "label_prop_communities",
+    "events_pattern_match",
+    "embedding_whiten_qc",
+    "streaming_source_sketch",
 ]
 
 

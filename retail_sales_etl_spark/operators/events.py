@@ -1009,3 +1009,132 @@ ORACLE = {
         GROUP BY a.d
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE / CEP shape).
+
+PATTERNS = (
+    # a view, later a click, later a purchase, with NO error anywhere
+    # between the view and the purchase — the negative condition is
+    # what per-stage first-occurrence flags (events_funnel) cannot say
+    ("clean_conversion", "v[^e]*c[^e]*p"),
+    # an error eventually followed by a purchase (recovery)
+    ("error_then_purchase", "e.*p"),
+    # signup eventually followed by a purchase (activation)
+    ("signup_to_purchase", "s.*p"),
+)
+
+_EVENT_CHAR = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "error": "e",
+    "signup": "s",
+}
+
+
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching — the MATCH_RECOGNIZE / Flink-
+    CEP workload expressed relationally: each user's event history
+    becomes one ordered symbol string, and each behavioral pattern is
+    a regex over it, including NEGATIVE conditions ("no error between
+    the view and the purchase") that first-occurrence funnel flags
+    cannot express.
+
+    Plan: one shuffle to (user, ordered symbol string) — collect_list
+    into an array_sort'd (ts, event_id, char) struct so the string is
+    deterministic under timestamp collisions — then every pattern is a
+    map-side regex over the per-user string and the report is one
+    map-combinable aggregate. Per-user state is bounded by that user's
+    event count (the same bound any CEP engine carries); the regexes
+    use only portable constructs (char classes, `.` and `*`) so Java
+    and RE2 agree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = None
+    for t, c in _EVENT_CHAR.items():
+        branch = F.when(F.col("event_type") == t, F.lit(c))
+        ch = branch if ch is None else ch.when(
+            F.col("event_type") == t, F.lit(c)
+        )
+    ch = ch.otherwise(F.lit("x"))
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias(
+                "s"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+            ).alias("seq")
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for name, rx in PATTERNS:
+        aggs.append(
+            F.sum(F.col("seq").rlike(rx).cast("int"))
+            .cast("bigint")
+            .alias(f"m_{name}")
+        )
+    agg = seqs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', m_{name}" for name, _ in PATTERNS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(PATTERNS)}, {stack_args}) AS (pattern, n_matched)"
+        ),
+        "n_users",
+    ).select(
+        "pattern",
+        "n_matched",
+        "n_users",
+        F.round(F.col("n_matched") / F.col("n_users"), 6).alias(
+            "match_rate"
+        ),
+    )
+
+
+QUERIES["events_pattern_match"] = q_events_pattern_match
+
+
+def _pattern_oracle() -> str:
+    char_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN event_type = '{t}' THEN '{c}'"
+            for t, c in _EVENT_CHAR.items()
+        )
+        + " ELSE 'x' END"
+    )
+    m_cols = ", ".join(
+        f"CAST(sum(CASE WHEN regexp_matches(seq, '{rx}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS m_{name}"
+        for name, rx in PATTERNS
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, m_{name} AS n_matched, n_users"
+        f" FROM agg"
+        for name, _ in PATTERNS
+    )
+    return f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg({char_case}, '' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        agg AS (SELECT count(*) AS n_users, {m_cols} FROM seqs)
+        SELECT pattern, n_matched, n_users,
+               round(n_matched / CAST(n_users AS DOUBLE), 6) AS match_rate
+        FROM ({unions})
+    """
+
+
+ORACLE["events_pattern_match"] = _pattern_oracle()

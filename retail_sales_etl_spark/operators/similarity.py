@@ -1970,3 +1970,116 @@ ORACLE["ann_ivf_pq_topk"] = _pq_oracle(
     member_ctes=_IVFPQ_MEMBER_CTES,
     member_join="JOIN imembers m ON a.vec_id = m.vec_id",
 )
+
+
+# ---------------------------------------------------------------------------
+# Whitening QC: per-vector outlier screen in z-score space.
+
+Z_OUTLIER = 3.0
+
+
+def q_embedding_whiten_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VECTOR whitening QC: z-score every dimension against the
+    corpus per-dimension mean/std (the whitening transform quantizers
+    and similarity metrics assume), then report each vector's z-space
+    norm, its largest |z|, and how many dimensions sit beyond
+    ``Z_OUTLIER`` sigma — the row-level outlier screen that catches
+    corrupt vectors (a few huge dims) and distribution-shifted inserts
+    BEFORE they poison centroids, codebooks, or int8 scales; the
+    row-grain companion of the column-grain ``embedding_dim_stats``.
+
+    Plan: the same posexplode -> 64-group decimal-exact stats
+    aggregate as dim_stats (map-combinable), broadcast back onto the
+    (vec, dim) grid (64 rows — KBs at any corpus size), z computed
+    map-side on 6-dp-rounded mean/std (both engines agree at the
+    outlier boundary), one map-combinable per-vector aggregate. Dead
+    dimensions (std=0) contribute z=0 by convention.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim0", "x")).select(
+        "vec_id", (F.col("dim0") + 1).cast("bigint").alias("dim"), "x"
+    )
+    xd = F.round(F.col("x"), 9).cast("decimal(30,9)")
+    x2d = F.round(F.col("x") * F.col("x"), 12).cast("decimal(30,12)")
+    stats = (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).cast("double").alias("s"),
+            F.sum(x2d).cast("double").alias("s2"),
+        )
+        .select(
+            "dim",
+            F.round(F.col("s") / F.col("n"), 6).alias("mu"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                        / (F.col("n") - 1),
+                    )
+                ),
+                6,
+            ).alias("sd"),
+        )
+    )
+    z = F.when(
+        F.col("sd") > 0, F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6)
+    ).otherwise(F.lit(0.0))
+    zs = dims.join(broadcast(stats), "dim").select("vec_id", z.alias("z"))
+    return zs.groupBy("vec_id").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("z") * F.col("z"), 9).cast("decimal(25,9)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("z_norm"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        F.sum(
+            F.when(F.abs("z") > Z_OUTLIER, 1).otherwise(0)
+        ).cast("bigint").alias("n_outlier_dims"),
+    )
+
+
+QUERIES["embedding_whiten_qc"] = q_embedding_whiten_qc
+
+ORACLE["embedding_whiten_qc"] = f"""
+    WITH dims AS (
+        SELECT vec_id, CAST(i AS BIGINT) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1,
+                      len(embedding))) AS i)
+    ),
+    stats AS (
+        SELECT dim,
+               round(s / n, 6) AS mu,
+               round(sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1))), 6)
+                   AS sd
+        FROM (
+            SELECT dim, count(*) AS n,
+                   CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9)))
+                        AS DOUBLE) AS s,
+                   CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12)))
+                        AS DOUBLE) AS s2
+            FROM dims GROUP BY 1
+        )
+    ),
+    zs AS (
+        SELECT vec_id,
+               CASE WHEN sd > 0 THEN round((x - mu) / sd, 6)
+                    ELSE 0.0 END AS z
+        FROM dims JOIN stats USING (dim)
+    )
+    SELECT vec_id,
+           round(sqrt(CAST(sum(CAST(round(z * z, 9) AS DECIMAL(25,9)))
+                           AS DOUBLE)), 6) AS z_norm,
+           round(max(abs(z)), 6) AS max_abs_z,
+           CAST(sum(CASE WHEN abs(z) > {Z_OUTLIER!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outlier_dims
+    FROM zs GROUP BY vec_id
+"""

@@ -1615,3 +1615,176 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-source MinHash sketch maintenance (mergeable-min IVM).
+
+
+def source_sketch_sink(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """Fold one micro-batch of documents into the maintained per-source
+    MinHash sketch table — the streaming twin of the batch sketch stage
+    behind ``source_minhash_jaccard``, and the cleanest possible
+    demonstration of MERGEABLE-sketch incremental view maintenance:
+    the per-source sketch is a component-wise MIN, min is associative,
+    commutative and idempotent, so folding batches in ANY order (or
+    re-folding a partially-seen source) converges to exactly the batch
+    recompute — the maintained table is hash-identical to running the
+    corpus through the batch operator, which is what the driver entry
+    proves against the batch SQL oracle.
+
+    Per batch: shingle + hash ONLY the batch's docs (the corpus is
+    never re-read), one map-combinable min-agg to a |batch sources|-row
+    partial, then a full-outer ``least()`` merge with the tiny current
+    table, committed via MERGE. Exactly-once and multi-writer safety
+    follow the ``ivm_lakehouse_sink`` contract verbatim: snapshot
+    version PINNED before the hwm check and read, every commit
+    conditional on that version, ``sketch_batch_hwm`` watermark makes
+    the replay check O(1). Returns False on replay.
+    """
+    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+    from ..operators.dedup import N_MINHASH, _mh_expr_sql, _shingles
+
+    table = LakehouseTable(batch_df.sparkSession, table_path)
+
+    def _hwm(as_of) -> int:
+        hwm = table.latest_value("sketch_batch_hwm", as_of=as_of)
+        if hwm is not None:
+            return hwm
+        return max(
+            (e["batch_id"] for e in table.history() if "batch_id" in e),
+            default=-1,
+        )
+
+    marker = {"batch_id": batch_id, "sketch_batch_hwm": batch_id}
+    sh = _shingles(batch_df).join(
+        batch_df.select("doc_id", "source"), "doc_id"
+    )
+    aggs = [F.expr(f"{_mh_expr_sql(s)} AS mh{s}") for s in range(N_MINHASH)]
+    partial = sh.groupBy("source").agg(*aggs)
+    mh_cols = [f"mh{j}" for j in range(N_MINHASH)]
+    for _ in range(3):
+        read_version = table.latest_version()
+        if batch_id <= _hwm(read_version):
+            return False
+        if read_version is None:
+            try:
+                table.write(
+                    partial,
+                    mode="overwrite",
+                    extra=marker,
+                    read_version=read_version,
+                )
+                return True
+            except ConcurrentWriteError:
+                continue
+        current = table.read(version=read_version)
+        combined = (
+            partial.alias("p")
+            .join(current.alias("c"), "source", "full_outer")
+            .select(
+                "source",
+                *[
+                    F.least(F.col(f"p.{c}"), F.col(f"c.{c}")).alias(c)
+                    for c in mh_cols
+                ],
+            )
+        )
+        try:
+            table.merge(
+                combined,
+                ["source"],
+                extra=marker,
+                read_version=read_version,
+            )
+            return True
+        except ConcurrentWriteError:
+            continue
+    raise RuntimeError(
+        f"source_sketch_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {table_path})"
+    )
+
+
+def maintain_source_sketch(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
+    """Run the streaming sketch sink under foreachBatch (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        source_sketch_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_source_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-contract entry for the streaming sketch sink: replay the
+    documents table in 4 doc_id-range micro-batches through
+    ``maintain_source_sketch``, then return the maintained table. Min
+    is order-insensitive, so the maintained sketch equals the batch
+    per-source sketch EXACTLY — the oracle is the batch stage's SQL
+    twin, proving mergeable-sketch IVM end-to-end through the
+    lakehouse commit log.
+    """
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="sketch_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_source_sketch(
+        stream, f"{work}/sketch", f"{work}/ckpt"
+    ).awaitTermination()
+    from ..operators.dedup import N_MINHASH
+
+    return LakehouseTable(spark, f"{work}/sketch").read().select(
+        "source", *[f"mh{j}" for j in range(N_MINHASH)]
+    )
+
+
+QUERIES["streaming_source_sketch"] = q_streaming_source_sketch
+
+
+def _source_sketch_oracle() -> str:
+    from ..operators.dedup import _SRC_SKETCH_SQL
+
+    return f"SELECT * FROM ({_SRC_SKETCH_SQL})"
+
+
+ORACLE["streaming_source_sketch"] = _source_sketch_oracle()

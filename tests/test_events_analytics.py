@@ -120,3 +120,50 @@ def test_revenue_trend_single_day_nation_yields_null_not_nan(spark, tmp_path):
     assert got["ONEDAY"]["intercept"] is None
     # two observed days: slope = (9-5)/3 days, exact
     assert abs(got["TWODAY"]["slope"] - 4.0 / 3.0) < 1e-5
+
+
+def test_events_pattern_match_planted_sequences(spark, tmp_path):
+    """Planted per-user sequences must match exactly the patterns they
+    were built for — including the negative condition (an error
+    BETWEEN view and purchase kills clean_conversion, an error before
+    the view does not)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_pattern_match,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {
+        1: ["view", "click", "purchase"],          # clean
+        2: ["view", "error", "click", "purchase"], # error inside -> dirty
+        3: ["error", "view", "click", "purchase"], # error BEFORE view -> clean, + recovery
+        4: ["signup", "view", "purchase"],         # activation, no click -> not clean
+        5: ["view", "click"],                      # no purchase
+    }
+    rows = []
+    eid = 0
+    for uid, types in seqs.items():
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=t0 + dt.timedelta(minutes=i),
+                    user_id=uid,
+                    event_type=t,
+                    value=1.0,
+                    props="{}",
+                )
+            )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    got = {r["pattern"]: r for r in q_events_pattern_match(spark, d).collect()}
+    assert got["clean_conversion"]["n_matched"] == 2      # users 1, 3
+    assert got["error_then_purchase"]["n_matched"] == 2   # users 2, 3
+    assert got["signup_to_purchase"]["n_matched"] == 1    # user 4
+    assert all(r["n_users"] == 5 for r in got.values())

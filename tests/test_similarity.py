@@ -324,3 +324,33 @@ def test_ivf_pq_candidates_stay_in_probed_cells(spark, sf_dir):
         ),
     )[: len(got)]
     assert [r["vec_id"] for r in got] == exact_members
+
+
+def test_whiten_qc_flags_corrupt_vector_and_survives_dead_dim(spark, tmp_path):
+    """A vector with one huge dimension must show outlier dims and the
+    largest max_abs_z; a constant (dead) dimension must contribute
+    z=0 instead of NaN."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_whiten_qc,
+    )
+
+    rows = [
+        Row(vec_id=i, label=0, embedding=[float(i % 5), 7.0, float(i)])
+        for i in range(20)
+    ]
+    rows.append(Row(vec_id=99, label=0, embedding=[100.0, 7.0, 5.0]))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {r["vec_id"]: r for r in q_embedding_whiten_qc(spark, d).collect()}
+    assert len(got) == 21
+    bad = got[99]
+    assert bad["n_outlier_dims"] >= 1
+    assert bad["max_abs_z"] == max(r["max_abs_z"] for r in got.values())
+    for r in got.values():  # dead dim 2 (constant 7.0) -> finite stats
+        assert not math.isnan(r["z_norm"]) and not math.isnan(r["max_abs_z"])

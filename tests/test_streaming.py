@@ -965,3 +965,45 @@ def test_lsh_dedup_sink_optimize_bounds_index_files(spark, tmp_path):
     assert len(live) <= 3, live
     assert table.read().count() == 40 * 4  # 4 band rows per doc
     assert LakehouseTable(spark, verd).read().count() == 40
+
+
+def test_source_sketch_sink_replay_and_order_insensitive(spark, sf_dir, tmp_path):
+    """Folding batches in reverse order must converge to the same
+    sketch as forward order (min is commutative); a replayed batch_id
+    must be a no-op returning False; re-folding the same docs must not
+    change the sketch (min is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.streaming.events import source_sketch_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    halves = [
+        docs.filter(F.col("doc_id") < hi // 2),
+        docs.filter(F.col("doc_id") >= hi // 2),
+    ]
+
+    fwd, rev = str(tmp_path / "fwd"), str(tmp_path / "rev")
+    assert source_sketch_sink(halves[0], 0, fwd) is True
+    assert source_sketch_sink(halves[1], 1, fwd) is True
+    assert source_sketch_sink(halves[1], 0, rev) is True
+    assert source_sketch_sink(halves[0], 1, rev) is True
+
+    def snap(path):
+        return {
+            r["source"]: tuple(r[f"mh{j}"] for j in range(8))
+            for r in LakehouseTable(spark, path).read().collect()
+        }
+
+    assert snap(fwd) == snap(rev)
+
+    # replayed batch_id: no-op
+    assert source_sketch_sink(halves[0], 1, fwd) is False
+    # idempotent re-fold under a NEW batch id: sketch unchanged
+    before = snap(fwd)
+    assert source_sketch_sink(halves[0], 2, fwd) is True
+    assert snap(fwd) == before
