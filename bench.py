@@ -91,6 +91,8 @@ HEADLINE = [
     "events_pattern_match",
     "embedding_whiten_qc",
     "streaming_source_sketch",
+    "part_abc_classes",
+    "doc_quality_features",
 ]
 
 

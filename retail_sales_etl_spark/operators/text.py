@@ -1946,3 +1946,107 @@ def _bpe_oracle() -> str:
 
 
 ORACLE["bpe_merge_rounds"] = _bpe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier feature assembly.
+
+
+def q_doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble the per-document TRAINING-FEATURE table for a quality
+    classifier (the fastText/logreg quality-filter recipe: compute
+    cheap signals at corpus scale, train a small model on them, filter
+    with the model): one row per doc joining the surface-quality,
+    lexical-diversity, repetition, and corpus-LM-fluency signal
+    families, plus the heuristic keep-verdicts as weak labels.
+
+    Composes four driver-proven member plans; every member is already
+    doc-grain, so assembly is three doc_id equi-joins (co-partitioned
+    by the same key — AQE coalesces to one exchange per side, no
+    windows, no fan-out) and the oracle nests the member SQL twins.
+    At 100 TB the members share one corpus scan when materialized
+    through the same pipeline; the join cost is the feature table
+    itself.
+    """
+    quality = q_text_quality(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "avg_word_len",
+        "stopword_ratio",
+        "quality_score",
+        F.col("is_kept").alias("heur_keep"),
+    )
+    entropy = q_text_entropy(spark, sf_dir).select(
+        "doc_id", "n_distinct", "entropy_nats"
+    )
+    rep = q_text_repetition(spark, sf_dir).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac", "is_repetitive"
+    )
+    lm = q_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_neg_logprob"
+    )
+    return (
+        quality.join(entropy, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "avg_word_len",
+            "stopword_ratio",
+            "quality_score",
+            "n_distinct",
+            "entropy_nats",
+            F.coalesce("dup_2gram_frac", F.lit(0.0)).alias(
+                "dup_2gram_frac"
+            ),
+            F.coalesce("dup_3gram_frac", F.lit(0.0)).alias(
+                "dup_3gram_frac"
+            ),
+            "avg_neg_logprob",
+            "heur_keep",
+            F.coalesce("is_repetitive", F.lit(False)).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+
+
+QUERIES["doc_quality_features"] = q_doc_quality_features
+
+
+def _features_oracle() -> str:
+    return f"""
+        WITH quality AS (
+            SELECT doc_id, n_chars, n_words, avg_word_len,
+                   stopword_ratio, quality_score, is_kept AS heur_keep
+            FROM ({ORACLE["text_quality"]})
+        ),
+        entropy AS (
+            SELECT doc_id, n_distinct, entropy_nats
+            FROM ({ORACLE["text_entropy"]})
+        ),
+        rep AS (
+            SELECT doc_id, dup_2gram_frac, dup_3gram_frac, is_repetitive
+            FROM ({ORACLE["text_repetition"]})
+        ),
+        lm AS (
+            SELECT doc_id, avg_neg_logprob
+            FROM ({ORACLE["unigram_logprob"]})
+        )
+        SELECT q.doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+               quality_score, n_distinct, entropy_nats,
+               COALESCE(dup_2gram_frac, 0.0) AS dup_2gram_frac,
+               COALESCE(dup_3gram_frac, 0.0) AS dup_3gram_frac,
+               avg_neg_logprob, heur_keep,
+               COALESCE(is_repetitive, FALSE) AS is_repetitive
+        FROM quality q
+        JOIN entropy USING (doc_id)
+        LEFT JOIN rep USING (doc_id)
+        JOIN lm USING (doc_id)
+    """
+
+
+ORACLE["doc_quality_features"] = _features_oracle()

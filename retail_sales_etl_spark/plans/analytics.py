@@ -1332,3 +1332,120 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification via a distributed prefix-sum.
+
+ABC_A_SHARE = 0.80
+ABC_B_SHARE = 0.95
+ABC_BAND_W = 10_000.0
+
+
+def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = parts
+    up to the 80% cumulative-revenue boundary, B to 95%, C the tail —
+    the assortment-rationalization rollup every retailer runs.
+
+    The scale problem is the GLOBAL revenue prefix-sum (a naive
+    cumulative window is one hot partition sorting every part); here
+    it is the two-phase distributed prefix-sum, the running-total
+    generalization of `shard_serpentine`'s two-phase rank: parts
+    bucket into revenue BANDS (floor(rev/W) — any monotone banding is
+    result-equal, so the band edges need no cross-engine agreement),
+    the per-band totals aggregate map-side, cumulative band offsets
+    are a window over the SMALL band grid only (broadcast back), and
+    each part's prefix-sum = its band offset + a running sum windowed
+    WITHIN its band. A part enters A/B if it STARTS before the
+    boundary (the crossing part is included — deterministic), compared
+    in doubles derived from the same DECIMAL sums in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("rev")
+    )
+    banded = rev.withColumn(
+        "band",
+        F.floor(F.col("rev").cast("double") / F.lit(ABC_BAND_W)).cast(
+            "bigint"
+        ),
+    )
+    grid = banded.groupBy("band").agg(F.sum("rev").alias("band_rev"))
+    wg = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grid.select(
+        "band",
+        F.coalesce(
+            F.sum("band_rev").over(wg), F.lit(0).cast("decimal(25,6)")
+        ).alias("off"),
+    )
+    wb = (
+        Window.partitionBy("band")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = banded.join(broadcast(offsets), "band").withColumn(
+        "cum", F.col("off") + F.sum("rev").over(wb)
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    start = (F.col("cum") - F.col("rev")).cast("double")
+    tot_d = F.col("total").cast("double")
+    classed = cum.crossJoin(broadcast(total)).withColumn(
+        "abc_class",
+        F.when(start < ABC_A_SHARE * tot_d, F.lit("A"))
+        .when(start < ABC_B_SHARE * tot_d, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("_crev"),
+            F.max("total").alias("_tot"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(F.col("_crev").cast("double"), 2).alias("class_revenue"),
+            F.round(
+                F.col("_crev").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+QUERIES["part_abc_classes"] = q_part_abc_classes
+
+ORACLE["part_abc_classes"] = f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(25,6))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev) AS total FROM rev),
+    cum AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev
+    ),
+    classed AS (
+        SELECT rev, total,
+               CASE WHEN CAST(cum - rev AS DOUBLE)
+                         < {ABC_A_SHARE!r} * CAST(total AS DOUBLE) THEN 'A'
+                    WHEN CAST(cum - rev AS DOUBLE)
+                         < {ABC_B_SHARE!r} * CAST(total AS DOUBLE) THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum, tot
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+               AS revenue_share
+    FROM classed GROUP BY 1
+"""

@@ -167,3 +167,54 @@ def test_events_pattern_match_planted_sequences(spark, tmp_path):
     assert got["error_then_purchase"]["n_matched"] == 2   # users 2, 3
     assert got["signup_to_purchase"]["n_matched"] == 1    # user 4
     assert all(r["n_users"] == 5 for r in got.values())
+
+
+def test_part_abc_two_phase_prefix_sum_matches_naive(spark, tmp_path):
+    """The band-grid prefix-sum classification must equal a naive
+    Python cumsum over the same revenue ranking, including the
+    crossing-part-starts-before-boundary rule."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import (
+        ABC_A_SHARE,
+        ABC_B_SHARE,
+        q_part_abc_classes,
+    )
+
+    # revenues spanning several 10k bands with in-band ties
+    rows = []
+    for pk in range(1, 61):
+        rows.append(
+            Row(
+                l_partkey=pk,
+                l_extendedprice=float(1000 * ((pk % 7) + 1) * (pk % 11 + 1)),
+                l_discount=0.1,
+            )
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    revs = sorted(
+        ((r.l_extendedprice * 0.9, r.l_partkey) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    total = sum(r for r, _ in revs)
+    cum, exp = 0.0, {"A": [0, 0.0], "B": [0, 0.0], "C": [0, 0.0]}
+    for r, pk in revs:
+        cls = (
+            "A"
+            if cum < ABC_A_SHARE * total
+            else ("B" if cum < ABC_B_SHARE * total else "C")
+        )
+        exp[cls][0] += 1
+        exp[cls][1] += r
+        cum += r
+    got = {r["abc_class"]: r for r in q_part_abc_classes(spark, d).collect()}
+    for cls, (n, rev_sum) in exp.items():
+        if n == 0:
+            assert cls not in got
+            continue
+        assert got[cls]["n_parts"] == n, cls
+        assert abs(got[cls]["class_revenue"] - round(rev_sum, 2)) < 0.01
+    assert abs(sum(r["revenue_share"] for r in got.values()) - 1.0) < 1e-5

@@ -502,3 +502,23 @@ def test_source_minhash_sketch_is_partial_aggregated(spark, sf_dir):
     plan = _formatted_plan(q_source_minhash_jaccard(spark, sf_dir))
     assert "partial_min" in plan or plan.count("HashAggregate") >= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_part_abc_prefix_sum_windows_are_band_partitioned(spark, sf_dir):
+    """The part-side running-sum window must be PARTITIONED by the
+    revenue band (two-phase prefix-sum); only the bounded band grid
+    may see an unpartitioned window. The offsets join back broadcast."""
+    import re
+
+    from retail_sales_etl_spark.plans.analytics import q_part_abc_classes
+
+    plan = _formatted_plan(q_part_abc_classes(spark, sf_dir))
+    # every part-grain running-sum window carries the band key;
+    # windowspecs appear as "windowspecdefinition(band, ...)" or
+    # "windowspecdefinition(... band#N ...)"
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected window specs in plan"
+    part_windows = [s for s in specs if "rev" in s]
+    assert all("band" in s for s in part_windows), part_windows
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

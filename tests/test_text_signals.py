@@ -313,3 +313,21 @@ def test_bpe_merge_rounds_matches_reference_trainer(spark, tmp_path):
         q_bpe_merge_rounds(spark, d).collect(), key=lambda r: r["round"]
     )
     assert [(r["w1"], r["w2"], r["pair_count"]) for r in got] == expected
+
+
+def test_doc_quality_features_total_and_consistent(spark, sf_dir):
+    """One feature row per document; weak labels agree with the member
+    signal queries."""
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.text import (
+        q_doc_quality_features,
+        q_text_quality,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    feats = q_doc_quality_features(spark, sf_dir).collect()
+    assert len(feats) == n_docs
+    keep = {r["doc_id"]: r["is_kept"] for r in q_text_quality(spark, sf_dir).collect()}
+    for r in feats:
+        assert r["heur_keep"] == keep[r["doc_id"]]
+        assert r["dup_2gram_frac"] is not None  # null-padded, not null
