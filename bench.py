@@ -93,6 +93,8 @@ HEADLINE = [
     "streaming_source_sketch",
     "part_abc_classes",
     "doc_quality_features",
+    "events_props_rollup",
+    "dp_revenue_by_nation",
 ]
 
 

@@ -1138,3 +1138,57 @@ def _pattern_oracle() -> str:
 
 
 ORACLE["events_pattern_match"] = _pattern_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) property processing.
+
+
+def q_events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over a JSON property column: extract ``$.k`` from each
+    event's ``props`` payload and aggregate per event type — the
+    ubiquitous semi-structured pattern (analytics events carry a JSON
+    blob; the pipeline extracts typed fields at scan time). Extraction
+    is JVM-side ``get_json_object`` (no Python in the path) and the
+    rollup is one map-combinable aggregate; at 100 TB the right
+    evolution is materializing hot JSON fields to typed columns at
+    ingest — this op IS that materialization expressed as a query.
+    Null-safety: events with missing/corrupt payloads count toward
+    n_events but not the k stats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.round(
+                F.sum(F.col("k").cast("decimal(25,6)")).cast("double")
+                / F.count("k"),
+                6,
+            ).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+QUERIES["events_props_rollup"] = q_events_props_rollup
+
+ORACLE["events_props_rollup"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(k) AS n_with_k,
+           round(CAST(sum(CAST(k AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(k), 6) AS avg_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+"""

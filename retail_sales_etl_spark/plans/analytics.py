@@ -1449,3 +1449,107 @@ ORACLE["part_abc_classes"] = f"""
                AS revenue_share
     FROM classed GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private aggregate release (Laplace mechanism).
+
+DP_EPSILON = 1.0
+DP_CLIP = 50_000.0
+_DP_SALT = "dp|"
+
+
+def q_dp_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-differentially-private per-nation revenue release via
+    the Laplace mechanism (Dwork et al., TCC 2006): each line item's
+    revenue contribution is CLIPPED to ``DP_CLIP`` (bounding any one
+    record's influence — the sensitivity), the clipped sums get
+    Laplace(DP_CLIP / epsilon) noise, and only the noisy totals leave
+    the system — the aggregate-release pattern for sharing statistics
+    over data whose row grain is sensitive.
+
+    The noise is the usual inverse-CDF transform of a uniform,
+    -b*sign(u)*ln(1-2|u|), but the uniform is HASH-derived from the
+    release key (md5 slice — the repo's no-RNG discipline), which
+    makes the release deterministic, testable, and oracle-checkable.
+    A production release would swap ONLY the uniform for a secure RNG
+    (one expression); everything else — clipping, sensitivity
+    accounting, the mechanism — is exactly what ships. Plan: clip is
+    map-side, one broadcast-dim join, one map-combinable DECIMAL agg,
+    noise applied to the |nations|-row result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.least(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+        F.lit(DP_CLIP),
+    )
+    clipped = (
+        li.select("l_orderkey", _dec(rev).alias("crev"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("crev").alias("crev"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_DP_SALT), F.col("n_name"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(0x100000000 + 1))
+    v = u - F.lit(0.5)
+    b = DP_CLIP / DP_EPSILON
+    noise = -F.lit(b) * F.signum(v) * F.log(
+        F.lit(1.0) - 2.0 * F.abs(v)
+    )
+    return clipped.select(
+        F.col("n_name").alias("nation_name"),
+        F.round(F.col("crev").cast("double") + noise, 2).alias(
+            "dp_revenue"
+        ),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+QUERIES["dp_revenue_by_nation"] = q_dp_revenue_by_nation
+
+ORACLE["dp_revenue_by_nation"] = f"""
+    WITH clipped AS (
+        SELECT n_name,
+               sum(CAST(least(l_extendedprice * (1.0 - l_discount),
+                              {DP_CLIP!r}) AS DECIMAL(25,6))) AS crev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    ),
+    noised AS (
+        SELECT n_name, crev,
+               ((CAST(CAST('0x' || substring(
+                     md5('{_DP_SALT}' || n_name), 1, 8)
+                     AS UBIGINT) AS DOUBLE) + 1.0)
+                / {float(0x100000000 + 1)!r}) - 0.5 AS v
+        FROM clipped
+    )
+    SELECT n_name AS nation_name,
+           round(CAST(crev AS DOUBLE)
+                 + (-{DP_CLIP / DP_EPSILON!r}) * sign(v)
+                   * ln(1.0 - 2.0 * abs(v)), 2) AS dp_revenue,
+           {DP_EPSILON!r} AS epsilon
+    FROM noised
+"""

@@ -218,3 +218,96 @@ def test_part_abc_two_phase_prefix_sum_matches_naive(spark, tmp_path):
         assert got[cls]["n_parts"] == n, cls
         assert abs(got[cls]["class_revenue"] - round(rev_sum, 2)) < 0.01
     assert abs(sum(r["revenue_share"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_events_props_rollup_handles_corrupt_json(spark, tmp_path):
+    """Missing and corrupt JSON payloads count toward n_events but not
+    the k statistics."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_props_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="view", value=1.0,
+            props='{"k": 10}'),
+        Row(event_id=2, ts=t0, user_id=1, event_type="view", value=1.0,
+            props='{"k": 30}'),
+        Row(event_id=3, ts=t0, user_id=1, event_type="view", value=1.0,
+            props="not json"),
+        Row(event_id=4, ts=t0, user_id=1, event_type="view", value=1.0,
+            props=None),
+        Row(event_id=5, ts=t0, user_id=1, event_type="view", value=1.0,
+            props='{"other": 1}'),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    got = q_events_props_rollup(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 5
+    assert r["n_with_k"] == 2
+    assert r["avg_k"] == 20.0
+    assert (r["min_k"], r["max_k"]) == (10, 30)
+
+
+def test_dp_revenue_matches_python_mechanism_and_clips(spark, tmp_path):
+    """The release must equal a Python recompute of clip -> sum ->
+    hash-Laplace, and the clip must actually bound a whale line item's
+    influence."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import (
+        DP_CLIP,
+        DP_EPSILON,
+        _DP_SALT,
+        q_dp_revenue_by_nation,
+    )
+
+    lines = [
+        Row(l_orderkey=1, l_extendedprice=1000.0, l_discount=0.0),
+        Row(l_orderkey=1, l_extendedprice=10_000_000.0, l_discount=0.0),
+        Row(l_orderkey=2, l_extendedprice=2000.0, l_discount=0.5),
+    ]
+    orders = [Row(o_orderkey=1, o_custkey=1), Row(o_orderkey=2, o_custkey=2)]
+    customers = [Row(c_custkey=1, c_nationkey=0), Row(c_custkey=2, c_nationkey=1)]
+    nations = [Row(n_nationkey=0, n_name="ALPHA"), Row(n_nationkey=1, n_name="BETA")]
+    d = str(tmp_path)
+    for name, rows in [
+        ("lineitem", lines),
+        ("orders", orders),
+        ("customer", customers),
+        ("nation", nations),
+    ]:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{d}/{name}.parquet"
+        )
+
+    def lap(nation):
+        u = (
+            int(hashlib.md5(f"{_DP_SALT}{nation}".encode()).hexdigest()[:8], 16)
+            + 1.0
+        ) / float(0x100000000 + 1)
+        v = u - 0.5
+        return -(DP_CLIP / DP_EPSILON) * math.copysign(1.0, v) * math.log(
+            1.0 - 2.0 * abs(v)
+        )
+
+    exp = {
+        "ALPHA": round(1000.0 + DP_CLIP + lap("ALPHA"), 2),  # whale clipped
+        "BETA": round(1000.0 + lap("BETA"), 2),
+    }
+    got = {
+        r["nation_name"]: r["dp_revenue"]
+        for r in q_dp_revenue_by_nation(spark, d).collect()
+    }
+    assert got == exp
