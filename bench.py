@@ -95,6 +95,9 @@ HEADLINE = [
     "doc_quality_features",
     "events_props_rollup",
     "dp_revenue_by_nation",
+    "session_km_survival",
+    "source_top_terms",
+    "events_hour_dow_heatmap",
 ]
 
 

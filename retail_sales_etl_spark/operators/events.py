@@ -1192,3 +1192,206 @@ ORACLE["events_props_rollup"] = """
     )
     GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap + session survival analysis.
+
+HEAT_EPOCH = "2024-01-01"  # a Monday; dow_idx 0 = Monday
+
+
+def q_events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x day-of-week activity heatmap — the load-shape grid behind
+    capacity planning and anomaly baselines. Engine-portable weekday
+    via ``datediff(day, epoch) % 7`` (weekday_seasonality precedent);
+    hour from the UTC-pinned timestamp. One map-combinable aggregate
+    onto the fixed <=168-cell grid, shares in doubles from exact
+    counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit(HEAT_EPOCH).cast("date")) % 7
+    )
+    cells = ev.groupBy(
+        ((dow + 7) % 7).cast("bigint").alias("dow_idx"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow_idx",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n_total"), 6).alias("share"),
+    )
+
+
+QUERIES["events_hour_dow_heatmap"] = q_events_hour_dow_heatmap
+
+ORACLE["events_hour_dow_heatmap"] = f"""
+    WITH cells AS (
+        SELECT ((datediff('day', DATE '{HEAT_EPOCH}',
+                          CAST(ts AS DATE)) % 7) + 7) % 7 AS dow_idx,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_events) AS n_total FROM cells)
+    SELECT CAST(dow_idx AS BIGINT) AS dow_idx, hour, n_events,
+           round(n_events / CAST(n_total AS DOUBLE), 6) AS share
+    FROM cells, tot
+"""
+
+
+def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session duration (Kaplan &
+    Meier, JASA 1958) — how long do sessions live, with CENSORING done
+    right: a session whose last event falls within one idle gap of the
+    observation end has not provably ended, so it joins the risk sets
+    without counting as a death — dropping those sessions (or calling
+    them dead) is the classic churn-analysis bias this estimator
+    exists to fix.
+
+    Sessions come from the same gap rule as ``events_sessionize``.
+    Everything after the per-session rollup lives on the bounded
+    distinct-duration grid: deaths/censored per duration (one
+    aggregate), at-risk via a reverse cumulative sum, and the KM
+    product as exp of a cumulative DECIMAL sum of 6-dp ln terms —
+    windows over grid rows only, never sessions. After the first
+    duration where every at-risk session dies, survival is pinned to
+    exactly 0 (the ln term would be -inf; both engines flag it
+    instead).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(by_user))
+            > SESSION_GAP_SEC,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run) + 1)
+    sess = flagged.groupBy("user_id", "session_seq").agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur"),
+        F.unix_timestamp(F.max("ts")).alias("last_s"),
+    )
+    gmax = ev.agg(F.unix_timestamp(F.max("ts")).alias("gmax"))
+    tagged = sess.crossJoin(F.broadcast(gmax)).select(
+        "dur",
+        (F.col("gmax") - F.col("last_s") < SESSION_GAP_SEC).alias(
+            "censored"
+        ),
+    )
+    grid = tagged.groupBy("dur").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_death"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    w_risk = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risky = grid.withColumn(
+        "n_risk", F.sum(F.col("n_death") + F.col("n_censored")).over(w_risk)
+    )
+    term = F.when(
+        F.col("n_death") < F.col("n_risk"),
+        F.round(F.log(1.0 - F.col("n_death") / F.col("n_risk")), 6),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(F.col("n_death") >= F.col("n_risk"), 1).otherwise(0)
+    curve = (
+        risky.withColumn(
+            "cum",
+            F.sum(term.cast("decimal(18,6)")).over(w_cum).cast("double"),
+        )
+        .withColumn("hit_zero", F.max(dead).over(w_cum))
+        .select(
+            F.col("dur").alias("duration_sec"),
+            "n_risk",
+            "n_death",
+            "n_censored",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("cum")), 6))
+            .alias("survival"),
+        )
+    )
+    return curve
+
+
+QUERIES["session_km_survival"] = q_session_km_survival
+
+ORACLE["session_km_survival"] = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                         > {SESSION_GAP_SEC} THEN 1 ELSE 0 END
+                   AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) + 1 AS session_seq
+        FROM flagged
+    ),
+    sess AS (
+        SELECT CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                    AS BIGINT) AS dur,
+               floor(epoch(max(ts))) AS last_s
+        FROM runs GROUP BY user_id, session_seq
+    ),
+    gmax AS (SELECT floor(epoch(max(ts))) AS gmax FROM events),
+    tagged AS (
+        SELECT dur, (gmax - last_s) < {SESSION_GAP_SEC} AS censored
+        FROM sess, gmax
+    ),
+    grid AS (
+        SELECT dur,
+               CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_death,
+               CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_censored
+        FROM tagged GROUP BY dur
+    ),
+    risky AS (
+        SELECT *, sum(n_death + n_censored) OVER (
+                   ORDER BY dur ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS n_risk
+        FROM grid
+    ),
+    curve AS (
+        SELECT dur, n_risk, n_death, n_censored,
+               sum(CAST(CASE WHEN n_death < n_risk
+                        THEN round(ln(1.0 - n_death
+                                      / CAST(n_risk AS DOUBLE)), 6)
+                        ELSE 0.0 END AS DECIMAL(18,6))) OVER (
+                   ORDER BY dur ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               max(CASE WHEN n_death >= n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY dur ASC ROWS UNBOUNDED PRECEDING
+               ) AS hit_zero
+        FROM risky
+    )
+    SELECT dur AS duration_sec, CAST(n_risk AS BIGINT) AS n_risk,
+           n_death, n_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+    FROM curve
+"""

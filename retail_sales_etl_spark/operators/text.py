@@ -2050,3 +2050,91 @@ def _features_oracle() -> str:
 
 
 ORACLE["doc_quality_features"] = _features_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Class-based TF-IDF: characteristic terms per source.
+
+CTFIDF_TOP_K = 3
+
+
+def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per SOURCE by class-based TF-IDF (the
+    c-TF-IDF recipe behind BERTopic-style corpus characterization:
+    treat each source's concatenated docs as one class document, score
+    w by class_tf(w) * ln(1 + n_sources / source_df(w))) — the
+    at-a-glance "what is this source about" report next to the
+    doc-grain ``tfidf_top_terms``; the +1 smoothing keeps terms
+    present in every source scored by their mass instead of zeroed.
+
+    All work lives on the (source, word) grid: one token explode
+    feeds the grid and the source-df aggregate (both map-combinable),
+    the score is map-side arithmetic, the per-source top-k is a window
+    over each source's distinct words (bounded by vocabulary, not
+    corpus). ln rounded to 6 dp, score staged in DECIMAL, (score desc,
+    word) tie-break — deterministic both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = grid.groupBy("w").agg(F.count(F.lit(1)).alias("sdf"))
+    n_sources = docs.select("source").distinct().agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    scored = (
+        grid.join(df, "w")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "w",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(1.0 + F.col("n_sources") / F.col("sdf")), 6
+                ).cast("decimal(18,6)")
+            ).cast("double").alias("ctfidf"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("ctfidf").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= CTFIDF_TOP_K)
+        .select("source", "w", "tf", F.round("ctfidf", 6).alias("ctfidf"), "rank")
+    )
+
+
+QUERIES["source_top_terms"] = q_source_top_terms
+
+ORACLE["source_top_terms"] = f"""
+    WITH grid AS (
+        SELECT source, w, count(*) AS tf
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    sdf AS (SELECT w, count(*) AS sdf FROM grid GROUP BY 1),
+    ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+        SELECT source, w, tf,
+               CAST(tf * CAST(round(ln(1.0 + n_sources
+                                        / CAST(sdf AS DOUBLE)), 6)
+                              AS DECIMAL(18,6)) AS DOUBLE) AS ctfidf
+        FROM grid JOIN sdf USING (w), ns
+    )
+    SELECT source, w, tf, round(ctfidf, 6) AS ctfidf,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY ctfidf DESC, w
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {CTFIDF_TOP_K}
+"""

@@ -311,3 +311,29 @@ def test_dp_revenue_matches_python_mechanism_and_clips(spark, tmp_path):
         for r in q_dp_revenue_by_nation(spark, d).collect()
     }
     assert got == exp
+
+
+def test_km_survival_is_monotone_and_respects_censoring(spark, sf_dir):
+    """The KM curve must be non-increasing in [0,1], risk sets must
+    telescope (n_risk(t) = deaths+censored at or after t), and with
+    censoring present the curve must end ABOVE the naive
+    everything-dies empirical survival at the last death time."""
+    from retail_sales_etl_spark.operators.events import (
+        q_session_km_survival,
+    )
+
+    rows = sorted(
+        q_session_km_survival(spark, sf_dir).collect(),
+        key=lambda r: r["duration_sec"],
+    )
+    assert rows
+    total = rows[0]["n_risk"]
+    assert total == sum(r["n_death"] + r["n_censored"] for r in rows)
+    last = 1.0
+    running = 0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= last + 1e-9
+        last = r["survival"]
+        assert r["n_risk"] == total - running
+        running += r["n_death"] + r["n_censored"]
+    assert sum(r["n_censored"] for r in rows) > 0  # censoring occurs
