@@ -987,7 +987,10 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).join(docs.select("doc_id", "source"), "doc_id")
     aggs = [F.expr(f"{_mh_expr_sql(s)} AS mh{s}") for s in range(N_MINHASH)]
-    sk = sh.groupBy("source").agg(*aggs)
+    # cache: the self-join below would otherwise recompute the whole
+    # corpus-scale shingle->hash->min subtree once per side
+    # (minhash_lsh_pairs precedent)
+    sk = sh.groupBy("source").agg(*aggs).cache()
     a = sk.select(
         F.col("source").alias("source_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
@@ -1052,9 +1055,12 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the evaluation is hash-exact end to end. Cost = sum of members —
     an eval op on the small-SF gate, not a serving path.
     """
+    # cache: the exact-Jaccard pair join (the expensive member) feeds
+    # one broadcast per method plus the n_true aggregate — without the
+    # cache it would re-execute three times
     truth = q_dedup_ngram_jaccard(spark, sf_dir).select(
         "a_id", "b_id", F.lit(1).alias("hit")
-    )
+    ).cache()
     methods = [
         ("minhash_lsh", q_dedup_minhash_lsh),
         ("setsim_ppjoin", q_setsim_join),

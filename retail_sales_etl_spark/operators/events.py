@@ -1187,7 +1187,9 @@ ORACLE["events_props_rollup"] = """
            max(k) AS max_k
     FROM (
         SELECT event_type,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+               END AS k
         FROM events
     )
     GROUP BY event_type

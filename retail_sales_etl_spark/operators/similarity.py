@@ -155,34 +155,11 @@ def ivf_topk(
     second-nearest cluster is silently missed. ``emb`` must carry
     (vec_id, label, v) where label is the cluster id.
     """
-    cent_arr = (
-        _centroids_long(emb)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
-                ),
-                lambda s: s.centroid,
-            ).alias("cv")
-        )
-    )
     query = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv")
     )
-    probes = (
-        cent_arr.crossJoin(broadcast(query))
-        .select(
-            F.col("label").alias("probe_label"),
-            F.round(
-                _dot(F.col("cv"), F.col("qv"))
-                / (F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
-                6,
-            ).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), F.col("probe_label"))
-        .limit(nprobe)
-        .select("probe_label")
+    probes = _route_probes(_cent_arr(emb), query, nprobe).select(
+        F.col("cell").alias("probe_label")
     )
     candidates = emb.join(
         broadcast(probes), F.col("label") == F.col("probe_label")
@@ -199,6 +176,50 @@ def ivf_topk(
     top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(top_k)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def _cent_arr(emb: DataFrame) -> DataFrame:
+    """Per-label mean centroids as array rows ``(cell, cv)`` — the ONE
+    builder behind every coarse-quantizer consumer (cell assignment,
+    IVF probe routing, IVFPQ): the 6-dp rounding and array assembly
+    conventions live here so Spark plans and oracle twins cannot
+    drift apart per call site."""
+    return (
+        _centroids_long(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ),
+                lambda s: s.centroid,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+
+
+def _route_probes(cent_arr: DataFrame, query: DataFrame, nprobe: int) -> DataFrame:
+    """Coarse routing: the ``nprobe`` cells nearest the (1-row,
+    broadcast) query by 6-dp cosine, (ccos desc, cell) tie-break —
+    shared by ivf_topk and the IVFPQ composition."""
+    return (
+        cent_arr.crossJoin(broadcast(query))
+        .select(
+            "cell",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
 
 
 def assign_ivf_cells(emb: DataFrame) -> DataFrame:
@@ -224,19 +245,7 @@ def assign_ivf_cells_scored(emb: DataFrame) -> DataFrame:
     (vec_id, cell, ccos). The centroid distance is the priority signal
     semantic dedup ranks by, so the assignment argmax carries it along
     instead of recomputing it downstream."""
-    cent_arr = (
-        _centroids_long(emb)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
-                ),
-                lambda s: s.centroid,
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
-    )
+    cent_arr = _cent_arr(emb)
     scored = emb.crossJoin(broadcast(cent_arr)).select(
         "vec_id",
         "cell",
@@ -1871,39 +1880,10 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _as_double_array("embedding").alias("v")
     )
     emb = emb3.select("vec_id", "v")
-    cent_arr = (
-        _centroids_long(emb3)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
-                ),
-                lambda s: s.centroid,
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
-    )
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
-    probes = (
-        cent_arr.crossJoin(broadcast(query))
-        .select(
-            "cell",
-            F.round(
-                _dot(F.col("cv"), F.col("qv"))
-                / (
-                    F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                ),
-                6,
-            ).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), F.col("cell"))
-        .limit(IVFPQ_NPROBE)
-        .select("cell")
-    )
+    probes = _route_probes(_cent_arr(emb3), query, IVFPQ_NPROBE)
     members = (
         assign_ivf_cells(emb3)
         .join(broadcast(probes), "cell")

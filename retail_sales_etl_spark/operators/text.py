@@ -1846,12 +1846,15 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is one pair-explode + map-combinable count over that grid, a
     1-row argmax picked by distributed TakeOrdered (count desc, then
     (w1, w2) asc — deterministic), broadcast back, and a map-side
-    string rewrite. Symbol sequences are '|'-terminated strings
-    ("cat" -> "c|a|t|"), so the merge is a plain left-to-right
-    ``replace(seq, w1||'|'||w2||'|', w1||w2||'|')`` whose
-    non-overlapping semantics match classic BPE ("aaa" + (a,a) ->
-    ["aa","a"]) and are identical in Spark and DuckDB. Rounds unroll
-    in the plan (fixed constant), no driver collect.
+    string rewrite. Symbol sequences are '|'-WRAPPED strings
+    ("cat" -> "|c||a||t|"), so the merge is a plain left-to-right
+    ``replace(seq, '|'||w1||'||'||w2||'|', '|'||w1w2||'|')`` — the
+    leading delimiter anchors w1 at a symbol boundary (a bare
+    trailing-separator encoding would also fire when w1 is the
+    SUFFIX of a longer symbol, e.g. rule (a,b) on "|xa||b|"), and the
+    non-overlapping scan still matches classic BPE ("aaaa" + (a,a) ->
+    ["aa","aa"]); identical semantics in Spark and DuckDB. Rounds
+    unroll in the plan (fixed constant), no driver collect.
     """
     docs = load_table(spark, sf_dir, "documents")
     wc = (
@@ -1860,9 +1863,9 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     cur = wc.select(
-        F.concat(F.array_join(F.split("w", ""), "|"), F.lit("|")).alias(
-            "seq"
-        ),
+        F.concat(
+            F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+        ).alias("seq"),
         "c",
     )
     pair_expr = (
@@ -1890,7 +1893,8 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
             F.expr(
-                "replace(seq, w1 || '|' || w2 || '|', w1 || w2 || '|')"
+                "replace(seq, '|' || w1 || '||' || w2 || '|',"
+                " '|' || w1 || w2 || '|')"
             ).alias("seq"),
             "c",
         )
@@ -1912,7 +1916,8 @@ def _bpe_oracle() -> str:
             GROUP BY 1
         )""",
         """seq0 AS (
-            SELECT array_to_string(string_split(w, ''), '|') || '|' AS seq, c
+            SELECT '|' || array_to_string(string_split(w, ''), '||') || '|'
+                       AS seq, c
             FROM wc
         )""",
     ]
@@ -1933,8 +1938,8 @@ def _bpe_oracle() -> str:
             " ORDER BY cnt DESC, w1, w2 LIMIT 1)"
         )
         ctes.append(f"""seq{r} AS (
-            SELECT replace(seq, w1 || '|' || w2 || '|',
-                           w1 || w2 || '|') AS seq, c
+            SELECT replace(seq, '|' || w1 || '||' || w2 || '|',
+                           '|' || w1 || w2 || '|') AS seq, c
             FROM seq{r - 1}, b{r}
         )""")
     unions = " UNION ALL ".join(

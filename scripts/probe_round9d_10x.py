@@ -45,19 +45,14 @@ def _time(fn):
     return out, time.time() - t0
 
 
-def _stage_docs(spark, out_dir, prefix_sources: bool = False):
+def _stage_docs(spark, out_dir):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     copies = spark.range(COPIES).select(F.col("id").alias("copy"))
-    src = (
-        F.concat(F.lit("c"), F.col("copy"), F.lit("_"), F.col("source"))
-        if prefix_sources
-        else F.col("source")
-    )
     big = docs.crossJoin(copies).select(
         (F.col("doc_id") + F.col("copy") * F.lit(10_000_000)).alias("doc_id"),
         "text",
         "lang",
-        src.alias("source"),
+        "source",
         "n_chars",
     )
     big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")

@@ -331,3 +331,60 @@ def test_doc_quality_features_total_and_consistent(spark, sf_dir):
     for r in feats:
         assert r["heur_keep"] == keep[r["doc_id"]]
         assert r["dup_2gram_frac"] is not None  # null-padded, not null
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark, tmp_path):
+    """Regression: a merge rule (w1,w2) must NOT fire when w1 is only
+    the suffix of a longer symbol. With counts {xa:10, xab:5, ab:6},
+    round 1 merges (x,a); round 2's (a,b) must then leave 'xab'
+    (symbols x a b -> xa b after round 1) intact ONLY where 'a' is a
+    real symbol — the reference trainer emits ('xa','b') in round 3,
+    which a trailing-separator encoding loses entirely."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        BPE_ROUNDS,
+        q_bpe_merge_rounds,
+    )
+
+    words = ["xa"] * 10 + ["xab"] * 5 + ["ab"] * 6
+    rows = [
+        Row(doc_id=0, text=" ".join(words), lang="en", source="s",
+            n_chars=1)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    wc = Counter(words)
+    seqs = {tuple(w): c for w, c in wc.items()}
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        pc: Counter = Counter()
+        for sq, c in seqs.items():
+            for i in range(len(sq) - 1):
+                pc[(sq[i], sq[i + 1])] += c
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append((best[0], best[1], pc[best]))
+        new = {}
+        for sq, c in seqs.items():
+            out, i = [], 0
+            while i < len(sq):
+                if i + 1 < len(sq) and (sq[i], sq[i + 1]) == best:
+                    out.append(sq[i] + sq[i + 1])
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        seqs = new
+
+    got = sorted(
+        q_bpe_merge_rounds(spark, d).collect(), key=lambda r: r["round"]
+    )
+    assert [(r["w1"], r["w2"], r["pair_count"]) for r in got] == expected
+    assert len(got) == BPE_ROUNDS  # round 3 must not vanish
+    assert (got[2]["w1"], got[2]["w2"]) == ("xa", "b")
