@@ -98,6 +98,8 @@ HEADLINE = [
     "session_km_survival",
     "source_top_terms",
     "events_hour_dow_heatmap",
+    "events_ab_test",
+    "link_prediction_jaccard",
 ]
 
 

@@ -1397,3 +1397,126 @@ ORACLE["session_km_survival"] = f"""
                 ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
     FROM curve
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B experiment analysis (Welch's t).
+
+_AB_SALT = "ab|"
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split 50/50 into arms by a salted
+    hash of user_id (the real-world assignment mechanism — stable
+    across sessions and engines, no RNG), then per event type the two
+    arms' event values are compared with Welch's unequal-variance t
+    statistic (Welch, Biometrika 1947) — the experimentation primitive
+    on top of the events stream.
+
+    Everything reduces to the six sufficient statistics per (arm,
+    event_type) — count, Σv, Σv² as 9/12-dp DECIMAL sums (the
+    repo's variance discipline: float-order-independent, so partial
+    aggregation is safe) — and the t statistic is closed-form double
+    math on the tiny (type × 2) grid. The report carries means, the
+    difference, and |t| ≥ 1.96 as the naive significance flag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_AB_SALT), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+    ) / F.lit(float(0x100000000))
+    arm = F.when(u < 0.5, F.lit("A")).otherwise(F.lit("B"))
+    vd = F.round(F.col("value"), 9).cast("decimal(30,9)")
+    v2d = F.round(F.col("value") * F.col("value"), 12).cast("decimal(30,12)")
+    stats = (
+        ev.select("event_type", arm.alias("arm"), "value")
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vd).cast("double").alias("s"),
+            F.sum(v2d).cast("double").alias("s2"),
+        )
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("s2_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    t = (mean_a - mean_b) / se
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("diff"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) >= 1.96).alias("significant"),
+    )
+
+
+QUERIES["events_ab_test"] = q_events_ab_test
+
+ORACLE["events_ab_test"] = f"""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CASE WHEN (CAST(CAST('0x' || substring(
+                         md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                         AS UBIGINT) AS DOUBLE)
+                     / {float(0x100000000)!r}) < 0.5
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, arm, count(*) AS n,
+               CAST(sum(CAST(round(value, 9) AS DECIMAL(30,9)))
+                    AS DOUBLE) AS s,
+               CAST(sum(CAST(round(value * value, 12) AS DECIMAL(30,12)))
+                    AS DOUBLE) AS s2
+        FROM tagged GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.event_type,
+               a.n AS n_a, a.s AS s_a, a.s2 AS s2_a,
+               b.n AS n_b, b.s AS s_b, b.s2 AS s2_b
+        FROM (SELECT * FROM stats WHERE arm = 'A') a
+        JOIN (SELECT * FROM stats WHERE arm = 'B') b USING (event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(s_a / n_a - s_b / n_b, 6) AS diff,
+           round((s_a / n_a - s_b / n_b)
+                 / sqrt(((s2_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                        + ((s2_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
+                 6) AS t_stat,
+           abs((s_a / n_a - s_b / n_b)
+               / sqrt(((s2_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                      + ((s2_b - s_b * s_b / n_b) / (n_b - 1)) / n_b))
+               >= 1.96 AS significant
+    FROM j
+"""

@@ -823,3 +823,105 @@ def _lpa_oracle() -> str:
 
 
 ORACLE["label_prop_communities"] = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor Jaccard over the co-purchase graph.
+
+LINKPRED_TOP_K = 20
+
+
+def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg,
+    CIKM 2003): for part pairs NOT already connected, score
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| and report the top candidates — the
+    "these two products should be merchandised together" list, and the
+    graph-native sibling of the embedding near-dup ops.
+
+    Candidate pairs come only from WEDGES (a-x-b paths), exactly the
+    triangle-count discipline: the pair space is Σ deg(x)² over
+    common neighbors, never |V|² — the standard dodge of the quadratic
+    candidate blowup. Per wedge one map-combinable count gives the
+    intersection; degrees join in for the union; existing edges
+    anti-join out; top-k is a distributed TakeOrdered with (score
+    desc, pair) tie-break, 6-dp rounded — deterministic.
+    """
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).select(
+        "a_part", "b_part"
+    )
+    nbr = edges.select(
+        F.col("a_part").alias("node"), F.col("b_part").alias("nb")
+    ).unionAll(
+        edges.select(F.col("b_part").alias("node"), F.col("a_part").alias("nb"))
+    ).cache()
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges through x: (a, b) with a < b both neighbors of x
+    left = nbr.select(F.col("node").alias("x"), F.col("nb").alias("a"))
+    right = nbr.select(F.col("node").alias("x2"), F.col("nb").alias("b"))
+    wedges = left.join(
+        right, (F.col("x") == F.col("x2")) & (F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    existing = edges.select(
+        F.col("a_part").alias("a"), F.col("b_part").alias("b")
+    )
+    cand = common.join(existing, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("a_part"),
+            F.col("b").alias("b_part"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("a_part"), F.col("b_part")
+    ).limit(LINKPRED_TOP_K)
+
+
+QUERIES["link_prediction_jaccard"] = q_link_prediction_jaccard
+
+ORACLE["link_prediction_jaccard"] = f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE}
+    ),
+    nbr AS MATERIALIZED (
+        SELECT a_part AS node, b_part AS nb FROM edges
+        UNION ALL SELECT b_part, a_part FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1),
+    common AS (
+        SELECT l.nb AS a, r.nb AS b, count(*) AS n_common
+        FROM nbr l JOIN nbr r ON l.node = r.node AND l.nb < r.nb
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT c.* FROM common c
+        LEFT JOIN edges e ON c.a = e.a_part AND c.b = e.b_part
+        WHERE e.a_part IS NULL
+    )
+    SELECT a AS a_part, b AS b_part, n_common,
+           round(n_common / CAST(da.deg + db.deg - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM cand
+    JOIN deg da ON cand.a = da.node
+    JOIN deg db ON cand.b = db.node
+    ORDER BY jaccard DESC, a_part, b_part
+    LIMIT {LINKPRED_TOP_K}
+"""

@@ -184,3 +184,67 @@ def test_label_prop_modularity_terms_reconcile(spark, sf_dir):
     assert sum(r["degree_sum"] for r in out) == 2 * m
     for r in out:
         assert -0.25 <= r["modularity_term"] <= 1.0
+
+
+def test_link_prediction_excludes_existing_and_scores_correctly(spark, tmp_path):
+    """A path graph A-B-C must predict exactly (A,C) (the only wedge
+    pair not already an edge) with Jaccard = 1/1; existing edges must
+    never appear."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.graph import (
+        q_link_prediction_jaccard,
+    )
+
+    rows = []
+    oid = 0
+    # edges (1,2) and (2,3), each co-purchased twice (MIN_COPURCHASE)
+    for pair in ([1, 2], [2, 3]):
+        for _ in range(2):
+            oid += 1
+            for p in pair:
+                rows.append(Row(l_orderkey=oid, l_partkey=p))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    got = q_link_prediction_jaccard(spark, d).collect()
+    assert [(r["a_part"], r["b_part"]) for r in got] == [(1, 3)]
+    # N(1)={2}, N(3)={2}: intersection 1, union 1
+    assert got[0]["n_common"] == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_ab_test_matches_scipy_style_recompute(spark, sf_dir):
+    """Arm assignment, means, and the Welch t statistic must match a
+    Python recompute over the same hash split."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.events import (
+        _AB_SALT,
+        q_events_ab_test,
+    )
+
+    vals = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect():
+        u = int(
+            hashlib.md5(f"{_AB_SALT}{r['user_id']}".encode()).hexdigest()[:8],
+            16,
+        ) / float(0x100000000)
+        vals[(r["event_type"], "A" if u < 0.5 else "B")].append(r["value"])
+
+    got = {r["event_type"]: r for r in q_events_ab_test(spark, sf_dir).collect()}
+    for t, r in got.items():
+        a, b = vals[(t, "A")], vals[(t, "B")]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        assert abs(r["mean_a"] - ma) < 1e-5 and abs(r["mean_b"] - mb) < 1e-5
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        texp = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert abs(r["t_stat"] - texp) < 1e-4
+        assert r["significant"] == (abs(texp) >= 1.96)
