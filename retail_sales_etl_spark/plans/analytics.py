@@ -1550,6 +1550,6 @@ ORACLE["dp_revenue_by_nation"] = f"""
            round(CAST(crev AS DOUBLE)
                  + (-{DP_CLIP / DP_EPSILON!r}) * sign(v)
                    * ln(1.0 - 2.0 * abs(v)), 2) AS dp_revenue,
-           {DP_EPSILON!r} AS epsilon
+           CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon
     FROM noised
 """
