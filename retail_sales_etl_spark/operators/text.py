@@ -785,8 +785,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        F.round(
-            -F.col("_s").cast("double") / F.col("n_bigrams"), 6
+        # floor(x*1e6 + 0.5)/1e6, not round(x, 6): when the decimal
+        # term-sum divides to an exact half at 6 dp (hit at sf0.1),
+        # Spark and DuckDB round() disagree on the same double; floor
+        # arithmetic is bit-identical in both engines.
+        (
+            F.floor(
+                -F.col("_s").cast("double") / F.col("n_bigrams") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
         ).alias("avg_neg_logprob"),
     )
 
@@ -1027,8 +1035,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_words",
-        F.round(
-            -F.col("_s").cast("double") / F.col("n_words"), 6
+        # same portable half-up floor rounding as bigram_logprob
+        (
+            F.floor(
+                -F.col("_s").cast("double") / F.col("n_words") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
         ).alias("avg_neg_logprob"),
     )
 
@@ -1235,9 +1248,9 @@ ORACLE = {
         tot AS (SELECT sum(cw) AS n_total FROM vocab)
         SELECT doc_id,
                CAST(sum(c) AS BIGINT) AS n_words,
-               round(-CAST(sum(CAST(round(c * ln(cw / n_total), 6)
+               floor((-CAST(sum(CAST(round(c * ln(cw / n_total), 6)
                                     AS DECIMAL(25,6))) AS DOUBLE)
-                     / sum(c), 6) AS avg_neg_logprob
+                     / sum(c)) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob
         FROM wc JOIN vocab USING (w), tot
         GROUP BY doc_id
     """,
@@ -1331,8 +1344,8 @@ ORACLE = {
         )
         SELECT doc_id,
                CAST(sum(c) AS BIGINT) AS n_bigrams,
-               round(-CAST(sum(term) AS DOUBLE) / sum(c), 6)
-                   AS avg_neg_logprob
+               floor(-CAST(sum(term) AS DOUBLE) / sum(c) * 1e6 + 0.5)
+                   / 1e6 AS avg_neg_logprob
         FROM terms GROUP BY 1
     """,
     "corpus_source_report": """
