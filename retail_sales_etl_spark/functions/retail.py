@@ -34,8 +34,13 @@ def dsum(col: Column, scale: int = 2) -> Column:
 
 
 def davg(col: Column, scale: int = 4) -> Column:
-    """Order-independent average: exact decimal sum / count, rounded."""
-    return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), scale)
+    """Order-independent average: exact decimal sum / count, rounded
+    with the engine-portable floor form (a quotient can land on a
+    half-boundary where Spark and DuckDB round() disagree — see
+    functions/rounding.py)."""
+    from .rounding import fround
+
+    return fround(F.sum(col).cast("double") / F.count(F.lit(1)), scale)
 
 
 def price_band(price: Column, low: float = 500.0, high: float = 2000.0) -> Column:

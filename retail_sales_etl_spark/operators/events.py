@@ -1288,7 +1288,10 @@ def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     gmax = ev.agg(F.unix_timestamp(F.max("ts")).alias("gmax"))
     tagged = sess.crossJoin(F.broadcast(gmax)).select(
         "dur",
-        (F.col("gmax") - F.col("last_s") < SESSION_GAP_SEC).alias(
+        # <=, not <: the sessionizer only splits on gap > SESSION_GAP_SEC,
+        # so a session whose last event is EXACTLY the gap before the
+        # observation end has not provably ended — censor it.
+        (F.col("gmax") - F.col("last_s") <= SESSION_GAP_SEC).alias(
             "censored"
         ),
     )
@@ -1360,7 +1363,7 @@ ORACLE["session_km_survival"] = f"""
     ),
     gmax AS (SELECT floor(epoch(max(ts))) AS gmax FROM events),
     tagged AS (
-        SELECT dur, (gmax - last_s) < {SESSION_GAP_SEC} AS censored
+        SELECT dur, (gmax - last_s) <= {SESSION_GAP_SEC} AS censored
         FROM sess, gmax
     ),
     grid AS (

@@ -745,12 +745,23 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("internal_edges"),
             "degree_sum",
-            F.round(
-                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
-                - F.pow(
-                    F.col("degree_sum") / (2.0 * F.col("m")), F.lit(2.0)
-                ),
-                6,
+            # floor(x*1e6 + 0.5)/1e6, not round(x, 6): singleton
+            # communities yield a -epsilon term that round() maps to
+            # -0.0 in one engine and 0.0 in the other (107/349 rows at
+            # sf0.01); floor arithmetic is bit-identical in both.
+            (
+                F.floor(
+                    (
+                        F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                        - F.pow(
+                            F.col("degree_sum") / (2.0 * F.col("m")),
+                            F.lit(2.0),
+                        )
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
             ).alias("modularity_term"),
         )
     )
@@ -814,9 +825,9 @@ def _lpa_oracle() -> str:
         SELECT community, n_nodes,
                CAST(COALESCE(internal_edges, 0) AS BIGINT) AS internal_edges,
                degree_sum,
-               round(COALESCE(internal_edges, 0) / CAST(m AS DOUBLE)
-                     - pow(degree_sum / (2.0 * m), 2.0), 6)
-                   AS modularity_term
+               floor((COALESCE(internal_edges, 0) / CAST(m AS DOUBLE)
+                      - pow(degree_sum / (2.0 * m), 2.0)) * 1e6 + 0.5)
+                   / 1e6 AS modularity_term
         FROM comm LEFT JOIN internal USING (community)
         CROSS JOIN m
     """

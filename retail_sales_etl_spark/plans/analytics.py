@@ -1516,12 +1516,18 @@ def q_dp_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise = -F.lit(b) * F.signum(v) * F.log(
         F.lit(1.0) - 2.0 * F.abs(v)
     )
+    # The column is named _demo and the mechanism column says so in the
+    # OUTPUT, not just this docstring: the hash-derived noise is
+    # recomputable from the public release key, so this release is a
+    # mechanism demo with zero actual privacy. A real release swaps the
+    # uniform for a secure RNG and may then drop the _demo suffix.
     return clipped.select(
         F.col("n_name").alias("nation_name"),
         F.round(F.col("crev").cast("double") + noise, 2).alias(
-            "dp_revenue"
+            "dp_revenue_demo"
         ),
         F.lit(DP_EPSILON).alias("epsilon"),
+        F.lit("laplace-deterministic-demo-not-private").alias("mechanism"),
     )
 
 
@@ -1549,7 +1555,8 @@ ORACLE["dp_revenue_by_nation"] = f"""
     SELECT n_name AS nation_name,
            round(CAST(crev AS DOUBLE)
                  + (-{DP_CLIP / DP_EPSILON!r}) * sign(v)
-                   * ln(1.0 - 2.0 * abs(v)), 2) AS dp_revenue,
-           CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon
+                   * ln(1.0 - 2.0 * abs(v)), 2) AS dp_revenue_demo,
+           CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon,
+           'laplace-deterministic-demo-not-private' AS mechanism
     FROM noised
 """

@@ -56,21 +56,91 @@ def _modules():
 _PROOF_STATE_FILE = "PROOF_HASHES.json"
 
 
-def _module_hashes() -> dict[str, str]:
-    """sha256 of each registry module's source, keyed by every query
-    name the module contributes — the invalidation unit for proofs."""
+def _code_names(code) -> set[str]:
+    """Every global name a code object (incl. nested lambdas /
+    comprehensions) references."""
+    import types
+
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _entry_fingerprint(fn, oracle: str | None) -> str:
+    """Function-grain proof fingerprint: sha256 over the query
+    function's source, the sources of every package-local helper it
+    (transitively) references, the repr of every module-level constant
+    it references, and its oracle SQL string.
+
+    Replaces the round-1..9 module-grain hash: appending operator N+1
+    to a shared module used to invalidate every proof the module
+    carried (100/178 went stale in round 9 alone); now only edits that
+    actually reach a query's own closure invalidate its proof, and an
+    oracle-SQL change invalidates even when the Spark plan didn't move.
+    """
+    import functools
     import hashlib
     import inspect
 
+    parts: list[str] = []
+    seen: set[int] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        if id(f) in seen:
+            continue
+        seen.add(id(f))
+        if isinstance(f, functools.partial):
+            parts.append(f"partial:{f.args!r}:{sorted(f.keywords.items())!r}")
+            stack.append(f.func)
+            continue
+        try:
+            parts.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            parts.append(repr(getattr(f, "__qualname__", f)))
+            continue
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        cells = getattr(f, "__closure__", None) or ()
+        freevals = [c.cell_contents for c in cells]
+        globs = getattr(f, "__globals__", {})
+        refs = [(n, globs[n]) for n in sorted(_code_names(code)) if n in globs]
+        for n, v in refs + [("<free>", fv) for fv in freevals]:
+            if callable(v) and getattr(v, "__module__", "").startswith(
+                "retail_sales_etl_spark"
+            ):
+                stack.append(v)
+            elif isinstance(v, (bool, int, float, str, bytes, tuple, list)):
+                parts.append(f"{n}={v!r}")
+            elif isinstance(v, (set, frozenset)):
+                parts.append(f"{n}={sorted(map(repr, v))!r}")
+            elif isinstance(v, dict) and all(
+                not callable(x) for x in v.values()
+            ):
+                parts.append(f"{n}={sorted((repr(k), repr(x)) for k, x in v.items())!r}")
+    blob = "\x00".join(sorted(parts)) + "\x01" + (oracle or "")
+    return "fn-" + hashlib.sha256(blob.encode("utf-8")).hexdigest()
+
+
+def _module_hashes() -> dict[str, str]:
+    """Proof fingerprint per query name — the invalidation unit.
+
+    Function-grain since round 10 (judge item 3): each entry hashes its
+    own closure + oracle via ``_entry_fingerprint``, prefixed ``fn-``
+    so stale module-grain records from earlier rounds can never collide
+    with the new format.
+    """
     out: dict[str, str] = {}
     for mod in _modules():
-        try:
-            src = inspect.getsource(mod)
-        except (OSError, TypeError):
-            continue
-        h = hashlib.sha256(src.encode("utf-8")).hexdigest()
-        for name in getattr(mod, "QUERIES", {}):
-            out[name] = h
+        oracles = getattr(mod, "ORACLE", {})
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            try:
+                out[name] = _entry_fingerprint(fn, oracles.get(name))
+            except Exception:  # noqa: BLE001 — never break registry load
+                continue
     return out
 
 

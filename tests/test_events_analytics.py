@@ -307,7 +307,7 @@ def test_dp_revenue_matches_python_mechanism_and_clips(spark, tmp_path):
         "BETA": round(1000.0 + lap("BETA"), 2),
     }
     got = {
-        r["nation_name"]: r["dp_revenue"]
+        r["nation_name"]: r["dp_revenue_demo"]
         for r in q_dp_revenue_by_nation(spark, d).collect()
     }
     assert got == exp

@@ -55,6 +55,17 @@ def _compare_rows(spark_rows, duck_rows, cols):
     d_sorted = sorted(duck_rows, key=_sortable)
     for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
         for col, sv, dv in zip(cols, sr, dr):
+            # Driver-hash hazard: the engines normalize the sign of a
+            # zero differently (Spark round() → +0.0, DuckDB → -0.0),
+            # and a -0.0 formats differently from 0.0 in the driver's
+            # bit-level value hash even when isclose() passes. No
+            # oracle-checked query may emit one from EITHER engine.
+            for v, eng in ((sv, "spark"), (dv, "duck")):
+                if isinstance(v, float) and v == 0.0:
+                    assert math.copysign(1.0, v) > 0, (
+                        f"row {i} col {col}: {eng} emitted -0.0 "
+                        "(use floor(x*1eN + 0.5)/1eN, not round)"
+                    )
             sv, dv = _normalize_cell(sv), _normalize_cell(dv)
             if isinstance(sv, float) and isinstance(dv, (float, int)):
                 ok = sv == dv or math.isclose(sv, float(dv), rel_tol=1e-12, abs_tol=1e-9)

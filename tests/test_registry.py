@@ -118,3 +118,34 @@ def test_all_queries_and_oracles_consistent():
     oracles = registry.all_oracles()
     assert set(oracles) <= set(queries)
     assert len(queries) >= 90
+
+
+def test_fingerprints_are_function_grain():
+    """Round-10 invalidation contract: fingerprints are per-entry
+    (``fn-`` prefixed), deterministic across calls, cover every query,
+    and two queries in the same module have DIFFERENT fingerprints —
+    the property that makes appending operator N+1 a no-op for the
+    other proofs in the module (round 9 lost 100/178 proofs to
+    module-grain hashing)."""
+    h1 = registry._module_hashes()
+    h2 = registry._module_hashes()
+    assert h1 == h2
+    assert set(h1) == set(registry.all_queries())
+    assert all(v.startswith("fn-") for v in h1.values())
+    # text.py contributes many queries; they must not share one hash
+    from retail_sales_etl_spark.operators import text
+
+    text_names = list(text.QUERIES)
+    assert len({h1[n] for n in text_names}) == len(text_names)
+
+
+def test_fingerprint_tracks_oracle_changes():
+    """An oracle-SQL edit must invalidate the proof even when the Spark
+    plan is untouched."""
+    from retail_sales_etl_spark.operators import graph
+
+    name = next(iter(graph.ORACLE))
+    fn = graph.QUERIES[name]
+    a = registry._entry_fingerprint(fn, graph.ORACLE[name])
+    b = registry._entry_fingerprint(fn, graph.ORACLE[name] + " -- edited")
+    assert a != b
