@@ -100,6 +100,9 @@ HEADLINE = [
     "events_hour_dow_heatmap",
     "events_ab_test",
     "link_prediction_jaccard",
+    # round-10 additions: fully-sampled IVFPQ training + corpus encode
+    "ann_ivf_pq_sampled_topk",
+    "bpe_encode_corpus",
 ]
 
 

@@ -37,10 +37,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def fround(col: Column, scale: int = 6) -> Column:
+def fround(col: Column | str, scale: int = 6) -> Column:
     """Engine-portable half-up round of a non-NaN double column.
 
     Oracle twin: ``floor((x) * 1e{scale} + 0.5) / 1e{scale}``.
     """
+    if isinstance(col, str):
+        col = F.col(col)
     p = F.lit(float(10**scale))
     return F.floor(col * p + F.lit(0.5)) / p

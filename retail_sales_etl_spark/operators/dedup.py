@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 N_MINHASH = 8
 BAND_SIZE = 2  # 4 bands of 2 minhashes each
@@ -274,7 +275,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        cos = np.round(sims[iu, ju], 6)
+        cos = np.floor((sims[iu, ju]) * 1e6 + 0.5) / 1e6
         keep = cos >= COSINE_THRESHOLD
         return pd.DataFrame(
             {
@@ -324,7 +325,7 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        cos = np.round(sims[iu, ju], 6)
+        cos = np.floor((sims[iu, ju]) * 1e6 + 0.5) / 1e6
         keep = cos >= COSINE_THRESHOLD
         return pd.DataFrame(
             {
@@ -375,7 +376,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell = pdf["cell"].iloc[0]
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        sims = np.floor(((mat @ mat.T) / np.outer(norms, norms)) * 1e6 + 0.5) / 1e6
         np.fill_diagonal(sims, -np.inf)
         near = sims >= SEMANTIC_EPS
         # neighbor j dominates i when j is closer to the centroid
@@ -865,9 +866,9 @@ ORACLE = {
         ),
         scored AS (
             SELECT e.vec_id, c.cell,
-                   round(list_dot_product(e.v, c.cv)
+                   floor((list_dot_product(e.v, c.cv)
                          / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+                            * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6 AS ccos
             FROM emb e CROSS JOIN carr c
         ),
         assigned AS (
@@ -891,9 +892,9 @@ ORACLE = {
                        AS has_dominator
             FROM blocked a
             JOIN blocked b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
+            WHERE floor((list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
-                           * sqrt(list_dot_product(b.v, b.v))), 6)
+                           * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6
                   >= {SEMANTIC_EPS}
             GROUP BY 1
         )
@@ -921,9 +922,9 @@ ORACLE = {
         ),
         scored AS (
             SELECT e.vec_id, c.cell,
-                   round(list_dot_product(e.v, c.cv)
+                   floor((list_dot_product(e.v, c.cv)
                          / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+                            * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6 AS ccos
             FROM emb e CROSS JOIN carr c
         ),
         cells AS (
@@ -940,27 +941,25 @@ ORACLE = {
             FROM emb e JOIN cells ON e.vec_id = cells.vec_id
         )
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
-               round(list_dot_product(a.v, b.v)
+               floor((list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                        * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 AS cosine
         FROM blocked a
         JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
+        WHERE floor((list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_THRESHOLD}
+                       * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= {COSINE_THRESHOLD}
     """,
     "dedup_embedding": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                     6) AS cosine
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1e6 + 0.5) / 1e6 AS cosine
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        WHERE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                    6) >= {COSINE_THRESHOLD}
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1e6 + 0.5) / 1e6 >= {COSINE_THRESHOLD}
     """,
 }
 
@@ -1009,7 +1008,7 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             n_match.cast("int").alias("n_match"),
-            F.round(n_match / F.lit(float(N_MINHASH)), 6).alias(
+            fround(n_match / F.lit(float(N_MINHASH)), 6).alias(
                 "jaccard_est"
             ),
         )
@@ -1032,10 +1031,10 @@ ORACLE["source_minhash_jaccard"] = f"""
                f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
                for j in range(N_MINHASH)
            )} AS INTEGER) AS n_match,
-           round(({" + ".join(
+           floor((({" + ".join(
                f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
                for j in range(N_MINHASH)
-           )}) / {float(N_MINHASH)!r}, 6) AS jaccard_est
+           )}) / {float(N_MINHASH)!r}) * 1e6 + 0.5) / 1e6 AS jaccard_est
     FROM sk a JOIN sk b ON a.source < b.source
 """
 
@@ -1085,10 +1084,10 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates",
                 "n_true",
                 "n_hits",
-                F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                fround(F.col("n_hits") / F.col("n_candidates"), 6).alias(
                     "precision"
                 ),
-                F.round(F.col("n_hits") / F.col("n_true"), 6).alias(
+                fround(F.col("n_hits") / F.col("n_true"), 6).alias(
                     "recall"
                 ),
             )
@@ -1112,8 +1111,8 @@ ORACLE["dedup_recall_report"] = f"""
     m_ppj AS (SELECT a_id, b_id FROM {_recall_member("setsim_join")}),
     nt AS (SELECT count(*) AS n_true FROM truth)
     SELECT method, n_candidates, n_true, n_hits,
-           round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
-           round(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
+           floor((CAST(n_hits AS DOUBLE) / n_candidates) * 1e6 + 0.5) / 1e6 AS precision,
+           floor((CAST(n_hits AS DOUBLE) / n_true) * 1e6 + 0.5) / 1e6 AS recall
     FROM (
         SELECT 'minhash_lsh' AS method, count(*) AS n_candidates,
                (SELECT n_true FROM nt) AS n_true,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 SESSION_GAP_SEC = 1800
 WINDOW_SEC = 300
@@ -353,7 +354,7 @@ _SESSION_NATIVE_SESS_SQL = f"""
 
 # 3 * 1.4826 (the normal-consistency constant), precomputed so both
 # engines share the literal
-MAD_K = round(3 * 1.4826, 6)
+MAD_K = round(3 * 1.4826, 6)  # driver-side Python literal, no engine risk
 
 # Scale-path sketch size — the single shared knob (cycle-free import:
 # plans.advanced pulls nothing from operators).
@@ -386,16 +387,16 @@ def q_events_anomaly_mad(
     else:
         med_of = lambda c: F.expr(f"percentile({c}, 0.5)")
     med = ev.groupBy("event_type").agg(
-        F.round(med_of("value"), 6).alias("med")
+        fround(med_of("value"), 6).alias("med")
     )
     adev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med",
-        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
+        fround(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
     )
     mad = adev.groupBy("event_type").agg(
         F.first("med").alias("median_value"),
-        F.round(med_of("adev"), 6).alias("mad"),
+        fround(med_of("adev"), 6).alias("mad"),
     )
     return (
         adev.join(F.broadcast(mad), "event_type")
@@ -467,8 +468,8 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "et",
         "day",
         "cnt",
-        F.round(F.col("xi") * w, 9).cast("decimal(38,9)").alias("tn"),
-        F.round(w, 9).cast("decimal(38,9)").alias("td"),
+        fround(F.col("xi") * w, 9).cast("decimal(38,9)").alias("tn"),
+        fround(w, 9).cast("decimal(38,9)").alias("td"),
     )
     return (
         terms.groupBy(F.col("et").alias("event_type"), "day")
@@ -481,9 +482,8 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "cnt",
-            F.round(
-                F.col("_n").cast("double") / F.col("_d").cast("double"), 6
-            ).alias("ewma"),
+            fround(
+                F.col("_n").cast("double") / F.col("_d").cast("double"), 6).alias("ewma"),
         )
     )
 
@@ -537,15 +537,14 @@ def q_attribution_time_decay(
         F.pow(F.lit(0.5), F.floor(lead_sec / 60)).alias("w"),
     )
     norm = pairs.groupBy("p_id").agg(
-        F.sum(F.round(F.col("w"), 9).cast("decimal(38,9)")).alias("sw")
+        F.sum(fround(F.col("w"), 9).cast("decimal(38,9)")).alias("sw")
     )
     attributed = pairs.join(norm, "p_id").select(
         "p_user",
         "p_id",
         "c_id",
-        F.round(
-            F.col("p_value") * F.col("w") / F.col("sw").cast("double"), 6
-        )
+        fround(
+            F.col("p_value") * F.col("w") / F.col("sw").cast("double"), 6)
         .cast("decimal(25,6)")
         .alias("share"),
     )
@@ -560,7 +559,7 @@ def q_attribution_time_decay(
             "user_id",
             "n_purchases",
             "n_touches",
-            F.round("attributed_value", 6).alias("attributed_value"),
+            fround("attributed_value", 6).alias("attributed_value"),
         )
     )
 
@@ -594,10 +593,8 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "n_days",
-            F.round(
-                F.col("cnt") - F.col("total") / F.col("n_days").cast("double"),
-                6,
-            )
+            fround(
+                F.col("cnt") - F.col("total") / F.col("n_days").cast("double"), 6)
             .cast("decimal(25,6)")
             .alias("d"),
         )
@@ -622,7 +619,7 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_days",
-            F.round(F.abs(F.col("s")), 6).alias("max_cusum"),
+            fround(F.abs(F.col("s")), 6).alias("max_cusum"),
             F.col("day").alias("change_day"),
         )
     )
@@ -705,7 +702,7 @@ ORACLE = {
         ),
         dev AS (
             SELECT event_type, day, n_days,
-                   CAST(round(cnt - total / CAST(n_days AS DOUBLE), 6)
+                   CAST(floor((cnt - total / CAST(n_days AS DOUBLE)) * 1e6 + 0.5) / 1e6
                         AS DECIMAL(25,6)) AS d
             FROM daily JOIN per_type ON event_type = et
         ),
@@ -726,7 +723,7 @@ ORACLE = {
             FROM cusum
         )
         SELECT event_type, n_days,
-               round(abs(s), 6) AS max_cusum,
+               floor((abs(s)) * 1e6 + 0.5) / 1e6 AS max_cusum,
                day AS change_day
         FROM ranked WHERE rn = 1
     """,
@@ -773,15 +770,15 @@ ORACLE = {
         ),
         terms AS (
             SELECT event_type, day, cnt,
-                   CAST(round(xi * pow(0.5, lag), 9)
+                   CAST(floor((xi * pow(0.5, lag)) * 1e9 + 0.5) / 1e9
                         AS DECIMAL(38,9)) AS tn,
-                   CAST(round(pow(0.5, lag), 9)
+                   CAST(floor((pow(0.5, lag)) * 1e9 + 0.5) / 1e9
                         AS DECIMAL(38,9)) AS td
             FROM grid
         )
         SELECT event_type, day, cnt,
-               round(CAST(sum(tn) AS DOUBLE)
-                     / CAST(sum(td) AS DOUBLE), 6) AS ewma
+               floor((CAST(sum(tn) AS DOUBLE)
+                     / CAST(sum(td) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ewma
         FROM terms GROUP BY 1, 2, 3
     """,
     "attribution_time_decay": f"""
@@ -807,36 +804,36 @@ ORACLE = {
         ),
         norm AS (
             SELECT p_id,
-                   sum(CAST(round(w, 9) AS DECIMAL(38,9))) AS sw
+                   sum(CAST(floor((w) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS sw
             FROM pairs GROUP BY 1
         ),
         att AS (
             SELECT p_user, pr.p_id, c_id,
-                   CAST(round(p_value * w / CAST(sw AS DOUBLE), 6)
+                   CAST(floor((p_value * w / CAST(sw AS DOUBLE)) * 1e6 + 0.5) / 1e6
                         AS DECIMAL(25,6)) AS share
             FROM pairs pr JOIN norm n ON pr.p_id = n.p_id
         )
         SELECT p_user AS user_id,
                count(DISTINCT p_id) AS n_purchases,
                count(*) AS n_touches,
-               round(CAST(sum(share) AS DOUBLE), 6) AS attributed_value
+               floor((CAST(sum(share) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS attributed_value
         FROM att GROUP BY 1
     """,
     "events_anomaly_mad": f"""
         WITH med AS (
             SELECT event_type,
-                   round(quantile_cont(value, 0.5), 6) AS med
+                   floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6 AS med
             FROM events GROUP BY 1
         ),
         adev AS (
             SELECT e.event_type, m.med,
-                   round(abs(e.value - m.med), 6) AS adev
+                   floor((abs(e.value - m.med)) * 1e6 + 0.5) / 1e6 AS adev
             FROM events e JOIN med m USING (event_type)
         ),
         mad AS (
             SELECT event_type,
                    any_value(med) AS median_value,
-                   round(quantile_cont(adev, 0.5), 6) AS mad
+                   floor((quantile_cont(adev, 0.5)) * 1e6 + 0.5) / 1e6 AS mad
             FROM adev GROUP BY 1
         )
         SELECT a.event_type,
@@ -1096,7 +1093,7 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pattern",
         "n_matched",
         "n_users",
-        F.round(F.col("n_matched") / F.col("n_users"), 6).alias(
+        fround(F.col("n_matched") / F.col("n_users"), 6).alias(
             "match_rate"
         ),
     )
@@ -1132,7 +1129,7 @@ def _pattern_oracle() -> str:
         ),
         agg AS (SELECT count(*) AS n_users, {m_cols} FROM seqs)
         SELECT pattern, n_matched, n_users,
-               round(n_matched / CAST(n_users AS DOUBLE), 6) AS match_rate
+               floor((n_matched / CAST(n_users AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS match_rate
         FROM ({unions})
     """
 
@@ -1164,11 +1161,9 @@ def q_events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count("k").alias("n_with_k"),
-            F.round(
+            fround(
                 F.sum(F.col("k").cast("decimal(25,6)")).cast("double")
-                / F.count("k"),
-                6,
-            ).alias("avg_k"),
+                / F.count("k"), 6).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -1181,8 +1176,8 @@ ORACLE["events_props_rollup"] = """
     SELECT event_type,
            count(*) AS n_events,
            count(k) AS n_with_k,
-           round(CAST(sum(CAST(k AS DECIMAL(25,6))) AS DOUBLE)
-                 / count(k), 6) AS avg_k,
+           floor((CAST(sum(CAST(k AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(k)) * 1e6 + 0.5) / 1e6 AS avg_k,
            min(k) AS min_k,
            max(k) AS max_k
     FROM (
@@ -1223,7 +1218,7 @@ def q_events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow_idx",
         "hour",
         "n_events",
-        F.round(F.col("n_events") / F.col("n_total"), 6).alias("share"),
+        fround(F.col("n_events") / F.col("n_total"), 6).alias("share"),
     )
 
 
@@ -1239,7 +1234,7 @@ ORACLE["events_hour_dow_heatmap"] = f"""
     ),
     tot AS (SELECT sum(n_events) AS n_total FROM cells)
     SELECT CAST(dow_idx AS BIGINT) AS dow_idx, hour, n_events,
-           round(n_events / CAST(n_total AS DOUBLE), 6) AS share
+           floor((n_events / CAST(n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS share
     FROM cells, tot
 """
 
@@ -1314,7 +1309,7 @@ def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = F.when(
         F.col("n_death") < F.col("n_risk"),
-        F.round(F.log(1.0 - F.col("n_death") / F.col("n_risk")), 6),
+        fround(F.log(1.0 - F.col("n_death") / F.col("n_risk")), 6),
     ).otherwise(F.lit(0.0))
     dead = F.when(F.col("n_death") >= F.col("n_risk"), 1).otherwise(0)
     curve = (
@@ -1329,7 +1324,7 @@ def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_death",
             "n_censored",
             F.when(F.col("hit_zero") == 1, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.col("cum")), 6))
+            .otherwise(fround(F.exp(F.col("cum")), 6))
             .alias("survival"),
         )
     )
@@ -1384,8 +1379,8 @@ ORACLE["session_km_survival"] = f"""
     curve AS (
         SELECT dur, n_risk, n_death, n_censored,
                sum(CAST(CASE WHEN n_death < n_risk
-                        THEN round(ln(1.0 - n_death
-                                      / CAST(n_risk AS DOUBLE)), 6)
+                        THEN floor((ln(1.0 - n_death
+                                      / CAST(n_risk AS DOUBLE))) * 1e6 + 0.5) / 1e6
                         ELSE 0.0 END AS DECIMAL(18,6))) OVER (
                    ORDER BY dur ASC ROWS UNBOUNDED PRECEDING
                ) AS cum,
@@ -1397,7 +1392,7 @@ ORACLE["session_km_survival"] = f"""
     SELECT dur AS duration_sec, CAST(n_risk AS BIGINT) AS n_risk,
            n_death, n_censored,
            CASE WHEN hit_zero = 1 THEN 0.0
-                ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+                ELSE floor((exp(CAST(cum AS DOUBLE))) * 1e6 + 0.5) / 1e6 END AS survival
     FROM curve
 """
 
@@ -1436,8 +1431,8 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
     ) / F.lit(float(0x100000000))
     arm = F.when(u < 0.5, F.lit("A")).otherwise(F.lit("B"))
-    vd = F.round(F.col("value"), 9).cast("decimal(30,9)")
-    v2d = F.round(F.col("value") * F.col("value"), 12).cast("decimal(30,12)")
+    vd = fround(F.col("value"), 9).cast("decimal(30,9)")
+    v2d = fround(F.col("value") * F.col("value"), 12).cast("decimal(30,12)")
     stats = (
         ev.select("event_type", arm.alias("arm"), "value")
         .groupBy("event_type", "arm")
@@ -1474,10 +1469,10 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
-        F.round(mean_a - mean_b, 6).alias("diff"),
-        F.round(t, 6).alias("t_stat"),
+        fround(mean_a, 6).alias("mean_a"),
+        fround(mean_b, 6).alias("mean_b"),
+        fround(mean_a - mean_b, 6).alias("diff"),
+        fround(t, 6).alias("t_stat"),
         (F.abs(t) >= 1.96).alias("significant"),
     )
 
@@ -1496,9 +1491,9 @@ ORACLE["events_ab_test"] = f"""
     ),
     stats AS (
         SELECT event_type, arm, count(*) AS n,
-               CAST(sum(CAST(round(value, 9) AS DECIMAL(30,9)))
+               CAST(sum(CAST(floor((value) * 1e9 + 0.5) / 1e9 AS DECIMAL(30,9)))
                     AS DOUBLE) AS s,
-               CAST(sum(CAST(round(value * value, 12) AS DECIMAL(30,12)))
+               CAST(sum(CAST(floor((value * value) * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12)))
                     AS DOUBLE) AS s2
         FROM tagged GROUP BY 1, 2
     ),
@@ -1510,13 +1505,12 @@ ORACLE["events_ab_test"] = f"""
         JOIN (SELECT * FROM stats WHERE arm = 'B') b USING (event_type)
     )
     SELECT event_type, n_a, n_b,
-           round(s_a / n_a, 6) AS mean_a,
-           round(s_b / n_b, 6) AS mean_b,
-           round(s_a / n_a - s_b / n_b, 6) AS diff,
-           round((s_a / n_a - s_b / n_b)
+           floor((s_a / n_a) * 1e6 + 0.5) / 1e6 AS mean_a,
+           floor((s_b / n_b) * 1e6 + 0.5) / 1e6 AS mean_b,
+           floor((s_a / n_a - s_b / n_b) * 1e6 + 0.5) / 1e6 AS diff,
+           floor(((s_a / n_a - s_b / n_b)
                  / sqrt(((s2_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
-                        + ((s2_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
-                 6) AS t_stat,
+                        + ((s2_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)) * 1e6 + 0.5) / 1e6 AS t_stat,
            abs((s_a / n_a - s_b / n_b)
                / sqrt(((s2_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
                       + ((s2_b - s_b * s_b / n_b) / (n_b - 1)) / n_b))

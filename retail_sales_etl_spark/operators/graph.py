@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 DAMPING = 0.85
 N_ITERATIONS = 5
@@ -87,7 +88,7 @@ def pagerank(
         if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < n_iterations:
             # truncate lineage; eager so the cut happens now
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("part_id", F.round(F.col("rank") * n_nodes, 6).alias("rank_scaled"))
+    return ranks.select("part_id", fround(F.col("rank") * n_nodes, 6).alias("rank_scaled"))
 
 
 def connected_components(
@@ -205,7 +206,7 @@ def _pagerank_oracle() -> str:
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
         r0 AS (SELECT part_id, 1.0 / n.n AS rank FROM nodes, n),
         {",".join(stages)}
-        SELECT part_id, round(rank * n.n, 6) AS rank_scaled FROM {prev}, n
+        SELECT part_id, floor((rank * n.n) * 1e6 + 0.5) / 1e6 AS rank_scaled FROM {prev}, n
     """
 
 
@@ -309,12 +310,10 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_part",
             "b_part",
             F.col("n_orders").alias("n_ab"),
-            F.round(
+            fround(
                 (F.col("n_orders") * F.col("n_baskets"))
-                / (F.col("na") * F.col("nb")).cast("double"),
-                6,
-            ).alias("lift"),
-            F.round(F.col("n_orders") / F.col("na").cast("double"), 6).alias(
+                / (F.col("na") * F.col("nb")).cast("double"), 6).alias("lift"),
+            fround(F.col("n_orders") / F.col("na").cast("double"), 6).alias(
                 "conf_a_to_b"
             ),
         )
@@ -524,7 +523,7 @@ def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if (i + 1) % CHECKPOINT_EVERY == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return (
-        ranks.select("part_id", F.round("rank", 6).alias("ppr"))
+        ranks.select("part_id", fround("rank", 6).alias("ppr"))
         .orderBy(F.col("ppr").desc(), "part_id")
         .limit(PPR_SEED_TOP_K)
     )
@@ -586,7 +585,7 @@ def _ppr_oracle() -> str:
             FROM nodes nd CROSS JOIN seed s
         ),
         {",".join(stages)}
-        SELECT part_id, round(rank, 6) AS ppr FROM {prev}
+        SELECT part_id, floor((rank) * 1e6 + 0.5) / 1e6 AS ppr FROM {prev}
         ORDER BY ppr DESC, part_id LIMIT {PPR_SEED_TOP_K}
     """
 
@@ -610,9 +609,9 @@ ORACLE = {
         ),
         tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets)
         SELECT a_part, b_part, n_ab,
-               round((n_ab * n_baskets)
-                     / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift,
-               round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_to_b
+               floor(((n_ab * n_baskets)
+                     / CAST(ia.n_item * ib.n_item AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift,
+               floor((n_ab / CAST(ia.n_item AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS conf_a_to_b
         FROM pair
         JOIN item ia ON pair.a_part = ia.pk
         JOIN item ib ON pair.b_part = ib.pk
@@ -888,11 +887,9 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("a_part"),
             F.col("b").alias("b_part"),
             "n_common",
-            F.round(
+            fround(
                 F.col("n_common")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")), 6).alias("jaccard"),
         )
     )
     return scored.orderBy(
@@ -928,7 +925,7 @@ ORACLE["link_prediction_jaccard"] = f"""
         WHERE e.a_part IS NULL
     )
     SELECT a AS a_part, b AS b_part, n_common,
-           round(n_common / CAST(da.deg + db.deg - n_common AS DOUBLE), 6)
+           floor((n_common / CAST(da.deg + db.deg - n_common AS DOUBLE)) * 1e6 + 0.5) / 1e6
                AS jaccard
     FROM cand
     JOIN deg da ON cand.a = da.node

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 # Heavy-hitter support threshold phi = 1/HH_DENOM (a key is heavy when
 # count * HH_DENOM >= n). Integer arithmetic end-to-end — no float
@@ -156,7 +157,7 @@ def heavy_hitters(df: DataFrame, key_col: str) -> DataFrame:
         .select(
             "key",
             "n_rows",
-            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+            fround(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
         )
     )
 
@@ -185,7 +186,7 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").cast("bigint").alias("n_rows"),
         F.max("c").alias("max_per_key"),
-        F.round(F.sum("c") / F.count(F.lit(1)), 6).alias("avg_per_key"),
+        fround(F.sum("c") / F.count(F.lit(1)), 6).alias("avg_per_key"),
         F.expr("percentile(c, 0.5)").cast("double").alias("p50_per_key"),
         F.expr("percentile(c, 0.99)").cast("double").alias("p99_per_key"),
         F.ceil(F.max("c") * F.count(F.lit(1)) / F.sum("c"))
@@ -239,16 +240,14 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "first_digit",
             "n_orders",
-            F.round(F.col("n_orders") / F.col("n_total"), 6).alias(
+            fround(F.col("n_orders") / F.col("n_total"), 6).alias(
                 "observed_share"
             ),
             expected.alias("benford_share"),
-            F.round(
+            fround(
                 F.abs(
-                    F.round(F.col("n_orders") / F.col("n_total"), 6) - expected
-                ),
-                6,
-            ).alias("abs_deviation"),
+                    fround(F.col("n_orders") / F.col("n_total"), 6) - expected
+                ), 6).alias("abs_deviation"),
         )
     )
 
@@ -281,12 +280,10 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     total = buckets.agg(F.sum("cnt").alias("n_orders"))
-    term = F.round(
+    term = fround(
         (F.col("cnt") - F.col("n_orders") / 7.0)
         * (F.col("cnt") - F.col("n_orders") / 7.0)
-        / (F.col("n_orders") / 7.0),
-        6,
-    ).cast("decimal(25,6)")
+        / (F.col("n_orders") / 7.0), 6).cast("decimal(25,6)")
     g = buckets.crossJoin(F.broadcast(total))
     peak = (
         g.orderBy(F.col("cnt").desc(), F.col("dow_idx"))
@@ -302,11 +299,10 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.crossJoin(F.broadcast(peak)).select(
         "n_orders",
-        F.round(F.col("_chi2").cast("double"), 6).alias("chi_square"),
+        fround(F.col("_chi2").cast("double"), 6).alias("chi_square"),
         "peak_idx",
-        F.round(
-            F.col("peak_cnt") / F.col("n_orders").cast("double"), 6
-        ).alias("peak_share"),
+        fround(
+            F.col("peak_cnt") / F.col("n_orders").cast("double"), 6).alias("peak_share"),
     )
 
 
@@ -328,9 +324,9 @@ ORACLE = {
         tot AS (SELECT sum(cnt) AS n_orders FROM buckets),
         terms AS (
             SELECT dow_idx, cnt, n_orders,
-                   CAST(round((cnt - n_orders / 7.0)
+                   CAST(floor(((cnt - n_orders / 7.0)
                               * (cnt - n_orders / 7.0)
-                              / (n_orders / 7.0), 6)
+                              / (n_orders / 7.0)) * 1e6 + 0.5) / 1e6
                         AS DECIMAL(25,6)) AS term
             FROM buckets CROSS JOIN tot
         ),
@@ -339,10 +335,10 @@ ORACLE = {
             FROM buckets ORDER BY cnt DESC, dow_idx LIMIT 1
         )
         SELECT CAST(any_value(n_orders) AS BIGINT) AS n_orders,
-               round(CAST(sum(term) AS DOUBLE), 6) AS chi_square,
+               floor((CAST(sum(term) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi_square,
                any_value(peak_idx) AS peak_idx,
-               round(any_value(peak_cnt)
-                     / CAST(any_value(n_orders) AS DOUBLE), 6)
+               floor((any_value(peak_cnt)
+                     / CAST(any_value(n_orders) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                    AS peak_share
         FROM terms CROSS JOIN peak
     """,
@@ -353,7 +349,7 @@ ORACLE = {
         ),
         tot AS (SELECT count(*) AS n_total FROM events)
         SELECT key, n_rows,
-               round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
+               floor((CAST(n_rows AS DOUBLE) / n_total) * 1e6 + 0.5) / 1e6 AS share
         FROM counts, tot
         WHERE n_rows * {HH_DENOM} >= n_total
     """,
@@ -373,10 +369,10 @@ ORACLE = {
             VALUES {", ".join(f"({d}, {v})" for d, v in BENFORD.items())}
         )
         SELECT c.first_digit, c.n_orders,
-               round(CAST(c.n_orders AS DOUBLE) / n_total, 6) AS observed_share,
+               floor((CAST(c.n_orders AS DOUBLE) / n_total) * 1e6 + 0.5) / 1e6 AS observed_share,
                CAST(b.benford_share AS DOUBLE) AS benford_share,
-               round(abs(round(CAST(c.n_orders AS DOUBLE) / n_total, 6)
-                         - CAST(b.benford_share AS DOUBLE)), 6) AS abs_deviation
+               floor((abs(floor((CAST(c.n_orders AS DOUBLE) / n_total) * 1e6 + 0.5) / 1e6
+                         - CAST(b.benford_share AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS abs_deviation
         FROM counts c JOIN benford b USING (first_digit), tot
     """,
     "key_skew_profile": """
@@ -386,7 +382,7 @@ ORACLE = {
         SELECT count(*) AS n_keys,
                CAST(sum(c) AS BIGINT) AS n_rows,
                max(c) AS max_per_key,
-               round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_per_key,
+               floor((CAST(sum(c) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_per_key,
                CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_per_key,
                CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_per_key,
                CAST(ceil(CAST(max(c) AS DOUBLE) * count(*) / sum(c)) AS BIGINT)

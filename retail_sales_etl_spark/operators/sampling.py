@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 # Keep rates per language stratum; absent languages keep everything.
 SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5}
@@ -170,14 +171,12 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lang_tot.agg(
         F.sum("lang_tokens").cast("bigint").alias("total_tokens")
     )
-    w = F.round(
+    w = fround(
         F.pow(
             F.col("lang_tokens").cast("double")
             / F.col("total_tokens").cast("double"),
             F.lit(MIX_ALPHA),
-        ),
-        6,
-    ).cast("decimal(18,6)")
+        ), 6).cast("decimal(18,6)")
     weighted = lang_tot.join(broadcast(tot)).select(
         "lang", "lang_tokens", w.alias("w")
     )
@@ -185,7 +184,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = weighted.join(broadcast(wsum)).select(
         "lang",
         "lang_tokens",
-        F.round(
+        fround(
             F.least(
                 F.lit(1.0),
                 (
@@ -193,9 +192,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.col("w").cast("double") / F.col("w_sum").cast("double"))
                 )
                 / F.col("lang_tokens").cast("double"),
-            ),
-            6,
-        ).alias("keep_rate"),
+            ), 6).alias("keep_rate"),
     )
     u = (
         F.conv(_key(F.col("doc_id")), 16, 10).cast("bigint").cast("double")
@@ -298,7 +295,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         n_tokens.alias("n_tokens"),
-        F.round(F.log(u) / n_tokens, 9).alias("es_key"),
+        fround(F.log(u) / n_tokens, 9).alias("es_key"),
     )
     top = scored.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(
         WEIGHTED_K
@@ -344,7 +341,7 @@ def q_mix_top_p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
-        F.round(n_tokens.cast("double") / F.col("n_chars"), 6).alias(
+        fround(n_tokens.cast("double") / F.col("n_chars"), 6).alias(
             "quality"
         ),
     )
@@ -443,15 +440,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bc.agg(F.sum("tc").alias("t_total"), F.sum("sc").alias("s_total"))
     lp = bc.crossJoin(broadcast(tot)).select(
         "bucket",
-        F.round(
+        fround(
             F.log(
                 (F.col("tc") + 1.0) / (F.col("t_total") + float(DSIR_BUCKETS))
             )
             - F.log(
                 (F.col("sc") + 1.0) / (F.col("s_total") + float(DSIR_BUCKETS))
-            ),
-            6,
-        )
+            ), 6)
         .cast("decimal(25,6)")
         .alias("lpv"),
     )
@@ -518,9 +513,9 @@ ORACLE = {
         tot AS (SELECT sum(tc) AS t_total, sum(sc) AS s_total FROM bc),
         lp AS (
             SELECT bucket,
-                   CAST(round(
+                   CAST(floor((
                        ln((tc + 1.0) / (t_total + {DSIR_BUCKETS}.0))
-                       - ln((sc + 1.0) / (s_total + {DSIR_BUCKETS}.0)), 6)
+                       - ln((sc + 1.0) / (s_total + {DSIR_BUCKETS}.0))) * 1e6 + 0.5) / 1e6
                        AS DECIMAL(25,6)) AS lpv
             FROM bc, tot
         ),
@@ -539,8 +534,8 @@ ORACLE = {
             SELECT doc_id, source,
                    length(text) - length(replace(text, ' ', '')) + 1
                        AS n_tokens,
-                   round(CAST(length(text) - length(replace(text, ' ', ''))
-                              + 1 AS DOUBLE) / n_chars, 6) AS quality
+                   floor((CAST(length(text) - length(replace(text, ' ', ''))
+                              + 1 AS DOUBLE) / n_chars) * 1e6 + 0.5) / 1e6 AS quality
             FROM documents WHERE n_chars > 0
         ),
         grid AS (
@@ -571,12 +566,12 @@ ORACLE = {
             SELECT doc_id, lang, source,
                    length(text) - length(replace(text, ' ', '')) + 1
                        AS n_tokens,
-                   round(ln((CAST(
+                   floor((ln((CAST(
                        CAST('0x' || substring(
                            md5('{_ES_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
                            AS UBIGINT) AS DOUBLE) + 1.0)
                        / {float(0x100000000 + 1)})
-                     / (length(text) - length(replace(text, ' ', '')) + 1), 9)
+                     / (length(text) - length(replace(text, ' ', '')) + 1)) * 1e9 + 0.5) / 1e9
                        AS es_key
             FROM documents
         )
@@ -633,20 +628,20 @@ ORACLE = {
         ),
         weighted AS (
             SELECT lang, lang_tokens,
-                   CAST(round(pow(CAST(lang_tokens AS DOUBLE)
+                   CAST(floor((pow(CAST(lang_tokens AS DOUBLE)
                                   / (SELECT CAST(sum(lang_tokens) AS DOUBLE)
                                      FROM lang_tot),
-                                  {MIX_ALPHA}), 6) AS DECIMAL(18,6)) AS w
+                                  {MIX_ALPHA})) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w
             FROM lang_tot
         ),
         rates AS (
             SELECT lang, lang_tokens,
-                   round(least(1.0,
+                   floor((least(1.0,
                                ({TOKEN_BUDGET}.0
                                 * (CAST(w AS DOUBLE)
                                    / (SELECT CAST(sum(w) AS DOUBLE)
                                       FROM weighted)))
-                               / CAST(lang_tokens AS DOUBLE)), 6) AS keep_rate
+                               / CAST(lang_tokens AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS keep_rate
             FROM weighted
         )
         SELECT doc_id, t.lang AS lang, n_tokens, keep_rate,

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 DIM = 64
 N_PLANES = 8
@@ -61,7 +62,7 @@ def _with_cosine(emb: DataFrame, query: DataFrame) -> DataFrame:
     return emb.crossJoin(broadcast(query)).select(
         "vec_id",
         "label",
-        F.round(dot / (na * nq), 6).alias("cosine"),
+        fround(dot / (na * nq), 6).alias("cosine"),
     )
 
 
@@ -106,11 +107,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "bucket",
-            F.round(
+            fround(
                 _dot(F.col("v"), F.col("qv"))
-                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
-                6,
-            ).alias("cosine"),
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6).alias("cosine"),
         )
     )
     top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
@@ -167,11 +166,9 @@ def ivf_topk(
     scored = candidates.crossJoin(broadcast(query)).select(
         "vec_id",
         "label",
-        F.round(
+        fround(
             _dot(F.col("v"), F.col("qv"))
-            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
-            6,
-        ).alias("cosine"),
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6).alias("cosine"),
     )
     top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(top_k)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -207,14 +204,12 @@ def _route_probes(cent_arr: DataFrame, query: DataFrame, nprobe: int) -> DataFra
         cent_arr.crossJoin(broadcast(query))
         .select(
             "cell",
-            F.round(
+            fround(
                 _dot(F.col("cv"), F.col("qv"))
                 / (
                     F.sqrt(_dot(F.col("cv"), F.col("cv")))
                     * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                ),
-                6,
-            ).alias("ccos"),
+                ), 6).alias("ccos"),
         )
         .orderBy(F.col("ccos").desc(), F.col("cell"))
         .limit(nprobe)
@@ -249,14 +244,12 @@ def assign_ivf_cells_scored(emb: DataFrame) -> DataFrame:
     scored = emb.crossJoin(broadcast(cent_arr)).select(
         "vec_id",
         "cell",
-        F.round(
+        fround(
             _dot(F.col("v"), F.col("cv"))
             / (
                 F.sqrt(_dot(F.col("v"), F.col("v")))
                 * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-            ),
-            6,
-        ).alias("ccos"),
+            ), 6).alias("ccos"),
     )
     best = scored.groupBy("vec_id").agg(
         F.expr(
@@ -310,14 +303,12 @@ def _lloyd(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
             "vec_id",
             "cell",
             "v",
-            F.round(
+            fround(
                 _dot(F.col("v"), F.col("cv"))
                 / (
                     F.sqrt(_dot(F.col("v"), F.col("v")))
                     * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                ),
-                6,
-            ).alias("ccos"),
+                ), 6).alias("ccos"),
         )
         assigned = scored.groupBy("vec_id").agg(
             F.expr("max_by(cell, named_struct('c', ccos, 'l', -cell)) AS cell"),
@@ -418,14 +409,12 @@ def q_kmeans_sampled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(broadcast(cent_arr)).select(
         "vec_id",
         "cell",
-        F.round(
+        fround(
             _dot(F.col("v"), F.col("cv"))
             / (
                 F.sqrt(_dot(F.col("v"), F.col("v")))
                 * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-            ),
-            6,
-        ).alias("ccos"),
+            ), 6).alias("ccos"),
     )
     best = scored.groupBy("vec_id").agg(
         F.expr(
@@ -440,11 +429,9 @@ def q_kmeans_sampled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(
+            fround(
                 F.sum(F.col("ccos").cast("decimal(25,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_ccos"),
+                / F.count(F.lit(1)), 6).alias("avg_ccos"),
         )
     )
 
@@ -454,9 +441,9 @@ def _kmeans_sampled_oracle() -> str:
     hash sample, the same unrolled Lloyd rounds over it, then the same
     full-corpus assignment + per-cell census."""
     cos = (
-        "round(list_dot_product(e.v, c.cv)"
+        "floor((list_dot_product(e.v, c.cv)"
         " / (sqrt(list_dot_product(e.v, e.v))"
-        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+        " * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6"
     )
     ctes = [
         """emb AS (
@@ -511,8 +498,8 @@ def _kmeans_sampled_oracle() -> str:
     return f"""
         WITH {', '.join(ctes)}
         SELECT cell, count(*) AS n_members,
-               round(CAST(sum(CAST(ccos AS DECIMAL(25,6))) AS DOUBLE)
-                     / count(*), 6) AS avg_ccos
+               floor((CAST(sum(CAST(ccos AS DECIMAL(25,6))) AS DOUBLE)
+                     / count(*)) * 1e6 + 0.5) / 1e6 AS avg_ccos
         FROM fassign
         GROUP BY cell
     """
@@ -521,9 +508,9 @@ def _kmeans_sampled_oracle() -> str:
 def _kmeans_oracle() -> str:
     """DuckDB twin: the same Lloyd rounds unrolled as CTEs."""
     cos = (
-        "round(list_dot_product(e.v, c.cv)"
+        "floor((list_dot_product(e.v, c.cv)"
         " / (sqrt(list_dot_product(e.v, e.v))"
-        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+        " * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6"
     )
     ctes = [
         """emb AS (
@@ -646,7 +633,7 @@ def _pq_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             "sub",
             "code",
             "sv",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+            fround(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
         )
         assigned = scored.groupBy("vec_id", "sub").agg(
             F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"),
@@ -712,7 +699,7 @@ def _pq_retrieve(emb: DataFrame, codebook: DataFrame, codes: DataFrame) -> DataF
     table = qsubs.join(codebook, "sub").select(
         "sub",
         "code",
-        F.round(_l2sq(F.col("qsv"), F.col("cv")), 6).alias("d"),
+        fround(_l2sq(F.col("qsv"), F.col("cv")), 6).alias("d"),
     )
     shortlist = (
         codes.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -729,7 +716,7 @@ def _pq_retrieve(emb: DataFrame, codebook: DataFrame, codes: DataFrame) -> DataF
         .select(
             "vec_id",
             "adc_dist",
-            F.round(_l2sq(F.col("v"), F.col("qv")), 6).alias("l2_dist"),
+            fround(_l2sq(F.col("v"), F.col("qv")), 6).alias("l2_dist"),
         )
         .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
         .limit(TOP_K)
@@ -756,6 +743,16 @@ def q_ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double_array("embedding").alias("v")
     )
+    codebook, codes = _pq_train_sampled(emb)
+    return _pq_retrieve(emb, codebook, codes)
+
+
+def _pq_train_sampled(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Sampled PQ training: Lloyd over the fixed-size hash sample,
+    then ONE broadcast coding pass over the full corpus against the
+    final codebooks. Returns (codebook, codes) with the same shapes as
+    ``_pq_train`` — shared by ``ann_pq_sampled_topk`` and the sampled
+    IVFPQ composition."""
     sample = (
         emb.withColumn(
             "__sk",
@@ -796,7 +793,7 @@ def q_ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sub",
             "code",
             "sv",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+            fround(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
         )
         assigned = scored.groupBy("vec_id", "sub").agg(
             F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"),
@@ -838,24 +835,28 @@ def q_ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "sub",
             "code",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+            fround(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
         )
         .groupBy("vec_id", "sub")
         .agg(F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"))
     )
-    return _pq_retrieve(emb, codebook, codes)
+    return codebook, codes
 
 
-def _pq_sampled_oracle() -> str:
+def _pq_sampled_oracle(member_ctes: str = "", member_join: str = "") -> str:
     """DuckDB twin of q_ann_pq_sampled_topk: the sampled Lloyd rounds
     unrolled as CTEs, one full-corpus coding pass against the final
-    codebooks, then the same ADC + re-rank."""
+    codebooks, then the same ADC + re-rank.
+
+    ``member_ctes``/``member_join``: same composition hooks as
+    ``_pq_oracle`` — the sampled IVFPQ oracle appends its coarse-
+    quantizer membership CTEs and restricts the coded scan."""
 
     def d2(a: str, b: str) -> str:
         return (
-            f"round(list_dot_product({a}, {a})"
+            f"floor((list_dot_product({a}, {a})"
             f" - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}), 6)"
+            f" + list_dot_product({b}, {b})) * 1e6 + 0.5) / 1e6"
         )
 
     ctes = [
@@ -910,7 +911,7 @@ def _pq_sampled_oracle() -> str:
         )""")
     last = PQ_ITERS
     return f"""
-        WITH {', '.join(ctes)},
+        WITH {', '.join(ctes)},{member_ctes}
         fsubs AS (
             SELECT vec_id, sub,
                    list_slice(v, sub * {PQ_DSUB} + 1,
@@ -939,6 +940,7 @@ def _pq_sampled_oracle() -> str:
             SELECT a.vec_id,
                    CAST(sum(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
             FROM fcodes a
+            {member_join}
             JOIN tbl t ON a.sub = t.sub AND a.code = t.code
             WHERE a.vec_id <> {QUERY_VEC_ID}
             GROUP BY a.vec_id
@@ -967,9 +969,9 @@ def _pq_oracle(member_ctes: str = "", member_join: str = "") -> str:
 
     def d2(a: str, b: str) -> str:
         return (
-            f"round(list_dot_product({a}, {a})"
+            f"floor((list_dot_product({a}, {a})"
             f" - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}), 6)"
+            f" + list_dot_product({b}, {b})) * 1e6 + 0.5) / 1e6"
         )
 
     ctes = [
@@ -1076,7 +1078,7 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         label = pdf["label"].iloc[0]
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        cos = np.floor(((mat @ mat.T) / np.outer(norms, norms)) * 1e6 + 0.5) / 1e6
         n = len(ids)
         k = min(KNN_K, n - 1)
         rows = []
@@ -1135,14 +1137,12 @@ def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "qv",
         "label",
-        F.round(
+        fround(
             _dot(F.col("cv"), F.col("qv"))
             / (
                 F.sqrt(_dot(F.col("cv"), F.col("cv")))
                 * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-            ),
-            6,
-        ).alias("ccos"),
+            ), 6).alias("ccos"),
     )
     wr = Window.partitionBy("q_id").orderBy(
         F.col("ccos").desc(), F.col("label")
@@ -1159,14 +1159,12 @@ def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "vec_id",
         "label",
-        F.round(
+        fround(
             _dot(F.col("v"), F.col("qv"))
             / (
                 F.sqrt(_dot(F.col("v"), F.col("v")))
                 * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-            ),
-            6,
-        ).alias("cosine"),
+            ), 6).alias("cosine"),
     )
     wk = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -1223,14 +1221,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             "qv",
             "label",
-            F.round(
+            fround(
                 _dot(F.col("cv"), F.col("qv"))
                 / (
                     F.sqrt(_dot(F.col("cv"), F.col("cv")))
                     * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                ),
-                6,
-            ).alias("ccos"),
+                ), 6).alias("ccos"),
         )
     )
     wr = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("label"))
@@ -1246,14 +1242,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_label",
         "vec_id",
         F.col("label").alias("neg_label"),
-        F.round(
+        fround(
             _dot(F.col("v"), F.col("qv"))
             / (
                 F.sqrt(_dot(F.col("v"), F.col("v")))
                 * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-            ),
-            6,
-        ).alias("cosine"),
+            ), 6).alias("cosine"),
     )
     wk = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -1292,7 +1286,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda v: v
         - F.floor(v / F.col("scale") + F.lit(0.5)) * F.col("scale"),
     )
-    sq_terms = F.transform(err, lambda e: F.round(e * e, 12))
+    sq_terms = F.transform(err, lambda e: fround(e * e, 12))
     sse = F.aggregate(
         sq_terms,
         F.lit(0).cast("decimal(25,12)"),
@@ -1301,7 +1295,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: the error metrics and the display rounding of `scale` must
     # live in SEPARATE selects — in one select, Spark's lateral column
     # alias resolution would make the err expressions read the
-    # freshly-aliased round(scale, 9) instead of the raw scale.
+    # freshly-aliased fround(scale, 9) instead of the raw scale.
     scored = d.select(
         "vec_id",
         "label",
@@ -1312,9 +1306,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id",
         "label",
-        F.round("scale", 9).alias("scale"),
-        F.round("_mse", 9).alias("mse"),
-        F.round("_mae", 9).alias("max_abs_err"),
+        fround("scale", 9).alias("scale"),
+        fround("_mse", 9).alias("mse"),
+        fround("_mae", 9).alias("max_abs_err"),
     )
 
 
@@ -1348,8 +1342,9 @@ def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly rounded and neither engine reassociates a float
     expression tree, so the accumulation is bit-identical (decimal
     staging is unnecessary AND would hurt here: round(double, 9)
-    itself differs across engines at shortest-repr edges). One
-    division by the shared sqrt(k) literal, final 6-dp round. Output
+    itself differs across engines at shortest-repr edges, which is
+    why the final mile uses the floor form). One division by the
+    shared sqrt(k) literal, final 6-dp floor-round. Output
     dims are scalar COLUMNS p0..p7 (driver canonicalizer contract:
     scalars, never arrays).
     """
@@ -1366,7 +1361,7 @@ def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             term = F.element_at("v", i + 1)
             term = term if _rp_sign(i, j) > 0 else -term
             acc = term if acc is None else acc + term
-        cols.append(F.round(acc / inv, 6).alias(f"p{j}"))
+        cols.append(fround(acc / inv, 6).alias(f"p{j}"))
     return emb.select("vec_id", "label", *cols)
 
 
@@ -1381,7 +1376,7 @@ def _rp_oracle() -> str:
             for i in range(RP_IN_DIM)
         )
         outs.append(
-            f"round(({terms}) / {math.sqrt(RP_OUT_DIM)!r}, 6) AS p{j}"
+            f"floor((({terms}) / {math.sqrt(RP_OUT_DIM)!r}) * 1e6 + 0.5) / 1e6 AS p{j}"
         )
     return (
         "SELECT vec_id, label, " + ", ".join(outs) + " FROM embeddings"
@@ -1407,34 +1402,32 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb.select(
         F.posexplode("v").alias("dim0", "x")
     ).select((F.col("dim0") + 1).cast("bigint").alias("dim"), "x")
-    xd = F.round(F.col("x"), 9).cast("decimal(30,9)")
-    x2d = F.round(F.col("x") * F.col("x"), 12).cast("decimal(30,12)")
+    xd = fround(F.col("x"), 9).cast("decimal(30,9)")
+    x2d = fround(F.col("x") * F.col("x"), 12).cast("decimal(30,12)")
     stats = dims.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xd).cast("double").alias("s"),
         F.sum(x2d).cast("double").alias("s2"),
-        F.round(F.min("x"), 6).alias("vmin"),
-        F.round(F.max("x"), 6).alias("vmax"),
+        fround(F.min("x"), 6).alias("vmin"),
+        fround(F.max("x"), 6).alias("vmax"),
     )
     return stats.select(
         "dim",
         "n",
-        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        fround(F.col("s") / F.col("n"), 6).alias("mean"),
         # greatest(0, ·): for a dead (constant) dimension the rounding
         # error of the 9-dp term dominates the 12-dp square's, so the
         # parallel-formula variance can come out ~-1e-10 — exactly the
         # input this report exists to catch. Clamp instead of NaN
         # (Spark) / hard sqrt-of-negative error (DuckDB).
-        F.round(
+        fround(
             F.sqrt(
                 F.greatest(
                     F.lit(0.0),
                     (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
                     / (F.col("n") - 1),
                 )
-            ),
-            6,
-        ).alias("std"),
+            ), 6).alias("std"),
         "vmin",
         "vmax",
     )
@@ -1471,8 +1464,8 @@ def _lsh_bucket_sql(vexpr: str) -> str:
 
 
 _COSINE_SQL = (
-    "round(list_dot_product(v, qv) / "
-    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+    "floor((list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6"
 )
 
 _CENTROIDS_SQL = """
@@ -1486,8 +1479,8 @@ _CENTROIDS_SQL = """
 """
 
 _PAIR_COSINE_SQL = (
-    "round(list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    "floor((list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6"
 )
 
 ORACLE = {
@@ -1501,17 +1494,17 @@ ORACLE = {
         ),
         stats AS (
             SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
-                   CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9)))
+                   CAST(sum(CAST(floor((x) * 1e9 + 0.5) / 1e9 AS DECIMAL(30,9)))
                         AS DOUBLE) AS s,
-                   CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12)))
+                   CAST(sum(CAST(floor((x * x) * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12)))
                         AS DOUBLE) AS s2,
-                   round(min(x), 6) AS vmin,
-                   round(max(x), 6) AS vmax
+                   floor((min(x)) * 1e6 + 0.5) / 1e6 AS vmin,
+                   floor((max(x)) * 1e6 + 0.5) / 1e6 AS vmax
             FROM dims GROUP BY 1
         )
         SELECT dim, n,
-               round(s / n, 6) AS mean,
-               round(sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1))), 6)
+               floor((s / n) * 1e6 + 0.5) / 1e6 AS mean,
+               floor((sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1)))) * 1e6 + 0.5) / 1e6
                    AS std,
                vmin, vmax
         FROM stats
@@ -1536,11 +1529,11 @@ ORACLE = {
             FROM scaled
         )
         SELECT vec_id, label,
-               round(scale, 9) AS scale,
-               round(CAST(list_sum(list_transform(err,
-                         e -> CAST(round(e * e, 12) AS DECIMAL(25,12))))
-                     AS DOUBLE) / dim, 9) AS mse,
-               round(list_max(list_transform(err, e -> abs(e))), 9)
+               floor((scale) * 1e9 + 0.5) / 1e9 AS scale,
+               floor((CAST(list_sum(list_transform(err,
+                         e -> CAST(floor((e * e) * 1e12 + 0.5) / 1e12 AS DECIMAL(25,12))))
+                     AS DOUBLE) / dim) * 1e9 + 0.5) / 1e9 AS mse,
+               floor((list_max(list_transform(err, e -> abs(e)))) * 1e9 + 0.5) / 1e9
                    AS max_abs_err
         FROM errs
     """,
@@ -1574,9 +1567,9 @@ ORACLE = {
               WHERE vec_id IN {BATCH_QUERY_IDS}),
         routed AS (
             SELECT q_id, q_label, qv, label,
-                   round(list_dot_product(cv, qv)
+                   floor((list_dot_product(cv, qv)
                          / (sqrt(list_dot_product(cv, cv))
-                            * sqrt(list_dot_product(qv, qv))), 6) AS ccos
+                            * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 AS ccos
             FROM carr, q
             WHERE label <> q_label
         ),
@@ -1590,9 +1583,9 @@ ORACLE = {
         ),
         scored AS (
             SELECT p.q_id, p.q_label, e.vec_id, e.label AS neg_label,
-                   round(list_dot_product(e.v, p.qv)
+                   floor((list_dot_product(e.v, p.qv)
                          / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+                            * sqrt(list_dot_product(p.qv, p.qv)))) * 1e6 + 0.5) / 1e6 AS cosine
             FROM emb e JOIN probes p ON e.label = p.probe_label
         )
         SELECT * FROM (
@@ -1611,9 +1604,9 @@ ORACLE = {
               WHERE vec_id IN {BATCH_QUERY_IDS}),
         routed AS (
             SELECT q_id, qv, label,
-                   round(list_dot_product(cv, qv)
+                   floor((list_dot_product(cv, qv)
                          / (sqrt(list_dot_product(cv, cv))
-                            * sqrt(list_dot_product(qv, qv))), 6) AS ccos
+                            * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 AS ccos
             FROM carr, q
         ),
         probes AS (
@@ -1626,9 +1619,9 @@ ORACLE = {
         ),
         scored AS (
             SELECT p.q_id, e.vec_id, e.label,
-                   round(list_dot_product(e.v, p.qv)
+                   floor((list_dot_product(e.v, p.qv)
                          / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+                            * sqrt(list_dot_product(p.qv, p.qv)))) * 1e6 + 0.5) / 1e6 AS cosine
             FROM emb e JOIN probes p
               ON e.label = p.probe_label AND e.vec_id <> p.q_id
         )
@@ -1648,8 +1641,8 @@ ORACLE = {
         probes AS (
             SELECT label AS probe_label
             FROM carr, q
-            ORDER BY round(list_dot_product(cv, qv)
-                           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+            ORDER BY floor((list_dot_product(cv, qv)
+                           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 DESC,
                      label
             LIMIT 2
         )
@@ -1730,7 +1723,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("method"),
                 "n_retrieved",
                 "n_hits",
-                F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6).alias(
+                fround(F.col("n_hits") / F.lit(float(TOP_K)), 6).alias(
                     "recall_at_k"
                 ),
             )
@@ -1756,7 +1749,7 @@ ORACLE["ann_recall_report"] = f"""
     m_ivf AS (SELECT vec_id FROM {_recall_member_sql("ann_ivf_topk")}),
     m_pq AS (SELECT vec_id FROM {_recall_member_sql("ann_pq_topk")})
     SELECT method, n_retrieved, n_hits,
-           round(n_hits / {float(TOP_K)!r}, 6) AS recall_at_k
+           floor((n_hits / {float(TOP_K)!r}) * 1e6 + 0.5) / 1e6 AS recall_at_k
     FROM (
         SELECT 'lsh' AS method, count(*) AS n_retrieved,
                CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
@@ -1812,11 +1805,9 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
     )
     fused = lex.join(sem, "doc_id", "full_outer")
-    rrf = F.round(
+    rrf = fround(
         F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
-        6,
-    )
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)), 6)
     return (
         fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
@@ -1845,8 +1836,8 @@ ORACLE["hybrid_rrf_retrieval"] = f"""
         FROM ({ORACLE["ann_topk"]})
     )
     SELECT doc_id, lex_rank, sem_rank,
-           round(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
-                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf_score
+           floor((COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0)) * 1e6 + 0.5) / 1e6 AS rrf_score
     FROM lex FULL OUTER JOIN sem USING (doc_id)
     ORDER BY rrf_score DESC, doc_id
     LIMIT {RRF_TOP}
@@ -1918,17 +1909,17 @@ _IVFPQ_MEMBER_CTES = f"""
         iq AS (SELECT v AS qv FROM embl WHERE vec_id = {QUERY_VEC_ID}),
         iprobes AS (
             SELECT cell FROM icarr, iq
-            ORDER BY round(list_dot_product(cv, qv)
+            ORDER BY floor((list_dot_product(cv, qv)
                            / (sqrt(list_dot_product(cv, cv))
-                              * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                              * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 DESC,
                      cell
             LIMIT {IVFPQ_NPROBE}
         ),
         iscored AS (
             SELECT e.vec_id, c.cell,
-                   round(list_dot_product(e.v, c.cv)
+                   floor((list_dot_product(e.v, c.cv)
                          / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+                            * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6 AS ccos
             FROM embl e CROSS JOIN icarr c
         ),
         icells AS (
@@ -1948,6 +1939,148 @@ _IVFPQ_MEMBER_CTES = f"""
 
 ORACLE["ann_ivf_pq_topk"] = _pq_oracle(
     member_ctes=_IVFPQ_MEMBER_CTES,
+    member_join="JOIN imembers m ON a.vec_id = m.vec_id",
+)
+
+
+def q_ann_ivf_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with BOTH trainers sampled — the full billion-scale index
+    recipe with constant training cost. ``ann_ivf_pq_topk`` proves the
+    composed IVF+PQ serving shape but trains both quantizers on the
+    full corpus; this entry swaps in the two sampled chains the
+    standalone entries already prove: the coarse quantizer is Lloyd
+    over the KMEANS_SAMPLE_N hash sample (``kmeans_sampled_assign``'s
+    trainer), the PQ codebooks come from the PQ_SAMPLE_N hash sample
+    (``ann_pq_sampled_topk``'s trainer, decorrelated salt). The only
+    corpus-sized stages left are the two ONE-PASS broadcasts —
+    cell assignment and PQ coding — exactly the FAISS train-on-sample
+    / add-everything split. Query routing probes IVFPQ_NPROBE cells;
+    the ADC coded scan runs over only those cells' members; exact-L2
+    re-rank absorbs the sampled-codebook coarseness. Deterministic
+    end-to-end; the DuckDB twin composes the two sampled oracle
+    chains through the same member hooks as the full-corpus IVFPQ.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    ksample = (
+        emb.withColumn("__sk", _kmeans_sample_key(F.col("vec_id")))
+        .orderBy("__sk", "vec_id")
+        .limit(KMEANS_SAMPLE_N)
+        .select("vec_id", "v")
+    )
+    cent_arr, _, _ = _lloyd(ksample)
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    probes = _route_probes(cent_arr, query, IVFPQ_NPROBE)
+    # full-corpus cell assignment: ONE broadcast pass, map-combinable
+    # argmax (ccos desc, lowest cell) — no window sort
+    fassign = (
+        emb.crossJoin(broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "cell",
+            fround(
+                _dot(F.col("v"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, named_struct('c', ccos, 'l', -cell)) AS cell")
+        )
+    )
+    members = fassign.join(broadcast(probes), "cell").select("vec_id")
+    codebook, codes = _pq_train_sampled(emb)
+    pcodes = codes.join(members, "vec_id", "left_semi")
+    return _pq_retrieve(emb, codebook, pcodes)
+
+
+QUERIES["ann_ivf_pq_sampled_topk"] = q_ann_ivf_pq_sampled_topk
+
+
+def _sampled_coarse_member_ctes() -> str:
+    """Membership CTEs for the sampled IVFPQ oracle: the sampled-Lloyd
+    coarse quantizer (same chain as the kmeans_sampled oracle, 'i'
+    prefix to avoid collisions), query probe routing, one full-corpus
+    assignment, members of the probed cells."""
+    cos = (
+        "floor((list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6"
+    )
+    ctes = [
+        f"""isemb AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY substring(md5('{_KMEANS_SALT}' || CAST(vec_id AS VARCHAR)), 1, 8),
+                     vec_id
+            LIMIT {KMEANS_SAMPLE_N}
+        )""",
+        f"""icarr_0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM isemb ORDER BY vec_id LIMIT {KMEANS_K})
+        )""",
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""iassigned_{it} AS (
+            SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, c.cell, e.v,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+                       ) AS rn
+                FROM isemb e CROSS JOIN icarr_{it - 1} c
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""icent_{it} AS (
+            SELECT cell, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                       AS centroid
+            FROM (
+                SELECT cell, v, unnest(generate_series(1, len(v))) AS i
+                FROM iassigned_{it}
+            )
+            GROUP BY cell, i
+        )""")
+        ctes.append(f"""icarr_{it} AS (
+            SELECT cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM icent_{it} GROUP BY cell
+        )""")
+    last = KMEANS_ITERS
+    ctes.append(f"""iq AS (
+        SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}
+    )""")
+    ctes.append(f"""iprobes AS (
+        SELECT cell FROM icarr_{last} cv_t, iq
+        ORDER BY floor((list_dot_product(cv_t.cv, iq.qv)
+                       / (sqrt(list_dot_product(cv_t.cv, cv_t.cv))
+                          * sqrt(list_dot_product(iq.qv, iq.qv)))) * 1e6 + 0.5) / 1e6 DESC,
+                 cell
+        LIMIT {IVFPQ_NPROBE}
+    )""")
+    ctes.append(f"""ifassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+                   ) AS rn
+            FROM emb e CROSS JOIN icarr_{last} c
+        ) WHERE rn = 1
+    )""")
+    ctes.append("""imembers AS (
+        SELECT vec_id FROM ifassign
+        WHERE cell IN (SELECT cell FROM iprobes)
+    )""")
+    return "\n        " + ",\n        ".join(ctes) + ","
+
+
+ORACLE["ann_ivf_pq_sampled_topk"] = _pq_sampled_oracle(
+    member_ctes=_sampled_coarse_member_ctes(),
     member_join="JOIN imembers m ON a.vec_id = m.vec_id",
 )
 
@@ -1981,8 +2114,8 @@ def q_embedding_whiten_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb.select("vec_id", F.posexplode("v").alias("dim0", "x")).select(
         "vec_id", (F.col("dim0") + 1).cast("bigint").alias("dim"), "x"
     )
-    xd = F.round(F.col("x"), 9).cast("decimal(30,9)")
-    x2d = F.round(F.col("x") * F.col("x"), 12).cast("decimal(30,12)")
+    xd = fround(F.col("x"), 9).cast("decimal(30,9)")
+    x2d = fround(F.col("x") * F.col("x"), 12).cast("decimal(30,12)")
     stats = (
         dims.groupBy("dim")
         .agg(
@@ -1992,33 +2125,29 @@ def q_embedding_whiten_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "dim",
-            F.round(F.col("s") / F.col("n"), 6).alias("mu"),
-            F.round(
+            fround(F.col("s") / F.col("n"), 6).alias("mu"),
+            fround(
                 F.sqrt(
                     F.greatest(
                         F.lit(0.0),
                         (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
                         / (F.col("n") - 1),
                     )
-                ),
-                6,
-            ).alias("sd"),
+                ), 6).alias("sd"),
         )
     )
     z = F.when(
-        F.col("sd") > 0, F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6)
+        F.col("sd") > 0, fround((F.col("x") - F.col("mu")) / F.col("sd"), 6)
     ).otherwise(F.lit(0.0))
     zs = dims.join(broadcast(stats), "dim").select("vec_id", z.alias("z"))
     return zs.groupBy("vec_id").agg(
-        F.round(
+        fround(
             F.sqrt(
                 F.sum(
-                    F.round(F.col("z") * F.col("z"), 9).cast("decimal(25,9)")
+                    fround(F.col("z") * F.col("z"), 9).cast("decimal(25,9)")
                 ).cast("double")
-            ),
-            6,
-        ).alias("z_norm"),
-        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+            ), 6).alias("z_norm"),
+        fround(F.max(F.abs("z")), 6).alias("max_abs_z"),
         F.sum(
             F.when(F.abs("z") > Z_OUTLIER, 1).otherwise(0)
         ).cast("bigint").alias("n_outlier_dims"),
@@ -2037,28 +2166,28 @@ ORACLE["embedding_whiten_qc"] = f"""
     ),
     stats AS (
         SELECT dim,
-               round(s / n, 6) AS mu,
-               round(sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1))), 6)
+               floor((s / n) * 1e6 + 0.5) / 1e6 AS mu,
+               floor((sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1)))) * 1e6 + 0.5) / 1e6
                    AS sd
         FROM (
             SELECT dim, count(*) AS n,
-                   CAST(sum(CAST(round(x, 9) AS DECIMAL(30,9)))
+                   CAST(sum(CAST(floor((x) * 1e9 + 0.5) / 1e9 AS DECIMAL(30,9)))
                         AS DOUBLE) AS s,
-                   CAST(sum(CAST(round(x * x, 12) AS DECIMAL(30,12)))
+                   CAST(sum(CAST(floor((x * x) * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12)))
                         AS DOUBLE) AS s2
             FROM dims GROUP BY 1
         )
     ),
     zs AS (
         SELECT vec_id,
-               CASE WHEN sd > 0 THEN round((x - mu) / sd, 6)
+               CASE WHEN sd > 0 THEN floor(((x - mu) / sd) * 1e6 + 0.5) / 1e6
                     ELSE 0.0 END AS z
         FROM dims JOIN stats USING (dim)
     )
     SELECT vec_id,
-           round(sqrt(CAST(sum(CAST(round(z * z, 9) AS DECIMAL(25,9)))
-                           AS DOUBLE)), 6) AS z_norm,
-           round(max(abs(z)), 6) AS max_abs_z,
+           floor((sqrt(CAST(sum(CAST(floor((z * z) * 1e9 + 0.5) / 1e9 AS DECIMAL(25,9)))
+                           AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS z_norm,
+           floor((max(abs(z))) * 1e6 + 0.5) / 1e6 AS max_abs_z,
            CAST(sum(CASE WHEN abs(z) > {Z_OUTLIER!r} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outlier_dims
     FROM zs GROUP BY vec_id

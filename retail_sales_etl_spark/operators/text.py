@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 # marker tokens per language for the n-gram/stopword scoring heuristic
 LANG_MARKERS = {
@@ -347,9 +348,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ),
+            fround(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
@@ -522,9 +522,8 @@ def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .join(F.broadcast(eval_sizes), "eval_id")
     )
-    containment = F.round(
-        F.col("n_shared").cast("double") / F.col("eval_grams"), 6
-    )
+    containment = fround(
+        F.col("n_shared").cast("double") / F.col("eval_grams"), 6)
     return pairs.select(
         "doc_id",
         "eval_id",
@@ -616,17 +615,15 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    term = F.round(F.col("c") * F.log(F.col("c")), 6).cast("decimal(25,6)")
+    term = fround(F.col("c") * F.log(F.col("c")), 6).cast("decimal(25,6)")
     per_doc = wc.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(term).alias("_clogc"),
     )
-    entropy = F.round(
+    entropy = fround(
         F.log(F.col("n_words"))
-        - F.col("_clogc").cast("double") / F.col("n_words"),
-        6,
-    )
+        - F.col("_clogc").cast("double") / F.col("n_words"), 6)
     return per_doc.select(
         "doc_id",
         "n_words",
@@ -771,7 +768,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c12") + F.lit(BIGRAM_ADD_K))
         / (F.col("c1") + F.lit(BIGRAM_ADD_K) * F.col("v_size"))
     )
-    term = F.round(F.col("c") * logp, 6).cast("decimal(25,6)")
+    term = fround(F.col("c") * logp, 6).cast("decimal(25,6)")
     per_doc = (
         grid.join(pair_counts, ["w1", "w2"])
         .join(uni.select(F.col("t").alias("w1"), "c1"), "w1")
@@ -847,16 +844,14 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n_ab",
-            F.round(
+            fround(
                 F.log(
                     (F.col("n_ab") / F.col("n_pairs"))
                     / (
                         (F.col("na") / F.col("n_uni"))
                         * (F.col("nb") / F.col("n_uni"))
                     )
-                ),
-                6,
-            ).alias("pmi"),
+                ), 6).alias("pmi"),
         )
     )
     return pmi.orderBy(
@@ -896,17 +891,15 @@ def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
-        F.round(
-            F.sum("n_toks") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("avg_tokens"),
+        fround(
+            F.sum("n_toks") / F.count(F.lit(1)).cast("double"), 6).alias("avg_tokens"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(
             F.when(F.col("lang") == "en", 1).otherwise(0)
         ).cast("bigint").alias("n_en"),
         F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
-        F.round(
-            F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("dup_frac"),
+        fround(
+            F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6).alias("dup_frac"),
     )
 
 
@@ -988,9 +981,8 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_kept.alias("n_kept"),
-        F.round(
-            (n_tokens - n_kept).cast("double") / n_tokens, 6
-        ).alias("dup_frac"),
+        fround(
+            (n_tokens - n_kept).cast("double") / n_tokens, 6).alias("dup_frac"),
         F.expr("array_join(transform(kept, s -> s.tok), ' ')").alias(
             "clean_text"
         ),
@@ -1020,9 +1012,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     vocab = wc.groupBy("w").agg(F.sum("c").alias("cw"))
     totals = vocab.agg(F.sum("cw").alias("n_total"))
-    term = F.round(
-        F.col("c") * F.log(F.col("cw") / F.col("n_total")), 6
-    ).cast("decimal(25,6)")
+    term = fround(
+        F.col("c") * F.log(F.col("cw") / F.col("n_total")), 6).cast("decimal(25,6)")
     per_doc = (
         wc.join(vocab, "w")
         .crossJoin(F.broadcast(totals))
@@ -1089,7 +1080,7 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    term_score = F.round(
+    term_score = fround(
         idf
         * F.col("tf")
         * (BM25_K1 + 1)
@@ -1097,9 +1088,7 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf")
             + BM25_K1
             * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        ),
-        6,
-    )
+        ), 6)
     return (
         wc.join(broadcast(dfreq), "w")
         .join(dl, "doc_id")
@@ -1219,14 +1208,13 @@ ORACLE = {
         dfreq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
         scored AS (
             SELECT wc.doc_id,
-                   CAST(round(
+                   CAST(floor((
                        ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
                               / (CAST(df AS DOUBLE) + 0.5))
                        * tf * CAST({BM25_K1 + 1} AS DOUBLE)
                        / (tf + CAST({BM25_K1} AS DOUBLE)
                           * (CAST({1 - BM25_B} AS DOUBLE)
-                             + CAST({BM25_B} AS DOUBLE) * dl / avgdl)),
-                       6) AS DECIMAL(18,6)) AS s
+                             + CAST({BM25_B} AS DOUBLE) * dl / avgdl))) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS s
             FROM wc
             JOIN dfreq USING (w)
             JOIN dl ON wc.doc_id = dl.doc_id
@@ -1248,7 +1236,7 @@ ORACLE = {
         tot AS (SELECT sum(cw) AS n_total FROM vocab)
         SELECT doc_id,
                CAST(sum(c) AS BIGINT) AS n_words,
-               floor((-CAST(sum(CAST(round(c * ln(cw / n_total), 6)
+               floor((-CAST(sum(CAST(floor((c * ln(cw / n_total)) * 1e6 + 0.5) / 1e6
                                     AS DECIMAL(25,6))) AS DOUBLE)
                      / sum(c)) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob
         FROM wc JOIN vocab USING (w), tot
@@ -1267,11 +1255,11 @@ ORACLE = {
             SELECT doc_id,
                    CAST(sum(c) AS BIGINT) AS n_words,
                    count(*) AS n_distinct,
-                   sum(CAST(round(c * ln(c), 6) AS DECIMAL(25,6))) AS clogc
+                   sum(CAST(floor((c * ln(c)) * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6))) AS clogc
             FROM wc GROUP BY doc_id
         )
         SELECT doc_id, n_words, n_distinct,
-               round(ln(n_words) - CAST(clogc AS DOUBLE) / n_words, 6)
+               floor((ln(n_words) - CAST(clogc AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6
                    AS entropy_nats
         FROM per_doc
     """,
@@ -1334,8 +1322,8 @@ ORACLE = {
         voc AS (SELECT count(*) AS v_size FROM uni),
         terms AS (
             SELECT g.doc_id, g.c,
-                   CAST(round(g.c * ln((pc.c12 + {BIGRAM_ADD_K})
-                              / (uni.c1 + {BIGRAM_ADD_K} * v.v_size)), 6)
+                   CAST(floor((g.c * ln((pc.c12 + {BIGRAM_ADD_K})
+                              / (uni.c1 + {BIGRAM_ADD_K} * v.v_size))) * 1e6 + 0.5) / 1e6
                         AS DECIMAL(25,6)) AS term
             FROM grid g
             JOIN pc ON g.w1 = pc.w1 AND g.w2 = pc.w2
@@ -1365,13 +1353,13 @@ ORACLE = {
         SELECT source,
                count(*) AS n_docs,
                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-               round(sum(n_toks) / CAST(count(*) AS DOUBLE), 6)
+               floor((sum(n_toks) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                    AS avg_tokens,
                count(DISTINCT lang) AS n_langs,
                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_en,
                CAST(sum(is_dup) AS BIGINT) AS n_exact_dups,
-               round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6)
+               floor((sum(is_dup) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                    AS dup_frac
         FROM flagged GROUP BY 1
     """,
@@ -1396,8 +1384,8 @@ ORACLE = {
                    (SELECT sum(n_t) FROM uni) AS n_uni
         )
         SELECT w1, w2, n_ab,
-               round(ln((n_ab / n_pairs)
-                        / ((a.n_t / n_uni) * (b.n_t / n_uni))), 6) AS pmi
+               floor((ln((n_ab / n_pairs)
+                        / ((a.n_t / n_uni) * (b.n_t / n_uni)))) * 1e6 + 0.5) / 1e6 AS pmi
         FROM pc
         JOIN uni a ON pc.w1 = a.t
         JOIN uni b ON pc.w2 = b.t
@@ -1450,8 +1438,8 @@ ORACLE = {
         SELECT d.doc_id,
                CAST(len(d.w) AS BIGINT) AS n_tokens,
                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-               round(CAST(len(d.w) - coalesce(k.n_kept, 0) AS DOUBLE)
-                     / len(d.w), 6) AS dup_frac,
+               floor((CAST(len(d.w) - coalesce(k.n_kept, 0) AS DOUBLE)
+                     / len(d.w)) * 1e6 + 0.5) / 1e6 AS dup_frac,
                coalesce(k.clean_text, '') AS clean_text
         FROM words d LEFT JOIN ka k ON d.doc_id = k.doc_id
     """,
@@ -1583,10 +1571,10 @@ ORACLE = {
         SELECT p.doc_id, p.eval_id,
                CAST(p.n_shared AS BIGINT) AS n_shared,
                CAST(s.eval_grams AS BIGINT) AS eval_grams,
-               round(CAST(p.n_shared AS DOUBLE) / s.eval_grams, 6)
+               floor((CAST(p.n_shared AS DOUBLE) / s.eval_grams) * 1e6 + 0.5) / 1e6
                    AS containment
         FROM pairs p JOIN eval_sizes s ON p.eval_id = s.eval_id
-        WHERE round(CAST(p.n_shared AS DOUBLE) / s.eval_grams, 6)
+        WHERE floor((CAST(p.n_shared AS DOUBLE) / s.eval_grams) * 1e6 + 0.5) / 1e6
               >= {CONTAIN_THRESH}
     """,
     "decontaminate_ngram": f"""
@@ -1667,7 +1655,7 @@ ORACLE = {
         n AS (SELECT count(*) AS n_docs FROM documents),
         scored AS (
             SELECT doc_id, wc.w AS w, tf, df,
-                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+                   floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e6 + 0.5) / 1e6 AS tfidf
             FROM wc JOIN dfreq ON wc.w = dfreq.w CROSS JOIN n
         )
         SELECT doc_id, w AS term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
@@ -1808,7 +1796,7 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_oov",
             "n_oov_types",
-            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+            fround(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
 
@@ -1834,8 +1822,8 @@ ORACLE["vocab_oov_rate"] = f"""
                 AS BIGINT) AS n_oov,
            CAST(count(CASE WHEN in_vocab IS NULL THEN 1 END)
                 AS BIGINT) AS n_oov_types,
-           round(CAST(sum(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END)
-                      AS DOUBLE) / sum(c), 6) AS oov_rate
+           floor((CAST(sum(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END)
+                      AS DOUBLE) / sum(c)) * 1e6 + 0.5) / 1e6 AS oov_rate
     FROM src_grid LEFT JOIN vocab USING (w)
     GROUP BY source
 """
@@ -1869,13 +1857,27 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ["aa","aa"]); identical semantics in Spark and DuckDB. Rounds
     unroll in the plan (fixed constant), no driver collect.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    _, _, rounds = _bpe_chain(load_table(spark, sf_dir, "documents"))
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _bpe_chain(docs: DataFrame):
+    """The shared BPE training chain: returns ``(wc, cur, rounds)``
+    where ``wc`` is the (w, c) distinct-word count grid, ``cur`` is the
+    FINAL encoded word grid (w, seq, c) after BPE_ROUNDS merges, and
+    ``rounds`` is the per-round merge-rule DataFrames — shared by the
+    trainer entry (``bpe_merge_rounds``) and the corpus encoder
+    (``bpe_encode_corpus``)."""
     wc = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     cur = wc.select(
+        "w",
         F.concat(
             F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
         ).alias("seq"),
@@ -1905,16 +1907,14 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
+            "w",
             F.expr(
                 "replace(seq, '|' || w1 || '||' || w2 || '|',"
                 " '|' || w1 || w2 || '|')"
             ).alias("seq"),
             "c",
         )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionAll(r)
-    return out
+    return wc, cur, rounds
 
 
 QUERIES["bpe_merge_rounds"] = q_bpe_merge_rounds
@@ -1964,6 +1964,180 @@ def _bpe_oracle() -> str:
 
 
 ORACLE["bpe_merge_rounds"] = _bpe_oracle()
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to ENCODE the corpus — the
+    step that closes the tokenizer loop from ``bpe_merge_rounds``
+    (learn) to ``pack_sequences`` (consume): every document becomes
+    its token-id sequence under the trained merges, with ids assigned
+    frequency-ranked (id 1 = most frequent symbol; corpus-weighted,
+    (freq desc, symbol) tie-break) like a real tokenizer vocab.
+
+    Scale shape — all heavy work happens on the DISTINCT-WORD grid,
+    never the corpus: the merge rewrite is the trainer's own final
+    word grid (map-side broadcast replaces), the vocab is a tiny
+    (chars + BPE_ROUNDS) frequency rank, per-word id strings are one
+    grouped aggregate over the word grid, and the corpus pass is ONE
+    shuffle join (exploded words -> word grid) + one per-doc
+    reassembly — the standard word-cache encode every production BPE
+    tokenizer uses. Output is scalar columns (driver canonicalizer
+    contract): n_tokens plus the ','-joined id sequence whose string
+    equality pins the full encode; the real sink would emit
+    array<int> into pack_sequences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc, cur, _ = _bpe_chain(docs)
+    wsyms = (
+        cur.select(
+            "w",
+            F.posexplode(
+                F.filter(F.split("seq", "[|]"), lambda x: x != F.lit(""))
+            ).alias("sympos0", "sym"),
+        )
+        .select("w", (F.col("sympos0") + 1).alias("sympos"), "sym")
+    )
+    vfreq = wsyms.join(wc, "w").groupBy("sym").agg(
+        F.sum("c").cast("bigint").alias("freq")
+    )
+    # vocab is O(alphabet + BPE_ROUNDS) rows — the single-partition
+    # rank window is a few hundred rows at any corpus size
+    vocab = vfreq.select(
+        "sym",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "sym"))
+        .cast("int")
+        .alias("token_id"),
+    )
+    wtok = (
+        wsyms.join(F.broadcast(vocab), "sym")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_syms"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("sympos", "token_id"))
+                    ),
+                    lambda s: s.token_id.cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+        )
+    )
+    dwords = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+        )
+        .filter(F.col("w") != F.lit(""))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    return (
+        dwords.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s.ids,
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )
+
+
+QUERIES["bpe_encode_corpus"] = q_bpe_encode_corpus
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of q_bpe_encode_corpus: the same merge chain kept
+    keyed by word, the same frequency-ranked vocab, per-word id
+    strings, and the per-doc reassembly."""
+    ctes = [
+        """wc AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY 1
+        )""",
+        """wseq0 AS (
+            SELECT w,
+                   '|' || array_to_string(string_split(w, ''), '||') || '|'
+                       AS seq, c
+            FROM wc
+        )""",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""wp{r} AS (
+            SELECT s[i] AS w1, s[i + 1] AS w2, sum(c) AS cnt
+            FROM (
+                SELECT s, c, unnest(generate_series(1, len(s) - 1)) AS i
+                FROM (SELECT list_filter(string_split(seq, '|'),
+                                         x -> x <> '') AS s, c
+                      FROM wseq{r - 1})
+                WHERE len(s) >= 2
+            )
+            GROUP BY 1, 2
+        )""")
+        ctes.append(
+            f"wb{r} AS (SELECT w1, w2 FROM wp{r}"
+            " ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+        )
+        ctes.append(f"""wseq{r} AS (
+            SELECT w, replace(seq, '|' || w1 || '||' || w2 || '|',
+                              '|' || w1 || w2 || '|') AS seq, c
+            FROM wseq{r - 1}, wb{r}
+        )""")
+    last = BPE_ROUNDS
+    ctes.append(f"""wsyms AS (
+        SELECT w, i AS sympos, s[i] AS sym
+        FROM (
+            SELECT w, s, unnest(generate_series(1, len(s))) AS i
+            FROM (SELECT w, list_filter(string_split(seq, '|'),
+                                        x -> x <> '') AS s
+                  FROM wseq{last})
+        )
+    )""")
+    ctes.append("""vfreq AS (
+        SELECT ws.sym, CAST(sum(wc.c) AS BIGINT) AS freq
+        FROM wsyms ws JOIN wc USING (w)
+        GROUP BY 1
+    )""")
+    ctes.append("""vocab AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY freq DESC, sym)
+                         AS INT) AS token_id
+        FROM vfreq
+    )""")
+    ctes.append("""wtok AS (
+        SELECT w, count(*) AS n_syms,
+               string_agg(CAST(token_id AS VARCHAR), ','
+                          ORDER BY sympos) AS ids
+        FROM wsyms JOIN vocab USING (sym)
+        GROUP BY w
+    )""")
+    ctes.append("""dwords AS (
+        SELECT doc_id, i AS pos, w[i] AS wrd
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents)
+        )
+        WHERE w[i] <> ''
+    )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT doc_id,
+               CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+               string_agg(ids, ',' ORDER BY pos) AS token_ids
+        FROM dwords JOIN wtok ON dwords.wrd = wtok.w
+        GROUP BY doc_id
+    """
+
+
+ORACLE["bpe_encode_corpus"] = _bpe_encode_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2113,9 +2287,8 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             (
                 F.col("tf")
-                * F.round(
-                    F.log(1.0 + F.col("n_sources") / F.col("sdf")), 6
-                ).cast("decimal(18,6)")
+                * fround(
+                    F.log(1.0 + F.col("n_sources") / F.col("sdf")), 6).cast("decimal(18,6)")
             ).cast("double").alias("ctfidf"),
         )
     )
@@ -2125,7 +2298,7 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= CTFIDF_TOP_K)
-        .select("source", "w", "tf", F.round("ctfidf", 6).alias("ctfidf"), "rank")
+        .select("source", "w", "tf", fround("ctfidf", 6).alias("ctfidf"), "rank")
     )
 
 
@@ -2142,12 +2315,12 @@ ORACLE["source_top_terms"] = f"""
     ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
     scored AS (
         SELECT source, w, tf,
-               CAST(tf * CAST(round(ln(1.0 + n_sources
-                                        / CAST(sdf AS DOUBLE)), 6)
+               CAST(tf * CAST(floor((ln(1.0 + n_sources
+                                        / CAST(sdf AS DOUBLE))) * 1e6 + 0.5) / 1e6
                               AS DECIMAL(18,6)) AS DOUBLE) AS ctfidf
         FROM grid JOIN sdf USING (w), ns
     )
-    SELECT source, w, tf, round(ctfidf, 6) AS ctfidf,
+    SELECT source, w, tf, floor((ctfidf) * 1e6 + 0.5) / 1e6 AS ctfidf,
            CAST(rank AS INTEGER) AS rank
     FROM (
         SELECT *, row_number() OVER (

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 DEC = "decimal(25,6)"
 
@@ -267,9 +268,9 @@ def q_order_value_percentiles(
     else:
         pctl = lambda p: F.expr(f"percentile(o_totalprice, {p})")
     return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
-        F.round(pctl(0.5), 4).alias("p50"),
-        F.round(pctl(0.9), 4).alias("p90"),
-        F.round(pctl(0.99), 4).alias("p99"),
+        fround(pctl(0.5), 4).alias("p50"),
+        fround(pctl(0.9), 4).alias("p90"),
+        fround(pctl(0.99), 4).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -470,16 +471,15 @@ def q_equidepth_order_values(
             ).alias("__bs")
         ).select(
             *[
-                F.round(F.element_at("__bs", i), 6).alias(f"b{i}")
+                fround(F.element_at("__bs", i), 6).alias(f"b{i}")
                 for i in range(1, nb)
             ]
         )
     else:
         bounds = orders.agg(
             *[
-                F.round(
-                    F.expr(f"percentile(o_totalprice, {i / nb})"), 6
-                ).alias(f"b{i}")
+                fround(
+                    F.expr(f"percentile(o_totalprice, {i / nb})"), 6).alias(f"b{i}")
                 for i in range(1, nb)
             ]
         )
@@ -494,8 +494,8 @@ def q_equidepth_order_values(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.min("o_totalprice"), 6).alias("min_price"),
-            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+            fround(F.min("o_totalprice"), 6).alias("min_price"),
+            fround(F.max("o_totalprice"), 6).alias("max_price"),
         )
     )
 
@@ -520,7 +520,7 @@ _BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QTY_BANDS)
 def _equidepth_oracle() -> str:
     nb = EQUIDEPTH_BUCKETS
     bound_cols = ", ".join(
-        f"round(quantile_cont(o_totalprice, {i / nb}), 6) AS b{i}"
+        f"floor((quantile_cont(o_totalprice, {i / nb})) * 1e6 + 0.5) / 1e6 AS b{i}"
         for i in range(1, nb)
     )
     case = "CASE " + " ".join(
@@ -530,8 +530,8 @@ def _equidepth_oracle() -> str:
         WITH bounds AS (SELECT {bound_cols} FROM orders)
         SELECT {case} AS bucket,
                count(*) AS n_orders,
-               round(min(o_totalprice), 6) AS min_price,
-               round(max(o_totalprice), 6) AS max_price
+               floor((min(o_totalprice)) * 1e6 + 0.5) / 1e6 AS min_price,
+               floor((max(o_totalprice)) * 1e6 + 0.5) / 1e6 AS max_price
         FROM orders, bounds
         GROUP BY 1
     """
@@ -705,9 +705,9 @@ ORACLE = {
     """,
     "order_value_percentiles": """
         SELECT o_orderpriority AS order_priority,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+               floor((quantile_cont(o_totalprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+               floor((quantile_cont(o_totalprice, 0.99)) * 1e4 + 0.5) / 1e4 AS p99,
                count(*) AS n_orders
         FROM orders
         GROUP BY 1

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 # Per-row cast target for float aggregation: exact decimal sums.
 DEC = "decimal(25,6)"
@@ -1409,11 +1410,9 @@ def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "abc_class",
             "n_parts",
-            F.round(F.col("_crev").cast("double"), 2).alias("class_revenue"),
-            F.round(
-                F.col("_crev").cast("double") / F.col("_tot").cast("double"),
-                6,
-            ).alias("revenue_share"),
+            fround(F.col("_crev").cast("double"), 2).alias("class_revenue"),
+            fround(
+                F.col("_crev").cast("double") / F.col("_tot").cast("double"), 6).alias("revenue_share"),
         )
     )
 
@@ -1444,8 +1443,8 @@ ORACLE["part_abc_classes"] = f"""
         FROM cum, tot
     )
     SELECT abc_class, count(*) AS n_parts,
-           round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue,
-           round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+           floor((CAST(sum(rev) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS class_revenue,
+           floor((CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                AS revenue_share
     FROM classed GROUP BY 1
 """
@@ -1523,7 +1522,7 @@ def q_dp_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniform for a secure RNG and may then drop the _demo suffix.
     return clipped.select(
         F.col("n_name").alias("nation_name"),
-        F.round(F.col("crev").cast("double") + noise, 2).alias(
+        fround(F.col("crev").cast("double") + noise, 2).alias(
             "dp_revenue_demo"
         ),
         F.lit(DP_EPSILON).alias("epsilon"),
@@ -1553,9 +1552,9 @@ ORACLE["dp_revenue_by_nation"] = f"""
         FROM clipped
     )
     SELECT n_name AS nation_name,
-           round(CAST(crev AS DOUBLE)
+           floor((CAST(crev AS DOUBLE)
                  + (-{DP_CLIP / DP_EPSILON!r}) * sign(v)
-                   * ln(1.0 - 2.0 * abs(v)), 2) AS dp_revenue_demo,
+                   * ln(1.0 - 2.0 * abs(v))) * 1e2 + 0.5) / 1e2 AS dp_revenue_demo,
            CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon,
            'laplace-deterministic-demo-not-private' AS mechanism
     FROM noised

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.rounding import fround
 
 DEC = "decimal(25,6)"
 
@@ -159,8 +160,8 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "nation_name",
         "n_days",
-        F.when(denom != 0.0, F.round(slope, 6)).alias("slope"),
-        F.when(denom != 0.0, F.round(intercept, 6)).alias("intercept"),
+        F.when(denom != 0.0, fround(slope, 6)).alias("slope"),
+        F.when(denom != 0.0, fround(intercept, 6)).alias("intercept"),
     )
 
 
@@ -203,11 +204,11 @@ ORACLE = {
         )
         SELECT nation_name, n_days,
                CASE WHEN {_TREND_DENOM} <> 0.0
-                    THEN round({_TREND_SLOPE}, 6) END AS slope,
+                    THEN floor(({_TREND_SLOPE}) * 1e6 + 0.5) / 1e6 END AS slope,
                CASE WHEN {_TREND_DENOM} <> 0.0
-                    THEN round((CAST(sy AS DOUBLE) - ({_TREND_SLOPE})
+                    THEN floor(((CAST(sy AS DOUBLE) - ({_TREND_SLOPE})
                          * CAST(sx AS DOUBLE))
-                         / CAST(n_days AS DOUBLE), 6) END AS intercept
+                         / CAST(n_days AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS intercept
         FROM stats
     """,
     "customer_rfm": """

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.events import SESSION_GAP_SEC
+from ..functions.rounding import fround
 from ..operators.profiling import HH_DENOM
 
 # Parquet schema with ts as nanos-long (TIMESTAMP(NANOS) / raw-int64
@@ -1353,7 +1354,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key",
             "n_rows",
-            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+            fround(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
         )
     )
 
@@ -1472,7 +1473,7 @@ ORACLE = {
         ),
         tot AS (SELECT count(*) AS n_total FROM events)
         SELECT key, n_rows,
-               round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
+               floor((CAST(n_rows AS DOUBLE) / n_total) * 1e6 + 0.5) / 1e6 AS share
         FROM counts, tot
         WHERE n_rows * {HH_DENOM} >= n_total
     """,

@@ -791,3 +791,44 @@ def test_restore_refuses_vacuumed_target(spark, table):
         table.restore(1)
     with pytest.raises(ValueError):
         table.restore(99)
+
+
+def test_stream_lifetime_metadata_stays_bounded(spark, tmp_path):
+    """Stream-lifetime soak (bounded CI form of
+    scripts/soak_lakehouse_stream.py): drive the exactly-once
+    lakehouse sink + per-batch clean_log for 60 micro-batches and pin
+    that the commit-JSON count NEVER exceeds O(retain + checkpoint
+    interval) at ANY point of the stream's life — the metadata-GC
+    contract that keeps a months-lived streaming sink from accreting
+    one log file per micro-batch forever. Also pins that replay
+    detection (the batch watermark) survives every cleaning round and
+    that the full row count is exact at the end."""
+    import glob as _glob
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.streaming.events import (
+        _maybe_clean_log,
+        lakehouse_batch_sink,
+    )
+
+    path = str(tmp_path / "soak")
+    retain = 6
+    bound = retain + lh._CHECKPOINT_INTERVAL + 2
+    df = spark.range(2).selectExpr("id", "id * 3 AS v")
+    max_logs = 0
+    for b in range(60):
+        assert lakehouse_batch_sink(df, b, path) is True
+        _maybe_clean_log(spark, path, retain)
+        n_logs = len(_glob.glob(os.path.join(path, "_log", "*.json")))
+        max_logs = max(max_logs, n_logs)
+        assert n_logs <= bound, (b, n_logs, bound)
+        if b in (20, 40):  # replay mid-life, after cleaning rounds
+            assert lakehouse_batch_sink(df, b - 5, path) is False
+    # the bound was actually exercised (cleaning really ran)
+    assert max_logs <= bound
+    table = LakehouseTable(spark, path)
+    assert table.read().count() == 60 * 2
+    assert table.latest_value("batch_hwm") == 59
+    assert lakehouse_batch_sink(df, 59, path) is False  # final replay
+    assert lakehouse_batch_sink(df, 60, path) is True  # stream continues
