@@ -1517,3 +1517,79 @@ ORACLE["events_ab_test"] = f"""
                >= 1.96 AS significant
     FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over within-session event sequences.
+
+
+def q_events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types WITHIN
+    sessions: P(next_type | type) over adjacent event pairs whose gap
+    respects the sessionizer's rule (same session iff the gap is
+    <= SESSION_GAP_SEC — the complement of the > gap split), plus the
+    raw transition counts. The behavior-model companion of
+    ``session_ngram_examples`` (which emits training EXAMPLES; this
+    emits the fitted first-order MODEL) — the classic clickstream
+    "what follows what" matrix.
+
+    Plan: ONE window pass per user ((ts, event_id) tiebreak — adjacent
+    pair emit is map-side after the user shuffle), one map-combinable
+    (from, to) count, row totals from a second tiny aggregate over the
+    |types|^2 grid (broadcast back), probabilities in the portable
+    floor form. No self-joins, no global windows; per-user partitions
+    bounded by user activity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (
+            F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")
+        ).alias("gap"),
+    ).filter(
+        F.col("to_type").isNotNull() & (F.col("gap") <= SESSION_GAP_SEC)
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        fround(
+            F.col("n_transitions") / F.col("_tot").cast("double"), 6
+        ).alias("p"),
+    )
+
+
+QUERIES["events_markov_chain"] = q_events_markov_chain
+
+ORACLE["events_markov_chain"] = f"""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               floor(epoch(lead(ts) OVER w)) - floor(epoch(ts)) AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+        SELECT from_type, to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM pairs
+        WHERE to_type IS NOT NULL AND gap <= {SESSION_GAP_SEC}
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+        FROM counts GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           floor((c.n_transitions / CAST(t.tot AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS p
+    FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""

@@ -933,3 +933,114 @@ ORACLE["link_prediction_jaccard"] = f"""
     ORDER BY jaccard DESC, a_part, b_part
     LIMIT {LINKPRED_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph.
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002) of the
+    co-purchase graph: the Pearson correlation of the degrees at the
+    two ends of each edge — positive means hubs link to hubs
+    (assortative mixing), negative means hubs link to leaves — the
+    one-number structural summary that predicts how the graph responds
+    to hub removal and how communities form.
+
+    Exactness: degrees are INTEGERS, so every Pearson moment
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT aggregate over the
+    directed edge list — the only floating-point op is the final
+    correlation quotient, emitted in the portable floor form (guarded
+    against a zero denominator when all degrees are equal). Plan: one
+    degree aggregate, two keyed joins onto the edge list, one
+    map-combinable moment rollup to a single row; scale-safe at any
+    edge count.
+    """
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).select(
+        "a_part", "b_part"
+    )
+    nbr = edges.select(
+        F.col("a_part").alias("node"), F.col("b_part").alias("nb")
+    ).unionAll(
+        edges.select(F.col("b_part").alias("node"), F.col("a_part").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # directed edge list with both endpoint degrees
+    dd = (
+        nbr.join(deg.withColumnRenamed("node", "n1"), F.col("node") == F.col("n1"))
+        .select("node", "nb", F.col("deg").alias("dx"))
+        .join(deg.withColumnRenamed("node", "n2"), F.col("nb") == F.col("n2"))
+        .select(F.col("dx"), F.col("deg").alias("dy"))
+    )
+    m = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        (F.col("n") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            fround(
+                num.cast("double")
+                / F.sqrt(denx.cast("double") * deny.cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+        fround(F.col("sx") / F.col("n").cast("double"), 6).alias(
+            "avg_edge_degree"
+        ),
+    )
+
+
+QUERIES["graph_assortativity"] = q_graph_assortativity
+
+ORACLE["graph_assortativity"] = f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE}
+    ),
+    nbr AS (
+        SELECT a_part AS node, b_part AS nb FROM edges
+        UNION ALL SELECT b_part, a_part FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1),
+    dd AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM nbr
+        JOIN deg da ON nbr.node = da.node
+        JOIN deg db ON nbr.nb = db.node
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM dd
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS assortativity,
+           floor((sx / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS avg_edge_degree
+    FROM m
+"""
