@@ -965,11 +965,19 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b_part").alias("node"), F.col("a_part").alias("nb"))
     )
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    # directed edge list with both endpoint degrees
+    # directed edge list with both endpoint degrees; deg is |V| rows
+    # (bounded by distinct parts) — broadcast it so both joins stay
+    # map-side instead of shuffling the edge list twice
     dd = (
-        nbr.join(deg.withColumnRenamed("node", "n1"), F.col("node") == F.col("n1"))
+        nbr.join(
+            F.broadcast(deg.withColumnRenamed("node", "n1")),
+            F.col("node") == F.col("n1"),
+        )
         .select("node", "nb", F.col("deg").alias("dx"))
-        .join(deg.withColumnRenamed("node", "n2"), F.col("nb") == F.col("n2"))
+        .join(
+            F.broadcast(deg.withColumnRenamed("node", "n2")),
+            F.col("nb") == F.col("n2"),
+        )
         .select(F.col("dx"), F.col("deg").alias("dy"))
     )
     m = dd.agg(

@@ -3,9 +3,9 @@ conversion funnels — with DuckDB oracles.
 
 The retail-analytics queries a warehouse user builds on top of the
 reference's star schema. Plans stay one-shuffle-per-grouping: RFM is a
-single orders pass + ntile windows over the customer aggregate (the
-window input is already one row per customer — tiny relative to the
-fact); rankings partition by region so no global-order bottleneck
+single orders pass + three two-phase banded global ranks over the
+customer aggregate (no unpartitioned window ever touches the customer
+grid); rankings partition by region so no global-order bottleneck
 exists; the funnel is one conditional aggregation per user.
 """
 
@@ -21,11 +21,67 @@ from ..functions.rounding import fround
 DEC = "decimal(25,6)"
 
 
+RFM_EPOCH = "1992-01-01"
+RFM_BAND_DAYS = 64  # recency band width (days)
+RFM_BAND_FREQ = 4  # frequency band width (orders)
+RFM_BAND_MONEY = 25_000.0  # monetary band width (currency)
+
+
+def _banded_global_rank(
+    per_cust: DataFrame, band, order_cols, out_name: str
+) -> DataFrame:
+    """Global rank of every customer under (value DESC, customer_id)
+    WITHOUT a global window sort: the two-phase distributed rank of
+    `shard_serpentine`/`part_abc_classes`. Customers bucket into value
+    BANDS (any monotone banding is rank-equal — band edges need no
+    cross-engine agreement), cumulative band counts are a window over
+    the SMALL band grid only (broadcast back), and global rank = band
+    offset + row_number WITHIN the band. Ties in value land in one
+    band by construction, so the customer_id tie-break stays local."""
+    b = per_cust.withColumn("band", band.cast("bigint"))
+    grid = b.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grid.select(
+        "band",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wb = Window.partitionBy("band").orderBy(*order_cols)
+    return b.join(broadcast(offsets), "band").select(
+        "customer_id",
+        (F.col("off") + F.row_number().over(wb)).alias(out_name),
+    )
+
+
+def _ntile4(rank, n):
+    """ntile(4) as arithmetic on the global rank: with base = n div 4
+    and rem = n mod 4, the first rem tiles hold base+1 rows (SQL
+    ntile semantics, identical in Spark and DuckDB). All ints are
+    far below 2^53, so the double divisions are exact."""
+    base = F.floor(n / F.lit(4.0)).cast("bigint")
+    rem = (n - base * F.lit(4)).cast("bigint")
+    hi = rem * (base + F.lit(1))
+    return (
+        F.when(rank <= hi, F.ceil(rank / (base + F.lit(1))))
+        .otherwise(rem + F.ceil((rank - hi) / F.greatest(base, F.lit(1))))
+        .cast("int")
+    )
+
+
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quartiles per customer.
 
-    ntile(4) over explicit total orders (value + customer_id tie-break)
-    so quartile assignment is deterministic and engine-portable.
+    Quartile = ntile(4) over (value DESC, customer_id) — deterministic
+    and engine-portable — but computed WITHOUT global ntile windows
+    (which would sort the entire customer base on one reducer, three
+    times): each dimension gets a two-phase banded global rank
+    (`_banded_global_rank`), then the quartile is closed-form
+    arithmetic on (rank, n). Identical output to the window form at
+    any scale; the only unpartitioned windows run over the bounded
+    band grids. A production run would persist `per_cust` across the
+    three rank branches; at driver scale recomputing the one-shuffle
+    aggregate is cheaper than cache management.
     """
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
@@ -33,20 +89,50 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary_dec"),
     )
-    w_r = Window.orderBy(F.col("last_order_date").desc(), F.col("customer_id"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("customer_id"))
-    w_m = Window.orderBy(F.col("monetary_dec").desc(), F.col("customer_id"))
-    return per_cust.select(
-        "customer_id",
-        "last_order_date",
-        "frequency",
-        F.col("monetary_dec").cast("double").alias("monetary"),
-        F.ntile(4).over(w_r).alias("r_quartile"),
-        F.ntile(4).over(w_f).alias("f_quartile"),
-        F.ntile(4).over(w_m).alias("m_quartile"),
-    ).withColumn(
-        "rfm_segment",
-        F.concat(F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")),
+    cid = F.col("customer_id")
+    r_rank = _banded_global_rank(
+        per_cust,
+        F.floor(
+            F.datediff("last_order_date", F.lit(RFM_EPOCH).cast("date"))
+            / F.lit(RFM_BAND_DAYS)
+        ),
+        [F.col("last_order_date").desc(), cid],
+        "r_rank",
+    )
+    f_rank = _banded_global_rank(
+        per_cust,
+        F.floor(F.col("frequency") / F.lit(RFM_BAND_FREQ)),
+        [F.col("frequency").desc(), cid],
+        "f_rank",
+    )
+    m_rank = _banded_global_rank(
+        per_cust,
+        F.floor(F.col("monetary_dec").cast("double") / F.lit(RFM_BAND_MONEY)),
+        [F.col("monetary_dec").desc(), cid],
+        "m_rank",
+    )
+    total = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    n = F.col("n_cust")
+    return (
+        per_cust.join(r_rank, "customer_id")
+        .join(f_rank, "customer_id")
+        .join(m_rank, "customer_id")
+        .crossJoin(broadcast(total))
+        .select(
+            "customer_id",
+            "last_order_date",
+            "frequency",
+            F.col("monetary_dec").cast("double").alias("monetary"),
+            _ntile4(F.col("r_rank"), n).alias("r_quartile"),
+            _ntile4(F.col("f_rank"), n).alias("f_quartile"),
+            _ntile4(F.col("m_rank"), n).alias("m_quartile"),
+        )
+        .withColumn(
+            "rfm_segment",
+            F.concat(
+                F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+            ),
+        )
     )
 
 

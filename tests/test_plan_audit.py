@@ -522,3 +522,31 @@ def test_part_abc_prefix_sum_windows_are_band_partitioned(spark, sf_dir):
     assert all("band" in s for s in part_windows), part_windows
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_customer_rfm_no_global_ntile_ranks_are_band_partitioned(spark, sf_dir):
+    """RFM quartiles must come from the two-phase banded rank, never a
+    global ntile: no ntile in the plan, every row_number window spec
+    carries the band partition key (only the bounded band grids may
+    see an unpartitioned cumulative window), and the offsets grids
+    join back broadcast."""
+    import re
+
+    from retail_sales_etl_spark.plans.behavioral import q_customer_rfm
+
+    plan = _formatted_plan(q_customer_rfm(spark, sf_dir))
+    assert "ntile" not in plan, "global ntile window reappeared"
+    specs = [s for s in re.findall(r"row_number\(\)[^\n]*", plan)]
+    assert specs, "expected row_number window specs in plan"
+    assert all("band" in s for s in specs), specs
+    assert "BroadcastHashJoin" in plan
+
+
+def test_graph_assortativity_broadcasts_degree_table(spark, sf_dir):
+    """Both endpoint-degree joins onto the directed edge list must be
+    map-side broadcasts (deg is |V| rows, bounded by distinct parts);
+    a shuffled join would move the edge list twice."""
+    from retail_sales_etl_spark.operators.graph import q_graph_assortativity
+
+    plan = _formatted_plan(q_graph_assortativity(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
