@@ -1593,3 +1593,101 @@ ORACLE["events_markov_chain"] = f"""
                / 1e6 AS p
     FROM counts c JOIN totals t ON c.from_type = t.from_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily-count autocorrelation (the seasonality-detection companion of
+# weekday_seasonality: instead of ASSUMING a weekly period, measure it).
+
+AUTOCORR_LAGS = (1, 7)
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the lag-1 and lag-7 autocorrelation of the daily
+    event-count series — the one-number periodicity test (lag-7 high +
+    lag-1 low = weekly cycle) a monitoring pipeline runs per metric.
+
+    Exactness: daily counts are INTEGERS on the bounded (type, day)
+    grid, so for each lag the Pearson moments over (x_t, x_{t+lag})
+    pairs are exact BIGINT aggregates (the ``graph_assortativity``
+    recipe); the only float op is the final quotient in portable floor
+    form, zero-variance guarded. Plan: one fact shuffle to the daily
+    grid, then a per-lag self-join + moment rollup entirely on the
+    tiny grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    out = None
+    for lag in AUTOCORR_LAGS:
+        g2 = grid.select(
+            F.col("event_type").alias("t2"),
+            F.date_add("day", -lag).alias("d2"),
+            F.col("c").alias("y"),
+        )
+        pairs = grid.join(
+            g2,
+            (F.col("event_type") == F.col("t2")) & (F.col("day") == F.col("d2")),
+        ).select("event_type", F.col("c").alias("x"), "y")
+        m = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+        part = m.select(
+            "event_type",
+            F.lit(lag).alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.when(
+                (denx > 0) & (deny > 0),
+                fround(
+                    num.cast("double")
+                    / F.sqrt(denx.cast("double") * deny.cast("double")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("autocorr"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+QUERIES["events_autocorr"] = q_events_autocorr
+
+ORACLE["events_autocorr"] = f"""
+    WITH grid AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest({list(AUTOCORR_LAGS)!r}) AS lag),
+    m AS (
+        SELECT g1.event_type, l.lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(g1.c) AS BIGINT) AS sx,
+               CAST(sum(g2.c) AS BIGINT) AS sy,
+               CAST(sum(g1.c * g2.c) AS BIGINT) AS sxy,
+               CAST(sum(g1.c * g1.c) AS BIGINT) AS sxx,
+               CAST(sum(g2.c * g2.c) AS BIGINT) AS syy
+        FROM lags l, grid g1
+        JOIN grid g2 ON g1.event_type = g2.event_type
+        WHERE g2.day = g1.day + CAST(l.lag AS INTEGER)
+        GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS autocorr
+    FROM m
+"""

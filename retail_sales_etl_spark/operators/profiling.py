@@ -390,3 +390,123 @@ ORACLE = {
         FROM grid
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-balance profiling: Lorenz deciles + Gini of document length.
+
+LORENZ_BAND_W = 512  # n_chars band width for the two-phase global rank
+LORENZ_DECILES = 10
+
+
+def q_doc_length_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles and Gini coefficient of character mass
+    across documents — the corpus-balance number that says whether 10%
+    of the documents carry 60% of the training tokens (and therefore
+    dominate every downstream sample).
+
+    The scale problem is the GLOBAL length rank; this is the two-phase
+    banded prefix-rank (``shard_serpentine`` / ``part_abc_classes``
+    discipline): docs bucket into length bands, cumulative band counts
+    are a window over the SMALL band grid (broadcast back), rank =
+    band offset + row_number within band. Gini comes from the exact
+    rank-weighted sum G = 2*Σ(r_i·x_i)/(n·Σx) − (n+1)/n under the
+    deterministic (n_chars, doc_id) total order — every input to the
+    final float is an exact BIGINT/DECIMAL aggregate (the rank-weight
+    products accumulate in DECIMAL(38,0): bigint would overflow at
+    ~1e10 docs). Deciles are arithmetic on the same rank.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    banded = docs.withColumn(
+        "band", F.floor(F.col("n_chars") / F.lit(LORENZ_BAND_W)).cast("bigint")
+    )
+    grid = banded.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grid.select(
+        "band",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wb = Window.partitionBy("band").orderBy("n_chars", "doc_id")
+    ranked = banded.join(F.broadcast(offsets), "band").select(
+        "doc_id",
+        "n_chars",
+        (F.col("off") + F.row_number().over(wb)).alias("r"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("tot"),
+        F.sum(
+            F.col("r").cast("decimal(19,0)")
+            * F.col("n_chars").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("srx"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = fround(
+        F.lit(2.0) * F.col("srx").cast("double")
+        / (n_d * F.col("tot").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d,
+        6,
+    )
+    per_dec = (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "decile",
+            F.floor(
+                (F.col("r") - 1) * F.lit(LORENZ_DECILES) / F.col("n")
+            ).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("decile_chars"),
+            F.max(F.col("tot")).alias("_tot"),
+            F.max(gini).alias("_gini"),
+        )
+    )
+    return per_dec.select(
+        "decile",
+        "n_docs",
+        "decile_chars",
+        fround(
+            F.col("decile_chars").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("share"),
+        F.col("_gini").alias("gini"),
+    )
+
+
+QUERIES["doc_length_lorenz"] = q_doc_length_lorenz
+
+ORACLE["doc_length_lorenz"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS r
+        FROM documents
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS tot,
+               CAST(sum(CAST(r AS DECIMAL(19,0))
+                        * CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                   AS srx
+        FROM ranked
+    )
+    SELECT CAST(floor((r - 1) * {LORENZ_DECILES} / CAST(n AS DOUBLE))
+                AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS decile_chars,
+           floor((CAST(sum(n_chars) AS DOUBLE) / CAST(max(tot) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS share,
+           max(floor((2.0 * CAST(srx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6) AS gini
+    FROM ranked, totals
+    GROUP BY 1
+"""

@@ -2192,3 +2192,120 @@ ORACLE["embedding_whiten_qc"] = f"""
                 AS BIGINT) AS n_outlier_dims
     FROM zs GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation QC (Kusupati et al., NeurIPS 2022): how much
+# cosine structure survives when embeddings are truncated to a prefix
+# of their dimensions — the measurement that decides whether a serving
+# index can store 8/16/32-dim prefixes instead of the full vector.
+
+MATRYOSHKA_KS = (8, 16, 32, DIM)
+
+
+def q_embedding_matryoshka_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per prefix-length k: mean cosine over deterministic vector pairs
+    (vec 2i vs 2i+1 — an id-adjacent pairing, no RNG) and the mean
+    absolute gap to the full-dimension cosine.
+
+    Exactness: each pair's cosine is 6-dp floor-staged, the gap is a
+    DECIMAL difference of staged values, and the per-k means are
+    DECIMAL sums over the staged grid — so the floats never re-enter
+    an aggregation. Plan: ONE id-shifted self-join builds the pairs
+    (shuffle on vec_id), the x|K| explode happens map-side after it,
+    and everything aggregates to |K| rows with map-side combine. Zero
+    norms guard to cosine 0.0 in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        _as_double_array("embedding").alias("va"),
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("bigint").alias("pair_id"),
+        _as_double_array("embedding").alias("vb"),
+    )
+
+    def _cos(x: F.Column, y: F.Column) -> F.Column:
+        dot = _dot(x, y)
+        den = F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y))
+        return F.when(den > 0, fround(dot / den, 6)).otherwise(F.lit(0.0))
+
+    pairs = a.join(b, "pair_id").withColumn(
+        "cos_full", _cos(F.col("va"), F.col("vb"))
+    )
+    ks = F.array(*[F.lit(k) for k in MATRYOSHKA_KS])
+    staged = pairs.select(
+        "pair_id",
+        "cos_full",
+        F.explode(ks).alias("k"),
+        "va",
+        "vb",
+    ).select(
+        "pair_id",
+        "k",
+        _cos(
+            F.slice("va", 1, F.col("k")), F.slice("vb", 1, F.col("k"))
+        ).alias("cos_k"),
+        "cos_full",
+    )
+    dec = "decimal(25,6)"
+    return (
+        staged.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("cos_k").cast(dec)).alias("_sc"),
+            F.sum(
+                F.abs(
+                    F.col("cos_k").cast(dec) - F.col("cos_full").cast(dec)
+                )
+            ).alias("_sg"),
+        )
+        .select(
+            "k",
+            "n_pairs",
+            fround(F.col("_sc").cast("double") / F.col("n_pairs"), 6).alias(
+                "mean_cos"
+            ),
+            fround(F.col("_sg").cast("double") / F.col("n_pairs"), 6).alias(
+                "mean_abs_gap"
+            ),
+        )
+    )
+
+
+QUERIES["embedding_matryoshka_qc"] = q_embedding_matryoshka_qc
+
+_MK_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})) > 0"
+    " THEN floor((list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))) * 1e6 + 0.5) / 1e6"
+    " ELSE 0.0 END"
+)
+
+ORACLE["embedding_matryoshka_qc"] = f"""
+    WITH pairs AS (
+        SELECT CAST(a.vec_id / 2 AS BIGINT) AS pair_id,
+               CAST(a.embedding AS DOUBLE[]) AS va,
+               CAST(b.embedding AS DOUBLE[]) AS vb
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0
+    ),
+    staged AS (
+        SELECT pair_id, k,
+               {_MK_COS.format(a="va[1:k]", b="vb[1:k]")} AS cos_k,
+               {_MK_COS.format(a="va", b="vb")} AS cos_full
+        FROM pairs
+        CROSS JOIN (SELECT unnest({list(MATRYOSHKA_KS)!r}) AS k)
+    )
+    SELECT CAST(k AS INTEGER) AS k, count(*) AS n_pairs,
+           floor((CAST(sum(CAST(cos_k AS DECIMAL(25,6))) AS DOUBLE)
+                  / count(*)) * 1e6 + 0.5) / 1e6 AS mean_cos,
+           floor((CAST(sum(abs(CAST(cos_k AS DECIMAL(25,6))
+                              - CAST(cos_full AS DECIMAL(25,6)))) AS DOUBLE)
+                  / count(*)) * 1e6 + 0.5) / 1e6 AS mean_abs_gap
+    FROM staged GROUP BY k
+"""

@@ -2329,3 +2329,95 @@ ORACLE["source_top_terms"] = f"""
         FROM scored
     ) WHERE rank <= {CTFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency QC: the acceptance report for q_pack_sequences.
+
+
+def q_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing efficiency of the cumsum sequence packer: how
+    full the training sequences actually are (mean fill), how often a
+    straddling document overflows the budget, and how many pad tokens
+    the underfull packs would burn — the numbers that decide whether
+    the packing strategy (or MAX_SEQ_WORDS) needs retuning before a
+    run burns compute on padding.
+
+    Everything after ``q_pack_sequences``'s per-shard cumsum is two
+    integer re-aggregations: (source, pack_id) totals, then the
+    per-source rollup — exact BIGINT arithmetic, floats only in the
+    final frounded ratios. Bounded output (one row per source).
+    """
+    packs = q_pack_sequences(spark, sf_dir)
+    per_pack = packs.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("pack_words"),
+    )
+    budget = F.lit(MAX_SEQ_WORDS)
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("pack_words").cast("bigint").alias("total_words"),
+            F.max("pack_words").cast("bigint").alias("max_pack_words"),
+            F.sum(F.when(F.col("pack_words") > budget, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overflow"),
+            F.sum(
+                F.when(
+                    F.col("pack_words") < budget,
+                    budget - F.col("pack_words"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("waste_words"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            "n_docs",
+            "total_words",
+            "max_pack_words",
+            "n_overflow",
+            "waste_words",
+            fround(
+                F.col("total_words").cast("double")
+                / (F.col("n_packs").cast("double") * MAX_SEQ_WORDS),
+                6,
+            ).alias("mean_fill"),
+            fround(
+                F.col("n_overflow").cast("double") / F.col("n_packs"), 6
+            ).alias("overflow_frac"),
+        )
+    )
+
+
+QUERIES["pack_efficiency_report"] = q_pack_efficiency_report
+
+ORACLE["pack_efficiency_report"] = f"""
+    WITH packs AS ({ORACLE["pack_sequences"]}),
+    per_pack AS (
+        SELECT source, pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS pack_words
+        FROM packs GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_words) AS BIGINT) AS total_words,
+           CAST(max(pack_words) AS BIGINT) AS max_pack_words,
+           CAST(sum(CASE WHEN pack_words > {MAX_SEQ_WORDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflow,
+           CAST(sum(CASE WHEN pack_words < {MAX_SEQ_WORDS}
+                         THEN {MAX_SEQ_WORDS} - pack_words ELSE 0 END)
+                AS BIGINT) AS waste_words,
+           floor((CAST(sum(pack_words) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * {MAX_SEQ_WORDS}))
+                 * 1e6 + 0.5) / 1e6 AS mean_fill,
+           floor((CAST(sum(CASE WHEN pack_words > {MAX_SEQ_WORDS}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*)) * 1e6 + 0.5) / 1e6 AS overflow_frac
+    FROM per_pack GROUP BY 1
+"""

@@ -1789,3 +1789,174 @@ def _source_sketch_oracle() -> str:
 
 
 ORACLE["streaming_source_sketch"] = _source_sketch_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-11: driver entries for the remaining pytest-only streaming forms
+# (stream-stream INNER interval join, watermarked ingestion dedup,
+# stream-static enrichment, foreachBatch parquet sink). Each replays
+# deterministically under availableNow, so each carries a full SQL
+# oracle — the streaming path is not a weaker surface.
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the stream-stream INNER interval join
+    (``interval_join_clicks_purchases`` — the attribution join the
+    outer entry generalizes). Inner emission is watermark-independent
+    under full replay: a matched (click, purchase) pair emits exactly
+    when both rows have arrived, and unmatched rows never emit — so
+    the replayed result is precisely the batch interval join and
+    hash-checks against the same SQL.
+    """
+    import uuid
+
+    from ..catalog import table_path
+
+    path = table_path(sf_dir, "events")
+    joined = interval_join_clicks_purchases(
+        read_events_stream(spark, path, max_files_per_trigger=10),
+        read_events_stream(spark, path, max_files_per_trigger=10),
+    )
+    name = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(joined, name, spark)
+
+
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for watermarked ingestion dedup
+    (``dedupe_stream``): replay the events table TWICE — the second
+    copy staged as a later file (mtime-pinned), the at-least-once
+    redelivery every streaming source eventually produces — through
+    ``dropDuplicates`` within the watermark horizon. Every replayed
+    row is dropped deterministically: rows older than the advanced
+    watermark are discarded as late, rows inside the horizon hit
+    their event_id in the dedup state — so the emission is exactly
+    one row per event_id (the driver testdata's event_ids are unique)
+    and hash-checks against SELECT-the-table.
+    """
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ..catalog import load_table
+
+    work = tempfile.mkdtemp(prefix="dedup_replay_")
+    src = f"{work}/src"
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    for i in range(2):  # identical delivery + its full replay
+        before = set(glob.glob(f"{src}/*.parquet"))
+        ev.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    deduped = dedupe_stream(stream).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(deduped, name, spark)
+
+
+def q_streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for stream-static enrichment
+    (``enrich_with_customers``): the event stream left-joins the
+    static customer dimension (broadcast — re-read per micro-batch,
+    which is why the static side must be a small dim or pre-broadcast
+    lookup at scale). Stateless, so emission is exactly one enriched
+    row per event and hash-checks against the batch LEFT JOIN.
+    """
+    import uuid
+
+    from ..catalog import load_table, table_path
+
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=10
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(enrich_with_customers(stream, customer), name, spark)
+
+
+def q_streaming_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the foreachBatch parquet sink
+    (``write_batches_to_parquet``): the events table staged as 4 files
+    replays as 4 micro-batches, each landing via the batch writer
+    tagged with its batch id. The landed union is exactly-once (the
+    checkpoint admits each batch once; availableNow retires the query
+    after the backlog), so the rollup over the landed table — per-type
+    counts + DECIMAL value sums, plus the landed batch count — equals
+    the batch aggregate over events with n_batches = 4, hash-exact.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+
+    work = tempfile.mkdtemp(prefix="foreach_sink_")
+    src = f"{work}/src"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = f"{work}/landed"
+    write_batches_to_parquet(stream, out, f"{work}/ckpt").awaitTermination()
+    landed = spark.read.parquet(out)
+    total_batches = landed.agg(
+        F.count_distinct("__batch_id").alias("n_batches")
+    )
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .crossJoin(F.broadcast(total_batches))
+    )
+
+
+QUERIES["streaming_interval_join"] = q_streaming_interval_join
+QUERIES["streaming_dedup_replay"] = q_streaming_dedup_replay
+QUERIES["streaming_enrich_static"] = q_streaming_enrich_static
+QUERIES["streaming_foreach_sink"] = q_streaming_foreach_sink
+
+ORACLE["streaming_interval_join"] = """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1800 SECOND
+"""
+
+ORACLE["streaming_dedup_replay"] = """
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM events
+"""
+
+ORACLE["streaming_enrich_static"] = """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+ORACLE["streaming_foreach_sink"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(4 AS BIGINT) AS n_batches
+    FROM events
+    GROUP BY 1
+"""

@@ -550,3 +550,47 @@ def test_graph_assortativity_broadcasts_degree_table(spark, sf_dir):
 
     plan = _formatted_plan(q_graph_assortativity(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_doc_length_lorenz_rank_is_band_partitioned(spark, sf_dir):
+    """The Lorenz rank must be the two-phase banded form: every
+    row_number window spec carries the band key (no global sort over
+    documents), offsets and totals join back broadcast."""
+    import re
+
+    from retail_sales_etl_spark.operators.profiling import q_doc_length_lorenz
+
+    plan = _formatted_plan(q_doc_length_lorenz(spark, sf_dir))
+    specs = re.findall(r"row_number\(\)[^\n]*", plan)
+    assert specs, "expected row_number window specs"
+    assert all("band" in s for s in specs), specs
+    assert "BroadcastHashJoin" in plan
+
+
+def test_new_grid_operators_have_no_global_windows(spark, sf_dir):
+    """events_autocorr and embedding_matryoshka_qc reduce via joins +
+    map-combinable aggregates only — no window operator (a global
+    window over events or pairs would be the single-partition sort
+    these shapes avoid), no cartesian product."""
+    from retail_sales_etl_spark.operators.events import q_events_autocorr
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_matryoshka_qc,
+    )
+
+    for q in (q_events_autocorr, q_embedding_matryoshka_qc):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "Window" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_pack_efficiency_windows_are_shard_partitioned(spark, sf_dir):
+    """The only windows are the packer's per-source cumsums — every
+    window spec must carry the source shard key."""
+    import re
+
+    from retail_sales_etl_spark.operators.text import q_pack_efficiency_report
+
+    plan = _formatted_plan(q_pack_efficiency_report(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected the packer's cumsum window"
+    assert all("source" in s for s in specs), specs
