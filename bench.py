@@ -1,8 +1,13 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is materialized with the
-noop sink (full execution, no driver-side collect bottleneck).
+Prints the full JSON line {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...} followed by a compact (<1.5KB)
+summary line with the same metric/value contract — the driver records
+only the last ~2KB of stdout, so the LAST line must be standalone-
+parseable (total, legacy-16 subset, top-10 slowest, tier-2 totals).
+Each query is materialized with the noop sink (full execution, no
+driver-side collect bottleneck). Non-HEADLINE registry entries rotate
+through a single-rep tier-2 slice (1/3 of the pool per round).
 """
 
 from __future__ import annotations
@@ -221,28 +226,76 @@ def main() -> None:
 
     timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
+    # Tier-2 rotation: every registry entry not in HEADLINE gets a
+    # single-rep timing at least every ROTATION rounds, so a perf
+    # regression in the long tail (Q5-Q22 analogs, windows, cohorts,
+    # profiling) can't stay invisible between rounds. The rotation
+    # index derives from the count of recorded BENCH_r*.json driver
+    # artifacts — deterministic per round, no state file, and stable
+    # as the pool grows (stride slicing keys each entry to a phase).
+    import glob
+
+    ROTATION = 3
+    round_idx = len(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) % ROTATION
+    pool = sorted(n for n in queries if n not in HEADLINE)
+    tier2_names = pool[round_idx::ROTATION]
+    tier2: dict[str, float] = {}
+    for name in tier2_names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        tier2[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
+    tier2_total = round(sum(tier2.values()), 3)
+    full_line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
             "value": total,
             "unit": "sec",
             "queries": timings,
             "spread": spreads,
+            "tier2": tier2,
+            "tier2_slice": round_idx,
             "reps": reps,
             "sf": sf,
         }
     )
+    # Compact summary (<1.5KB) printed LAST: the driver records only
+    # the final ~2KB of stdout, so the last line must carry the
+    # comparable numbers standalone — total, the legacy-16 subset the
+    # round-1 floor was measured on, and the top-10 slowest queries.
+    legacy16 = round(sum(timings[n] for n in HEADLINE[:16] if n in timings), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact_line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "reps": reps,
+            "n_queries": len(timings),
+            "legacy16": legacy16,
+            "slowest": slowest,
+            "tier2_slice": round_idx,
+            "tier2_n": len(tier2),
+            "tier2_total": tier2_total,
+        }
+    )
     # Durable artifact first (the r9 stdout capture lost the tail —
     # BENCH.out survives a truncated pipe), then the stdout contract
-    # line the driver parses.
+    # lines the driver parses (full detail, then the compact tail).
     try:
         with open(os.path.join(REPO, "BENCH.out"), "w", encoding="utf-8") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
+            f.write(compact_line + "\n")
     except OSError:
         pass
     sys.stdout.flush()
-    print(line, flush=True)
+    print(full_line, flush=True)
+    print(compact_line, flush=True)
     spark.stop()
 
 
