@@ -1007,3 +1007,60 @@ def test_source_sketch_sink_replay_and_order_insensitive(spark, sf_dir, tmp_path
     before = snap(fwd)
     assert source_sketch_sink(halves[0], 2, fwd) is True
     assert snap(fwd) == before
+
+
+def test_dedupe_stream_first_writer_wins_on_mutated_replay(spark, sf_dir, tmp_path):
+    """An at-least-once redelivery can carry a MUTATED payload for the
+    same event_id (a retried producer re-serializing). dropDuplicates
+    keys on event_id alone, so the FIRST delivery's values must win
+    and the mutated replay must vanish — the semantics the oracle of
+    streaming_dedup_replay depends on."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+
+    src = str(tmp_path / "mutated")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    ev.coalesce(1).write.mode("append").parquet(src)
+    first = sorted(os.listdir(src))
+    # second delivery: same ids/timestamps, values shifted by +1e6
+    ev.withColumn("value", F.col("value") + 1_000_000.0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for f in os.listdir(src):
+        age = 0 if f in first else 1
+        os.utime(f"{src}/{f}", (t0 + age, t0 + age))
+    stream = streaming_events.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_events.run_to_memory(
+        streaming_events.dedupe_stream(stream), "dedup_mutated_test", spark
+    )
+    assert out.count() == ev.count()
+    # no mutated value survived: max(value) below the shift floor
+    assert out.agg(F.max("value")).first()[0] < 1_000_000.0
+
+
+def test_foreachbatch_sink_checkpoint_restart_is_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Restarting the foreachBatch query against the SAME checkpoint
+    after completion must land nothing new (the checkpoint remembers
+    the retired backlog) — the operational restart case on top of the
+    per-batch idempotence test above."""
+    stream = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    out_path = str(tmp_path / "sink_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+    streaming_events.write_batches_to_parquet(
+        stream.select("event_id", "ts", "event_type"), out_path, ckpt
+    ).awaitTermination()
+    landed_once = spark.read.parquet(out_path).count()
+
+    stream2 = streaming_events.read_events_stream(spark, table_path(sf_dir, "events"))
+    streaming_events.write_batches_to_parquet(
+        stream2.select("event_id", "ts", "event_type"), out_path, ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(out_path).count() == landed_once
