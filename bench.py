@@ -108,6 +108,14 @@ HEADLINE = [
     # round-10 additions: fully-sampled IVFPQ training + corpus encode
     "ann_ivf_pq_sampled_topk",
     "bpe_encode_corpus",
+    # round-11 additions: Matryoshka QC, daily-count autocorrelation,
+    # Lorenz/Gini corpus balance, packing-efficiency report, and the
+    # PassJoin-filtered fuzzy join (was the slowest tier-2 entry)
+    "embedding_matryoshka_qc",
+    "events_autocorr",
+    "doc_length_lorenz",
+    "pack_efficiency_report",
+    "fuzzy_prefix_match",
 ]
 
 

@@ -235,3 +235,70 @@ def test_dedup_recall_report_reconciles_with_members(spark, sf_dir):
         assert r["n_hits"] == hits
         assert abs(r["precision"] - round(hits / len(cand), 6)) < 1e-9
         assert abs(r["recall"] - round(hits / len(truth), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# PassJoin pigeonhole property for the fuzzy-prefix segment filter.
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_fuzzy_segment_filter_pigeonhole(data):
+    """For ANY pair of full-length prefixes within FUZZY_MAX_DIST, some
+    index segment of one string must equal a probe substring of the
+    other at a position the window list covers — the recall guarantee
+    the PassJoin candidate join relies on. Exercises alignments that
+    shift remainder segments into the block columns (the case a
+    block-boundary lower clamp would miss)."""
+    from retail_sales_etl_spark.operators.text import (
+        FUZZY_MAX_DIST,
+        FUZZY_PREFIX_LEN,
+        _fuzzy_segments,
+        _fuzzy_windows,
+    )
+
+    alphabet = "ab"  # tiny alphabet maximizes adversarial alignments
+    a = data.draw(
+        st.text(alphabet=alphabet, min_size=FUZZY_PREFIX_LEN, max_size=FUZZY_PREFIX_LEN)
+    )
+    # mutate with length-preserving edit mix: s subs + t (ins, del)
+    b = list(a)
+    n_sub = data.draw(st.integers(0, FUZZY_MAX_DIST))
+    n_shift = data.draw(st.integers(0, (FUZZY_MAX_DIST - n_sub) // 2))
+    for _ in range(n_sub):
+        p = data.draw(st.integers(0, len(b) - 1))
+        b[p] = data.draw(st.sampled_from(alphabet))
+    for _ in range(n_shift):
+        p = data.draw(st.integers(0, len(b) - 1))
+        del b[p]
+        q = data.draw(st.integers(0, len(b)))
+        b.insert(q, data.draw(st.sampled_from(alphabet)))
+    b = "".join(b)
+    assert len(b) == FUZZY_PREFIX_LEN
+    if _lev(a, b) > FUZZY_MAX_DIST:
+        return  # mutation overshot; outside the operator's contract
+
+    windows = _fuzzy_windows()
+
+    def seg_match(probe: str, indexed: str) -> bool:
+        for i, s, l in _fuzzy_segments():
+            seg = indexed[s - 1 : s - 1 + l]
+            for wi, q, wl in windows:
+                if wi == i and probe[q - 1 : q - 1 + wl] == seg:
+                    return True
+        return False
+
+    # the operator probes both orientations; either must witness
+    assert seg_match(a, b) or seg_match(b, a), (a, b, _lev(a, b))
