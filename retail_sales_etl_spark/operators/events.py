@@ -1609,11 +1609,13 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: daily counts are INTEGERS on the bounded (type, day)
     grid, so for each lag the Pearson moments over (x_t, x_{t+lag})
-    pairs are exact BIGINT aggregates (the ``graph_assortativity``
-    recipe); the only float op is the final quotient in portable floor
-    form, zero-variance guarded. Plan: one fact shuffle to the daily
-    grid, then a per-lag self-join + moment rollup entirely on the
-    tiny grid.
+    pairs are exact aggregates (the ``graph_assortativity`` recipe).
+    The cross-moments accumulate in DECIMAL(38,0), not BIGINT: at
+    ~1e9 events/day/type, sum(x*y) passes 1e18 and int64 wraps —
+    decimal keeps the moments exact to 1e38. The only float op is the
+    final quotient in portable floor form, zero-variance guarded.
+    Plan: one fact shuffle to the daily grid, then a per-lag
+    self-join + moment rollup entirely on the tiny grid.
     """
     ev = load_table(spark, sf_dir, "events")
     grid = ev.groupBy(
@@ -1630,21 +1632,29 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             g2,
             (F.col("event_type") == F.col("t2")) & (F.col("day") == F.col("d2")),
         ).select("event_type", F.col("c").alias("x"), "y")
+        xd = F.col("x").cast("decimal(19,0)")
+        yd = F.col("y").cast("decimal(19,0)")
         m = pairs.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("x").cast("bigint").alias("sx"),
-            F.sum("y").cast("bigint").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+            F.sum(xd).cast("decimal(38,0)").alias("sx"),
+            F.sum(yd).cast("decimal(38,0)").alias("sy"),
+            F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+            F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+            F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
         )
-        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-        denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-        deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "decimal(38,0)"
+        )
+        denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "decimal(38,0)"
+        )
+        deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "decimal(38,0)"
+        )
         part = m.select(
             "event_type",
             F.lit(lag).alias("lag"),
-            F.col("n").alias("n_pairs"),
+            F.col("n").cast("bigint").alias("n_pairs"),
             F.when(
                 (denx > 0) & (deny > 0),
                 fround(
@@ -1671,18 +1681,22 @@ ORACLE["events_autocorr"] = f"""
     lags AS (SELECT unnest({list(AUTOCORR_LAGS)!r}) AS lag),
     m AS (
         SELECT g1.event_type, l.lag,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(g1.c) AS BIGINT) AS sx,
-               CAST(sum(g2.c) AS BIGINT) AS sy,
-               CAST(sum(g1.c * g2.c) AS BIGINT) AS sxy,
-               CAST(sum(g1.c * g1.c) AS BIGINT) AS sxx,
-               CAST(sum(g2.c * g2.c) AS BIGINT) AS syy
+               CAST(count(*) AS DECIMAL(19,0)) AS n,
+               CAST(sum(CAST(g1.c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(g2.c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(g1.c AS DECIMAL(19,0))
+                        * CAST(g2.c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(g1.c AS DECIMAL(19,0))
+                        * CAST(g1.c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(g2.c AS DECIMAL(19,0))
+                        * CAST(g2.c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
         FROM lags l, grid g1
         JOIN grid g2 ON g1.event_type = g2.event_type
         WHERE g2.day = g1.day + CAST(l.lag AS INTEGER)
         GROUP BY 1, 2
     )
-    SELECT event_type, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
            CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
                 THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)

@@ -948,10 +948,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to hub removal and how communities form.
 
     Exactness: degrees are INTEGERS, so every Pearson moment
-    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT aggregate over the
-    directed edge list — the only floating-point op is the final
-    correlation quotient, emitted in the portable floor form (guarded
-    against a zero denominator when all degrees are equal). Plan: one
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact aggregate over the directed
+    edge list; the cross-moments accumulate in DECIMAL(38,0), not
+    BIGINT (hub degrees near 1e6 over 1e9 edges push Σx² past int64).
+    The only floating-point op is the final correlation quotient,
+    emitted in the portable floor form (guarded against a zero
+    denominator when all degrees are equal). Plan: one
     degree aggregate, two keyed joins onto the edge list, one
     map-combinable moment rollup to a single row; scale-safe at any
     edge count.
@@ -980,17 +982,25 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dx"), F.col("deg").alias("dy"))
     )
+    dxd = F.col("dx").cast("decimal(19,0)")
+    dyd = F.col("dy").cast("decimal(19,0)")
     m = dd.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum(dxd).cast("decimal(38,0)").alias("sx"),
+        F.sum(dyd).cast("decimal(38,0)").alias("sy"),
+        F.sum(dxd * dyd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dxd * dxd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dyd * dyd).cast("decimal(38,0)").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
     return m.select(
         (F.col("n") / F.lit(2)).cast("bigint").alias("n_edges"),
         F.when(
@@ -1033,12 +1043,15 @@ ORACLE["graph_assortativity"] = f"""
         JOIN deg db ON nbr.nb = db.node
     ),
     m AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(dx) AS BIGINT) AS sx,
-               CAST(sum(dy) AS BIGINT) AS sy,
-               CAST(sum(dx * dy) AS BIGINT) AS sxy,
-               CAST(sum(dx * dx) AS BIGINT) AS sxx,
-               CAST(sum(dy * dy) AS BIGINT) AS syy
+        SELECT CAST(count(*) AS DECIMAL(19,0)) AS n,
+               CAST(sum(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(dx AS DECIMAL(19,0))
+                        * CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(dx AS DECIMAL(19,0))
+                        * CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(dy AS DECIMAL(19,0))
+                        * CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
         FROM dd
     )
     SELECT CAST(n / 2 AS BIGINT) AS n_edges,
