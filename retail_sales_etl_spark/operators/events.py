@@ -1705,3 +1705,243 @@ ORACLE["events_autocorr"] = f"""
                 ELSE 0.0 END AS autocorr
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution — the third member
+# of the attribution family: asof (last-touch) / time-decay / position.
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: within each
+    purchase's 30-min touch window, the FIRST and LAST click each earn
+    40% of the purchase value and the middle touches split the
+    remaining 20% equally (1 touch -> 100%, 2 touches -> 50/50) — the
+    standard U-shape that values discovery and closing over the
+    middle of the journey.
+
+    Scale shape: the same bounded user-keyed purchase x click join as
+    ``attribution_time_decay``; touch ordering is a row_number window
+    PARTITIONED BY purchase (fan-out bounded by the 30-min window, no
+    global sort). Weights are closed-form in (rank, n) so no
+    normalizer pass is needed; shares are 6-dp floor-staged then
+    DECIMAL-summed per user (order-independent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    lead_sec = F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (lead_sec <= ATTR_WINDOW_SEC),
+    ).select("p_id", "p_user", "p_value", "c_id", "c_ts")
+    w_rank = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    w_cnt = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_user",
+        "p_id",
+        "c_id",
+        "p_value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("n"),
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    attributed = ranked.select(
+        "p_user",
+        "p_id",
+        fround(F.col("p_value") * weight, 6)
+        .cast("decimal(25,6)")
+        .alias("share"),
+    )
+    return (
+        attributed.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("share").cast("double").alias("attributed_value"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_touches",
+            fround("attributed_value", 6).alias("attributed_value"),
+        )
+    )
+
+
+QUERIES["attribution_position"] = q_attribution_position
+
+ORACLE["attribution_position"] = f"""
+    WITH pairs AS (
+        SELECT p.event_id AS p_id, p.user_id AS p_user, p.value AS p_value,
+               c.event_id AS c_id, c.ts AS c_ts
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts < p.ts
+         AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= {ATTR_WINDOW_SEC}
+    ),
+    ranked AS (
+        SELECT p_user, p_id, p_value,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY c_ts, c_id) AS rn,
+               count(*) OVER (PARTITION BY p_id) AS n
+        FROM pairs
+    ),
+    attributed AS (
+        SELECT p_user, p_id,
+               CAST(floor((p_value * CASE
+                    WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                    WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                    WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+                    ELSE CAST(0.2 AS DOUBLE) / (n - 2) END) * 1e6 + 0.5) / 1e6
+                    AS DECIMAL(25,6)) AS share
+        FROM ranked
+    )
+    SELECT p_user AS user_id,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           count(*) AS n_touches,
+           floor(CAST(sum(share) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS attributed_value
+    FROM attributed
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Next-event prediction eval: the acceptance report for the Markov model.
+
+
+def q_markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-rate@1 of first-order Markov next-event prediction under an
+    honest user-level holdout: the transition model fits on EVEN
+    user_ids, predicts argmax P(next | current) (ties broken by
+    to_type asc), and is scored on ODD users' transitions — the
+    train/test discipline that keeps the report from grading the model
+    on its own training data. The eval half of
+    ``events_markov_chain``'s fitted model.
+
+    Plan: the same single per-user window pass over events emits
+    adjacent in-session pairs ONCE; both halves then reduce to
+    (from, to) count grids (|types|^2), so training argmax, eval
+    totals, and the hit join all run on broadcast-size frames — the
+    fact shuffles once regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            (
+                F.lead(F.unix_timestamp("ts")).over(w)
+                - F.unix_timestamp("ts")
+            ).alias("gap"),
+        )
+        .filter(
+            F.col("to_type").isNotNull() & (F.col("gap") <= SESSION_GAP_SEC)
+        )
+        .select("user_id", "from_type", "to_type")
+    )
+    train = (
+        pairs.filter(F.col("user_id") % 2 == 0)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # argmax next state per from_type: (n desc, to_type asc) as min_by
+    # over the orderable struct (-n, to_type) — map-combinable, no window
+    predicted = train.groupBy("from_type").agg(
+        F.min_by(
+            "to_type", F.struct((-F.col("n")).alias("neg_n"), F.col("to_type"))
+        ).alias("predicted_next")
+    )
+    ev_counts = (
+        pairs.filter(F.col("user_id") % 2 == 1)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"))
+    )
+    scored = ev_counts.join(F.broadcast(predicted), "from_type", "left")
+    return (
+        scored.groupBy("from_type")
+        .agg(
+            F.max("predicted_next").alias("predicted_next"),
+            F.sum("n_eval").cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("to_type") == F.col("predicted_next"), F.col("n_eval")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "from_type",
+            "predicted_next",
+            "n_eval",
+            "n_hits",
+            fround(F.col("n_hits") / F.col("n_eval").cast("double"), 6).alias(
+                "hit_rate"
+            ),
+        )
+    )
+
+
+QUERIES["markov_next_event_eval"] = q_markov_next_event_eval
+
+ORACLE["markov_next_event_eval"] = f"""
+    WITH pairs AS (
+        SELECT user_id, from_type, to_type FROM (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER w AS to_type,
+                   floor(epoch(lead(ts) OVER w)) - floor(epoch(ts)) AS gap
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE to_type IS NOT NULL AND gap <= {SESSION_GAP_SEC}
+    ),
+    train AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE user_id % 2 = 0 GROUP BY 1, 2
+    ),
+    predicted AS (
+        SELECT from_type, to_type AS predicted_next
+        FROM (
+            SELECT from_type, to_type,
+                   row_number() OVER (PARTITION BY from_type
+                                      ORDER BY n DESC, to_type) AS rk
+            FROM train
+        ) WHERE rk = 1
+    ),
+    ev_counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_eval
+        FROM pairs WHERE user_id % 2 = 1 GROUP BY 1, 2
+    )
+    SELECT e.from_type,
+           max(p.predicted_next) AS predicted_next,
+           CAST(sum(e.n_eval) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN e.to_type = p.predicted_next
+                         THEN e.n_eval ELSE 0 END) AS BIGINT) AS n_hits,
+           floor((CAST(sum(CASE WHEN e.to_type = p.predicted_next
+                                THEN e.n_eval ELSE 0 END) AS DOUBLE)
+                  / sum(e.n_eval)) * 1e6 + 0.5) / 1e6 AS hit_rate
+    FROM ev_counts e LEFT JOIN predicted p ON e.from_type = p.from_type
+    GROUP BY 1
+"""

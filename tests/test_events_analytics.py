@@ -337,3 +337,73 @@ def test_km_survival_is_monotone_and_respects_censoring(spark, sf_dir):
         assert r["n_risk"] == total - running
         running += r["n_death"] + r["n_censored"]
     assert sum(r["n_censored"] for r in rows) > 0  # censoring occurs
+
+
+def test_attribution_position_u_shape_and_oracle_on_multi_touch(
+    spark, tmp_path
+):
+    """The driver testdata has only single-touch purchases, so the
+    oracle gate never exercises the n>=2 U-shape branches. Craft
+    purchases with 1/2/3/5 touches, pin the closed-form weights
+    (100%, 50/50, 40/20/40, 40/6.67x3/40), and hash-compare Spark vs
+    the DuckDB oracle on the SAME staged table so the CASE-branch
+    float semantics are proven engine-identical where it matters."""
+    import math
+
+    import duckdb
+
+    from retail_sales_etl_spark.operators.events import (
+        ORACLE,
+        q_attribution_position,
+    )
+
+    rows, eid = [], 0
+
+    def touch(user, minute):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            Row(event_id=eid, ts=datetime(2024, 1, 1, 10, minute),
+                user_id=user, event_type="click", value=0.0, props="{}")
+        )
+
+    def purchase(user, minute, value):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            Row(event_id=eid, ts=datetime(2024, 1, 1, 10, minute),
+                user_id=user, event_type="purchase", value=value,
+                props="{}")
+        )
+
+    touch(1, 0); purchase(1, 5, 100.0)                       # 1 touch
+    touch(2, 0); touch(2, 1); purchase(2, 5, 100.0)          # 2 touches
+    touch(3, 0); touch(3, 1); touch(3, 2); purchase(3, 5, 100.0)
+    for m in range(5):                                       # 5 touches
+        touch(4, m)
+    purchase(4, 10, 100.0)
+    _write_events(spark, str(tmp_path), rows)
+
+    got = {r.user_id: r for r in
+           q_attribution_position(spark, str(tmp_path)).collect()}
+    assert math.isclose(got[1].attributed_value, 100.0)
+    assert math.isclose(got[2].attributed_value, 100.0)
+    assert math.isclose(got[3].attributed_value, 100.0)
+    # 5 touches: 0.4 + 3 * round6(100*0.2/3) + 0.4 — the 6-dp
+    # half-up staging moves each middle share by <= 0.5e-6
+    # (100*0.2/3 = 6.666666... rounds UP to 6.666667)
+    assert abs(got[4].attributed_value - 100.0) <= 5e-7 * 5
+    assert got[4].n_touches == 5 and got[4].n_purchases == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r for r in
+              con.execute(ORACLE["attribution_position"]).fetchall()}
+    for uid, r in got.items():
+        o = oracle[uid]
+        assert (r.n_purchases, r.n_touches) == (o[1], o[2]), (uid, r, o)
+        assert repr(float(r.attributed_value)) == repr(float(o[3])), (
+            uid, r.attributed_value, o[3])

@@ -594,3 +594,27 @@ def test_pack_efficiency_windows_are_shard_partitioned(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs, "expected the packer's cumsum window"
     assert all("source" in s for s in specs), specs
+
+
+def test_attribution_and_markov_eval_windows_are_bounded(spark, sf_dir):
+    """attribution_position's only windows partition by purchase id
+    (fan-out bounded by the 30-min window); markov_next_event_eval's
+    only window partitions by user (the pair emit) and its prediction
+    table joins back broadcast — no global window, no cartesian."""
+    import re
+
+    from retail_sales_etl_spark.operators.events import (
+        q_attribution_position,
+        q_markov_next_event_eval,
+    )
+
+    plan = _formatted_plan(q_attribution_position(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "p_id" in spec, spec
+
+    plan = _formatted_plan(q_markov_next_event_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "user_id" in spec, spec
+    assert "BroadcastHashJoin" in plan
