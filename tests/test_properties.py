@@ -302,3 +302,53 @@ def test_fuzzy_segment_filter_pigeonhole(data):
 
     # the operator probes both orientations; either must witness
     assert seg_match(a, b) or seg_match(b, a), (a, b, _lev(a, b))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 5000))
+def test_ntile4_closed_form_matches_sql_semantics(n):
+    """customer_rfm computes quartiles as arithmetic on the banded
+    global rank instead of a global ntile window; the closed form must
+    reproduce SQL ntile(4) exactly for every (rank, n): the first
+    (n mod 4) tiles hold floor(n/4)+1 rows, the rest floor(n/4)."""
+
+    def sql_ntile4(rank, total):
+        base, rem = divmod(total, 4)
+        hi = rem * (base + 1)
+        if rank <= hi:
+            return (rank + base) // (base + 1)
+        return rem + -(-(rank - hi) // max(base, 1))
+
+    # reference: assign tiles by walking the bucket sizes
+    base, rem = divmod(n, 4)
+    sizes = [base + 1 if i < rem else base for i in range(4)]
+    expect, tile = [], 1
+    for size in sizes:
+        expect.extend([tile] * size)
+        tile += 1
+    got = [sql_ntile4(r, n) for r in range(1, n + 1)]
+    assert got == expect, (n, got[:10], expect[:10])
+
+
+def test_ntile4_spark_expression_matches_reference(spark):
+    """The actual Spark `_ntile4` column expression (not a Python
+    mirror) must reproduce SQL ntile(4) for boundary-rich sizes."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.plans.behavioral import _ntile4
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 101):
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("rank"), F.lit(n).cast("bigint").alias("n")
+        )
+        got = [
+            r[0]
+            for r in df.select(_ntile4(F.col("rank"), F.col("n")))
+            .orderBy("rank")
+            .collect()
+        ]
+        base, rem = divmod(n, 4)
+        expect = []
+        for i in range(4):
+            expect.extend([i + 1] * (base + 1 if i < rem else base))
+        assert got == expect, (n, got, expect)
