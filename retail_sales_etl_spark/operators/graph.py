@@ -1065,3 +1065,216 @@ ORACLE["graph_assortativity"] = f"""
                AS avg_edge_degree
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# supplier_projection_stats — bipartite part-supplier projection census
+# ---------------------------------------------------------------------------
+# Cap on suppliers-per-part for pair generation: a part above the cap is
+# a HUB whose C(n,2) supplier pairs would dominate the pair space (the
+# same df-cap discipline as the hot-shingle cut in dedup_ngram_jaccard);
+# hubs are excluded from projection and REPORTED in the output so the
+# truncation is never silent.
+PROJ_PART_CAP = 64
+
+
+def capped_bipartite_edges(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Distinct (part, supplier) edges with hub parts (> PROJ_PART_CAP
+    suppliers) excluded, plus the 1-row excluded-hub count — the shared
+    front end of every bipartite-graph operator here."""
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    pdeg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    n_hot = pdeg.filter(F.col("n_supp") > PROJ_PART_CAP).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hot_parts")
+    )
+    cold = edges.join(
+        pdeg.filter(F.col("n_supp") <= PROJ_PART_CAP).select("l_partkey"),
+        "l_partkey",
+    )
+    return cold, n_hot
+
+
+def q_supplier_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the supplier-side projection of the bipartite
+    part-supplier graph: how many supplier pairs share exactly w parts,
+    for every observed w.
+
+    The bipartite projection is the classic quadratic trap (Newman,
+    "Networks", ch. 6): pair volume per part is C(n_suppliers, 2), so
+    one hub part can emit more pairs than the rest of the graph. The
+    scale shape here is the inverted-index discipline used by every
+    dedup operator: distinct (part, supplier) edges, per-part supplier
+    count, parts over PROJ_PART_CAP excluded-and-counted, pair
+    generation strictly within the surviving part groups (self-join
+    co-partitioned on part — ONE shuffle key for both sides), then two
+    bounded rollups (pair -> weight, weight -> histogram). Output is
+    the |distinct weights| grid plus the hub-exclusion count — small,
+    hash-checkable, and the number a capacity planner actually reads
+    (the weight histogram IS the co-supply redundancy profile).
+    """
+    cold, n_hot = capped_bipartite_edges(load_table(spark, sf_dir, "lineitem"))
+    a = cold.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s1"))
+    b = cold.select(F.col("l_partkey").alias("p2"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_parts"))
+    )
+    hist = pairs.groupBy("shared_parts").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    return hist.crossJoin(F.broadcast(n_hot))
+
+
+QUERIES["supplier_projection_stats"] = q_supplier_projection_stats
+
+ORACLE["supplier_projection_stats"] = f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    pdeg AS (
+        SELECT l_partkey, count(*) AS n_supp FROM edges GROUP BY 1
+    ),
+    n_hot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hot_parts
+        FROM pdeg WHERE n_supp > {PROJ_PART_CAP}
+    ),
+    cold AS (
+        SELECT e.l_partkey, e.l_suppkey
+        FROM edges e JOIN pdeg d ON e.l_partkey = d.l_partkey
+        WHERE d.n_supp <= {PROJ_PART_CAP}
+    ),
+    pairs AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+               CAST(count(*) AS BIGINT) AS shared_parts
+        FROM cold a JOIN cold b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT shared_parts, CAST(count(*) AS BIGINT) AS n_pairs, n_hot_parts
+    FROM pairs CROSS JOIN n_hot
+    GROUP BY 1, 3
+"""
+
+
+def q_bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (4-cycle) census + bipartite clustering coefficient of
+    the part-supplier graph (Robins & Alexander 2004; butterfly
+    counting per Sanei-Mehri et al., KDD 2018).
+
+    Butterflies (two suppliers co-supplying two parts) are THE cohesion
+    motif of a bipartite graph — the analog of triangles, which
+    bipartite graphs cannot contain. C4 = sum over supplier pairs of
+    C(w,2) reuses the projection pipeline's capped pair weights; the
+    3-path count L3 = sum over edges of (deg_p - 1)(deg_s - 1) is exact
+    per center-edge counting (the middle edge of a 3-path is unique);
+    coefficient = 4*C4 / L3. Everything is an integer aggregate in
+    DECIMAL(38,0) (per-edge degree products wrap int64 once hub degrees
+    near 1e5 meet 1e9 edges) over the SAME capped subgraph the
+    projection reports (hub exclusion shared and counted); the only
+    float op is the final guarded quotient in portable floor form.
+    """
+    cold, n_hot = capped_bipartite_edges(load_table(spark, sf_dir, "lineitem"))
+    n_edges = cold.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    pdeg = cold.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("dp"))
+    sdeg = cold.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("ds"))
+    l3 = (
+        cold.join(pdeg, "l_partkey")
+        .join(sdeg, "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("dp") - 1).cast("decimal(19,0)")
+                * (F.col("ds") - 1).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("l3")
+        )
+    )
+    a = cold.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s1"))
+    b = cold.select(F.col("l_partkey").alias("p2"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    c4x2 = pairs.agg(
+        F.sum(
+            F.col("w").cast("decimal(19,0)")
+            * (F.col("w") - 1).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("c4x2")
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(l3))
+        .crossJoin(F.broadcast(c4x2))
+        .crossJoin(F.broadcast(n_hot))
+        .select(
+            "n_edges",
+            (F.col("c4x2") / 2).cast("bigint").alias("n_butterflies"),
+            F.col("l3").cast("bigint").alias("n_three_paths"),
+            F.when(
+                F.col("l3") > 0,
+                fround(
+                    F.lit(4.0)
+                    * ((F.col("c4x2") / 2).cast("double") / F.col("l3").cast("double")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bipartite_cc"),
+            "n_hot_parts",
+        )
+    )
+
+
+QUERIES["bipartite_butterflies"] = q_bipartite_butterflies
+
+ORACLE["bipartite_butterflies"] = f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    pdeg0 AS (
+        SELECT l_partkey, count(*) AS n_supp FROM edges GROUP BY 1
+    ),
+    n_hot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hot_parts
+        FROM pdeg0 WHERE n_supp > {PROJ_PART_CAP}
+    ),
+    cold AS (
+        SELECT e.l_partkey, e.l_suppkey
+        FROM edges e JOIN pdeg0 d ON e.l_partkey = d.l_partkey
+        WHERE d.n_supp <= {PROJ_PART_CAP}
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM cold),
+    pdeg AS (SELECT l_partkey, count(*) AS dp FROM cold GROUP BY 1),
+    sdeg AS (SELECT l_suppkey, count(*) AS ds FROM cold GROUP BY 1),
+    l3 AS (
+        SELECT CAST(sum(CAST(dp - 1 AS DECIMAL(19,0))
+                        * CAST(ds - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS l3
+        FROM cold c
+        JOIN pdeg p ON c.l_partkey = p.l_partkey
+        JOIN sdeg s ON c.l_suppkey = s.l_suppkey
+    ),
+    pairs AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+               CAST(count(*) AS BIGINT) AS w
+        FROM cold a JOIN cold b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    c4 AS (
+        SELECT CAST(sum(CAST(w AS DECIMAL(19,0))
+                        * CAST(w - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS c4x2
+        FROM pairs
+    )
+    SELECT n_edges,
+           CAST(c4x2 / 2 AS BIGINT) AS n_butterflies,
+           CAST(l3 AS BIGINT) AS n_three_paths,
+           CASE WHEN l3 > 0
+                THEN floor((4.0 * (CAST(c4x2 / 2 AS DOUBLE) / CAST(l3 AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS bipartite_cc,
+           n_hot_parts
+    FROM ne CROSS JOIN l3 CROSS JOIN c4 CROSS JOIN n_hot
+"""

@@ -2535,3 +2535,271 @@ ORACLE["pack_efficiency_report"] = f"""
                   / count(*)) * 1e6 + 0.5) / 1e6 AS overflow_frac
     FROM per_pack GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# quality_logistic_newton — a trained quality classifier, oracle-exact
+# ---------------------------------------------------------------------------
+# 2-parameter logistic fit (intercept + scaled word-count feature,
+# labels = the text_quality keep rule) via LOGI_ROUNDS Newton/IRLS
+# steps.  The reference has no ML surface; this is the
+# training-data-pipeline "quality classifier" stage (fastText /
+# CCNet-style doc filters) distilled to its distributed-systems core:
+# per-step full-corpus gradient + Hessian aggregates and a scalar
+# parameter update.  Cross-engine exactness demands no transcendental
+# calls (libm exp() is NOT correctly-rounded and differs between the
+# JVM and DuckDB), so the link is the RATIONAL sigmoid
+# p(z) = 0.5 + 0.5 * z / (1 + |z|)   (Elliott 1993 "fast sigmoid"),
+# whose derivative w(z) = 0.5 / (1 + |z|)^2 plays p(1-p)'s role in the
+# IRLS weights — every per-row quantity is then a finite composition of
+# IEEE-exact ops, bit-identical in both engines.
+LOGI_ROUNDS = 3
+LOGI_RIDGE = 0.001  # Tikhonov term on the Hessian diagonal
+
+
+def _logi_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (x = scaled word count, y = the text_quality keep flag).
+
+    The label is the hand-written keep RULE from ``q_text_quality`` —
+    the fit distills the rule into a calibrated smooth score
+    (rule-to-model distillation, the standard bootstrap for a corpus
+    quality classifier when no human labels exist yet).  Both columns
+    are exact rational functions of integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    n_words = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    stop = sum((_count_occurrences(padded, t) for t in STOPWORDS), F.lit(0.0))
+    score = (
+        F.lit(0.5)
+        + F.lit(0.5) * (stop / n_words - F.lit(0.05))
+        - F.when(n_words < 20, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        (n_words.cast("double") / F.lit(64.0)).alias("x"),
+        F.when(score >= F.lit(0.4), F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def _logi_p(z: F.Column) -> F.Column:
+    return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+
+
+def _logi_stage(c: F.Column) -> F.Column:
+    """9-dp floor-stage then DECIMAL — floats never re-enter a sum."""
+    return fround(c, 9).cast("decimal(28,9)")
+
+
+def _logi_step(feats: DataFrame, beta: DataFrame | None) -> DataFrame:
+    """One Newton step: corpus-wide gradient/Hessian sums (staged
+    decimal — order-independent), then the 2x2 closed-form solve as
+    scalar double arithmetic on the 1-row frame."""
+    if beta is None:
+        d = feats.select(
+            "x", "y", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+        )
+    else:
+        d = feats.crossJoin(F.broadcast(beta)).select("x", "y", "b0", "b1")
+    z = F.col("b0") + F.col("b1") * F.col("x")
+    p = _logi_p(z)
+    w = F.lit(0.5) / ((F.lit(1.0) + F.abs(z)) * (F.lit(1.0) + F.abs(z)))
+    sums = (
+        d.select(
+            "b0",
+            "b1",
+            _logi_stage(F.col("y") - p).alias("tg0"),
+            _logi_stage((F.col("y") - p) * F.col("x")).alias("tg1"),
+            _logi_stage(w).alias("tw"),
+            _logi_stage(w * F.col("x")).alias("twx"),
+            _logi_stage((w * F.col("x")) * F.col("x")).alias("twxx"),
+        )
+        .groupBy("b0", "b1")
+        .agg(
+            F.sum("tg0").cast("double").alias("g0"),
+            F.sum("tg1").cast("double").alias("g1"),
+            F.sum("tw").cast("double").alias("sw"),
+            F.sum("twx").cast("double").alias("swx"),
+            F.sum("twxx").cast("double").alias("swxx"),
+        )
+    )
+    h00 = F.col("sw") + F.lit(LOGI_RIDGE)
+    h01 = F.col("swx")
+    h11 = F.col("swxx") + F.lit(LOGI_RIDGE)
+    det = h00 * h11 - h01 * h01
+    return sums.select(
+        fround(
+            F.col("b0") + (h11 * F.col("g0") - h01 * F.col("g1")) / det, 9
+        ).alias("b0"),
+        fround(
+            F.col("b1") + (h00 * F.col("g1") - h01 * F.col("g0")) / det, 9
+        ).alias("b1"),
+    )
+
+
+def q_quality_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newton-trained logistic quality classifier — coefficients and
+    train metrics per round.
+
+    Shape at 100 TB: each round is ONE full scan ending in a 5-number
+    map-combined aggregate (the gradient/Hessian sums), the parameter
+    update is arithmetic on a 1-row frame that broadcasts into the
+    next scan — the textbook distributed-IRLS plan, LOGI_ROUNDS * scan
+    total cost, nothing driver-side, no window, no shuffle wider than
+    one row.  Determinism: rational sigmoid (module comment), 9-dp
+    floor-staged DECIMAL sums, coefficients re-staged to the 9-dp grid
+    after every step so the iterates are engine-portable; accuracy
+    thresholds on z >= 0 (exact, monotone in p).  Output: one row per
+    Newton round with (b0, b1, Brier score, accuracy) — the
+    convergence trace a data-quality run would log.
+    """
+    feats = _logi_feats(spark, sf_dir)
+    betas: list[DataFrame] = []
+    b: DataFrame | None = None
+    for _ in range(LOGI_ROUNDS):
+        b = _logi_step(feats, b)
+        betas.append(b)
+    d = feats
+    for i, bf in enumerate(betas, 1):
+        d = d.crossJoin(
+            F.broadcast(
+                bf.select(
+                    F.col("b0").alias(f"b0_{i}"), F.col("b1").alias(f"b1_{i}")
+                )
+            )
+        )
+    terms = []
+    for i in range(1, LOGI_ROUNDS + 1):
+        z = F.col(f"b0_{i}") + F.col(f"b1_{i}") * F.col("x")
+        p = _logi_p(z)
+        err = F.col("y") - p
+        terms.append(_logi_stage(err * err).alias(f"tb_{i}"))
+        terms.append(
+            F.when((z >= F.lit(0.0)) == (F.col("y") == F.lit(1.0)), 1)
+            .otherwise(0)
+            .alias(f"tc_{i}")
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("y") == F.lit(1.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    ]
+    for i in range(1, LOGI_ROUNDS + 1):
+        aggs += [
+            F.first(f"b0_{i}").alias(f"b0r_{i}"),
+            F.first(f"b1_{i}").alias(f"b1r_{i}"),
+            F.sum(f"tb_{i}").cast("double").alias(f"sb_{i}"),
+            F.sum(f"tc_{i}").cast("bigint").alias(f"sc_{i}"),
+        ]
+    one = d.select("*", *terms).agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i).alias("round"),
+            F.col(f"b0r_{i}").alias("b0"),
+            F.col(f"b1r_{i}").alias("b1"),
+            fround(F.col(f"sb_{i}") / F.col("n_docs"), 6).alias("brier"),
+            fround(F.col(f"sc_{i}").cast("double") / F.col("n_docs"), 6).alias(
+                "accuracy"
+            ),
+            F.col("n_docs"),
+            F.col("n_pos"),
+        )
+        for i in range(1, LOGI_ROUNDS + 1)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+QUERIES["quality_logistic_newton"] = q_quality_logistic_newton
+
+
+def _logi_oracle() -> str:
+    """Unrolled-rounds DuckDB twin of q_quality_logistic_newton.
+
+    Every expression mirrors the Spark column tree op-for-op (same
+    literals, same association order), so each intermediate double is
+    bit-identical; the staged-decimal sums are order-independent."""
+    stop = " + ".join(
+        _count_occurrences_sql("(' ' || lower(text) || ' ')", t)
+        for t in STOPWORDS
+    )
+
+    def st(term: str) -> str:
+        return f"CAST(floor(({term}) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))"
+
+    def p_of(z: str) -> str:
+        return f"0.5 + 0.5 * (({z}) / (1.0 + abs({z})))"
+
+    def w_of(z: str) -> str:
+        return f"0.5 / ((1.0 + abs({z})) * (1.0 + abs({z})))"
+
+    ctes = [
+        f"""feats AS (
+            SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS DOUBLE) / 64.0 AS x,
+                   CASE WHEN 0.5 + 0.5 * ((0.0 + {stop})
+                              / (length(text) - length(replace(text, ' ', '')) + 1)
+                              - 0.05)
+                            - (CASE WHEN (length(text)
+                                          - length(replace(text, ' ', '')) + 1) < 20
+                                    THEN 0.25 ELSE 0.0 END) >= 0.4
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        )""",
+        "b_0 AS (SELECT 0.0 AS b0, 0.0 AS b1)",
+    ]
+    for r in range(1, LOGI_ROUNDS + 1):
+        z = "(b0 + b1 * x)"
+        p = p_of(z)
+        w = w_of(z)
+        ctes.append(f"""s_{r} AS (
+            SELECT any_value(b0) AS b0, any_value(b1) AS b1,
+                   CAST(sum({st(f"y - ({p})")}) AS DOUBLE) AS g0,
+                   CAST(sum({st(f"(y - ({p})) * x")}) AS DOUBLE) AS g1,
+                   CAST(sum({st(w)}) AS DOUBLE) AS sw,
+                   CAST(sum({st(f"({w}) * x")}) AS DOUBLE) AS swx,
+                   CAST(sum({st(f"(({w}) * x) * x")}) AS DOUBLE) AS swxx
+            FROM feats CROSS JOIN b_{r - 1}
+        )""")
+        h00 = f"(sw + {LOGI_RIDGE})"
+        h11 = f"(swxx + {LOGI_RIDGE})"
+        det = f"({h00} * {h11} - swx * swx)"
+        ctes.append(f"""b_{r} AS (
+            SELECT floor((b0 + ({h11} * g0 - swx * g1) / {det})
+                         * 1e9 + 0.5) / 1e9 AS b0,
+                   floor((b1 + ({h00} * g1 - swx * g0) / {det})
+                         * 1e9 + 0.5) / 1e9 AS b1
+            FROM s_{r}
+        )""")
+    beta_cols = ", ".join(
+        f"b_{r}.b0 AS b0_{r}, b_{r}.b1 AS b1_{r}"
+        for r in range(1, LOGI_ROUNDS + 1)
+    )
+    joins = " ".join(f"CROSS JOIN b_{r}" for r in range(1, LOGI_ROUNDS + 1))
+    ctes.append(f"m AS (SELECT f.x, f.y, {beta_cols} FROM feats f {joins})")
+    selects = []
+    for r in range(1, LOGI_ROUNDS + 1):
+        z = f"(b0_{r} + b1_{r} * x)"
+        p = p_of(z)
+        selects.append(f"""
+        SELECT CAST({r} AS INTEGER) AS round,
+               any_value(b0_{r}) AS b0,
+               any_value(b1_{r}) AS b1,
+               floor((CAST(sum({st(f"(y - ({p})) * (y - ({p}))")}) AS DOUBLE)
+                      / count(*)) * 1e6 + 0.5) / 1e6 AS brier,
+               floor((CAST(sum(CASE WHEN ({z} >= 0.0) = (y = 1.0)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*)) * 1e6 + 0.5) / 1e6 AS accuracy,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM m""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects) + ")"
+    )
+
+
+ORACLE["quality_logistic_newton"] = _logi_oracle()

@@ -248,3 +248,63 @@ def test_ab_test_matches_scipy_style_recompute(spark, sf_dir):
         texp = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
         assert abs(r["t_stat"] - texp) < 1e-4
         assert r["significant"] == (abs(texp) >= 1.96)
+
+
+def test_supplier_projection_crafted_graph(spark, tmp_path, monkeypatch):
+    """Known bipartite graph: exact weight histogram + hub exclusion."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.graph import (
+        q_supplier_projection_stats,
+    )
+
+    monkeypatch.setattr(
+        "retail_sales_etl_spark.operators.graph.PROJ_PART_CAP", 3
+    )
+    rows = []
+    # part 1 <- {1,2}, part 2 <- {1,2}, part 3 <- {2,3}
+    #   pairs: (1,2) shares {1,2} -> w=2; (2,3) shares {3} -> w=1
+    # part 9 is a hub: 4 suppliers > cap 3 -> excluded + counted
+    for p, supps in ((1, (1, 2)), (2, (1, 2)), (3, (2, 3)), (9, (1, 2, 3, 4))):
+        for s in supps:
+            # duplicate lineitems must collapse via distinct()
+            for _ in range(2):
+                rows.append(Row(l_partkey=p, l_suppkey=s))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = {r["shared_parts"]: r for r in q_supplier_projection_stats(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_pairs"] == 1  # (s1,s2)
+    assert out[1]["n_pairs"] == 1  # (s2,s3)
+    assert all(r["n_hot_parts"] == 1 for r in out.values())
+
+
+def test_bipartite_butterflies_crafted_graph(spark, tmp_path, monkeypatch):
+    """Hand-counted butterfly census: parts 1,2 <- {s1,s2}, part 3 <-
+    {s2,s3}, hub part 9 excluded. One butterfly (s1,s2 over p1,p2),
+    L3 = 8, cc = 4*1/8 = 0.5."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.graph import (
+        q_bipartite_butterflies,
+    )
+
+    monkeypatch.setattr(
+        "retail_sales_etl_spark.operators.graph.PROJ_PART_CAP", 3
+    )
+    rows = []
+    for p, supps in ((1, (1, 2)), (2, (1, 2)), (3, (2, 3)), (9, (1, 2, 3, 4))):
+        for s in supps:
+            rows.append(Row(l_partkey=p, l_suppkey=s))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    (r,) = q_bipartite_butterflies(spark, d).collect()
+    assert r["n_edges"] == 6
+    assert r["n_butterflies"] == 1
+    assert r["n_three_paths"] == 8
+    assert r["bipartite_cc"] == 0.5
+    assert r["n_hot_parts"] == 1

@@ -388,3 +388,44 @@ def test_bpe_merge_respects_symbol_boundaries(spark, tmp_path):
     assert [(r["w1"], r["w2"], r["pair_count"]) for r in got] == expected
     assert len(got) == BPE_ROUNDS  # round 3 must not vanish
     assert (got[2]["w1"], got[2]["w2"]) == ("xa", "b")
+
+
+class TestQualityLogisticNewton:
+    """Convergence + determinism pins for the Newton-trained quality
+    classifier (cross-engine exactness is covered by the parity gate)."""
+
+    def test_converges_and_beats_base_rate(self, spark, sf_dir):
+        from retail_sales_etl_spark.operators.text import (
+            LOGI_ROUNDS,
+            q_quality_logistic_newton,
+        )
+
+        rows = {
+            r["round"]: r
+            for r in q_quality_logistic_newton(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == list(range(1, LOGI_ROUNDS + 1))
+        briers = [rows[i]["brier"] for i in sorted(rows)]
+        # Newton on a learnable rule: strictly decreasing train Brier
+        assert all(a > b for a, b in zip(briers, briers[1:])), briers
+        last = rows[LOGI_ROUNDS]
+        base = max(last["n_pos"], last["n_docs"] - last["n_pos"]) / last["n_docs"]
+        assert last["accuracy"] >= base
+        # coefficients sit on the 9-dp staging grid (engine-portable)
+        for i in rows:
+            for c in ("b0", "b1"):
+                v = rows[i][c]
+                import math
+
+                assert v == math.floor(v * 1e9 + 0.5) / 1e9
+
+    def test_no_window_no_collect_plan(self, spark, sf_dir):
+        """The trainer must stay a chain of scan->agg->broadcast rounds:
+        no WindowExec anywhere, betas enter via broadcast exchange."""
+        from retail_sales_etl_spark.operators.text import (
+            q_quality_logistic_newton,
+        )
+
+        plan = q_quality_logistic_newton(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastExchange" in plan
