@@ -510,3 +510,141 @@ ORACLE["doc_length_lorenz"] = f"""
     FROM ranked, totals
     GROUP BY 1
 """
+
+
+# Mahalanobis outlier report size
+MAHAL_TOP_K = 20
+
+
+def q_customer_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K customer outliers by exact 2-feature Mahalanobis distance
+    over (order count, lifetime spend) — the covariance-aware "whale or
+    anomaly?" screen that flags customers far from the joint
+    distribution even when each marginal looks normal (a 10-order
+    customer spending like a 100-order one outranks a uniformly-big
+    whale).
+
+    Exactness: spend goes to integer CENTS at the scan
+    (floor(x*100+0.5) — o_totalprice carries 2 decimals), so all five
+    moment sums are exact DECIMAL(38,0) integer aggregates (the
+    assortativity recipe; Sm² reaches ~6e34 at 1e10 customers — inside
+    DECIMAL(38,0), far past int64). The scatter-matrix entries
+    A = n·Sff − Sf², B = n·Sfm − Sf·Sm, C = n·Smm − Sm² and the
+    quadratic form d² = (C·df² − 2B·df·dm + A·dm²)/(AC − B²) with
+    df = n·f − Sf, dm = n·m − Sm are then mirrored double arithmetic
+    (the n-scaling cancels: this IS the population-covariance
+    Mahalanobis, verified against numpy in pytest). Plan: one
+    groupBy(customer), a 1-row moment aggregate broadcast back, the
+    distance map-side, top-K via orderBy+limit = distributed
+    TakeOrdered — no global sort, no window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    d19 = "decimal(19,0)"
+    moments = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("f").cast(d19)).cast("decimal(38,0)").alias("sf"),
+        F.sum(F.col("m").cast(d19)).cast("decimal(38,0)").alias("sm"),
+        F.sum(F.col("f").cast(d19) * F.col("f").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("sff"),
+        F.sum(F.col("f").cast(d19) * F.col("m").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("sfm"),
+        F.sum(F.col("m").cast(d19) * F.col("m").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("smm"),
+    )
+    n_d = F.col("n").cast("double")
+    a = n_d * F.col("sff").cast("double") - F.col("sf").cast("double") * F.col("sf").cast("double")
+    b = n_d * F.col("sfm").cast("double") - F.col("sf").cast("double") * F.col("sm").cast("double")
+    c = n_d * F.col("smm").cast("double") - F.col("sm").cast("double") * F.col("sm").cast("double")
+    det = a * c - b * b
+    df = n_d * F.col("f").cast("double") - F.col("sf").cast("double")
+    dm = n_d * F.col("m").cast("double") - F.col("sm").cast("double")
+    md2 = ((c * df) * df - ((F.lit(2.0) * b) * df) * dm + (a * dm) * dm) / det
+    return (
+        per_cust.crossJoin(F.broadcast(moments))
+        .filter(det > 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("f").alias("n_orders"),
+            F.col("m").alias("spend_cents"),
+            fround(md2, 6).alias("mahalanobis_sq"),
+        )
+        .orderBy(F.col("mahalanobis_sq").desc(), F.col("custkey"))
+        .limit(MAHAL_TOP_K)
+    )
+
+
+QUERIES["customer_mahalanobis_outliers"] = q_customer_mahalanobis_outliers
+
+ORACLE["customer_mahalanobis_outliers"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM orders GROUP BY 1
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(f AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sf,
+               CAST(sum(CAST(m AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sm,
+               CAST(sum(CAST(f AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sff,
+               CAST(sum(CAST(f AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sfm,
+               CAST(sum(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS smm
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT o_custkey AS custkey, f AS n_orders, m AS spend_cents,
+               floor((((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(f AS DOUBLE)
+                          - CAST(sf AS DOUBLE))) * (CAST(n AS DOUBLE) * CAST(f AS DOUBLE) - CAST(sf AS DOUBLE))
+                      - ((2.0 * (CAST(n AS DOUBLE) * CAST(sfm AS DOUBLE)
+                                 - CAST(sf AS DOUBLE) * CAST(sm AS DOUBLE)))
+                         * (CAST(n AS DOUBLE) * CAST(f AS DOUBLE)
+                            - CAST(sf AS DOUBLE)))
+                        * (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                           - CAST(sm AS DOUBLE))
+                      + ((CAST(n AS DOUBLE) * CAST(sff AS DOUBLE)
+                          - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                            - CAST(sm AS DOUBLE)))
+                        * (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                           - CAST(sm AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sff AS DOUBLE)
+                         - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                        - (CAST(n AS DOUBLE) * CAST(sfm AS DOUBLE)
+                           - CAST(sf AS DOUBLE) * CAST(sm AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sfm AS DOUBLE)
+                             - CAST(sf AS DOUBLE) * CAST(sm AS DOUBLE)))
+                    * 1e6 + 0.5) / 1e6 AS mahalanobis_sq
+        FROM per_cust CROSS JOIN mo
+        WHERE (CAST(n AS DOUBLE) * CAST(sff AS DOUBLE)
+               - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                 - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+              - (CAST(n AS DOUBLE) * CAST(sfm AS DOUBLE)
+                 - CAST(sf AS DOUBLE) * CAST(sm AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sfm AS DOUBLE)
+                   - CAST(sf AS DOUBLE) * CAST(sm AS DOUBLE)) > 0
+    )
+    SELECT custkey, n_orders, spend_cents, mahalanobis_sq
+    FROM scored
+    ORDER BY mahalanobis_sq DESC, custkey
+    LIMIT {MAHAL_TOP_K}
+"""

@@ -2803,3 +2803,149 @@ def _logi_oracle() -> str:
 
 
 ORACLE["quality_logistic_newton"] = _logi_oracle()
+
+
+# Zipf head size: fit over the top-N ranks only — the rank-frequency
+# log-log line is straight in the head and bends at the hapax tail, so
+# fitting the full vocabulary measures the tail wall, not the law.
+ZIPF_MAX_RANK = 1000
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ln(count) on ln(rank) over the top-ZIPF_MAX_RANK word ranks, with
+    slope (Zipf exponent, ~-1 for natural text), intercept, and R² —
+    the one-row corpus-health number that catches template/boilerplate
+    corpora (|slope| too steep) and synthetic word salad (too flat,
+    low R²) before training.
+
+    Scale shape: the corpus collapses to the distinct-word grid in one
+    exploded-scan aggregate; the GLOBAL (count desc, word) rank uses
+    the banded two-phase prefix-rank (band = the count value, offsets
+    windowed over the small distinct-count grid and broadcast back,
+    row_number only within bands) — never a vocabulary-wide sort; the
+    head filter bounds everything downstream at ZIPF_MAX_RANK rows.
+    Determinism: ln values 6-dp floor-staged (libm ln differs by ulps
+    across engines; the unigram_logprob discipline), their products
+    9-dp staged, DECIMAL sums, the OLS closed form in mirrored double
+    arithmetic, guarded degenerate denominators.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cw").cast("bigint").alias("n_tokens"),
+    )
+    grid = vocab.groupBy("cw").agg(F.count(F.lit(1)).alias("n_at"))
+    wg = Window.orderBy(F.col("cw").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grid.select(
+        "cw",
+        F.coalesce(F.sum("n_at").over(wg), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wb = Window.partitionBy("cw").orderBy("w")
+    head = (
+        vocab.join(F.broadcast(offsets), "cw")
+        .select("cw", (F.col("off") + F.row_number().over(wb)).alias("r"))
+        .filter(F.col("r") <= ZIPF_MAX_RANK)
+    )
+    x6 = fround(F.log(F.col("r").cast("double")), 6)
+    y6 = fround(F.log(F.col("cw").cast("double")), 6)
+
+    def _p9(c: F.Column) -> F.Column:
+        return fround(c, 9).cast("decimal(28,9)")
+
+    sums = head.select(
+        x6.alias("x6"), y6.alias("y6")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_head"),
+        F.sum(F.col("x6").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y6").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum(_p9(F.col("x6") * F.col("x6"))).cast("double").alias("sxx"),
+        F.sum(_p9(F.col("x6") * F.col("y6"))).cast("double").alias("sxy"),
+        F.sum(_p9(F.col("y6") * F.col("y6"))).cast("double").alias("syy"),
+    )
+    n_d = F.col("n_head").cast("double")
+    cov = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return sums.crossJoin(F.broadcast(totals)).select(
+        "n_types",
+        "n_tokens",
+        "n_head",
+        F.when(varx > 0, fround(slope, 6)).otherwise(F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        F.when(
+            varx > 0, fround((F.col("sy") - slope * F.col("sx")) / n_d, 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zipf_intercept"),
+        F.when(
+            (varx > 0) & (vary > 0), fround((cov * cov) / (varx * vary), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )
+
+
+QUERIES["text_zipf_fit"] = q_text_zipf_fit
+
+ORACLE["text_zipf_fit"] = f"""
+    WITH vocab AS (
+        SELECT w, count(*) AS cw
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cw) AS BIGINT) AS n_tokens
+        FROM vocab
+    ),
+    head AS (
+        SELECT cw, row_number() OVER (ORDER BY cw DESC, w) AS r
+        FROM vocab QUALIFY r <= {ZIPF_MAX_RANK}
+    ),
+    staged AS (
+        SELECT floor((ln(CAST(r AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS x6,
+               floor((ln(CAST(cw AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS y6
+        FROM head
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_head,
+               CAST(sum(CAST(x6 AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y6 AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(floor((x6 * x6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(floor((x6 * y6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(floor((y6 * y6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM staged
+    )
+    SELECT n_types, n_tokens, n_head,
+           CASE WHEN (CAST(n_head AS DOUBLE) * sxx - sx * sx) > 0
+                THEN floor(((CAST(n_head AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n_head AS DOUBLE) * sxx - sx * sx))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS zipf_slope,
+           CASE WHEN (CAST(n_head AS DOUBLE) * sxx - sx * sx) > 0
+                THEN floor(((sy - ((CAST(n_head AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(n_head AS DOUBLE) * sxx - sx * sx))
+                                  * sx) / CAST(n_head AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS zipf_intercept,
+           CASE WHEN (CAST(n_head AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_head AS DOUBLE) * syy - sy * sy) > 0
+                THEN floor((((CAST(n_head AS DOUBLE) * sxy - sx * sy)
+                             * (CAST(n_head AS DOUBLE) * sxy - sx * sy))
+                            / ((CAST(n_head AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n_head AS DOUBLE) * syy - sy * sy)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS r2
+    FROM s CROSS JOIN tot
+"""

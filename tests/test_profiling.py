@@ -115,3 +115,54 @@ def test_mg_merge_skips_null_and_zero_counts():
 
     merged = mg_merge({"a": 3}, [("b", None), ("c", float("nan")), ("d", 0), ("b", 2)])
     assert merged == {"a": 3, "b": 2}
+
+
+def test_mahalanobis_matches_numpy(spark, sf_dir):
+    """The closed-form scatter-matrix distance must equal the textbook
+    population-covariance Mahalanobis (numpy linalg) on every reported
+    row."""
+    import numpy as np
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_customer_mahalanobis_outliers,
+    )
+
+    from retail_sales_etl_spark.catalog import load_table
+
+    out = q_customer_mahalanobis_outliers(spark, sf_dir).collect()
+    assert out
+    feats = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("m"),
+        )
+        .collect()
+    )
+    X = np.array([[r["f"], r["m"]] for r in feats], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, ddof=0)
+    inv = np.linalg.inv(cov)
+    by_key = {r["o_custkey"]: X[i] - mu for i, r in enumerate(feats)}
+    for r in out:
+        d = by_key[r["custkey"]]
+        expected = float(d @ inv @ d)
+        assert abs(r["mahalanobis_sq"] - expected) < 1e-5 * max(1.0, expected), (
+            r["custkey"],
+            r["mahalanobis_sq"],
+            expected,
+        )
+    # and the report really is the global top-K: no unreported customer
+    # scores above the reported minimum
+    all_d2 = sorted(
+        (float(v @ inv @ v) for v in by_key.values()), reverse=True
+    )
+    k = len(out)
+    assert abs(all_d2[k - 1] - out[-1]["mahalanobis_sq"]) < 1e-5 * max(
+        1.0, all_d2[k - 1]
+    )
