@@ -166,3 +166,37 @@ def test_mahalanobis_matches_numpy(spark, sf_dir):
     assert abs(all_d2[k - 1] - out[-1]["mahalanobis_sq"]) < 1e-5 * max(
         1.0, all_d2[k - 1]
     )
+
+
+def test_theil_sen_outlier_immune(spark, tmp_path):
+    """11 days at exactly +$1/day with one enormous flash-sale day:
+    the Theil-Sen slope must stay exactly 100 cents/day (an OLS line
+    would be dragged by orders of magnitude) and the intercept is the
+    clean days' residual."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_theil_sen,
+    )
+
+    base = datetime.date(1992, 1, 1)
+    rows = []
+    for i in range(11):
+        price = 1_000_000.0 if i == 5 else 10.0 + i
+        rows.append(
+            Row(
+                o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+                o_totalprice=price,
+            )
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    (r,) = q_revenue_theil_sen(spark, d).collect()
+    assert r["n_days"] == 11
+    assert r["n_pairs"] == 55
+    assert r["slope_cents_per_day"] == 100.0
+    assert r["intercept_cents"] == 1000.0
