@@ -2309,3 +2309,202 @@ ORACLE["embedding_matryoshka_qc"] = f"""
                   / count(*)) * 1e6 + 0.5) / 1e6 AS mean_abs_gap
     FROM staged GROUP BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_top_pc — top principal component by distributed power iteration
+# ---------------------------------------------------------------------------
+PCA_POWER_ROUNDS = 3
+
+
+def _pc_assemble(frame: DataFrame, dim_col: str, val_col: str) -> DataFrame:
+    """Collapse a (dim, value) frame to a 1-row array frame in dim
+    order — the broadcastable vector representation between rounds."""
+    return frame.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(dim_col).alias("d"), F.col(val_col).alias("x")
+                    )
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("arr")
+    )
+
+
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by
+    PCA_POWER_ROUNDS steps of power iteration on the covariance matrix
+    (Mises & Pollaczek-Geringer 1929) — matrix-free: the covariance is
+    never materialized, each step is v <- normalize(X_cᵀ(X_c v)).
+
+    This is the anisotropy probe for embedding QC (Ethayarajh 2019:
+    contextual embeddings concentrate in a narrow cone; a dominant PC
+    with a large eigenvalue share means cosine similarity is mostly
+    measuring the common direction — the "all-but-the-top" cleanup of
+    Mu & Viswanath 2018 subtracts exactly this vector, and
+    embedding_whiten_qc's per-dim z-scores cannot see it because it
+    lives OFF-axis).
+
+    Scale shape: per round, the v vector is a 64-row frame collapsed
+    to a 1-row array and BROADCAST — the corpus pass is map-side (one
+    in-order fold dot per row, the engine-portable _dot), followed by
+    a 64-group map-combinable aggregate; nothing shuffles on vec_id,
+    no round's cost exceeds one scan + a KB-sized exchange. Mean
+    centering is one posexplode aggregate staged to the 6-dp grid.
+    Determinism: inputs 6-dp floor-staged, projection 6-dp, per-term
+    products 9-dp into DECIMAL(28,9) sums, the iterate re-staged to
+    the 6-dp grid each round (engine-portable like the logistic
+    trainer's coefficients); deterministic all-ones/8 init (unit norm:
+    64 dims), so the sign is pinned. Eigenvalue = ||X_cᵀX_c v||/n, the
+    Rayleigh estimate of the top covariance eigenvalue.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            _as_double_array("embedding"), lambda x: fround(x, 6)
+        ).alias("x6"),
+    )
+    n1 = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    dims = emb.select(F.posexplode("x6").alias("dim", "x"))
+    mu = dims.groupBy("dim").agg(
+        fround(
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    mua = _pc_assemble(mu, "dim", "m")
+    cent = emb.crossJoin(F.broadcast(mua)).select(
+        "vec_id", F.zip_with("x6", "arr", lambda a, b: a - b).alias("xc")
+    )
+    v = spark.range(DIM).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("val")
+    )
+    nrm = None
+    for _ in range(PCA_POWER_ROUNDS):
+        va = _pc_assemble(v, "dim", "val")
+        proj = cent.crossJoin(F.broadcast(va)).select(
+            "xc", fround(_dot(F.col("xc"), F.col("arr")), 6).alias("p")
+        )
+        terms = proj.select(F.posexplode("xc").alias("dim", "xcv"), "p")
+        s6 = (
+            terms.groupBy("dim")
+            .agg(
+                F.sum(
+                    fround(F.col("p") * F.col("xcv"), 9).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .select("dim", fround(F.col("s"), 6).alias("s6"))
+        )
+        # DECIMAL(18,6) so the square stays at precision 37: at (25,6)
+        # the product needs 51 digits and DuckDB silently falls back to
+        # order-dependent DOUBLE summation (found by bitcheck: 1-ulp nrm
+        # drift -> a 6-dp boundary flip in round 2)
+        nrm = s6.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("s6").cast("decimal(18,6)")
+                    * F.col("s6").cast("decimal(18,6)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = s6.crossJoin(F.broadcast(nrm)).select(
+            "dim", fround(F.col("s6") / F.col("nrm"), 6).alias("val")
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "dim",
+            F.col("val").alias("loading"),
+            fround(
+                F.col("nrm") / F.col("n_vectors").cast("double"), 6
+            ).alias("eigenvalue"),
+            "n_vectors",
+        )
+    )
+
+
+QUERIES["embedding_top_pc"] = q_embedding_top_pc
+
+
+def _top_pc_oracle() -> str:
+    """DuckDB twin: the same power-iteration rounds unrolled as CTEs
+    (the _kmeans_oracle discipline), list_dot_product == the in-order
+    fold of _dot."""
+    ctes = [
+        """emb AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1e6 + 0.5) / 1e6) AS x6
+            FROM embeddings
+        )""",
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM emb)",
+        """dims AS (
+            SELECT vec_id, i - 1 AS dim, x6[i] AS x
+            FROM emb, LATERAL (SELECT unnest(generate_series(1,
+                               len(x6))) AS i)
+        )""",
+        """mu AS (
+            SELECT dim,
+                   floor((CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
+                          / count(*)) * 1e6 + 0.5) / 1e6 AS m
+            FROM dims GROUP BY 1
+        )""",
+        """cgrid AS (
+            SELECT vec_id, dim, x - m AS xc FROM dims JOIN mu USING (dim)
+        )""",
+        """carr AS (
+            SELECT vec_id, list(xc ORDER BY dim) AS xc
+            FROM cgrid GROUP BY vec_id
+        )""",
+        """v_0 AS (
+            SELECT i - 1 AS dim, CAST(0.125 AS DOUBLE) AS val
+            FROM (SELECT unnest(generate_series(1, 64)) AS i)
+        )""",
+    ]
+    for r in range(1, PCA_POWER_ROUNDS + 1):
+        ctes.append(
+            f"va_{r} AS (SELECT list(val ORDER BY dim) AS va FROM v_{r - 1})"
+        )
+        ctes.append(f"""proj_{r} AS (
+            SELECT vec_id,
+                   floor((list_dot_product(xc, va)) * 1e6 + 0.5) / 1e6 AS p
+            FROM carr CROSS JOIN va_{r}
+        )""")
+        ctes.append(f"""s6_{r} AS (
+            SELECT dim, floor(s * 1e6 + 0.5) / 1e6 AS s6
+            FROM (
+                SELECT g.dim,
+                       CAST(sum(CAST(floor((p.p * g.xc) * 1e9 + 0.5) / 1e9
+                                     AS DECIMAL(28,9))) AS DOUBLE) AS s
+                FROM cgrid g JOIN proj_{r} p USING (vec_id)
+                GROUP BY 1
+            )
+        )""")
+        ctes.append(f"""nrm_{r} AS (
+            SELECT sqrt(CAST(sum(CAST(s6 AS DECIMAL(18,6))
+                                 * CAST(s6 AS DECIMAL(18,6))) AS DOUBLE))
+                       AS nrm
+            FROM s6_{r}
+        )""")
+        ctes.append(f"""v_{r} AS (
+            SELECT dim, floor((s6 / nrm) * 1e6 + 0.5) / 1e6 AS val
+            FROM s6_{r} CROSS JOIN nrm_{r}
+        )""")
+    last = PCA_POWER_ROUNDS
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT CAST(v.dim AS INT) AS dim, v.val AS loading,
+               floor((nrm / n_vectors) * 1e6 + 0.5) / 1e6 AS eigenvalue,
+               n_vectors
+        FROM v_{last} v CROSS JOIN nrm_{last} CROSS JOIN nv
+    """
+
+
+ORACLE["embedding_top_pc"] = _top_pc_oracle()

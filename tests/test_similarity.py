@@ -354,3 +354,62 @@ def test_whiten_qc_flags_corrupt_vector_and_survives_dead_dim(spark, tmp_path):
     assert bad["max_abs_z"] == max(r["max_abs_z"] for r in got.values())
     for r in got.values():  # dead dim 2 (constant 7.0) -> finite stats
         assert not math.isnan(r["z_norm"]) and not math.isnan(r["max_abs_z"])
+
+
+def test_embedding_top_pc_matches_numpy_replica(spark, sf_dir):
+    """Third-engine check: an independent numpy implementation of the
+    SAME staged power iteration (6/9-dp floor staging, decimal-exact
+    sums are plain math here) must reproduce every loading bit-for-bit;
+    the iterate must be unit-norm within staging error."""
+    import math
+
+    import numpy as np
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.similarity import (
+        PCA_POWER_ROUNDS,
+        q_embedding_top_pc,
+    )
+
+    out = q_embedding_top_pc(spark, sf_dir).collect()
+    assert len(out) == 64
+    loadings = {r["dim"]: r["loading"] for r in out}
+
+    def st(x, n):
+        return math.floor(x * 10**n + 0.5) / 10**n
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array(
+        [[st(float(x), 6) for x in r["embedding"]] for r in rows],
+        dtype=np.float64,
+    )
+    n, dim = X.shape
+    mu = np.array(
+        [st(float(sum(round(x * 1e6) for x in X[:, d]) / 1e6) / n, 6) for d in range(dim)]
+    )
+    Xc = X - mu
+    v = np.full(dim, 0.125)
+    for _ in range(PCA_POWER_ROUNDS):
+        def fold_dot(a, b):
+            # strict left fold — numpy's pairwise sum computes DIFFERENT
+            # float ops than the engines' sequential accumulation
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        p = np.array([st(fold_dot(xc, v), 6) for xc in Xc])
+        # per-dim staged-product sums, exact via integer nanos
+        s = np.array(
+            [
+                float(sum(round(st(p[i] * Xc[i, d], 9) * 1e9) for i in range(n)))
+                / 1e9
+                for d in range(dim)
+            ]
+        )
+        s6 = np.array([st(x, 6) for x in s])
+        nrm = math.sqrt(float(sum(round(x * 1e6) ** 2 for x in s6)) / 1e12)
+        v = np.array([st(x / nrm, 6) for x in s6])
+    for d in range(dim):
+        assert loadings[d] == v[d], (d, loadings[d], v[d])
+    assert abs(float(np.sum(v * v)) - 1.0) < 1e-4
