@@ -592,3 +592,135 @@ ORACLE = {
         )
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup — perceptual average-hash image dedup, integer-exact
+# ---------------------------------------------------------------------------
+PHASH_W = 4
+PHASH_H = 3
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("gray_sum", LongType()),
+    ]
+)
+
+
+def ahash_ppm(payload: bytes) -> dict:
+    """Average-hash (aHash) over a REAL decoded raster: NN-resize the
+    grayscale image to PHASH_W x PHASH_H, set bit i iff that cell's
+    gray is >= the grid mean. INTEGER-exact end-to-end: gray = r+g+b
+    (0..765, no luma weights to float-divide), and the mean compare is
+    cross-multiplied (g*12 >= sum) so no division ever happens — a
+    wrong raster offset, NN mapping, or bit order changes the hash."""
+    width, height, raw = _parse_ppm(payload)
+    grays: list[int] = []
+    for y2 in range(PHASH_H):
+        sy = (y2 * height) // PHASH_H
+        for x2 in range(PHASH_W):
+            sx = (x2 * width) // PHASH_W
+            off = 3 * (sy * width + sx)
+            grays.append(raw[off] + raw[off + 1] + raw[off + 2])
+    total = sum(grays)
+    n = PHASH_W * PHASH_H
+    phash = 0
+    for i, g in enumerate(grays):
+        if g * n >= total:
+            phash |= 1 << i
+    return {"phash": phash, "gray_sum": total}
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE dedup by average-hash bucketing
+    — the image-side twin of dedup_exact's md5 grid (aHash per
+    Zauner 2010's perceptual-hash taxonomy; the blockhash idea of
+    Yang, Weng & Niu 2006): decode REAL P6 bytes, aHash each raster
+    (integer-exact: see ahash_ppm), and report every hash bucket
+    holding >= 2 documents — the candidate near-dup groups an image
+    pipeline reviews or drops.
+
+    Scale shape: the only bytes-touching stage is the Arrow-batched
+    mapInPandas decode (map-side, no shuffle); ONLY the 12-bit hash +
+    doc id ever shuffle (the frame_dedup discipline: payloads never
+    move), and the bucket census is one map-combinable aggregate.
+    The oracle recomputes every hash closed-form from the pixel
+    generator — header parse, raster stride, NN mapping, and bit
+    packing are all hash-checked end-to-end.
+    """
+    media = synthesize_ppm(load_table(spark, sf_dir, "documents"))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "phash": [], "gray_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = ahash_ppm(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["phash"].append(d["phash"])
+                rows["gray_sum"].append(d["gray_sum"])
+            yield pd.DataFrame(rows)
+
+    hashed = media.mapInPandas(_hash, schema=PHASH_SCHEMA)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("gray_sum").cast("bigint").alias("bucket_gray_sum"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+QUERIES["multimodal_phash_dedup"] = q_multimodal_phash_dedup
+
+# Closed-form oracle: gray(d, x2, y2) from the generator at the
+# NN-sampled source pixel; bit i = (gray * 12 >= grid total).
+_PH_N = PHASH_W * PHASH_H
+_PH_GRAY = (
+    "(((doc_id + 7 * sx + 13 * sy) % 256)"
+    " + ((3 * doc_id + 5 * sx + sy) % 256)"
+    " + ((doc_id + sx * sy) % 256))"
+)
+
+ORACLE["multimodal_phash_dedup"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 8) + 2 AS w,
+               (doc_id % 6) + 2 AS h
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, w, h, x2, y2,
+               (x2 * w) // {PHASH_W} AS sx,
+               (y2 * h) // {PHASH_H} AS sy
+        FROM grid,
+             LATERAL (SELECT unnest(generate_series(0, {PHASH_W - 1})) AS x2),
+             LATERAL (SELECT unnest(generate_series(0, {PHASH_H - 1})) AS y2)
+    ),
+    grays AS (
+        SELECT doc_id, y2 * {PHASH_W} + x2 AS i, {_PH_GRAY} AS g
+        FROM cells
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM grays GROUP BY 1
+    ),
+    hashes AS (
+        SELECT g.doc_id,
+               CAST(sum(CASE WHEN g.g * {_PH_N} >= t.total
+                             THEN (1::BIGINT << g.i) ELSE 0 END) AS BIGINT)
+                   AS phash,
+               CAST(any_value(t.total) AS BIGINT) AS gray_sum
+        FROM grays g JOIN tot t USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(sum(gray_sum) AS BIGINT) AS bucket_gray_sum
+    FROM hashes
+    GROUP BY 1
+    HAVING count(*) >= 2
+"""

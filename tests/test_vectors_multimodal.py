@@ -155,3 +155,36 @@ def test_decode_ppm_truncated_header_raises_not_hangs():
     for bad in (b"P6", b"P6\n2", b"P6\n2 2", b"P6\n2 2\n255", b"P6\n  "):
         with pytest.raises(ValueError, match="truncated PPM header"):
             decode_ppm(bad)
+
+
+def test_ahash_ppm_known_bits():
+    """4x3 source (resize = identity): half the cells black, half
+    white — hand-computed hash. Bit i covers cell (x=i%4, y=i//4)."""
+    from retail_sales_etl_spark.operators.multimodal import ahash_ppm
+
+    # left two columns black (0,0,0), right two white (255,255,255)
+    raw = bytearray()
+    for _y in range(3):
+        for x in range(4):
+            v = 255 if x >= 2 else 0
+            raw.extend((v, v, v))
+    payload = b"P6\n4 3\n255\n" + bytes(raw)
+    d = ahash_ppm(payload)
+    # grays: 0,0,765,765 per row; mean = 382.5 -> white cells set
+    assert d["gray_sum"] == 765 * 6
+    expected = 0
+    for i in range(12):
+        if i % 4 >= 2:
+            expected |= 1 << i
+    assert d["phash"] == expected
+
+
+def test_ahash_uniform_image_all_ones():
+    """Uniform raster: every gray equals the mean, >= sets all bits."""
+    from retail_sales_etl_spark.operators.multimodal import ahash_ppm
+
+    raw = bytes([7, 7, 7]) * 12
+    payload = b"P6\n4 3\n255\n" + raw
+    d = ahash_ppm(payload)
+    assert d["phash"] == (1 << 12) - 1
+    assert d["gray_sum"] == 21 * 12
