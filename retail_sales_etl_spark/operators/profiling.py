@@ -739,3 +739,195 @@ ORACLE["revenue_theil_sen"] = f"""
            floor((quantile_cont(r, 0.5)) * 1e6 + 0.5) / 1e6 AS intercept_cents
     FROM res GROUP BY n_pairs, slope_cents_per_day
 """
+
+
+def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily order revenue
+    (trend / weekly-seasonal / remainder — the moving-average
+    decomposition underlying STL) plus the seasonal-STRENGTH statistic
+    F_s = max(0, 1 − Var(R)/Var(detrended)) of Wang, Smith & Hyndman
+    2006 — the one number that says whether the weekly cycle is real
+    structure or noise (weekday_seasonality screens COUNTS for
+    uniformity; this measures the REVENUE cycle's share of variance).
+
+    Scale shape: the fact collapses to the bounded day grid (exact
+    integer cents) in one scan; the centered 7-day moving average is a
+    RANGE window over the grid's day numbers (gaps shrink the window's
+    population, documented), the day→dow rollup is a 7-group
+    aggregate, and every window/aggregate runs on the grid — none of
+    it grows with fact volume. Determinism: trend is one
+    integer-sums division; detrended/remainder values are 6-dp
+    floor-staged before the DECIMAL variance sums; engine-portable dow
+    via day-number % 7 (epoch modulus, not calendar dayofweek).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    w7 = Window.orderBy("d").rangeBetween(-3, 3)
+    det = daily.select(
+        "d",
+        (
+            F.col("v").cast("double")
+            - fround(
+                F.sum("v").over(w7).cast("double")
+                / F.count(F.lit(1)).over(w7).cast("double"),
+                6,
+            )
+        ).alias("dt"),
+    ).select("d", fround(F.col("dt"), 2).alias("dt6"))
+    # cent-grain (2-dp) staging: daily-revenue deviations reach ~1e9
+    # cents at sf0.1 (1e13 at 100 TB); 6-dp staging would need
+    # precision-19 squares, and DECIMAL(19,6)^2 exceeds width 38 —
+    # width-38 ceilings; DECIMAL(19,2) forces int128 storage so the
+    # square is an exact (38,4) in both engines (16..18-digit operands
+    # multiply in int64 in DuckDB and overflow on cent-scale values).
+    dec = "decimal(28,2)"
+    seas = det.groupBy((F.col("d") % 7).cast("int").alias("dow_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        fround(
+            F.sum(F.col("dt6").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            2,
+        ).alias("seasonal_cents"),
+    )
+    rem = det.join(
+        F.broadcast(seas),
+        (F.col("d") % 7).cast("int") == F.col("dow_idx"),
+    ).select(
+        "dt6", fround(F.col("dt6") - F.col("seasonal_cents"), 2).alias("r6")
+    )
+    # integer moments: x100 lifts the 2-dp values to exact hundredth-
+    # cent integers, so squares are DECIMAL(38,0) integer aggregates
+    # (the assortativity recipe — decimal-scale sums overflow width 38
+    # on cent-scale variances); the 1e4 descale happens once, in the
+    # final double arithmetic
+    d19 = "decimal(19,0)"
+    ints = rem.select(
+        F.floor(F.col("dt6") * 100 + F.lit(0.5)).cast("bigint").alias("di"),
+        F.floor(F.col("r6") * 100 + F.lit(0.5)).cast("bigint").alias("ri"),
+    )
+    tot = ints.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("di").cast(d19)).cast("decimal(38,0)").alias("sd"),
+        F.sum(F.col("di").cast(d19) * F.col("di").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+        F.sum(F.col("ri").cast(d19)).cast("decimal(38,0)").alias("sr"),
+        F.sum(F.col("ri").cast(d19) * F.col("ri").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("srr"),
+    )
+    n_d = F.col("n").cast("double")
+    var_dt = (
+        F.col("sdd").cast("double") / n_d
+        - (F.col("sd").cast("double") / n_d)
+        * (F.col("sd").cast("double") / n_d)
+    ) / F.lit(10000.0)
+    var_r = (
+        F.col("srr").cast("double") / n_d
+        - (F.col("sr").cast("double") / n_d)
+        * (F.col("sr").cast("double") / n_d)
+    ) / F.lit(10000.0)
+    strength = F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_dt)
+    # report STD not variance: cents^2 variances overflow fround's
+    # floor->BIGINT at ~9e12 (the documented fround caveat); the sqrt
+    # is IEEE-exact-rounded so portability is preserved
+    glob = tot.select(
+        fround(F.sqrt(var_dt), 2).alias("std_detrended"),
+        fround(F.sqrt(var_r), 2).alias("std_remainder"),
+        F.when(var_dt > 0, fround(strength, 6))
+        .otherwise(F.lit(0.0))
+        .alias("seasonal_strength"),
+    )
+    return seas.crossJoin(F.broadcast(glob)).select(
+        "dow_idx",
+        "n_days",
+        "seasonal_cents",
+        "std_detrended",
+        "std_remainder",
+        "seasonal_strength",
+    )
+
+
+QUERIES["orders_seasonal_decompose"] = q_orders_seasonal_decompose
+
+ORACLE["orders_seasonal_decompose"] = f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '{SEASON_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    det AS (
+        SELECT d,
+               floor((CAST(v AS DOUBLE)
+                      - floor((CAST(sum(v) OVER w AS DOUBLE)
+                               / CAST(count(*) OVER w AS DOUBLE))
+                              * 1e6 + 0.5) / 1e6) * 1e2 + 0.5) / 1e2 AS dt6
+        FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT CAST(d % 7 AS INT) AS dow_idx,
+               CAST(count(*) AS BIGINT) AS n_days,
+               floor((CAST(sum(CAST(dt6 AS DECIMAL(28,2))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) * 1e2 + 0.5) / 1e2
+                   AS seasonal_cents
+        FROM det GROUP BY 1
+    ),
+    rem AS (
+        SELECT dt6,
+               floor((dt6 - s.seasonal_cents) * 1e2 + 0.5) / 1e2 AS r6
+        FROM det JOIN seas s ON CAST(det.d % 7 AS INT) = s.dow_idx
+    ),
+    ints AS (
+        SELECT CAST(floor(dt6 * 100 + 0.5) AS BIGINT) AS di,
+               CAST(floor(r6 * 100 + 0.5) AS BIGINT) AS ri
+        FROM rem
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(di AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sd,
+               CAST(sum(CAST(di AS DECIMAL(19,0))
+                        * CAST(di AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdd,
+               CAST(sum(CAST(ri AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sr,
+               CAST(sum(CAST(ri AS DECIMAL(19,0))
+                        * CAST(ri AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS srr
+        FROM ints
+    ),
+    vx AS (
+        SELECT (CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
+                   AS vdt,
+               (CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
+                   AS vr
+        FROM tot
+    ),
+    gstats AS (
+        SELECT floor((sqrt(vdt)) * 1e2 + 0.5) / 1e2 AS std_detrended,
+               floor((sqrt(vr)) * 1e2 + 0.5) / 1e2 AS std_remainder,
+               CASE WHEN vdt > 0
+                    THEN floor((greatest(0.0, 1.0 - vr / vdt))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS seasonal_strength
+        FROM vx
+    )
+    SELECT dow_idx, n_days, seasonal_cents,
+           std_detrended, std_remainder, seasonal_strength
+    FROM seas CROSS JOIN gstats
+"""

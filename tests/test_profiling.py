@@ -200,3 +200,42 @@ def test_theil_sen_outlier_immune(spark, tmp_path):
     assert r["n_pairs"] == 55
     assert r["slope_cents_per_day"] == 100.0
     assert r["intercept_cents"] == 1000.0
+
+
+def test_seasonal_decompose_pure_weekly_cycle(spark, tmp_path):
+    """70 days of revenue = f(day-of-week) with no trend: the centered
+    7-day MA is constant in the interior, so detrended == seasonal and
+    the remainder vanishes -> seasonal_strength near 1 (window
+    truncation at the 3-day edges keeps it just below)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_orders_seasonal_decompose,
+    )
+
+    base = datetime.date.fromisoformat(SEASON_EPOCH)
+    rows = []
+    for i in range(70):
+        price = 100.0 + 1000.0 * (i % 7)
+        rows.append(
+            Row(
+                o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+                o_totalprice=price,
+            )
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = q_orders_seasonal_decompose(spark, d).collect()
+    assert len(out) == 7
+    assert all(r["n_days"] == 10 for r in out)
+    s = out[0]["seasonal_strength"]
+    assert s > 0.9, s
+    # seasonal indices must recover the injected cycle's ordering
+    by_dow = {r["dow_idx"]: r["seasonal_cents"] for r in out}
+    order = sorted(by_dow, key=lambda k: by_dow[k])
+    assert order == [0, 1, 2, 3, 4, 5, 6]
