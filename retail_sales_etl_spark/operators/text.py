@@ -2949,3 +2949,114 @@ ORACLE["text_zipf_fit"] = f"""
                 ELSE 0.0 END AS r2
     FROM s CROSS JOIN tot
 """
+
+
+# ln 2 as a shared literal: Spark's and DuckDB's ln() agree here but a
+# literal removes the dependency on libm entirely for this constant.
+LN2 = 0.6931471805599453
+
+
+def q_source_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's word
+    distribution and the whole corpus (Lin 1991) — THE distribution-
+    shift number for corpus mixing: a source whose JSD jumps between
+    crawls changed its content mix, and sources ranked by JSD tell you
+    which ones make the mixture non-uniform (c-TF-IDF's
+    source_top_terms says WHICH words; this says HOW FAR the whole
+    distribution sits from the blend, bounded in [0, ln 2]).
+
+    The off-support subtlety: KL(Q||M) sums over ALL corpus words, but
+    for words ABSENT from the source, m = q/2 exactly, so those terms
+    collapse to q·ln2 — giving JSD_s = ½ΣT_p + ½(ΣT_q + (1−Q(S))·ln2)
+    where the sums run only over the source's OWN support S and Q(S)
+    is exact integer mass. Everything therefore lives on the
+    (source, word) grid: corpus counts re-aggregate from the grid's
+    partials (never a second corpus scan), one keyed join on word, and
+    the rollup collapses to |sources| rows. Determinism: ln terms 6-dp
+    floor-staged into DECIMAL sums (the unigram_logprob discipline),
+    support mass as exact integer sums, ln 2 as a shared literal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    grid = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = grid.groupBy("w").agg(F.sum("c").alias("cw"))
+    src_tot = grid.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("ns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    corpus_tot = vocab.agg(F.sum("cw").cast("bigint").alias("n"))
+    j = (
+        grid.join(vocab, "w")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("cw").cast("double") / F.col("n").cast("double")
+    m = F.lit(0.5) * (p + q)
+    dec = "decimal(25,6)"
+    per_src = j.groupBy("source").agg(
+        F.first("ns").alias("n_words"),
+        F.first("n_types").alias("n_types"),
+        F.sum(fround(p * F.log(p / m), 6).cast(dec)).alias("_tp"),
+        F.sum(fround(q * F.log(q / m), 6).cast(dec)).alias("_tq"),
+        F.sum(F.col("cw").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("_cws"),
+        F.first(F.col("n")).alias("_n"),
+    )
+    qs = F.col("_cws").cast("double") / F.col("_n").cast("double")
+    jsd = F.lit(0.5) * F.col("_tp").cast("double") + F.lit(0.5) * (
+        F.col("_tq").cast("double") + (F.lit(1.0) - qs) * F.lit(LN2)
+    )
+    return per_src.select(
+        "source", "n_words", "n_types", fround(jsd, 6).alias("jsd")
+    )
+
+
+QUERIES["source_jsd_divergence"] = q_source_jsd_divergence
+
+ORACLE["source_jsd_divergence"] = f"""
+    WITH grid AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    vocab AS (SELECT w, sum(c) AS cw FROM grid GROUP BY 1),
+    src_tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM grid GROUP BY 1
+    ),
+    corpus_tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM vocab),
+    terms AS (
+        SELECT g.source, s.ns, s.n_types, v.cw, t.n,
+               CAST(g.c AS DOUBLE) / CAST(s.ns AS DOUBLE) AS p,
+               CAST(v.cw AS DOUBLE) / CAST(t.n AS DOUBLE) AS q
+        FROM grid g
+        JOIN vocab v USING (w)
+        JOIN src_tot s USING (source)
+        CROSS JOIN corpus_tot t
+    ),
+    per_src AS (
+        SELECT source,
+               any_value(ns) AS n_words,
+               any_value(n_types) AS n_types,
+               sum(CAST(floor((p * ln(p / (0.5 * (p + q)))) * 1e6 + 0.5) / 1e6
+                        AS DECIMAL(25,6))) AS tp,
+               sum(CAST(floor((q * ln(q / (0.5 * (p + q)))) * 1e6 + 0.5) / 1e6
+                        AS DECIMAL(25,6))) AS tq,
+               CAST(sum(CAST(cw AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS cws,
+               any_value(n) AS n
+        FROM terms GROUP BY 1
+    )
+    SELECT source, n_words, n_types,
+           floor((0.5 * CAST(tp AS DOUBLE)
+                  + 0.5 * (CAST(tq AS DOUBLE)
+                           + (1.0 - CAST(cws AS DOUBLE) / CAST(n AS DOUBLE))
+                             * {LN2!r}))
+                 * 1e6 + 0.5) / 1e6 AS jsd
+    FROM per_src
+"""

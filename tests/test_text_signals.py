@@ -429,3 +429,46 @@ class TestQualityLogisticNewton:
         plan = q_quality_logistic_newton(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastExchange" in plan
+
+
+def test_source_jsd_shifted_source_ranks_highest(spark, tmp_path):
+    """Three sources: two share a distribution, one is disjoint — the
+    disjoint source's JSD must be the largest and each JSD must sit in
+    [0, ln 2]; a same-distribution source stays near 0."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        q_source_jsd_divergence,
+    )
+
+    rows = []
+    did = 0
+    for src in ("a", "b"):
+        for _ in range(10):
+            rows.append(
+                Row(doc_id=did, text="alpha beta gamma delta", lang="en",
+                    source=src, n_chars=22)
+            )
+            did += 1
+    for _ in range(10):
+        rows.append(
+            Row(doc_id=did, text="omega psi chi phi", lang="en",
+                source="z", n_chars=17)
+        )
+        did += 1
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r["source"]: r for r in q_source_jsd_divergence(spark, d).collect()}
+    assert set(out) == {"a", "b", "z"}
+    for r in out.values():
+        assert -1e-9 <= r["jsd"] <= math.log(2) + 1e-9
+    assert out["z"]["jsd"] > out["a"]["jsd"]
+    assert out["z"]["jsd"] > out["b"]["jsd"]
+    # a and b have identical word distributions -> identical JSD
+    assert out["a"]["jsd"] == out["b"]["jsd"]
+    # z is fully disjoint from the rest: JSD well away from zero
+    assert out["z"]["jsd"] > 0.3
