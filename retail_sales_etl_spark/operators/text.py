@@ -2715,8 +2715,13 @@ def q_quality_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["quality_logistic_newton"] = q_quality_logistic_newton
 
 
-def _logi_oracle() -> str:
-    """Unrolled-rounds DuckDB twin of q_quality_logistic_newton.
+def _logi_p_sql(z: str) -> str:
+    return f"0.5 + 0.5 * (({z}) / (1.0 + abs({z})))"
+
+
+def _logi_train_ctes() -> list[str]:
+    """The shared unrolled-Newton CTE chain (feats, b_0..b_N) — reused
+    by the trainer oracle and the calibration-report oracle.
 
     Every expression mirrors the Spark column tree op-for-op (same
     literals, same association order), so each intermediate double is
@@ -2729,8 +2734,7 @@ def _logi_oracle() -> str:
     def st(term: str) -> str:
         return f"CAST(floor(({term}) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))"
 
-    def p_of(z: str) -> str:
-        return f"0.5 + 0.5 * (({z}) / (1.0 + abs({z})))"
+    p_of = _logi_p_sql
 
     def w_of(z: str) -> str:
         return f"0.5 / ((1.0 + abs({z})) * (1.0 + abs({z})))"
@@ -2773,6 +2777,17 @@ def _logi_oracle() -> str:
                          * 1e9 + 0.5) / 1e9 AS b1
             FROM s_{r}
         )""")
+    return ctes
+
+
+def _logi_oracle() -> str:
+    """Unrolled-rounds DuckDB twin of q_quality_logistic_newton."""
+    ctes = _logi_train_ctes()
+    p_of = _logi_p_sql
+
+    def st(term: str) -> str:
+        return f"CAST(floor(({term}) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))"
+
     beta_cols = ", ".join(
         f"b_{r}.b0 AS b0_{r}, b_{r}.b1 AS b1_{r}"
         for r in range(1, LOGI_ROUNDS + 1)
@@ -3060,3 +3075,124 @@ ORACLE["source_jsd_divergence"] = f"""
                  * 1e6 + 0.5) / 1e6 AS jsd
     FROM per_src
 """
+
+
+CAL_BINS = 10
+
+
+def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE;
+    Naeini et al., AAAI 2015) for the Newton-trained quality
+    classifier — the acceptance gate between "trained" and "usable as
+    a filter threshold": per probability decile, the mean predicted
+    keep-probability vs the observed keep rate, and the
+    support-weighted mean absolute gap.
+
+    Plan: re-runs the LOGI_ROUNDS training chain (each round one scan
+    into a 5-number aggregate), then ONE scoring scan bins every doc
+    map-side (bin = floor(10p), clamped); per-bin stats are a
+    CAL_BINS-group aggregate; ECE is a second aggregate over the
+    bounded bin grid with gap*count products in exact DECIMAL (a
+    10-row double sum would be partition-order-dependent). Observed
+    rates are exact integer ratios; predicted means 6-dp staged.
+    """
+    feats = _logi_feats(spark, sf_dir)
+    b: DataFrame | None = None
+    for _ in range(LOGI_ROUNDS):
+        b = _logi_step(feats, b)
+    z = F.col("b0") + F.col("b1") * F.col("x")
+    p = _logi_p(z)
+    scored = feats.crossJoin(F.broadcast(b)).select(
+        "y",
+        F.least(
+            F.floor(p * F.lit(float(CAL_BINS))).cast("int"),
+            F.lit(CAL_BINS - 1),
+        ).alias("bin"),
+        fround(p, 6).alias("p6"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("y") == F.lit(1.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.col("p6").cast("decimal(25,6)")).alias("_sp"),
+    )
+    mean_p = fround(
+        F.col("_sp").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    obs = fround(
+        F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    binned = bins.select(
+        "bin",
+        "n_docs",
+        "n_kept",
+        mean_p.alias("mean_pred"),
+        obs.alias("obs_rate"),
+        fround(F.abs(mean_p - obs), 6).alias("gap"),
+    )
+    ece = binned.agg(
+        F.sum(
+            F.col("gap").cast("decimal(10,6)")
+            * F.col("n_docs").cast("decimal(19,0)")
+        ).alias("_sg"),
+        F.sum("n_docs").cast("bigint").alias("_n"),
+    ).select(
+        fround(F.col("_sg").cast("double") / F.col("_n").cast("double"), 6).alias(
+            "ece"
+        )
+    )
+    return binned.crossJoin(F.broadcast(ece))
+
+
+QUERIES["quality_calibration_report"] = q_quality_calibration_report
+
+
+def _cal_oracle() -> str:
+    ctes = _logi_train_ctes()
+    z = f"(b0 + b1 * x)"
+    p = _logi_p_sql(z)
+    ctes.append(f"""scored AS (
+        SELECT y,
+               least(CAST(floor(({p}) * {float(CAL_BINS)!r}) AS INT),
+                     {CAL_BINS - 1}) AS bin,
+               floor(({p}) * 1e6 + 0.5) / 1e6 AS p6
+        FROM feats CROSS JOIN b_{LOGI_ROUNDS}
+    )""")
+    ctes.append("""bins AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               sum(CAST(p6 AS DECIMAL(25,6))) AS sp
+        FROM scored GROUP BY 1
+    )""")
+    ctes.append("""binned AS (
+        SELECT bin, n_docs, n_kept,
+               floor((CAST(sp AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS mean_pred,
+               floor((CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS obs_rate,
+               floor((abs(floor((CAST(sp AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                                * 1e6 + 0.5) / 1e6
+                          - floor((CAST(n_kept AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE))
+                                  * 1e6 + 0.5) / 1e6))
+                     * 1e6 + 0.5) / 1e6 AS gap
+        FROM bins
+    )""")
+    ctes.append("""ece AS (
+        SELECT floor((CAST(sum(CAST(gap AS DECIMAL(10,6))
+                               * CAST(n_docs AS DECIMAL(19,0))) AS DOUBLE)
+                      / CAST(sum(n_docs) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS ece
+        FROM binned
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT bin, n_docs, n_kept, mean_pred, obs_rate, gap, ece"
+        + "\nFROM binned CROSS JOIN ece"
+    )
+
+
+ORACLE["quality_calibration_report"] = _cal_oracle()

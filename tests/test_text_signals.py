@@ -472,3 +472,24 @@ def test_source_jsd_shifted_source_ranks_highest(spark, tmp_path):
     assert out["a"]["jsd"] == out["b"]["jsd"]
     # z is fully disjoint from the rest: JSD well away from zero
     assert out["z"]["jsd"] > 0.3
+
+
+def test_calibration_report_reconciles(spark, sf_dir):
+    """Bin counts cover the corpus, ECE equals the support-weighted
+    mean gap, and every rate is a valid probability."""
+    from retail_sales_etl_spark.operators.text import (
+        q_quality_calibration_report,
+    )
+
+    out = q_quality_calibration_report(spark, sf_dir).collect()
+    assert out
+    n = sum(r["n_docs"] for r in out)
+    ece = out[0]["ece"]
+    assert all(r["ece"] == ece for r in out)
+    expected = sum(r["gap"] * r["n_docs"] for r in out) / n
+    assert abs(ece - expected) < 1e-6
+    for r in out:
+        assert 0 <= r["mean_pred"] <= 1
+        assert 0 <= r["obs_rate"] <= 1
+        assert 0 <= r["bin"] <= 9
+        assert r["n_kept"] <= r["n_docs"]
