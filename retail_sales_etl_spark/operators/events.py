@@ -1945,3 +1945,120 @@ ORACLE["markov_next_event_eval"] = f"""
     FROM ev_counts e LEFT JOIN predicted p ON e.from_type = p.from_type
     GROUP BY 1
 """
+
+
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the session behavior chain (Shannon 1948;
+    the behavioral-predictability ceiling of Song et al., Science
+    2010): H = −Σ_ij (c_ij/N)·ln(c_ij/c_i•) over the fitted first-order
+    transition matrix — events_markov_chain emits the MODEL, this
+    emits the one-number summary that says how predictable the
+    clickstream actually is (0 = deterministic next-event, ln S =
+    uniform chaos), plus the normalized form and its complement.
+
+    Plan: the same one-window-pass pair grid as the markov operator,
+    collapsed to the |types|² count grid; every downstream quantity
+    lives on that bounded grid — ln terms 6-dp floor-staged into a
+    DECIMAL sum (even a 25-row double sum is partition-order-
+    dependent), marginals and N exact integers, the normalizing ln S
+    staged from the same literal pipeline. No perplexity output on
+    purpose: exp() is not correctly-rounded libm and would break
+    cross-engine exactness for zero analytic gain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (
+            F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")
+        ).alias("gap"),
+    ).filter(
+        F.col("to_type").isNotNull() & (F.col("gap") <= SESSION_GAP_SEC)
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    grid = counts.join(F.broadcast(totals), "from_type")
+    gt = totals.agg(
+        F.sum("tot").cast("bigint").alias("n_transitions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+    )
+    term = fround(
+        (F.col("c") / F.col("n_transitions"))
+        * F.log(F.col("c") / F.col("tot")),
+        6,
+    )
+    h = grid.crossJoin(F.broadcast(gt)).agg(
+        F.first("n_transitions").alias("n_transitions"),
+        F.first("n_states").alias("n_states"),
+        F.sum(term.cast("decimal(25,6)")).alias("_s"),
+    )
+    h_d = -F.col("_s").cast("double")
+    ln_s = fround(F.log(F.col("n_states").cast("double")), 6)
+    norm = fround(h_d / ln_s, 6)
+    return h.select(
+        "n_transitions",
+        "n_states",
+        fround(h_d, 6).alias("entropy_rate_nats"),
+        F.when(F.col("n_states") > 1, norm).otherwise(F.lit(0.0)).alias(
+            "norm_entropy"
+        ),
+        F.when(F.col("n_states") > 1, fround(F.lit(1.0) - norm, 6))
+        .otherwise(F.lit(1.0))
+        .alias("predictability"),
+    )
+
+
+QUERIES["events_entropy_rate"] = q_events_entropy_rate
+
+ORACLE["events_entropy_rate"] = f"""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+        FROM seq
+        WHERE to_type IS NOT NULL AND gap <= {SESSION_GAP_SEC}
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, CAST(sum(c) AS BIGINT) AS tot
+        FROM counts GROUP BY 1
+    ),
+    gt AS (
+        SELECT CAST(sum(tot) AS BIGINT) AS n_transitions,
+               CAST(count(*) AS BIGINT) AS n_states
+        FROM totals
+    ),
+    h AS (
+        SELECT any_value(n_transitions) AS n_transitions,
+               any_value(n_states) AS n_states,
+               sum(CAST(floor(((c / n_transitions) * ln(c / tot))
+                              * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6))) AS s
+        FROM counts JOIN totals USING (from_type) CROSS JOIN gt
+    )
+    SELECT n_transitions, n_states,
+           floor((-CAST(s AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS entropy_rate_nats,
+           CASE WHEN n_states > 1
+                THEN floor(((-CAST(s AS DOUBLE))
+                            / (floor((ln(CAST(n_states AS DOUBLE)))
+                                     * 1e6 + 0.5) / 1e6))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS norm_entropy,
+           CASE WHEN n_states > 1
+                THEN floor((1.0 - floor(((-CAST(s AS DOUBLE))
+                            / (floor((ln(CAST(n_states AS DOUBLE)))
+                                     * 1e6 + 0.5) / 1e6))
+                           * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+                ELSE 1.0 END AS predictability
+    FROM h
+"""

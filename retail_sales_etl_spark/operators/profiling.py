@@ -931,3 +931,127 @@ ORACLE["orders_seasonal_decompose"] = f"""
            std_detrended, std_remainder, seasonal_strength
     FROM seas CROSS JOIN gstats
 """
+
+
+# Empirical-Bayes shrinkage report size
+EB_TOP_K = 20
+
+
+def q_part_return_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K parts by empirical-Bayes shrunk return rate — the
+    small-sample ranking fix (Efron & Morris 1975; beta-binomial
+    method-of-moments): a part with 2 returns out of 3 lineitems must
+    not outrank one with 200/400, so each raw rate k/n shrinks toward
+    the corpus prior with strength α+β = m(1−m)/v − 1 fitted from the
+    observed rate distribution, and the report ranks (k+α)/(n+α+β).
+
+    Plan: one lineitem scan to the part grid (k = returned, n =
+    total), rate moments as 6-dp staged DECIMAL sums in a 1-row
+    aggregate broadcast back, the shrunk rate map-side, TakeOrdered
+    K — the mahalanobis shape: no window, no global sort. Degenerate
+    priors (v = 0 or v >= m(1−m), where MoM breaks) fall back to zero
+    strength — raw rates — via the same guarded CASE in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    r = F.col("k").cast("double") / F.col("n").cast("double")
+    staged = parts.select(
+        "l_partkey", "n", "k", fround(r, 6).alias("r6")
+    )
+    d10 = "decimal(10,6)"
+    mom = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum(F.col("r6").cast("decimal(25,6)")).cast("double").alias("sr"),
+        F.sum(F.col("r6").cast(d10) * F.col("r6").cast(d10))
+        .cast("double")
+        .alias("srr"),
+    )
+    np_d = F.col("np").cast("double")
+    m = F.col("sr") / np_d
+    v = F.col("srr") / np_d - m * m
+    strength = F.when(
+        (v > 0) & (v < m * (F.lit(1.0) - m)),
+        m * (F.lit(1.0) - m) / v - F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    prior = mom.select(
+        fround(m, 6).alias("prior_mean"),
+        fround(strength, 6).alias("prior_strength"),
+    )
+    alpha = F.col("prior_mean") * F.col("prior_strength")
+    shrunk = fround(
+        (F.col("k").cast("double") + alpha)
+        / (F.col("n").cast("double") + F.col("prior_strength")),
+        6,
+    )
+    return (
+        staged.crossJoin(F.broadcast(prior))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "n",
+            "k",
+            F.col("r6").alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+            "prior_mean",
+            "prior_strength",
+        )
+        .orderBy(F.col("shrunk_rate").desc(), F.col("partkey"))
+        .limit(EB_TOP_K)
+    )
+
+
+QUERIES["part_return_shrinkage"] = q_part_return_shrinkage
+
+ORACLE["part_return_shrinkage"] = f"""
+    WITH parts AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM lineitem GROUP BY 1
+    ),
+    staged AS (
+        SELECT l_partkey, n, k,
+               floor((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                   / 1e6 AS r6
+        FROM parts
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(CAST(r6 AS DECIMAL(25,6))) AS DOUBLE) AS sr,
+               CAST(sum(CAST(r6 AS DECIMAL(10,6))
+                        * CAST(r6 AS DECIMAL(10,6))) AS DOUBLE) AS srr
+        FROM staged
+    ),
+    prior AS (
+        SELECT floor((sr / CAST(np AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS prior_mean,
+               CASE WHEN (srr / CAST(np AS DOUBLE)
+                          - (sr / CAST(np AS DOUBLE)) * (sr / CAST(np AS DOUBLE)))
+                         > 0
+                     AND (srr / CAST(np AS DOUBLE)
+                          - (sr / CAST(np AS DOUBLE)) * (sr / CAST(np AS DOUBLE)))
+                         < (sr / CAST(np AS DOUBLE))
+                           * (1.0 - sr / CAST(np AS DOUBLE))
+                    THEN floor(((sr / CAST(np AS DOUBLE))
+                                * (1.0 - sr / CAST(np AS DOUBLE))
+                                / (srr / CAST(np AS DOUBLE)
+                                   - (sr / CAST(np AS DOUBLE))
+                                     * (sr / CAST(np AS DOUBLE)))
+                                - 1.0) * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS prior_strength
+        FROM mom
+    )
+    SELECT l_partkey AS partkey, n, k, r6 AS raw_rate,
+           floor(((CAST(k AS DOUBLE) + prior_mean * prior_strength)
+                  / (CAST(n AS DOUBLE) + prior_strength)) * 1e6 + 0.5) / 1e6
+               AS shrunk_rate,
+           prior_mean, prior_strength
+    FROM staged CROSS JOIN prior
+    ORDER BY shrunk_rate DESC, partkey
+    LIMIT {EB_TOP_K}
+"""

@@ -407,3 +407,38 @@ def test_attribution_position_u_shape_and_oracle_on_multi_touch(
         assert (r.n_purchases, r.n_touches) == (o[1], o[2]), (uid, r, o)
         assert repr(float(r.attributed_value)) == repr(float(o[3])), (
             uid, r.attributed_value, o[3])
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    """A strictly alternating a->b->a->b stream has a deterministic
+    next-event: entropy rate exactly 0, predictability exactly 1."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_entropy_rate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append(
+            Row(
+                event_id=i,
+                ts=base + datetime.timedelta(seconds=10 * i),
+                user_id=1,
+                event_type="a" if i % 2 == 0 else "b",
+                value=1.0,
+                props="{}",
+            )
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    (r,) = q_events_entropy_rate(spark, d).collect()
+    assert r["n_transitions"] == 39
+    assert r["n_states"] == 2
+    assert r["entropy_rate_nats"] == 0.0
+    assert r["predictability"] == 1.0

@@ -239,3 +239,39 @@ def test_seasonal_decompose_pure_weekly_cycle(spark, tmp_path):
     by_dow = {r["dow_idx"]: r["seasonal_cents"] for r in out}
     order = sorted(by_dow, key=lambda k: by_dow[k])
     assert order == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_eb_shrinkage_flips_small_sample_ranking(spark, tmp_path):
+    """2/3 returned must NOT outrank 200/400 once shrunk toward a
+    low-rate prior built from many background parts."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_part_return_shrinkage,
+    )
+
+    rows = []
+    # background: 50 parts, 40 items each, rates spread 0.1..0.3
+    for p in range(50):
+        k = 4 + (p % 9)  # 4..12 of 40 -> 0.10..0.30
+        for i in range(40):
+            rows.append(
+                Row(l_partkey=1000 + p, l_returnflag="R" if i < k else "N")
+            )
+    # part 1: tiny sample, high raw rate
+    for i in range(3):
+        rows.append(Row(l_partkey=1, l_returnflag="R" if i < 2 else "N"))
+    # part 2: large sample, moderately high rate
+    for i in range(400):
+        rows.append(Row(l_partkey=2, l_returnflag="R" if i < 200 else "N"))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = {r["partkey"]: r for r in q_part_return_shrinkage(spark, d).collect()}
+    a, b = out[1], out[2]
+    assert a["raw_rate"] > b["raw_rate"]
+    assert a["shrunk_rate"] < b["shrunk_rate"], (a, b)
+    assert a["prior_strength"] > 0
+    # shrinkage pulls toward the prior mean, never past it
+    assert a["prior_mean"] < a["shrunk_rate"] < a["raw_rate"]
