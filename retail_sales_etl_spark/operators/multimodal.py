@@ -724,3 +724,104 @@ ORACLE["multimodal_phash_dedup"] = f"""
     GROUP BY 1
     HAVING count(*) >= 2
 """
+
+
+def q_multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image PAIR census at Hamming distance <= 1 over
+    the perceptual hashes — the multi-probe completion of
+    multimodal_phash_dedup (exact-bucket groups miss a pair that
+    differs in ONE borderline cell; probing every 1-bit flip catches
+    them — the multi-probe LSH idea of Lv et al., VLDB 2007).
+
+    Spark side is the PROBE join: each left-side hash emits itself
+    plus its 12 single-bit flips (13 keys, map-side explode), the
+    right side joins on identity with doc_a < doc_b — each d=0 pair
+    matches via the identity probe exactly once, each d=1 pair via
+    the one differing bit exactly once, so no dedup pass is needed.
+    The ORACLE deliberately uses a DIFFERENT algorithm — the all-pairs
+    bit_count(xor()) filter — so a probe-mechanics bug (missed flip,
+    double count) cannot cancel out. Only hashes shuffle; the pair
+    space is bucket-bounded, never |docs|².
+    """
+    media = synthesize_ppm(load_table(spark, sf_dir, "documents"))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "phash": [], "gray_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = ahash_ppm(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["phash"].append(d["phash"])
+                rows["gray_sum"].append(d["gray_sum"])
+            yield pd.DataFrame(rows)
+
+    hashed = media.mapInPandas(_hash, schema=PHASH_SCHEMA).select(
+        "doc_id", "phash"
+    )
+    n_bits = PHASH_W * PHASH_H
+    probe_keys = F.array(
+        F.col("phash"),
+        *[
+            F.col("phash").bitwiseXOR(F.lit(1 << i)).cast("bigint")
+            for i in range(n_bits)
+        ],
+    )
+    left = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("hash_a"),
+        F.explode(probe_keys).alias("k"),
+    )
+    right = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("key_b")
+    )
+    pairs = left.join(
+        right,
+        (F.col("k") == F.col("key_b")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select(
+        F.when(F.col("hash_a") == F.col("key_b"), 0)
+        .otherwise(1)
+        .alias("hamming")
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+QUERIES["multimodal_phash_hamming"] = q_multimodal_phash_hamming
+
+ORACLE["multimodal_phash_hamming"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 8) + 2 AS w,
+               (doc_id % 6) + 2 AS h
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, x2, y2,
+               (x2 * w) // {PHASH_W} AS sx,
+               (y2 * h) // {PHASH_H} AS sy
+        FROM grid,
+             LATERAL (SELECT unnest(generate_series(0, {PHASH_W - 1})) AS x2),
+             LATERAL (SELECT unnest(generate_series(0, {PHASH_H - 1})) AS y2)
+    ),
+    grays AS (
+        SELECT doc_id, y2 * {PHASH_W} + x2 AS i, {_PH_GRAY} AS g
+        FROM cells
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM grays GROUP BY 1
+    ),
+    hashes AS (
+        SELECT g.doc_id,
+               CAST(sum(CASE WHEN g.g * {_PH_N} >= t.total
+                             THEN (1::BIGINT << g.i) ELSE 0 END) AS BIGINT)
+                   AS phash
+        FROM grays g JOIN tot t USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 1
+    GROUP BY 1
+"""

@@ -188,3 +188,19 @@ def test_ahash_uniform_image_all_ones():
     d = ahash_ppm(payload)
     assert d["phash"] == (1 << 12) - 1
     assert d["gray_sum"] == 21 * 12
+
+
+def test_phash_hamming_reconciles_with_buckets(spark, sf_dir):
+    """Hamming-0 pair count must equal sum C(n,2) over the dedup
+    operator's buckets — two operators, one identity."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_phash_dedup,
+        q_multimodal_phash_hamming,
+    )
+
+    buckets = q_multimodal_phash_dedup(spark, sf_dir).collect()
+    ham = {r["hamming"]: r["n_pairs"] for r in
+           q_multimodal_phash_hamming(spark, sf_dir).collect()}
+    expected_d0 = sum(r["n_docs"] * (r["n_docs"] - 1) // 2 for r in buckets)
+    assert ham.get(0, 0) == expected_d0
+    assert set(ham) <= {0, 1}
