@@ -2334,33 +2334,13 @@ def _pc_assemble(frame: DataFrame, dim_col: str, val_col: str) -> DataFrame:
     )
 
 
-def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by
-    PCA_POWER_ROUNDS steps of power iteration on the covariance matrix
-    (Mises & Pollaczek-Geringer 1929) — matrix-free: the covariance is
-    never materialized, each step is v <- normalize(X_cᵀ(X_c v)).
-
-    This is the anisotropy probe for embedding QC (Ethayarajh 2019:
-    contextual embeddings concentrate in a narrow cone; a dominant PC
-    with a large eigenvalue share means cosine similarity is mostly
-    measuring the common direction — the "all-but-the-top" cleanup of
-    Mu & Viswanath 2018 subtracts exactly this vector, and
-    embedding_whiten_qc's per-dim z-scores cannot see it because it
-    lives OFF-axis).
-
-    Scale shape: per round, the v vector is a 64-row frame collapsed
-    to a 1-row array and BROADCAST — the corpus pass is map-side (one
-    in-order fold dot per row, the engine-portable _dot), followed by
-    a 64-group map-combinable aggregate; nothing shuffles on vec_id,
-    no round's cost exceeds one scan + a KB-sized exchange. Mean
-    centering is one posexplode aggregate staged to the 6-dp grid.
-    Determinism: inputs 6-dp floor-staged, projection 6-dp, per-term
-    products 9-dp into DECIMAL(28,9) sums, the iterate re-staged to
-    the 6-dp grid each round (engine-portable like the logistic
-    trainer's coefficients); deterministic all-ones/8 init (unit norm:
-    64 dims), so the sign is pinned. Eigenvalue = ||X_cᵀX_c v||/n, the
-    Rayleigh estimate of the top covariance eigenvalue.
-    """
+def _power_iterate(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared centering + PCA_POWER_ROUNDS staged power-iteration chain:
+    returns (centered rows, final v frame, final nrm 1-row, n 1-row).
+    Used by q_embedding_top_pc (loadings) and q_embedding_anisotropy_qc
+    (explained-variance share)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -2416,6 +2396,37 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = s6.crossJoin(F.broadcast(nrm)).select(
             "dim", fround(F.col("s6") / F.col("nrm"), 6).alias("val")
         )
+    return cent, v, nrm, n1
+
+
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by
+    PCA_POWER_ROUNDS steps of power iteration on the covariance matrix
+    (Mises & Pollaczek-Geringer 1929) — matrix-free: the covariance is
+    never materialized, each step is v <- normalize(X_cᵀ(X_c v)).
+
+    This is the anisotropy probe for embedding QC (Ethayarajh 2019:
+    contextual embeddings concentrate in a narrow cone; a dominant PC
+    with a large eigenvalue share means cosine similarity is mostly
+    measuring the common direction — the "all-but-the-top" cleanup of
+    Mu & Viswanath 2018 subtracts exactly this vector, and
+    embedding_whiten_qc's per-dim z-scores cannot see it because it
+    lives OFF-axis).
+
+    Scale shape: per round, the v vector is a 64-row frame collapsed
+    to a 1-row array and BROADCAST — the corpus pass is map-side (one
+    in-order fold dot per row, the engine-portable _dot), followed by
+    a 64-group map-combinable aggregate; nothing shuffles on vec_id,
+    no round's cost exceeds one scan + a KB-sized exchange. Mean
+    centering is one posexplode aggregate staged to the 6-dp grid.
+    Determinism: inputs 6-dp floor-staged, projection 6-dp, per-term
+    products 9-dp into DECIMAL(28,9) sums, the iterate re-staged to
+    the 6-dp grid each round (engine-portable like the logistic
+    trainer's coefficients); deterministic all-ones/8 init (unit norm:
+    64 dims), so the sign is pinned. Eigenvalue = ||X_cᵀX_c v||/n, the
+    Rayleigh estimate of the top covariance eigenvalue.
+    """
+    cent, v, nrm, n1 = _power_iterate(spark, sf_dir)
     return (
         v.crossJoin(F.broadcast(nrm))
         .crossJoin(F.broadcast(n1))
@@ -2508,3 +2519,77 @@ def _top_pc_oracle() -> str:
 
 
 ORACLE["embedding_top_pc"] = _top_pc_oracle()
+
+
+def q_embedding_anisotropy_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy QC: the top principal component's explained-variance
+    share λ₁/trace(Σ) — the published isotropy number (Mu & Viswanath
+    2018 report exactly this before/after "all-but-the-top";
+    Ethayarajh 2019's cone finding is a large λ₁ share). A share near
+    1/dim means an isotropic, cosine-friendly space; a dominant share
+    means similarity scores mostly measure the common direction and
+    the serving stack should subtract the PC first.
+
+    Reuses the staged power-iteration chain (_power_iterate); the only
+    new corpus pass is the trace aggregate Σ‖x_c‖²/n — per-vector
+    squared norms via the in-order fold dot, 6-dp staged, DECIMAL-
+    summed. λ₁ = ‖X_cᵀX_c v‖/n (the Rayleigh estimate the loadings
+    entry reports); share = λ₁·dim vs trace is deliberately NOT
+    output — the raw ratio with the 1/dim isotropy reference column
+    keeps every number a direct quotient of already-proven quantities.
+    """
+    cent, _v, nrm, n1 = _power_iterate(spark, sf_dir)
+    tr = cent.select(
+        fround(_dot(F.col("xc"), F.col("xc")), 6).alias("q")
+    ).agg(
+        F.sum(F.col("q").cast("decimal(25,6)")).cast("double").alias("sq")
+    )
+    n_d = F.col("n_vectors").cast("double")
+    lam = F.col("nrm") / n_d
+    trace = F.col("sq") / n_d
+    return (
+        n1.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "n_vectors",
+            fround(lam, 6).alias("lambda1"),
+            fround(trace, 6).alias("trace"),
+            F.when(trace > 0, fround(lam / trace, 6))
+            .otherwise(F.lit(0.0))
+            .alias("pc1_share"),
+            fround(F.lit(1.0) / F.lit(float(DIM)), 6).alias("isotropy_ref"),
+        )
+    )
+
+
+QUERIES["embedding_anisotropy_qc"] = q_embedding_anisotropy_qc
+
+
+def _anisotropy_oracle() -> str:
+    base = _top_pc_oracle()
+    prefix = base[base.index("WITH") : base.rindex("SELECT")]
+    last = PCA_POWER_ROUNDS
+    return f"""
+        {prefix},
+        tr AS (
+            SELECT CAST(sum(CAST(floor((list_dot_product(xc, xc))
+                                        * 1e6 + 0.5) / 1e6
+                                 AS DECIMAL(25,6))) AS DOUBLE) AS sq
+            FROM carr
+        )
+        SELECT n_vectors,
+               floor((nrm / CAST(n_vectors AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS lambda1,
+               floor((sq / CAST(n_vectors AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS trace,
+               CASE WHEN sq / CAST(n_vectors AS DOUBLE) > 0
+                    THEN floor(((nrm / CAST(n_vectors AS DOUBLE))
+                                / (sq / CAST(n_vectors AS DOUBLE)))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS pc1_share,
+               floor((1.0 / {float(DIM)!r}) * 1e6 + 0.5) / 1e6 AS isotropy_ref
+        FROM nv CROSS JOIN nrm_{last} CROSS JOIN tr
+    """
+
+
+ORACLE["embedding_anisotropy_qc"] = _anisotropy_oracle()

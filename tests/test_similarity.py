@@ -413,3 +413,19 @@ def test_embedding_top_pc_matches_numpy_replica(spark, sf_dir):
     for d in range(dim):
         assert loadings[d] == v[d], (d, loadings[d], v[d])
     assert abs(float(np.sum(v * v)) - 1.0) < 1e-4
+
+
+def test_anisotropy_share_bounds_and_consistency(spark, sf_dir):
+    """pc1_share is a valid share, lambda1 matches the loadings
+    entry's eigenvalue, and trace bounds lambda1 from above."""
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_anisotropy_qc,
+        q_embedding_top_pc,
+    )
+
+    (r,) = q_embedding_anisotropy_qc(spark, sf_dir).collect()
+    assert 0 < r["lambda1"] <= r["trace"]
+    assert 0 < r["pc1_share"] <= 1
+    pc = q_embedding_top_pc(spark, sf_dir).collect()
+    assert pc[0]["eigenvalue"] == r["lambda1"]
+    assert pc[0]["n_vectors"] == r["n_vectors"]
