@@ -1983,10 +1983,19 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("tot")
     )
     grid = counts.join(F.broadcast(totals), "from_type")
-    gt = totals.agg(
-        F.sum("tot").cast("bigint").alias("n_transitions"),
-        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+    # n_states must count the FULL state set (from ∪ to): normalizing
+    # by ln(#from-states) lets norm_entropy exceed 1 (and its
+    # complement go negative) whenever rare types appear only as
+    # transition TARGETS
+    states = (
+        counts.select(F.col("from_type").alias("t"))
+        .union(counts.select(F.col("to_type").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_states"))
     )
+    gt = totals.agg(
+        F.sum("tot").cast("bigint").alias("n_transitions")
+    ).crossJoin(F.broadcast(states))
     term = fround(
         (F.col("c") / F.col("n_transitions"))
         * F.log(F.col("c") / F.col("tot")),
@@ -2034,10 +2043,15 @@ ORACLE["events_entropy_rate"] = f"""
         SELECT from_type, CAST(sum(c) AS BIGINT) AS tot
         FROM counts GROUP BY 1
     ),
+    states AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_states
+        FROM (SELECT from_type AS t FROM counts
+              UNION SELECT to_type AS t FROM counts)
+    ),
     gt AS (
         SELECT CAST(sum(tot) AS BIGINT) AS n_transitions,
-               CAST(count(*) AS BIGINT) AS n_states
-        FROM totals
+               any_value(n_states) AS n_states
+        FROM totals CROSS JOIN states
     ),
     h AS (
         SELECT any_value(n_transitions) AS n_transitions,

@@ -1123,7 +1123,14 @@ def q_supplier_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = pairs.groupBy("shared_parts").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
-    return hist.crossJoin(F.broadcast(n_hot))
+    # 0-weight anchor row (w >= 1 never collides with it): keeps the
+    # hub-exclusion count visible even when the pair histogram is
+    # EMPTY — an all-hub corpus must not read as "no hubs, no pairs"
+    anchor = n_hot.select(
+        F.lit(0).cast("bigint").alias("shared_parts"),
+        F.lit(0).cast("bigint").alias("n_pairs"),
+    )
+    return anchor.unionByName(hist).crossJoin(F.broadcast(n_hot))
 
 
 QUERIES["supplier_projection_stats"] = q_supplier_projection_stats
@@ -1151,9 +1158,15 @@ ORACLE["supplier_projection_stats"] = f"""
           ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
     )
-    SELECT shared_parts, CAST(count(*) AS BIGINT) AS n_pairs, n_hot_parts
-    FROM pairs CROSS JOIN n_hot
-    GROUP BY 1, 3
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS shared_parts,
+               CAST(0 AS BIGINT) AS n_pairs, n_hot_parts
+        FROM n_hot
+        UNION ALL
+        SELECT shared_parts, CAST(count(*) AS BIGINT) AS n_pairs, n_hot_parts
+        FROM pairs CROSS JOIN n_hot
+        GROUP BY 1, 3
+    )
 """
 
 
@@ -1269,7 +1282,9 @@ ORACLE["bipartite_butterflies"] = f"""
         FROM pairs
     )
     SELECT n_edges,
-           CAST(c4x2 / 2 AS BIGINT) AS n_butterflies,
+           -- HUGEINT halving: DECIMAL(38,0)/2 and //2 both detour
+           -- through DOUBLE in DuckDB and silently round above 2^53
+           CAST(CAST(c4x2 AS HUGEINT) // 2 AS BIGINT) AS n_butterflies,
            CAST(l3 AS BIGINT) AS n_three_paths,
            CASE WHEN l3 > 0
                 THEN floor((4.0 * (CAST(c4x2 / 2 AS DOUBLE) / CAST(l3 AS DOUBLE)))

@@ -633,6 +633,23 @@ def ahash_ppm(payload: bytes) -> dict:
     return {"phash": phash, "gray_sum": total}
 
 
+def phash_frame(media: DataFrame) -> DataFrame:
+    """(doc_id, phash, gray_sum) via the Arrow-batched aHash decode —
+    the shared front end of both perceptual-hash operators."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "phash": [], "gray_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = ahash_ppm(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["phash"].append(d["phash"])
+                rows["gray_sum"].append(d["gray_sum"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate IMAGE dedup by average-hash bucketing
     — the image-side twin of dedup_exact's md5 grid (aHash per
@@ -650,19 +667,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator — header parse, raster stride, NN mapping, and bit
     packing are all hash-checked end-to-end.
     """
-    media = synthesize_ppm(load_table(spark, sf_dir, "documents"))
-
-    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "phash": [], "gray_sum": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = ahash_ppm(payload)
-                rows["doc_id"].append(int(doc_id))
-                rows["phash"].append(d["phash"])
-                rows["gray_sum"].append(d["gray_sum"])
-            yield pd.DataFrame(rows)
-
-    hashed = media.mapInPandas(_hash, schema=PHASH_SCHEMA)
+    hashed = phash_frame(synthesize_ppm(load_table(spark, sf_dir, "documents")))
     return (
         hashed.groupBy("phash")
         .agg(
@@ -743,21 +748,9 @@ def q_multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     double count) cannot cancel out. Only hashes shuffle; the pair
     space is bucket-bounded, never |docs|².
     """
-    media = synthesize_ppm(load_table(spark, sf_dir, "documents"))
-
-    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "phash": [], "gray_sum": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = ahash_ppm(payload)
-                rows["doc_id"].append(int(doc_id))
-                rows["phash"].append(d["phash"])
-                rows["gray_sum"].append(d["gray_sum"])
-            yield pd.DataFrame(rows)
-
-    hashed = media.mapInPandas(_hash, schema=PHASH_SCHEMA).select(
-        "doc_id", "phash"
-    )
+    hashed = phash_frame(
+        synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    ).select("doc_id", "phash")
     n_bits = PHASH_W * PHASH_H
     probe_keys = F.array(
         F.col("phash"),

@@ -650,6 +650,32 @@ ORACLE["customer_mahalanobis_outliers"] = f"""
 """
 
 
+def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """(d = epoch-day number, v = exact integer cents) daily revenue
+    grid — the shared front end of the day-grid time-series operators
+    (theil_sen, seasonal_decompose)."""
+    return orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+
+
+_DAILY_CENTS_SQL = f"""
+        SELECT datediff('day', DATE '{SEASON_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+"""
+
+
 def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of daily order revenue (Theil 1950; Sen
     1968): the median of all pairwise day-to-day slopes, with the
@@ -666,18 +692,7 @@ def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Residuals use the 6-dp-ROUNDED slope so both engines interpolate
     identical inputs.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(
-            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
-        ).alias("d")
-    ).agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("v")
-    )
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
     a = daily.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
     b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
     pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
@@ -709,12 +724,7 @@ def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["revenue_theil_sen"] = q_revenue_theil_sen
 
 ORACLE["revenue_theil_sen"] = f"""
-    WITH daily AS (
-        SELECT datediff('day', DATE '{SEASON_EPOCH}',
-                        CAST(o_orderdate AS DATE)) AS d,
-               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS v
-        FROM orders GROUP BY 1
+    WITH daily AS ({_DAILY_CENTS_SQL}
     ),
     pairs AS (
         SELECT (CAST(b.v - a.v AS DOUBLE)
@@ -762,18 +772,7 @@ def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(
-            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
-        ).alias("d")
-    ).agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("v")
-    )
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
     w7 = Window.orderBy("d").rangeBetween(-3, 3)
     det = daily.select(
         "d",
@@ -863,12 +862,7 @@ def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["orders_seasonal_decompose"] = q_orders_seasonal_decompose
 
 ORACLE["orders_seasonal_decompose"] = f"""
-    WITH daily AS (
-        SELECT datediff('day', DATE '{SEASON_EPOCH}',
-                        CAST(o_orderdate AS DATE)) AS d,
-               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS v
-        FROM orders GROUP BY 1
+    WITH daily AS ({_DAILY_CENTS_SQL}
     ),
     det AS (
         SELECT d,

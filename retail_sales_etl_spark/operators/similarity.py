@@ -2393,8 +2393,16 @@ def _power_iterate(
                 ).cast("double")
             ).alias("nrm")
         )
+        # zero-variance corpus (all rows identical): nrm = 0 would put
+        # 0/0 NaN into fround, whose floor() is 0 on Spark but NaN in
+        # DuckDB — guard to a zero iterate in both engines
         v = s6.crossJoin(F.broadcast(nrm)).select(
-            "dim", fround(F.col("s6") / F.col("nrm"), 6).alias("val")
+            "dim",
+            F.when(
+                F.col("nrm") > 0, fround(F.col("s6") / F.col("nrm"), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("val"),
         )
     return cent, v, nrm, n1
 
@@ -2474,9 +2482,9 @@ def _top_pc_oracle() -> str:
             SELECT vec_id, list(xc ORDER BY dim) AS xc
             FROM cgrid GROUP BY vec_id
         )""",
-        """v_0 AS (
+        f"""v_0 AS (
             SELECT i - 1 AS dim, CAST(0.125 AS DOUBLE) AS val
-            FROM (SELECT unnest(generate_series(1, 64)) AS i)
+            FROM (SELECT unnest(generate_series(1, {DIM})) AS i)
         )""",
     ]
     for r in range(1, PCA_POWER_ROUNDS + 1):
@@ -2505,7 +2513,10 @@ def _top_pc_oracle() -> str:
             FROM s6_{r}
         )""")
         ctes.append(f"""v_{r} AS (
-            SELECT dim, floor((s6 / nrm) * 1e6 + 0.5) / 1e6 AS val
+            SELECT dim,
+                   CASE WHEN nrm > 0
+                        THEN floor((s6 / nrm) * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS val
             FROM s6_{r} CROSS JOIN nrm_{r}
         )""")
     last = PCA_POWER_ROUNDS

@@ -442,3 +442,46 @@ def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
     assert r["n_states"] == 2
     assert r["entropy_rate_nats"] == 0.0
     assert r["predictability"] == 1.0
+
+
+def test_entropy_rate_counts_target_only_states(spark, tmp_path):
+    """States that appear only as transition TARGETS must enter the
+    normalizer: a->b and a->c with equal counts has H = ln 2 over a
+    3-state alphabet -> norm = ln2/ln3, predictability strictly
+    inside (0, 1) — the pre-fix normalizer (from-states only, S=1)
+    reported predictability 1.0 here."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_entropy_rate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        # a -> b for even users, a -> c for odd: only 'a' has outgoing
+        for i, t in enumerate(("a", "b" if u % 2 == 0 else "c")):
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=base + datetime.timedelta(seconds=10 * i),
+                    user_id=u,
+                    event_type=t,
+                    value=1.0,
+                    props="{}",
+                )
+            )
+            eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    (r,) = q_events_entropy_rate(spark, d).collect()
+    assert r["n_states"] == 3
+    assert abs(r["entropy_rate_nats"] - math.log(2)) < 1e-5
+    assert abs(r["norm_entropy"] - math.log(2) / math.log(3)) < 1e-5
+    assert 0 < r["predictability"] < 1

@@ -275,7 +275,8 @@ def test_supplier_projection_crafted_graph(spark, tmp_path, monkeypatch):
         f"{d}/lineitem.parquet"
     )
     out = {r["shared_parts"]: r for r in q_supplier_projection_stats(spark, d).collect()}
-    assert set(out) == {1, 2}
+    assert set(out) == {0, 1, 2}  # 0 = the always-present anchor row
+    assert out[0]["n_pairs"] == 0
     assert out[2]["n_pairs"] == 1  # (s1,s2)
     assert out[1]["n_pairs"] == 1  # (s2,s3)
     assert all(r["n_hot_parts"] == 1 for r in out.values())
@@ -308,3 +309,30 @@ def test_bipartite_butterflies_crafted_graph(spark, tmp_path, monkeypatch):
     assert r["n_three_paths"] == 8
     assert r["bipartite_cc"] == 0.5
     assert r["n_hot_parts"] == 1
+
+
+def test_supplier_projection_all_hub_corpus_still_reports(spark, tmp_path, monkeypatch):
+    """Every part over the cap: the histogram is empty but the anchor
+    row must still carry the hub count (truncation never silent)."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.graph import (
+        q_supplier_projection_stats,
+    )
+
+    monkeypatch.setattr(
+        "retail_sales_etl_spark.operators.graph.PROJ_PART_CAP", 2
+    )
+    rows = [
+        Row(l_partkey=p, l_suppkey=s)
+        for p in (1, 2)
+        for s in (1, 2, 3)  # 3 suppliers > cap 2 -> both parts are hubs
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = q_supplier_projection_stats(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["shared_parts"] == 0 and out[0]["n_pairs"] == 0
+    assert out[0]["n_hot_parts"] == 2
