@@ -1049,3 +1049,111 @@ ORACLE["part_return_shrinkage"] = f"""
     ORDER BY shrunk_rate DESC, partkey
     LIMIT {EB_TOP_K}
 """
+
+
+# Holt's linear-trend smoothing constants (Holt 1957 / Winters 1960)
+HOLT_ALPHA = 0.2
+HOLT_BETA = 0.1
+
+HOLT_SCHEMA = (
+    "d int, v bigint, level double, trend double, fitted double, "
+    "resid double"
+)
+
+
+def q_revenue_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily revenue (Holt 1957):
+    level/trend recursion l_t = αv_t + (1−α)(l+b), b_t = β(l_t−l) +
+    (1−β)b with one-step-ahead fitted values and residuals — the
+    adaptive-trend complement of revenue_theil_sen's single global
+    slope (Theil-Sen answers "is revenue growing"; this tracks WHERE
+    the trend bends, and its residuals are the anomaly input).
+
+    This is the repo's one genuinely RECURSIVE time-series operator —
+    each state depends on the previous step, inexpressible as window
+    functions — so the Spark side is an ``applyInPandas`` recurrence
+    over the BOUNDED day grid (the documented pattern for per-key
+    recurrences; the grid does not grow with fact volume, and a
+    per-key variant would partition by the key) and the oracle is a
+    DuckDB ``WITH RECURSIVE`` CTE stepping the identical staged
+    arithmetic. Determinism: every update 6-dp floor-staged in BOTH
+    engines (identical IEEE op order, Python floats being IEEE
+    doubles); init l₁ = v₁, b₁ = v₂ − v₁ (exact integers). Needs >= 2
+    days — returns empty below that, by contract.
+    """
+    import math
+
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        cols = ["d", "v", "level", "trend", "fitted", "resid"]
+        if len(pdf) < 2:
+            return pd.DataFrame({c: [] for c in cols})
+
+        def st(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        ds = [int(x) for x in pdf["d"]]
+        vs = [float(x) for x in pdf["v"]]
+        prev_l, prev_b = vs[0], vs[1] - vs[0]
+        out = [(ds[0], int(vs[0]), prev_l, prev_b, vs[0], 0.0)]
+        for t in range(1, len(vs)):
+            fitted = st(prev_l + prev_b)
+            l_new = st(
+                HOLT_ALPHA * vs[t] + (1.0 - HOLT_ALPHA) * (prev_l + prev_b)
+            )
+            b_new = st(
+                HOLT_BETA * (l_new - prev_l) + (1.0 - HOLT_BETA) * prev_b
+            )
+            out.append(
+                (ds[t], int(vs[t]), l_new, b_new, fitted, st(vs[t] - fitted))
+            )
+            prev_l, prev_b = l_new, b_new
+        return pd.DataFrame(dict(zip(cols, map(list, zip(*out)))))
+
+    return (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_holt, schema=HOLT_SCHEMA)
+    )
+
+
+QUERIES["revenue_holt_smoothing"] = q_revenue_holt_smoothing
+
+ORACLE["revenue_holt_smoothing"] = f"""
+    WITH RECURSIVE daily AS ({_DAILY_CENTS_SQL}
+    ),
+    idx AS (
+        SELECT d, v, row_number() OVER (ORDER BY d) AS t FROM daily
+    ),
+    hw AS (
+        SELECT i1.t, i1.d, i1.v,
+               CAST(i1.v AS DOUBLE) AS l,
+               CAST(i2.v AS DOUBLE) - CAST(i1.v AS DOUBLE) AS b
+        FROM idx i1 JOIN idx i2 ON i1.t = 1 AND i2.t = 2
+        UNION ALL
+        SELECT i.t, i.d, i.v,
+               floor(({HOLT_ALPHA} * CAST(i.v AS DOUBLE)
+                      + {1.0 - HOLT_ALPHA} * (hw.l + hw.b)) * 1e6 + 0.5) / 1e6,
+               floor(({HOLT_BETA}
+                      * (floor(({HOLT_ALPHA} * CAST(i.v AS DOUBLE)
+                                + {1.0 - HOLT_ALPHA} * (hw.l + hw.b))
+                               * 1e6 + 0.5) / 1e6
+                         - hw.l)
+                      + {1.0 - HOLT_BETA} * hw.b) * 1e6 + 0.5) / 1e6
+        FROM hw JOIN idx i ON i.t = hw.t + 1
+    )
+    SELECT CAST(d AS INT) AS d, v, l AS level, b AS trend,
+           CASE WHEN t = 1 THEN CAST(v AS DOUBLE)
+                ELSE floor((lag(l) OVER (ORDER BY t)
+                            + lag(b) OVER (ORDER BY t)) * 1e6 + 0.5) / 1e6
+           END AS fitted,
+           CASE WHEN t = 1 THEN 0.0
+                ELSE floor((CAST(v AS DOUBLE)
+                            - floor((lag(l) OVER (ORDER BY t)
+                                     + lag(b) OVER (ORDER BY t))
+                                    * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+           END AS resid
+    FROM hw
+"""

@@ -275,3 +275,53 @@ def test_eb_shrinkage_flips_small_sample_ranking(spark, tmp_path):
     assert a["prior_strength"] > 0
     # shrinkage pulls toward the prior mean, never past it
     assert a["prior_mean"] < a["shrunk_rate"] < a["raw_rate"]
+
+
+def test_holt_tracks_exact_linear_trend(spark, tmp_path):
+    """On a perfectly linear series (b initialized to the true slope),
+    Holt's recursion stays ON the line: every fitted value equals the
+    observation, residuals are exactly 0, trend stays the slope."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_holt_smoothing,
+    )
+
+    base = datetime.date.fromisoformat(SEASON_EPOCH)
+    rows = [
+        Row(
+            o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+            o_totalprice=10.0 + 1.0 * i,  # +100 cents per day
+        )
+        for i in range(30)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = sorted(q_revenue_holt_smoothing(spark, d).collect(),
+                 key=lambda r: r["d"])
+    assert len(out) == 30
+    for r in out:
+        assert r["resid"] == 0.0, r
+        assert r["trend"] == 100.0, r
+        assert r["fitted"] == float(r["v"]), r
+
+
+def test_holt_single_day_returns_empty(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_holt_smoothing,
+    )
+
+    rows = [Row(o_orderdate=SEASON_EPOCH, o_totalprice=10.0)]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    assert q_revenue_holt_smoothing(spark, d).collect() == []
