@@ -735,48 +735,74 @@ def q_multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image PAIR census at Hamming distance <= 1 over
     the perceptual hashes — the multi-probe completion of
     multimodal_phash_dedup (exact-bucket groups miss a pair that
-    differs in ONE borderline cell; probing every 1-bit flip catches
-    them — the multi-probe LSH idea of Lv et al., VLDB 2007).
+    differs in ONE borderline cell; counting every 1-bit-apart bucket
+    pair catches them — the multi-probe LSH idea of Lv et al.,
+    VLDB 2007).
 
-    Spark side is the PROBE join: each left-side hash emits itself
-    plus its 12 single-bit flips (13 keys, map-side explode), the
-    right side joins on identity with doc_a < doc_b — each d=0 pair
-    matches via the identity probe exactly once, each d=1 pair via
-    the one differing bit exactly once, so no dedup pass is needed.
+    Spark side counts CLOSED-FORM on the bucket-size grid, never
+    enumerating document pairs: one map-combinable census collapses
+    the corpus to (phash, n) — at most 2^12 = 4096 rows regardless of
+    corpus size — then d=0 pairs are sum C(n, 2) over the grid and
+    d=1 pairs are sum over the 12 bit directions of n_a * n_b between
+    buckets whose hashes differ in exactly that bit. Each unordered
+    bucket pair is counted once by probing only from the side with the
+    bit UNSET (the flipped partner has it set). Products run in
+    DECIMAL (the bipartite_butterflies discipline, graph.py: C(w,2)
+    sums wrap int64 when bucket occupancy nears ~1e9+ at web scale).
+    The pair-stage input is corpus-size-INDEPENDENT: after the hash
+    census, everything is arithmetic on a <= 4096-row broadcast grid.
     The ORACLE deliberately uses a DIFFERENT algorithm — the all-pairs
-    bit_count(xor()) filter — so a probe-mechanics bug (missed flip,
-    double count) cannot cancel out. Only hashes shuffle; the pair
-    space is bucket-bounded, never |docs|².
+    bit_count(xor()) filter at document grain — so a grid-mechanics
+    bug (missed bit direction, double-counted bucket pair, off-by-one
+    in C(n,2)) cannot cancel out.
     """
     hashed = phash_frame(
         synthesize_ppm(load_table(spark, sf_dir, "documents"))
-    ).select("doc_id", "phash")
+    ).select("phash")
     n_bits = PHASH_W * PHASH_H
-    probe_keys = F.array(
-        F.col("phash"),
-        *[
-            F.col("phash").bitwiseXOR(F.lit(1 << i)).cast("bigint")
-            for i in range(n_bits)
-        ],
+    grid = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n"))
+    # 13 probe directions per bucket: mask 0 is the identity probe
+    # (d=0, within-bucket), masks 2^i the bit flips (d=1). A bit flip
+    # is probed only from the bit-UNSET side — the partner has it set
+    # — so each unordered bucket pair is emitted exactly once.
+    bit_masks = F.array(
+        F.lit(0).cast("bigint"),
+        *[F.lit(1 << i).cast("bigint") for i in range(n_bits)],
     )
-    left = hashed.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("hash_a"),
-        F.explode(probe_keys).alias("k"),
+    probes = (
+        grid.select("phash", "n", F.explode(bit_masks).alias("m"))
+        .where(F.col("phash").bitwiseAND(F.col("m")) == 0)
+        .select(
+            F.col("phash").bitwiseXOR(F.col("m")).alias("partner"),
+            F.col("n").alias("n_a"),
+            F.when(F.col("m") == 0, 0).otherwise(1).alias("hamming"),
+        )
     )
-    right = hashed.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("key_b")
-    )
-    pairs = left.join(
-        right,
-        (F.col("k") == F.col("key_b")) & (F.col("doc_a") < F.col("doc_b")),
-    ).select(
-        F.when(F.col("hash_a") == F.col("key_b"), 0)
-        .otherwise(1)
-        .alias("hamming")
-    )
-    return pairs.groupBy("hamming").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    n_a = F.col("n_a").cast("decimal(19,0)")
+    n_b = F.col("n_b").cast("decimal(19,0)")
+    return (
+        probes.join(
+            F.broadcast(
+                grid.select(
+                    F.col("phash").alias("partner"), F.col("n").alias("n_b")
+                )
+            ),
+            "partner",
+        )
+        .select(
+            "hamming",
+            # identity probe: C(n,2) within the bucket (n*(n-1) is
+            # even, so the decimal halving is exact); bit probe:
+            # cross-bucket product n_a * n_b
+            F.when(F.col("hamming") == 0, n_a * (n_a - F.lit(1)) / 2)
+            .otherwise(n_a * n_b)
+            .alias("pairs"),
+        )
+        .groupBy("hamming")
+        .agg(
+            F.sum("pairs").cast("decimal(38,0)").cast("bigint").alias("n_pairs")
+        )
+        .where(F.col("n_pairs") > 0)
     )
 
 

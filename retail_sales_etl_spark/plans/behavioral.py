@@ -27,30 +27,20 @@ RFM_BAND_FREQ = 4  # frequency band width (orders)
 RFM_BAND_MONEY = 25_000.0  # monetary band width (currency)
 
 
-def _banded_global_rank(
-    per_cust: DataFrame, band, order_cols, out_name: str
-) -> DataFrame:
-    """Global rank of every customer under (value DESC, customer_id)
-    WITHOUT a global window sort: the two-phase distributed rank of
-    `shard_serpentine`/`part_abc_classes`. Customers bucket into value
-    BANDS (any monotone banding is rank-equal — band edges need no
-    cross-engine agreement), cumulative band counts are a window over
-    the SMALL band grid only (broadcast back), and global rank = band
-    offset + row_number WITHIN the band. Ties in value land in one
-    band by construction, so the customer_id tie-break stays local."""
-    b = per_cust.withColumn("band", band.cast("bigint"))
-    grid = b.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
-    wg = Window.orderBy(F.col("band").desc()).rowsBetween(
+RFM_PERSIST_PER_CUST = True  # cache the customer aggregate across branches
+
+
+def _band_offsets(grid: DataFrame, band_col: str) -> DataFrame:
+    """Cumulative count of customers in HIGHER-valued bands — the
+    phase-1 table of the two-phase banded global rank (the
+    `shard_serpentine`/`part_abc_classes` discipline). Runs over the
+    SMALL band grid only; broadcast back by the caller."""
+    wg = Window.orderBy(F.col(band_col).desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = grid.select(
-        "band",
+    return grid.select(
+        band_col,
         F.coalesce(F.sum("cnt").over(wg), F.lit(0)).cast("bigint").alias("off"),
-    )
-    wb = Window.partitionBy("band").orderBy(*order_cols)
-    return b.join(broadcast(offsets), "band").select(
-        "customer_id",
-        (F.col("off") + F.row_number().over(wb)).alias(out_name),
     )
 
 
@@ -76,63 +66,85 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-portable — but computed WITHOUT global ntile windows
     (which would sort the entire customer base on one reducer, three
     times): each dimension gets a two-phase banded global rank
-    (`_banded_global_rank`), then the quartile is closed-form
-    arithmetic on (rank, n). Identical output to the window form at
-    any scale; the only unpartitioned windows run over the bounded
-    band grids. A production run would persist `per_cust` across the
-    three rank branches; at driver scale recomputing the one-shuffle
-    aggregate is cheaper than cache management.
+    (band offsets over the SMALL band grid via `_band_offsets`, then
+    rank = offset + row_number within the band), and the quartile is
+    closed-form arithmetic on (rank, n). Identical output to the
+    window form at any scale; the only unpartitioned windows run over
+    the bounded band grids.
+
+    Single-fact-pass shape (r12): the banded customer aggregate is
+    computed ONCE and persisted (`RFM_PERSIST_PER_CUST`), all three
+    band-count grids come from one grouping-sets pass over it (n_cust
+    rides along as the sum of any one grid), and the three rank
+    windows CHAIN on the same frame — no customer-grain joins, no
+    re-aggregation of orders per rank branch (the r11 shape
+    recomputed the orders shuffle five times).
     """
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+    cid = F.col("customer_id")
+    b = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order_date"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary_dec"),
     )
-    cid = F.col("customer_id")
-    r_rank = _banded_global_rank(
-        per_cust,
+    # Banding is monotone in the ranked value, so band edges need no
+    # cross-engine agreement and value ties always land in one band
+    # (the customer_id tie-break stays band-local).
+    b = b.select(
+        "*",
         F.floor(
             F.datediff("last_order_date", F.lit(RFM_EPOCH).cast("date"))
             / F.lit(RFM_BAND_DAYS)
-        ),
-        [F.col("last_order_date").desc(), cid],
-        "r_rank",
+        )
+        .cast("bigint")
+        .alias("r_band"),
+        F.floor(F.col("frequency") / F.lit(RFM_BAND_FREQ))
+        .cast("bigint")
+        .alias("f_band"),
+        F.floor(F.col("monetary_dec").cast("double") / F.lit(RFM_BAND_MONEY))
+        .cast("bigint")
+        .alias("m_band"),
     )
-    f_rank = _banded_global_rank(
-        per_cust,
-        F.floor(F.col("frequency") / F.lit(RFM_BAND_FREQ)),
-        [F.col("frequency").desc(), cid],
-        "f_rank",
+    if RFM_PERSIST_PER_CUST:
+        b = b.persist()
+    grids = b.groupingSets(
+        [["r_band"], ["f_band"], ["m_band"]], "r_band", "f_band", "m_band"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("r_band").alias("g_r"),
+        F.grouping("f_band").alias("g_f"),
     )
-    m_rank = _banded_global_rank(
-        per_cust,
-        F.floor(F.col("monetary_dec").cast("double") / F.lit(RFM_BAND_MONEY)),
-        [F.col("monetary_dec").desc(), cid],
-        "m_rank",
-    )
-    total = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    r_grid = grids.where("g_r = 0").select("r_band", "cnt")
+    f_grid = grids.where("g_f = 0").select("f_band", "cnt")
+    m_grid = grids.where("g_r = 1 and g_f = 1").select("m_band", "cnt")
+    total = r_grid.agg(F.sum("cnt").cast("bigint").alias("n_cust"))
+    ranked = b
+    for band_col, grid, order_cols, out in (
+        ("r_band", r_grid, [F.col("last_order_date").desc(), cid], "r_rank"),
+        ("f_band", f_grid, [F.col("frequency").desc(), cid], "f_rank"),
+        ("m_band", m_grid, [F.col("monetary_dec").desc(), cid], "m_rank"),
+    ):
+        wb = Window.partitionBy(band_col).orderBy(*order_cols)
+        ranked = ranked.join(
+            broadcast(_band_offsets(grid, band_col)), band_col
+        ).select(
+            ranked["*"],
+            (F.col("off") + F.row_number().over(wb)).alias(out),
+        )
     n = F.col("n_cust")
-    return (
-        per_cust.join(r_rank, "customer_id")
-        .join(f_rank, "customer_id")
-        .join(m_rank, "customer_id")
-        .crossJoin(broadcast(total))
-        .select(
-            "customer_id",
-            "last_order_date",
-            "frequency",
-            F.col("monetary_dec").cast("double").alias("monetary"),
-            _ntile4(F.col("r_rank"), n).alias("r_quartile"),
-            _ntile4(F.col("f_rank"), n).alias("f_quartile"),
-            _ntile4(F.col("m_rank"), n).alias("m_quartile"),
-        )
-        .withColumn(
-            "rfm_segment",
-            F.concat(
-                F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
-            ),
-        )
+    return ranked.crossJoin(broadcast(total)).select(
+        "customer_id",
+        "last_order_date",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        _ntile4(F.col("r_rank"), n).alias("r_quartile"),
+        _ntile4(F.col("f_rank"), n).alias("f_quartile"),
+        _ntile4(F.col("m_rank"), n).alias("m_quartile"),
+    ).withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+        ),
     )
 
 

@@ -540,6 +540,11 @@ def test_customer_rfm_no_global_ntile_ranks_are_band_partitioned(spark, sf_dir):
     assert specs, "expected row_number window specs in plan"
     assert all("band" in s for s in specs), specs
     assert "BroadcastHashJoin" in plan
+    # single-fact-pass shape (r12): orders is scanned ONCE — the
+    # banded customer aggregate persists and every grid/rank branch
+    # reads the cache, not a re-aggregated fact
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
 
 
 def test_graph_assortativity_broadcasts_degree_table(spark, sf_dir):
@@ -618,3 +623,28 @@ def test_attribution_and_markov_eval_windows_are_bounded(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "user_id" in spec, spec
     assert "BroadcastHashJoin" in plan
+
+
+def test_phash_hamming_counts_on_grid_not_doc_pairs(spark, sf_dir):
+    """The Hamming-1 pair census must never join at document grain:
+    the only join is the bit-direction probe between two copies of the
+    <= 4096-row (phash, n) bucket grid — both sides AGGREGATES, the
+    partner side broadcast. A doc-grain probe join (the r11 shape)
+    materializes C(n,2) rows per bucket and dies at 100x."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_phash_hamming,
+    )
+
+    import re
+
+    plan = _formatted_plan(q_multimodal_phash_hamming(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    # the census collapses docs to the hash grid BEFORE the join:
+    # partial+final aggregate pairs on BOTH join inputs (4 census
+    # HashAggregates) plus the final pair-sum pair
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 6
+    # the join keys are hash-grid keys, never document ids
+    keys = re.search(r"Left keys \[1\]: \[(\w+)", plan)
+    assert keys and keys.group(1).startswith("partner"), plan[:2000]
