@@ -1890,9 +1890,13 @@ def q_streaming_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged with its batch id. The landed union is exactly-once (the
     checkpoint admits each batch once; availableNow retires the query
     after the backlog), so the rollup over the landed table — per-type
-    counts + DECIMAL value sums, plus the landed batch count — equals
-    the batch aggregate over events with n_batches = 4, hash-exact.
+    counts + DECIMAL value sums — equals the batch aggregate over
+    events, and the landed distinct batch count equals the STAGED FILE
+    count (one file per trigger), not a hardcoded constant: empty
+    repartition slices write no file, so the file count is the ground
+    truth the oracle's TRUE flag checks against.
     """
+    import glob
     import tempfile
 
     from ..catalog import load_table
@@ -1900,12 +1904,15 @@ def q_streaming_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="foreach_sink_")
     src = f"{work}/src"
     load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*"))
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     out = f"{work}/landed"
     write_batches_to_parquet(stream, out, f"{work}/ckpt").awaitTermination()
     landed = spark.read.parquet(out)
     total_batches = landed.agg(
-        F.count_distinct("__batch_id").alias("n_batches")
+        (F.count_distinct("__batch_id") == F.lit(n_files)).alias(
+            "batches_match_files"
+        )
     )
     return (
         landed.groupBy("event_type")
@@ -1919,10 +1926,67 @@ def q_streaming_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the exactly-once lakehouse streaming
+    sink (``write_batches_to_lakehouse``): the staged feed replays
+    TWICE through the transaction-log sink — the second pass with a
+    FRESH checkpoint, so foreachBatch re-delivers every batch id from
+    0 (the redelivery a checkpoint loss / rewind produces) — and the
+    TABLE LOG, not the stream checkpoint, detects each replayed batch
+    as already committed and skips it (the published Delta
+    streaming-sink idempotence pattern). Hash-checked claims: the
+    landed table holds exactly ONE copy of events (the per-type
+    rollup equals the batch aggregate), the log carries one
+    batch-stamped commit per staged file (commits_match_files), and
+    the full replay pass committed NOTHING (replay_added_zero) — the
+    batch oracle states all three as constants TRUE.
+    """
+    import glob
+    import tempfile
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="exactly_once_")
+    src = f"{work}/src"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*"))
+    tbl = f"{work}/table"
+    n_commits = []
+    for i in range(2):  # delivery + full redelivery (fresh checkpoint)
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        write_batches_to_lakehouse(
+            stream, tbl, f"{work}/ckpt{i}"
+        ).awaitTermination()
+        n_commits.append(
+            sum(
+                1
+                for e in LakehouseTable(spark, tbl).history()
+                if "batch_id" in e
+            )
+        )
+    landed = LakehouseTable(spark, tbl).read()
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "*",
+            F.lit(n_commits[0] == n_files).alias("commits_match_files"),
+            F.lit(n_commits[1] == n_commits[0]).alias("replay_added_zero"),
+        )
+    )
+
+
 QUERIES["streaming_interval_join"] = q_streaming_interval_join
 QUERIES["streaming_dedup_replay"] = q_streaming_dedup_replay
 QUERIES["streaming_enrich_static"] = q_streaming_enrich_static
 QUERIES["streaming_foreach_sink"] = q_streaming_foreach_sink
+QUERIES["streaming_exactly_once"] = q_streaming_exactly_once
 
 ORACLE["streaming_interval_join"] = """
     SELECT p.event_id AS purchase_id,
@@ -1956,7 +2020,17 @@ ORACLE["streaming_foreach_sink"] = """
     SELECT event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
-           CAST(4 AS BIGINT) AS n_batches
+           TRUE AS batches_match_files
+    FROM events
+    GROUP BY 1
+"""
+
+ORACLE["streaming_exactly_once"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           TRUE AS commits_match_files,
+           TRUE AS replay_added_zero
     FROM events
     GROUP BY 1
 """
