@@ -238,13 +238,26 @@ def main() -> None:
     # single-rep timing at least every ROTATION rounds, so a perf
     # regression in the long tail (Q5-Q22 analogs, windows, cohorts,
     # profiling) can't stay invisible between rounds. The rotation
-    # index derives from the count of recorded BENCH_r*.json driver
-    # artifacts — deterministic per round, no state file, and stable
-    # as the pool grows (stride slicing keys each entry to a phase).
+    # index is SPARK_GRAFT_BENCH_SLICE when set; otherwise it derives
+    # from the NEWEST committed BENCH_r*.json round number + 1 (the
+    # round being benched) — unlike the old file-COUNT rule, the max
+    # is immune to gaps in the artifact series and to stray deletions,
+    # and advances by exactly one per round so stride slicing covers
+    # the whole pool every ROTATION rounds.
     import glob
+    import re
 
     ROTATION = 3
-    round_idx = len(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) % ROTATION
+    env_slice = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+    if env_slice is not None:
+        round_idx = int(env_slice) % ROTATION
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        round_idx = (max(rounds, default=0) + 1) % ROTATION
     pool = sorted(n for n in queries if n not in HEADLINE)
     tier2_names = pool[round_idx::ROTATION]
     tier2: dict[str, float] = {}

@@ -284,7 +284,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_PREFIX_LEN = 32
 FUZZY_BLOCK_LEN = 4
-FUZZY_MAX_DIST = 8
+FUZZY_MAX_DIST = 3
 
 
 def _fuzzy_segments() -> list[tuple[int, int, int]]:
@@ -328,7 +328,7 @@ def _fuzzy_windows() -> list[tuple[int, int, int]]:
 
 def q_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-match join: doc pairs whose canonical 32-char prefixes are
-    within Levenshtein distance 8, BLOCKED on the 4-char prefix key.
+    within Levenshtein distance 3, BLOCKED on the 4-char prefix key.
 
     The block key alone is NOT a scale posture: natural-language
     4-char prefixes have bounded cardinality, so at 1000x the corpus
@@ -340,12 +340,12 @@ def q_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     match some segment EXACTLY at a position shifted by at most k
     (<= k edits precede it), so the join runs on (block, segment_idx,
     segment_value) keys instead of the block alone. Selectivity is
-    governed by k/L: at this operator's deliberately loose budget
-    (k/L = 8/32 = 25%, 3-char segments) the measured candidate cut is
-    ~2.1x over the naive block space (probe_fuzzy_passjoin_10x.py) —
-    the filter pays for itself but natural-text trigrams collide; at
-    the k/L <= 10% budgets real entity-resolution runs use, segments
-    lengthen and the same plan's selectivity sharpens exponentially.
+    governed by k/L: at the r11 deliberately loose budget (k/L =
+    8/32 = 25%, 3-char segments) the measured cut was only ~2.1x
+    (natural-text trigrams collide); at this operator's k/L = 3/32 =
+    9.4% budget — the regime real entity-resolution runs use —
+    segments are 7 chars and the filter's selectivity sharpens
+    exponentially (probe_fuzzy_passjoin_10x.py measures the cut).
     Prefixes shorter than the full length (rare by construction —
     docs under 32 canonical chars) fall back to exhaustive in-block
     pairing so recall stays exact. The final levenshtein() filter is
@@ -360,11 +360,16 @@ def q_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
         )
     )
+    # The prefix table is consumed by four branches (index, probe, and
+    # both refinement sides); persisting the narrow (id, 32-char
+    # prefix, block) projection runs the full-text regex scan ONCE
+    # instead of four times. Doc-grain but ~44 bytes/row — disk-spill
+    # safe at corpus scale.
     pref = docs.select(
         "doc_id",
         F.substring(canonical, 1, FUZZY_PREFIX_LEN).alias("prefix"),
         F.substring(canonical, 1, FUZZY_BLOCK_LEN).alias("block"),
-    )
+    ).persist()
     longs = pref.filter(F.length("prefix") == FUZZY_PREFIX_LEN)
     shorts = pref.filter(F.length("prefix") < FUZZY_PREFIX_LEN)
 
@@ -2838,8 +2843,13 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded-scan aggregate; the GLOBAL (count desc, word) rank uses
     the banded two-phase prefix-rank (band = the count value, offsets
     windowed over the small distinct-count grid and broadcast back,
-    row_number only within bands) — never a vocabulary-wide sort; the
-    head filter bounds everything downstream at ZIPF_MAX_RANK rows.
+    row_number only within bands) — never a vocabulary-wide sort.
+    Bands are PRUNED before the rank window: a band whose offset is
+    already >= ZIPF_MAX_RANK cannot contribute a head rank, so the
+    off < ZIPF_MAX_RANK filter drops it pre-window — under Zipf the
+    cw=1 hapax band alone holds ~half the vocabulary, and without the
+    prune one reducer would still sort it; the head filter then
+    bounds everything downstream at ZIPF_MAX_RANK rows.
     Determinism: ln values 6-dp floor-staged (libm ln differs by ulps
     across engines; the unigram_logprob discipline), their products
     9-dp staged, DECIMAL sums, the OLS closed form in mirrored double
@@ -2863,6 +2873,7 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("cw").orderBy("w")
     head = (
         vocab.join(F.broadcast(offsets), "cw")
+        .filter(F.col("off") < ZIPF_MAX_RANK)
         .select("cw", (F.col("off") + F.row_number().over(wb)).alias("r"))
         .filter(F.col("r") <= ZIPF_MAX_RANK)
     )
