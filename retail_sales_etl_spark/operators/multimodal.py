@@ -844,3 +844,208 @@ ORACLE["multimodal_phash_hamming"] = f"""
     WHERE bit_count(xor(a.phash, b.phash)) <= 1
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal_bmp_stats — REAL uncompressed-BMP decode (stride/padding/
+# bottom-up/BGR hazards the PPM path cannot exercise)
+# ---------------------------------------------------------------------------
+
+BMP_MIME = "image/bmp"
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def _bmp_stride(width: int) -> int:
+    """24-bpp BMP rows pad to a 4-byte boundary: stride = w*3 rounded
+    up. Widths 2..9 (the synthetic dim range) hit every padding class
+    0..3, so a stride bug cannot hide behind a lucky width."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def synthesize_bmp(docs: DataFrame) -> DataFrame:
+    """One REAL uncompressed 24-bpp BMP payload per document from the
+    shared closed-form pixel generator: BITMAPFILEHEADER ('BM', file
+    size, pixel-array offset) + BITMAPINFOHEADER (positive height =
+    BOTTOM-UP row order) + the padded BGR raster. Everything the PPM
+    encoder has no analog for is exercised on purpose: little-endian
+    multi-byte header fields, per-row 4-byte stride padding (written
+    as 0xAA, NOT zero, so a decoder that sums padding bytes is caught),
+    bottom-up row storage, and B-G-R channel order."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _ppm_dims(d)
+                stride = _bmp_stride(w)
+                size = _BMP_HEADER_SIZE + stride * h
+                buf = bytearray()
+                buf += struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_HEADER_SIZE)
+                buf += struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+                )
+                for y in range(h - 1, -1, -1):  # bottom-up
+                    row = bytearray()
+                    for x in range(w):
+                        r, g, b = _ppm_pixel(d, x, y)
+                        row += bytes((b, g, r))  # BGR
+                    row += b"\xaa" * (stride - 3 * w)
+                    buf += row
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": BMP_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decoder for uncompressed 24-bpp bottom-up BMP — pure-bytes
+    struct arithmetic, no codec library. Reads the pixel-array offset
+    from the FILE header (never assumes 54), walks rows bottom-up via
+    the computed stride, strips padding, and de-interleaves BGR.
+    Returns integer-exact stats plus a probe that sums alone cannot
+    pin: corner_r / corner_b are the TOP-LEFT pixel after the
+    bottom-up flip — per-channel sums are invariant under row
+    reordering, so a missing flip only the corner's y-dependence
+    catches (a B<->R swap is caught by the sums themselves: the
+    generator's R and B formulas differ)."""
+    import struct
+
+    payload = bytes(payload)
+    if payload[:2] != b"BM" or len(payload) < _BMP_HEADER_SIZE:
+        raise ValueError("not a BMP payload")
+    _, file_size, _, _, px_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (
+        hdr_size,
+        width,
+        height,
+        planes,
+        bpp,
+        compression,
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (need uncompressed 24-bpp)")
+    if width <= 0 or height <= 0:
+        # negative height (top-down) is legal BMP but out of scope here
+        raise ValueError("unsupported BMP dims")
+    stride = _bmp_stride(width)
+    if len(payload) < px_offset + stride * height or file_size != len(payload):
+        raise ValueError("truncated BMP raster")
+    sum_r = sum_g = sum_b = 0
+    corner_r = corner_b = None
+    for y in range(height):  # image row y is stored at slot height-1-y
+        base = px_offset + (height - 1 - y) * stride
+        row = payload[base : base + 3 * width]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+        if y == 0:
+            corner_b, corner_r = row[0], row[2]
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "row_stride": stride,
+        "pad_bytes": stride - 3 * width,
+        "n_bytes": len(payload),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "corner_r": corner_r,
+        "corner_b": corner_b,
+    }
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("row_stride", IntegerType()),
+        StructField("pad_bytes", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("corner_r", IntegerType()),
+        StructField("corner_b", IntegerType()),
+    ]
+)
+
+
+def q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL uncompressed-BMP decode proof — the second
+    pure-bytes codec beside PPM (multimodal_ppm_stats), covering the
+    hazard class PPM structurally cannot: little-endian header fields,
+    4-byte row-stride padding (non-zero pad bytes that must NOT reach
+    the sums), bottom-up row order (pinned by the top-left corner
+    probe — channel sums are row-order invariant), and BGR channel
+    order (pinned by the distinct per-channel sum formulas of the
+    generator). The oracle recomputes every output
+    closed-form from the shared pixel generator + stride arithmetic,
+    so encode->Arrow->decode round-trips hash-exact. Scale shape:
+    identical to the PPM path — one Arrow-batched mapInPandas chain,
+    payload bytes never shuffle, output is doc-grain stats."""
+    media = synthesize_bmp(load_table(spark, sf_dir, "documents"))
+
+    cols = [f.name for f in BMP_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_bmp(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=BMP_STATS_SCHEMA)
+
+
+QUERIES["multimodal_bmp_stats"] = q_multimodal_bmp_stats
+
+ORACLE["multimodal_bmp_stats"] = """
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 8) + 2 AS w,
+               (doc_id % 6) + 2 AS h
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM grid
+    ),
+    pix AS (
+        SELECT doc_id, w, h, x,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM xs
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS width,
+           CAST(any_value(h) AS INTEGER) AS height,
+           count(*) AS n_pixels,
+           CAST(any_value((w * 3 + 3) // 4 * 4) AS INTEGER) AS row_stride,
+           CAST(any_value((w * 3 + 3) // 4 * 4 - 3 * w) AS INTEGER)
+               AS pad_bytes,
+           CAST(any_value(54 + ((w * 3 + 3) // 4 * 4) * h) AS BIGINT)
+               AS n_bytes,
+           CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * doc_id + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_b,
+           CAST(any_value(doc_id % 256) AS INTEGER) AS corner_r,
+           CAST(any_value(doc_id % 256) AS INTEGER) AS corner_b
+    FROM pix
+    GROUP BY doc_id
+"""

@@ -204,3 +204,96 @@ def test_phash_hamming_reconciles_with_buckets(spark, sf_dir):
     expected_d0 = sum(r["n_docs"] * (r["n_docs"] - 1) // 2 for r in buckets)
     assert ham.get(0, 0) == expected_d0
     assert set(ham) <= {0, 1}
+
+
+def _craft_bmp(width, height, pixels, pad=b"\x00"):
+    """Hand-assemble an uncompressed 24-bpp bottom-up BMP from a
+    pixels[y][x] = (r, g, b) grid — independent of synthesize_bmp so
+    encoder and decoder can't share a bug."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            r, g, b = pixels[y][x]
+            raster += bytes((b, g, r))
+        raster += pad * (stride - 3 * width)
+    size = 54 + len(raster)
+    return (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + bytes(raster)
+    )
+
+
+def test_decode_bmp_crafted_bytes_exact():
+    """2x3 crafted BMP: every stat integer-exact, corner = TOP-left."""
+    pixels = [
+        [(10, 20, 30), (40, 50, 60)],   # image row 0 (top)
+        [(70, 80, 90), (100, 110, 120)],
+        [(130, 140, 150), (160, 170, 180)],
+    ]
+    d = multimodal.decode_bmp(_craft_bmp(2, 3, pixels))
+    assert d["width"] == 2 and d["height"] == 3 and d["n_pixels"] == 6
+    assert d["row_stride"] == 8 and d["pad_bytes"] == 2
+    assert d["n_bytes"] == 54 + 8 * 3
+    assert d["sum_r"] == 10 + 40 + 70 + 100 + 130 + 160
+    assert d["sum_g"] == 20 + 50 + 80 + 110 + 140 + 170
+    assert d["sum_b"] == 30 + 60 + 90 + 120 + 150 + 180
+    # top-left pixel AFTER the bottom-up flip — rows are stored
+    # bottom-first, so a decoder that forgets the flip reports 130/150
+    assert d["corner_r"] == 10 and d["corner_b"] == 30
+
+
+def test_decode_bmp_padding_never_reaches_sums():
+    """Non-zero stride padding (0xFF) must not change any stat."""
+    pixels = [[(1, 2, 3), (4, 5, 6)]]
+    clean = multimodal.decode_bmp(_craft_bmp(2, 1, pixels))
+    dirty = multimodal.decode_bmp(_craft_bmp(2, 1, pixels, pad=b"\xff"))
+    assert clean == dirty
+    # and a pad-free width (w=4: 12 bytes, stride 12) has pad_bytes 0
+    row = [[(9, 8, 7)] * 4]
+    assert multimodal.decode_bmp(_craft_bmp(4, 1, row))["pad_bytes"] == 0
+
+
+def test_decode_bmp_rejects_bad_payloads():
+    import struct
+
+    import pytest
+
+    good = _craft_bmp(2, 2, [[(0, 0, 0)] * 2] * 2)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"PNG" + good[3:])  # wrong magic
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(good[:-4])  # truncated raster
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 32)  # 32-bpp unsupported
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(good)
+    struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(bytes(bad_comp))
+
+
+def test_bmp_roundtrip_synth_decode(spark, sf_dir):
+    """synthesize_bmp -> decode_bmp recovers the generator closed-form
+    for every doc: dims, stride, padded size, channel sums, corner."""
+    rows = multimodal.q_multimodal_bmp_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        w, h = multimodal._ppm_dims(d)
+        stride = (w * 3 + 3) // 4 * 4
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["row_stride"] == stride
+        assert r["n_bytes"] == 54 + stride * h
+        exp_r = sum(
+            multimodal._ppm_pixel(d, x, y)[0]
+            for x in range(w)
+            for y in range(h)
+        )
+        assert r["sum_r"] == exp_r
+        assert r["corner_r"] == multimodal._ppm_pixel(d, 0, 0)[0]
+        assert r["corner_b"] == multimodal._ppm_pixel(d, 0, 0)[2]
