@@ -116,6 +116,13 @@ HEADLINE = [
     "doc_length_lorenz",
     "pack_efficiency_report",
     "fuzzy_prefix_match",
+    # round-12 additions: the grid-counting phash pair census + the
+    # single-fact-pass RFM (both rewritten this round), the BMP codec,
+    # and the exactly-once lakehouse streaming sink
+    "multimodal_phash_hamming",
+    "customer_rfm",
+    "multimodal_bmp_stats",
+    "streaming_exactly_once",
 ]
 
 
