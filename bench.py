@@ -252,7 +252,6 @@ def main() -> None:
     # and advances by exactly one per round so stride slicing covers
     # the whole pool every ROTATION rounds.
     import glob
-    import re
 
     ROTATION = 3
     env_slice = os.environ.get("SPARK_GRAFT_BENCH_SLICE")

@@ -352,3 +352,55 @@ def test_ntile4_spark_expression_matches_reference(spark):
         for i in range(4):
             expect.extend([i + 1] * (base + 1 if i < rem else base))
         assert got == expect, (n, got, expect)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_bmp_encode_decode_roundtrip_property(data):
+    """For ANY dims (1..12 x 1..6) and ANY pixel grid, a hand-built
+    24-bpp bottom-up BMP decodes to exact dims/stride/sums and the
+    TOP-left corner — independent re-implementation of the encoder in
+    the test (struct-packed inline) so encoder and decoder cannot
+    share a stride/flip/BGR bug."""
+    import struct
+
+    from retail_sales_etl_spark.operators import multimodal
+
+    w = data.draw(st.integers(1, 12))
+    h = data.draw(st.integers(1, 6))
+    flat = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    pixels = [flat[y * w : (y + 1) * w] for y in range(h)]
+    pad = data.draw(st.binary(min_size=1, max_size=1))
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = pixels[y][x]
+            raster += bytes((b, g, r))
+        raster += pad * (stride - 3 * w)
+    size = 54 + len(raster)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0
+        )
+        + bytes(raster)
+    )
+    d = multimodal.decode_bmp(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["row_stride"] == stride
+    assert d["pad_bytes"] == stride - 3 * w
+    assert d["n_bytes"] == size
+    assert d["sum_r"] == sum(p[0] for row in pixels for p in row)
+    assert d["sum_g"] == sum(p[1] for row in pixels for p in row)
+    assert d["sum_b"] == sum(p[2] for row in pixels for p in row)
+    assert d["corner_r"] == pixels[0][0][0]
+    assert d["corner_b"] == pixels[0][0][2]
