@@ -27,7 +27,13 @@ RFM_BAND_FREQ = 4  # frequency band width (orders)
 RFM_BAND_MONEY = 25_000.0  # monetary band width (currency)
 
 
-RFM_PERSIST_PER_CUST = True  # cache the customer aggregate across branches
+# Cache the banded customer aggregate across the grid/rank branches.
+# Lifetime: the returned frame is lazy, so the cache is released by the
+# caller's `spark.catalog.clearCache()` (bench.py issues one per query)
+# or at session end — long-lived sessions calling q_customer_rfm
+# repeatedly should clear, or set this off to trade one shuffle for
+# re-aggregation per branch.
+RFM_PERSIST_PER_CUST = True
 
 
 def _band_offsets(grid: DataFrame, band_col: str) -> DataFrame:

@@ -641,10 +641,13 @@ def test_phash_hamming_counts_on_grid_not_doc_pairs(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
-    # the census collapses docs to the hash grid BEFORE the join:
-    # partial+final aggregate pairs on BOTH join inputs (4 census
-    # HashAggregates) plus the final pair-sum pair
-    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 6
+    # the census collapses docs to the hash grid BEFORE the join, and
+    # the grid persists: ONE corpus scan feeds the cache, both join
+    # inputs read InMemoryTableScan (a shuffle-side and a broadcast-
+    # side exchange can't be unified by ReuseExchange otherwise)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
     # the join keys are hash-grid keys, never document ids
     keys = re.search(r"Left keys \[1\]: \[(\w+)", plan)
     assert keys and keys.group(1).startswith("partner"), plan[:2000]
