@@ -245,12 +245,11 @@ def main() -> None:
     # single-rep timing at least every ROTATION rounds, so a perf
     # regression in the long tail (Q5-Q22 analogs, windows, cohorts,
     # profiling) can't stay invisible between rounds. The rotation
-    # index is SPARK_GRAFT_BENCH_SLICE when set; otherwise it derives
-    # from the NEWEST committed BENCH_r*.json round number + 1 (the
-    # round being benched) — unlike the old file-COUNT rule, the max
-    # is immune to gaps in the artifact series and to stray deletions,
-    # and advances by exactly one per round so stride slicing covers
-    # the whole pool every ROTATION rounds.
+    # index is SPARK_GRAFT_BENCH_SLICE when set; otherwise it is the
+    # slice RECORDED by the newest committed BENCH_r*.json, plus one —
+    # self-correcting (continues wherever the last round actually
+    # left off, immune to artifact-count gaps; the old file-COUNT rule
+    # kept landing on slice 0, so slices 1-2 were never timed).
     import glob
 
     ROTATION = 3
@@ -258,12 +257,21 @@ def main() -> None:
     if env_slice is not None:
         round_idx = int(env_slice) % ROTATION
     else:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        round_idx = (max(rounds, default=0) + 1) % ROTATION
+        newest, last_slice = -1, -1
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            if not m or int(m.group(1)) <= newest:
+                continue
+            try:
+                with open(p, encoding="utf-8") as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            parsed = rec.get("parsed", rec)
+            sl = parsed.get("tier2_slice")
+            if isinstance(sl, int):
+                newest, last_slice = int(m.group(1)), sl
+        round_idx = (last_slice + 1) % ROTATION
     pool = sorted(n for n in queries if n not in HEADLINE)
     tier2_names = pool[round_idx::ROTATION]
     tier2: dict[str, float] = {}
