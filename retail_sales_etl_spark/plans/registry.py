@@ -195,6 +195,18 @@ def _proven_names_in(root: str) -> set[str]:
     return _proof_sets_in(root)[0]
 
 
+def _oracle_names() -> frozenset[str]:
+    """Names carrying a DuckDB oracle — cached; used to distinguish
+    by-design rows-only entries from entries merely missing a proof."""
+    global _ORACLE_NAMES
+    if _ORACLE_NAMES is None:
+        _ORACLE_NAMES = frozenset(all_oracles())
+    return _ORACLE_NAMES
+
+
+_ORACLE_NAMES: frozenset[str] | None = None
+
+
 def _proof_sets_in(root: str) -> tuple[set[str], set[str], set[str]]:
     import glob
     import json
@@ -212,13 +224,26 @@ def _proof_sets_in(root: str) -> tuple[set[str], set[str], set[str]]:
         except (OSError, ValueError):
             continue
         for name, rec in data.items():
-            if (
-                isinstance(rec, dict)
-                and rec.get("err") is None
+            if not isinstance(rec, dict):
+                continue
+            hash_green = (
+                rec.get("err") is None
                 and rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match") is not False
-            ):
+            )
+            # A rows-only entry (no oracle BY DESIGN — the approximate
+            # sketches) is as proven as it can ever get once the driver
+            # ran it successfully; without this, err='no_oracle' keeps
+            # it rank-0 forever and it burns a re-proof slot EVERY
+            # round. Only honored while the entry still has no oracle —
+            # adding one later demands a real hash proof.
+            rows_only_green = (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and name not in _oracle_names()
+            )
+            if hash_green or rows_only_green:
                 latest_green[name] = max(latest_green.get(name, -1), round_no)
 
     state_path = os.path.join(root, _PROOF_STATE_FILE)

@@ -165,3 +165,31 @@ def test_every_registry_entry_has_a_survey_row():
         survey = f.read()
     missing = [n for n in registry.all_queries() if f"`{n}`" not in survey]
     assert not missing, f"operators missing from SURVEY.md: {missing}"
+
+
+def test_rows_only_entries_count_as_proven(tmp_path):
+    """A by-design oracle-less entry (the approximate sketches) whose
+    driver record is err='no_oracle' with a successful run is as
+    proven as it can ever get — it must NOT sit rank-0 forever and
+    burn a re-proof slot every round. An entry that HAS an oracle but
+    recorded no_oracle (stale artifact) stays unproven."""
+    import json
+
+    no_oracle_name = next(
+        n for n in registry.all_queries() if n not in registry.all_oracles()
+    )
+    oracle_name = next(iter(registry.all_oracles()))
+    rec = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 5,
+        "oracle_rows": None,
+        "err": "no_oracle",
+    }
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({no_oracle_name: rec, oracle_name: rec})
+    )
+    proven, ever_green, _forced = registry._proof_sets_in(str(tmp_path))
+    assert no_oracle_name in ever_green and no_oracle_name in proven
+    assert oracle_name not in ever_green
