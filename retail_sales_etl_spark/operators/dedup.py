@@ -1127,3 +1127,103 @@ ORACLE["dedup_recall_report"] = f"""
         FROM m_ppj
     )
 """
+
+
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup LEAKAGE census: for every unordered pair
+    of corpus_split assignments (the doc-id-grain split), how many
+    MinHash-LSH candidate pairs straddle it — the pre-training audit
+    that quantifies eval contamination BEFORE any GPU burns (a near-
+    dup of a test doc sitting in train inflates eval exactly like
+    test leakage; Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" measure this effect). is_leak marks the
+    cross-split rows; a zero-leak corpus is what corpus_split_group's
+    group-aware assignment guarantees BY CONSTRUCTION for
+    within-group duplication.
+
+    Scale shape: reuses the banded LSH pair generation verbatim
+    (bucket-bounded, never all-pairs), joins the doc-grain split
+    assignment onto each endpoint (id-keyed shuffles), and collapses
+    to the <= 6-row split-pair grid with least/greatest
+    normalization — one map-combinable aggregate at the end.
+    """
+    from .sampling import _SPLIT_SALT, _threshold_hex
+    from .sampling import SPLIT_TRAIN, SPLIT_VALID
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    split = (
+        F.when(key < F.lit(_threshold_hex(SPLIT_TRAIN)), F.lit("train"))
+        .when(key < F.lit(_threshold_hex(SPLIT_VALID)), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_lsh_pairs(docs)
+    labeled = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("a_id"), F.col("split").alias("split_a")
+            ),
+            "a_id",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("b_id"), F.col("split").alias("split_b")
+            ),
+            "b_id",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+QUERIES["split_leakage_report"] = q_split_leakage_report
+
+
+def _split_leakage_oracle() -> str:
+    from .sampling import _SPLIT_SALT, _threshold_hex
+    from .sampling import SPLIT_TRAIN, SPLIT_VALID
+
+    split_case = f"""CASE WHEN substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{_threshold_hex(SPLIT_TRAIN)}' THEN 'train'
+                WHEN substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{_threshold_hex(SPLIT_VALID)}' THEN 'valid'
+                ELSE 'test' END"""
+    return f"""
+        WITH sig AS ({_MINHASH_SIG_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_key = b.band_key
+                        AND a.band_idx = b.band_idx
+                        AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        assign AS (
+            SELECT doc_id, {split_case} AS split FROM documents
+        )
+        SELECT least(sa.split, sb.split) AS split_lo,
+               greatest(sa.split, sb.split) AS split_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+                   AS is_leak
+        FROM pairs p
+        JOIN assign sa ON p.a_id = sa.doc_id
+        JOIN assign sb ON p.b_id = sb.doc_id
+        GROUP BY 1, 2
+    """
+
+
+ORACLE["split_leakage_report"] = _split_leakage_oracle()

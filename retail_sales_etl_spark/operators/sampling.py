@@ -743,3 +743,51 @@ ORACLE["shard_serpentine"] = f"""
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY shard
 """
+
+
+_GSPLIT_SALT = "gsplit|"
+
+
+def q_corpus_split_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the split key is the
+    document's SOURCE, not its id, so every doc of one source lands in
+    the same split — the leakage-safe split an eval pipeline needs
+    when documents within a group are correlated (crawls of one site,
+    chapters of one book, near-dup mirror pages): a doc-id-grain split
+    puts near-identical group members on both sides of the train/test
+    boundary, silently inflating eval (von Luxburg's grouped
+    cross-validation discipline; the split_leakage_report operator
+    MEASURES exactly that defect on the id-grain split).
+
+    Same deterministic hash-threshold machinery as corpus_split (md5
+    of the salted group key against SPLIT_TRAIN/SPLIT_VALID band
+    edges): pure map-side projection, no shuffle, no RNG, and adding
+    docs to an existing source never moves the source between splits.
+    Output keeps the group hash band so the assignment is auditable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit(_GSPLIT_SALT), F.col("source"))), 1, 8
+    )
+    split = (
+        F.when(key < F.lit(_threshold_hex(SPLIT_TRAIN)), F.lit("train"))
+        .when(key < F.lit(_threshold_hex(SPLIT_VALID)), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "source", key.alias("group_key"), split.alias("split")
+    )
+
+
+QUERIES["corpus_split_group"] = q_corpus_split_group
+
+ORACLE["corpus_split_group"] = f"""
+    SELECT doc_id, source,
+           substring(md5('{_GSPLIT_SALT}' || source), 1, 8) AS group_key,
+           CASE WHEN substring(md5('{_GSPLIT_SALT}' || source), 1, 8)
+                     < '{_threshold_hex(SPLIT_TRAIN)}' THEN 'train'
+                WHEN substring(md5('{_GSPLIT_SALT}' || source), 1, 8)
+                     < '{_threshold_hex(SPLIT_VALID)}' THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+"""

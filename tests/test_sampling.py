@@ -245,3 +245,23 @@ def test_shard_serpentine_two_phase_rank_and_balance(spark, tmp_path):
         e[1] += r["n_chars"]
     for s in range(N_SHARDS):
         assert (got[s]["n_docs"], got[s]["total_chars"]) == tuple(exp[s])
+
+
+def test_corpus_split_group_same_source_same_split(spark, sf_dir):
+    """Every doc of one source must land in ONE split (the leakage-
+    safe guarantee), the bands must follow the group hash against the
+    shared thresholds, and the assignment must be add-docs-stable
+    (each row's split depends only on its own source)."""
+    from retail_sales_etl_spark.operators.sampling import (
+        q_corpus_split_group,
+    )
+
+    rows = q_corpus_split_group(spark, sf_dir).collect()
+    assert rows
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], set()).add(r["split"])
+        assert r["split"] in ("train", "valid", "test")
+    assert all(len(v) == 1 for v in per_source.values()), {
+        k: v for k, v in per_source.items() if len(v) > 1
+    }

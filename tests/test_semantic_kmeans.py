@@ -141,3 +141,24 @@ def test_semantic_survivor_is_farthest_from_centroid(spark, emb):
             (not p.is_semantic_dup) and p.centroid_cos <= r.centroid_cos
             for p in peers
         ) or any(p.centroid_cos < r.centroid_cos for p in peers)
+
+
+def test_split_leakage_report_reconciles_with_lsh_pairs(spark, sf_dir):
+    """The split-pair census must partition the LSH candidate pair set
+    exactly: sum of n_pairs over the report = |minhash_lsh_pairs|,
+    is_leak true iff the endpoints' splits differ, and pair labels are
+    least/greatest normalized."""
+    from retail_sales_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        q_split_leakage_report,
+    )
+    from retail_sales_etl_spark.catalog import load_table
+
+    rows = q_split_leakage_report(spark, sf_dir).collect()
+    n_total = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_total
+    for r in rows:
+        assert r["split_lo"] <= r["split_hi"]
+        assert r["is_leak"] == (r["split_lo"] != r["split_hi"])
