@@ -2604,3 +2604,272 @@ def _anisotropy_oracle() -> str:
 
 
 ORACLE["embedding_anisotropy_qc"] = _anisotropy_oracle()
+
+
+def q_embedding_pc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal component by DEFLATED power iteration: run the
+    shared staged chain for v1 (``_power_iterate``), then iterate a
+    second vector u with per-round Gram-Schmidt deflation against v1
+    — after each corpus pass the v1 component is subtracted
+    (u <- normalize(s - (s·v1) v1), Hotelling 1933's deflation), so u
+    converges to the top eigenvector of the deflated covariance,
+    i.e. PC2. Together with embedding_top_pc this is the start of the
+    "all-but-the-top" cleanup basis (Mu & Viswanath 2018 remove the
+    top D/100 PCs — the machinery here extends one deflation per
+    extra component).
+
+    Scale shape: identical to top_pc — per round the iterate and v1
+    are 64-row frames collapsed to broadcast arrays, the corpus pass
+    is map-side fold-dots + a 64-group map-combinable aggregate, and
+    the deflation itself runs entirely on the 64-row dim grid
+    (one tiny join + 1-row dot). v1 and each round's 64-row s6
+    aggregate are eagerly localCheckpoint()ed (the pagerank /
+    label-prop discipline, graph.py:90,130): s6 feeds both the
+    deflation dot and the subtraction, so without truncation each
+    consumer replays the round's corpus pass AND the logical plan
+    compounds ~4x per round — Catalyst analysis alone on the unrolled
+    tree dominated wall time (observed at sf0.001: 119 s untruncated
+    vs ~4 s of u-chain work after). With the checkpoints the whole
+    query is rounds+1 corpus passes and every per-round plan is
+    64-row flat. The centered corpus is deliberately NOT cached (the
+    top_pc posture: re-scanning beats materializing |corpus| x 64
+    doubles at scale).
+    Determinism: every stage mirrors the v1 chain (6-dp projections,
+    9-dp products into DECIMAL(28,9), DECIMAL(18,6) norm squares,
+    re-staged iterate), the deflation coefficient and subtraction are
+    6-dp staged, init is the alternating ±1/8 unit vector (orthogonal
+    to v1's all-ones/8 init, sign pinned). Output: the 64 loadings,
+    the Rayleigh eigenvalue2 = ||deflated s||/n, and dot_v1_v2 — the
+    orthogonality audit the oracle recomputes (|dot| stays at
+    rounding scale unless deflation is broken).
+    """
+    cent, v1, _nrm1, n1 = _power_iterate(spark, sf_dir)
+    v1r = v1.select("dim", F.col("val").alias("v1")).localCheckpoint(
+        eager=True
+    )
+    u = spark.range(DIM).select(
+        F.col("id").cast("int").alias("dim"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.125))
+        .otherwise(F.lit(-0.125))
+        .alias("val"),
+    )
+    nrm2 = None
+    for _ in range(PCA_POWER_ROUNDS):
+        ua = _pc_assemble(u, "dim", "val")
+        proj = cent.crossJoin(F.broadcast(ua)).select(
+            "xc", fround(_dot(F.col("xc"), F.col("arr")), 6).alias("p")
+        )
+        terms = proj.select(F.posexplode("xc").alias("dim", "xcv"), "p")
+        s6 = (
+            terms.groupBy("dim")
+            .agg(
+                F.sum(
+                    fround(F.col("p") * F.col("xcv"), 9).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .select("dim", fround(F.col("s"), 6).alias("s6"))
+            .localCheckpoint(eager=True)
+        )
+        j = s6.join(v1r, "dim")
+        c1 = j.agg(
+            F.sum(
+                fround(F.col("s6") * F.col("v1"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("c")
+        ).select(fround(F.col("c"), 6).alias("c1"))
+        d6 = j.crossJoin(F.broadcast(c1)).select(
+            "dim",
+            fround(
+                F.col("s6") - fround(F.col("c1") * F.col("v1"), 6), 6
+            ).alias("d6"),
+        )
+        nrm2 = d6.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("d6").cast("decimal(18,6)")
+                    * F.col("d6").cast("decimal(18,6)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        u = d6.crossJoin(F.broadcast(nrm2)).select(
+            "dim",
+            F.when(
+                F.col("nrm") > 0, fround(F.col("d6") / F.col("nrm"), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("val"),
+        )
+    ortho = (
+        u.join(v1r, "dim")
+        .agg(
+            F.sum(
+                fround(F.col("val") * F.col("v1"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("c")
+        )
+        .select(fround(F.col("c"), 6).alias("dot_v1_v2"))
+    )
+    return (
+        u.crossJoin(F.broadcast(nrm2))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(ortho))
+        .select(
+            "dim",
+            F.col("val").alias("loading2"),
+            fround(
+                F.col("nrm") / F.col("n_vectors").cast("double"), 6
+            ).alias("eigenvalue2"),
+            "n_vectors",
+            "dot_v1_v2",
+        )
+    )
+
+
+QUERIES["embedding_pc2"] = q_embedding_pc2
+
+
+def _pc2_oracle() -> str:
+    """DuckDB twin: the v1 chain unrolled exactly as _top_pc_oracle,
+    then the deflated u chain — per round the same staged projection/
+    aggregate plus a 64-row deflation (c1 dot, 6-dp subtraction).
+    Every CTE is MATERIALIZED (the kcore discipline, graph.py:404):
+    the u chain references v_last in all 3 rounds twice each, so
+    DuckDB's default single-reference inlining expands the doubled
+    chain combinatorially (observed: >9 min at sf0.001 vs ~2 s
+    materialized)."""
+    ctes = [
+        """emb AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1e6 + 0.5) / 1e6) AS x6
+            FROM embeddings
+        )""",
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM emb)",
+        """dims AS (
+            SELECT vec_id, i - 1 AS dim, x6[i] AS x
+            FROM emb, LATERAL (SELECT unnest(generate_series(1,
+                               len(x6))) AS i)
+        )""",
+        """mu AS (
+            SELECT dim,
+                   floor((CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
+                          / count(*)) * 1e6 + 0.5) / 1e6 AS m
+            FROM dims GROUP BY 1
+        )""",
+        """cgrid AS (
+            SELECT vec_id, dim, x - m AS xc FROM dims JOIN mu USING (dim)
+        )""",
+        """carr AS (
+            SELECT vec_id, list(xc ORDER BY dim) AS xc
+            FROM cgrid GROUP BY vec_id
+        )""",
+        f"""v_0 AS (
+            SELECT i - 1 AS dim, CAST(0.125 AS DOUBLE) AS val
+            FROM (SELECT unnest(generate_series(1, {DIM})) AS i)
+        )""",
+    ]
+    for r in range(1, PCA_POWER_ROUNDS + 1):
+        ctes.append(
+            f"va_{r} AS (SELECT list(val ORDER BY dim) AS va FROM v_{r - 1})"
+        )
+        ctes.append(f"""proj_{r} AS (
+            SELECT vec_id,
+                   floor((list_dot_product(xc, va)) * 1e6 + 0.5) / 1e6 AS p
+            FROM carr CROSS JOIN va_{r}
+        )""")
+        ctes.append(f"""s6_{r} AS (
+            SELECT dim, floor(s * 1e6 + 0.5) / 1e6 AS s6
+            FROM (
+                SELECT g.dim,
+                       CAST(sum(CAST(floor((p.p * g.xc) * 1e9 + 0.5) / 1e9
+                                     AS DECIMAL(28,9))) AS DOUBLE) AS s
+                FROM cgrid g JOIN proj_{r} p USING (vec_id)
+                GROUP BY 1
+            )
+        )""")
+        ctes.append(f"""nrm_{r} AS (
+            SELECT sqrt(CAST(sum(CAST(s6 AS DECIMAL(18,6))
+                                 * CAST(s6 AS DECIMAL(18,6))) AS DOUBLE))
+                       AS nrm
+            FROM s6_{r}
+        )""")
+        ctes.append(f"""v_{r} AS (
+            SELECT dim,
+                   CASE WHEN nrm > 0
+                        THEN floor((s6 / nrm) * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS val
+            FROM s6_{r} CROSS JOIN nrm_{r}
+        )""")
+    last = PCA_POWER_ROUNDS
+    ctes.append(f"""u_0 AS (
+        SELECT i - 1 AS dim,
+               CASE WHEN (i - 1) % 2 = 0 THEN CAST(0.125 AS DOUBLE)
+                    ELSE CAST(-0.125 AS DOUBLE) END AS val
+        FROM (SELECT unnest(generate_series(1, {DIM})) AS i)
+    )""")
+    for r in range(1, PCA_POWER_ROUNDS + 1):
+        ctes.append(
+            f"ua_{r} AS (SELECT list(val ORDER BY dim) AS ua FROM u_{r - 1})"
+        )
+        ctes.append(f"""uproj_{r} AS (
+            SELECT vec_id,
+                   floor((list_dot_product(xc, ua)) * 1e6 + 0.5) / 1e6 AS p
+            FROM carr CROSS JOIN ua_{r}
+        )""")
+        ctes.append(f"""us6_{r} AS (
+            SELECT dim, floor(s * 1e6 + 0.5) / 1e6 AS s6
+            FROM (
+                SELECT g.dim,
+                       CAST(sum(CAST(floor((p.p * g.xc) * 1e9 + 0.5) / 1e9
+                                     AS DECIMAL(28,9))) AS DOUBLE) AS s
+                FROM cgrid g JOIN uproj_{r} p USING (vec_id)
+                GROUP BY 1
+            )
+        )""")
+        ctes.append(f"""c1_{r} AS (
+            SELECT floor(CAST(sum(CAST(floor((s.s6 * v.val) * 1e9 + 0.5)
+                                        / 1e9 AS DECIMAL(28,9))) AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS c1
+            FROM us6_{r} s JOIN v_{last} v USING (dim)
+        )""")
+        ctes.append(f"""d6_{r} AS (
+            SELECT s.dim,
+                   floor((s.s6 - floor((c.c1 * v.val) * 1e6 + 0.5) / 1e6)
+                         * 1e6 + 0.5) / 1e6 AS d6
+            FROM us6_{r} s JOIN v_{last} v USING (dim)
+            CROSS JOIN c1_{r} c
+        )""")
+        ctes.append(f"""unrm_{r} AS (
+            SELECT sqrt(CAST(sum(CAST(d6 AS DECIMAL(18,6))
+                                 * CAST(d6 AS DECIMAL(18,6))) AS DOUBLE))
+                       AS nrm
+            FROM d6_{r}
+        )""")
+        ctes.append(f"""u_{r} AS (
+            SELECT dim,
+                   CASE WHEN nrm > 0
+                        THEN floor((d6 / nrm) * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS val
+            FROM d6_{r} CROSS JOIN unrm_{r}
+        )""")
+    ctes.append(f"""ortho AS (
+        SELECT floor(CAST(sum(CAST(floor((u.val * v.val) * 1e9 + 0.5) / 1e9
+                                    AS DECIMAL(28,9))) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS dot_v1_v2
+        FROM u_{last} u JOIN v_{last} v USING (dim)
+    )""")
+    mat = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return f"""
+        WITH {', '.join(mat)}
+        SELECT CAST(u.dim AS INT) AS dim, u.val AS loading2,
+               floor((nrm / n_vectors) * 1e6 + 0.5) / 1e6 AS eigenvalue2,
+               n_vectors, dot_v1_v2
+        FROM u_{last} u CROSS JOIN unrm_{last} CROSS JOIN nv CROSS JOIN ortho
+    """
+
+
+ORACLE["embedding_pc2"] = _pc2_oracle()

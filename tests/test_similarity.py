@@ -415,6 +415,132 @@ def test_embedding_top_pc_matches_numpy_replica(spark, sf_dir):
     assert abs(float(np.sum(v * v)) - 1.0) < 1e-4
 
 
+def test_embedding_pc2_matches_numpy_replica(spark, sf_dir):
+    """Third-engine check for the deflated chain: an independent numpy
+    implementation of the SAME staged v1 iteration followed by the
+    SAME staged Gram-Schmidt-deflated u iteration must reproduce every
+    PC2 loading bit-for-bit, and the reported orthogonality audit must
+    sit at rounding scale."""
+    import math
+
+    import numpy as np
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.similarity import (
+        PCA_POWER_ROUNDS,
+        q_embedding_pc2,
+    )
+
+    out = q_embedding_pc2(spark, sf_dir).collect()
+    assert len(out) == 64
+    loadings = {r["dim"]: r["loading2"] for r in out}
+
+    def st(x, n):
+        return math.floor(x * 10**n + 0.5) / 10**n
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array(
+        [[st(float(x), 6) for x in r["embedding"]] for r in rows],
+        dtype=np.float64,
+    )
+    n, dim = X.shape
+    mu = np.array(
+        [
+            st(float(sum(round(x * 1e6) for x in X[:, d]) / 1e6) / n, 6)
+            for d in range(dim)
+        ]
+    )
+    Xc = X - mu
+
+    def staged_pass(w):
+        """One staged corpus pass: returns the 6-dp staged s6 vector."""
+        p = np.array([st(fold_dot(xc, w), 6) for xc in Xc])
+        s = np.array(
+            [
+                float(
+                    sum(round(st(p[i] * Xc[i, d], 9) * 1e9) for i in range(n))
+                )
+                / 1e9
+                for d in range(dim)
+            ]
+        )
+        return np.array([st(x, 6) for x in s])
+
+    v = np.full(dim, 0.125)
+    for _ in range(PCA_POWER_ROUNDS):
+        s6 = staged_pass(v)
+        nrm = math.sqrt(float(sum(round(x * 1e6) ** 2 for x in s6)) / 1e12)
+        v = np.array([st(x / nrm, 6) if nrm > 0 else 0.0 for x in s6])
+
+    u = np.array([0.125 if d % 2 == 0 else -0.125 for d in range(dim)])
+    unrm = 0.0
+    for _ in range(PCA_POWER_ROUNDS):
+        s6 = staged_pass(u)
+        c1 = st(
+            float(sum(round(st(s6[d] * v[d], 9) * 1e9) for d in range(dim)))
+            / 1e9,
+            6,
+        )
+        d6 = np.array(
+            [st(s6[d] - st(c1 * v[d], 6), 6) for d in range(dim)]
+        )
+        unrm = math.sqrt(float(sum(round(x * 1e6) ** 2 for x in d6)) / 1e12)
+        u = np.array([st(x / unrm, 6) if unrm > 0 else 0.0 for x in d6])
+
+    for d in range(dim):
+        assert loadings[d] == u[d], (d, loadings[d], u[d])
+    ortho = st(
+        float(sum(round(st(u[d] * v[d], 9) * 1e9) for d in range(dim))) / 1e9,
+        6,
+    )
+    assert out[0]["dot_v1_v2"] == ortho
+    assert abs(out[0]["dot_v1_v2"]) < 1e-3
+    assert out[0]["eigenvalue2"] == st(unrm / n, 6)
+
+
+def test_embedding_pc2_recovers_second_axis(spark, tmp_path):
+    """Crafted diagonal covariance: dims 0/1 carry variance 5 and 1 via
+    exactly-orthogonal 4-periodic patterns, all other dims constant —
+    PC2 must land on dim 1 (|loading| ≈ 1), stay orthogonal to PC1,
+    and report eigenvalue2 ≈ 1."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_pc2,
+        q_embedding_top_pc,
+    )
+
+    c_pat = [3.0, -3.0, 1.0, -1.0]  # var 5
+    d_pat = [1.0, 1.0, -1.0, -1.0]  # var 1, exactly orthogonal to c_pat
+    rows = [
+        Row(
+            vec_id=i,
+            label=0,
+            embedding=[c_pat[i % 4], d_pat[i % 4]] + [0.0] * 62,
+        )
+        for i in range(40)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    pc1 = {r["dim"]: r["loading"] for r in q_embedding_top_pc(spark, d).collect()}
+    out = q_embedding_pc2(spark, d).collect()
+    pc2 = {r["dim"]: r["loading2"] for r in out}
+    assert abs(pc1[0]) > 0.99 and abs(pc1[1]) < 0.05
+    assert abs(pc2[1]) > 0.99 and abs(pc2[0]) < 0.05
+    for dd in range(2, 64):
+        assert abs(pc2[dd]) < 1e-6
+    assert abs(out[0]["dot_v1_v2"]) < 1e-4
+    assert 0.9 < out[0]["eigenvalue2"] < 1.1
+
+
 def test_anisotropy_share_bounds_and_consistency(spark, sf_dir):
     """pc1_share is a valid share, lambda1 matches the loadings
     entry's eigenvalue, and trace bounds lambda1 from above."""
