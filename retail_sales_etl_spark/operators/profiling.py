@@ -1157,3 +1157,163 @@ ORACLE["revenue_holt_smoothing"] = f"""
            END AS resid
     FROM hw
 """
+
+
+# Holt-Winters additive triple smoothing (Winters 1960): weekly period
+HW_ALPHA = 0.25
+HW_BETA = 0.05
+HW_GAMMA = 0.1
+HW_PERIOD = 7
+
+HW_SCHEMA = (
+    "d int, v bigint, level double, trend double, seasonal double, "
+    "fitted double, resid double"
+)
+
+
+def q_revenue_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing of daily
+    revenue (Winters 1960; Holt 1957) with a period-7 seasonal state —
+    the seasonal extension of ``revenue_holt_smoothing``: level and
+    trend adapt exactly as Holt does, and a 7-slot seasonal vector
+    absorbs the weekly cycle so the residuals are de-seasonalized
+    anomaly input (a Monday that is merely Monday-sized stops looking
+    like a dip).
+
+    Recursion (position t, slot k = (t-1) mod 7, s = seasonal state):
+    fitted = l + b + s[k];  l' = alpha*(v - s[k]) + (1-alpha)*(l + b);
+    b' = beta*(l' - l) + (1-beta)*b;  s[k]' = gamma*(v - l') +
+    (1-gamma)*s[k].  Init from the first two weeks: l0 = mean(week 1),
+    b0 = (mean(week 2) - mean(week 1))/7, s_j = v_j - l0; emission
+    starts at t = 8 and needs >= 14 days (empty below, by contract).
+    Seasonal slots key on SEQUENCE POSITION, not calendar weekday: the
+    classic formulation assumes a regular series (the orders grid is
+    dense at every tested SF), and position slots keep the modulus
+    strictly non-negative in every engine (d % 7 on a pre-epoch date
+    is engine-signed — the portability trap weekday_seasonality dodged
+    with an epoch modulus).
+
+    Like its Holt sibling this is genuinely RECURSIVE state — each
+    step reads the previous level/trend AND the slot written 7 steps
+    earlier, inexpressible as window functions — so Spark runs an
+    ``applyInPandas`` recurrence over the BOUNDED day grid (the grid
+    does not grow with fact volume; a 100 TB fact still collapses to
+    ~2.4k day rows in the one distributed scan) and the oracle is a
+    DuckDB ``WITH RECURSIVE`` CTE carrying the 7 seasonal slots as
+    columns and rotating the active slot by a generated CASE — every
+    update 6-dp floor-staged in BOTH engines (identical IEEE op
+    order), so the full 2.4k-step recursion is bit-exact.
+    """
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        cols = ["d", "v", "level", "trend", "seasonal", "fitted", "resid"]
+        if len(pdf) < 2 * HW_PERIOD:
+            return pd.DataFrame({c: [] for c in cols})
+
+        def st(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        ds = [int(x) for x in pdf["d"]]
+        vs = [float(x) for x in pdf["v"]]
+        m1 = st(sum(int(v) for v in vs[:HW_PERIOD]) / 7.0)
+        m2 = st(sum(int(v) for v in vs[HW_PERIOD : 2 * HW_PERIOD]) / 7.0)
+        lev, tr = m1, st((m2 - m1) / 7.0)
+        seas = [st(v - m1) for v in vs[:HW_PERIOD]]
+        out = []
+        for t in range(HW_PERIOD, len(vs)):
+            k = t % HW_PERIOD
+            sp = seas[k]
+            fitted = st(lev + tr + sp)
+            l_new = st(
+                HW_ALPHA * (vs[t] - sp) + (1.0 - HW_ALPHA) * (lev + tr)
+            )
+            b_new = st(HW_BETA * (l_new - lev) + (1.0 - HW_BETA) * tr)
+            s_new = st(HW_GAMMA * (vs[t] - l_new) + (1.0 - HW_GAMMA) * sp)
+            out.append(
+                (ds[t], int(vs[t]), l_new, b_new, s_new, fitted,
+                 st(vs[t] - fitted))
+            )
+            lev, tr, seas[k] = l_new, b_new, s_new
+        return pd.DataFrame(dict(zip(cols, map(list, zip(*out)))))
+
+    return (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_hw, schema=HW_SCHEMA)
+    )
+
+
+QUERIES["revenue_holt_winters"] = q_revenue_holt_winters
+
+
+def _hw_oracle() -> str:
+    """Generate the recursive-CTE oracle: the 7 seasonal slots ride
+    along as columns s0..s6; the active slot (hw.t % 7, which is the
+    incoming position's (t-1) % 7) rotates via CASE. The staged l'
+    expression is textually repeated inside b'/s' exactly as the Holt
+    oracle repeats it — WITH RECURSIVE cannot name a mid-step value."""
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    sp = (
+        "CASE (hw.t % 7) "
+        + " ".join(f"WHEN {j} THEN hw.s{j}" for j in range(7))
+        + " END"
+    )
+    v = "CAST(i.v AS DOUBLE)"
+    lnew = (
+        f"floor(({a} * ({v} - {sp}) + {1.0 - a} * (hw.l + hw.b))"
+        " * 1e6 + 0.5) / 1e6"
+    )
+    bnew = f"floor(({b} * ({lnew} - hw.l) + {1.0 - b} * hw.b) * 1e6 + 0.5) / 1e6"
+    snew = f"floor(({g} * ({v} - {lnew}) + {1.0 - g} * {sp}) * 1e6 + 0.5) / 1e6"
+    fitted = f"floor((hw.l + hw.b + {sp}) * 1e6 + 0.5) / 1e6"
+    resid = f"floor(({v} - {fitted}) * 1e6 + 0.5) / 1e6"
+    slots = ", ".join(
+        f"CASE WHEN (hw.t % 7) = {j} THEN {snew} ELSE hw.s{j} END AS s{j}"
+        for j in range(7)
+    )
+    init_s = ", ".join(
+        f"floor(((SELECT CAST(v AS DOUBLE) FROM idx WHERE t = {j + 1})"
+        " - agg.m1) * 1e6 + 0.5) / 1e6"
+        f" AS s{j}"
+        for j in range(7)
+    )
+    return f"""
+    WITH RECURSIVE daily AS ({_DAILY_CENTS_SQL}
+    ),
+    idx AS (
+        SELECT d, v, row_number() OVER (ORDER BY d) AS t FROM daily
+    ),
+    agg AS (
+        SELECT floor((CAST(sum(CASE WHEN t <= 7 THEN v ELSE 0 END)
+                           AS DOUBLE) / 7.0) * 1e6 + 0.5) / 1e6 AS m1,
+               floor((CAST(sum(CASE WHEN t BETWEEN 8 AND 14 THEN v ELSE 0 END)
+                           AS DOUBLE) / 7.0) * 1e6 + 0.5) / 1e6 AS m2,
+               max(t) AS n
+        FROM idx
+    ),
+    hw AS (
+        SELECT CAST(7 AS BIGINT) AS t, 0 AS d, CAST(0 AS BIGINT) AS v,
+               agg.m1 AS l,
+               floor(((agg.m2 - agg.m1) / 7.0) * 1e6 + 0.5) / 1e6 AS b,
+               {init_s},
+               CAST(0 AS DOUBLE) AS seasonal, CAST(0 AS DOUBLE) AS fitted, CAST(0 AS DOUBLE) AS resid
+        FROM agg WHERE agg.n >= 14
+        UNION ALL
+        SELECT i.t, i.d, i.v,
+               {lnew} AS l,
+               {bnew} AS b,
+               {slots},
+               {snew} AS seasonal,
+               {fitted} AS fitted,
+               {resid} AS resid
+        FROM hw JOIN idx i ON i.t = hw.t + 1
+    )
+    SELECT CAST(d AS INT) AS d, v, l AS level, b AS trend, seasonal,
+           fitted, resid
+    FROM hw WHERE t >= 8
+"""
+
+
+ORACLE["revenue_holt_winters"] = _hw_oracle()

@@ -325,3 +325,68 @@ def test_holt_single_day_returns_empty(spark, tmp_path):
         f"{d}/orders.parquet"
     )
     assert q_revenue_holt_smoothing(spark, d).collect() == []
+
+
+def test_holt_winters_absorbs_exact_weekly_cycle(spark, tmp_path):
+    """On a trendless series that is a constant plus an exact weekly
+    pattern, the HW recursion locks on immediately: fitted == v and
+    resid == 0 at every emitted step, level stays at the week mean,
+    trend stays 0, and each seasonal slot stays at its init offset
+    (the staged 6-dp rounding restores the 0.1*s + 0.9*s identity)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_holt_winters,
+    )
+
+    base = datetime.date.fromisoformat(SEASON_EPOCH)
+    pattern = [700, 1400, 2100, 2800, 3500, 4200, 4900]  # cents, mean 2800
+    rows = [
+        Row(
+            o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+            o_totalprice=(10000 + pattern[i % 7]) / 100.0,
+        )
+        for i in range(28)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = sorted(q_revenue_holt_winters(spark, d).collect(),
+                 key=lambda r: r["d"])
+    assert len(out) == 21  # emission starts at position 8 of 28
+    for i, r in enumerate(out):
+        k = (i + 7) % 7
+        assert r["resid"] == 0.0, r
+        assert r["trend"] == 0.0, r
+        assert r["level"] == 12800.0, r
+        assert r["fitted"] == float(r["v"]), r
+        assert r["seasonal"] == float(pattern[k] - 2800), r
+
+
+def test_holt_winters_below_two_weeks_returns_empty(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_holt_winters,
+    )
+
+    base = datetime.date.fromisoformat(SEASON_EPOCH)
+    rows = [
+        Row(
+            o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+            o_totalprice=10.0 + i,
+        )
+        for i in range(13)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    assert q_revenue_holt_winters(spark, d).collect() == []
