@@ -1053,3 +1053,204 @@ ORACLE["multimodal_bmp_stats"] = """
     FROM pix
     GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav_stats — REAL RIFF/WAVE PCM decode (chunk walking,
+# odd-chunk even-padding, little-endian signed 16-bit samples): the
+# AUDIO member of the pure-bytes codec family (PPM, BMP)
+# ---------------------------------------------------------------------------
+
+WAV_MIME = "audio/wav"
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, junk_len) for the synthetic clip —
+    closed-form in doc_id so the oracle can recompute byte counts.
+    junk_len cycles 3..6: ODD sizes force the RIFF even-padding rule
+    (a chunk walker that forgets the pad byte desyncs and fails to
+    find 'data' for half the corpus — a loud, not silent, bug)."""
+    return (
+        8000 + (doc_id % 4) * 2000,
+        64 + (doc_id % 97),
+        3 + (doc_id % 4),
+    )
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Signed 16-bit PCM sample in [-2000, 2000]: every term of the
+    residue is non-negative, so Python's, NumPy's, and SQL's % agree."""
+    return (doc_id * 31 + i * 17 + (i * i) % 101) % 4001 - 2000
+
+
+def synthesize_wav(docs: DataFrame) -> DataFrame:
+    """One REAL RIFF/WAVE payload per document: 'RIFF' size 'WAVE',
+    an 'fmt ' chunk (PCM, mono, 16-bit), a deliberate JUNK chunk of
+    odd-or-even length (0xEE filler that must never reach the stats;
+    odd lengths carry the mandatory even-alignment pad byte), then the
+    'data' chunk of little-endian signed 16-bit samples from the
+    closed-form generator. Exercises what the image codecs cannot:
+    variable-position chunks (data's offset depends on junk_len, so a
+    fixed-offset "decoder" dies immediately), the RIFF padding rule,
+    and signed little-endian samples."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, n, junk = _wav_params(d)
+                body = bytearray()
+                body += b"WAVE"
+                body += struct.pack(
+                    "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+                )
+                body += struct.pack("<4sI", b"JUNK", junk)
+                body += b"\xee" * junk + b"\x00" * (junk % 2)
+                body += struct.pack("<4sI", b"data", 2 * n)
+                for i in range(n):
+                    body += struct.pack("<h", _wav_sample(d, i))
+                buf = struct.pack("<4sI", b"RIFF", len(body)) + bytes(body)
+                ids.append(d)
+                payloads.append(buf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": WAV_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decoder for PCM RIFF/WAVE — pure struct + NumPy, no codec
+    library. Walks the chunk list (never assumes offsets), honors the
+    even-alignment pad on odd chunks, validates the RIFF size field,
+    parses 'fmt ' (requires PCM mono 16-bit), and reads 'data' as
+    little-endian int16. Stats are integer-exact; zero_crossings
+    counts strict sign-class changes (negative vs non-negative) between
+    consecutive samples — the standard ZCR numerator."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size != len(payload) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need PCM mono 16)")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+        pos += 8 + csize + (csize % 2)  # RIFF: odd chunks pad to even
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    neg = samples < 0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(samples.size),
+        "sum_abs": int(np.abs(samples).sum()),
+        "peak": int(np.abs(samples).max()) if samples.size else 0,
+        "sum_sq": int((samples * samples).sum()),
+        "zero_crossings": int((neg[:-1] != neg[1:]).sum()),
+        "n_bytes": len(payload),
+    }
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode proof — the third pure-bytes codec
+    beside PPM and BMP, and the first AUDIO one: RIFF chunk walking
+    with variable chunk positions, the odd-chunk even-padding rule, a
+    junk chunk whose 0xEE filler must never reach the stats, and
+    little-endian SIGNED 16-bit samples (an unsigned or byte-swapped
+    read wrecks sum_abs/peak/zero_crossings loudly). The oracle
+    recomputes every output closed-form from the shared sample
+    generator + container arithmetic (header sizes, junk padding), so
+    the encode->Arrow->decode round-trip is hash-exact end to end.
+    Scale shape: identical to the image codecs — one Arrow-batched
+    mapInPandas chain, payload bytes stay inside the executor and
+    never shuffle, output is doc-grain integer stats."""
+    media = synthesize_wav(load_table(spark, sf_dir, "documents"))
+
+    cols = [f.name for f in WAV_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
+
+
+QUERIES["multimodal_wav_stats"] = q_multimodal_wav_stats
+
+ORACLE["multimodal_wav_stats"] = """
+    WITH params AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 2000 AS rate,
+               64 + (doc_id % 97) AS n,
+               3 + (doc_id % 4) AS junk
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, rate, n, junk,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM params
+    ),
+    samples AS (
+        SELECT doc_id, rate, n, junk, i,
+               (doc_id * 31 + i * 17 + (i * i) % 101) % 4001 - 2000 AS s
+        FROM idx
+    ),
+    lagged AS (
+        SELECT doc_id, rate, n, junk, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samples
+    )
+    SELECT doc_id,
+           CAST(any_value(rate) AS INTEGER) AS sample_rate,
+           CAST(any_value(n) AS INTEGER) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(s)) AS INTEGER) AS peak,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND (prev < 0) <> (s < 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(any_value(12 + 24 + 8 + junk + (junk % 2) + 8 + 2 * n)
+                AS BIGINT) AS n_bytes
+    FROM lagged
+    GROUP BY doc_id
+"""

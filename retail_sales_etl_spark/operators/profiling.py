@@ -1317,3 +1317,98 @@ def _hw_oracle() -> str:
 
 
 ORACLE["revenue_holt_winters"] = _hw_oracle()
+
+
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on daily revenue by binary
+    segmentation (Scott & Knott 1974; the first step of the standard
+    binary-segmentation / PELT family): pick the split of the day
+    sequence into two segments that maximally reduces total squared
+    error — "did the revenue level SHIFT, and when?" — the level-shift
+    complement of the trend operators (theil_sen fits one slope;
+    CUSUM flags drift against a fixed mean; this one finds the best
+    two-mean model). Minimizing SSE_left + SSE_right is equivalent to
+    maximizing gain(t) = S_L^2/t + S_R^2/(n-t) (the constant total sum
+    of squares drops out of the argmin), so no sum-of-squares column
+    is needed at all — only prefix sums.
+
+    Scale shape: the fact collapses to the bounded DAY grid in the one
+    distributed map-combinable scan (exact integer cents, the shared
+    ``_daily_revenue_cents`` front end); prefix sums are a window over
+    grid rows only (bounded, never the corpus), gain is arithmetic on
+    exact-integer-derived doubles (prefix sums < 2^53, so both engines
+    square and divide IDENTICAL doubles in identical op order — gain
+    ships as the RAW double, un-staged, because cents^2 magnitudes
+    overflow fround's BIGINT floor, the seasonal_decompose variance
+    lesson; the means ARE 6-dp staged), and the argmax is a
+    distributed TakeOrdered(1) on (gain desc, day) — no global sort.
+    Fewer than 2 days on the grid -> no valid split -> empty, by
+    construction (split positions t in [1, n-1]).
+    """
+    from pyspark.sql import Window
+
+    # Persisted because BOTH consumers (the prefix-sum window and the
+    # 1-row total) read it: without the cache the orders scan + grid
+    # aggregate runs twice. The cached frame is the bounded day grid —
+    # a few KB at any corpus size.
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders")).persist()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.sum("v").over(w).cast("bigint").alias("sl"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    sl = F.col("sl").cast("double")
+    sr = (F.col("s") - F.col("sl")).cast("double")
+    t_d = F.col("t").cast("double")
+    r_d = (F.col("n") - F.col("t")).cast("double")
+    cand = (
+        pref.join(F.broadcast(tot))
+        .where((F.col("t") >= 1) & (F.col("t") <= F.col("n") - 1))
+        .select(
+            F.col("d").alias("split_d"),
+            F.col("t").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("t")).cast("bigint").alias("n_right"),
+            fround(sl / t_d, 6).alias("mean_left"),
+            fround(sr / r_d, 6).alias("mean_right"),
+            (sl * sl / t_d + sr * sr / r_d).alias("gain"),
+        )
+    )
+    return cand.orderBy(F.desc("gain"), "split_d").limit(1)
+
+
+QUERIES["revenue_changepoint"] = q_revenue_changepoint
+
+ORACLE["revenue_changepoint"] = f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ),
+    pref AS (
+        SELECT d,
+               row_number() OVER (ORDER BY d) AS t,
+               CAST(sum(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS sl
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+        FROM daily
+    )
+    SELECT d AS split_d,
+           t AS n_left,
+           (n - t) AS n_right,
+           floor((CAST(sl AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS mean_left,
+           floor((CAST(s - sl AS DOUBLE) / CAST(n - t AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS mean_right,
+           (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(t AS DOUBLE)
+            + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+              / CAST(n - t AS DOUBLE)) AS gain
+    FROM pref, tot
+    WHERE t BETWEEN 1 AND n - 1
+    ORDER BY gain DESC, split_d
+    LIMIT 1
+"""

@@ -791,3 +791,150 @@ ORACLE["corpus_split_group"] = f"""
                 ELSE 'test' END AS split
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source reliability-weighted mixing.
+
+REL_MIN_TOKENS = 5  # quality gate: shorter docs don't count as "clean"
+REL_WL_LO = 3  # min mean word length (chars per token) for a clean doc
+REL_WL_HI = 12  # max mean word length
+
+
+def q_mix_source_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-weighted source mixing: each SOURCE's sampling share
+    is its natural token share p_s scaled by a data-derived reliability
+    score — the "trust the clean crawls more" mixing step a pretraining
+    pipeline runs between quality scoring and temperature mixing
+    (mix_temperature flattens by size alone; this one reweights by
+    measured cleanliness, so a huge-but-noisy source stops dominating
+    the budget).
+
+    reliability_s = fraction of the source's docs passing a cheap
+    integer-only quality gate (>= REL_MIN_TOKENS whitespace tokens and
+    mean word length within [REL_WL_LO, REL_WL_HI] — compared via
+    integer cross-multiplication, no float ratio, so both engines
+    agree exactly). Sampling weight w_s = round6(reliability_s * p_s),
+    summed in DECIMAL (order-independent); keep_rate_s = round6(
+    min(1, BUDGET * (w_s / w_sum) / src_tokens)), 0 when every source
+    scores 0. The doc-level keep decision reuses the hash-prefix
+    uniform u (md5 slice / 2^32, bit-identical across engines): keep
+    iff u < keep_rate.
+
+    Scale shape: one map-combinable scan to the SOURCE grid (tiny —
+    sources, not docs), the 1-row weight sum broadcast back onto the
+    grid, and one map-side filter pass over the corpus; the corpus
+    itself never shuffles, exactly like its mix_* siblings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = F.length("text") - n_nospace + 1
+    toks = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_nospace.alias("n_nospace"),
+    )
+    is_clean = (
+        (F.col("n_tokens") >= F.lit(REL_MIN_TOKENS))
+        & (F.lit(REL_WL_LO) * F.col("n_tokens") <= F.col("n_nospace"))
+        & (F.col("n_nospace") <= F.lit(REL_WL_HI) * F.col("n_tokens"))
+    )
+    src = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_clean.cast("bigint")).cast("bigint").alias("n_pass"),
+    )
+    tot = src.agg(F.sum("src_tokens").cast("bigint").alias("total_tokens"))
+    rel = fround(
+        F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    p_s = F.col("src_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    weighted = src.join(broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        rel.alias("reliability"),
+        fround(rel * p_s, 6).cast("decimal(18,6)").alias("w"),
+    )
+    wsum = weighted.agg(F.sum("w").alias("w_sum"))
+    keep_rate = F.when(F.col("w_sum") == 0, F.lit(0.0)).otherwise(
+        fround(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(float(TOKEN_BUDGET))
+                    * (F.col("w").cast("double") / F.col("w_sum").cast("double"))
+                )
+                / F.col("src_tokens").cast("double"),
+            ),
+            6,
+        )
+    )
+    rates = weighted.join(broadcast(wsum)).select(
+        "source", "reliability", keep_rate.alias("keep_rate")
+    )
+    u = (
+        F.conv(_key(F.col("doc_id")), 16, 10).cast("bigint").cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        toks.join(broadcast(rates), "source")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select("doc_id", "source", "n_tokens", "reliability", "keep_rate", "u")
+    )
+
+
+QUERIES["mix_source_reliability"] = q_mix_source_reliability
+
+ORACLE["mix_source_reliability"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(replace(text, ' ', '')) AS n_nospace
+        FROM documents
+    ),
+    src AS (
+        SELECT source,
+               CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_tokens >= {REL_MIN_TOKENS}
+                              AND {REL_WL_LO} * n_tokens <= n_nospace
+                              AND n_nospace <= {REL_WL_HI} * n_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM toks GROUP BY 1
+    ),
+    weighted AS (
+        SELECT source, src_tokens,
+               floor((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS reliability,
+               CAST(floor(((floor((CAST(n_pass AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6)
+                           * (CAST(src_tokens AS DOUBLE)
+                              / (SELECT CAST(sum(src_tokens) AS DOUBLE)
+                                 FROM src)))
+                          * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w
+        FROM src
+    ),
+    rates AS (
+        SELECT source, reliability,
+               CASE WHEN (SELECT sum(w) FROM weighted) = 0 THEN 0.0
+                    ELSE floor((least(1.0,
+                               ({TOKEN_BUDGET}.0
+                                * (CAST(w AS DOUBLE)
+                                   / (SELECT CAST(sum(w) AS DOUBLE)
+                                      FROM weighted)))
+                               / CAST(src_tokens AS DOUBLE))) * 1e6 + 0.5) / 1e6
+               END AS keep_rate
+        FROM weighted
+    )
+    SELECT doc_id, t.source AS source, n_tokens, reliability, keep_rate,
+           CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+    FROM toks t
+    JOIN rates r ON t.source = r.source
+    WHERE CAST(('0x' || substring(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0 < keep_rate
+"""

@@ -1559,3 +1559,130 @@ ORACLE["dp_revenue_by_nation"] = f"""
            'laplace-deterministic-demo-not-private' AS mechanism
     FROM noised
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-brand price elasticity of demand: grouped log-log OLS.
+
+ELASTICITY_MIN_OBS = 30  # brands with fewer observations are not reported
+
+
+def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part BRAND: the OLS slope of
+    ln(quantity) on ln(unit price) over every lineitem observation of
+    the brand — the classic log-log demand regression (slope reads
+    directly as % quantity change per % price change), plus intercept
+    and R² so a flat-R² brand is visibly "no price signal" rather than
+    silently elastic. The GROUPED-regression complement of
+    text_zipf_fit's single global OLS: one closed-form fit per brand,
+    all 25 fits from ONE aggregation pass.
+
+    Scale shape: lineitem joins the part dim broadcast (brand lookup
+    only — two columns pruned from the dim scan), per-row ln() values
+    are 6-dp floor-staged doubles (libm vs java.lang.Math differ by
+    ulps — the zipf/unigram discipline), their products 9-dp staged
+    into DECIMAL(28,9) sums, and the whole regression reduces to one
+    map-combinable groupBy over ~25 brand rows: n, Σx, Σy, Σxx, Σxy,
+    Σyy. The closed forms run on the tiny brand grid; guarded
+    degenerate denominators (zero x-variance → slope/intercept/r2 all
+    0.0, the zipf convention); brands under ELASTICITY_MIN_OBS
+    observations are dropped (a 3-point regression is noise, and the
+    threshold keeps the output stable under tiny-SF resampling).
+    Unit price is l_extendedprice / l_quantity, both exact parquet
+    doubles, divided identically in both engines before the ln.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brands = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    x6 = fround(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6
+    )
+    y6 = fround(F.log(F.col("l_quantity")), 6)
+
+    def _p9(c: F.Column) -> F.Column:
+        return fround(c, 9).cast("decimal(28,9)")
+
+    sums = (
+        li.join(broadcast(brands), "l_partkey")
+        .select("p_brand", x6.alias("x6"), y6.alias("y6"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum(F.col("x6").cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum(F.col("y6").cast("decimal(25,6)")).cast("double").alias("sy"),
+            F.sum(_p9(F.col("x6") * F.col("x6"))).cast("double").alias("sxx"),
+            F.sum(_p9(F.col("x6") * F.col("y6"))).cast("double").alias("sxy"),
+            F.sum(_p9(F.col("y6") * F.col("y6"))).cast("double").alias("syy"),
+        )
+        .where(F.col("n_obs") >= ELASTICITY_MIN_OBS)
+    )
+    n_d = F.col("n_obs").cast("double")
+    cov = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return sums.select(
+        "p_brand",
+        "n_obs",
+        F.when(varx > 0, fround(slope, 6)).otherwise(F.lit(0.0)).alias(
+            "elasticity"
+        ),
+        F.when(varx > 0, fround((F.col("sy") - slope * F.col("sx")) / n_d, 6))
+        .otherwise(F.lit(0.0))
+        .alias("intercept"),
+        F.when((varx > 0) & (vary > 0), fround((cov * cov) / (varx * vary), 6))
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )
+
+
+QUERIES["brand_price_elasticity"] = q_brand_price_elasticity
+
+ORACLE["brand_price_elasticity"] = f"""
+    WITH staged AS (
+        SELECT p_brand,
+               floor((ln(l_extendedprice / l_quantity)) * 1e6 + 0.5) / 1e6
+                   AS x6,
+               floor((ln(l_quantity)) * 1e6 + 0.5) / 1e6 AS y6
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    s AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(x6 AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y6 AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(floor((x6 * x6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(floor((x6 * y6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(floor((y6 * y6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM staged
+        GROUP BY 1
+        HAVING count(*) >= {ELASTICITY_MIN_OBS}
+    )
+    SELECT p_brand, n_obs,
+           CASE WHEN (CAST(n_obs AS DOUBLE) * sxx - sx * sx) > 0
+                THEN floor(((CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n_obs AS DOUBLE) * sxx - sx * sx))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS elasticity,
+           CASE WHEN (CAST(n_obs AS DOUBLE) * sxx - sx * sx) > 0
+                THEN floor(((sy - ((CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(n_obs AS DOUBLE) * sxx - sx * sx))
+                                  * sx) / CAST(n_obs AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS intercept,
+           CASE WHEN (CAST(n_obs AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_obs AS DOUBLE) * syy - sy * sy) > 0
+                THEN floor((((CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+                             * (CAST(n_obs AS DOUBLE) * sxy - sx * sy))
+                            / ((CAST(n_obs AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n_obs AS DOUBLE) * syy - sy * sy)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS r2
+    FROM s
+"""

@@ -55,6 +55,10 @@ SHOWCASE = [
     ("multimodal_phash_dedup", "map-side Arrow decode -> only 12-bit hashes shuffle -> bucket census"),
     ("multimodal_phash_hamming", "pair census closed-form on the <=4096-row bucket grid: 13 probe dirs, 1 broadcast join"),
     ("multimodal_bmp_stats", "zero-Exchange BMP synthesize->decode mapInPandas chain, stride/flip/BGR in-executor"),
+    ("multimodal_wav_stats", "zero-Exchange RIFF/WAVE synthesize->decode chain, chunk walk + signed PCM in-executor"),
+    ("revenue_changepoint", "fact collapses to the persisted day grid; prefix-sum window on grid rows, TakeOrdered argmax"),
+    ("brand_price_elasticity", "broadcast 2-column part dim, ONE map-combinable aggregate to the 25-brand grid of OLS sums"),
+    ("mix_source_reliability", "source-grid rates broadcast back; doc keep decision map-side, corpus never shuffles"),
 ]
 
 

@@ -485,3 +485,50 @@ def test_entropy_rate_counts_target_only_states(spark, tmp_path):
     assert abs(r["entropy_rate_nats"] - math.log(2)) < 1e-5
     assert abs(r["norm_entropy"] - math.log(2) / math.log(3)) < 1e-5
     assert 0 < r["predictability"] < 1
+
+
+def test_brand_price_elasticity_recovers_exact_loglog_slope(spark, tmp_path):
+    """A brand whose observations lie EXACTLY on ln q = 4 - 2 ln p must
+    fit elasticity ~ -2 with r2 ~ 1; a brand with constant quantity at
+    varying price fits elasticity 0; a brand below the min-obs
+    threshold is dropped."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import (
+        ELASTICITY_MIN_OBS,
+        q_brand_price_elasticity,
+    )
+
+    li, parts = [], []
+    parts.append(Row(p_partkey=1, p_brand="ELASTIC"))
+    parts.append(Row(p_partkey=2, p_brand="FLAT"))
+    parts.append(Row(p_partkey=3, p_brand="TINY"))
+    k = 0
+    for i in range(ELASTICITY_MIN_OBS + 5):
+        p = 2.0 + i * 0.25
+        q = math.exp(4.0 - 2.0 * math.log(p))
+        li.append(
+            Row(l_orderkey=(k := k + 1), l_partkey=1,
+                l_quantity=q, l_extendedprice=p * q)
+        )
+        li.append(
+            Row(l_orderkey=(k := k + 1), l_partkey=2,
+                l_quantity=7.0, l_extendedprice=(3.0 + i * 0.5) * 7.0)
+        )
+    li.append(Row(l_orderkey=(k := k + 1), l_partkey=3,
+                  l_quantity=1.0, l_extendedprice=5.0))
+    d = str(tmp_path)
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    spark.createDataFrame(parts).write.mode("overwrite").parquet(
+        f"{d}/part.parquet"
+    )
+    out = {r["p_brand"]: r for r in q_brand_price_elasticity(spark, d).collect()}
+    assert set(out) == {"ELASTIC", "FLAT"}
+    assert abs(out["ELASTIC"]["elasticity"] + 2.0) < 1e-4, out["ELASTIC"]
+    assert out["ELASTIC"]["r2"] > 0.9999
+    assert abs(out["FLAT"]["elasticity"]) < 1e-6
+    assert out["FLAT"]["r2"] == 0.0  # zero y-variance -> guarded 0

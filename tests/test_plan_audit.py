@@ -651,3 +651,68 @@ def test_phash_hamming_counts_on_grid_not_doc_pairs(spark, sf_dir):
     # the join keys are hash-grid keys, never document ids
     keys = re.search(r"Left keys \[1\]: \[(\w+)", plan)
     assert keys and keys.group(1).startswith("partner"), plan[:2000]
+
+
+def test_changepoint_window_runs_on_day_grid_only(spark, sf_dir):
+    """revenue_changepoint's prefix-sum window must consume the
+    day-grid AGGREGATE, never order-grain rows: exactly one parquet
+    scan (the grid persists; the totals side reads the cache), a
+    HashAggregate below the window, and a TakeOrdered (never a global
+    Sort) for the argmax."""
+    import re
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_changepoint,
+    )
+
+    plan = _formatted_plan(q_revenue_changepoint(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    # the day-grid aggregate (partial+final) sits below the window
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+    # orders scan is pruned to the two needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
+    assert "o_custkey" not in read_schema
+
+
+def test_brand_elasticity_broadcasts_dim_and_single_agg_pass(spark, sf_dir):
+    """brand_price_elasticity: part dim broadcast (2-column pruned),
+    no SortMergeJoin, and the whole regression is ONE aggregation pass
+    (partial+final HashAggregate pair) over the joined fact."""
+    import re
+
+    from retail_sales_etl_spark.plans.analytics import (
+        q_brand_price_elasticity,
+    )
+
+    plan = _formatted_plan(q_brand_price_elasticity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    part_scan = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "p_brand" in seg.splitlines()[0]
+    ]
+    assert part_scan and all("p_retailprice" not in s for s in part_scan)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_mix_source_reliability_corpus_never_shuffles(spark, sf_dir):
+    """mix_source_reliability: the doc-grain keep decision is a
+    map-side filter after a BROADCAST join of the tiny source-rate
+    grid — the corpus itself must not hash-partition (the only
+    exchanges feed the source-grid aggregates and broadcasts)."""
+    from retail_sales_etl_spark.operators.sampling import (
+        q_mix_source_reliability,
+    )
+
+    plan = _formatted_plan(q_mix_source_reliability(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    final = plan.split("AdaptiveSparkPlan")[0]
+    # every hashpartitioning exchange keys on source (grid aggs), never doc_id
+    for seg in final.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",")[0]
+        assert key.startswith("source"), key

@@ -390,3 +390,52 @@ def test_holt_winters_below_two_weeks_returns_empty(spark, tmp_path):
         f"{d}/orders.parquet"
     )
     assert q_revenue_holt_winters(spark, d).collect() == []
+
+
+def test_changepoint_finds_exact_level_shift(spark, tmp_path):
+    """20 days at $100 then 20 days at $300: the best two-mean split
+    must land exactly on the boundary (last day of the low segment),
+    with the segment means recovered exactly."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_changepoint,
+    )
+
+    base = datetime.date.fromisoformat(SEASON_EPOCH)
+    rows = [
+        Row(
+            o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+            o_totalprice=100.0 if i < 20 else 300.0,
+        )
+        for i in range(40)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = q_revenue_changepoint(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_d"] == 19, r
+    assert r["n_left"] == 20 and r["n_right"] == 20
+    assert r["mean_left"] == 10000.0 and r["mean_right"] == 30000.0
+
+
+def test_changepoint_single_day_returns_empty(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_changepoint,
+    )
+
+    rows = [Row(o_orderdate=SEASON_EPOCH, o_totalprice=42.0)]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    assert q_revenue_changepoint(spark, d).collect() == []

@@ -265,3 +265,62 @@ def test_corpus_split_group_same_source_same_split(spark, sf_dir):
     assert all(len(v) == 1 for v in per_source.values()), {
         k: v for k, v in per_source.items() if len(v) > 1
     }
+
+
+def test_mix_source_reliability_downweights_noisy_source(spark, tmp_path):
+    """Two sources with identical token mass; one is clean prose, the
+    other is word-salad whose mean word length fails the [3,12] gate.
+    The noisy source's reliability must be 0 and it must contribute
+    ZERO sampled docs, while the clean source keeps a positive rate."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            Row(
+                doc_id=i,
+                source="clean",
+                lang="en",
+                text="solid words about retail sales and parts here",
+                n_chars=46,
+            )
+        )
+        rows.append(
+            Row(
+                doc_id=1000 + i,
+                source="noisy",
+                lang="en",
+                # single-char tokens: mean word length 1 < REL_WL_LO
+                text="a b c d e f g h i j k l m n o p q r s t u v w x",
+                n_chars=47,
+            )
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = sampling.q_mix_source_reliability(spark, d).collect()
+    assert len(out) > 0
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "noisy" not in by_src, by_src.keys()
+    assert all(r["reliability"] == 1.0 for r in by_src["clean"])
+    assert all(0.0 < r["keep_rate"] <= 1.0 for r in by_src["clean"])
+    assert all(r["u"] < r["keep_rate"] for r in by_src["clean"])
+
+
+def test_mix_source_reliability_all_zero_sources_keep_nothing(spark, tmp_path):
+    """Every source failing the quality gate => w_sum = 0 => the
+    zero-division guard yields keep_rate 0 and an empty sample."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, source="s", lang="en", text="x y", n_chars=3)
+        for i in range(10)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    assert sampling.q_mix_source_reliability(spark, d).collect() == []

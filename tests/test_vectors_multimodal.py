@@ -297,3 +297,98 @@ def test_bmp_roundtrip_synth_decode(spark, sf_dir):
         assert r["sum_r"] == exp_r
         assert r["corner_r"] == multimodal._ppm_pixel(d, 0, 0)[0]
         assert r["corner_b"] == multimodal._ppm_pixel(d, 0, 0)[2]
+
+
+def _craft_wav(samples, rate=8000, chunks_before=(), chunks_after=(),
+               riff_size_delta=0):
+    """Hand-assemble a PCM mono 16-bit RIFF/WAVE from a sample list —
+    independent of synthesize_wav so encoder and decoder can't share a
+    bug. chunks_before/after inject extra (id, body) chunks around the
+    data chunk, each padded per the RIFF even-alignment rule."""
+    import struct
+
+    def chunk(cid, body):
+        return struct.pack("<4sI", cid, len(body)) + body + b"\x00" * (
+            len(body) % 2
+        )
+
+    body = b"WAVE"
+    body += chunk(
+        b"fmt ", struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    )
+    for cid, cb in chunks_before:
+        body += chunk(cid, cb)
+    body += chunk(b"data", b"".join(struct.pack("<h", s) for s in samples))
+    for cid, cb in chunks_after:
+        body += chunk(cid, cb)
+    return struct.pack("<4sI", b"RIFF", len(body) + riff_size_delta) + body
+
+
+def test_decode_wav_crafted_bytes_exact():
+    """Known samples: every stat integer-exact, signed reads correct."""
+    s = [100, -200, 0, -1, 32767, -32768]
+    d = multimodal.decode_wav(_craft_wav(s, rate=12345))
+    assert d["sample_rate"] == 12345
+    assert d["n_samples"] == 6
+    assert d["sum_abs"] == 100 + 200 + 0 + 1 + 32767 + 32768
+    assert d["peak"] == 32768
+    assert d["sum_sq"] == sum(x * x for x in s)
+    # sign classes: + - + - + -  (0 counts as non-negative) -> 5 flips
+    assert d["zero_crossings"] == 5
+    assert d["n_bytes"] == 12 + 24 + 8 + 12
+
+
+def test_decode_wav_walks_odd_chunks_and_ignores_junk():
+    """An odd-length junk chunk before data (forcing the pad byte) and
+    one after must not move any stat; a decoder that forgets the RIFF
+    pad desyncs and raises instead of silently corrupting."""
+    s = [5, -5, 7]
+    plain = multimodal.decode_wav(_craft_wav(s))
+    padded = multimodal.decode_wav(
+        _craft_wav(
+            s,
+            chunks_before=[(b"JUNK", b"\xee" * 3), (b"LIST", b"\xee" * 8)],
+            chunks_after=[(b"cue ", b"\xee" * 5)],
+        )
+    )
+    assert {k: v for k, v in plain.items() if k != "n_bytes"} == {
+        k: v for k, v in padded.items() if k != "n_bytes"
+    }
+
+
+def test_decode_wav_rejects_bad_payloads():
+    import struct
+
+    import pytest
+
+    good = _craft_wav([1, -1])
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX" + good[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(_craft_wav([1, -1], riff_size_delta=2))
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 12 + 8 + 2, 2)  # channels=2
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bytes(stereo))
+    no_data = good[: 12 + 24]  # fmt only, data chunk stripped
+    fixed = bytearray(no_data)
+    struct.pack_into("<I", fixed, 4, len(no_data) - 8)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bytes(fixed))
+
+
+def test_wav_roundtrip_synth_decode(spark, sf_dir):
+    """synthesize_wav -> decode_wav over real doc_ids: params match the
+    closed forms and the generator's samples reproduce exactly."""
+    media = multimodal.synthesize_wav(
+        load_table(spark, sf_dir, "documents").limit(8)
+    ).collect()
+    assert len(media) == 8
+    for r in media:
+        d = multimodal.decode_wav(bytes(r["payload"]))
+        rate, n, junk = multimodal._wav_params(r["doc_id"])
+        assert d["sample_rate"] == rate and d["n_samples"] == n
+        assert d["n_bytes"] == r["n_bytes"] == 12 + 24 + 8 + junk + junk % 2 + 8 + 2 * n
+        exp = [multimodal._wav_sample(r["doc_id"], i) for i in range(n)]
+        assert d["sum_abs"] == sum(abs(x) for x in exp)
+        assert d["peak"] == max(abs(x) for x in exp)
