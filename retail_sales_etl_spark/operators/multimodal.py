@@ -1126,14 +1126,14 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL decoder for PCM RIFF/WAVE — pure struct + NumPy, no codec
+def parse_wav(payload: bytes) -> tuple[int, "object"]:
+    """REAL parser for PCM RIFF/WAVE — pure struct + NumPy, no codec
     library. Walks the chunk list (never assumes offsets), honors the
     even-alignment pad on odd chunks, validates the RIFF size field,
     parses 'fmt ' (requires PCM mono 16-bit), and reads 'data' as
-    little-endian int16. Stats are integer-exact; zero_crossings
-    counts strict sign-class changes (negative vs non-negative) between
-    consecutive samples — the standard ZCR numerator."""
+    little-endian int16. Returns (sample_rate, int64 sample array) —
+    the shared front end of the clip-grain stats and the frame-grain
+    feature extractor."""
     import struct
 
     import numpy as np
@@ -1159,6 +1159,18 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + csize + (csize % 2)  # RIFF: odd chunks pad to even
     if rate is None or samples is None:
         raise ValueError("missing fmt or data chunk")
+    return int(rate), samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Clip-grain stats over ``parse_wav`` — integer-exact;
+    zero_crossings counts strict sign-class changes (negative vs
+    non-negative) between consecutive samples — the standard ZCR
+    numerator."""
+    import numpy as np
+
+    payload = bytes(payload)
+    rate, samples = parse_wav(payload)
     neg = samples < 0
     return {
         "sample_rate": int(rate),
@@ -1253,4 +1265,121 @@ ORACLE["multimodal_wav_stats"] = """
                 AS BIGINT) AS n_bytes
     FROM lagged
     GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav_frames — frame-grain audio feature extraction over the
+# real decode path (the VAD / energy-gating primitive: per-frame energy,
+# peak, zero-crossing rate, low-energy flag)
+# ---------------------------------------------------------------------------
+
+WAV_FRAME = 32  # samples per analysis frame (last frame may be partial)
+# Low-energy gate on the frame's MEAN |sample|, decided by integer
+# cross-multiplication (sum_abs < thresh * n) so no float ratio exists
+# anywhere. The synthetic samples are ~uniform over [-2000, 2000]
+# (mean |s| ~= 1000), so the gate splits frames into a genuinely mixed
+# 0/1 population instead of a dead constant.
+WAV_FRAME_LOW_MEAN_ABS = 1000
+
+WAV_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_in_frame", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("low_energy", IntegerType()),
+    ]
+)
+
+
+def q_multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-grain audio feature extraction — the audio analog of the
+    video frame sampler: each decoded clip is chopped into fixed
+    WAV_FRAME-sample analysis frames (last frame partial) and each
+    frame emits the features an audio-curation pipeline gates on:
+    energy (sum |s|, sum s^2), peak, within-frame zero-crossing count
+    (the classic voiced/unvoiced discriminator numerator), and a
+    low-energy flag for silence trimming — decided integer-only by
+    cross-multiplication against the mean-|s| threshold.
+
+    Scale shape: identical to the codec stats — one Arrow-batched
+    mapInPandas chain over the synthesized payloads (the REAL
+    ``parse_wav`` chunk walk runs per clip inside the executor),
+    payload bytes never shuffle, output is (doc, frame)-grain integer
+    rows, a bounded ~2-6x row expansion. The oracle recomputes every
+    frame closed-form from the shared sample generator with the frame
+    key i // WAV_FRAME and a within-frame lag window."""
+    media = synthesize_wav(load_table(spark, sf_dir, "documents"))
+
+    cols = [f.name for f in WAV_FRAMES_SCHEMA.fields]
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = parse_wav(bytes(payload))
+                for f0 in range(0, int(samples.size), WAV_FRAME):
+                    fr = samples[f0 : f0 + WAV_FRAME]
+                    neg = fr < 0
+                    sum_abs = int(np.abs(fr).sum())
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(f0 // WAV_FRAME)
+                    rows["n_in_frame"].append(int(fr.size))
+                    rows["sum_abs"].append(sum_abs)
+                    rows["peak"].append(int(np.abs(fr).max()))
+                    rows["sum_sq"].append(int((fr * fr).sum()))
+                    rows["zero_crossings"].append(
+                        int((neg[:-1] != neg[1:]).sum())
+                    )
+                    rows["low_energy"].append(
+                        int(sum_abs < WAV_FRAME_LOW_MEAN_ABS * fr.size)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_frames, schema=WAV_FRAMES_SCHEMA)
+
+
+QUERIES["multimodal_wav_frames"] = q_multimodal_wav_frames
+
+ORACLE["multimodal_wav_frames"] = f"""
+    WITH params AS (
+        SELECT doc_id,
+               64 + (doc_id % 97) AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM params
+    ),
+    samples AS (
+        SELECT doc_id, i, i // {WAV_FRAME} AS frame_idx,
+               (doc_id * 31 + i * 17 + (i * i) % 101) % 4001 - 2000 AS s
+        FROM idx
+    ),
+    lagged AS (
+        SELECT doc_id, frame_idx, s,
+               lag(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY i)
+                   AS prev
+        FROM samples
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(count(*) AS INTEGER) AS n_in_frame,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(s)) AS INTEGER) AS peak,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND (prev < 0) <> (s < 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(CASE WHEN sum(abs(s)) < {WAV_FRAME_LOW_MEAN_ABS} * count(*)
+                     THEN 1 ELSE 0 END AS INTEGER) AS low_energy
+    FROM lagged
+    GROUP BY doc_id, frame_idx
 """

@@ -269,11 +269,90 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort LTV curve: customers are grouped by the month of
+    their FIRST order (the acquisition cohort) and revenue accumulates
+    by months-since-acquisition — the classic cohorted
+    lifetime-value table ("how much has the Jan-1993 cohort spent per
+    customer by month 6, and is the newer cohort's curve above or
+    below it?") that retention dashboards draw as one line per cohort.
+    The ORDERS-side money complement of events_cohort_matrix's
+    activity-retention counts.
+
+    Per (cohort_month, months_since) row: active customer count, the
+    month's exact-DECIMAL revenue, the running cumulative revenue, the
+    cohort's size (customers whose first order is that month), and
+    ltv = cumulative revenue / cohort size.
+
+    Scale shape: the fact collapses MAP-SIDE into (customer, month)
+    partial aggregates (month key = year*12 + month - 1, pure integer
+    arithmetic in both engines) — the only fact-grain shuffle carries
+    those partials, so a whale customer's million orders collapse to
+    its few months before any byte moves; the cohort month is a min()
+    window PARTITIONED BY customer over the collapsed grid (a second,
+    grid-grain exchange — deliberately kept instead of repartitioning
+    the raw fact by customer, which would forfeit the map-side combine
+    and shuffle whale customers' raw rows to one task); the final
+    re-agg lands on the tiny (cohort, months_since) grid (~84x84/2
+    rows at any corpus size) where the cumulative window and the
+    cohort-size lookup run on grid rows only. Money stays exact
+    DECIMAL through every aggregation and casts to double once at
+    emission; the ltv quotient is the only float op and is
+    fround-staged."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    per_cust_month = (
+        orders.select(
+            "o_custkey",
+            (F.year(od) * F.lit(12) + F.month(od) - F.lit(1)).alias("mkey"),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("o_custkey", "mkey")
+        .agg(F.sum("price").alias("rev"))
+    )
+    wc = Window.partitionBy("o_custkey")
+    grid = (
+        per_cust_month.withColumn("cohort_m", F.min("mkey").over(wc))
+        .groupBy(
+            "cohort_m",
+            (F.col("mkey") - F.col("cohort_m")).cast("int").alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum("rev").alias("rev_dec"),
+        )
+    )
+    wg = Window.partitionBy("cohort_m")
+    wcum = wg.orderBy("months_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("rev_dec").over(wcum)
+    size = F.max(
+        F.when(F.col("months_since") == 0, F.col("n_active"))
+    ).over(wg)
+    return grid.select(
+        F.make_date(
+            F.floor(F.col("cohort_m") / F.lit(12)).cast("int"),
+            (F.col("cohort_m") % F.lit(12) + F.lit(1)).cast("int"),
+            F.lit(1),
+        ).alias("cohort_month"),
+        "months_since",
+        "n_active",
+        size.cast("bigint").alias("cohort_size"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        cum.cast("double").alias("cum_revenue"),
+        fround(cum.cast("double") / size.cast("double"), 6).alias("ltv"),
+    )
+
+
 QUERIES = {
     "customer_rfm": q_customer_rfm,
     "nation_revenue_rank": q_nation_revenue_rank,
     "nation_revenue_trend": q_nation_revenue_trend,
     "events_funnel": q_events_funnel,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 _TREND_DENOM = (
@@ -371,5 +450,48 @@ ORACLE = {
             FROM events
             GROUP BY user_id
         )
+    """,
+    "cohort_ltv": """
+        WITH per_cust_month AS (
+            SELECT o_custkey,
+                   year(CAST(o_orderdate AS DATE)) * 12
+                     + month(CAST(o_orderdate AS DATE)) - 1 AS mkey,
+                   sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        coh AS (
+            SELECT o_custkey, mkey, rev,
+                   min(mkey) OVER (PARTITION BY o_custkey) AS cohort_m
+            FROM per_cust_month
+        ),
+        grid AS (
+            SELECT cohort_m,
+                   CAST(mkey - cohort_m AS INTEGER) AS months_since,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   sum(rev) AS rev_dec
+            FROM coh
+            GROUP BY 1, 2
+        )
+        SELECT make_date(CAST(cohort_m // 12 AS INTEGER),
+                         CAST(cohort_m % 12 + 1 AS INTEGER), 1)
+                   AS cohort_month,
+               months_since,
+               n_active,
+               CAST(max(CASE WHEN months_since = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_m) AS BIGINT) AS cohort_size,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(sum(rev_dec) OVER (
+                   PARTITION BY cohort_m ORDER BY months_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_revenue,
+               floor(CAST(sum(rev_dec) OVER (
+                         PARTITION BY cohort_m ORDER BY months_since
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE)
+                     / CAST(max(CASE WHEN months_since = 0 THEN n_active END)
+                            OVER (PARTITION BY cohort_m) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS ltv
+        FROM grid
     """,
 }

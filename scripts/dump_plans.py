@@ -59,6 +59,8 @@ SHOWCASE = [
     ("revenue_changepoint", "fact collapses to the persisted day grid; prefix-sum window on grid rows, TakeOrdered argmax"),
     ("brand_price_elasticity", "broadcast 2-column part dim, ONE map-combinable aggregate to the 25-brand grid of OLS sums"),
     ("mix_source_reliability", "source-grid rates broadcast back; doc keep decision map-side, corpus never shuffles"),
+    ("multimodal_wav_frames", "zero-Exchange frame-grain feature extraction; frame chop + ZCR in-executor, integer-only gate"),
+    ("cohort_ltv", "map-side (customer,month) combine -> customer-partitioned cohort window -> tiny cohort grid"),
 ]
 
 

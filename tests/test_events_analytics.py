@@ -532,3 +532,52 @@ def test_brand_price_elasticity_recovers_exact_loglog_slope(spark, tmp_path):
     assert out["ELASTIC"]["r2"] > 0.9999
     assert abs(out["FLAT"]["elasticity"]) < 1e-6
     assert out["FLAT"]["r2"] == 0.0  # zero y-variance -> guarded 0
+
+
+def test_cohort_ltv_exact_cohorts_and_cumulative(spark, tmp_path):
+    """Three customers, two cohorts, a year boundary: A and C acquire
+    in 1992-12 (cohort size 2), B in 1993-02. A orders again in
+    1993-01 (months_since=1 ACROSS the year boundary — month-key
+    arithmetic, not same-year month subtraction) and 1993-02; every
+    n_active / revenue / cumulative / ltv cell is pinned exactly."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.behavioral import q_cohort_ltv
+
+    rows = [
+        Row(o_custkey=1, o_orderdate="1992-12-05", o_totalprice=10.0),
+        Row(o_custkey=1, o_orderdate="1992-12-20", o_totalprice=5.0),
+        Row(o_custkey=1, o_orderdate="1993-01-03", o_totalprice=7.0),
+        Row(o_custkey=1, o_orderdate="1993-02-14", o_totalprice=20.0),
+        Row(o_custkey=3, o_orderdate="1992-12-31", o_totalprice=1.0),
+        Row(o_custkey=2, o_orderdate="1993-02-01", o_totalprice=40.0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = {
+        (r["cohort_month"].isoformat(), r["months_since"]): r
+        for r in q_cohort_ltv(spark, d).collect()
+    }
+    assert set(out) == {
+        ("1992-12-01", 0),
+        ("1992-12-01", 1),
+        ("1992-12-01", 2),
+        ("1993-02-01", 0),
+    }
+    r0 = out[("1992-12-01", 0)]
+    assert r0["n_active"] == 2 and r0["cohort_size"] == 2
+    assert r0["revenue"] == 16.0 and r0["cum_revenue"] == 16.0
+    assert r0["ltv"] == 8.0
+    r1 = out[("1992-12-01", 1)]
+    assert r1["n_active"] == 1 and r1["cohort_size"] == 2
+    assert r1["revenue"] == 7.0 and r1["cum_revenue"] == 23.0
+    assert r1["ltv"] == 11.5
+    r2 = out[("1992-12-01", 2)]
+    assert r2["n_active"] == 1 and r2["cohort_size"] == 2
+    assert r2["revenue"] == 20.0 and r2["cum_revenue"] == 43.0
+    assert r2["ltv"] == 21.5
+    rb = out[("1993-02-01", 0)]
+    assert rb["n_active"] == 1 and rb["cohort_size"] == 1
+    assert rb["revenue"] == 40.0 and rb["ltv"] == 40.0

@@ -716,3 +716,46 @@ def test_mix_source_reliability_corpus_never_shuffles(spark, sf_dir):
     for seg in final.split("Exchange hashpartitioning(")[1:]:
         key = seg.split(",")[0]
         assert key.startswith("source"), key
+
+
+def test_wav_frames_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The synthesize->parse->frame WAV chain is chained mapInPandas
+    over the scan — zero Exchange, payload bytes never shuffle — and
+    the scan reads ONLY doc_id (the payload is generated in-executor,
+    not carried)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_wav_frames,
+    )
+
+    plan = _formatted_plan(q_multimodal_wav_frames(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_cohort_ltv_single_scan_customer_partitioned_windows(spark, sf_dir):
+    """cohort_ltv: exactly one orders scan pruned to the three needed
+    columns; the cohort-month window partitions by customer (never a
+    global window over the fact) and the cumulative/size windows
+    partition by cohort over the tiny grid; no join anywhere."""
+    import re
+
+    from retail_sales_etl_spark.plans.behavioral import q_cohort_ltv
+
+    plan = _formatted_plan(q_cohort_ltv(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and "o_orderdate" in read_schema
+    assert "o_totalprice" in read_schema and "o_orderkey" not in read_schema
+    # every window partitions: cohort assignment by customer, the
+    # cumulative/size windows by cohort — no unpartitioned window
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, plan
+    assert all(s.startswith(("o_custkey", "cohort_m")) for s in specs), specs
+    # the fact-grain aggregate keeps its map-side partial combine
+    # below the first exchange (whale customers collapse to their
+    # months BEFORE any shuffle)
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or re.search(
+        r"\(\d+\) HashAggregate[\s\S]*?\(\d+\) Exchange", plan
+    )

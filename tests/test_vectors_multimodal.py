@@ -392,3 +392,82 @@ def test_wav_roundtrip_synth_decode(spark, sf_dir):
         exp = [multimodal._wav_sample(r["doc_id"], i) for i in range(n)]
         assert d["sum_abs"] == sum(abs(x) for x in exp)
         assert d["peak"] == max(abs(x) for x in exp)
+
+
+def test_wav_frames_end_to_end_matches_python_recompute(spark, tmp_path):
+    """Frame-grain features over the real synthesize->parse path must
+    equal a pure-Python recompute from the closed-form generator:
+    frame chopping (incl. the partial last frame), per-frame ZCR
+    (within-frame lag only), and the integer-only low-energy gate."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        WAV_FRAME,
+        WAV_FRAME_LOW_MEAN_ABS,
+        _wav_params,
+        _wav_sample,
+        q_multimodal_wav_frames,
+    )
+
+    ids = [0, 1, 2, 3, 96, 100]  # 96 -> n=160: exactly 5 full frames
+    d = str(tmp_path)
+    spark.createDataFrame([Row(doc_id=i) for i in ids]).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in q_multimodal_wav_frames(spark, d).collect()
+    }
+    n_rows = 0
+    for doc in ids:
+        _rate, n, _junk = _wav_params(doc)
+        samples = [_wav_sample(doc, i) for i in range(n)]
+        for f0 in range(0, n, WAV_FRAME):
+            fr = samples[f0 : f0 + WAV_FRAME]
+            n_rows += 1
+            r = got[(doc, f0 // WAV_FRAME)]
+            assert r["n_in_frame"] == len(fr)
+            assert r["sum_abs"] == sum(abs(s) for s in fr)
+            assert r["peak"] == max(abs(s) for s in fr)
+            assert r["sum_sq"] == sum(s * s for s in fr)
+            assert r["zero_crossings"] == sum(
+                1
+                for a, b in zip(fr, fr[1:])
+                if (a < 0) != (b < 0)
+            )
+            assert r["low_energy"] == int(
+                sum(abs(s) for s in fr) < WAV_FRAME_LOW_MEAN_ABS * len(fr)
+            )
+    assert len(got) == n_rows
+    # doc 96 has 160 samples: 5 full frames, no partial
+    assert {k[1] for k in got if k[0] == 96} == {0, 1, 2, 3, 4}
+    # doc 0 has 64 samples: exactly 2 frames; doc 1 has 65: partial 3rd
+    assert {k[1] for k in got if k[0] == 1} == {0, 1, 2}
+    assert got[(1, 2)]["n_in_frame"] == 1
+
+
+def test_wav_frames_low_energy_flag_flips_on_crafted_payload():
+    """The gate is sum|s| < THRESH*n by integer cross-multiplication:
+    a frame of tiny samples flags 1, a loud frame flags 0, and the
+    boundary (mean exactly THRESH) flags 0 (strict <). Checked through
+    parse_wav on hand-assembled bytes so the container walk is in the
+    loop."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        WAV_FRAME,
+        WAV_FRAME_LOW_MEAN_ABS,
+        parse_wav,
+    )
+
+    quiet = [1, -1] * (WAV_FRAME // 2)
+    loud = [2000, -2000] * (WAV_FRAME // 2)
+    boundary = [WAV_FRAME_LOW_MEAN_ABS] * WAV_FRAME
+    _rate, samples = parse_wav(_craft_wav(quiet + loud + boundary))
+    frames = [
+        samples[i : i + WAV_FRAME]
+        for i in range(0, samples.size, WAV_FRAME)
+    ]
+    flags = [
+        int(int(abs(fr).sum()) < WAV_FRAME_LOW_MEAN_ABS * fr.size)
+        for fr in frames
+    ]
+    assert flags == [1, 0, 0]
