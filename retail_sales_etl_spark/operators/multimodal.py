@@ -1151,6 +1151,8 @@ def parse_wav(payload: bytes) -> tuple[int, "object"]:
         if len(body) != csize:
             raise ValueError("truncated chunk")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if fmt != 1 or ch != 1 or bits != 16:
                 raise ValueError("unsupported WAV variant (need PCM mono 16)")

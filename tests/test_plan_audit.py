@@ -709,13 +709,15 @@ def test_mix_source_reliability_corpus_never_shuffles(spark, sf_dir):
         q_mix_source_reliability,
     )
 
+    import re
+
     plan = _formatted_plan(q_mix_source_reliability(spark, sf_dir))
     assert "SortMergeJoin" not in plan
-    final = plan.split("AdaptiveSparkPlan")[0]
-    # every hashpartitioning exchange keys on source (grid aggs), never doc_id
-    for seg in final.split("Exchange hashpartitioning(")[1:]:
-        key = seg.split(",")[0]
-        assert key.startswith("source"), key
+    # every hashpartitioning exchange keys on source (grid aggs), never
+    # doc_id — formatted mode prints the keys in the node's Arguments
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys, plan  # the source-grid aggregate must shuffle once
+    assert all(k.startswith("source") for k in keys), keys
 
 
 def test_wav_frames_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
@@ -754,8 +756,21 @@ def test_cohort_ltv_single_scan_customer_partitioned_windows(spark, sf_dir):
     assert all(s.startswith(("o_custkey", "cohort_m")) for s in specs), specs
     # the fact-grain aggregate keeps its map-side partial combine
     # below the first exchange (whale customers collapse to their
-    # months BEFORE any shuffle)
-    first_exchange = plan.index("Exchange")
-    assert "HashAggregate" in plan[:first_exchange] or re.search(
-        r"\(\d+\) HashAggregate[\s\S]*?\(\d+\) Exchange", plan
+    # months BEFORE any shuffle): detail blocks are numbered leaf-up,
+    # so the partial HashAggregate must sit at number n with its
+    # Exchange at exactly n+1, and that exchange must key on the
+    # (customer, month) grain
+    agg_nums = {int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)}
+    exch = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(r"\((\d+)\) Exchange[\s\S]*?Arguments: ([^\n]*)", plan)
+    }
+    fact_exchanges = [
+        n for n, args in exch.items()
+        if "o_custkey" in args and "mkey" in args
+    ]
+    assert fact_exchanges, exch
+    assert all(n - 1 in agg_nums for n in fact_exchanges), (
+        agg_nums,
+        fact_exchanges,
     )

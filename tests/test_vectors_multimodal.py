@@ -471,3 +471,21 @@ def test_wav_frames_low_energy_flag_flips_on_crafted_payload():
         for fr in frames
     ]
     assert flags == [1, 0, 0]
+
+
+def test_parse_wav_rejects_short_fmt_chunk_with_valueerror():
+    """A structurally valid RIFF whose fmt chunk body is shorter than
+    the 16 PCM header bytes must raise the documented ValueError, not
+    leak struct.error."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import parse_wav
+
+    body = b"WAVE"
+    body += struct.pack("<4sI", b"fmt ", 8) + b"\x00" * 8  # declared len 8
+    body += struct.pack("<4sI", b"data", 4) + struct.pack("<hh", 1, -1)
+    payload = struct.pack("<4sI", b"RIFF", len(body)) + body
+    with pytest.raises(ValueError):
+        parse_wav(payload)
