@@ -209,3 +209,57 @@ def test_bloom_pruned_semi_join_rejects_incomparable_key_types(spark):
     )
     with pytest.raises(ValueError, match="dtypes differ"):
         joins.bloom_pruned_semi_join(large, keys, "k", "bk")
+
+
+def test_static_partition_pruning_reads_only_matching_directories(
+    spark, tmp_path
+):
+    """A literal filter on the hive partition column must reach the
+    scan as a PartitionFilter — at 100 TB the difference between
+    opening one day's directory and every directory — and the executed
+    scan must report exactly the matching partition's row count."""
+    path = str(tmp_path / "pp")
+    spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(400)], ["id", "day"]
+    ).write.partitionBy("day").parquet(path)
+    df = spark.read.parquet(path).where(F.col("day") == "d2")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "day" in seg and "d2" in seg, seg
+    # data filters must NOT be pushed for the partition column (it is
+    # pruned at planning, not row-filtered at read)
+    assert df.count() == 100
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """The Spark-first star-join contract at scale: a selective filter
+    on the DIM side of a join over the fact's partition column must
+    inject a dynamicpruning subquery into the fact scan (DPP), so only
+    the surviving partitions are read even though the filter value is
+    unknown at planning time."""
+    path = str(tmp_path / "dpp_fact")
+    spark.createDataFrame(
+        [(i, i % 8) for i in range(800)], ["rev", "day_key"]
+    ).write.partitionBy("day_key").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(k, "keep" if k == 3 else "drop") for k in range(8)],
+        ["day_key", "label"],
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+    )
+    try:
+        joined = fact.join(dim, "day_key").where(F.col("label") == "keep")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "dynamicpruningexpression" in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
