@@ -1064,3 +1064,94 @@ def test_foreachbatch_sink_checkpoint_restart_is_exactly_once(
         stream2.select("event_id", "ts", "event_type"), out_path, ckpt
     ).awaitTermination()
     assert spark.read.parquet(out_path).count() == landed_once
+
+
+def test_phash_dedup_sink_matches_batch_hamming_relation(spark, tmp_path):
+    """Two image micro-batches (doc_ids 0..19, then 20..39): every
+    arrival-time verdict must equal the batch Hamming<=1 relation
+    computed independently in Python from the collected hashes —
+    cross-batch partners via the maintained index, intra-batch
+    partners via the same-batch probe — and checkpoint-rewind replays
+    advance neither table."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.multimodal import (
+        phash_frame,
+        synthesize_ppm,
+    )
+
+    ids = list(range(40))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in phash_frame(synthesize_ppm(docs)).collect()
+    }
+
+    def partners(d):
+        return [
+            e for e in ids
+            if e < d and bin(hashes[e] ^ hashes[d]).count("1") <= 1
+        ]
+
+    idx = str(tmp_path / "index")
+    verd = str(tmp_path / "verd")
+    b0 = spark.createDataFrame([(i,) for i in ids[:20]], "doc_id long")
+    b1 = spark.createDataFrame([(i,) for i in ids[20:]], "doc_id long")
+    assert streaming_events.phash_dedup_sink(b0, 0, idx, verd) is True
+    assert streaming_events.phash_dedup_sink(b1, 1, idx, verd) is True
+    got = {
+        r["doc_id"]: r for r in LakehouseTable(spark, verd).read().collect()
+    }
+    assert set(got) == set(ids)
+    n_dups = 0
+    for d in ids:
+        exp = partners(d)
+        assert got[d]["is_dup"] == bool(exp), d
+        assert got[d]["dup_of"] == (min(exp) if exp else None), d
+        assert got[d]["n_dup_sources"] == len(exp), d
+        n_dups += bool(exp)
+    assert n_dups > 0  # the relation is non-trivial on this id range
+    i_table, v_table = LakehouseTable(spark, idx), LakehouseTable(spark, verd)
+    v_i, v_v = i_table.latest_version(), v_table.latest_version()
+    assert streaming_events.phash_dedup_sink(b0, 0, idx, verd) is False
+    assert streaming_events.phash_dedup_sink(b1, 1, idx, verd) is False
+    assert i_table.latest_version() == v_i
+    assert v_table.latest_version() == v_v
+
+
+def test_phash_dedup_sink_two_writer_race(spark, tmp_path):
+    """Two concurrent writers of the same image batch: the batch lands
+    once per table — one verdict row per doc, one index row per doc."""
+    import threading
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    idx = str(tmp_path / "index_race")
+    verd = str(tmp_path / "verd_race")
+    b0 = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    b1 = spark.createDataFrame([(i,) for i in range(10, 20)], "doc_id long")
+    assert streaming_events.phash_dedup_sink(b0, 0, idx, verd) is True
+
+    barrier = threading.Barrier(2)
+    results: dict[str, bool] = {}
+    errors: list[Exception] = []
+
+    def writer(name: str) -> None:
+        try:
+            barrier.wait()
+            results[name] = streaming_events.phash_dedup_sink(
+                b1, 1, idx, verd
+            )
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results.values()) == [False, True]
+    assert LakehouseTable(spark, verd).read().count() == 20
+    per_doc = LakehouseTable(spark, idx).read().groupBy("doc_id").count()
+    counts = {r["count"] for r in per_doc.collect()}
+    assert counts == {1}  # one hash row per doc, no double batch
