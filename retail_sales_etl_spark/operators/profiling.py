@@ -1412,3 +1412,133 @@ ORACLE["revenue_changepoint"] = f"""
     ORDER BY gain DESC, split_d
     LIMIT 1
 """
+
+
+def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue (Wald & Wolfowitz
+    1940): is the above/below-median sequence of daily revenue RANDOM,
+    or does it clump (momentum / regime persistence -> fewer runs than
+    chance) or oscillate (alternating promotion cycles -> more runs)?
+    The classic distribution-free randomness screen a forecasting
+    pipeline runs before trusting an i.i.d.-residual model — the
+    sequence-structure complement of the level tools (changepoint,
+    CUSUM detect WHERE structure sits; this one asks WHETHER the
+    sequence is structured at all).
+
+    Days equal to the median are dropped (the standard tie rule), runs
+    R = 1 + sign flips over the day order, and the normal
+    approximation gives z = (R - mu) / sigma with
+    mu = 2*n1*n2/(n1+n2) + 1 and
+    sigma^2 = 2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)^2 * (n1+n2-1)).
+
+    Scale shape: the fact collapses to the bounded DAY grid in one
+    map-combinable scan (exact integer cents); the median is an exact
+    ``percentile`` over grid rows broadcast back; the flip count is a
+    lag window over the bounded grid (never the corpus); the closed
+    form is arithmetic on one 4-value row. Counts are grid-bounded
+    (~2.4k) so every product is integer-exact in doubles; mu/z are
+    fround-staged from identical inputs in identical op order; the
+    degenerate one-sided sequence (n1*n2 = 0 or n1+n2 < 2) emits NULL
+    mu/z via the same guard in both engines.
+    """
+    from pyspark.sql import Window
+
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders")).persist()
+    med = daily.agg(F.expr("percentile(v, 0.5)").alias("med"))
+    flagged = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("v").cast("double") != F.col("med"))
+        .select("d", (F.col("v").cast("double") > F.col("med")).alias("s"))
+    )
+    w = Window.orderBy("d")
+    seq = flagged.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNotNull()
+            & (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    stats = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("bigint").alias(
+            "n_above"
+        ),
+        F.sum(F.when(~F.col("s"), 1).otherwise(0)).cast("bigint").alias(
+            "n_below"
+        ),
+        (F.sum("flip") + F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    ok = (F.col("n_above") * F.col("n_below") > 0) & (
+        F.col("n_above") + F.col("n_below") >= 2
+    )
+    return stats.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(ok, fround(mu, 6)).alias("mu_runs"),
+        F.when(
+            ok & (var > 0.0),
+            fround((F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6),
+        ).alias("z_score"),
+    )
+
+
+QUERIES["revenue_runs_test"] = q_revenue_runs_test
+
+_RUNS_MU = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+_RUNS_VAR = (
+    "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+    " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
+)
+
+ORACLE["revenue_runs_test"] = f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ),
+    med AS (SELECT quantile_cont(v, 0.5) AS med FROM daily),
+    flagged AS (
+        SELECT d, CAST(v AS DOUBLE) > med AS s
+        FROM daily CROSS JOIN med
+        WHERE CAST(v AS DOUBLE) <> med
+    ),
+    seq AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY d) IS NOT NULL
+                     AND lag(s) OVER (ORDER BY d) <> s
+                    THEN 1 ELSE 0 END AS flip
+        FROM flagged
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+               CAST(sum(flip) + 1 AS BIGINT) AS n_runs
+        FROM seq
+    ),
+    d AS (
+        SELECT n_days, n_above, n_below, n_runs,
+               CAST(n_above AS DOUBLE) AS n1,
+               CAST(n_below AS DOUBLE) AS n2
+        FROM stats
+    )
+    SELECT n_days, n_above, n_below, n_runs,
+           CASE WHEN n_above * n_below > 0 AND n_above + n_below >= 2
+                THEN floor(({_RUNS_MU}) * 1e6 + 0.5) / 1e6 END AS mu_runs,
+           CASE WHEN n_above * n_below > 0 AND n_above + n_below >= 2
+                 AND {_RUNS_VAR} > 0.0
+                THEN floor(((CAST(n_runs AS DOUBLE) - {_RUNS_MU})
+                            / sqrt({_RUNS_VAR})) * 1e6 + 0.5) / 1e6
+           END AS z_score
+    FROM d
+"""

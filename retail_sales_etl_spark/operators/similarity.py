@@ -2873,3 +2873,101 @@ def _pc2_oracle() -> str:
 
 
 ORACLE["embedding_pc2"] = _pc2_oracle()
+
+
+def q_embedding_ivf_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index HEALTH check: the per-cell occupancy table of the
+    coarse quantizer — the acceptance gate an ANN deployment runs
+    before trusting its index (Jégou et al., TPAMI 2011 §V: IVF probe
+    cost is governed by the inverted-list length distribution; one
+    overloaded cell makes every probe that routes there scan a large
+    fraction of the corpus, and empty cells waste nprobe budget).
+    Per cell: vector count, share of the corpus, and load_factor =
+    n_vectors * n_cells / n_total (1.0 = perfectly balanced; the
+    max-load cell's factor is the probe-latency multiplier vs ideal).
+
+    Scale shape: reuses the production assignment path
+    (``assign_ivf_cells``: broadcast centroid table, map-side argmax,
+    one vec_id shuffle), then ONE map-combinable census to the
+    n_cells-row grid; the 1-row total broadcasts back and every ratio
+    is one double division from exact integers, fround-staged. The QC
+    output is grid-sized at any corpus scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    grid = (
+        assign_ivf_cells(emb)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_vectors").cast("bigint").alias("n_total"),
+    )
+    return grid.join(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        fround(
+            F.col("n_vectors").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("share"),
+        fround(
+            F.col("n_vectors").cast("double")
+            * F.col("n_cells").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("load_factor"),
+    )
+
+
+QUERIES["embedding_ivf_balance_qc"] = q_embedding_ivf_balance_qc
+
+ORACLE["embedding_ivf_balance_qc"] = """
+    WITH emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i - 1 AS dim_idx,
+               CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS centroid
+        FROM (
+            SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM emb
+        )
+        GROUP BY label, i
+    ),
+    carr AS (
+        SELECT label AS cell, list(centroid ORDER BY dim_idx) AS cv
+        FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               floor((list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv)))) * 1e6 + 0.5) / 1e6 AS ccos
+        FROM emb e CROSS JOIN carr c
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY ccos DESC, cell
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    grid AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM cells GROUP BY cell
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n_vectors) AS BIGINT) AS n_total
+        FROM grid
+    )
+    SELECT cell, n_vectors,
+           floor((CAST(n_vectors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS share,
+           floor((CAST(n_vectors AS DOUBLE) * CAST(n_cells AS DOUBLE)
+                  / CAST(n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS load_factor
+    FROM grid, tot
+"""

@@ -439,3 +439,59 @@ def test_changepoint_single_day_returns_empty(spark, tmp_path):
         f"{d}/orders.parquet"
     )
     assert q_revenue_changepoint(spark, d).collect() == []
+
+
+def test_runs_test_alternating_and_clumped_sequences(spark, tmp_path):
+    """An alternating above/below-median sequence maximizes runs
+    (z > 0), a clumped one minimizes them (runs = 2), and the closed
+    form recovers the textbook mu/z exactly on a hand-computed case:
+    values 1,10,2,11,3,12 -> median 6.5, runs 6, n1 = n2 = 3,
+    mu = 4, var = 1.2, z = 2/sqrt(1.2)."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        q_revenue_runs_test,
+    )
+
+    base = datetime.date.fromisoformat(SEASON_EPOCH)
+
+    def write(vals, d):
+        rows = [
+            Row(
+                o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+                o_totalprice=float(v),
+            )
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
+
+    d1 = str(tmp_path / "alt")
+    write([1, 10, 2, 11, 3, 12], d1)
+    (r,) = q_revenue_runs_test(spark, d1).collect()
+    assert r["n_days"] == 6 and r["n_above"] == 3 and r["n_below"] == 3
+    assert r["n_runs"] == 6
+    assert r["mu_runs"] == 4.0
+    assert abs(r["z_score"] - 2.0 / math.sqrt(1.2)) < 1e-6
+
+    d2 = str(tmp_path / "clump")
+    write([1, 2, 3, 10, 11, 12], d2)
+    (r,) = q_revenue_runs_test(spark, d2).collect()
+    assert r["n_runs"] == 2 and r["z_score"] < 0
+
+    # a day exactly AT the (odd-n) median is dropped by the tie rule
+    d3 = str(tmp_path / "tie")
+    write([1, 2, 3, 4, 5], d3)
+    (r,) = q_revenue_runs_test(spark, d3).collect()
+    assert r["n_days"] == 4 and r["n_above"] == 2 and r["n_below"] == 2
+
+    # one-sided sequence: mu/z guarded to NULL
+    d4 = str(tmp_path / "flat")
+    write([5, 5, 5], d4)
+    (r,) = q_revenue_runs_test(spark, d4).collect()
+    assert r["n_days"] == 0 and r["mu_runs"] is None and r["z_score"] is None

@@ -555,3 +555,31 @@ def test_anisotropy_share_bounds_and_consistency(spark, sf_dir):
     pc = q_embedding_top_pc(spark, sf_dir).collect()
     assert pc[0]["eigenvalue"] == r["lambda1"]
     assert pc[0]["n_vectors"] == r["n_vectors"]
+
+
+def test_ivf_balance_qc_exact_loads_on_skewed_cells(spark, tmp_path):
+    """Three vectors hugging axis e1 (label 0) and one hugging e2
+    (label 1): the census must report counts 3/1, shares 0.75/0.25 and
+    load factors 1.5/0.5 exactly (n_cells=2), with assignment routed
+    by the computed argmax — not the label column read back."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_ivf_balance_qc,
+    )
+
+    rows = [
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[0.9, 0.1]),
+        Row(vec_id=3, label=0, embedding=[0.8, 0.05]),
+        Row(vec_id=4, label=1, embedding=[0.0, 1.0]),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {r["cell"]: r for r in q_embedding_ivf_balance_qc(spark, d).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_vectors"] == 3 and got[1]["n_vectors"] == 1
+    assert got[0]["share"] == 0.75 and got[1]["share"] == 0.25
+    assert got[0]["load_factor"] == 1.5 and got[1]["load_factor"] == 0.5
