@@ -61,6 +61,8 @@ SHOWCASE = [
     ("mix_source_reliability", "source-grid rates broadcast back; doc keep decision map-side, corpus never shuffles"),
     ("multimodal_wav_frames", "zero-Exchange frame-grain feature extraction; frame chop + ZCR in-executor, integer-only gate"),
     ("cohort_ltv", "map-side (customer,month) combine -> customer-partitioned cohort window -> tiny cohort grid"),
+    ("revenue_runs_test", "persisted day grid feeds median + flip window; closed-form z on a 1-row aggregate"),
+    ("embedding_ivf_balance_qc", "broadcast-centroid argmax assignment -> map-combinable census to the cell grid"),
 ]
 
 

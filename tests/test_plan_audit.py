@@ -774,3 +774,39 @@ def test_cohort_ltv_single_scan_customer_partitioned_windows(spark, sf_dir):
         agg_nums,
         fact_exchanges,
     )
+
+
+def test_runs_test_windows_on_day_grid_only(spark, sf_dir):
+    """revenue_runs_test: one pruned orders scan (the persisted day
+    grid feeds both the median and the flip window), the lag window
+    consumes the grid aggregate, and the median side re-reads the
+    cache instead of re-scanning."""
+    import re
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_runs_test,
+    )
+
+    plan = _formatted_plan(q_revenue_runs_test(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert "Window" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
+    assert "o_custkey" not in read_schema
+
+
+def test_ivf_balance_qc_broadcast_centroids_no_smj(spark, sf_dir):
+    """embedding_ivf_balance_qc must keep the production assignment
+    shape: centroid table broadcast into the argmax (never a
+    SortMergeJoin), census aggregated map-side to the cell grid."""
+    import re
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_ivf_balance_qc,
+    )
+
+    plan = _formatted_plan(q_embedding_ivf_balance_qc(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
