@@ -690,6 +690,50 @@ _PH_GRAY = (
     " + ((doc_id + sx * sy) % 256))"
 )
 
+# Exportable hash-CTE chain (grid -> cells -> grays -> tot -> hashes):
+# the closed-form DuckDB recompute of the aHash every phash oracle
+# probes against. New oracles (e.g. the streaming dedup sink) compose
+# this fragment instead of re-spelling the generator — the
+# _LSH_BANDS_SQL cross-module pattern. The pre-existing inline copies
+# below are left verbatim so their entries' proof fingerprints stand.
+_PHASH_HASHES_SQL = """grid AS (
+        SELECT doc_id,
+               (doc_id % 8) + 2 AS w,
+               (doc_id % 6) + 2 AS h
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, x2, y2,
+               (x2 * w) // {PHASH_W} AS sx,
+               (y2 * h) // {PHASH_H} AS sy
+        FROM grid,
+             LATERAL (SELECT unnest(generate_series(0, {PHASH_W_1})) AS x2),
+             LATERAL (SELECT unnest(generate_series(0, {PHASH_H_1})) AS y2)
+    ),
+    grays AS (
+        SELECT doc_id, y2 * {PHASH_W} + x2 AS i, {PH_GRAY} AS g
+        FROM cells
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(g) AS BIGINT) AS total
+        FROM grays GROUP BY 1
+    ),
+    hashes AS (
+        SELECT g.doc_id,
+               CAST(sum(CASE WHEN g.g * {PH_N} >= t.total
+                             THEN (1::BIGINT << g.i) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM grays g JOIN tot t USING (doc_id)
+        GROUP BY 1
+    )""".format(
+    PHASH_W=PHASH_W,
+    PHASH_H=PHASH_H,
+    PHASH_W_1=PHASH_W - 1,
+    PHASH_H_1=PHASH_H - 1,
+    PH_GRAY=_PH_GRAY,
+    PH_N=_PH_N,
+)
+
 ORACLE["multimodal_phash_dedup"] = f"""
     WITH grid AS (
         SELECT doc_id,

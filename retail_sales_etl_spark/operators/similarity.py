@@ -2896,10 +2896,25 @@ def q_embedding_ivf_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double_array("embedding").alias("v")
     )
-    grid = (
+    counts = (
         assign_ivf_cells(emb)
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+    )
+    # n_cells comes from the CENTROID table, not the assigned cells: a
+    # cell the argmax never routes to is exactly the dead cell this QC
+    # exists to expose (emitted with n_vectors = 0), and counting only
+    # occupied cells would flatter load_factor toward 1.0.
+    grid = (
+        _cent_arr(emb)
+        .select("cell")
+        .join(counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_assigned", F.lit(0))
+            .cast("bigint")
+            .alias("n_vectors"),
+        )
     )
     tot = grid.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
@@ -2956,8 +2971,11 @@ ORACLE["embedding_ivf_balance_qc"] = """
         ) WHERE rn = 1
     ),
     grid AS (
-        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
-        FROM cells GROUP BY cell
+        SELECT carr.cell,
+               CAST(coalesce(cnt.n_assigned, 0) AS BIGINT) AS n_vectors
+        FROM carr LEFT JOIN (
+            SELECT cell, count(*) AS n_assigned FROM cells GROUP BY cell
+        ) cnt ON carr.cell = cnt.cell
     ),
     tot AS (
         SELECT CAST(count(*) AS BIGINT) AS n_cells,

@@ -1624,7 +1624,8 @@ def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="phash_stream_")
     src = f"{work}/src"
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    hi = (max_id if max_id is not None else 0) + 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -1671,7 +1672,7 @@ QUERIES = {
 # DuckDB like any batch query — the stream is not a weaker surface.
 from ..operators.dedup import _BANDS_SQL as _LSH_BANDS_SQL
 from ..operators.dedup import _MINHASH_SIG_SQL as _LSH_SIG_SQL
-from ..operators.multimodal import _PH_GRAY, _PH_N, PHASH_H, PHASH_W
+from ..operators.multimodal import _PHASH_HASHES_SQL
 
 ORACLE = {
     # the maintained verdicts table == the batch LSH pair relation:
@@ -1701,38 +1702,10 @@ ORACLE = {
     """,
     # all-pairs bit_count(xor()) at doc grain — deliberately a
     # DIFFERENT algorithm than the Spark side's 13-mask probe join,
-    # so a probe-mechanics bug cannot cancel (phash_hamming rule)
+    # so a probe-mechanics bug cannot cancel (phash_hamming rule);
+    # the hash CTE chain is the shared fragment from multimodal.py
     "streaming_phash_dedup": f"""
-        WITH grid AS (
-            SELECT doc_id,
-                   (doc_id % 8) + 2 AS w,
-                   (doc_id % 6) + 2 AS h
-            FROM documents
-        ),
-        cells AS (
-            SELECT doc_id, x2, y2,
-                   (x2 * w) // {PHASH_W} AS sx,
-                   (y2 * h) // {PHASH_H} AS sy
-            FROM grid,
-                 LATERAL (SELECT unnest(generate_series(0, {PHASH_W - 1})) AS x2),
-                 LATERAL (SELECT unnest(generate_series(0, {PHASH_H - 1})) AS y2)
-        ),
-        grays AS (
-            SELECT doc_id, y2 * {PHASH_W} + x2 AS i, {_PH_GRAY} AS g
-            FROM cells
-        ),
-        tot AS (
-            SELECT doc_id, CAST(sum(g) AS BIGINT) AS total
-            FROM grays GROUP BY 1
-        ),
-        hashes AS (
-            SELECT g.doc_id,
-                   CAST(sum(CASE WHEN g.g * {_PH_N} >= t.total
-                                 THEN (1::BIGINT << g.i) ELSE 0 END)
-                        AS BIGINT) AS phash
-            FROM grays g JOIN tot t USING (doc_id)
-            GROUP BY 1
-        ),
+        WITH {_PHASH_HASHES_SQL},
         pairs AS (
             SELECT b.doc_id AS doc_id, a.doc_id AS partner
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id

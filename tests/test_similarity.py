@@ -583,3 +583,37 @@ def test_ivf_balance_qc_exact_loads_on_skewed_cells(spark, tmp_path):
     assert got[0]["n_vectors"] == 3 and got[1]["n_vectors"] == 1
     assert got[0]["share"] == 0.75 and got[1]["share"] == 0.25
     assert got[0]["load_factor"] == 1.5 and got[1]["load_factor"] == 0.5
+
+
+def test_ivf_balance_qc_reports_dead_cell_with_zero_load(spark, tmp_path):
+    """A centroid the argmax never routes to (label 2's centroid is the
+    mean of one e1-ish and one e2-ish vector, so BOTH its members sit
+    closer to the axis centroids) must still appear in the census with
+    n_vectors = 0 — and n_cells must count it, so the surviving cells'
+    load factors reflect the true 3-cell ideal, not a flattering
+    2-cell one."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_ivf_balance_qc,
+    )
+
+    rows = [
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[0.9, 0.1]),
+        Row(vec_id=3, label=0, embedding=[0.8, 0.05]),
+        Row(vec_id=4, label=1, embedding=[0.0, 1.0]),
+        Row(vec_id=5, label=2, embedding=[1.0, 0.0]),
+        Row(vec_id=6, label=2, embedding=[0.0, 1.0]),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {r["cell"]: r for r in q_embedding_ivf_balance_qc(spark, d).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[2]["n_vectors"] == 0
+    assert got[2]["share"] == 0.0 and got[2]["load_factor"] == 0.0
+    assert got[0]["n_vectors"] == 4 and got[1]["n_vectors"] == 2
+    # n_cells = 3 (the dead cell counts): loads 4*3/6 and 2*3/6
+    assert got[0]["load_factor"] == 2.0 and got[1]["load_factor"] == 1.0
