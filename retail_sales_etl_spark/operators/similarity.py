@@ -2908,7 +2908,7 @@ def q_embedding_ivf_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         _cent_arr(emb)
         .select("cell")
-        .join(counts, "cell", "left")
+        .join(F.broadcast(counts), "cell", "left")
         .select(
             "cell",
             F.coalesce("n_assigned", F.lit(0))
