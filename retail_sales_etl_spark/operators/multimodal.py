@@ -692,10 +692,11 @@ _PH_GRAY = (
 
 # Exportable hash-CTE chain (grid -> cells -> grays -> tot -> hashes):
 # the closed-form DuckDB recompute of the aHash every phash oracle
-# probes against. New oracles (e.g. the streaming dedup sink) compose
-# this fragment instead of re-spelling the generator — the
-# _LSH_BANDS_SQL cross-module pattern. The pre-existing inline copies
-# below are left verbatim so their entries' proof fingerprints stand.
+# probes against. Every phash oracle (the census pair below, the
+# streaming dedup sink) composes this one fragment instead of
+# re-spelling the generator — the _LSH_BANDS_SQL cross-module
+# pattern. ``gray_sum`` rides along for the dedup census; consumers
+# that don't need it just don't select it.
 _PHASH_HASHES_SQL = """grid AS (
         SELECT doc_id,
                (doc_id % 8) + 2 AS w,
@@ -722,7 +723,8 @@ _PHASH_HASHES_SQL = """grid AS (
         SELECT g.doc_id,
                CAST(sum(CASE WHEN g.g * {PH_N} >= t.total
                              THEN (1::BIGINT << g.i) ELSE 0 END)
-                    AS BIGINT) AS phash
+                    AS BIGINT) AS phash,
+               CAST(any_value(t.total) AS BIGINT) AS gray_sum
         FROM grays g JOIN tot t USING (doc_id)
         GROUP BY 1
     )""".format(
@@ -735,36 +737,7 @@ _PHASH_HASHES_SQL = """grid AS (
 )
 
 ORACLE["multimodal_phash_dedup"] = f"""
-    WITH grid AS (
-        SELECT doc_id,
-               (doc_id % 8) + 2 AS w,
-               (doc_id % 6) + 2 AS h
-        FROM documents
-    ),
-    cells AS (
-        SELECT doc_id, w, h, x2, y2,
-               (x2 * w) // {PHASH_W} AS sx,
-               (y2 * h) // {PHASH_H} AS sy
-        FROM grid,
-             LATERAL (SELECT unnest(generate_series(0, {PHASH_W - 1})) AS x2),
-             LATERAL (SELECT unnest(generate_series(0, {PHASH_H - 1})) AS y2)
-    ),
-    grays AS (
-        SELECT doc_id, y2 * {PHASH_W} + x2 AS i, {_PH_GRAY} AS g
-        FROM cells
-    ),
-    tot AS (
-        SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM grays GROUP BY 1
-    ),
-    hashes AS (
-        SELECT g.doc_id,
-               CAST(sum(CASE WHEN g.g * {_PH_N} >= t.total
-                             THEN (1::BIGINT << g.i) ELSE 0 END) AS BIGINT)
-                   AS phash,
-               CAST(any_value(t.total) AS BIGINT) AS gray_sum
-        FROM grays g JOIN tot t USING (doc_id)
-        GROUP BY 1
-    )
+    WITH {_PHASH_HASHES_SQL}
     SELECT phash,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id,
@@ -857,35 +830,7 @@ def q_multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["multimodal_phash_hamming"] = q_multimodal_phash_hamming
 
 ORACLE["multimodal_phash_hamming"] = f"""
-    WITH grid AS (
-        SELECT doc_id,
-               (doc_id % 8) + 2 AS w,
-               (doc_id % 6) + 2 AS h
-        FROM documents
-    ),
-    cells AS (
-        SELECT doc_id, x2, y2,
-               (x2 * w) // {PHASH_W} AS sx,
-               (y2 * h) // {PHASH_H} AS sy
-        FROM grid,
-             LATERAL (SELECT unnest(generate_series(0, {PHASH_W - 1})) AS x2),
-             LATERAL (SELECT unnest(generate_series(0, {PHASH_H - 1})) AS y2)
-    ),
-    grays AS (
-        SELECT doc_id, y2 * {PHASH_W} + x2 AS i, {_PH_GRAY} AS g
-        FROM cells
-    ),
-    tot AS (
-        SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM grays GROUP BY 1
-    ),
-    hashes AS (
-        SELECT g.doc_id,
-               CAST(sum(CASE WHEN g.g * {_PH_N} >= t.total
-                             THEN (1::BIGINT << g.i) ELSE 0 END) AS BIGINT)
-                   AS phash
-        FROM grays g JOIN tot t USING (doc_id)
-        GROUP BY 1
-    )
+    WITH {_PHASH_HASHES_SQL}
     SELECT CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id

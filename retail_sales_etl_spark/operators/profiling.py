@@ -1443,6 +1443,11 @@ def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Persisted because BOTH consumers (the broadcast median and the
+    # flagged-sequence scan) read it: without the cache the orders
+    # scan + grid aggregate runs twice. The cached frame is the
+    # bounded day grid — a few KB at any corpus size (the
+    # q_revenue_changepoint cache posture).
     daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders")).persist()
     med = daily.agg(F.expr("percentile(v, 0.5)").alias("med"))
     flagged = (

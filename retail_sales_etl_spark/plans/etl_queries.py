@@ -163,7 +163,9 @@ PROFILE_COLS = [
 ]
 
 
-def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_profile_orders(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Data-profiling operator: long-format per-column stats (count,
     nulls, distincts, typed min/max) — the extract layer's sanity
     checks surfaced as a queryable table (`/root/reference/etl/
@@ -173,16 +175,23 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), then `stack()` unpivots to long form — at 100 TB this
     is a single table scan regardless of how many columns are
     profiled, vs one scan per column for the naive union-of-aggs
-    shape. At scale swap exact `count_distinct` for
-    `approx_count_distinct`.
+    shape. Exact `count_distinct` by default (the oracle-parity form);
+    ``approx=True`` is the scale path: several exact count_distincts
+    in one aggregate plan an Expand that replicates EVERY fact row
+    once per distinct-counted column into the shuffle (~10x here —
+    the pattern the 100x probe caught in exclusive_late_suppliers),
+    where HLL++ sketches (`approx_count_distinct`) keep the single
+    no-Expand partial-aggregate pass (plan-audited:
+    tests/test_plan_audit.py::test_profile_orders_approx_has_no_expand).
     """
     orders = load_table(spark, sf_dir, "orders")
+    nd = F.approx_count_distinct if approx else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, kind in PROFILE_COLS:
         aggs.append(
             F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}")
         )
-        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+        aggs.append(nd(F.col(col)).alias(f"nd_{col}"))
         if kind == "num":
             aggs.append(F.min(col).cast("double").alias(f"mn_{col}"))
             aggs.append(F.max(col).cast("double").alias(f"mx_{col}"))

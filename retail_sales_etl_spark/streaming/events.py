@@ -589,6 +589,191 @@ def maintain_heavy_hitters(
     return _run_foreach_batch(stream, _sink, checkpoint)
 
 
+def _landed_on(table, batch_id: int, read_version, hwm) -> bool:
+    """Has ``batch_id`` already committed to ``table`` (at or below the
+    pinned ``read_version``)?
+
+    Fast path: the ``batch_hwm`` stamp — a batch ABOVE the newest
+    watermark has certainly not landed (foreachBatch ids are monotone
+    per checkpoint), so the steady-state cost stays O(1) log reads.
+    At or below the watermark the monotone assumption can lie: a rival
+    instance that committed a LATER batch first would make a bare
+    ``batch_id <= hwm`` check silently drop this batch's rows, so the
+    suspect path confirms by an exact scan of the surviving history
+    for this very batch_id (the ``lakehouse_batch_sink`` fallback,
+    scoped to one id). The scan runs only on replay-suspect batches —
+    restarts, never steady state. When ``clean_log`` has truncated the
+    history (oldest surviving commit > 1), entries below the replay
+    base are gone and the watermark — which survives via checkpoint
+    key_values — is the only evidence; batches at or below it are
+    treated as landed, which is exactly the long-landed ancient-replay
+    case the watermark exists for. The commit-time
+    ``conflict_on="batch_id"`` scan remains the final same-batch guard
+    either way. ``hwm`` is the caller-read ``batch_hwm`` at
+    ``read_version`` (read once per attempt — the caller also folds it
+    into its commit stamp so the watermark never regresses when an
+    out-of-order batch lands)."""
+    if hwm is None or batch_id > hwm:
+        return False
+    entries = table.history()
+    if any(
+        e.get("batch_id") == batch_id
+        and (read_version is None or e["version"] <= read_version)
+        for e in entries
+    ):
+        return True
+    # Not in surviving history: only a truncated log (clean_log ran;
+    # commits number from 1) can hide a genuinely-landed batch.
+    return not entries or entries[0]["version"] > 1
+
+
+def _dedup_sink_commit(
+    spark,
+    batch_id: int,
+    index_path: str,
+    verdicts_path: str,
+    index_rows: DataFrame,
+    empty_index_schema: str,
+    batch_doc_ids: DataFrame,
+    partner_pairs,
+    name: str,
+) -> bool:
+    """The exactly-once two-table commit protocol shared by the
+    incremental dedup sinks (``lsh_dedup_sink`` / ``phash_dedup_sink``)
+    — extracted so the contract is written (and fixed) once.
+
+    Per attempt: pin the index snapshot, replay-check BOTH tables via
+    ``_landed_on`` (index first — it commits last, so an index hit
+    means the batch fully landed), compute per-doc verdicts from the
+    pinned pre-batch index through the sink-specific ``partner_pairs``
+    callback (``seen -> (doc_id, partner)`` candidate pairs), then
+    commit verdicts FIRST and the batch's index rows SECOND, both
+    ``conflict_on="batch_id"`` conditional against their pinned
+    versions. A crash between the two commits replays into a verdict
+    skip + index append — never a double verdict or a doc judged
+    against itself. ``ConcurrentWriteError`` (a non-append interloper
+    advanced a table) re-pins both tables and retries; a rival landing
+    this same batch surfaces as ``DuplicateCommitError`` and is
+    reported as a replay."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    idx = LakehouseTable(spark, index_path)
+    verd = LakehouseTable(spark, verdicts_path)
+    for _ in range(3):
+        rv_i = idx.latest_version()
+        hwm_i = idx.latest_value("batch_hwm", as_of=rv_i)
+        if _landed_on(idx, batch_id, rv_i, hwm_i):
+            return False  # fully landed (the index commits last)
+        if rv_i is not None:
+            seen = idx.read(version=rv_i)
+        else:
+            seen = spark.createDataFrame([], empty_index_schema)
+        partners = (
+            partner_pairs(seen)
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("partner").alias("n_dup_sources"),
+                F.min("partner").alias("dup_of"),
+            )
+        )
+        verdicts = batch_doc_ids.join(partners, "doc_id", "left").select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_dup_sources", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_sources"),
+        )
+        # The stamp is max(batch_id, table hwm): an out-of-order batch
+        # landing after a rival's later one must not REGRESS the
+        # watermark — replay detection of the later batch depends on it
+        # (the conflict_on scan only covers commits above read_version).
+        rv_v = verd.latest_version()
+        hwm_v = verd.latest_value("batch_hwm", as_of=rv_v)
+        if not _landed_on(verd, batch_id, rv_v, hwm_v):
+            marker_v = {
+                "batch_id": batch_id,
+                "batch_hwm": max(batch_id, hwm_v if hwm_v is not None else batch_id),
+            }
+            try:
+                verd.write(
+                    verdicts,
+                    mode="append",
+                    extra=marker_v,
+                    conflict_on="batch_id",
+                    read_version=rv_v,
+                )
+            except DuplicateCommitError:
+                pass  # a rival landed this batch's verdicts
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and retry
+        marker_i = {
+            "batch_id": batch_id,
+            "batch_hwm": max(batch_id, hwm_i if hwm_i is not None else batch_id),
+        }
+        try:
+            idx.write(
+                index_rows,
+                mode="append",
+                extra=marker_i,
+                conflict_on="batch_id",
+                read_version=rv_i,
+            )
+            return True
+        except DuplicateCommitError:
+            return False
+        except ConcurrentWriteError:
+            continue
+    raise RuntimeError(
+        f"{name}: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {index_path})"
+    )
+
+
+def _lsh_partner_pairs(bands: DataFrame, seen: DataFrame) -> DataFrame:
+    """Candidate dup pairs for one micro-batch: the batch's band rows
+    probe the maintained index (cross) plus the intra-batch self-join.
+
+    The batch side is PINNED broadcast — bounded at ~bands x batch
+    docs narrow rows — so the INDEX side never shuffles: at 100 TB
+    ingest the index holds rows for every doc ever ingested, and an
+    optimizer falling back to SortMergeJoin would re-shuffle that full
+    index EVERY micro-batch (the scale-killer class this repo pins
+    everywhere else). Build side asserted by
+    tests/test_plan_audit.py::test_dedup_sink_probe_joins_broadcast_batch_side.
+    """
+    cross = (
+        F.broadcast(bands.alias("n"))
+        .join(
+            seen.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("o.doc_id").alias("partner"),
+        )
+    )
+    intra = (
+        F.broadcast(bands.alias("x"))
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("y.doc_id").alias("doc_id"),
+            F.col("x.doc_id").alias("partner"),
+        )
+    )
+    return cross.unionAll(intra)
+
+
 def lsh_dedup_sink(
     batch_df: DataFrame,
     batch_id: int,
@@ -614,108 +799,32 @@ def lsh_dedup_sink(
 
     Scale shape: band rows are ~4 narrow rows/doc; the probe is one
     equi-join of the (small) batch band set against the index on
-    (band_idx, band_key) — Catalyst broadcasts the batch side, the
-    index is never shuffled — plus an intra-batch self-join. Both
-    tables follow the exactly-once contract: pinned read_version,
-    ``batch_hwm`` replay watermark, ``conflict_on="batch_id"``
-    conditional commits; verdicts commit FIRST (computed from the
-    pinned pre-batch index), then the batch's band rows append —
-    a crash between the two replays into a verdict skip + index
-    append, never a double verdict or a doc judged against itself.
+    (band_idx, band_key) — the batch side carries an explicit
+    broadcast PIN (``_lsh_partner_pairs``) so the index never
+    shuffles — plus an intra-batch self-join. Both tables follow the
+    shared exactly-once contract (``_dedup_sink_commit``): pinned
+    read_version, exact replay detection (``_landed_on``),
+    ``conflict_on="batch_id"`` conditional commits; verdicts commit
+    FIRST (computed from the pinned pre-batch index), then the batch's
+    band rows append — a crash between the two replays into a verdict
+    skip + index append, never a double verdict or a doc judged
+    against itself.
     """
-    from ..load.lakehouse import (
-        ConcurrentWriteError,
-        DuplicateCommitError,
-        LakehouseTable,
-    )
     from ..operators.dedup import band_rows
 
     spark = batch_df.sparkSession
-    sigs = LakehouseTable(spark, sigs_path)
-    verd = LakehouseTable(spark, verdicts_path)
     bands = band_rows(batch_df.select("doc_id", "text")).cache()
     try:
-        for _ in range(3):
-            rv_s = sigs.latest_version()
-            hwm_s = sigs.latest_value("batch_hwm", as_of=rv_s)
-            if hwm_s is not None and batch_id <= hwm_s:
-                return False  # fully landed (sigs commits last)
-            if rv_s is not None:
-                seen = sigs.read(version=rv_s)
-            else:
-                seen = spark.createDataFrame(
-                    [], "doc_id long, band_idx int, band_key string"
-                )
-            cross = bands.alias("n").join(
-                seen.alias("o"),
-                (F.col("n.band_idx") == F.col("o.band_idx"))
-                & (F.col("n.band_key") == F.col("o.band_key")),
-            ).select(
-                F.col("n.doc_id").alias("doc_id"),
-                F.col("o.doc_id").alias("partner"),
-            )
-            intra = bands.alias("x").join(
-                bands.alias("y"),
-                (F.col("x.band_idx") == F.col("y.band_idx"))
-                & (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            ).select(
-                F.col("y.doc_id").alias("doc_id"),
-                F.col("x.doc_id").alias("partner"),
-            )
-            partners = (
-                cross.unionAll(intra)
-                .groupBy("doc_id")
-                .agg(
-                    F.countDistinct("partner").alias("n_dup_sources"),
-                    F.min("partner").alias("dup_of"),
-                )
-            )
-            verdicts = (
-                batch_df.select("doc_id")
-                .distinct()
-                .join(partners, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.col("dup_of").isNotNull().alias("is_dup"),
-                    "dup_of",
-                    F.coalesce("n_dup_sources", F.lit(0))
-                    .cast("bigint")
-                    .alias("n_dup_sources"),
-                )
-            )
-            marker = {"batch_id": batch_id, "batch_hwm": batch_id}
-            rv_v = verd.latest_version()
-            hwm_v = verd.latest_value("batch_hwm", as_of=rv_v)
-            if not (hwm_v is not None and batch_id <= hwm_v):
-                try:
-                    verd.write(
-                        verdicts,
-                        mode="append",
-                        extra=marker,
-                        conflict_on="batch_id",
-                        read_version=rv_v,
-                    )
-                except DuplicateCommitError:
-                    pass  # a rival landed this batch's verdicts
-                except ConcurrentWriteError:
-                    continue  # re-pin both tables and retry
-            try:
-                sigs.write(
-                    bands,
-                    mode="append",
-                    extra=marker,
-                    conflict_on="batch_id",
-                    read_version=rv_s,
-                )
-                return True
-            except DuplicateCommitError:
-                return False
-            except ConcurrentWriteError:
-                continue
-        raise RuntimeError(
-            f"lsh_dedup_sink: could not commit batch {batch_id} after 3 "
-            f"attempts (concurrent writers kept advancing {sigs_path})"
+        return _dedup_sink_commit(
+            spark,
+            batch_id,
+            sigs_path,
+            verdicts_path,
+            index_rows=bands,
+            empty_index_schema="doc_id long, band_idx int, band_key string",
+            batch_doc_ids=batch_df.select("doc_id").distinct(),
+            partner_pairs=lambda seen: _lsh_partner_pairs(bands, seen),
+            name="lsh_dedup_sink",
         )
     finally:
         bands.unpersist()
@@ -758,6 +867,42 @@ def maintain_lsh_dedup(
     return _run_foreach_batch(stream, _sink, checkpoint)
 
 
+def _phash_partner_pairs(
+    probes: DataFrame, hashed: DataFrame, seen: DataFrame
+) -> DataFrame:
+    """Candidate Hamming<=1 pairs for one micro-batch: the batch's
+    13-mask probe set hits the maintained hash index (cross) plus the
+    batch's own hashes (intra; the doc_id inequality supplies
+    direction — the later doc gets the verdict).
+
+    The probe side is PINNED broadcast — bounded at 13 x batch docs
+    2-int rows — so the INDEX side never shuffles per micro-batch
+    (see ``_lsh_partner_pairs``); build side asserted by
+    tests/test_plan_audit.py::test_dedup_sink_probe_joins_broadcast_batch_side.
+    """
+    cross = (
+        F.broadcast(probes.alias("n"))
+        .join(seen.alias("o"), F.col("n.probe") == F.col("o.phash"))
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("o.doc_id").alias("partner"),
+        )
+    )
+    intra = (
+        F.broadcast(probes.alias("x"))
+        .join(
+            hashed.alias("y"),
+            (F.col("x.probe") == F.col("y.phash"))
+            & (F.col("y.doc_id") < F.col("x.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("partner"),
+        )
+    )
+    return cross.unionAll(intra)
+
+
 def phash_dedup_sink(
     batch_df: DataFrame,
     batch_id: int,
@@ -796,18 +941,15 @@ def phash_dedup_sink(
 
     Scale shape: the index row is 2 ints/doc; the per-batch probe is
     one equi-join of the (small) 13x batch probe set against the
-    index on the hash value — Catalyst broadcasts the batch side, the
-    index never shuffles. Exactly-once contract as lsh_dedup_sink:
-    pinned read_version, ``batch_hwm`` replay watermark,
-    ``conflict_on="batch_id"`` conditional commits, verdicts first
-    then index (a crash between the two replays into a verdict skip +
-    index append, never a double verdict or self-judgement).
+    index on the hash value — the probe side carries an explicit
+    broadcast PIN (``_phash_partner_pairs``) so the index never
+    shuffles. Shared exactly-once contract (``_dedup_sink_commit``,
+    as lsh_dedup_sink): pinned read_version, exact replay detection
+    (``_landed_on``), ``conflict_on="batch_id"`` conditional commits,
+    verdicts first then index (a crash between the two replays into a
+    verdict skip + index append, never a double verdict or
+    self-judgement).
     """
-    from ..load.lakehouse import (
-        ConcurrentWriteError,
-        DuplicateCommitError,
-        LakehouseTable,
-    )
     from ..operators.multimodal import (
         PHASH_H,
         PHASH_W,
@@ -816,8 +958,6 @@ def phash_dedup_sink(
     )
 
     spark = batch_df.sparkSession
-    idx = LakehouseTable(spark, index_path)
-    verd = LakehouseTable(spark, verdicts_path)
     hashed = (
         phash_frame(synthesize_ppm(batch_df.select("doc_id")))
         .select("doc_id", "phash")
@@ -834,82 +974,18 @@ def phash_dedup_sink(
         "doc_id", F.col("phash").bitwiseXOR(F.col("m")).alias("probe")
     )
     try:
-        for _ in range(3):
-            rv_i = idx.latest_version()
-            hwm_i = idx.latest_value("batch_hwm", as_of=rv_i)
-            if hwm_i is not None and batch_id <= hwm_i:
-                return False  # fully landed (index commits last)
-            if rv_i is not None:
-                seen = idx.read(version=rv_i)
-            else:
-                seen = spark.createDataFrame([], "doc_id long, phash long")
-            cross = probes.alias("n").join(
-                seen.alias("o"), F.col("n.probe") == F.col("o.phash")
-            ).select(
-                F.col("n.doc_id").alias("doc_id"),
-                F.col("o.doc_id").alias("partner"),
-            )
-            intra = probes.alias("x").join(
-                hashed.alias("y"),
-                (F.col("x.probe") == F.col("y.phash"))
-                & (F.col("y.doc_id") < F.col("x.doc_id")),
-            ).select(
-                F.col("x.doc_id").alias("doc_id"),
-                F.col("y.doc_id").alias("partner"),
-            )
-            partners = (
-                cross.unionAll(intra)
-                .groupBy("doc_id")
-                .agg(
-                    F.countDistinct("partner").alias("n_dup_sources"),
-                    F.min("partner").alias("dup_of"),
-                )
-            )
-            verdicts = (
-                hashed.select("doc_id")
-                .distinct()
-                .join(partners, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.col("dup_of").isNotNull().alias("is_dup"),
-                    "dup_of",
-                    F.coalesce("n_dup_sources", F.lit(0))
-                    .cast("bigint")
-                    .alias("n_dup_sources"),
-                )
-            )
-            marker = {"batch_id": batch_id, "batch_hwm": batch_id}
-            rv_v = verd.latest_version()
-            hwm_v = verd.latest_value("batch_hwm", as_of=rv_v)
-            if not (hwm_v is not None and batch_id <= hwm_v):
-                try:
-                    verd.write(
-                        verdicts,
-                        mode="append",
-                        extra=marker,
-                        conflict_on="batch_id",
-                        read_version=rv_v,
-                    )
-                except DuplicateCommitError:
-                    pass  # a rival landed this batch's verdicts
-                except ConcurrentWriteError:
-                    continue  # re-pin both tables and retry
-            try:
-                idx.write(
-                    hashed,
-                    mode="append",
-                    extra=marker,
-                    conflict_on="batch_id",
-                    read_version=rv_i,
-                )
-                return True
-            except DuplicateCommitError:
-                return False
-            except ConcurrentWriteError:
-                continue
-        raise RuntimeError(
-            f"phash_dedup_sink: could not commit batch {batch_id} after 3 "
-            f"attempts (concurrent writers kept advancing {index_path})"
+        return _dedup_sink_commit(
+            spark,
+            batch_id,
+            index_path,
+            verdicts_path,
+            index_rows=hashed,
+            empty_index_schema="doc_id long, phash long",
+            batch_doc_ids=hashed.select("doc_id").distinct(),
+            partner_pairs=lambda seen: _phash_partner_pairs(
+                probes, hashed, seen
+            ),
+            name="phash_dedup_sink",
         )
     finally:
         hashed.unpersist()

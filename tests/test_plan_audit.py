@@ -810,3 +810,68 @@ def test_ivf_balance_qc_broadcast_centroids_no_smj(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_dedup_sink_probe_joins_broadcast_batch_side(spark):
+    """The incremental dedup sinks' index-probe joins must PIN the
+    batch side as the broadcast build side: at ingest scale the
+    maintained index holds rows for every doc ever ingested, and an
+    optimizer falling back to SortMergeJoin would re-shuffle that
+    full index EVERY micro-batch. Both sinks' partner-pair plans must
+    be BroadcastHashJoins building on the batch frame (the left
+    input — so BuildRight must never appear) with ZERO shuffle
+    Exchange anywhere (BroadcastExchange only)."""
+    import re
+
+    from retail_sales_etl_spark.streaming.events import (
+        _lsh_partner_pairs,
+        _phash_partner_pairs,
+    )
+
+    bands = spark.createDataFrame(
+        [(10, 0, "k0"), (10, 1, "k1")],
+        "doc_id long, band_idx int, band_key string",
+    )
+    seen_bands = spark.createDataFrame(
+        [(1, 0, "k0")], "doc_id long, band_idx int, band_key string"
+    )
+    hashed = spark.createDataFrame([(10, 5)], "doc_id long, phash long")
+    probes = spark.createDataFrame(
+        [(10, 5), (10, 4)], "doc_id long, probe long"
+    )
+    seen_hashes = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+    for pairs in (
+        _lsh_partner_pairs(bands, seen_bands),
+        _phash_partner_pairs(probes, hashed, seen_hashes),
+    ):
+        plan = _formatted_plan(pairs)
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+        assert "SortMergeJoin" not in plan
+        assert "BuildRight" not in plan  # index side never builds
+        assert not re.search(r"\(\d+\) Exchange\b", plan)  # no shuffle
+
+
+def test_profile_orders_approx_has_no_expand(spark, sf_dir):
+    """profile_orders' scale mode must swap the nine exact
+    count_distincts — which plan an Expand replicating every fact row
+    once per distinct-counted column into the shuffle (~10x) — for
+    HLL++ sketches: no Expand node, schema unchanged, null counts
+    exact, distinct counts within sketch tolerance. The exact form
+    keeps its Expand and stays the oracle-parity default."""
+    from retail_sales_etl_spark.plans.etl_queries import q_profile_orders
+
+    exact = q_profile_orders(spark, sf_dir)
+    approx = q_profile_orders(spark, sf_dir, approx=True)
+    assert "Expand" in _formatted_plan(exact)
+    assert "Expand" not in _formatted_plan(approx)
+    assert approx.schema == exact.schema
+    e = {r["column_name"]: r for r in exact.collect()}
+    a = {r["column_name"]: r for r in approx.collect()}
+    assert set(a) == set(e)
+    for col, er in e.items():
+        assert a[col]["n_nulls"] == er["n_nulls"]
+        assert a[col]["n_rows"] == er["n_rows"]
+        # HLL++ default relative error is 5%; allow slack on tiny sets
+        assert abs(a[col]["n_distinct"] - er["n_distinct"]) <= max(
+            3, 0.1 * er["n_distinct"]
+        )
