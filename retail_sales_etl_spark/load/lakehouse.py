@@ -521,6 +521,7 @@ class LakehouseTable:
         entry: dict,
         read_version: int | None,
         conflict_on: str | None = None,
+        monotone_max: tuple[str, ...] = (),
     ) -> int:
         """Optimistic-concurrency commit loop. ``entry`` was computed
         against ``read_version``; if other commits landed since, append
@@ -532,7 +533,18 @@ class LakehouseTable:
         commute (two blind appends). The check is race-free because a
         writer that loses the version-number O_EXCL race loops back
         here and re-scans — so of two concurrent writers with the same
-        key value, exactly one commits."""
+        key value, exactly one commits.
+
+        ``monotone_max`` names metadata keys that form a max-lattice
+        across commits (a streaming sink's ``batch_hwm`` watermark):
+        during the rebase scan the entry's value is raised to any
+        HIGHER value an interloper committed after ``read_version``,
+        so the newest stamp can never regress below an earlier
+        commit's. Induction: the caller folds every stamp at or below
+        ``read_version`` into its value, this scan folds the rest —
+        so each committed stamp is the max over all prior ones, and
+        readers may trust the newest stamp as the true high-water
+        mark even under concurrent blind-append writers."""
         while True:
             next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
             for v in self._versions():
@@ -548,6 +560,11 @@ class LakehouseTable:
                         f"Version {v} already committed "
                         f"{conflict_on}={entry.get(conflict_on)!r}"
                     )
+                for k in monotone_max:
+                    if k in interloper and (
+                        k not in entry or interloper[k] > entry[k]
+                    ):
+                        entry[k] = interloper[k]
                 if entry["operation"] == "append" and not interloper.get("remove"):
                     continue  # blind appends commute
                 raise ConcurrentWriteError(
@@ -577,6 +594,7 @@ class LakehouseTable:
         extra: dict | None = None,
         conflict_on: str | None = None,
         read_version=_UNPINNED,
+        monotone_max: tuple[str, ...] = (),
     ) -> int:
         """Commit ``df`` as a new table version. ``mode``: append |
         overwrite. ``extra`` merges caller metadata into the log entry
@@ -589,7 +607,11 @@ class LakehouseTable:
         None meaning it observed an EMPTY table — so any commit landing
         in between aborts the overwrite instead of being silently
         clobbered; left unpinned, it is captured here (the plain
-        blind-write case). Returns the committed version number."""
+        blind-write case). ``monotone_max`` names ``extra`` keys whose
+        values must never regress across commits (watermarks): the
+        rebase scan raises them to any higher value committed after
+        ``read_version`` (see ``_try_commit``). Returns the committed
+        version number."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         if read_version is _UNPINNED:
@@ -609,7 +631,7 @@ class LakehouseTable:
             extra,
         )
         try:
-            return self._try_commit(entry, read_version, conflict_on)
+            return self._try_commit(entry, read_version, conflict_on, monotone_max)
         except ConcurrentWriteError:
             # The staged files will never be referenced by any commit;
             # removing them now saves VACUUM the work.

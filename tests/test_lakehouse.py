@@ -832,3 +832,36 @@ def test_stream_lifetime_metadata_stays_bounded(spark, tmp_path):
     assert table.latest_value("batch_hwm") == 59
     assert lakehouse_batch_sink(df, 59, path) is False  # final replay
     assert lakehouse_batch_sink(df, 60, path) is True  # stream continues
+
+
+def test_write_monotone_max_folds_interloper_stamps(spark, table):
+    """A watermark key named in ``monotone_max`` must never regress:
+    a writer pinned to a stale version whose rival committed a HIGHER
+    stamp in the pin-to-commit gap gets its own stamp raised during
+    the rebase scan, so the newest stamp stays the true high-water
+    mark (the streaming dedup sinks' exactly-once fast path reads it
+    as such)."""
+    df = spark.createDataFrame(_rows(1))
+    table.write(df, extra={"batch_id": 0, "batch_hwm": 0}, conflict_on="batch_id")
+    rv = table.latest_version()
+    # rival lands batch 5 AFTER this writer pinned rv
+    table.write(df, extra={"batch_id": 5, "batch_hwm": 5}, conflict_on="batch_id")
+    # stale-pinned writer lands batch 3 with the monotone key: its
+    # stamp must fold the rival's 5, not overwrite it with 3
+    table.write(
+        df,
+        extra={"batch_id": 3, "batch_hwm": 3},
+        conflict_on="batch_id",
+        read_version=rv,
+        monotone_max=("batch_hwm",),
+    )
+    assert table.latest_value("batch_hwm") == 5
+    # without the monotone key the same shape regresses (the contract
+    # difference this test pins; single-writer sinks never hit it)
+    table.write(
+        df,
+        extra={"batch_id": 4, "batch_hwm": 4},
+        conflict_on="batch_id",
+        read_version=rv,
+    )
+    assert table.latest_value("batch_hwm") == 4
