@@ -745,6 +745,72 @@ class LakehouseTable:
             df = df.where(c <= F.lit(upper))
         return df
 
+    def prune_files_in(
+        self, column: str, values, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Data skipping for an equality-probe SET: the live files
+        whose [min, max] range for ``column`` can contain AT LEAST ONE
+        of ``values``, plus the total live count — the multi-point
+        form of ``prune_files`` an index-probe workload needs (a
+        micro-batch's band keys against a Z-ordered LSH index; a
+        point-lookup IN list). Files without stats are conservatively
+        kept; all-NULL files are skipped (equality never matches NULL,
+        and NULL probe values are dropped for the same reason). Pure
+        log arithmetic — values are sorted once, then each file is one
+        binary search (O(F log K)); no file footer is opened and no
+        Spark job runs."""
+        import bisect
+
+        live, last, stats = self._replay_stats(as_of=version)
+        schema = (
+            StructType.fromJson(json.loads(last["schema"]))
+            if last and "schema" in last
+            else None
+        )
+        vals = sorted(
+            {
+                _normalize_bound(column, v, schema)
+                for v in values
+                if v is not None
+            }
+        )
+        if not vals:
+            return [], len(live)
+        keep = []
+        for f in live:
+            s = stats.get(f, {}).get(column)
+            if s is None:
+                keep.append(f)
+                continue
+            mn, mx = s
+            if mn is None:  # every value in the file is NULL
+                continue
+            i = bisect.bisect_left(vals, mn)
+            if i < len(vals) and vals[i] <= mx:
+                keep.append(f)
+        return keep, len(live)
+
+    def read_where_in(
+        self, column: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``column IN (values)`` that opens ONLY the
+        files the stats manifest can't rule out, then applies the
+        exact residual IN filter — same rows as
+        ``read().where(col.isin(values))``, a fraction of the scan
+        when the table is clustered (OPTIMIZE ``zorder_by`` on the
+        probe column). The streaming dedup sinks' per-batch index
+        probe reads through this instead of a full ``read()``."""
+        keep, _ = self.prune_files_in(column, values, version=version)
+        _, last = self._resolve_files(version)
+        schema = StructType.fromJson(json.loads(last["schema"]))
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f) for f in keep]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        vals = [v for v in values if v is not None]
+        return df.where(F.col(column).isin(vals) if vals else F.lit(False))
+
     # -------------------------------------------------------------- merge
 
     def merge(
@@ -861,6 +927,16 @@ class LakehouseTable:
         Z-ordered columns at once and a reader's filter on ANY of them
         prunes files — the published lakehouse data-skipping layout,
         where a single-column sort only prunes its own column.
+
+        STRING columns cluster by an order-preserving numeric
+        surrogate: the first 7 bytes of the UTF-8 encoding read as a
+        big-endian integer (zero-padded on the right, so shorter
+        strings sort first exactly as Spark's binary string comparison
+        does). Per-file min/max stats stay on the RAW column, so
+        ``prune_files``/``read_where`` comparisons are exact; ties
+        beyond the 7-byte prefix only loosen file boundaries, never
+        correctness — which is all an equality-probe workload (e.g. an
+        LSH band index) needs from clustering.
         """
         read_version = self.latest_version()
         live, last = self._resolve_files(None)
@@ -869,13 +945,28 @@ class LakehouseTable:
         out = df
         if zorder_by:
             bits = 8
+            dtypes = dict(df.dtypes)
+
+            def _zsrc(c):
+                if dtypes.get(c) == "string":
+                    return F.conv(
+                        F.rpad(
+                            F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, 7)),
+                            14,
+                            "0",
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                return F.col(c).cast("double")
+
             stats = df.agg(
                 *[
                     f
                     for c in zorder_by
                     for f in (
-                        F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-                        F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                        F.min(_zsrc(c)).alias(f"__mn_{c}"),
+                        F.max(_zsrc(c)).alias(f"__mx_{c}"),
                     )
                 ]
             )
@@ -883,7 +974,7 @@ class LakehouseTable:
             for c in zorder_by:
                 span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
                 frac = F.when(span > 0, (
-                    F.col(c).cast("double") - F.col(f"__mn_{c}")
+                    _zsrc(c) - F.col(f"__mn_{c}")
                 ) / span).otherwise(F.lit(0.0))
                 cell = F.least(
                     F.floor(frac * (2**bits)).cast("long"), F.lit(2**bits - 1)

@@ -636,7 +636,42 @@ def _landed_on(table, batch_id: int, read_version, hwm) -> bool:
         return True
     # Not in surviving history: only a truncated log (clean_log ran;
     # commits number from 1) can hide a genuinely-landed batch.
-    return not entries or entries[0]["version"] > 1
+    truncated = not entries or entries[0]["version"] > 1
+    if truncated:
+        # LOUD on the one undecidable case: the watermark says landed
+        # but clean_log pruned the commit that would prove it. Under a
+        # single checkpoint lineage this is always the long-landed
+        # ancient-replay case; under independent distinct-batch
+        # writers it could be a genuinely never-landed late batch
+        # arriving > retain_versions commits behind a rival, whose
+        # rows will be DROPPED. Multi-writer deployments must size
+        # clean_log's retain_versions above the worst-case batch lag
+        # (see the sink docstrings) — this warning is how a dropped
+        # late batch becomes detectable instead of silent.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_landed_on(%s): treating batch_id=%s as an ancient replay "
+            "on a TRUNCATED log (watermark=%s, oldest surviving "
+            "commit=%s) — if independent writers deliver distinct "
+            "batches to this table, this may be a dropped late batch; "
+            "size clean_log retain_versions above the worst-case batch "
+            "lag.",
+            getattr(table, "path", "?"),
+            batch_id,
+            hwm,
+            entries[0]["version"] if entries else None,
+        )
+    return truncated
+
+
+_PROBE_PRUNE_CAP = 200_000
+"""Max distinct probe keys a dedup sink will collect for file-level
+data skipping. The keys are the SAME rows the probe join already
+broadcasts (the bounded-batch invariant), so collecting them to the
+driver adds no new scale assumption — but a pathological mega-batch
+above this cap falls back to the full pinned read rather than build an
+oversized IN-list plan."""
 
 
 def _dedup_sink_commit(
@@ -649,6 +684,8 @@ def _dedup_sink_commit(
     batch_doc_ids: DataFrame,
     partner_pairs,
     name: str,
+    probe_column: str | None = None,
+    probe_keys: DataFrame | None = None,
 ) -> bool:
     """The exactly-once two-table commit protocol shared by the
     incremental dedup sinks (``lsh_dedup_sink`` / ``phash_dedup_sink``)
@@ -666,7 +703,23 @@ def _dedup_sink_commit(
     against itself. ``ConcurrentWriteError`` (a non-append interloper
     advanced a table) re-pins both tables and retries; a rival landing
     this same batch surfaces as ``DuplicateCommitError`` and is
-    reported as a replay."""
+    reported as a replay.
+
+    ``probe_column``/``probe_keys`` turn the per-batch index read into
+    a FILE-PRUNED read: the batch's distinct probe keys (one narrow
+    column, bounded by the same invariant that makes the probe join's
+    broadcast pin sound) are collected once and the pinned snapshot is
+    read through ``read_where_in`` — stats-manifest data skipping, so
+    on an index the maintenance cycle keeps Z-ordered by the probe
+    column (``maintain_*`` passes ``zorder_by``), the probe opens only
+    the files whose [min, max] can contain a probe key plus any
+    not-yet-compacted recent appends, instead of scanning the ENTIRE
+    maintained index every micro-batch (O(corpus) rows — the one term
+    a 100 TB ingest can't pay). Statless legacy files are
+    conservatively kept; above ``_PROBE_PRUNE_CAP`` distinct keys the
+    sink falls back to the full pinned read. The residual IN filter
+    only drops rows the equi-join would drop anyway, so verdicts are
+    unchanged."""
     from ..load.lakehouse import (
         ConcurrentWriteError,
         DuplicateCommitError,
@@ -675,15 +728,22 @@ def _dedup_sink_commit(
 
     idx = LakehouseTable(spark, index_path)
     verd = LakehouseTable(spark, verdicts_path)
+    keys = None
+    if probe_column is not None and probe_keys is not None:
+        collected = probe_keys.distinct().limit(_PROBE_PRUNE_CAP + 1).collect()
+        if len(collected) <= _PROBE_PRUNE_CAP:
+            keys = [r[0] for r in collected]
     for _ in range(3):
         rv_i = idx.latest_version()
         hwm_i = idx.latest_value("batch_hwm", as_of=rv_i)
         if _landed_on(idx, batch_id, rv_i, hwm_i):
             return False  # fully landed (the index commits last)
-        if rv_i is not None:
-            seen = idx.read(version=rv_i)
-        else:
+        if rv_i is None:
             seen = spark.createDataFrame([], empty_index_schema)
+        elif keys is not None:
+            seen = idx.read_where_in(probe_column, keys, version=rv_i)
+        else:
+            seen = idx.read(version=rv_i)
         partners = (
             partner_pairs(seen)
             .groupBy("doc_id")
@@ -844,6 +904,8 @@ def lsh_dedup_sink(
             batch_doc_ids=batch_df.select("doc_id").distinct(),
             partner_pairs=lambda seen: _lsh_partner_pairs(bands, seen),
             name="lsh_dedup_sink",
+            probe_column="band_key",
+            probe_keys=bands.select("band_key"),
         )
     finally:
         bands.unpersist()
@@ -856,6 +918,7 @@ def maintain_lsh_dedup(
     checkpoint: str,
     log_retention: int | None = None,
     optimize_every: int | None = None,
+    optimize_files: int = 8,
 ):
     """Run the incremental LSH dedup sink under foreachBatch
     (availableNow) — the streaming twin of ``dedup_minhash_lsh``.
@@ -865,10 +928,19 @@ def maintain_lsh_dedup(
     accumulates one small file per micro-batch forever, and the
     per-batch probe join opens O(batches) files instead of O(1) — the
     standard streaming-ingest small-file problem, solved the standard
-    lakehouse way. Compaction commits carry no batch_id, so they
-    never collide with the exactly-once watermark; a probe pinned to
-    an older version keeps its files (OPTIMIZE removes from the log,
-    not the disk)."""
+    lakehouse way. The compaction Z-ORDERS the rewrite by ``band_key``
+    into ``optimize_files`` files (size for ~128 MB-1 GB each at the
+    target corpus), so each file's band_key [min, max] footer is
+    tight and the sink's per-batch probe (``read_where_in`` on the
+    batch's band keys) opens only the few clustered files a probe key
+    can live in plus the not-yet-compacted recent appends — WITHOUT
+    this cycle the probe still answers correctly but degrades to
+    scanning the full index per batch. Compaction commits carry no
+    batch_id, so they never collide with the exactly-once watermark; a
+    probe pinned to an older version keeps its files (OPTIMIZE removes
+    from the log, not the disk). If ``log_retention`` is set on these
+    SHARED index tables under independent distinct-batch writers, size
+    it above the worst-case batch lag — see ``_landed_on``."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
@@ -877,7 +949,9 @@ def maintain_lsh_dedup(
         spark = batch_df.sparkSession
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             try:
-                LakehouseTable(spark, sigs_path).optimize()
+                LakehouseTable(spark, sigs_path).optimize(
+                    target_files=optimize_files, zorder_by=["band_key"]
+                )
             except ConcurrentWriteError:
                 pass  # best-effort maintenance; the next cycle retries
         _maybe_clean_log(spark, sigs_path, log_retention)
@@ -1005,6 +1079,8 @@ def phash_dedup_sink(
                 probes, hashed, seen
             ),
             name="phash_dedup_sink",
+            probe_column="phash",
+            probe_keys=probes.select("probe"),
         )
     finally:
         hashed.unpersist()
@@ -1017,12 +1093,16 @@ def maintain_phash_dedup(
     checkpoint: str,
     log_retention: int | None = None,
     optimize_every: int | None = None,
+    optimize_files: int = 8,
 ):
     """Run the incremental perceptual-hash dedup sink under
     foreachBatch (availableNow) — the streaming image-side twin of
     ``maintain_lsh_dedup``, with the same optional index compaction
-    (``optimize_every``) and metadata retention (``log_retention``)
-    maintenance hooks."""
+    (``optimize_every``, Z-ordered by ``phash`` into
+    ``optimize_files`` files so the per-batch 13-mask probe reads
+    file-pruned — see ``maintain_lsh_dedup``) and metadata retention
+    (``log_retention``; size above worst-case batch lag under
+    independent writers, see ``_landed_on``) maintenance hooks."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
@@ -1031,7 +1111,9 @@ def maintain_phash_dedup(
         spark = batch_df.sparkSession
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             try:
-                LakehouseTable(spark, index_path).optimize()
+                LakehouseTable(spark, index_path).optimize(
+                    target_files=optimize_files, zorder_by=["phash"]
+                )
             except ConcurrentWriteError:
                 pass  # best-effort maintenance; the next cycle retries
         _maybe_clean_log(spark, index_path, log_retention)
@@ -1687,8 +1769,13 @@ def q_streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # optimize_every exercises the FULL maintained-index lifecycle in
+    # the driver proof: mid-stream Z-ORDER compaction by band_key, then
+    # later batches probing the clustered index through the
+    # stats-pruned read_where_in path
     maintain_lsh_dedup(
-        stream, f"{work}/sigs", f"{work}/verdicts", f"{work}/ckpt"
+        stream, f"{work}/sigs", f"{work}/verdicts", f"{work}/ckpt",
+        optimize_every=2,
     ).awaitTermination()
     return LakehouseTable(spark, f"{work}/verdicts").read().select(
         "doc_id", "is_dup", "dup_of", "n_dup_sources"
@@ -1743,8 +1830,11 @@ def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # optimize_every: the driver proof covers the Z-ORDER (by phash) +
+    # stats-pruned probe lifecycle, as in q_streaming_dedup_lsh
     maintain_phash_dedup(
-        stream, f"{work}/index", f"{work}/verdicts", f"{work}/ckpt"
+        stream, f"{work}/index", f"{work}/verdicts", f"{work}/ckpt",
+        optimize_every=2,
     ).awaitTermination()
     return LakehouseTable(spark, f"{work}/verdicts").read().select(
         "doc_id", "is_dup", "dup_of", "n_dup_sources"

@@ -865,3 +865,53 @@ def test_write_monotone_max_folds_interloper_stamps(spark, table):
         read_version=rv,
     )
     assert table.latest_value("batch_hwm") == 4
+
+
+def test_prune_files_in_skips_disjoint_batches(spark, table):
+    """The multi-point prune: a probe SET opens only the files whose
+    [min, max] can contain at least one probe value — the index-probe
+    form of data skipping the streaming dedup sinks read through."""
+    for s in (0, 1000, 2000, 3000, 4000):
+        table.write(
+            spark.createDataFrame(_rows(50, start=s)).coalesce(1),
+            mode="append",
+        )
+    keep, total = table.prune_files_in("id", [10, 2049])
+    assert total == 5 and len(keep) == 2, (keep, total)
+    got = sorted(r.id for r in table.read_where_in("id", [10, 2049]).collect())
+    assert got == [10, 2049]
+    # a probe value nobody holds opens nothing
+    keep, _ = table.prune_files_in("id", [999_999])
+    assert keep == []
+    # empty probe set (and None-only probes) open nothing and read empty
+    assert table.prune_files_in("id", [])[0] == []
+    assert table.read_where_in("id", []).count() == 0
+    assert table.prune_files_in("id", [None])[0] == []
+    # None probes are dropped, real ones still match
+    got = [r.id for r in table.read_where_in("id", [None, 3001]).collect()]
+    assert got == [3001]
+
+
+def test_zorder_string_column_then_prune_files_in(spark, table):
+    """Z-ordering a STRING column clusters by the order-preserving
+    7-byte-prefix surrogate, so per-file raw-string min/max footers
+    become tight and an equality-probe set opens O(probes) files —
+    the LSH band-key index layout."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(id=i, src=f"k{rng.randrange(100000):05d}", val=1.0)
+        for i in range(4000)
+    ]
+    table.write(spark.createDataFrame(rows).repartition(8), mode="append")
+    table.optimize(target_files=8, zorder_by=["src"])
+    assert table.history()[-1]["zorder_by"] == ["src"]
+    probes = [rows[7].src, rows[1234].src]
+    keep, total = table.prune_files_in("src", probes)
+    assert total == 8 and len(keep) <= 3, (keep, total)
+    got = sorted(r.id for r in table.read_where_in("src", probes).collect())
+    want = sorted(
+        r.id for r in table.read().where(F.col("src").isin(probes)).collect()
+    )
+    assert got == want and got
