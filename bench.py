@@ -248,38 +248,22 @@ def main() -> None:
 
     reps = _int_env("SPARK_GRAFT_BENCH_REPS", 3)
     # The legacy-16 subset is the cross-round comparison floor (the r1
-    # driver bench): give it extra repetitions (min-of-5) so a noisy
-    # box cannot fake a regression on the one number every round's
-    # verdict compares — the r12 +42% flag was ambient contention.
+    # driver bench): give it extra repetitions so a noisy box cannot
+    # fake a regression on the one number every round's verdict
+    # compares — the r12 +42% flag was ambient contention. The extra
+    # reps feed ONLY the separate legacy16_minof5 metric: the headline
+    # total stays on the uniform min-of-`reps` protocol every query
+    # (and every prior round through r12) uses, so cross-round totals
+    # compare like-for-like (r13 judge advice — r13's total mixed
+    # protocols and is biased slightly low on the legacy-16 portion).
     legacy_reps = max(reps, _int_env("SPARK_GRAFT_BENCH_LEGACY_REPS", 5))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(legacy_reps if name in HEADLINE[:16] else reps):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        best = min(runs)
-        timings[name] = round(best, 3)
-        spreads[name] = round((max(runs) - best) / best, 3) if best > 0 else 0.0
-        # Drop this query's cached subtrees before the next one: the
-        # 74-query session otherwise accumulates ~10 .cache()s, which
-        # is harmless at sf0.1 but misleading under memory pressure
-        # (and lets one query's cached RDDs skew the next's timing).
-        # Within a query's own reps caches stay warm — plan-identical
-        # cache reuse is part of the measured steady state.
-        spark.catalog.clearCache()
-
-    timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
     # Tier-2 rotation: every registry entry not in HEADLINE gets a
-    # single-rep timing at least every ROTATION rounds, so a perf
-    # regression in the long tail (Q5-Q22 analogs, windows, cohorts,
-    # profiling) can't stay invisible between rounds. The rotation
-    # index is SPARK_GRAFT_BENCH_SLICE when set; otherwise it is the
-    # slice RECORDED by the newest committed BENCH_r*.json, plus one —
+    # timing at least every ROTATION rounds, so a perf regression in
+    # the long tail (Q5-Q22 analogs, windows, cohorts, profiling)
+    # can't stay invisible between rounds. The rotation index is
+    # SPARK_GRAFT_BENCH_SLICE when set; otherwise it is the slice
+    # RECORDED by the newest committed BENCH_r*.json, plus one —
     # self-correcting (continues wherever the last round actually
     # left off, immune to artifact-count gaps; the old file-COUNT rule
     # kept landing on slice 0, so slices 1-2 were never timed).
@@ -341,12 +325,59 @@ def main() -> None:
         round_idx = (last_slice + 1) % ROTATION
     pool = sorted(n for n in queries if n not in HEADLINE)
     tier2_names = pool[round_idx::ROTATION]
+    # Tier-2 runs FIRST — before the 86xN headline repetitions heat
+    # the box — because its entries are single-rep and were the part
+    # of the r13 driver artifact ambient load inflated 2-4x (the box
+    # hit loadavg 17 by the time the slice ran). A slow-looking first
+    # rep (> TIER2_REREP_SEC) gets one more rep and reports the min,
+    # so a transient spike can't fake a tail regression either way.
+    TIER2_REREP_SEC = 3.0
     tier2: dict[str, float] = {}
+    tier2_reruns: list[str] = []
     for name in tier2_names:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        tier2[name] = round(time.perf_counter() - t0, 3)
+        t = time.perf_counter() - t0
+        if t > TIER2_REREP_SEC:
+            tier2_reruns.append(name)
+            t1 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            t = min(t, time.perf_counter() - t1)
+        tier2[name] = round(t, 3)
         spark.catalog.clearCache()
+    load_tier2 = _loadavg()  # box state when tier-2 finished
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    legacy_best: dict[str, float] = {}
+    for name in HEADLINE:
+        runs = []
+        for _ in range(legacy_reps if name in HEADLINE[:16] else reps):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        # uniform protocol: the headline total only ever sees the
+        # first `reps` runs; extra legacy reps feed legacy16_minof5
+        uniform = runs[:reps]
+        best = min(uniform)
+        timings[name] = round(best, 3)
+        spreads[name] = (
+            round((max(uniform) - best) / best, 3) if best > 0 else 0.0
+        )
+        if name in HEADLINE[:16]:
+            legacy_best[name] = round(min(runs), 3)
+        # Drop this query's cached subtrees before the next one: the
+        # 74-query session otherwise accumulates ~10 .cache()s, which
+        # is harmless at sf0.1 but misleading under memory pressure
+        # (and lets one query's cached RDDs skew the next's timing).
+        # Within a query's own reps caches stay warm — plan-identical
+        # cache reuse is part of the measured steady state.
+        spark.catalog.clearCache()
+
+    timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     tier2_total = round(sum(tier2.values()), 3)
@@ -360,10 +391,13 @@ def main() -> None:
             "spread": spreads,
             "tier2": tier2,
             "tier2_slice": round_idx,
+            "tier2_reruns": tier2_reruns,
             "reps": reps,
             "legacy_reps": legacy_reps,
+            "legacy16_minof5": round(sum(legacy_best.values()), 3),
             "sf": sf,
             "loadavg_start": load_start,
+            "loadavg_tier2": load_tier2,
             "loadavg_end": load_end,
         }
     )
@@ -383,7 +417,10 @@ def main() -> None:
             "sf": sf,
             "reps": reps,
             "n_queries": len(timings),
+            # uniform min-of-`reps`, comparable to every round's total
             "legacy16": legacy16,
+            # the noise-hardened floor metric (extra reps, min of all)
+            "legacy16_minof5": round(sum(legacy_best.values()), 3),
             "slowest": slowest,
             "tier2_slice": round_idx,
             "tier2_n": len(tier2),
