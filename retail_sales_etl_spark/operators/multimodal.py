@@ -1374,3 +1374,449 @@ ORACLE["multimodal_wav_frames"] = f"""
     FROM lagged
     GROUP BY doc_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav_resample — integer decimation (downsampling) over the
+# real WAV decode path: box anti-alias average + pick-every-Mth
+# ---------------------------------------------------------------------------
+
+WAV_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("factor", IntegerType()),
+        StructField("sample_rate_out", IntegerType()),
+        StructField("n_in", IntegerType()),
+        StructField("n_out", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def decimate_samples(samples, factor: int):
+    """Integer decimation by ``factor``: each output sample is the
+    floor-average of its length-``factor`` input block (the trailing
+    partial block averages over what remains) — a box anti-alias
+    filter + take-every-Mth in one step, integer-exact so the result
+    is reproducible closed-form in SQL. Floor (toward -inf, matching
+    SQL floor(sum/cnt)), NOT C-style truncation: the samples are
+    signed."""
+    import numpy as np
+
+    s = samples.astype(np.int64)
+    n = int(s.size)
+    if n == 0:
+        return s
+    bounds = np.arange(0, n, factor)
+    sums = np.add.reduceat(s, bounds)
+    counts = np.minimum(bounds + factor, n) - bounds
+    return np.floor_divide(sums, counts)
+
+
+def q_multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLING (decimation) over the real decode path — the
+    sample-rate-normalization step an audio-curation pipeline runs
+    before feature extraction or model ingest (clips arrive at mixed
+    rates; models want one): decode each clip (``parse_wav``),
+    decimate by a per-doc factor M = 2 + doc_id % 4 with an integer
+    box anti-alias average (``decimate_samples``), and emit clip-grain
+    stats of the RESAMPLED signal (sum|s|, peak, sum s², sign-class
+    zero crossings — the same integer-exact family as
+    ``multimodal_wav_stats``, so a wrong block boundary, a
+    truncating-instead-of-flooring average, or an off-by-one tail
+    block hash-fails). sample_rate_out = rate // M.
+
+    Scale shape: identical to the codec stats — one Arrow-batched
+    mapInPandas chain, payload bytes never leave the executor, output
+    is one narrow row per clip. The oracle reproduces the decimation
+    closed-form from the shared sample generator (block key i // M,
+    floor-averaged per block, lag window for crossings) — a DIFFERENT
+    formulation (SQL grouping) of the same arithmetic, the
+    wav-family discipline.
+
+    Reference parity: extends the multimodal ingestion family the
+    reference's warehouse lacks entirely (SURVEY §2 additions).
+    """
+    media = synthesize_wav(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in WAV_RESAMPLE_SCHEMA.fields]
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                factor = 2 + doc_id % 4
+                rate, samples = parse_wav(bytes(payload))
+                out = decimate_samples(samples, factor)
+                neg = out < 0
+                rows["doc_id"].append(doc_id)
+                rows["factor"].append(factor)
+                rows["sample_rate_out"].append(rate // factor)
+                rows["n_in"].append(int(samples.size))
+                rows["n_out"].append(int(out.size))
+                rows["sum_abs"].append(int(np.abs(out).sum()))
+                rows["peak"].append(
+                    int(np.abs(out).max()) if out.size else 0
+                )
+                rows["sum_sq"].append(int((out * out).sum()))
+                rows["zero_crossings"].append(
+                    int((neg[:-1] != neg[1:]).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resample, schema=WAV_RESAMPLE_SCHEMA)
+
+
+QUERIES["multimodal_wav_resample"] = q_multimodal_wav_resample
+
+ORACLE["multimodal_wav_resample"] = """
+    WITH params AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 2000 AS rate,
+               64 + (doc_id % 97) AS n,
+               2 + (doc_id % 4) AS m
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, rate, n, m,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM params
+    ),
+    samples AS (
+        SELECT doc_id, rate, n, m, i,
+               (doc_id * 31 + i * 17 + (i * i) % 101) % 4001 - 2000 AS s
+        FROM idx
+    ),
+    blocks AS (
+        SELECT doc_id, rate, n, m, i // m AS b,
+               CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS o
+        FROM samples
+        GROUP BY doc_id, rate, n, m, i // m
+    ),
+    lagged AS (
+        SELECT doc_id, rate, n, m, o,
+               lag(o) OVER (PARTITION BY doc_id ORDER BY b) AS prev
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(any_value(m) AS INTEGER) AS factor,
+           CAST(any_value(rate) // any_value(m) AS INTEGER)
+               AS sample_rate_out,
+           CAST(any_value(n) AS INTEGER) AS n_in,
+           CAST(count(*) AS INTEGER) AS n_out,
+           CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(o)) AS INTEGER) AS peak,
+           CAST(sum(o * o) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND (prev < 0) <> (o < 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_png_stats — FOURTH real pure-bytes codec, and the first
+# COMPRESSED container: PNG (RFC 2083) via stdlib zlib — chunk walk with
+# CRC-32 validation, IDAT inflate, and per-row unfiltering (all 5 types)
+# ---------------------------------------------------------------------------
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synthesize_png(docs: DataFrame) -> DataFrame:
+    """One REAL PNG payload per document from the SHARED closed-form
+    pixel generator (``_ppm_pixel`` — same raster as the PPM/BMP
+    payloads, so the oracle's sum formulas carry over): 8-bit
+    truecolor (color type 2), one IDAT holding the zlib-compressed
+    filtered scanline stream. Every row is encoded with filter type
+    (doc_id + y) % 5, so a decoder must implement ALL FIVE filters
+    (None/Sub/Up/Average/Paeth) correctly — a lazy filter-0-only
+    reader dies on the second row of almost every payload."""
+    import struct
+    import zlib
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _ppm_dims(d)
+                raw = []  # per-row RAW rgb bytes
+                for y in range(h):
+                    row = bytearray()
+                    for x in range(w):
+                        row += bytes(_ppm_pixel(d, x, y))
+                    raw.append(bytes(row))
+                stream = bytearray()
+                prev = bytes(3 * w)
+                for y, row in enumerate(raw):
+                    ft = (d + y) % 5
+                    stream.append(ft)
+                    for i, v in enumerate(row):
+                        a = row[i - 3] if i >= 3 else 0
+                        b = prev[i]
+                        c = prev[i - 3] if i >= 3 else 0
+                        if ft == 0:
+                            f = v
+                        elif ft == 1:
+                            f = (v - a) % 256
+                        elif ft == 2:
+                            f = (v - b) % 256
+                        elif ft == 3:
+                            f = (v - (a + b) // 2) % 256
+                        else:
+                            f = (v - _paeth(a, b, c)) % 256
+                        stream.append(f)
+                    prev = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                buf = (
+                    _PNG_SIG
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _chunk(b"IEND", b"")
+                )
+                ids.append(d)
+                payloads.append(buf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": PNG_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decoder for 8-bit truecolor non-interlaced PNG — stdlib
+    zlib only. Walks the chunk list VALIDATING every CRC-32 (a flipped
+    bit anywhere raises, the PNG integrity contract), accepts multiple
+    IDAT chunks (their concatenation is one zlib stream), inflates,
+    and UNFILTERS each scanline (None/Sub/Up/Average/Paeth — the Paeth
+    predictor per the spec's exact tie-break order). Integer-exact
+    stats + the filter-type bitmask (OR of 1 << type over rows), which
+    pins the filter walk itself: the generator cycles types by row, so
+    a decoder that misreads the filter byte changes the mask even if
+    it somehow kept the sums."""
+    import struct
+    import zlib
+
+    payload = bytes(payload)
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height = 8, None, None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit truecolor, "
+                    "non-interlaced)"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    if not saw_iend:
+        # a stream cut anywhere after the last complete chunk would
+        # otherwise pass — IEND is the spec's end-of-stream integrity
+        # marker, so its absence IS truncation
+        raise ValueError("truncated PNG: missing IEND chunk")
+    stream = zlib.decompress(bytes(idat))
+    rowlen = 3 * width
+    if len(stream) != height * (1 + rowlen):
+        raise ValueError("scanline stream length mismatch")
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    sum_r = sum_g = sum_b = 0
+    filter_mask = 0
+    prev = bytes(rowlen)
+    corner_r = corner_b = None
+    for y in range(height):
+        base = y * (1 + rowlen)
+        ft = stream[base]
+        if ft > 4:
+            raise ValueError(f"invalid filter type {ft}")
+        filter_mask |= 1 << ft
+        fl = stream[base + 1 : base + 1 + rowlen]
+        row = bytearray(rowlen)
+        for i in range(rowlen):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = fl[i]
+            elif ft == 1:
+                v = (fl[i] + a) % 256
+            elif ft == 2:
+                v = (fl[i] + b) % 256
+            elif ft == 3:
+                v = (fl[i] + (a + b) // 2) % 256
+            else:
+                v = (fl[i] + _paeth(a, b, c)) % 256
+            row[i] = v
+        sum_r += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_b += sum(row[2::3])
+        if y == 0:
+            corner_r, corner_b = row[0], row[2]
+        prev = bytes(row)
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "n_raw_bytes": height * (1 + rowlen),
+        "filter_mask": filter_mask,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "corner_r": corner_r,
+        "corner_b": corner_b,
+    }
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_raw_bytes", LongType()),
+        StructField("filter_mask", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("corner_r", IntegerType()),
+        StructField("corner_b", IntegerType()),
+    ]
+)
+
+
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL PNG decode proof — the fourth pure-bytes codec
+    and the first COMPRESSED container (PPM and BMP are raw rasters;
+    WAV is raw PCM): generator-side DEFLATE via stdlib zlib, decoder-
+    side chunk walk with CRC-32 validation on every chunk, IDAT
+    inflate, and full five-filter scanline reconstruction (the
+    generator cycles the filter type per row, so Sub/Up/Average/Paeth
+    are all load-bearing — not just the trivial None path). The
+    compressed byte count is NOT closed-form (deflate output depends
+    on the compressor), so the oracle pins the RAW stream length
+    (h·(1+3w)), the filter-type bitmask (bit_or over the known per-row
+    cycle), the shared-generator channel sums, and the top-left corner
+    probe. Scale shape: identical to every codec — one Arrow-batched
+    mapInPandas chain, payload bytes never shuffle, doc-grain output.
+    """
+    media = synthesize_png(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in PNG_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_png(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=PNG_STATS_SCHEMA)
+
+
+QUERIES["multimodal_png_stats"] = q_multimodal_png_stats
+
+ORACLE["multimodal_png_stats"] = """
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 8) + 2 AS w,
+               (doc_id % 6) + 2 AS h
+        FROM documents
+    ),
+    rows_ AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM grid
+    ),
+    fmask AS (
+        SELECT doc_id,
+               CAST(bit_or(1 << CAST((doc_id + y) % 5 AS INTEGER))
+                    AS INTEGER) AS filter_mask
+        FROM rows_
+        GROUP BY doc_id
+    ),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM grid
+    ),
+    pix AS (
+        SELECT doc_id, w, h, x,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM xs
+    ),
+    sums AS (
+        SELECT doc_id,
+               CAST(any_value(w) AS INTEGER) AS width,
+               CAST(any_value(h) AS INTEGER) AS height,
+               count(*) AS n_pixels,
+               CAST(any_value(h) * (1 + 3 * any_value(w)) AS BIGINT)
+                   AS n_raw_bytes,
+               CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((3 * doc_id + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_b,
+               CAST((doc_id) % 256 AS INTEGER) AS corner_r,
+               CAST((doc_id) % 256 AS INTEGER) AS corner_b
+        FROM pix
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, width, height, n_pixels, n_raw_bytes,
+           f.filter_mask, sum_r, sum_g, sum_b, corner_r, corner_b
+    FROM sums s JOIN fmask f ON s.doc_id = f.doc_id
+"""

@@ -676,7 +676,9 @@ _DAILY_CENTS_SQL = f"""
 """
 
 
-def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_revenue_theil_sen(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Theil-Sen robust trend of daily order revenue (Theil 1950; Sen
     1968): the median of all pairwise day-to-day slopes, with the
     median-residual intercept — the outlier-immune alternative to OLS
@@ -691,7 +693,19 @@ def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     use Spark's exact ``percentile`` aggregate over grid-bounded sets.
     Residuals use the 6-dp-ROUNDED slope so both engines interpolate
     identical inputs.
+
+    ``approx=True`` swaps both exact medians for ``approx_percentile``
+    (the established scale-mode flag — the profile_orders precedent):
+    the exact ``percentile`` buffers the full ~2.9M-slope set on one
+    reducer (grid-bounded, so never a scale-KILLER, but the slowest
+    single-reducer buffer in the repo); the KLL-sketch form partial-
+    combines map-side with bounded memory. The exact form stays the
+    oracle default — the approx twin is for wide-calendar deployments.
     """
+    med = (
+        "approx_percentile({0}, 0.5, 10000)" if approx
+        else "percentile({0}, 0.5)"
+    )
     daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
     a = daily.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
     b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
@@ -703,7 +717,7 @@ def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sl = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        fround(F.expr("percentile(s, 0.5)"), 6).alias("slope_cents_per_day"),
+        fround(F.expr(med.format("s")), 6).alias("slope_cents_per_day"),
     )
     res = daily.crossJoin(F.broadcast(sl)).select(
         "n_pairs",
@@ -715,7 +729,7 @@ def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.groupBy("n_pairs", "slope_cents_per_day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        fround(F.expr("percentile(r, 0.5)"), 6).alias("intercept_cents"),
+        fround(F.expr(med.format("r")), 6).alias("intercept_cents"),
     ).select(
         "n_days", "n_pairs", "slope_cents_per_day", "intercept_cents"
     )

@@ -3214,3 +3214,333 @@ def _cal_oracle() -> str:
 
 
 ORACLE["quality_calibration_report"] = _cal_oracle()
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_fit — Heaps'-law vocabulary-growth fit (the companion
+# corpus-health number to text_zipf_fit: V(n) = K·n^beta)
+# ---------------------------------------------------------------------------
+
+# Documents per cumulative-sum band: the per-doc running totals are
+# computed band-locally (window partitioned by band) plus a band-offset
+# lookup, so no window ever orders the full doc grain on one reducer.
+HEAPS_BAND = 4096
+
+
+def q_text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(cumulative
+    distinct words) on ln(cumulative tokens) over the doc_id-ordered
+    corpus prefix curve — slope is the Heaps exponent beta (~0.4-0.6
+    for natural text; near 0 = closed/template vocabulary, near 1 =
+    noise/ids where every token is new), the one-row companion to
+    ``text_zipf_fit`` (Heaps and Zipf are two views of the same
+    heavy-tailed vocabulary process).
+
+    The cumulative TYPE count is made distributable by the
+    first-occurrence trick: V at doc d = #{words whose MIN doc_id <=
+    d}, so one (word -> min doc_id) aggregate turns "distinct so far"
+    into a plain cumulative SUM of per-doc new-type counts. Both
+    cumulative sums run BANDED (band = doc_id div HEAPS_BAND): band
+    totals -> exclusive prefix offsets windowed over the small band
+    grid and broadcast back, intra-band running sums windowed within
+    each band — never a corpus-wide single-reducer window (the
+    text_zipf_fit banded-rank discipline). The OLS block mirrors
+    text_zipf_fit exactly: 6-dp floor-staged ln values, 9-dp staged
+    products, DECIMAL sums, closed form in mirrored double arithmetic,
+    guarded degenerate denominators.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("tok"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    newty = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    )
+    grid = (
+        toks.join(newty, "doc_id", "left")
+        .select(
+            "doc_id",
+            "tok",
+            F.coalesce("nt", F.lit(0)).cast("bigint").alias("nt"),
+            F.floor(F.col("doc_id") / F.lit(HEAPS_BAND)).alias("band"),
+        )
+    )
+    btot = grid.groupBy("band").agg(
+        F.sum("tok").alias("btok"), F.sum("nt").alias("bnt")
+    )
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "band",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("otok"),
+        F.coalesce(F.sum("bnt").over(wb), F.lit(0)).alias("ont"),
+    )
+    wi = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = grid.join(F.broadcast(offs), "band").select(
+        (F.col("otok") + F.sum("tok").over(wi)).alias("n"),
+        (F.col("ont") + F.sum("nt").over(wi)).alias("v"),
+    )
+    x6 = fround(F.log(F.col("n").cast("double")), 6)
+    y6 = fround(F.log(F.col("v").cast("double")), 6)
+
+    def _p9(c: F.Column) -> F.Column:
+        return fround(c, 9).cast("decimal(28,9)")
+
+    sums = curve.select(
+        x6.alias("x6"), y6.alias("y6"), "n", "v"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.max("v").cast("bigint").alias("n_types"),
+        F.sum(F.col("x6").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y6").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum(_p9(F.col("x6") * F.col("x6"))).cast("double").alias("sxx"),
+        F.sum(_p9(F.col("x6") * F.col("y6"))).cast("double").alias("sxy"),
+        F.sum(_p9(F.col("y6") * F.col("y6"))).cast("double").alias("syy"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    cov = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return sums.select(
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.when(varx > 0, fround(slope, 6)).otherwise(F.lit(0.0)).alias(
+            "heaps_beta"
+        ),
+        F.when(
+            varx > 0, fround((F.col("sy") - slope * F.col("sx")) / n_d, 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("heaps_intercept"),
+        F.when(
+            (varx > 0) & (vary > 0), fround((cov * cov) / (varx * vary), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )
+
+
+QUERIES["text_heaps_fit"] = q_text_heaps_fit
+
+ORACLE["text_heaps_fit"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    newty AS (
+        SELECT doc_id, count(*) AS nt
+        FROM (SELECT w, min(doc_id) AS doc_id FROM words GROUP BY 1)
+        GROUP BY 1
+    ),
+    curve AS (
+        SELECT sum(t.tok) OVER (ORDER BY t.doc_id) AS n,
+               sum(coalesce(nw.nt, 0)) OVER (ORDER BY t.doc_id) AS v
+        FROM toks t LEFT JOIN newty nw USING (doc_id)
+    ),
+    staged AS (
+        SELECT floor((ln(CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS x6,
+               floor((ln(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS y6,
+               n, v
+        FROM curve
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(max(v) AS BIGINT) AS n_types,
+               CAST(sum(CAST(x6 AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y6 AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(floor((x6 * x6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(floor((x6 * y6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(floor((y6 * y6) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM staged
+    )
+    SELECT n_docs, n_tokens, n_types,
+           CASE WHEN (CAST(n_docs AS DOUBLE) * sxx - sx * sx) > 0
+                THEN floor(((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n_docs AS DOUBLE) * sxx - sx * sx))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS heaps_beta,
+           CASE WHEN (CAST(n_docs AS DOUBLE) * sxx - sx * sx) > 0
+                THEN floor(((sy - ((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(n_docs AS DOUBLE) * sxx - sx * sx))
+                                  * sx) / CAST(n_docs AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS heaps_intercept,
+           CASE WHEN (CAST(n_docs AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_docs AS DOUBLE) * syy - sy * sy) > 0
+                THEN floor((((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+                             * (CAST(n_docs AS DOUBLE) * sxy - sx * sy))
+                            / ((CAST(n_docs AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n_docs AS DOUBLE) * syy - sy * sy)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS r2
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords — RAKE keyword extraction (Rose et al. 2010): stopword-
+# delimited candidate phrases scored by member-word deg/freq
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 50
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose et al. 2010, "Rapid
+    Automatic Keyword Extraction"): candidate phrases are maximal runs
+    of consecutive non-stopword tokens (stopwords and word boundaries
+    delimit), each word is scored deg(w)/freq(w) over ALL candidate
+    occurrences (deg = sum of containing-phrase lengths — co-occurrence
+    degree including self; freq = occurrence count), and a phrase
+    scores the sum of its member-word scores — multi-word technical
+    terms outrank their individual words, the property TF-IDF lacks.
+    Output: the corpus's top-``RAKE_TOP_K`` phrases by (score desc,
+    phrase) with occurrence counts — the keyword/topic-label signal
+    next to ``source_top_terms``'s c-TF-IDF (which characterizes
+    SOURCES; this characterizes the corpus's phrase vocabulary).
+
+    Scale shape: phrase segmentation is the gaps-and-islands trick on
+    the posexploded token grid — group key = position minus the
+    non-stopword run rank, windowed PER DOCUMENT (partition bounded by
+    document length, never corpus-wide); phrase assembly is one
+    order-restoring array_sort aggregate per (doc, run) (the
+    dedup_lines pattern); word stats and phrase stats are two
+    map-combinable count/sum aggregates on word/phrase grids (bounded
+    by vocabulary and distinct-phrase count); the final top-k is a
+    distributed TakeOrdered (orderBy+limit), never a global sort.
+    Determinism: per-word scores are 6-dp floor-staged and summed as
+    DECIMAL (a float sum over phrase members would be
+    partition-order-dependent), ties at the cut broken by the unique
+    phrase text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wp = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    nonstop = wp.filter(
+        (~F.col("w").isin(*STOPWORDS)) & (F.col("w") != "")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("p")
+    runs = nonstop.select(
+        "doc_id", "p", "w",
+        (F.col("p") - F.row_number().over(wn)).alias("grp"),
+    )
+    occ = runs.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    wordstats = (
+        occ.select(
+            F.explode(F.split("phrase", " ")).alias("w"), "n_words"
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wordstats.select(
+        "w",
+        fround(F.col("deg").cast("double") / F.col("freq").cast("double"), 6)
+        .cast("decimal(25,6)")
+        .alias("ws"),
+    )
+    uniq = occ.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    )
+    scored = (
+        uniq.select("phrase", "n_words", "freq",
+                    F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wscore, "w")
+        .groupBy("phrase", "n_words", "freq")
+        .agg(F.sum("ws").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "phrase").limit(RAKE_TOP_K)
+
+
+QUERIES["rake_keywords"] = q_rake_keywords
+
+ORACLE["rake_keywords"] = f"""
+    WITH wp AS (
+        SELECT doc_id, w[i] AS w, i AS p
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                     unnest(generate_series(1,
+                         len(string_split(lower(text), ' ')))) AS i
+              FROM documents)
+    ),
+    runs AS (
+        SELECT doc_id, p, w,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM wp
+        WHERE w NOT IN {str(tuple(STOPWORDS))} AND w <> ''
+    ),
+    occ AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY p) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM runs GROUP BY 1, 2
+    ),
+    wordstats AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(n_words) AS BIGINT) AS deg
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS w, n_words
+              FROM occ)
+        GROUP BY 1
+    ),
+    wscore AS (
+        SELECT w,
+               CAST(floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                          * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS ws
+        FROM wordstats
+    ),
+    uniq AS (
+        SELECT phrase,
+               CAST(max(n_words) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM occ GROUP BY 1
+    ),
+    scored AS (
+        SELECT u.phrase, u.n_words, u.freq,
+               CAST(sum(s.ws) AS DOUBLE) AS score
+        FROM (SELECT phrase, n_words, freq,
+                     unnest(string_split(phrase, ' ')) AS w
+              FROM uniq) u
+        JOIN wscore s USING (w)
+        GROUP BY 1, 2, 3
+    )
+    SELECT phrase, n_words, freq, score
+    FROM scored
+    ORDER BY score DESC, phrase
+    LIMIT {RAKE_TOP_K}
+"""

@@ -2486,3 +2486,436 @@ ORACLE["streaming_exactly_once"] = """
     FROM events
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_cohort_ltv — incremental view maintenance of the cohort-LTV
+# matrix (the IVM form of plans.behavioral.q_cohort_ltv) under the
+# lakehouse exactly-once discipline
+# ---------------------------------------------------------------------------
+
+_COHORT_FIRSTS_SCHEMA = "o_custkey bigint, cohort_m bigint"
+_COHORT_STATE_SCHEMA = f"o_custkey bigint, mkey bigint, rev {_IVM_DEC}"
+
+
+def _version_landed(table, batch_id: int, read_version):
+    """The commit VERSION at which ``batch_id`` landed on ``table`` (at
+    or below ``read_version``), or None — the exact-scan sibling of
+    ``_landed_on`` for callers that must read the PRE-batch snapshot on
+    a replay (version - 1), not merely detect the replay."""
+    for e in table.history():
+        if e.get("batch_id") == batch_id and (
+            read_version is None or e["version"] <= read_version
+        ):
+            return e["version"]
+    return None
+
+
+def cohort_ltv_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    firsts_path: str,
+    state_path: str,
+    matrix_path: str,
+) -> bool:
+    """Incremental cohort-LTV maintenance: fold one micro-batch of
+    ORDERS into the (cohort_month, months_since) revenue/activity
+    matrix — the IVM form of ``plans.behavioral.q_cohort_ltv``, which
+    re-scans the whole fact per run; a 100 TB ingest pipeline instead
+    maintains three lakehouse tables and touches only the batch's
+    customers per batch:
+
+    - ``firsts`` (o_custkey -> cohort_m): acquisition month, fixed at
+      first sight. CONTRACT: batches arrive in o_orderdate order (the
+      dedup sinks' doc_id-order discipline), so first sight IS the
+      true first month and cohorts never need retraction.
+    - ``state`` (o_custkey, mkey -> rev): per-(customer, month) exact
+      DECIMAL revenue — the partial-aggregate grid that makes n_active
+      (distinct active pairs) incrementally countable: a pair is NEW
+      exactly when absent from the pre-batch state.
+    - ``matrix`` (cohort_m, months_since -> n_active, rev): the
+      published rollup, MERGE-updated with the batch's delta.
+
+    Scale shape: the batch collapses MAP-SIDE to (customer, month)
+    partials; both customer-keyed state reads go through the
+    file-pruned ``read_where_in`` on the batch's bounded customer set
+    (the dedup sinks' probe discipline — Z-ordered by o_custkey via
+    ``maintain_cohort_ltv``'s optimize cycle, so a batch reads O(batch
+    customers) files, not O(all customers ever)); the matrix read is
+    the bounded (cohort, months_since) grid (~84x84/2 rows at any
+    corpus size); MERGE rewrites only files holding touched keys.
+
+    Exactly-once across THREE tables (the two-table dedup-sink
+    protocol extended): per attempt pin all three versions, replay-
+    check the MATRIX first (it commits last — a matrix hit means the
+    batch fully landed), compute the delta from the PRE-batch state,
+    then commit firsts -> state -> matrix, each individually
+    replay-guarded by ``_landed_on`` and ``conflict_on="batch_id"``.
+    A crash between state and matrix replays into: firsts/state
+    skipped, and the delta recomputed against the state AS OF the
+    version BEFORE the batch's own state commit (``_version_landed``
+    - 1) — without that rewind the replayed n_active delta would see
+    its own pairs as pre-existing and undercount. Returns False when
+    the batch was a full replay."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    spark = batch_df.sparkSession
+    od = F.to_date("o_orderdate")
+    partial = (
+        batch_df.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            (F.year(od) * F.lit(12) + F.month(od) - F.lit(1))
+            .cast("bigint")
+            .alias("mkey"),
+            F.col("o_totalprice").cast(_IVM_DEC).alias("price"),
+        )
+        .groupBy("o_custkey", "mkey")
+        .agg(F.sum("price").cast(_IVM_DEC).alias("rev"))
+        .cache()
+    )
+    collected = (
+        partial.select("o_custkey")
+        .distinct()
+        .limit(_PROBE_PRUNE_CAP + 1)
+        .collect()
+    )
+    cust_keys = (
+        [r[0] for r in collected]
+        if len(collected) <= _PROBE_PRUNE_CAP
+        else None
+    )
+    firsts = LakehouseTable(spark, firsts_path)
+    state = LakehouseTable(spark, state_path)
+    matrix = LakehouseTable(spark, matrix_path)
+
+    def _read_custs(table, schema: str, version):
+        if version is None:
+            return spark.createDataFrame([], schema)
+        if cust_keys is not None:
+            return table.read_where_in(
+                "o_custkey", cust_keys, version=version
+            )
+        return table.read(version=version)
+
+    def _stamp(b: int, hwm) -> dict:
+        return {
+            "batch_id": b,
+            "batch_hwm": max(b, hwm if hwm is not None else b),
+        }
+
+    cached = [partial]
+    try:
+        for _ in range(3):
+            rv_m = matrix.latest_version()
+            hwm_m = matrix.latest_value("batch_hwm", as_of=rv_m)
+            if _landed_on(matrix, batch_id, rv_m, hwm_m):
+                return False  # the matrix commits last: fully landed
+            rv_f = firsts.latest_version()
+            hwm_f = firsts.latest_value("batch_hwm", as_of=rv_f)
+            rv_s = state.latest_version()
+            hwm_s = state.latest_value("batch_hwm", as_of=rv_s)
+            # Replay rewind: if this batch's STATE merge already
+            # landed (crash between state and matrix), the delta must
+            # be computed against the snapshot BEFORE it — at the
+            # current snapshot the batch's own pairs would read as
+            # pre-existing and the replayed n_active delta would be 0.
+            v_s_landed = _version_landed(state, batch_id, rv_s)
+            state_pin = (
+                v_s_landed - 1 if v_s_landed is not None else rv_s
+            )
+            # known and joined are each consumed by several downstream
+            # plans (anti-join + cohort union; state pair rows + the
+            # matrix delta) — cache them so the probe reads against
+            # the maintained tables run ONCE per attempt, not once per
+            # consumer (both are bounded by the batch's customers).
+            known = (
+                _read_custs(firsts, _COHORT_FIRSTS_SCHEMA, rv_f)
+                .select("o_custkey", "cohort_m")
+                .cache()
+            )
+            cached.append(known)
+            prior = _read_custs(
+                state,
+                _COHORT_STATE_SCHEMA,
+                state_pin if state_pin != 0 else None,
+            ).select(
+                "o_custkey", "mkey", F.col("rev").alias("prior_rev")
+            )
+            new_firsts = (
+                partial.join(known, "o_custkey", "left_anti")
+                .groupBy("o_custkey")
+                .agg(F.min("mkey").alias("cohort_m"))
+            )
+            cohorts = known.unionAll(new_firsts)
+            joined = partial.join(
+                prior, ["o_custkey", "mkey"], "left"
+            ).cache()
+            cached.append(joined)
+            enriched = joined.join(F.broadcast(cohorts), "o_custkey")
+            delta = enriched.groupBy(
+                "cohort_m",
+                (F.col("mkey") - F.col("cohort_m"))
+                .cast("int")
+                .alias("months_since"),
+            ).agg(
+                F.sum("rev").cast(_IVM_DEC).alias("d_rev"),
+                F.sum(
+                    F.when(F.col("prior_rev").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("d_active"),
+            )
+            try:
+                if not _landed_on(firsts, batch_id, rv_f, hwm_f):
+                    try:
+                        firsts.write(
+                            new_firsts,
+                            mode="append",
+                            extra=_stamp(batch_id, hwm_f),
+                            conflict_on="batch_id",
+                            read_version=rv_f,
+                            monotone_max=("batch_hwm",),
+                        )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's firsts
+                if not _landed_on(state, batch_id, rv_s, hwm_s):
+                    pair_rows = joined.select(
+                        "o_custkey",
+                        "mkey",
+                        (
+                            F.coalesce(
+                                F.col("prior_rev"),
+                                F.lit(0).cast(_IVM_DEC),
+                            )
+                            + F.col("rev")
+                        )
+                        .cast(_IVM_DEC)
+                        .alias("rev"),
+                    )
+                    try:
+                        if rv_s is None:  # first commit creates the table
+                            state.write(
+                                pair_rows,
+                                mode="append",
+                                extra=_stamp(batch_id, hwm_s),
+                                conflict_on="batch_id",
+                                read_version=rv_s,
+                            )
+                        else:
+                            state.merge(
+                                pair_rows,
+                                ["o_custkey", "mkey"],
+                                extra=_stamp(batch_id, hwm_s),
+                                read_version=rv_s,
+                                conflict_on="batch_id",
+                            )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's state
+                cur = (
+                    matrix.read(version=rv_m)
+                    if rv_m is not None
+                    else spark.createDataFrame(
+                        [],
+                        "cohort_m bigint, months_since int, "
+                        f"n_active bigint, rev {_IVM_DEC}",
+                    )
+                )
+                upd = (
+                    delta.join(
+                        cur.select(
+                            "cohort_m",
+                            "months_since",
+                            F.col("n_active").alias("cur_active"),
+                            F.col("rev").alias("cur_rev"),
+                        ),
+                        ["cohort_m", "months_since"],
+                        "left",
+                    )
+                    .select(
+                        "cohort_m",
+                        "months_since",
+                        (
+                            F.coalesce("cur_active", F.lit(0))
+                            + F.col("d_active")
+                        )
+                        .cast("bigint")
+                        .alias("n_active"),
+                        (
+                            F.coalesce(
+                                F.col("cur_rev"),
+                                F.lit(0).cast(_IVM_DEC),
+                            )
+                            + F.col("d_rev")
+                        )
+                        .cast(_IVM_DEC)
+                        .alias("rev"),
+                    )
+                )
+                if rv_m is None:  # first commit creates the table
+                    matrix.write(
+                        upd,
+                        mode="append",
+                        extra=_stamp(batch_id, hwm_m),
+                        conflict_on="batch_id",
+                        read_version=rv_m,
+                    )
+                else:
+                    matrix.merge(
+                        upd,
+                        ["cohort_m", "months_since"],
+                        extra=_stamp(batch_id, hwm_m),
+                        read_version=rv_m,
+                        conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's matrix
+            except ConcurrentWriteError:
+                continue  # re-pin all three tables and retry
+        raise RuntimeError(
+            f"cohort_ltv_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {matrix_path})"
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def maintain_cohort_ltv(
+    stream: DataFrame,
+    firsts_path: str,
+    state_path: str,
+    matrix_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+):
+    """Run the cohort-LTV IVM sink under foreachBatch (availableNow).
+    ``optimize_every=N`` compacts BOTH customer-keyed tables every N
+    batches, Z-ordered by o_custkey into ``optimize_files`` files, so
+    the per-batch customer-probe reads (``read_where_in``) stay
+    file-pruned as the customer population grows — the
+    ``maintain_lsh_dedup`` maintenance discipline on the cohort state."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        cohort_ltv_sink(
+            batch_df, batch_id, firsts_path, state_path, matrix_path
+        )
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path in (firsts_path, state_path):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=["o_custkey"],
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (firsts_path, state_path, matrix_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the cohort-LTV IVM sink: replay the
+    orders table in 4 o_orderdate-range micro-batches (file mtimes
+    pinned so FileStreamSource delivers them in date order — the
+    in-order contract under which acquisition cohorts never retract),
+    fold each through ``maintain_cohort_ltv`` (with a mid-stream
+    Z-order cycle so the customer-probe pruning path is covered), then
+    read the maintained matrix and emit the same cohort_month /
+    months_since / n_active / cohort_size / revenue / cum_revenue /
+    ltv surface as the batch ``cohort_ltv`` — hash-checked against the
+    SAME oracle SQL, proving the maintained matrix equals a
+    from-scratch cohort pass over everything delivered."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="cohort_stream_")
+    src = f"{work}/src"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    d0, d1 = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).first()
+    span = (d1 - d0).days + 1
+    cuts = [d0 + __import__("datetime").timedelta(days=(span * i) // 4)
+            for i in range(5)]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        cond = (F.col("o_orderdate") >= F.lit(cuts[i])) & (
+            F.col("o_orderdate") < F.lit(cuts[i + 1])
+            if i < 3
+            else F.col("o_orderdate") <= F.lit(d1)
+        )
+        orders.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders new files by modification time: pin
+        # strictly-increasing mtimes so batch i really is range i.
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "o_custkey bigint, o_orderdate date, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_cohort_ltv(
+        stream,
+        f"{work}/firsts",
+        f"{work}/state",
+        f"{work}/matrix",
+        f"{work}/ckpt",
+        optimize_every=2,
+    ).awaitTermination()
+    grid = LakehouseTable(spark, f"{work}/matrix").read()
+    wg = Window.partitionBy("cohort_m")
+    wcum = wg.orderBy("months_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("rev").over(wcum)
+    size = F.max(
+        F.when(F.col("months_since") == 0, F.col("n_active"))
+    ).over(wg)
+    return grid.select(
+        F.make_date(
+            F.floor(F.col("cohort_m") / F.lit(12)).cast("int"),
+            (F.col("cohort_m") % F.lit(12) + F.lit(1)).cast("int"),
+            F.lit(1),
+        ).alias("cohort_month"),
+        "months_since",
+        "n_active",
+        size.cast("bigint").alias("cohort_size"),
+        F.col("rev").cast("double").alias("revenue"),
+        cum.cast("double").alias("cum_revenue"),
+        fround(cum.cast("double") / size.cast("double"), 6).alias("ltv"),
+    )
+
+
+QUERIES["streaming_cohort_ltv"] = q_streaming_cohort_ltv
+
+# Hash-checked against the SAME oracle as the batch cohort_ltv: the
+# maintained matrix must equal a from-scratch cohort pass over orders.
+from ..plans.behavioral import ORACLE as _BEHAVIORAL_ORACLE  # noqa: E402
+
+ORACLE["streaming_cohort_ltv"] = _BEHAVIORAL_ORACLE["cohort_ltv"]

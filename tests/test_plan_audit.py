@@ -875,3 +875,97 @@ def test_profile_orders_approx_has_no_expand(spark, sf_dir):
         assert abs(a[col]["n_distinct"] - er["n_distinct"]) <= max(
             3, 0.1 * er["n_distinct"]
         )
+
+
+def test_heaps_fit_windows_are_banded_not_global(spark, sf_dir):
+    """The Heaps-fit cumulative sums must run banded: the per-doc
+    running-sum window is PARTITIONED by band (never a corpus-wide
+    unpartitioned ordering over the doc grain), the band-offset window
+    runs on the tiny band grid behind a broadcast join, and the final
+    OLS is one partial-aggregating pass."""
+    from retail_sales_etl_spark.operators.text import q_text_heaps_fit
+
+    import re
+
+    plan = _formatted_plan(q_text_heaps_fit(spark, sf_dir))
+    # the doc-grain running sum is PARTITIONED by the band key (the
+    # physical Window node's partition list), never a corpus-wide
+    # unpartitioned ordering over doc_id
+    assert re.search(
+        r"windowspecdefinition\(band#\d+L, doc_id#\d+L ASC", plan
+    ), plan[:2000]
+    # the only other windows are the band-grid offset cumsums —
+    # ordered over the bounded band grid, nothing else
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s == "band" for s in specs), specs
+    # the band offsets reach the doc grain via a broadcast join
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "HashAggregate" in plan
+
+
+def test_rake_topk_is_take_ordered_and_doc_windows(spark, sf_dir):
+    """RAKE's final cut must be a distributed TakeOrdered (orderBy +
+    limit), never a global Sort; the run-segmentation window is
+    per-document (partitioned), never corpus-wide."""
+    import re
+
+    from retail_sales_etl_spark.operators.text import q_rake_keywords
+
+    plan = _formatted_plan(q_rake_keywords(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"Window.*partitionBy=\[\]", plan), (
+        "corpus-wide unpartitioned window in RAKE plan"
+    )
+
+
+def test_wav_resample_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The resample chain (synthesize -> decode -> decimate -> stats)
+    must stay one zero-Exchange mapInPandas pipeline reading only
+    doc_id — payload bytes never shuffle (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_wav_resample,
+    )
+
+    plan = _formatted_plan(q_multimodal_wav_resample(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_theil_sen_approx_partial_combines_no_exact_percentile(spark, sf_dir):
+    """revenue_theil_sen approx=True: both medians must be the
+    partial-combining approx_percentile sketch (no exact percentile
+    buffering the 2.9M-slope set on one reducer); schema identical to
+    the exact form; slope within the sketch tolerance of exact."""
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_theil_sen,
+    )
+
+    exact_df = q_revenue_theil_sen(spark, sf_dir)
+    approx_df = q_revenue_theil_sen(spark, sf_dir, approx=True)
+    assert exact_df.schema == approx_df.schema
+    exact_plan = _formatted_plan(exact_df)
+    approx_plan = _formatted_plan(approx_df)
+    assert "approx_percentile" not in exact_plan
+    assert "percentile" in exact_plan
+    assert "approx_percentile" in approx_plan
+    assert "percentile(" not in approx_plan.replace("approx_percentile(", "")
+    e, a = exact_df.first(), approx_df.first()
+    assert (e.n_days, e.n_pairs) == (a.n_days, a.n_pairs)
+    assert abs(e.slope_cents_per_day - a.slope_cents_per_day) <= max(
+        1.0, abs(e.slope_cents_per_day) * 0.05
+    )
+
+
+def test_png_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The PNG chain (synthesize -> inflate -> unfilter -> stats) must
+    stay one zero-Exchange mapInPandas pipeline reading only doc_id —
+    payload bytes never shuffle (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_png_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_png_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema

@@ -1319,3 +1319,166 @@ def test_phash_dedup_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     assert streaming_events.phash_dedup_sink(two, 5, idx, verd) is True
     assert not opened  # fell back to the full read
     assert lh.LakehouseTable(spark, verd).read().count() == 603
+
+
+def _orders_halves(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    d0, d1 = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    mid = d0 + (d1 - d0) / 2
+    return (
+        orders.filter(F.col("o_orderdate") <= F.lit(mid)),
+        orders.filter(F.col("o_orderdate") > F.lit(mid)),
+    )
+
+
+def test_cohort_ltv_sink_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
+    """Two in-date-order batches folded through the IVM sink must
+    reproduce the from-scratch batch cohort grid exactly (n_active
+    pair counts AND exact-DECIMAL revenue), and a full replay of
+    either batch must be a no-op on all three tables."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    f, s, m = (str(tmp_path / n) for n in ("f", "s", "m"))
+    b0, b1 = _orders_halves(spark, sf_dir)
+    assert streaming_events.cohort_ltv_sink(b0, 0, f, s, m) is True
+    assert streaming_events.cohort_ltv_sink(b1, 1, f, s, m) is True
+
+    got = {
+        (r.cohort_m, r.months_since): (r.n_active, r.rev)
+        for r in LakehouseTable(spark, m).read().collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    from pyspark.sql import Window
+
+    pcm = (
+        orders.select(
+            "o_custkey",
+            (F.year(od) * F.lit(12) + F.month(od) - F.lit(1))
+            .cast("bigint")
+            .alias("mkey"),
+            F.col("o_totalprice").cast("decimal(25,6)").alias("p"),
+        )
+        .groupBy("o_custkey", "mkey")
+        .agg(F.sum("p").alias("rev"))
+    )
+    wc = Window.partitionBy("o_custkey")
+    want = {
+        (r.cohort_m, r.months_since): (r.n_active, r.rev)
+        for r in pcm.withColumn("cohort_m", F.min("mkey").over(wc))
+        .groupBy(
+            "cohort_m",
+            (F.col("mkey") - F.col("cohort_m")).cast("int").alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum("rev").cast("decimal(25,6)").alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    versions = [
+        LakehouseTable(spark, p).latest_version() for p in (f, s, m)
+    ]
+    assert streaming_events.cohort_ltv_sink(b0, 0, f, s, m) is False
+    assert streaming_events.cohort_ltv_sink(b1, 1, f, s, m) is False
+    assert versions == [
+        LakehouseTable(spark, p).latest_version() for p in (f, s, m)
+    ]
+
+
+def test_cohort_ltv_sink_replays_after_partial_crash(spark, sf_dir, tmp_path):
+    """Crash-between-commits recovery: if a batch's firsts AND state
+    commits landed but the matrix commit did not (the crash window the
+    three-table protocol must survive), the replay must rewind its
+    delta computation to the PRE-batch state snapshot — otherwise the
+    batch's own pairs read as pre-existing and n_active undercounts."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    f, s, m = (str(tmp_path / n) for n in ("f", "s", "m"))
+    b0, b1 = _orders_halves(spark, sf_dir)
+    assert streaming_events.cohort_ltv_sink(b0, 0, f, s, m) is True
+    full = {
+        (r.cohort_m, r.months_since): (r.n_active, r.rev)
+        for r in LakehouseTable(spark, m).read().collect()
+    }
+
+    # simulate the crash: land batch 1 on firsts AND state exactly as
+    # the sink would, but "die" before the matrix commit
+    firsts_t = LakehouseTable(spark, f)
+    state_t = LakehouseTable(spark, s)
+    od = F.to_date("o_orderdate")
+    partial = (
+        b1.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            (F.year(od) * F.lit(12) + F.month(od) - F.lit(1))
+            .cast("bigint")
+            .alias("mkey"),
+            F.col("o_totalprice").cast("decimal(25,6)").alias("p"),
+        )
+        .groupBy("o_custkey", "mkey")
+        .agg(F.sum("p").cast("decimal(25,6)").alias("rev"))
+    )
+    known = firsts_t.read().select("o_custkey", "cohort_m")
+    new_firsts = (
+        partial.join(known, "o_custkey", "left_anti")
+        .groupBy("o_custkey")
+        .agg(F.min("mkey").alias("cohort_m"))
+    )
+    hwm_f = firsts_t.latest_value("batch_hwm")
+    firsts_t.write(
+        new_firsts, mode="append",
+        extra={"batch_id": 1, "batch_hwm": max(1, hwm_f)},
+        conflict_on="batch_id", monotone_max=("batch_hwm",),
+    )
+    prior = state_t.read().select(
+        "o_custkey", "mkey", F.col("rev").alias("prior_rev")
+    )
+    pair_rows = partial.join(prior, ["o_custkey", "mkey"], "left").select(
+        "o_custkey", "mkey",
+        (F.coalesce("prior_rev", F.lit(0).cast("decimal(25,6)"))
+         + F.col("rev")).cast("decimal(25,6)").alias("rev"),
+    )
+    hwm_s = state_t.latest_value("batch_hwm")
+    state_t.merge(
+        pair_rows, ["o_custkey", "mkey"],
+        extra={"batch_id": 1, "batch_hwm": max(1, hwm_s)},
+        conflict_on="batch_id",
+    )
+
+    # the replayed batch must complete ONLY the matrix, with the
+    # n_active delta computed against the pre-batch state
+    assert streaming_events.cohort_ltv_sink(b1, 1, f, s, m) is True
+    f2, s2, m2 = (str(tmp_path / n) for n in ("f2", "s2", "m2"))
+    assert streaming_events.cohort_ltv_sink(b0, 0, f2, s2, m2) is True
+    assert streaming_events.cohort_ltv_sink(b1, 1, f2, s2, m2) is True
+    got = {
+        (r.cohort_m, r.months_since): (r.n_active, r.rev)
+        for r in LakehouseTable(spark, m).read().collect()
+    }
+    want = {
+        (r.cohort_m, r.months_since): (r.n_active, r.rev)
+        for r in LakehouseTable(spark, m2).read().collect()
+    }
+    assert got == want
+    # and the state was not double-folded by the replay
+    assert (
+        LakehouseTable(spark, s).read().count()
+        == LakehouseTable(spark, s2).read().count()
+    )

@@ -493,3 +493,147 @@ def test_calibration_report_reconciles(spark, sf_dir):
         assert 0 <= r["obs_rate"] <= 1
         assert 0 <= r["bin"] <= 9
         assert r["n_kept"] <= r["n_docs"]
+
+
+def test_heaps_fit_pure_growth_and_closed_vocab(spark, tmp_path):
+    """The two analytic extremes pin the OLS: a corpus where EVERY
+    token is a new type has V(n) = n exactly, so the staged ln points
+    satisfy y = x and the fit must be beta = 1, intercept = 0, r2 = 1;
+    a one-type corpus has V(n) = 1, so y = 0 everywhere and the
+    degenerate-variance guard must emit beta = 0 with r2 = 0."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_text_heaps_fit
+
+    grow = [
+        Row(doc_id=0, text="a1 a2 a3", lang="en", source="s", n_chars=8),
+        Row(doc_id=1, text="b1 b2", lang="en", source="s", n_chars=5),
+        Row(doc_id=2, text="c1 c2 c3 c4", lang="en", source="s", n_chars=11),
+    ]
+    d = str(tmp_path / "grow")
+    spark.createDataFrame(grow).write.parquet(f"{d}/documents.parquet")
+    r = q_text_heaps_fit(spark, d).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.n_types) == (3, 9, 9)
+    assert r.heaps_beta == 1.0
+    assert r.heaps_intercept == 0.0
+    assert r.r2 == 1.0
+
+    flat = [
+        Row(doc_id=i, text="w w w", lang="en", source="s", n_chars=5)
+        for i in range(4)
+    ]
+    d2 = str(tmp_path / "flat")
+    spark.createDataFrame(flat).write.parquet(f"{d2}/documents.parquet")
+    r2 = q_text_heaps_fit(spark, d2).collect()[0]
+    assert (r2.n_docs, r2.n_tokens, r2.n_types) == (4, 12, 1)
+    assert r2.heaps_beta == 0.0 and r2.r2 == 0.0
+
+
+def test_heaps_fit_banded_cumsum_matches_single_window(spark, tmp_path):
+    """The banded two-phase prefix sum must equal a plain global
+    cumulative sum: force multiple bands by doc_ids straddling
+    HEAPS_BAND and cross-check the fitted numbers against a pure
+    Python OLS over the hand-built curve."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        HEAPS_BAND,
+        q_text_heaps_fit,
+    )
+
+    texts = {
+        0: "x y",
+        1: "x z q",
+        HEAPS_BAND: "x r",
+        HEAPS_BAND + 1: "s s t",
+        2 * HEAPS_BAND + 5: "u x y",
+    }
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    got = q_text_heaps_fit(spark, d).collect()[0]
+
+    # hand-built curve in doc_id order
+    seen, n, pts = set(), 0, []
+    for i in sorted(texts):
+        ws = texts[i].split(" ")
+        n += len(ws)
+        seen |= set(ws)
+        pts.append((n, len(seen)))
+    st = lambda v, p: math.floor(v * 10**p + 0.5) / 10**p
+    xs = [st(math.log(a), 6) for a, _ in pts]
+    ys = [st(math.log(b), 6) for _, b in pts]
+    k = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(st(x * x, 9) for x in xs)
+    sxy = sum(st(x * y, 9) for x, y in zip(xs, ys))
+    syy = sum(st(y * y, 9) for y in ys)
+    cov, varx, vary = k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy
+    assert got.n_docs == k and got.n_tokens == pts[-1][0]
+    assert got.n_types == pts[-1][1]
+    assert got.heaps_beta == st(cov / varx, 6)
+    assert got.heaps_intercept == st((sy - (cov / varx) * sx) / k, 6)
+    assert got.r2 == st(cov * cov / (varx * vary), 6)
+
+
+def test_rake_keywords_hand_scored(spark, tmp_path):
+    """Hand-worked RAKE arithmetic: phrases split at stopwords, word
+    score = deg/freq over candidate OCCURRENCES, phrase score = sum of
+    member-word scores, multi-word phrases outrank their members."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_rake_keywords
+
+    rows = [
+        # "deep learning" twice (split by the stopword 'of')
+        Row(doc_id=0, text="deep learning of deep learning", lang="en",
+            source="s", n_chars=30),
+        # bare "learning" once
+        Row(doc_id=1, text="learning", lang="en", source="s", n_chars=8),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    got = {r.phrase: r for r in q_rake_keywords(spark, d).collect()}
+    # occurrences: "deep learning" x2, "learning" x1
+    # deg(deep) = 2+2 = 4, freq = 2 -> 2.0
+    # deg(learning) = 2+2+1 = 5, freq = 3 -> 1.666667 (6-dp floor+0.5)
+    assert set(got) == {"deep learning", "learning"}
+    dl = got["deep learning"]
+    assert (dl.n_words, dl.freq) == (2, 2)
+    assert dl.score == 3.666667  # 2.0 + 1.666667
+    lo = got["learning"]
+    assert (lo.n_words, lo.freq) == (1, 1)
+    assert lo.score == 1.666667
+    # the multi-word phrase outranks its member word
+    assert dl.score > lo.score
+
+
+def test_rake_keywords_stopword_runs_and_topk_cut(spark, tmp_path):
+    """Consecutive stopwords delimit one break (no empty phrases), a
+    document of only stopwords contributes nothing, and the top-k cut
+    orders by (score desc, phrase)."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        RAKE_TOP_K,
+        q_rake_keywords,
+    )
+
+    rows = [
+        Row(doc_id=0, text="red car and of the red car", lang="en",
+            source="s", n_chars=27),
+        Row(doc_id=1, text="the of and a", lang="en", source="s", n_chars=12),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = q_rake_keywords(spark, d).collect()
+    assert [r.phrase for r in out] == ["red car"]
+    assert out[0].freq == 2 and out[0].n_words == 2
+    # deg(red)=deg(car)=4, freq=2 -> 2.0 each -> phrase 4.0
+    assert out[0].score == 4.0
+    assert len(out) <= RAKE_TOP_K

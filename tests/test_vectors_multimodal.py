@@ -489,3 +489,175 @@ def test_parse_wav_rejects_short_fmt_chunk_with_valueerror():
     payload = struct.pack("<4sI", b"RIFF", len(body)) + body
     with pytest.raises(ValueError):
         parse_wav(payload)
+
+
+def test_decimate_samples_floor_and_tail():
+    """Signed floor semantics (toward -inf, not truncation) and the
+    trailing partial block averaging only what remains."""
+    import numpy as np
+
+    from retail_sales_etl_spark.operators.multimodal import decimate_samples
+
+    s = np.array([-3, -2, 5, 5, 7], dtype=np.int64)
+    out = decimate_samples(s, 2)
+    # blocks: (-3,-2) -> floor(-5/2) = -3 (truncation would say -2),
+    # (5,5) -> 5, tail (7,) -> 7
+    assert out.tolist() == [-3, 5, 7]
+    assert decimate_samples(np.array([], dtype=np.int64), 3).size == 0
+    # factor 1 is identity
+    assert decimate_samples(s, 1).tolist() == s.tolist()
+
+
+def test_wav_resample_matches_python_recompute(spark, sf_dir):
+    """End-to-end through the real decode: every emitted row must equal
+    a pure-Python decode->decimate->stats recompute of the same
+    payload."""
+    import numpy as np
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        decimate_samples,
+        parse_wav,
+        q_multimodal_wav_resample,
+        synthesize_wav,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in q_multimodal_wav_resample(spark, sf_dir).collect()
+    }
+    payloads = (
+        synthesize_wav(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        )
+        .limit(40)
+        .collect()
+    )
+    assert payloads
+    for row in payloads:
+        doc_id = row.doc_id
+        m = 2 + doc_id % 4
+        rate, samples = parse_wav(bytes(row.payload))
+        out = decimate_samples(samples, m)
+        neg = out < 0
+        r = got[doc_id]
+        assert r.factor == m
+        assert r.sample_rate_out == rate // m
+        assert r.n_in == samples.size and r.n_out == out.size
+        assert r.sum_abs == int(np.abs(out).sum())
+        assert r.peak == int(np.abs(out).max())
+        assert r.sum_sq == int((out * out).sum())
+        assert r.zero_crossings == int((neg[:-1] != neg[1:]).sum())
+
+
+class TestPngCodec:
+    def _one_payload(self, spark, doc_id=5):
+        from retail_sales_etl_spark.operators.multimodal import synthesize_png
+
+        df = spark.createDataFrame([(doc_id,)], "doc_id long")
+        return bytes(synthesize_png(df).collect()[0].payload)
+
+    def test_roundtrip_matches_generator(self, spark):
+        from retail_sales_etl_spark.operators.multimodal import (
+            _ppm_dims,
+            _ppm_pixel,
+            decode_png,
+        )
+
+        for doc_id in (0, 3, 7, 11):  # dims 2x2 .. 9x7, filters vary
+            d = decode_png(self._one_payload(spark, doc_id))
+            w, h = _ppm_dims(doc_id)
+            assert (d["width"], d["height"]) == (w, h)
+            pix = [
+                _ppm_pixel(doc_id, x, y)
+                for y in range(h)
+                for x in range(w)
+            ]
+            assert d["sum_r"] == sum(p[0] for p in pix)
+            assert d["sum_g"] == sum(p[1] for p in pix)
+            assert d["sum_b"] == sum(p[2] for p in pix)
+            assert d["corner_r"] == _ppm_pixel(doc_id, 0, 0)[0]
+            assert d["n_raw_bytes"] == h * (1 + 3 * w)
+            want_mask = 0
+            for y in range(h):
+                want_mask |= 1 << ((doc_id + y) % 5)
+            assert d["filter_mask"] == want_mask
+
+    def test_all_five_filters_exercised_across_corpus(self, spark):
+        """h >= 5 payloads cycle through every filter type — the mask
+        must reach 0b11111 for at least one doc, so Sub/Up/Average/
+        Paeth unfiltering are all load-bearing in the driver proof."""
+        from retail_sales_etl_spark.operators.multimodal import decode_png
+
+        masks = {
+            doc_id: decode_png(self._one_payload(spark, doc_id))["filter_mask"]
+            for doc_id in (4, 9, 16)  # h = (doc_id % 6) + 2 >= 5
+        }
+        assert any(m == 0b11111 for m in masks.values()), masks
+
+    def test_crc_corruption_raises(self, spark):
+        import pytest
+
+        from retail_sales_etl_spark.operators.multimodal import decode_png
+
+        p = bytearray(self._one_payload(spark))
+        # flip one bit inside the IDAT data (after sig+IHDR chunk)
+        idat_at = p.index(b"IDAT")
+        p[idat_at + 6] ^= 0x01
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(p))
+
+    def test_truncated_and_wrong_variant_raise(self, spark):
+        import struct
+        import zlib
+
+        import pytest
+
+        from retail_sales_etl_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        p = self._one_payload(spark)
+        with pytest.raises(ValueError):
+            decode_png(p[:-8])  # truncated tail: IEND gone, stream cut
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"GIF89a" + p)
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        # interlaced variant must be rejected, not mis-decoded
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(bad)
+
+    def test_multiple_idat_chunks_concatenate(self, spark):
+        import struct
+        import zlib
+
+        from retail_sales_etl_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        p = self._one_payload(spark)
+        # rebuild: split the single IDAT's data into two chunks
+        idat_at = p.index(b"IDAT") - 4
+        (length,) = struct.unpack_from(">I", p, idat_at)
+        data = p[idat_at + 8 : idat_at + 8 + length]
+        head, tail = p[:idat_at], p[idat_at + 12 + length:]
+
+        def chunk(ctype, d):
+            return (
+                struct.pack(">I", len(d)) + ctype + d
+                + struct.pack(">I", zlib.crc32(ctype + d) & 0xFFFFFFFF)
+            )
+
+        rebuilt = (
+            head + chunk(b"IDAT", data[:3]) + chunk(b"IDAT", data[3:]) + tail
+        )
+        assert decode_png(rebuilt) == decode_png(p)
