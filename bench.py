@@ -258,6 +258,36 @@ def main() -> None:
     # protocols and is biased slightly low on the legacy-16 portion).
     legacy_reps = max(reps, _int_env("SPARK_GRAFT_BENCH_LEGACY_REPS", 5))
 
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    legacy_best: dict[str, float] = {}
+    for name in HEADLINE:
+        runs = []
+        for _ in range(legacy_reps if name in HEADLINE[:16] else reps):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        # uniform protocol: the headline total only ever sees the
+        # first `reps` runs; extra legacy reps feed legacy16_minof5
+        uniform = runs[:reps]
+        best = min(uniform)
+        timings[name] = round(best, 3)
+        spreads[name] = (
+            round((max(uniform) - best) / best, 3) if best > 0 else 0.0
+        )
+        if name in HEADLINE[:16]:
+            legacy_best[name] = round(min(runs), 3)
+        # Drop this query's cached subtrees before the next one: the
+        # 74-query session otherwise accumulates ~10 .cache()s, which
+        # is harmless at sf0.1 but misleading under memory pressure
+        # (and lets one query's cached RDDs skew the next's timing).
+        # Within a query's own reps caches stay warm — plan-identical
+        # cache reuse is part of the measured steady state.
+        spark.catalog.clearCache()
+
+    timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
+
     # Tier-2 rotation: every registry entry not in HEADLINE gets a
     # timing at least every ROTATION rounds, so a perf regression in
     # the long tail (Q5-Q22 analogs, windows, cohorts, profiling)
@@ -325,12 +355,15 @@ def main() -> None:
         round_idx = (last_slice + 1) % ROTATION
     pool = sorted(n for n in queries if n not in HEADLINE)
     tier2_names = pool[round_idx::ROTATION]
-    # Tier-2 runs FIRST — before the 86xN headline repetitions heat
-    # the box — because its entries are single-rep and were the part
-    # of the r13 driver artifact ambient load inflated 2-4x (the box
-    # hit loadavg 17 by the time the slice ran). A slow-looking first
-    # rep (> TIER2_REREP_SEC) gets one more rep and reports the min,
-    # so a transient spike can't fake a tail regression either way.
+    # Tier-2 noise hardening: a slow-looking first rep
+    # (> TIER2_REREP_SEC) gets one more rep and reports the min, so a
+    # transient spike can't fake a tail regression (the r13 driver
+    # artifact inflated the single-rep slice 2-4x at loadavg 17).
+    # Tier-2 deliberately runs AFTER the headline loop: an r14
+    # experiment that ran it first left the JVM so hot (48 diverse
+    # plans of codegen classes + GC debt) that the headline portion
+    # measured ~1.5x slower across UNTOUCHED queries — ordering is
+    # part of the cross-round protocol, so it stays fixed.
     TIER2_REREP_SEC = 3.0
     tier2: dict[str, float] = {}
     tier2_reruns: list[str] = []
@@ -348,36 +381,6 @@ def main() -> None:
         tier2[name] = round(t, 3)
         spark.catalog.clearCache()
     load_tier2 = _loadavg()  # box state when tier-2 finished
-
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    legacy_best: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(legacy_reps if name in HEADLINE[:16] else reps):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        # uniform protocol: the headline total only ever sees the
-        # first `reps` runs; extra legacy reps feed legacy16_minof5
-        uniform = runs[:reps]
-        best = min(uniform)
-        timings[name] = round(best, 3)
-        spreads[name] = (
-            round((max(uniform) - best) / best, 3) if best > 0 else 0.0
-        )
-        if name in HEADLINE[:16]:
-            legacy_best[name] = round(min(runs), 3)
-        # Drop this query's cached subtrees before the next one: the
-        # 74-query session otherwise accumulates ~10 .cache()s, which
-        # is harmless at sf0.1 but misleading under memory pressure
-        # (and lets one query's cached RDDs skew the next's timing).
-        # Within a query's own reps caches stay warm — plan-identical
-        # cache reuse is part of the measured steady state.
-        spark.catalog.clearCache()
-
-    timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     tier2_total = round(sum(tier2.values()), 3)

@@ -728,11 +728,7 @@ def _dedup_sink_commit(
 
     idx = LakehouseTable(spark, index_path)
     verd = LakehouseTable(spark, verdicts_path)
-    keys = None
-    if probe_column is not None and probe_keys is not None:
-        collected = probe_keys.distinct().limit(_PROBE_PRUNE_CAP + 1).collect()
-        if len(collected) <= _PROBE_PRUNE_CAP:
-            keys = [r[0] for r in collected]
+    keys = ()  # () = not collected yet; None = collected, over cap
     for _ in range(3):
         rv_i = idx.latest_version()
         hwm_i = idx.latest_value("batch_hwm", as_of=rv_i)
@@ -740,10 +736,24 @@ def _dedup_sink_commit(
             return False  # fully landed (the index commits last)
         if rv_i is None:
             seen = spark.createDataFrame([], empty_index_schema)
-        elif keys is not None:
-            seen = idx.read_where_in(probe_column, keys, version=rv_i)
         else:
-            seen = idx.read(version=rv_i)
+            if keys == () and probe_column is not None and probe_keys is not None:
+                # collected lazily: the very first batch has no index
+                # to probe, so it never pays the key-collection job
+                collected = (
+                    probe_keys.distinct()
+                    .limit(_PROBE_PRUNE_CAP + 1)
+                    .collect()
+                )
+                keys = (
+                    [r[0] for r in collected]
+                    if len(collected) <= _PROBE_PRUNE_CAP
+                    else None
+                )
+            if keys:
+                seen = idx.read_where_in(probe_column, keys, version=rv_i)
+            else:
+                seen = idx.read(version=rv_i)
         partners = (
             partner_pairs(seen)
             .groupBy("doc_id")
@@ -1769,13 +1779,13 @@ def q_streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    # optimize_every exercises the FULL maintained-index lifecycle in
-    # the driver proof: mid-stream Z-ORDER compaction by band_key, then
-    # later batches probing the clustered index through the
-    # stats-pruned read_where_in path
+    # optimize_every=3 exercises the FULL maintained-index lifecycle
+    # in the driver proof at ONE compaction's cost: the cycle Z-ORDERS
+    # the index by band_key after batch 2, and batch 3 probes the
+    # clustered index through the stats-pruned read_where_in path
     maintain_lsh_dedup(
         stream, f"{work}/sigs", f"{work}/verdicts", f"{work}/ckpt",
-        optimize_every=2,
+        optimize_every=3,
     ).awaitTermination()
     return LakehouseTable(spark, f"{work}/verdicts").read().select(
         "doc_id", "is_dup", "dup_of", "n_dup_sources"
@@ -1830,11 +1840,11 @@ def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    # optimize_every: the driver proof covers the Z-ORDER (by phash) +
-    # stats-pruned probe lifecycle, as in q_streaming_dedup_lsh
+    # optimize_every=3: one mid-stream Z-ORDER (by phash) with the
+    # last batch probing the clustered index, as in q_streaming_dedup_lsh
     maintain_phash_dedup(
         stream, f"{work}/index", f"{work}/verdicts", f"{work}/ckpt",
-        optimize_every=2,
+        optimize_every=3,
     ).awaitTermination()
     return LakehouseTable(spark, f"{work}/verdicts").read().select(
         "doc_id", "is_dup", "dup_of", "n_dup_sources"
@@ -2886,7 +2896,7 @@ def q_streaming_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/state",
         f"{work}/matrix",
         f"{work}/ckpt",
-        optimize_every=2,
+        optimize_every=3,
     ).awaitTermination()
     grid = LakehouseTable(spark, f"{work}/matrix").read()
     wg = Window.partitionBy("cohort_m")
