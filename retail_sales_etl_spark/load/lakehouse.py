@@ -759,6 +759,16 @@ class LakehouseTable:
         log arithmetic — values are sorted once, then each file is one
         binary search (O(F log K)); no file footer is opened and no
         Spark job runs."""
+        keep, n_live, _last = self._prune_files_in(column, values, version)
+        return keep, n_live
+
+    def _prune_files_in(
+        self, column: str, values, version: int | None = None
+    ) -> tuple[list[str], int, dict | None]:
+        """``prune_files_in`` plus the newest log entry — one log
+        replay serves both the prune and a subsequent schema lookup
+        (``read_where_in`` calls this so the per-batch probe hot path
+        replays the commit log once, not twice)."""
         import bisect
 
         live, last, stats = self._replay_stats(as_of=version)
@@ -775,7 +785,7 @@ class LakehouseTable:
             }
         )
         if not vals:
-            return [], len(live)
+            return [], len(live), last
         keep = []
         for f in live:
             s = stats.get(f, {}).get(column)
@@ -788,7 +798,7 @@ class LakehouseTable:
             i = bisect.bisect_left(vals, mn)
             if i < len(vals) and vals[i] <= mx:
                 keep.append(f)
-        return keep, len(live)
+        return keep, len(live), last
 
     def read_where_in(
         self, column: str, values, version: int | None = None
@@ -808,8 +818,8 @@ class LakehouseTable:
         broadcast join ships the same keys in one hop and keeps the
         scan inside WholeStageCodegen — identical row semantics (NULL
         matches neither way)."""
-        keep, _ = self.prune_files_in(column, values, version=version)
-        _, last = self._resolve_files(version)
+        values = list(values)  # a one-shot iterable is consumed twice
+        keep, _, last = self._prune_files_in(column, values, version)
         schema = StructType.fromJson(json.loads(last["schema"]))
         if not keep:
             df = self.spark.createDataFrame([], schema)

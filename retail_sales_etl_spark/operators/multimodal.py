@@ -1531,6 +1531,17 @@ PNG_MIME = "image/png"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor with the spec's exact tie-break order —
+    ONE shared copy for the generator and the decoder (they must agree
+    bit-for-bit; the oracle stays an independent formulation)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
 def synthesize_png(docs: DataFrame) -> DataFrame:
     """One REAL PNG payload per document from the SHARED closed-form
     pixel generator (``_ppm_pixel`` — same raster as the PPM/BMP
@@ -1550,13 +1561,6 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
             + data
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
-
-    def _paeth(a: int, b: int, c: int) -> int:
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        if pa <= pb and pa <= pc:
-            return a
-        return b if pb <= pc else c
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1667,13 +1671,6 @@ def decode_png(payload: bytes) -> dict:
     rowlen = 3 * width
     if len(stream) != height * (1 + rowlen):
         raise ValueError("scanline stream length mismatch")
-
-    def _paeth(a: int, b: int, c: int) -> int:
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        if pa <= pb and pa <= pc:
-            return a
-        return b if pb <= pc else c
 
     sum_r = sum_g = sum_b = 0
     filter_mask = 0

@@ -2508,11 +2508,16 @@ _COHORT_FIRSTS_SCHEMA = "o_custkey bigint, cohort_m bigint"
 _COHORT_STATE_SCHEMA = f"o_custkey bigint, mkey bigint, rev {_IVM_DEC}"
 
 
-def _version_landed(table, batch_id: int, read_version):
+def _version_landed(table, batch_id: int, read_version, hwm):
     """The commit VERSION at which ``batch_id`` landed on ``table`` (at
     or below ``read_version``), or None — the exact-scan sibling of
     ``_landed_on`` for callers that must read the PRE-batch snapshot on
-    a replay (version - 1), not merely detect the replay."""
+    a replay (version - 1), not merely detect the replay. Same O(1)
+    steady-state fast path: a batch ABOVE the watermark has certainly
+    not landed, so the full history scan runs only on replay-suspect
+    batches (restarts), never per hot-path batch."""
+    if hwm is None or batch_id > hwm:
+        return None
     for e in table.history():
         if e.get("batch_id") == batch_id and (
             read_version is None or e["version"] <= read_version
@@ -2587,24 +2592,30 @@ def cohort_ltv_sink(
         .agg(F.sum("price").cast(_IVM_DEC).alias("rev"))
         .cache()
     )
-    collected = (
-        partial.select("o_custkey")
-        .distinct()
-        .limit(_PROBE_PRUNE_CAP + 1)
-        .collect()
-    )
-    cust_keys = (
-        [r[0] for r in collected]
-        if len(collected) <= _PROBE_PRUNE_CAP
-        else None
-    )
+    cust_keys = ()  # () = not collected yet; None = collected, over cap
     firsts = LakehouseTable(spark, firsts_path)
     state = LakehouseTable(spark, state_path)
     matrix = LakehouseTable(spark, matrix_path)
 
     def _read_custs(table, schema: str, version):
+        # keys collected lazily, on the first read that can use them —
+        # batch 0 (no tables yet) and fully-landed replays never pay
+        # the collection job (the _dedup_sink_commit discipline)
+        nonlocal cust_keys
         if version is None:
             return spark.createDataFrame([], schema)
+        if cust_keys == ():
+            collected = (
+                partial.select("o_custkey")
+                .distinct()
+                .limit(_PROBE_PRUNE_CAP + 1)
+                .collect()
+            )
+            cust_keys = (
+                [r[0] for r in collected]
+                if len(collected) <= _PROBE_PRUNE_CAP
+                else None
+            )
         if cust_keys is not None:
             return table.read_where_in(
                 "o_custkey", cust_keys, version=version
@@ -2633,7 +2644,7 @@ def cohort_ltv_sink(
             # be computed against the snapshot BEFORE it — at the
             # current snapshot the batch's own pairs would read as
             # pre-existing and the replayed n_active delta would be 0.
-            v_s_landed = _version_landed(state, batch_id, rv_s)
+            v_s_landed = _version_landed(state, batch_id, rv_s, hwm_s)
             state_pin = (
                 v_s_landed - 1 if v_s_landed is not None else rv_s
             )
@@ -2714,6 +2725,7 @@ def cohort_ltv_sink(
                                 extra=_stamp(batch_id, hwm_s),
                                 conflict_on="batch_id",
                                 read_version=rv_s,
+                                monotone_max=("batch_hwm",),
                             )
                         else:
                             state.merge(
@@ -2772,6 +2784,7 @@ def cohort_ltv_sink(
                         extra=_stamp(batch_id, hwm_m),
                         conflict_on="batch_id",
                         read_version=rv_m,
+                        monotone_max=("batch_hwm",),
                     )
                 else:
                     matrix.merge(
