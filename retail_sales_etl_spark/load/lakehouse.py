@@ -79,6 +79,7 @@ _RESERVED_ENTRY_KEYS = frozenset(
         "files_before",
         "files_after",
         "zorder_by",
+        "zorder_gens",
         "retained",
     }
 )
@@ -817,19 +818,42 @@ class LakehouseTable:
         per call (measured ~12s at 15k keys), while a one-column
         broadcast join ships the same keys in one hop and keeps the
         scan inside WholeStageCodegen — identical row semantics (NULL
-        matches neither way)."""
+        matches neither way).
+
+        Probe values are coerced to the column's logical type with the
+        same contract as ``read_where``'s bounds: a ``'2020-01-01'``
+        string against a date/timestamp column probes the rows that
+        date/timestamp equals (the prune already normalized it; the
+        residual join must agree, not reject the string)."""
         values = list(values)  # a one-shot iterable is consumed twice
         keep, _, last = self._prune_files_in(column, values, version)
+        if last is None:
+            raise FileNotFoundError(f"No lakehouse log at {self.log_dir}")
         schema = StructType.fromJson(json.loads(last["schema"]))
         if not keep:
             df = self.spark.createDataFrame([], schema)
         else:
             paths = [os.path.join(self.path, f) for f in keep]
             df = self.spark.read.schema(schema).parquet(*paths)
-        vals = list({v for v in values if v is not None})
+        vals = {v for v in values if v is not None}
         if not vals:
             return df.where(F.lit(False))
         field = next(f for f in schema.fields if f.name == column)
+        t = field.dataType.typeName()
+        if t == "date":
+            import datetime as dt
+
+            vals = {
+                dt.date.fromisoformat(_normalize_bound(column, v, schema))
+                for v in vals
+            }
+        elif t in ("timestamp", "timestamp_ntz"):
+            import datetime as dt
+
+            vals = {
+                dt.datetime.fromisoformat(_normalize_bound(column, v, schema))
+                for v in vals
+            }
         keys_df = self.spark.createDataFrame(
             [(v,) for v in vals], StructType([field])
         )
@@ -932,21 +956,16 @@ class LakehouseTable:
 
     # ----------------------------------------------------- optimize/vacuum
 
-    def optimize(
-        self, target_files: int = 1, zorder_by: Sequence[str] | None = None
-    ) -> dict:
-        """Compaction as a metadata swap: coalesce the live files into
-        ``target_files`` new files and commit add+remove atomically.
-        Readers pinned to older versions keep working — their files
-        are removed from the LOG, not the disk (that's VACUUM).
-
-        ``zorder_by`` additionally CLUSTERS the rewrite on a Z-order
-        (Morton) curve over the given numeric columns: each column is
-        bucketed into 8-bit cells (equal-width over its min/max — one
-        broadcast aggregate, fully map-side after that; production
-        systems refine this with sampled rank boundaries under heavy
-        skew) and the bits interleaved, then rows range-partition by
-        the curve. Rows close in EVERY dimension land in the same
+    def _zorder_cluster(
+        self, df: DataFrame, zorder_by: Sequence[str], target_files: int
+    ) -> DataFrame:
+        """CLUSTER ``df`` on a Z-order (Morton) curve over the given
+        columns: each column is bucketed into 8-bit cells (equal-width
+        over its min/max — one broadcast aggregate, fully map-side
+        after that; production systems refine this with sampled rank
+        boundaries under heavy skew) and the bits interleaved, then
+        rows range-partition by the curve into ``target_files``
+        partitions. Rows close in EVERY dimension land in the same
         file, so per-file min/max footers become tight in all
         Z-ordered columns at once and a reader's filter on ANY of them
         prunes files — the published lakehouse data-skipping layout,
@@ -960,66 +979,157 @@ class LakehouseTable:
         ``prune_files``/``read_where`` comparisons are exact; ties
         beyond the 7-byte prefix only loosen file boundaries, never
         correctness — which is all an equality-probe workload (e.g. an
-        LSH band index) needs from clustering.
-        """
+        LSH band index) needs from clustering."""
+        bits = 8
+        dtypes = dict(df.dtypes)
+
+        def _zsrc(c):
+            if dtypes.get(c) == "string":
+                return F.conv(
+                    F.rpad(
+                        F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, 7)),
+                        14,
+                        "0",
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+            return F.col(c).cast("double")
+
+        stats = df.agg(
+            *[
+                f
+                for c in zorder_by
+                for f in (
+                    F.min(_zsrc(c)).alias(f"__mn_{c}"),
+                    F.max(_zsrc(c)).alias(f"__mx_{c}"),
+                )
+            ]
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        for c in zorder_by:
+            span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+            frac = F.when(span > 0, (
+                _zsrc(c) - F.col(f"__mn_{c}")
+            ) / span).otherwise(F.lit(0.0))
+            cell = F.least(
+                F.floor(frac * (2**bits)).cast("long"), F.lit(2**bits - 1)
+            )
+            out = out.withColumn(f"__cell_{c}", F.coalesce(cell, F.lit(0)))
+        z = F.lit(0).cast("long")
+        for b in range(bits - 1, -1, -1):
+            for c in zorder_by:
+                bit = F.shiftright(F.col(f"__cell_{c}"), b).bitwiseAND(1)
+                z = F.shiftleft(z, 1).bitwiseOR(bit.cast("long"))
+        helper = [f"__cell_{c}" for c in zorder_by] + [
+            f"__mn_{c}" for c in zorder_by
+        ] + [f"__mx_{c}" for c in zorder_by]
+        return (
+            out.withColumn("__z", z)
+            .repartitionByRange(max(target_files, 1), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", *helper)
+        )
+
+    def optimize(
+        self,
+        target_files: int = 1,
+        zorder_by: Sequence[str] | None = None,
+        incremental: bool = False,
+        max_generations: int = 8,
+    ) -> dict:
+        """Compaction as a metadata swap: rewrite live files into
+        ``target_files`` new files (clustered when ``zorder_by`` is
+        given — see ``_zorder_cluster``) and commit add+remove
+        atomically. Readers pinned to older versions keep working —
+        their files are removed from the LOG, not the disk (that's
+        VACUUM).
+
+        ``incremental=False`` (default) rewrites the FULL live set —
+        the one-shot layout command. A continuously maintained index
+        (a streaming sink Z-ordering its probe table every N batches)
+        cannot pay that: on a growing table a full rewrite per cycle
+        is amortized O(table) bytes WRITTEN per batch. For that
+        workload ``incremental=True`` applies the LSM/size-tiered
+        idea to clustering instead:
+
+        - the table's live files are partitioned into clustered
+          GENERATIONS (tracked in the commit log under
+          ``zorder_gens``, a list of file-name lists that survives
+          ``clean_log`` via checkpoint ``key_values``) plus the
+          unclustered appends landed since the last cycle;
+        - each cycle Z-order-rewrites ONLY the unclustered appends
+          into a new generation — per-cycle write volume is bounded
+          by recent-append volume, never by table size (``read_where_in``
+          prunes by per-file stats, so multiple sorted generations
+          compose for free: a point probe opens at most one narrow
+          file per generation);
+        - when the generation count would exceed ``max_generations``,
+          the SMALLEST generations (by on-disk bytes — the
+          size-tiered merge policy) fold into the new rewrite so the
+          count stays bounded; total write amplification per ingested
+          byte stays O(max_generations · log N) instead of the full
+          rewrite's O(N/cycle).
+
+        Files rewritten by a later MERGE drop out of their generation
+        (the manifest is intersected with the live set each cycle) and
+        their replacements re-cluster as ordinary appends. A full
+        (non-incremental) ``optimize`` resets the manifest to the
+        single generation it produces. Rows never change either way —
+        only layout; a no-op cycle (nothing unclustered) commits
+        nothing and returns ``{"noop": True}``."""
         read_version = self.latest_version()
         live, last = self._resolve_files(None)
-        df = self.read()
-        n_before = df.count()
-        out = df
-        if zorder_by:
-            bits = 8
-            dtypes = dict(df.dtypes)
+        rewrite = live
+        gens_kept: list[list[str]] = []
+        if incremental:
+            if not zorder_by:
+                raise ValueError("incremental optimize requires zorder_by")
+            live_set = set(live)
+            prev = self.latest_value("zorder_gens", as_of=read_version) or []
+            gens = [
+                kept
+                for g in prev
+                if (kept := [f for f in g if f in live_set])
+            ]
+            clustered = {f for g in gens for f in g}
+            unclustered = [f for f in live if f not in clustered]
+            if not unclustered:
+                return {
+                    "version": read_version,
+                    "files_before": len(live),
+                    "files_after": len(live),
+                    "noop": True,
+                }
+            n_merge = max(0, len(gens) + 1 - max_generations)
+            if n_merge:
+                def _gen_bytes(g):
+                    total = 0
+                    for f in g:
+                        try:
+                            total += os.path.getsize(os.path.join(self.path, f))
+                        except OSError:
+                            pass
+                    return total
 
-            def _zsrc(c):
-                if dtypes.get(c) == "string":
-                    return F.conv(
-                        F.rpad(
-                            F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, 7)),
-                            14,
-                            "0",
-                        ),
-                        16,
-                        10,
-                    ).cast("double")
-                return F.col(c).cast("double")
-
-            stats = df.agg(
-                *[
-                    f
-                    for c in zorder_by
-                    for f in (
-                        F.min(_zsrc(c)).alias(f"__mn_{c}"),
-                        F.max(_zsrc(c)).alias(f"__mx_{c}"),
-                    )
-                ]
-            )
-            out = df.crossJoin(F.broadcast(stats))
-            for c in zorder_by:
-                span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
-                frac = F.when(span > 0, (
-                    _zsrc(c) - F.col(f"__mn_{c}")
-                ) / span).otherwise(F.lit(0.0))
-                cell = F.least(
-                    F.floor(frac * (2**bits)).cast("long"), F.lit(2**bits - 1)
-                )
-                out = out.withColumn(f"__cell_{c}", F.coalesce(cell, F.lit(0)))
-            z = F.lit(0).cast("long")
-            for b in range(bits - 1, -1, -1):
-                for c in zorder_by:
-                    bit = F.shiftright(F.col(f"__cell_{c}"), b).bitwiseAND(1)
-                    z = F.shiftleft(z, 1).bitwiseOR(bit.cast("long"))
-            helper = [f"__cell_{c}" for c in zorder_by] + [
-                f"__mn_{c}" for c in zorder_by
-            ] + [f"__mx_{c}" for c in zorder_by]
-            out = (
-                out.withColumn("__z", z)
-                .repartitionByRange(max(target_files, 1), "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z", *helper)
+                by_size = sorted(gens, key=_gen_bytes)
+                folded, gens_kept = by_size[:n_merge], by_size[n_merge:]
+                rewrite = unclustered + [f for g in folded for f in g]
+            else:
+                gens_kept = gens
+                rewrite = unclustered
+        schema = StructType.fromJson(json.loads(last["schema"]))
+        if rewrite:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in rewrite]
             )
         else:
-            out = out.coalesce(target_files)
+            df = self.spark.createDataFrame([], schema)
+        n_before = df.count()
+        if zorder_by:
+            out = self._zorder_cluster(df, zorder_by, target_files)
+        else:
+            out = df.coalesce(target_files)
         files, n, stats = self._stage_files(out)
         if n != n_before:
             for f in files:
@@ -1028,14 +1138,24 @@ class LakehouseTable:
         entry = {
             "operation": "optimize",
             "add": files,
-            "remove": live,
+            "remove": rewrite,
             "schema": last["schema"],
             "rows_written": n,
             "stats": stats,
             "zorder_by": list(zorder_by) if zorder_by else None,
+            "zorder_gens": (
+                gens_kept + [files] if zorder_by else []
+            ),
         }
         v = self._try_commit(entry, read_version)
-        return {"version": v, "files_before": len(live), "files_after": len(files)}
+        return {
+            "version": v,
+            "files_before": len(live),
+            "files_after": len(live) - len(rewrite) + len(files),
+            "files_rewritten": len(rewrite),
+            "rows_rewritten": n,
+            "generations": len(entry["zorder_gens"]),
+        }
 
     def restore(self, version: int) -> dict:
         """RESTORE TABLE ... TO VERSION (the Delta/Iceberg rollback

@@ -745,11 +745,27 @@ def _dedup_sink_commit(
                     .limit(_PROBE_PRUNE_CAP + 1)
                     .collect()
                 )
-                keys = (
-                    [r[0] for r in collected]
-                    if len(collected) <= _PROBE_PRUNE_CAP
-                    else None
-                )
+                if len(collected) <= _PROBE_PRUNE_CAP:
+                    keys = [r[0] for r in collected]
+                else:
+                    # LOUD on the safety valve (the _landed_on
+                    # loudness standard): the fallback is correct but
+                    # reintroduces the O(corpus) full-index scan for
+                    # this batch, and a silent one reads as "pruned".
+                    keys = None
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "%s: batch %s carries more than %s distinct "
+                        "%r probe keys — falling back to the FULL "
+                        "pinned index read for this batch (file "
+                        "pruning skipped; consider smaller "
+                        "micro-batches).",
+                        name,
+                        batch_id,
+                        _PROBE_PRUNE_CAP,
+                        probe_column,
+                    )
             if keys:
                 seen = idx.read_where_in(probe_column, keys, version=rv_i)
             else:
@@ -929,6 +945,7 @@ def maintain_lsh_dedup(
     log_retention: int | None = None,
     optimize_every: int | None = None,
     optimize_files: int = 8,
+    optimize_max_generations: int = 8,
 ):
     """Run the incremental LSH dedup sink under foreachBatch
     (availableNow) — the streaming twin of ``dedup_minhash_lsh``.
@@ -938,14 +955,21 @@ def maintain_lsh_dedup(
     accumulates one small file per micro-batch forever, and the
     per-batch probe join opens O(batches) files instead of O(1) — the
     standard streaming-ingest small-file problem, solved the standard
-    lakehouse way. The compaction Z-ORDERS the rewrite by ``band_key``
-    into ``optimize_files`` files (size for ~128 MB-1 GB each at the
-    target corpus), so each file's band_key [min, max] footer is
-    tight and the sink's per-batch probe (``read_where_in`` on the
-    batch's band keys) opens only the few clustered files a probe key
-    can live in plus the not-yet-compacted recent appends — WITHOUT
-    this cycle the probe still answers correctly but degrades to
-    scanning the full index per batch. Compaction commits carry no
+    lakehouse way. The compaction is INCREMENTAL, Z-ordered by
+    ``band_key``: each cycle clusters ONLY the band rows appended
+    since the last cycle into a new clustered generation of
+    ``optimize_files`` files (size for ~128 MB-1 GB each at the
+    target corpus), folding the smallest generations together when
+    the count exceeds ``max_generations`` (size-tiered merging — see
+    ``LakehouseTable.optimize``), so the per-cycle write volume is
+    bounded by recent-APPEND volume, never by index size (a full
+    rewrite per cycle would be amortized O(corpus) written per batch
+    on a growing index). Each generation's band_key [min, max]
+    footers stay tight, so the sink's per-batch probe
+    (``read_where_in`` on the batch's band keys) opens at most a few
+    files per generation plus the not-yet-compacted recent appends —
+    WITHOUT this cycle the probe still answers correctly but degrades
+    to scanning the full index per batch. Compaction commits carry no
     batch_id, so they never collide with the exactly-once watermark; a
     probe pinned to an older version keeps its files (OPTIMIZE removes
     from the log, not the disk). If ``log_retention`` is set on these
@@ -960,7 +984,10 @@ def maintain_lsh_dedup(
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             try:
                 LakehouseTable(spark, sigs_path).optimize(
-                    target_files=optimize_files, zorder_by=["band_key"]
+                    target_files=optimize_files,
+                    zorder_by=["band_key"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
                 )
             except ConcurrentWriteError:
                 pass  # best-effort maintenance; the next cycle retries
@@ -1104,13 +1131,17 @@ def maintain_phash_dedup(
     log_retention: int | None = None,
     optimize_every: int | None = None,
     optimize_files: int = 8,
+    optimize_max_generations: int = 8,
 ):
     """Run the incremental perceptual-hash dedup sink under
     foreachBatch (availableNow) — the streaming image-side twin of
-    ``maintain_lsh_dedup``, with the same optional index compaction
-    (``optimize_every``, Z-ordered by ``phash`` into
-    ``optimize_files`` files so the per-batch 13-mask probe reads
-    file-pruned — see ``maintain_lsh_dedup``) and metadata retention
+    ``maintain_lsh_dedup``, with the same INCREMENTAL index
+    compaction (``optimize_every``: each cycle Z-orders only the
+    appends since the last cycle by ``phash`` into a new clustered
+    generation of ``optimize_files`` files, size-tiered generation
+    merging — per-cycle writes bounded by recent-append volume, so
+    the per-batch 13-mask probe reads file-pruned; see
+    ``maintain_lsh_dedup``) and metadata retention
     (``log_retention``; size above worst-case batch lag under
     independent writers, see ``_landed_on``) maintenance hooks."""
 
@@ -1122,7 +1153,10 @@ def maintain_phash_dedup(
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             try:
                 LakehouseTable(spark, index_path).optimize(
-                    target_files=optimize_files, zorder_by=["phash"]
+                    target_files=optimize_files,
+                    zorder_by=["phash"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
                 )
             except ConcurrentWriteError:
                 pass  # best-effort maintenance; the next cycle retries
@@ -2611,11 +2645,23 @@ def cohort_ltv_sink(
                 .limit(_PROBE_PRUNE_CAP + 1)
                 .collect()
             )
-            cust_keys = (
-                [r[0] for r in collected]
-                if len(collected) <= _PROBE_PRUNE_CAP
-                else None
-            )
+            if len(collected) <= _PROBE_PRUNE_CAP:
+                cust_keys = [r[0] for r in collected]
+            else:
+                # LOUD safety valve (the _dedup_sink_commit standard):
+                # correct, but this batch's state/firsts reads scan
+                # the full tables instead of the pruned file set.
+                cust_keys = None
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cohort_ltv_sink: batch %s touches more than %s "
+                    "distinct customers — falling back to FULL "
+                    "pinned reads of the customer-keyed tables for "
+                    "this batch (file pruning skipped).",
+                    batch_id,
+                    _PROBE_PRUNE_CAP,
+                )
         if cust_keys is not None:
             return table.read_where_in(
                 "o_custkey", cust_keys, version=version
@@ -2648,6 +2694,36 @@ def cohort_ltv_sink(
             state_pin = (
                 v_s_landed - 1 if v_s_landed is not None else rv_s
             )
+            if v_s_landed is None and hwm_s is not None and batch_id <= hwm_s:
+                svs = state._versions()
+                if svs and svs[0] > 1:
+                    # LOUD on the undecidable rewind (the _landed_on
+                    # loudness standard): the watermark says this
+                    # batch's state merge may have landed, but
+                    # clean_log pruned the commit that would locate
+                    # it — the rewind cannot run, so if this IS a
+                    # replay of a crash between the state and matrix
+                    # commits, the batch's own pairs read as
+                    # pre-existing and the merged matrix delta
+                    # permanently undercounts n_active. Size
+                    # clean_log retain_versions above the worst-case
+                    # replay/batch lag (see maintain_cohort_ltv).
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "cohort_ltv_sink(%s): batch_id=%s is at or "
+                        "below the state watermark (%s) but its "
+                        "commit is not in the TRUNCATED state log "
+                        "(oldest surviving commit=%s) — cannot "
+                        "rewind to the pre-batch snapshot; a replay "
+                        "of a state-then-crash batch will undercount "
+                        "n_active. Size clean_log retain_versions "
+                        "above the worst-case replay lag.",
+                        state_path,
+                        batch_id,
+                        hwm_s,
+                        svs[0],
+                    )
             # known and joined are each consumed by several downstream
             # plans (anti-join + cohort union; state pair rows + the
             # matrix delta) — cache them so the probe reads against
@@ -2817,13 +2893,29 @@ def maintain_cohort_ltv(
     log_retention: int | None = None,
     optimize_every: int | None = None,
     optimize_files: int = 8,
+    optimize_max_generations: int = 8,
 ):
     """Run the cohort-LTV IVM sink under foreachBatch (availableNow).
     ``optimize_every=N`` compacts BOTH customer-keyed tables every N
-    batches, Z-ordered by o_custkey into ``optimize_files`` files, so
-    the per-batch customer-probe reads (``read_where_in``) stay
-    file-pruned as the customer population grows — the
-    ``maintain_lsh_dedup`` maintenance discipline on the cohort state."""
+    batches — INCREMENTALLY, Z-ordered by o_custkey: each cycle
+    clusters only the files added since the last cycle (appends AND
+    merge-rewritten state files, which drop out of their generation)
+    into a new generation of ``optimize_files`` files, size-tiered
+    generation merging (see ``LakehouseTable.optimize``) — so the
+    per-batch customer-probe reads (``read_where_in``) stay
+    file-pruned as the customer population grows while per-cycle
+    write volume stays bounded by recent-change volume, not table
+    size — the ``maintain_lsh_dedup`` maintenance discipline on the
+    cohort state.
+
+    If ``log_retention`` is set, size it above the worst-case
+    replay/batch lag: the sink's crash-replay REWIND (recomputing the
+    matrix delta against the pre-batch state snapshot) needs the
+    batch's own state commit to still be in the log — a replay
+    arriving after clean_log pruned that commit cannot rewind and
+    logs a loud warning while the merged matrix delta undercounts
+    n_active (see ``cohort_ltv_sink``; the ``_landed_on`` sizing
+    contract)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
@@ -2838,6 +2930,8 @@ def maintain_cohort_ltv(
                     LakehouseTable(spark, path).optimize(
                         target_files=optimize_files,
                         zorder_by=["o_custkey"],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
                     )
                 except ConcurrentWriteError:
                     pass  # best-effort maintenance; the next cycle retries

@@ -973,7 +973,11 @@ def test_lsh_dedup_sink_optimize_bounds_index_files(spark, tmp_path):
     """With optimize_every=2, the signature table's live-file count
     stays bounded as micro-batches accumulate (the streaming
     small-file problem), verdicts still land once per doc, and the
-    compaction commit never disturbs the exactly-once watermark."""
+    compaction commit never disturbs the exactly-once watermark.
+    Under incremental clustering the bound is max_generations x
+    optimize_files plus the not-yet-compacted appends; with
+    optimize_max_generations=1 every cycle folds into one generation
+    (the old full-rewrite layout, now an explicit knob)."""
     import glob
 
     from pyspark.sql import functions as F
@@ -1001,7 +1005,7 @@ def test_lsh_dedup_sink_optimize_bounds_index_files(spark, tmp_path):
     verd = str(tmp_path / "verd")
     streaming_events.maintain_lsh_dedup(
         stream, sigs, verd, str(tmp_path / "ckpt"), optimize_every=2,
-        optimize_files=2,
+        optimize_files=2, optimize_max_generations=1,
     ).awaitTermination()
     table = LakehouseTable(spark, sigs)
     live = table.read().inputFiles()
@@ -1013,6 +1017,57 @@ def test_lsh_dedup_sink_optimize_bounds_index_files(spark, tmp_path):
                if e.get("operation") == "optimize"]
     assert zorders and all(z == ["band_key"] for z in zorders)
     assert table.read().count() == 40 * 4  # 4 band rows per doc
+    assert LakehouseTable(spark, verd).read().count() == 40
+
+
+def test_maintain_lsh_dedup_write_amp_bounded_by_appends(spark, tmp_path):
+    """The r14 write-amplification contract ON A MULTI-BATCH STREAM:
+    every optimize cycle's rows_written is the band rows APPENDED
+    since the previous cycle — flat across cycles — while the index
+    itself keeps growing. The old full rewrite would show rows_written
+    growing with the index (40, 80, 120, 160); incremental tiered
+    clustering pins it at the per-cycle append volume. The probe
+    surface stays exact: every doc still gets one verdict."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    src = str(tmp_path / "src")
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique doc number "), F.col("id").cast("string"),
+            F.lit(" with enough words to form shingles here"),
+        ).alias("text"),
+    )
+    for i in range(8):
+        docs.filter((F.col("doc_id") % 8) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sigs = str(tmp_path / "sigs")
+    verd = str(tmp_path / "verd")
+    streaming_events.maintain_lsh_dedup(
+        stream, sigs, verd, str(tmp_path / "ckpt"), optimize_every=2,
+        optimize_files=1,
+    ).awaitTermination()
+    table = LakehouseTable(spark, sigs)
+    rewrites = [
+        e["rows_written"]
+        for e in table.history()
+        if e.get("operation") == "optimize"
+    ]
+    # 5 docs x 4 bands = 20 band rows per batch; each of the 4 cycles
+    # rewrites exactly the 2 batches landed since the last one (40
+    # rows) even though the index grows 40 -> 160 rows underneath
+    assert rewrites == [40, 40, 40, 40], rewrites
+    assert table.read().count() == 160
+    gens = table.latest_value("zorder_gens")
+    assert len(gens) == 4
     assert LakehouseTable(spark, verd).read().count() == 40
 
 
