@@ -1561,3 +1561,171 @@ ORACLE["revenue_runs_test"] = f"""
            END AS z_score
     FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue_periodogram — epoch-folding variance-ratio spectrum over the
+# daily revenue grid: seasonal strength at every integer period
+# ---------------------------------------------------------------------------
+
+PERIOD_MIN = 2
+PERIOD_MAX = 30
+
+
+def q_revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-folding periodogram of daily revenue: for every integer
+    trial period p in [PERIOD_MIN, PERIOD_MAX], fold the day grid by
+    d mod p and score the period by the fraction of total variance the
+    fold explains — SS_between(p) / SS_total, the one-way-ANOVA
+    variance ratio (phase-dispersion-minimization family, Stellingwerf
+    ApJ 1978: a true period p makes the folded phase groups tight, so
+    the ratio peaks at p and its multiples). This is the trig-free
+    periodogram: a Fourier periodogram's cos/sin terms differ across
+    engines in the last ulp and poison a hash oracle, while the
+    variance ratio needs only the exact integer-cent group sums the
+    ``_daily_revenue_cents`` grid already provides. Companion to
+    ``events_autocorr`` (lag domain) and ``orders_seasonal_decompose``
+    (which ASSUMES period 7; this one finds it — the weekly peak is
+    what the decomposition's assumption rests on).
+
+    Output: one row per period — n_groups, the 6-dp variance ratio
+    (seasonal strength), and its rank (1 = strongest). Determinism AND
+    conditioning: sums of squares use the MEAN-DEVIATION form in
+    thousands of dollars, never the raw-sum-of-squares shortcut —
+    sum(S_g^2/n_g) - S^2/N subtracts ~1e18-magnitude terms that agree
+    only in their first digit (catastrophic cancellation measured to
+    turn the spectrum into noise) and overflows the 6-dp staging
+    window, while n_g*(m_g - m)^2 keeps every staged term small and
+    exact: group sums/counts are exact BIGINTs, each deviation term is
+    one IEEE-determined double expression on them (identical in any
+    engine), 6-dp floor-staged, DECIMAL-summed.
+
+    Scale shape: the fold is one explode of the day grid by the
+    PERIOD_MIN..PERIOD_MAX trial vector — a calendar x 29 grid
+    (bounded: ~2.4k days at any SF, the grid never touches fact rows)
+    — then two map-combinable aggregates ((p, d mod p) then p); the
+    rank is a window over the <=29-row period spectrum. Everything
+    upstream of the day grid is the shared daily-revenue aggregate
+    (one shuffle of the orders fact).
+    """
+    from pyspark.sql import Window
+
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+    totals = daily.agg(
+        F.sum("v").cast("bigint").alias("_sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    # grand mean in thousands of dollars (1e5 cents) — exact-int
+    # inputs, so the double is engine-independent
+    grand = F.col("_sum_cents").cast("double") / (
+        F.col("_n").cast("double") * F.lit(1e5)
+    )
+    day_dev = F.col("v").cast("double") / F.lit(1e5) - grand
+    sst_df = (
+        daily.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                fround(day_dev * day_dev, 6).cast("decimal(25,6)")
+            ).alias("_sst")
+        )
+    )
+    folded = (
+        daily.select(
+            "d", "v",
+            F.explode(
+                F.sequence(F.lit(PERIOD_MIN), F.lit(PERIOD_MAX))
+            ).alias("p"),
+        )
+        .groupBy("p", (F.col("d") % F.col("p")).alias("phase"))
+        .agg(
+            F.sum("v").cast("bigint").alias("s_g"),
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        )
+    )
+    group_dev = F.col("s_g").cast("double") / (
+        F.col("n_g").cast("double") * F.lit(1e5)
+    ) - grand
+    per_period = (
+        folded.crossJoin(F.broadcast(totals))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(
+                fround(
+                    F.col("n_g").cast("double") * group_dev * group_dev, 6
+                ).cast("decimal(25,6)")
+            ).alias("_ssb"),
+        )
+    )
+    scored = per_period.crossJoin(F.broadcast(sst_df)).select(
+        F.col("p").alias("period_days"),
+        "n_groups",
+        fround(
+            F.col("_ssb").cast("double") / F.col("_sst").cast("double"), 6
+        ).alias("strength"),
+    )
+    rk = Window.orderBy(F.col("strength").desc(), "period_days")
+    return scored.select(
+        "period_days", "n_groups", "strength",
+        F.row_number().over(rk).alias("rank"),
+    )
+
+
+QUERIES["revenue_periodogram"] = q_revenue_periodogram
+
+ORACLE["revenue_periodogram"] = f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ),
+    totals AS (
+        SELECT CAST(sum(v) AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    sst AS (
+        SELECT sum(CAST(floor(
+                   ((CAST(v AS DOUBLE) / 1e5
+                     - CAST(sum_cents AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1e5))
+                    * (CAST(v AS DOUBLE) / 1e5
+                       - CAST(sum_cents AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1e5)))
+                   * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6))) AS sst
+        FROM daily, totals
+    ),
+    folded AS (
+        SELECT p, d % p AS phase,
+               CAST(sum(v) AS BIGINT) AS s_g,
+               CAST(count(*) AS BIGINT) AS n_g
+        FROM daily,
+             (SELECT unnest(generate_series({PERIOD_MIN}, {PERIOD_MAX}))
+                     AS p)
+        GROUP BY 1, 2
+    ),
+    per_period AS (
+        SELECT p,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               sum(CAST(floor(
+                   (CAST(n_g AS DOUBLE)
+                    * (CAST(s_g AS DOUBLE)
+                       / (CAST(n_g AS DOUBLE) * 1e5)
+                       - CAST(sum_cents AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1e5))
+                    * (CAST(s_g AS DOUBLE)
+                       / (CAST(n_g AS DOUBLE) * 1e5)
+                       - CAST(sum_cents AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1e5)))
+                   * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6))) AS ssb
+        FROM folded, totals
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT p AS period_days, n_groups,
+               floor((CAST(ssb AS DOUBLE) / CAST(sst AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS strength
+        FROM per_period, sst
+    )
+    SELECT period_days, n_groups, strength,
+           CAST(row_number() OVER (ORDER BY strength DESC, period_days)
+                AS INTEGER) AS rank
+    FROM scored
+"""

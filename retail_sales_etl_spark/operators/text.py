@@ -3544,3 +3544,160 @@ ORACLE["rake_keywords"] = f"""
     ORDER BY score DESC, phrase
     LIMIT {RAKE_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords_by_source — per-source RAKE phrase characterization: the
+# keyword profile of each SOURCE, not the corpus (reference parity: the
+# per-segment flavor of the corpus-level extraction above)
+# ---------------------------------------------------------------------------
+
+RAKE_SRC_TOP_K = 10
+
+
+def q_rake_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE RAKE keyword extraction (Rose et al. 2010): the same
+    stopword-delimited phrase segmentation and deg/freq word scoring as
+    ``rake_keywords``, but with every statistic grouped by the
+    document's ``source`` — word degree/frequency are computed within
+    each source's own candidate occurrences, so a phrase's score
+    reflects that source's phrase vocabulary, and the output is the top
+    ``RAKE_SRC_TOP_K`` phrases PER source (the per-segment
+    characterization signal next to ``source_top_terms``'s c-TF-IDF:
+    that ranks single terms by cross-source contrast; this ranks
+    multi-word phrases by within-source co-occurrence).
+
+    Scale shape: identical to ``rake_keywords`` — per-document
+    gaps-and-islands segmentation (windows partitioned by doc_id,
+    bounded by document length), word/phrase stats as map-combinable
+    aggregates on (source, word) / (source, phrase) grids (bounded by
+    per-source vocabulary), and the per-source top-k as a row_number
+    window over the scored PHRASE GRID partitioned by source — a
+    bounded-grid window (distinct phrases per source), never a window
+    over raw rows. Determinism: per-word scores 6-dp floor-staged and
+    DECIMAL-summed; ties broken by the unique phrase text within a
+    source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wp = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
+    ).select("source", "doc_id", (F.col("p0") + 1).alias("p"), "w")
+    nonstop = wp.filter(
+        (~F.col("w").isin(*STOPWORDS)) & (F.col("w") != "")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("p")
+    runs = nonstop.select(
+        "source", "doc_id", "p", "w",
+        (F.col("p") - F.row_number().over(wn)).alias("grp"),
+    )
+    occ = runs.groupBy("source", "doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    wordstats = (
+        occ.select(
+            "source",
+            F.explode(F.split("phrase", " ")).alias("w"),
+            "n_words",
+        )
+        .groupBy("source", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wordstats.select(
+        "source", "w",
+        fround(F.col("deg").cast("double") / F.col("freq").cast("double"), 6)
+        .cast("decimal(25,6)")
+        .alias("ws"),
+    )
+    uniq = occ.groupBy("source", "phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    )
+    scored = (
+        uniq.select("source", "phrase", "n_words", "freq",
+                    F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wscore, ["source", "w"])
+        .groupBy("source", "phrase", "n_words", "freq")
+        .agg(F.sum("ws").cast("double").alias("score"))
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), "phrase"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= RAKE_SRC_TOP_K)
+        .select("source", "rank", "phrase", "n_words", "freq", "score")
+    )
+
+
+QUERIES["rake_keywords_by_source"] = q_rake_keywords_by_source
+
+ORACLE["rake_keywords_by_source"] = f"""
+    WITH wp AS (
+        SELECT source, doc_id, w[i] AS w, i AS p
+        FROM (SELECT source, doc_id, string_split(lower(text), ' ') AS w,
+                     unnest(generate_series(1,
+                         len(string_split(lower(text), ' ')))) AS i
+              FROM documents)
+    ),
+    runs AS (
+        SELECT source, doc_id, p, w,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM wp
+        WHERE w NOT IN {str(tuple(STOPWORDS))} AND w <> ''
+    ),
+    occ AS (
+        SELECT source, doc_id, grp,
+               string_agg(w, ' ' ORDER BY p) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM runs GROUP BY 1, 2, 3
+    ),
+    wordstats AS (
+        SELECT source, w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(n_words) AS BIGINT) AS deg
+        FROM (SELECT source, unnest(string_split(phrase, ' ')) AS w,
+                     n_words
+              FROM occ)
+        GROUP BY 1, 2
+    ),
+    wscore AS (
+        SELECT source, w,
+               CAST(floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                          * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS ws
+        FROM wordstats
+    ),
+    uniq AS (
+        SELECT source, phrase,
+               CAST(max(n_words) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM occ GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT u.source, u.phrase, u.n_words, u.freq,
+               CAST(sum(s.ws) AS DOUBLE) AS score
+        FROM (SELECT source, phrase, n_words, freq,
+                     unnest(string_split(phrase, ' ')) AS w
+              FROM uniq) u
+        JOIN wscore s ON u.source = s.source AND u.w = s.w
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, phrase)
+                AS INTEGER) AS rank,
+           phrase, n_words, freq, score
+    FROM scored
+    QUALIFY rank <= {RAKE_SRC_TOP_K}
+"""

@@ -3036,3 +3036,290 @@ QUERIES["streaming_cohort_ltv"] = q_streaming_cohort_ltv
 from ..plans.behavioral import ORACLE as _BEHAVIORAL_ORACLE  # noqa: E402
 
 ORACLE["streaming_cohort_ltv"] = _BEHAVIORAL_ORACLE["cohort_ltv"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_corpus_health — text-QC surface under incremental view
+# maintenance: the doc_stats/text_entropy corpus-health grid maintained
+# exactly-once as documents stream in (the source_sketch discipline
+# extended from mergeable sketches to additive/lattice aggregates)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_health_partial(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's (source, lang) corpus-health partial: doc
+    counts, char totals/extrema, word totals, and the SUM of per-doc
+    6-dp word-unigram entropies (the ``text_entropy`` recipe — each
+    doc's entropy is computed once, at arrival, so the per-source mean
+    entropy is maintainable without ever re-reading text). Every
+    column is additive or a min/max lattice, so merging batch partials
+    in ANY order equals the from-scratch aggregate — the property the
+    exactly-once replay proof leans on."""
+    words = batch_df.select(
+        "source", "lang", "doc_id", "n_chars",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    wc = words.groupBy("source", "lang", "doc_id", "n_chars", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = F.floor(
+        F.col("c") * F.log(F.col("c")) * 1e6 + F.lit(0.5)
+    ) / F.lit(1e6)
+    per_doc = wc.groupBy("source", "lang", "doc_id", "n_chars").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(term.cast(_IVM_DEC)).alias("_clogc"),
+    )
+    ent = F.floor(
+        (
+            F.log(F.col("n_words"))
+            - F.col("_clogc").cast("double") / F.col("n_words")
+        )
+        * 1e6
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    docs = per_doc.select(
+        "source", "lang", "n_chars", "n_words", "n_distinct",
+        ent.alias("ent"),
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_distinct").cast("bigint").alias("total_distinct"),
+        F.sum(F.col("ent").cast(_IVM_DEC)).cast(_IVM_DEC).alias(
+            "entropy_sum"
+        ),
+    )
+
+
+def corpus_health_sink(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """Fold one micro-batch of documents into the maintained
+    (source, lang) corpus-health grid — the IVM form of ``doc_stats``
+    + per-source mean ``text_entropy``: a 100 TB ingest keeps the data
+    card current per batch instead of re-scanning the corpus (text is
+    read once, at arrival; the maintained grid is bounded by
+    sources x langs at any corpus size).
+
+    Exactly-once protocol = ``ivm_lakehouse_sink`` verbatim: pin the
+    snapshot, ``health_batch_hwm`` replay check against the pinned
+    version, fold the batch partial into the touched grid keys, and
+    MERGE conditionally on the pinned version (first batch:
+    conditional overwrite) — an interloper aborts the commit and the
+    sink re-pins and re-folds. Additive/lattice columns make the
+    maintained grid bit-identical to a from-scratch aggregate of
+    everything delivered, in any delivery order. Returns False when
+    the batch was a replay."""
+    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+    table = LakehouseTable(batch_df.sparkSession, table_path)
+
+    def _hwm(as_of) -> int:
+        hwm = table.latest_value("health_batch_hwm", as_of=as_of)
+        if hwm is not None:
+            return hwm
+        return max(
+            (e["batch_id"] for e in table.history() if "batch_id" in e),
+            default=-1,
+        )
+
+    marker = {"batch_id": batch_id, "health_batch_hwm": batch_id}
+    partial = _corpus_health_partial(batch_df)
+    keys = ["source", "lang"]
+    for _ in range(3):
+        read_version = table.latest_version()
+        if batch_id <= _hwm(read_version):
+            return False
+        if read_version is None:
+            try:
+                table.write(
+                    partial, mode="overwrite", extra=marker,
+                    read_version=read_version,
+                )
+                return True
+            except ConcurrentWriteError:
+                continue
+        current = table.read(version=read_version)
+        combined = (
+            partial.alias("p")
+            .join(current.alias("c"), keys, "left")
+            .select(
+                *keys,
+                (
+                    F.col("p.n_docs")
+                    + F.coalesce(F.col("c.n_docs"), F.lit(0))
+                ).cast("bigint").alias("n_docs"),
+                (
+                    F.col("p.total_chars")
+                    + F.coalesce(F.col("c.total_chars"), F.lit(0))
+                ).cast("bigint").alias("total_chars"),
+                F.least(
+                    F.col("p.min_chars"),
+                    F.coalesce(F.col("c.min_chars"), F.col("p.min_chars")),
+                ).cast("bigint").alias("min_chars"),
+                F.greatest(
+                    F.col("p.max_chars"),
+                    F.coalesce(F.col("c.max_chars"), F.col("p.max_chars")),
+                ).cast("bigint").alias("max_chars"),
+                (
+                    F.col("p.total_words")
+                    + F.coalesce(F.col("c.total_words"), F.lit(0))
+                ).cast("bigint").alias("total_words"),
+                (
+                    F.col("p.total_distinct")
+                    + F.coalesce(F.col("c.total_distinct"), F.lit(0))
+                ).cast("bigint").alias("total_distinct"),
+                (
+                    F.col("p.entropy_sum")
+                    + F.coalesce(
+                        F.col("c.entropy_sum"), F.lit(0).cast(_IVM_DEC)
+                    )
+                ).cast(_IVM_DEC).alias("entropy_sum"),
+            )
+        )
+        try:
+            table.merge(
+                combined, keys, extra=marker, read_version=read_version
+            )
+            return True
+        except ConcurrentWriteError:
+            continue
+    raise RuntimeError(
+        f"corpus_health_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {table_path})"
+    )
+
+
+def maintain_corpus_health(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
+    """Run the corpus-health IVM sink under foreachBatch
+    (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        corpus_health_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the corpus-health IVM sink: replay
+    the documents table in 4 doc_id-range micro-batches through
+    ``maintain_corpus_health``, then read the maintained grid and
+    publish the data-card surface (avg chars, char extrema, word
+    totals, mean per-doc entropy per source x lang). Additive/lattice
+    maintenance makes the grid equal a from-scratch pass over
+    everything delivered, so the oracle is one batch SQL aggregate
+    over documents — proving text-QC IVM end-to-end through the
+    lakehouse commit log."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="health_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_corpus_health(
+        stream, f"{work}/health", f"{work}/ckpt"
+    ).awaitTermination()
+    grid = LakehouseTable(spark, f"{work}/health").read()
+    return grid.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (
+            F.col("total_chars").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("avg_chars"),
+        "min_chars",
+        "max_chars",
+        "total_words",
+        "total_distinct",
+        fround(
+            F.col("entropy_sum").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("avg_entropy"),
+    )
+
+
+QUERIES["streaming_corpus_health"] = q_streaming_corpus_health
+
+ORACLE["streaming_corpus_health"] = """
+    WITH words AS (
+        SELECT source, lang, doc_id, n_chars,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT source, lang, doc_id, n_chars, w, count(*) AS c
+        FROM words GROUP BY 1, 2, 3, 4, 5
+    ),
+    per_doc AS (
+        SELECT source, lang, doc_id, n_chars,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               sum(CAST(floor((c * ln(c)) * 1e6 + 0.5) / 1e6
+                        AS DECIMAL(25,6))) AS clogc
+        FROM wc GROUP BY 1, 2, 3, 4
+    ),
+    docs AS (
+        SELECT source, lang, n_chars, n_words, n_distinct,
+               floor((ln(n_words) - CAST(clogc AS DOUBLE) / n_words)
+                     * 1e6 + 0.5) / 1e6 AS ent
+        FROM per_doc
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+           floor((CAST(sum(CAST(ent AS DECIMAL(25,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS avg_entropy
+    FROM docs
+    GROUP BY 1, 2
+"""

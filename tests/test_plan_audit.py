@@ -969,3 +969,72 @@ def test_png_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_png_resize_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The PNG resize chain (synthesize -> inflate -> unfilter -> NN
+    kernel) must stay one zero-Exchange mapInPandas pipeline reading
+    only doc_id — payload bytes never shuffle (the codec-family
+    contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_png_resize,
+    )
+
+    plan = _formatted_plan(q_multimodal_png_resize(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_gif_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The GIF chain (synthesize -> LZW decode -> palette sums) must
+    stay one zero-Exchange mapInPandas pipeline reading only doc_id —
+    payload bytes never shuffle (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_gif_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_gif_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_rake_by_source_windows_partitioned_and_pruned(spark, sf_dir):
+    """Per-source RAKE: the run-segmentation window is per-document
+    and the top-k window per-source — no unpartitioned window anywhere
+    (both grids are bounded); the documents scan reads only the three
+    needed columns."""
+    import re
+
+    from retail_sales_etl_spark.operators.text import (
+        q_rake_keywords_by_source,
+    )
+
+    plan = _formatted_plan(q_rake_keywords_by_source(spark, sf_dir))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan), (
+        "unpartitioned window in per-source RAKE plan"
+    )
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_periodogram_grid_bounded_and_column_pruned(spark, sf_dir):
+    """The periodogram folds the CALENDAR-BOUNDED day grid (the only
+    window is the rank over the <=29-row period spectrum, after two
+    partial-combining aggregates); the orders scan reads only the two
+    needed columns and the fact is aggregated to the day grid before
+    the explode fans it out 29x."""
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_periodogram,
+    )
+
+    plan = _formatted_plan(q_revenue_periodogram(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema
+    # one partial-combining agg per stage: day grid, fold, spectrum
+    assert plan.count("HashAggregate") >= 4
+    # the 29-row rank window is the plan's only Window node (each node
+    # prints once in the tree and once in the detail section)
+    assert plan.count(") Window") == 1

@@ -495,3 +495,43 @@ def test_runs_test_alternating_and_clumped_sequences(spark, tmp_path):
     write([5, 5, 5], d4)
     (r,) = q_revenue_runs_test(spark, d4).collect()
     assert r["n_days"] == 0 and r["mu_runs"] is None and r["z_score"] is None
+
+
+def test_periodogram_finds_weekly_period(spark, tmp_path):
+    """A noise-free weekly revenue pattern: every period that is a
+    multiple of 7 explains ALL the variance (strength ~1, equal up to
+    the 6-dp staging of the per-group terms, so rank 1 is one of the
+    multiples rather than a guaranteed tie-break winner), and
+    non-multiples explain strictly less."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        PERIOD_MAX,
+        PERIOD_MIN,
+        q_revenue_periodogram,
+    )
+
+    d0 = dt.date(1992, 1, 1)
+    rows = [
+        Row(
+            o_orderdate=d0 + dt.timedelta(days=i),
+            o_totalprice=1000.0 if i % 7 == 0 else 100.0,
+        )
+        for i in range(84)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/orders.parquet")
+    got = {r.period_days: r for r in q_revenue_periodogram(spark, d).collect()}
+    assert set(got) == set(range(PERIOD_MIN, PERIOD_MAX + 1))
+    rank1 = next(p for p, r in got.items() if r.rank == 1)
+    assert rank1 in (7, 14, 21, 28), rank1
+    for p in (7, 14, 21, 28):
+        assert got[p].strength > 0.999, (p, got[p].strength)
+        assert got[p].rank <= 4, (p, got[p].rank)
+    for p in (5, 6, 8, 9):
+        assert got[p].strength < 0.5, (p, got[p].strength)
+    for p, r in got.items():
+        assert r.n_groups == p  # 84 days cover every residue class
+        assert 0.0 <= r.strength <= 1.000001

@@ -1537,3 +1537,58 @@ def test_cohort_ltv_sink_replays_after_partial_crash(spark, sf_dir, tmp_path):
         LakehouseTable(spark, s).read().count()
         == LakehouseTable(spark, s2).read().count()
     )
+
+
+def test_corpus_health_sink_additive_order_insensitive_replay(
+    spark, sf_dir, tmp_path
+):
+    """Two batches folded through the corpus-health IVM must equal the
+    from-scratch partial over everything delivered (additive/lattice
+    maintenance), folding in the REVERSE order must converge to the
+    same grid, and a replayed batch_id must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.streaming.events import (
+        _corpus_health_partial,
+        corpus_health_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _grid(path):
+        return {
+            (r.source, r.lang): (
+                r.n_docs, r.total_chars, r.min_chars, r.max_chars,
+                r.total_words, r.total_distinct, r.entropy_sum,
+            )
+            for r in LakehouseTable(spark, path).read().collect()
+        }
+
+    fwd = str(tmp_path / "fwd")
+    assert corpus_health_sink(lo, 0, fwd) is True
+    assert corpus_health_sink(hi, 1, fwd) is True
+    want = {
+        (r.source, r.lang): (
+            r.n_docs, r.total_chars, r.min_chars, r.max_chars,
+            r.total_words, r.total_distinct, r.entropy_sum,
+        )
+        for r in _corpus_health_partial(docs).collect()
+    }
+    assert _grid(fwd) == want
+    # order-insensitive: reverse delivery converges to the same grid
+    rev = str(tmp_path / "rev")
+    assert corpus_health_sink(hi, 0, rev) is True
+    assert corpus_health_sink(lo, 1, rev) is True
+    assert _grid(rev) == want
+    # replay: no-op, no new version
+    v = LakehouseTable(spark, fwd).latest_version()
+    assert corpus_health_sink(lo, 0, fwd) is False
+    assert corpus_health_sink(hi, 1, fwd) is False
+    assert LakehouseTable(spark, fwd).latest_version() == v
+    assert _grid(fwd) == want

@@ -637,3 +637,38 @@ def test_rake_keywords_stopword_runs_and_topk_cut(spark, tmp_path):
     # deg(red)=deg(car)=4, freq=2 -> 2.0 each -> phrase 4.0
     assert out[0].score == 4.0
     assert len(out) <= RAKE_TOP_K
+
+
+def test_rake_by_source_isolates_vocabularies(spark, tmp_path):
+    """Per-source RAKE: deg/freq are computed within each source's own
+    candidate occurrences, so the same phrase scores differently in
+    sources with different co-occurrence structure; ranks run 1..k
+    per source with (score desc, phrase) tie-break."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        q_rake_keywords_by_source,
+    )
+
+    rows = [
+        Row(doc_id=0, text="deep learning of deep learning", lang="en",
+            source="s1", n_chars=30),
+        Row(doc_id=1, text="learning", lang="en", source="s1", n_chars=8),
+        Row(doc_id=2, text="deep learning", lang="en", source="s2",
+            n_chars=13),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.source, r.phrase): r
+        for r in q_rake_keywords_by_source(spark, d).collect()
+    }
+    # s1: deg(deep)=4/freq2 -> 2.0; deg(learning)=5/freq3 -> 1.666667
+    assert got[("s1", "deep learning")].score == 3.666667
+    assert got[("s1", "learning")].score == 1.666667
+    # s2's vocabulary is one occurrence of each word: 2.0 + 2.0
+    assert got[("s2", "deep learning")].score == 4.0
+    assert got[("s1", "deep learning")].rank == 1
+    assert got[("s1", "learning")].rank == 2
+    assert got[("s2", "deep learning")].rank == 1
+    assert ("s2", "learning") not in got  # never leaks across sources

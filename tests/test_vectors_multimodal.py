@@ -661,3 +661,111 @@ class TestPngCodec:
             head + chunk(b"IDAT", data[:3]) + chunk(b"IDAT", data[3:]) + tail
         )
         assert decode_png(rebuilt) == decode_png(p)
+
+
+def test_png_resize_matches_generator_nn(spark, tmp_path):
+    """resize_png_nn must produce exactly the NN sums of the shared
+    generator raster — the full chain (DEFLATE -> CRC walk -> inflate
+    -> five-filter unfilter -> NN kernel) for several dims, and a
+    payload with IEND stripped must raise (truncation contract)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        PPM_RESIZE_H,
+        PPM_RESIZE_W,
+        _ppm_dims,
+        _ppm_pixel,
+        resize_png_nn,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(12)])
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in synthesize_png(docs).collect()
+    }
+    for d, payload in payloads.items():
+        got = resize_png_nn(payload)
+        w, h = _ppm_dims(d)
+        want = [0, 0, 0]
+        for y2 in range(PPM_RESIZE_H):
+            for x2 in range(PPM_RESIZE_W):
+                px = _ppm_pixel(
+                    d, (x2 * w) // PPM_RESIZE_W, (y2 * h) // PPM_RESIZE_H
+                )
+                for c in range(3):
+                    want[c] += px[c]
+        assert (got["src_width"], got["src_height"]) == (w, h)
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(want)
+    # IEND stripped = truncation -> loud failure, never partial stats
+    trunc = payloads[3][: -(12)]  # IEND chunk is exactly 12 bytes
+    with _pytest.raises(ValueError, match="IEND"):
+        resize_png_nn(trunc)
+
+
+def test_gif_lzw_roundtrip_and_width_growth(spark):
+    """The LZW pair must roundtrip streams that cross several code
+    widths (mcs=2), reach the 12-bit dictionary cap with CLEAR resets
+    (mcs=8, 40k symbols), and exercise the KwKwK self-reference case
+    (highly repetitive input)."""
+    import random
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(11)
+    for _ in range(100):
+        n = rng.randrange(1, 2000)
+        data = bytes(rng.randrange(4) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 2), 2, n) == data
+    big = bytes(rng.randrange(256) for _ in range(40_000))
+    assert _lzw_decode(_lzw_encode(big, 8), 8, len(big)) == big
+    rep = bytes([1, 1, 1, 1, 2, 2, 2, 2] * 2000)
+    assert _lzw_decode(_lzw_encode(rep, 2), 2, len(rep)) == rep
+
+
+def test_gif_decode_matches_generator_and_rejects_corruption(spark):
+    """decode_gif must recover the exact palette-mapped channel sums
+    of the generator field for several dims, tolerate an inserted 89a
+    extension block, and fail loudly on a missing trailer or an
+    unknown block type."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _gif_dims,
+        _gif_index,
+        _gif_palette,
+        decode_gif,
+        synthesize_gif,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(16)])
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in synthesize_gif(docs).collect()
+    }
+    for d, payload in payloads.items():
+        got = decode_gif(payload)
+        w, h = _gif_dims(d)
+        want = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                rgb = _gif_palette(_gif_index(d, x, y))
+                for c in range(3):
+                    want[c] += rgb[c]
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["n_pixels"] == w * h
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(want)
+        assert got["corner_idx"] == _gif_index(d, 0, 0)
+    p = payloads[5]
+    # an 89a graphic-control extension between GCT and image descriptor
+    # must be skipped (13-byte header + 4-color * 3 GCT = 25)
+    ext = p[:25] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + p[25:]
+    assert decode_gif(ext)["sum_r"] == decode_gif(p)["sum_r"]
+    with _pytest.raises(ValueError, match="trailer"):
+        decode_gif(p[:-1])
+    with _pytest.raises(ValueError, match="unexpected block"):
+        decode_gif(p[:25] + b"\x7f" + p[25:])
