@@ -2076,3 +2076,115 @@ ORACLE["events_entropy_rate"] = f"""
                 ELSE 1.0 END AS predictability
     FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness — Goh & Barabási (EPL 2008) burstiness of per-user
+# inter-event gaps: the temporal-texture signal next to entropy_rate
+# (symbol order) and autocorr (calendar lag)
+# ---------------------------------------------------------------------------
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness B = (sigma - mu) / (sigma + mu) over the
+    user's inter-event gaps (Goh & Barabási, EPL 81:48002, 2008):
+    B -> -1 for a regular/periodic user (sigma -> 0), ~0 for a Poisson
+    user (sigma ~ mu), -> +1 for a bursty one (heavy-tailed gaps) —
+    the standard human-dynamics diagnostic, and the feature a bot/
+    automation screen keys on (schedulers sit near -1, humans near
+    +0.2..0.5).
+
+    Determinism: gaps are INTEGER seconds (floor of the microsecond
+    difference — epoch_us on both engines, so sub-second timestamps
+    can't round differently), per-user sum and sum-of-squares are
+    exact BIGINTs, and mu/sigma/B are single IEEE double expressions
+    on those ints (identical in any engine), 6-dp floor-staged at the
+    end only. Users need >= 2 gaps for a variance; the all-zero-gap
+    degenerate (sigma + mu = 0) yields NULL in both engines.
+
+    Scale shape: one shuffle on user_id, a per-user lag window
+    (partition bounded by one user's activity — the sessionize
+    discipline), then a map-combinable aggregate on the user grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is
+    # identity under the session's pinned UTC zone
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = F.floor(
+        (us(F.col("ts")) - us(F.lag("ts").over(by_user)))
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    gaps = ev.select("user_id", gap.alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("_s"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("_s2"),
+    ).filter(F.col("n_gaps") >= 2)
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_s").cast("double") / n
+    var = F.greatest(
+        F.col("_s2").cast("double") / n - mu * mu, F.lit(0.0)
+    )
+    sigma = F.sqrt(var)
+    b = F.when(sigma + mu > 0, fround((sigma - mu) / (sigma + mu), 6))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        fround(mu, 6).alias("mean_gap_s"),
+        fround(sigma, 6).alias("std_gap_s"),
+        b.alias("burstiness"),
+    )
+
+
+QUERIES["events_burstiness"] = q_events_burstiness
+
+ORACLE["events_burstiness"] = """
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts))) / 1000000.0)
+                    AS BIGINT) AS g
+        FROM events
+        QUALIFY g IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS s,
+               CAST(sum(g * g) AS BIGINT) AS s2
+        FROM gaps GROUP BY 1
+        HAVING count(*) >= 2
+    )
+    SELECT user_id, n_gaps,
+           floor((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+           floor(sqrt(greatest(
+                     CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                     0.0)) * 1e6 + 0.5) / 1e6 AS std_gap_s,
+           CASE WHEN sqrt(greatest(
+                         CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                         0.0))
+                     + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+                THEN floor(((sqrt(greatest(
+                         CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                         0.0))
+                       - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                      / (sqrt(greatest(
+                         CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                         0.0))
+                       + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS burstiness
+    FROM agg
+"""

@@ -1608,9 +1608,17 @@ def q_revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream of the day grid is the shared daily-revenue aggregate
     (one shuffle of the orders fact).
     """
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+    return _periodogram_spectrum(daily)
+
+
+def _periodogram_spectrum(daily: DataFrame) -> DataFrame:
+    """The fold + variance-ratio spectrum over a (d, v-cents) daily
+    grid — shared by the batch periodogram above and the maintained-
+    grid streaming form (``streaming/events.py:q_streaming_periodogram``),
+    so the two can never drift on the arithmetic."""
     from pyspark.sql import Window
 
-    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
     totals = daily.agg(
         F.sum("v").cast("bigint").alias("_sum_cents"),
         F.count(F.lit(1)).cast("bigint").alias("_n"),

@@ -3701,3 +3701,129 @@ ORACLE["rake_keywords_by_source"] = f"""
     FROM scored
     QUALIFY rank <= {RAKE_SRC_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# text_mattr — moving-average type-token ratio (Covington & McFall 2010):
+# the length-independent lexical-diversity signal
+# ---------------------------------------------------------------------------
+
+MATTR_WINDOW = 25
+
+
+def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MATTR (Moving-Average Type-Token Ratio, Covington &
+    McFall, J. Quant. Linguistics 2010): the mean type-token ratio
+    over every length-``MATTR_WINDOW`` sliding window of the token
+    sequence — the standard fix for plain TTR's text-length bias (TTR
+    falls as any text grows, so it can't compare docs of different
+    lengths; MATTR is length-invariant). Low MATTR = repetitive/
+    templated text the entropy gate sees globally but not positionally
+    (``text_repetition``'s companion at token grain). Docs shorter
+    than the window fall back to plain TTR (the published convention).
+
+    The naive form materializes tokens x windows pairs; this one is
+    CLOSED-FORM per token via the first-occurrence trick
+    (``text_heaps_fit``'s discipline): token at position p is counted
+    as a type in window [s, s+W-1] iff its previous occurrence sits
+    before s, so its total contribution over all windows is the length
+    of the s-interval [max(p-W+1, prev_occ+1), min(p, n-W+1)] — one
+    lag window per (doc, token) and pure arithmetic; Sum(TTR) =
+    Sum(contrib) / W. Scale shape: one posexplode, a per-(doc, token)
+    lag (partition bounded by within-doc repeats of one token), one
+    per-doc max window, one map-combinable doc aggregate — nothing
+    corpus-wide. Determinism: the numerator is an exact BIGINT; the
+    single final division is 6-dp floor-staged."""
+    docs = load_table(spark, sf_dir, "documents")
+    W = MATTR_WINDOW
+    wp = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    wtok = Window.partitionBy("doc_id", "w").orderBy("p")
+    wdoc = Window.partitionBy("doc_id")
+    toks = wp.select(
+        "doc_id",
+        "p",
+        F.coalesce(F.lag("p").over(wtok), F.lit(0)).alias("prev"),
+        F.max("p").over(wdoc).alias("n"),
+    )
+    last_start = F.col("n") - F.lit(W - 1)  # n - W + 1
+    contrib = F.greatest(
+        F.lit(0).cast("bigint"),
+        (
+            F.least(F.col("p"), last_start)
+            - F.greatest(F.col("p") - F.lit(W - 1), F.col("prev") + 1)
+            + F.lit(1)
+        ).cast("bigint"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("prev") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_types"),
+        F.sum(contrib).cast("bigint").alias("_contrib"),
+    )
+    n = F.col("n_tokens")
+    n_windows = F.greatest(n - F.lit(W - 1), F.lit(0).cast("bigint"))
+    mattr = F.when(
+        n >= W,
+        fround(
+            F.col("_contrib").cast("double")
+            / (F.lit(float(W)) * n_windows.cast("double")),
+            6,
+        ),
+    ).otherwise(
+        fround(F.col("n_types").cast("double") / n.cast("double"), 6)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        n_windows.alias("n_windows"),
+        mattr.alias("mattr"),
+    )
+
+
+QUERIES["text_mattr"] = q_text_mattr
+
+ORACLE["text_mattr"] = f"""
+    WITH wp AS (
+        SELECT doc_id, w[i] AS w, i AS p
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                     unnest(generate_series(1,
+                         len(string_split(lower(text), ' ')))) AS i
+              FROM documents)
+    ),
+    toks AS (
+        SELECT doc_id, p,
+               coalesce(lag(p) OVER (PARTITION BY doc_id, w ORDER BY p),
+                        0) AS prev,
+               max(p) OVER (PARTITION BY doc_id) AS n
+        FROM wp
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN prev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_types,
+               CAST(sum(greatest(0,
+                   least(p, n - {MATTR_WINDOW - 1})
+                   - greatest(p - {MATTR_WINDOW - 1}, prev + 1)
+                   + 1)) AS BIGINT) AS contrib
+        FROM toks GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST(greatest(n_tokens - {MATTR_WINDOW - 1}, 0) AS BIGINT)
+               AS n_windows,
+           CASE WHEN n_tokens >= {MATTR_WINDOW}
+                THEN floor((CAST(contrib AS DOUBLE)
+                            / ({MATTR_WINDOW}.0
+                               * CAST(greatest(n_tokens
+                                      - {MATTR_WINDOW - 1}, 0) AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE floor((CAST(n_types AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS mattr
+    FROM per_doc
+"""

@@ -581,3 +581,41 @@ def test_cohort_ltv_exact_cohorts_and_cumulative(spark, tmp_path):
     rb = out[("1993-02-01", 0)]
     assert rb["n_active"] == 1 and rb["cohort_size"] == 1
     assert rb["revenue"] == 40.0 and rb["ltv"] == 40.0
+
+
+def test_burstiness_regular_poisson_and_degenerate_users(spark, tmp_path):
+    """Hand-worked Goh-Barabási B: a perfectly regular user (equal
+    gaps) scores -1, gaps (0, 30) score exactly 0 (sigma == mu), a
+    single-event user (no variance possible) is excluded, and an
+    all-zero-gap user (sigma + mu = 0) yields NULL."""
+    from datetime import timedelta
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_burstiness,
+    )
+
+    t0 = datetime(2024, 1, 1, 10)
+    rows = []
+    # user 1: gaps 10, 10, 10 -> sigma 0, mu 10 -> B = -1
+    for i, off in enumerate([0, 10, 20, 30]):
+        rows.append(Row(event_id=100 + i, ts=t0 + timedelta(seconds=off),
+                        user_id=1, event_type="c", value=1.0, props="{}"))
+    # user 2: gaps 0, 30 -> mu 15, sigma 15 -> B = 0
+    for i, off in enumerate([0, 0, 30]):
+        rows.append(Row(event_id=200 + i, ts=t0 + timedelta(seconds=off),
+                        user_id=2, event_type="c", value=1.0, props="{}"))
+    # user 3: one event -> no gaps -> excluded
+    rows.append(Row(event_id=300, ts=t0, user_id=3, event_type="c",
+                    value=1.0, props="{}"))
+    # user 4: three simultaneous events -> gaps 0, 0 -> B NULL
+    for i in range(3):
+        rows.append(Row(event_id=400 + i, ts=t0, user_id=4,
+                        event_type="c", value=1.0, props="{}"))
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.user_id: r for r in q_events_burstiness(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].n_gaps == 3 and got[1].mean_gap_s == 10.0
+    assert got[1].std_gap_s == 0.0 and got[1].burstiness == -1.0
+    assert got[2].mean_gap_s == 15.0 and got[2].std_gap_s == 15.0
+    assert got[2].burstiness == 0.0
+    assert got[4].burstiness is None and got[4].mean_gap_s == 0.0

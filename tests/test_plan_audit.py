@@ -1038,3 +1038,39 @@ def test_periodogram_grid_bounded_and_column_pruned(spark, sf_dir):
     # the 29-row rank window is the plan's only Window node (each node
     # prints once in the tree and once in the detail section)
     assert plan.count(") Window") == 1
+
+
+def test_burstiness_window_per_user_and_pruned(spark, sf_dir):
+    """Burstiness: the lag window is per-user (bounded by one user's
+    activity), the aggregate partial-combines, and the events scan
+    reads only (ts, user_id)."""
+    import re
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_burstiness,
+    )
+
+    plan = _formatted_plan(q_events_burstiness(spark, sf_dir))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+    assert "HashAggregate" in plan
+
+
+def test_mattr_windows_bounded_and_pruned(spark, sf_dir):
+    """MATTR: both windows (per-(doc, token) lag; per-doc max) are
+    partitioned — never corpus-wide — and the documents scan reads
+    only (doc_id, text); the tokens x windows pair grid is never
+    materialized (no join in the plan — the contribution is
+    closed-form per token)."""
+    import re
+
+    from retail_sales_etl_spark.operators.text import q_text_mattr
+
+    plan = _formatted_plan(q_text_mattr(spark, sf_dir))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema
+    assert "Join" not in plan

@@ -1592,3 +1592,41 @@ def test_corpus_health_sink_additive_order_insensitive_replay(
     assert corpus_health_sink(hi, 1, fwd) is False
     assert LakehouseTable(spark, fwd).latest_version() == v
     assert _grid(fwd) == want
+
+
+def test_daily_revenue_sink_additive_and_replay(spark, sf_dir, tmp_path):
+    """The day-grid IVM: batches folded in any order must bit-equal the
+    from-scratch _daily_revenue_cents grid (exact integer cents), and
+    a replayed batch_id must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.profiling import (
+        _daily_revenue_cents,
+    )
+    from retail_sales_etl_spark.streaming.events import daily_revenue_sink
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    lo = orders.filter(F.col("o_custkey") % 2 == 0)
+    hi = orders.filter(F.col("o_custkey") % 2 == 1)
+    want = {r.d: r.v for r in _daily_revenue_cents(orders).collect()}
+
+    def _grid(path):
+        return {
+            r.d: r.v for r in LakehouseTable(spark, path).read().collect()
+        }
+
+    fwd = str(tmp_path / "fwd")
+    assert daily_revenue_sink(lo, 0, fwd) is True
+    assert daily_revenue_sink(hi, 1, fwd) is True
+    assert _grid(fwd) == want
+    rev = str(tmp_path / "rev")
+    assert daily_revenue_sink(hi, 0, rev) is True
+    assert daily_revenue_sink(lo, 1, rev) is True
+    assert _grid(rev) == want
+    v = LakehouseTable(spark, fwd).latest_version()
+    assert daily_revenue_sink(lo, 0, fwd) is False
+    assert LakehouseTable(spark, fwd).latest_version() == v

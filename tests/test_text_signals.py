@@ -672,3 +672,38 @@ def test_rake_by_source_isolates_vocabularies(spark, tmp_path):
     assert got[("s1", "learning")].rank == 2
     assert got[("s2", "deep learning")].rank == 1
     assert ("s2", "learning") not in got  # never leaks across sources
+
+
+def test_mattr_hand_worked_windows_and_ttr_fallback(spark, tmp_path):
+    """Hand-worked MATTR on a tiny window intuition check via the
+    closed-form contribution identity, plus the short-doc TTR
+    fallback: a doc below the window length scores n_types/n_tokens,
+    a fully repetitive long doc scores 1/W-ish, and a fully distinct
+    long doc scores exactly 1."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import (
+        MATTR_WINDOW,
+        q_text_mattr,
+    )
+
+    W = MATTR_WINDOW
+    uniq = " ".join(f"w{i}" for i in range(2 * W))  # all-distinct, n=2W
+    rep = " ".join("x" for _ in range(2 * W))       # one type, n=2W
+    short = "a b a"                                  # n=3 < W -> TTR
+    rows = [
+        Row(doc_id=0, text=uniq, lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text=rep, lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=short, lang="en", source="s", n_chars=1),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_text_mattr(spark, d).collect()}
+    assert got[0].n_windows == W + 1 and got[0].mattr == 1.0
+    # one repeated type: every window has exactly 1 type -> 1/W
+    assert got[1].n_types == 1
+    assert got[1].mattr == round(1.0 / W, 6) or abs(
+        got[1].mattr - 1.0 / W
+    ) < 1e-6
+    # short doc: plain TTR = 2 types / 3 tokens
+    assert got[2].n_windows == 0 and got[2].mattr == 0.666667
