@@ -80,6 +80,7 @@ _RESERVED_ENTRY_KEYS = frozenset(
         "files_after",
         "zorder_by",
         "zorder_gens",
+        "zorder_gens_by",
         "retained",
     }
 )
@@ -760,16 +761,19 @@ class LakehouseTable:
         log arithmetic — values are sorted once, then each file is one
         binary search (O(F log K)); no file footer is opened and no
         Spark job runs."""
-        keep, n_live, _last = self._prune_files_in(column, values, version)
+        keep, n_live, _last, _vals = self._prune_files_in(
+            column, values, version
+        )
         return keep, n_live
 
     def _prune_files_in(
         self, column: str, values, version: int | None = None
-    ) -> tuple[list[str], int, dict | None]:
-        """``prune_files_in`` plus the newest log entry — one log
-        replay serves both the prune and a subsequent schema lookup
-        (``read_where_in`` calls this so the per-batch probe hot path
-        replays the commit log once, not twice)."""
+    ) -> tuple[list[str], int, dict | None, list]:
+        """``prune_files_in`` plus the newest log entry and the
+        normalized, sorted, deduplicated probe values — one log replay
+        and ONE normalization pass serve the prune, the schema lookup,
+        and the residual filter (``read_where_in`` calls this so the
+        per-batch probe hot path never re-parses the probe set)."""
         import bisect
 
         live, last, stats = self._replay_stats(as_of=version)
@@ -786,7 +790,7 @@ class LakehouseTable:
             }
         )
         if not vals:
-            return [], len(live), last
+            return [], len(live), last, vals
         keep = []
         for f in live:
             s = stats.get(f, {}).get(column)
@@ -799,7 +803,7 @@ class LakehouseTable:
             i = bisect.bisect_left(vals, mn)
             if i < len(vals) and vals[i] <= mx:
                 keep.append(f)
-        return keep, len(live), last
+        return keep, len(live), last, vals
 
     def read_where_in(
         self, column: str, values, version: int | None = None
@@ -825,8 +829,7 @@ class LakehouseTable:
         string against a date/timestamp column probes the rows that
         date/timestamp equals (the prune already normalized it; the
         residual join must agree, not reject the string)."""
-        values = list(values)  # a one-shot iterable is consumed twice
-        keep, _, last = self._prune_files_in(column, values, version)
+        keep, _, last, vals = self._prune_files_in(column, values, version)
         if last is None:
             raise FileNotFoundError(f"No lakehouse log at {self.log_dir}")
         schema = StructType.fromJson(json.loads(last["schema"]))
@@ -835,25 +838,21 @@ class LakehouseTable:
         else:
             paths = [os.path.join(self.path, f) for f in keep]
             df = self.spark.read.schema(schema).parquet(*paths)
-        vals = {v for v in values if v is not None}
         if not vals:
             return df.where(F.lit(False))
         field = next(f for f in schema.fields if f.name == column)
         t = field.dataType.typeName()
+        # vals are already normalized (canonical ISO strings for
+        # temporal columns) — only the parse back to native types
+        # remains before they can ride in a DataFrame
         if t == "date":
             import datetime as dt
 
-            vals = {
-                dt.date.fromisoformat(_normalize_bound(column, v, schema))
-                for v in vals
-            }
+            vals = [dt.date.fromisoformat(v) for v in vals]
         elif t in ("timestamp", "timestamp_ntz"):
             import datetime as dt
 
-            vals = {
-                dt.datetime.fromisoformat(_normalize_bound(column, v, schema))
-                for v in vals
-            }
+            vals = [dt.datetime.fromisoformat(v) for v in vals]
         keys_df = self.spark.createDataFrame(
             [(v,) for v in vals], StructType([field])
         )
@@ -1085,8 +1084,20 @@ class LakehouseTable:
         if incremental:
             if not zorder_by:
                 raise ValueError("incremental optimize requires zorder_by")
+            if max_generations < 1:
+                raise ValueError(
+                    f"max_generations must be >= 1, got {max_generations}"
+                )
             live_set = set(live)
-            prev = self.latest_value("zorder_gens", as_of=read_version) or []
+            # a generation is only "clustered" for THIS call if it was
+            # built on the same columns — switching zorder_by must
+            # re-cluster everything, not silently no-op
+            prev_by = self.latest_value("zorder_gens_by", as_of=read_version)
+            prev = (
+                self.latest_value("zorder_gens", as_of=read_version) or []
+                if prev_by == list(zorder_by)
+                else []
+            )
             gens = [
                 kept
                 for g in prev
@@ -1146,8 +1157,22 @@ class LakehouseTable:
             "zorder_gens": (
                 gens_kept + [files] if zorder_by else []
             ),
+            "zorder_gens_by": list(zorder_by) if zorder_by else None,
         }
-        v = self._try_commit(entry, read_version)
+        try:
+            v = self._try_commit(entry, read_version)
+        except ConcurrentWriteError:
+            # The maintenance hooks call optimize inside a best-effort
+            # `except ConcurrentWriteError: pass` every N batches —
+            # under concurrent writers a lost race would otherwise
+            # orphan a full rewritten generation per cycle until
+            # VACUUM (write() cleans up the same way).
+            for f in files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+            raise
         return {
             "version": v,
             "files_before": len(live),

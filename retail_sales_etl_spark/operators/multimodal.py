@@ -1658,6 +1658,12 @@ def _png_raster(payload: bytes) -> tuple[int, int, list[bytes], int]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
+    if width == 0 or height == 0:
+        # a zero-dim raster passes every stream-length check with an
+        # empty row list and would crash the corner/NN probes with an
+        # uncontrolled IndexError — malformed input fails LOUD, the
+        # codec-family contract
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     if not saw_iend:
         # a stream cut anywhere after the last complete chunk would
         # otherwise pass — IEND is the spec's end-of-stream integrity

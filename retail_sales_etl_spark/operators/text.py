@@ -3407,6 +3407,67 @@ ORACLE["text_heaps_fit"] = """
 RAKE_TOP_K = 50
 
 
+def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """The RAKE pipeline shared by the corpus-level and per-source
+    entries — tokenize, gaps-and-islands phrase segmentation (windows
+    PER DOCUMENT), word deg/freq stats, 6-dp DECIMAL-staged word
+    scores, phrase scoring — grouped by ``keys`` + the phrase
+    identity, so a scoring/segmentation fix can never apply to one
+    entry and miss the other. Returns the scored phrase grid with
+    columns ``*keys, phrase, n_words, freq, score``."""
+    k = list(keys)
+    wp = docs.select(
+        *k,
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
+    ).select(*k, "doc_id", (F.col("p0") + 1).alias("p"), "w")
+    nonstop = wp.filter(
+        (~F.col("w").isin(*STOPWORDS)) & (F.col("w") != "")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("p")
+    runs = nonstop.select(
+        *k, "doc_id", "p", "w",
+        (F.col("p") - F.row_number().over(wn)).alias("grp"),
+    )
+    occ = runs.groupBy(*k, "doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    wordstats = (
+        occ.select(
+            *k, F.explode(F.split("phrase", " ")).alias("w"), "n_words"
+        )
+        .groupBy(*k, "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wordstats.select(
+        *k, "w",
+        fround(F.col("deg").cast("double") / F.col("freq").cast("double"), 6)
+        .cast("decimal(25,6)")
+        .alias("ws"),
+    )
+    uniq = occ.groupBy(*k, "phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    )
+    return (
+        uniq.select(*k, "phrase", "n_words", "freq",
+                    F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wscore, [*k, "w"])
+        .groupBy(*k, "phrase", "n_words", "freq")
+        .agg(F.sum("ws").cast("double").alias("score"))
+    )
+
+
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level RAKE keyword extraction (Rose et al. 2010, "Rapid
     Automatic Keyword Extraction"): candidate phrases are maximal runs
@@ -3436,55 +3497,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase text.
     """
     docs = load_table(spark, sf_dir, "documents")
-    wp = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
-    nonstop = wp.filter(
-        (~F.col("w").isin(*STOPWORDS)) & (F.col("w") != "")
-    )
-    wn = Window.partitionBy("doc_id").orderBy("p")
-    runs = nonstop.select(
-        "doc_id", "p", "w",
-        (F.col("p") - F.row_number().over(wn)).alias("grp"),
-    )
-    occ = runs.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda x: x["w"],
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-    )
-    wordstats = (
-        occ.select(
-            F.explode(F.split("phrase", " ")).alias("w"), "n_words"
-        )
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum("n_words").cast("bigint").alias("deg"),
-        )
-    )
-    wscore = wordstats.select(
-        "w",
-        fround(F.col("deg").cast("double") / F.col("freq").cast("double"), 6)
-        .cast("decimal(25,6)")
-        .alias("ws"),
-    )
-    uniq = occ.groupBy("phrase").agg(
-        F.max("n_words").cast("bigint").alias("n_words"),
-        F.count(F.lit(1)).cast("bigint").alias("freq"),
-    )
-    scored = (
-        uniq.select("phrase", "n_words", "freq",
-                    F.explode(F.split("phrase", " ")).alias("w"))
-        .join(wscore, "w")
-        .groupBy("phrase", "n_words", "freq")
-        .agg(F.sum("ws").cast("double").alias("score"))
-    )
+    scored = _rake_scored(docs, ())
     return scored.orderBy(F.col("score").desc(), "phrase").limit(RAKE_TOP_K)
 
 
@@ -3579,58 +3592,7 @@ def q_rake_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source.
     """
     docs = load_table(spark, sf_dir, "documents")
-    wp = docs.select(
-        "source",
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
-    ).select("source", "doc_id", (F.col("p0") + 1).alias("p"), "w")
-    nonstop = wp.filter(
-        (~F.col("w").isin(*STOPWORDS)) & (F.col("w") != "")
-    )
-    wn = Window.partitionBy("doc_id").orderBy("p")
-    runs = nonstop.select(
-        "source", "doc_id", "p", "w",
-        (F.col("p") - F.row_number().over(wn)).alias("grp"),
-    )
-    occ = runs.groupBy("source", "doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda x: x["w"],
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-    )
-    wordstats = (
-        occ.select(
-            "source",
-            F.explode(F.split("phrase", " ")).alias("w"),
-            "n_words",
-        )
-        .groupBy("source", "w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum("n_words").cast("bigint").alias("deg"),
-        )
-    )
-    wscore = wordstats.select(
-        "source", "w",
-        fround(F.col("deg").cast("double") / F.col("freq").cast("double"), 6)
-        .cast("decimal(25,6)")
-        .alias("ws"),
-    )
-    uniq = occ.groupBy("source", "phrase").agg(
-        F.max("n_words").cast("bigint").alias("n_words"),
-        F.count(F.lit(1)).cast("bigint").alias("freq"),
-    )
-    scored = (
-        uniq.select("source", "phrase", "n_words", "freq",
-                    F.explode(F.split("phrase", " ")).alias("w"))
-        .join(wscore, ["source", "w"])
-        .groupBy("source", "phrase", "n_words", "freq")
-        .agg(F.sum("ws").cast("double").alias("score"))
-    )
+    scored = _rake_scored(docs, ("source",))
     rk = Window.partitionBy("source").orderBy(
         F.col("score").desc(), "phrase"
     )

@@ -20,6 +20,8 @@ natively) — the reader sniffs the footer and adapts.
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Iterable
 
 import pandas as pd
@@ -648,8 +650,6 @@ def _landed_on(table, batch_id: int, read_version, hwm) -> bool:
         # clean_log's retain_versions above the worst-case batch lag
         # (see the sink docstrings) — this warning is how a dropped
         # late batch becomes detectable instead of silent.
-        import logging
-
         logging.getLogger(__name__).warning(
             "_landed_on(%s): treating batch_id=%s as an ancient replay "
             "on a TRUNCATED log (watermark=%s, oldest surviving "
@@ -672,6 +672,29 @@ broadcasts (the bounded-batch invariant), so collecting them to the
 driver adds no new scale assumption — but a pathological mega-batch
 above this cap falls back to the full pinned read rather than build an
 oversized IN-list plan."""
+
+
+def _probe_keys_or_warn(probe_keys: DataFrame, batch_id: int, name: str,
+                        column: str) -> list | None:
+    """Collect a batch's distinct probe keys for file-level data
+    skipping, or None above ``_PROBE_PRUNE_CAP`` — LOUDLY (the
+    ``_landed_on`` loudness standard): the fallback is correct but
+    reintroduces the O(corpus) full-index scan for the batch, and a
+    silent one reads as "pruned". One helper so the dedup sinks and
+    the cohort sink can never drift on the cap semantics."""
+    collected = probe_keys.distinct().limit(_PROBE_PRUNE_CAP + 1).collect()
+    if len(collected) <= _PROBE_PRUNE_CAP:
+        return [r[0] for r in collected]
+    logging.getLogger(__name__).warning(
+        "%s: batch %s carries more than %s distinct %r probe keys — "
+        "falling back to the FULL pinned read for this batch (file "
+        "pruning skipped; consider smaller micro-batches).",
+        name,
+        batch_id,
+        _PROBE_PRUNE_CAP,
+        column,
+    )
+    return None
 
 
 def _dedup_sink_commit(
@@ -740,32 +763,9 @@ def _dedup_sink_commit(
             if keys == () and probe_column is not None and probe_keys is not None:
                 # collected lazily: the very first batch has no index
                 # to probe, so it never pays the key-collection job
-                collected = (
-                    probe_keys.distinct()
-                    .limit(_PROBE_PRUNE_CAP + 1)
-                    .collect()
+                keys = _probe_keys_or_warn(
+                    probe_keys, batch_id, name, probe_column
                 )
-                if len(collected) <= _PROBE_PRUNE_CAP:
-                    keys = [r[0] for r in collected]
-                else:
-                    # LOUD on the safety valve (the _landed_on
-                    # loudness standard): the fallback is correct but
-                    # reintroduces the O(corpus) full-index scan for
-                    # this batch, and a silent one reads as "pruned".
-                    keys = None
-                    import logging
-
-                    logging.getLogger(__name__).warning(
-                        "%s: batch %s carries more than %s distinct "
-                        "%r probe keys — falling back to the FULL "
-                        "pinned index read for this batch (file "
-                        "pruning skipped; consider smaller "
-                        "micro-batches).",
-                        name,
-                        batch_id,
-                        _PROBE_PRUNE_CAP,
-                        probe_column,
-                    )
             if keys:
                 seen = idx.read_where_in(probe_column, keys, version=rv_i)
             else:
@@ -1169,6 +1169,72 @@ def maintain_phash_dedup(
 _IVM_DEC = "decimal(25,6)"
 
 
+def _additive_grid_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    hwm_key: str,
+    keys: list[str],
+    partial: DataFrame,
+    combine,
+    name: str,
+) -> bool:
+    """The exactly-once protocol shared by every single-table grid-IVM
+    sink (event rollup, source sketch, corpus health, daily revenue) —
+    written once so its invariants cannot drift across sinks: pin the
+    snapshot version BEFORE the replay check and the view read (the
+    commit below is conditional on that exact version, so an
+    interloper aborts and the sink re-pins and re-folds instead of
+    clobbering); ``batch_id <= hwm`` at the pinned version means
+    replay (foreachBatch ids are monotone under the one-logical-writer
+    contract — see ``_landed_on``'s scope note; pre-watermark tables
+    fall back to one full history scan); the first batch commits a
+    conditional overwrite (creates the table, double-create aborts);
+    later batches MERGE ``combine(partial, current)`` on ``keys``
+    conditionally. Three attempts, then fail loud. Returns False when
+    the batch was a replay (nothing written)."""
+    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+    table = LakehouseTable(batch_df.sparkSession, table_path)
+
+    def _hwm(as_of) -> int:
+        hwm = table.latest_value(hwm_key, as_of=as_of)
+        if hwm is not None:
+            return hwm
+        return max(
+            (e["batch_id"] for e in table.history() if "batch_id" in e),
+            default=-1,
+        )
+
+    marker = {"batch_id": batch_id, hwm_key: batch_id}
+    for _ in range(3):
+        read_version = table.latest_version()
+        if batch_id <= _hwm(read_version):
+            return False
+        if read_version is None:
+            try:
+                table.write(
+                    partial, mode="overwrite", extra=marker,
+                    read_version=read_version,
+                )
+                return True
+            except ConcurrentWriteError:
+                continue
+        current = table.read(version=read_version)
+        try:
+            table.merge(
+                combine(partial, current), keys, extra=marker,
+                read_version=read_version,
+            )
+            return True
+        except ConcurrentWriteError:
+            continue
+    raise RuntimeError(
+        f"{name}: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {table_path})"
+    )
+
+
 def ivm_lakehouse_sink(
     batch_df: DataFrame, batch_id: int, table_path: str
 ) -> bool:
@@ -1197,50 +1263,17 @@ def ivm_lakehouse_sink(
 
     Returns False when the batch was a replay (nothing written).
     """
-    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
-
-    table = LakehouseTable(batch_df.sparkSession, table_path)
-
-    def _hwm(as_of) -> int:
-        hwm = table.latest_value("ivm_batch_hwm", as_of=as_of)
-        if hwm is not None:
-            return hwm
-        # Pre-watermark table: one full-history fallback scan.
-        return max(
-            (e["batch_id"] for e in table.history() if "batch_id" in e),
-            default=-1,
-        )
-
-    marker = {"batch_id": batch_id, "ivm_batch_hwm": batch_id}
     partial = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(_IVM_DEC)).cast(_IVM_DEC).alias(
             "total_value"
         ),
     )
-    for _ in range(3):
-        # Pin the snapshot BEFORE deciding/reading: the commit below is
-        # conditional on this exact version, so a commit landing in
-        # between aborts (and we re-fold) instead of being clobbered.
-        read_version = table.latest_version()
-        if batch_id <= _hwm(read_version):
-            return False
-        if read_version is None:
-            try:
-                # overwrite-on-empty == append, but commits
-                # CONDITIONALLY: a concurrent first-batch writer aborts
-                # instead of double-appending the same partial.
-                table.write(
-                    partial, mode="overwrite", extra=marker,
-                    read_version=read_version,
-                )
-                return True
-            except ConcurrentWriteError:
-                continue  # someone landed first; re-check hwm, re-fold
-        current = table.read(version=read_version)
-        combined = (
-            partial.alias("p")
-            .join(current.alias("c"), "event_type", "left")
+
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(c.alias("c"), "event_type", "left")
             .select(
                 "event_type",
                 (
@@ -1255,17 +1288,10 @@ def ivm_lakehouse_sink(
                 ).cast(_IVM_DEC).alias("total_value"),
             )
         )
-        try:
-            table.merge(
-                combined, ["event_type"], extra=marker,
-                read_version=read_version,
-            )
-            return True
-        except ConcurrentWriteError:
-            continue
-    raise RuntimeError(
-        f"ivm_lakehouse_sink: could not commit batch {batch_id} after 3 "
-        f"attempts (concurrent writers kept advancing {table_path})"
+
+    return _additive_grid_sink(
+        batch_df, batch_id, table_path, "ivm_batch_hwm",
+        ["event_type"], partial, combine, "ivm_lakehouse_sink",
     )
 
 
@@ -2141,67 +2167,34 @@ def source_sketch_sink(
     conditional on that version, ``sketch_batch_hwm`` watermark makes
     the replay check O(1). Returns False on replay.
     """
-    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
     from ..operators.dedup import N_MINHASH, _mh_expr_sql, _shingles
 
-    table = LakehouseTable(batch_df.sparkSession, table_path)
-
-    def _hwm(as_of) -> int:
-        hwm = table.latest_value("sketch_batch_hwm", as_of=as_of)
-        if hwm is not None:
-            return hwm
-        return max(
-            (e["batch_id"] for e in table.history() if "batch_id" in e),
-            default=-1,
-        )
-
-    marker = {"batch_id": batch_id, "sketch_batch_hwm": batch_id}
     sh = _shingles(batch_df).join(
         batch_df.select("doc_id", "source"), "doc_id"
     )
     aggs = [F.expr(f"{_mh_expr_sql(s)} AS mh{s}") for s in range(N_MINHASH)]
     partial = sh.groupBy("source").agg(*aggs)
     mh_cols = [f"mh{j}" for j in range(N_MINHASH)]
-    for _ in range(3):
-        read_version = table.latest_version()
-        if batch_id <= _hwm(read_version):
-            return False
-        if read_version is None:
-            try:
-                table.write(
-                    partial,
-                    mode="overwrite",
-                    extra=marker,
-                    read_version=read_version,
-                )
-                return True
-            except ConcurrentWriteError:
-                continue
-        current = table.read(version=read_version)
-        combined = (
-            partial.alias("p")
-            .join(current.alias("c"), "source", "full_outer")
+
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        # full-outer least(): NULL-skipping min, so a source new to
+        # the batch keeps its partial and an untouched source keeps
+        # its current sketch
+        return (
+            p.alias("p")
+            .join(c.alias("c"), "source", "full_outer")
             .select(
                 "source",
                 *[
-                    F.least(F.col(f"p.{c}"), F.col(f"c.{c}")).alias(c)
-                    for c in mh_cols
+                    F.least(F.col(f"p.{col}"), F.col(f"c.{col}")).alias(col)
+                    for col in mh_cols
                 ],
             )
         )
-        try:
-            table.merge(
-                combined,
-                ["source"],
-                extra=marker,
-                read_version=read_version,
-            )
-            return True
-        except ConcurrentWriteError:
-            continue
-    raise RuntimeError(
-        f"source_sketch_sink: could not commit batch {batch_id} after 3 "
-        f"attempts (concurrent writers kept advancing {table_path})"
+
+    return _additive_grid_sink(
+        batch_df, batch_id, table_path, "sketch_batch_hwm",
+        ["source"], partial, combine, "source_sketch_sink",
     )
 
 
@@ -2639,29 +2632,10 @@ def cohort_ltv_sink(
         if version is None:
             return spark.createDataFrame([], schema)
         if cust_keys == ():
-            collected = (
-                partial.select("o_custkey")
-                .distinct()
-                .limit(_PROBE_PRUNE_CAP + 1)
-                .collect()
+            cust_keys = _probe_keys_or_warn(
+                partial.select("o_custkey"), batch_id,
+                "cohort_ltv_sink", "o_custkey",
             )
-            if len(collected) <= _PROBE_PRUNE_CAP:
-                cust_keys = [r[0] for r in collected]
-            else:
-                # LOUD safety valve (the _dedup_sink_commit standard):
-                # correct, but this batch's state/firsts reads scan
-                # the full tables instead of the pruned file set.
-                cust_keys = None
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "cohort_ltv_sink: batch %s touches more than %s "
-                    "distinct customers — falling back to FULL "
-                    "pinned reads of the customer-keyed tables for "
-                    "this batch (file pruning skipped).",
-                    batch_id,
-                    _PROBE_PRUNE_CAP,
-                )
         if cust_keys is not None:
             return table.read_where_in(
                 "o_custkey", cust_keys, version=version
@@ -2708,8 +2682,6 @@ def cohort_ltv_sink(
                     # permanently undercounts n_active. Size
                     # clean_log retain_versions above the worst-case
                     # replay/batch lag (see maintain_cohort_ltv).
-                    import logging
-
                     logging.getLogger(__name__).warning(
                         "cohort_ltv_sink(%s): batch_id=%s is at or "
                         "below the state watermark (%s) but its "
@@ -3114,39 +3086,12 @@ def corpus_health_sink(
     maintained grid bit-identical to a from-scratch aggregate of
     everything delivered, in any delivery order. Returns False when
     the batch was a replay."""
-    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
-
-    table = LakehouseTable(batch_df.sparkSession, table_path)
-
-    def _hwm(as_of) -> int:
-        hwm = table.latest_value("health_batch_hwm", as_of=as_of)
-        if hwm is not None:
-            return hwm
-        return max(
-            (e["batch_id"] for e in table.history() if "batch_id" in e),
-            default=-1,
-        )
-
-    marker = {"batch_id": batch_id, "health_batch_hwm": batch_id}
-    partial = _corpus_health_partial(batch_df)
     keys = ["source", "lang"]
-    for _ in range(3):
-        read_version = table.latest_version()
-        if batch_id <= _hwm(read_version):
-            return False
-        if read_version is None:
-            try:
-                table.write(
-                    partial, mode="overwrite", extra=marker,
-                    read_version=read_version,
-                )
-                return True
-            except ConcurrentWriteError:
-                continue
-        current = table.read(version=read_version)
-        combined = (
-            partial.alias("p")
-            .join(current.alias("c"), keys, "left")
+
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(c.alias("c"), keys, "left")
             .select(
                 *keys,
                 (
@@ -3181,16 +3126,11 @@ def corpus_health_sink(
                 ).cast(_IVM_DEC).alias("entropy_sum"),
             )
         )
-        try:
-            table.merge(
-                combined, keys, extra=marker, read_version=read_version
-            )
-            return True
-        except ConcurrentWriteError:
-            continue
-    raise RuntimeError(
-        f"corpus_health_sink: could not commit batch {batch_id} after 3 "
-        f"attempts (concurrent writers kept advancing {table_path})"
+
+    return _additive_grid_sink(
+        batch_df, batch_id, table_path, "health_batch_hwm",
+        keys, _corpus_health_partial(batch_df), combine,
+        "corpus_health_sink",
     )
 
 
@@ -3344,39 +3284,12 @@ def daily_revenue_sink(
     ``ivm_lakehouse_sink`` verbatim (pinned read_version,
     daily_batch_hwm replay check, conditional first-batch overwrite /
     MERGE). Returns False when the batch was a replay."""
-    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
     from ..operators.profiling import _daily_revenue_cents
 
-    table = LakehouseTable(batch_df.sparkSession, table_path)
-
-    def _hwm(as_of) -> int:
-        hwm = table.latest_value("daily_batch_hwm", as_of=as_of)
-        if hwm is not None:
-            return hwm
-        return max(
-            (e["batch_id"] for e in table.history() if "batch_id" in e),
-            default=-1,
-        )
-
-    marker = {"batch_id": batch_id, "daily_batch_hwm": batch_id}
-    partial = _daily_revenue_cents(batch_df)
-    for _ in range(3):
-        read_version = table.latest_version()
-        if batch_id <= _hwm(read_version):
-            return False
-        if read_version is None:
-            try:
-                table.write(
-                    partial, mode="overwrite", extra=marker,
-                    read_version=read_version,
-                )
-                return True
-            except ConcurrentWriteError:
-                continue
-        current = table.read(version=read_version)
-        combined = (
-            partial.alias("p")
-            .join(current.alias("c"), "d", "left")
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(c.alias("c"), "d", "left")
             .select(
                 "d",
                 (
@@ -3384,16 +3297,11 @@ def daily_revenue_sink(
                 ).cast("bigint").alias("v"),
             )
         )
-        try:
-            table.merge(
-                combined, ["d"], extra=marker, read_version=read_version
-            )
-            return True
-        except ConcurrentWriteError:
-            continue
-    raise RuntimeError(
-        f"daily_revenue_sink: could not commit batch {batch_id} after 3 "
-        f"attempts (concurrent writers kept advancing {table_path})"
+
+    return _additive_grid_sink(
+        batch_df, batch_id, table_path, "daily_batch_hwm",
+        ["d"], _daily_revenue_cents(batch_df), combine,
+        "daily_revenue_sink",
     )
 
 

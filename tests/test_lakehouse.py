@@ -1046,3 +1046,52 @@ def test_read_where_in_accepts_string_bounds_on_date_column(spark, table):
         ).collect()
     )
     assert got == [4, 60]
+
+
+def test_incremental_optimize_recluster_on_zorder_by_change(spark, table):
+    """Switching zorder_by between incremental cycles must re-cluster
+    EVERYTHING (the old generations were built on different columns),
+    never silently no-op (r15 review)."""
+    table.write(spark.createDataFrame(_rows(200)).coalesce(2), mode="append")
+    table.optimize(target_files=2, zorder_by=["id"], incremental=True)
+    res = table.optimize(target_files=2, zorder_by=["val"], incremental=True)
+    assert res.get("noop") is None
+    assert res["rows_rewritten"] == 200  # the whole table re-clusters
+    assert table.latest_value("zorder_gens_by") == ["val"]
+    # and the new layout is stable: same columns again -> noop
+    res2 = table.optimize(target_files=2, zorder_by=["val"], incremental=True)
+    assert res2.get("noop") is True
+
+
+def test_optimize_cleans_staged_files_on_abort(spark, table, monkeypatch):
+    """A lost commit race must not orphan the rewritten generation's
+    parquet files: the maintenance hooks swallow ConcurrentWriteError
+    every cycle, so a leak here grows without bound on a long stream
+    (r15 review)."""
+    import os
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    table.write(spark.createDataFrame(_rows(100)).coalesce(2), mode="append")
+    live = set(table.read().inputFiles())
+
+    def boom(self, entry, read_version, conflict_on=None, monotone_max=()):
+        raise lh.ConcurrentWriteError("rival landed")
+
+    monkeypatch.setattr(lh.LakehouseTable, "_try_commit", boom)
+    with pytest.raises(lh.ConcurrentWriteError):
+        table.optimize(target_files=1, zorder_by=["id"], incremental=True)
+    monkeypatch.undo()
+    on_disk = {
+        f for f in os.listdir(table.path) if f.endswith(".parquet")
+    }
+    assert on_disk == {os.path.basename(f) for f in live}
+
+
+def test_incremental_optimize_rejects_bad_max_generations(spark, table):
+    table.write(spark.createDataFrame(_rows(10)), mode="append")
+    with pytest.raises(ValueError, match="max_generations"):
+        table.optimize(
+            target_files=1, zorder_by=["id"], incremental=True,
+            max_generations=0,
+        )

@@ -769,3 +769,38 @@ def test_gif_decode_matches_generator_and_rejects_corruption(spark):
         decode_gif(p[:-1])
     with _pytest.raises(ValueError, match="unexpected block"):
         decode_gif(p[:25] + b"\x7f" + p[25:])
+
+
+def test_png_degenerate_dims_raise_value_error(spark):
+    """A CRC-valid PNG declaring a zero dimension passes every stream-
+    length check with an empty raster — it must fail with the codec
+    family's loud ValueError, not an IndexError at the corner probe
+    (r15 review)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        resize_png_nn,
+    )
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 0, 8, 2, 0, 0, 0)  # height 0
+    payload = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="degenerate"):
+        decode_png(payload)
+    with _pytest.raises(ValueError, match="degenerate"):
+        resize_png_nn(payload)
