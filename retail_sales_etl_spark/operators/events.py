@@ -2188,3 +2188,106 @@ ORACLE["events_burstiness"] = """
                 ELSE NULL END AS burstiness
     FROM agg
 """
+
+
+def q_events_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user memory coefficient M (Goh & Barabási, EPL 2008 — the
+    companion to ``events_burstiness``'s B): the Pearson correlation
+    between CONSECUTIVE inter-event gaps — M > 0 means long gaps chain
+    (sessions/lulls), M < 0 means alternation, M ~ 0 means renewal; a
+    (B, M) pair locates a user on the published burstiness-memory
+    phase plane (human activity sits high-B low-M; many schedulers
+    low-B high-M).
+
+    Determinism: gaps are the same integer seconds as burstiness;
+    the five pair sums (S_a, S_b, S_aa, S_bb, S_ab) are exact BIGINTs
+    (gap^2 <= ~1e14 and per-user pair counts keep the sums far from
+    the 9.2e18 BIGINT edge), and M is one IEEE double expression on
+    them, 6-dp floor-staged; zero variance on either margin yields
+    NULL in both engines. Requires >= 2 consecutive pairs.
+
+    Scale shape: one user_id shuffle, two per-user lag windows
+    (bounded partitions), one map-combinable user-grid aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = F.floor(
+        (us(F.col("ts")) - us(F.lag("ts").over(by_user)))
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    gaps = ev.select("user_id", "ts", gap.alias("b")).filter(
+        F.col("b").isNotNull()
+    )
+    pairs = gaps.select(
+        "user_id",
+        F.lag("b").over(by_user).alias("a"),
+        "b",
+    ).filter(F.col("a").isNotNull())
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("a").cast("bigint").alias("_sa"),
+        F.sum("b").cast("bigint").alias("_sb"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("_saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("_sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("_sab"),
+    ).filter(F.col("n_pairs") >= 2)
+    n = F.col("n_pairs").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    cov = n * F.col("_sab").cast("double") - sa * sb
+    var_a = n * F.col("_saa").cast("double") - sa * sa
+    var_b = n * F.col("_sbb").cast("double") - sb * sb
+    m = F.when(
+        (var_a > 0) & (var_b > 0),
+        fround(cov / F.sqrt(var_a * var_b), 6),
+    )
+    return agg.select("user_id", "n_pairs", m.alias("memory_coeff"))
+
+
+QUERIES["events_gap_memory"] = q_events_gap_memory
+
+ORACLE["events_gap_memory"] = """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts))) / 1000000.0)
+                    AS BIGINT) AS b
+        FROM events
+        QUALIFY b IS NOT NULL
+    ),
+    pairs AS (
+        SELECT user_id,
+               lag(b) OVER (PARTITION BY user_id ORDER BY ts) AS a,
+               b
+        FROM gaps
+        QUALIFY a IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a) AS BIGINT) AS sa,
+               CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(a * a) AS BIGINT) AS saa,
+               CAST(sum(b * b) AS BIGINT) AS sbb,
+               CAST(sum(a * b) AS BIGINT) AS sab
+        FROM pairs GROUP BY 1
+        HAVING count(*) >= 2
+    )
+    SELECT user_id, n_pairs,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                THEN floor(((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                            / sqrt((CAST(n_pairs AS DOUBLE)
+                                    * CAST(saa AS DOUBLE)
+                                    - CAST(sa AS DOUBLE)
+                                      * CAST(sa AS DOUBLE))
+                                   * (CAST(n_pairs AS DOUBLE)
+                                      * CAST(sbb AS DOUBLE)
+                                      - CAST(sb AS DOUBLE)
+                                        * CAST(sb AS DOUBLE))))
+                           * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS memory_coeff
+    FROM agg
+"""

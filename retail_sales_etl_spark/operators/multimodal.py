@@ -2118,16 +2118,17 @@ def synthesize_gif(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
-def decode_gif(payload: bytes) -> dict:
-    """REAL GIF87a/89a decoder for single-image, non-interlaced,
-    global-color-table payloads: validates the signature, reads the
-    logical screen descriptor and color table, skips 89a extension
-    blocks, reassembles the image sub-blocks, LZW-decodes
-    (``_lzw_decode``), verifies the decoded index count against the
-    image descriptor dims, requires the 0x3B trailer (a stream cut
-    after the last complete block would otherwise pass — the IEND
-    discipline from the PNG decoder), and maps indices through the
-    palette for integer-exact channel sums."""
+def _gif_raster(payload: bytes) -> tuple[int, int, bytes, list]:
+    """The container-walk + LZW core of the GIF decoder: validates the
+    signature, reads the logical screen descriptor and global color
+    table, skips 89a extension blocks, reassembles the image
+    sub-blocks, LZW-decodes, verifies the decoded index count against
+    the image descriptor dims, and requires the 0x3B trailer (the
+    IEND discipline from the PNG decoder). Returns (width, height,
+    palette indices, palette) — shared by the stats decode
+    (``decode_gif``) and the NN resize (``resize_gif_nn``), so the two
+    can never drift on the byte walk (the ``_png_raster``
+    discipline)."""
     import struct
 
     payload = bytes(payload)
@@ -2186,6 +2187,16 @@ def decode_gif(payload: bytes) -> dict:
         raise ValueError("missing image descriptor")
     if not saw_trailer:
         raise ValueError("truncated GIF: missing trailer")
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate GIF dimensions {width}x{height}")
+    return width, height, indices, palette
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL GIF87a/89a decode (container walk + variable-width LZW in
+    ``_gif_raster``) to integer-exact through-the-palette channel sums
+    plus the raster dims, palette size, and top-left palette index."""
+    width, height, indices, palette = _gif_raster(payload)
     sum_r = sum_g = sum_b = 0
     for i in indices:
         r, g, b = palette[i]
@@ -2196,7 +2207,7 @@ def decode_gif(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "n_pixels": width * height,
-        "n_colors": n_colors,
+        "n_colors": len(palette),
         "sum_r": sum_r,
         "sum_g": sum_g,
         "sum_b": sum_b,
@@ -2279,6 +2290,99 @@ ORACLE["multimodal_gif_stats"] = f"""
            CAST(sum((29 * i + 5) % 256) AS BIGINT) AS sum_g,
            CAST(sum((43 * i + 7) % 256) AS BIGINT) AS sum_b,
            CAST(doc_id % {_GIF_NCOLORS} AS INTEGER) AS corner_idx
+    FROM idx
+    GROUP BY doc_id
+"""
+
+
+
+def resize_gif_nn(payload: bytes) -> dict:
+    """Nearest-neighbor resize on a REAL decoded GIF raster: the full
+    container walk + variable-width LZW decode (``_gif_raster``), the
+    standard NN kernel on the palette-index grid, and per-channel sums
+    of the resized raster through the palette — the LZW-container twin
+    of ``resize_png_nn``."""
+    width, height, indices, palette = _gif_raster(payload)
+    sr = sg = sb = 0
+    for y2 in range(PPM_RESIZE_H):
+        row = ((y2 * height) // PPM_RESIZE_H) * width
+        for x2 in range(PPM_RESIZE_W):
+            r, g, b = palette[indices[row + (x2 * width) // PPM_RESIZE_W]]
+            sr += r
+            sg += g
+            sb += b
+    return {
+        "src_width": width,
+        "src_height": height,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
+    }
+
+
+def q_multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the LZW container end-to-end: synthesize
+    GIF87a bytes, decode + NN-resize each palette raster to
+    PPM_RESIZE_W x PPM_RESIZE_H inside ``mapInPandas``, and emit
+    per-channel sums of the resized image through the palette. The
+    oracle recomputes the sums closed-form: target pixel (x', y') ->
+    palette[generator index at (x'*w // W', y'*h // H')] — earned
+    through sub-block reassembly and the variable-width LZW rebuild.
+    Scale shape: one Arrow-batched mapInPandas chain, payload bytes
+    never shuffle, doc-grain output."""
+    media = synthesize_gif(load_table(spark, sf_dir, "documents"))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "src_width": [],
+                "src_height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = resize_gif_nn(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=PPM_RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_gif_resize"] = q_multimodal_gif_resize
+
+ORACLE["multimodal_gif_resize"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 16) + 4 AS w,
+               (doc_id % 12) + 4 AS h
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+        FROM grid
+    ),
+    pix AS (
+        SELECT doc_id, w, h, x2,
+               unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+        FROM xs
+    ),
+    idx AS (
+        SELECT doc_id, w, h,
+               (doc_id + 7 * ((x2 * w) // {PPM_RESIZE_W})
+                + 13 * ((y2 * h) // {PPM_RESIZE_H})) % {_GIF_NCOLORS} AS i
+        FROM pix
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS src_width,
+           CAST(any_value(h) AS INTEGER) AS src_height,
+           CAST(sum((17 * i + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((29 * i + 5) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((43 * i + 7) % 256) AS BIGINT) AS sum_b
     FROM idx
     GROUP BY doc_id
 """

@@ -619,3 +619,40 @@ def test_burstiness_regular_poisson_and_degenerate_users(spark, tmp_path):
     assert got[2].mean_gap_s == 15.0 and got[2].std_gap_s == 15.0
     assert got[2].burstiness == 0.0
     assert got[4].burstiness is None and got[4].mean_gap_s == 0.0
+
+
+def test_gap_memory_alternating_chained_and_degenerate(spark, tmp_path):
+    """Hand-worked memory coefficient: perfectly alternating gaps
+    score M = -1, chained gaps (0,0,10,10) score +0.5 by the Pearson
+    arithmetic, constant gaps (zero variance) yield NULL, and a user
+    with fewer than 2 consecutive pairs is excluded."""
+    from datetime import timedelta
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_gap_memory,
+    )
+
+    t0 = datetime(2024, 1, 1, 10)
+
+    def _user(uid, offsets, base):
+        return [
+            Row(event_id=base + i, ts=t0 + timedelta(seconds=off),
+                user_id=uid, event_type="c", value=1.0, props="{}")
+            for i, off in enumerate(offsets)
+        ]
+
+    rows = []
+    # user 1: gaps 10,0,10,0 -> pairs (10,0),(0,10),(10,0) -> M = -1
+    rows += _user(1, [0, 10, 10, 20, 20], 100)
+    # user 2: gaps 0,0,10,10 -> pairs (0,0),(0,10),(10,10) -> M = +0.5
+    rows += _user(2, [0, 0, 0, 10, 20], 200)
+    # user 3: constant gaps 5,5,5 -> zero variance -> NULL
+    rows += _user(3, [0, 5, 10, 15], 300)
+    # user 4: two events -> one gap, zero pairs -> excluded
+    rows += _user(4, [0, 7], 400)
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.user_id: r for r in q_events_gap_memory(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_pairs == 3 and got[1].memory_coeff == -1.0
+    assert got[2].memory_coeff == 0.5
+    assert got[3].memory_coeff is None

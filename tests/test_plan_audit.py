@@ -1074,3 +1074,32 @@ def test_mattr_windows_bounded_and_pruned(spark, sf_dir):
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema
     assert "Join" not in plan
+
+
+def test_gif_resize_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The GIF resize chain must stay one zero-Exchange mapInPandas
+    pipeline reading only doc_id (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_gif_resize,
+    )
+
+    plan = _formatted_plan(q_multimodal_gif_resize(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_gap_memory_windows_per_user_and_pruned(spark, sf_dir):
+    """Gap memory: both lag windows are per-user, the aggregate
+    partial-combines, the events scan reads only (ts, user_id)."""
+    import re
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_gap_memory,
+    )
+
+    plan = _formatted_plan(q_events_gap_memory(spark, sf_dir))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read_schema and "props" not in read_schema
+    assert "HashAggregate" in plan

@@ -804,3 +804,41 @@ def test_png_degenerate_dims_raise_value_error(spark):
         decode_png(payload)
     with _pytest.raises(ValueError, match="degenerate"):
         resize_png_nn(payload)
+
+
+def test_gif_resize_matches_generator_nn(spark):
+    """resize_gif_nn must produce exactly the NN sums of the palette-
+    mapped generator raster — through sub-block reassembly and the
+    variable-width LZW rebuild — and a truncated payload must raise."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        PPM_RESIZE_H,
+        PPM_RESIZE_W,
+        _gif_dims,
+        _gif_index,
+        _gif_palette,
+        resize_gif_nn,
+        synthesize_gif,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(12)])
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in synthesize_gif(docs).collect()
+    }
+    for d, payload in payloads.items():
+        got = resize_gif_nn(payload)
+        w, h = _gif_dims(d)
+        want = [0, 0, 0]
+        for y2 in range(PPM_RESIZE_H):
+            for x2 in range(PPM_RESIZE_W):
+                rgb = _gif_palette(_gif_index(
+                    d, (x2 * w) // PPM_RESIZE_W, (y2 * h) // PPM_RESIZE_H
+                ))
+                for c in range(3):
+                    want[c] += rgb[c]
+        assert (got["src_width"], got["src_height"]) == (w, h)
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(want)
+    with _pytest.raises(ValueError, match="trailer"):
+        resize_gif_nn(payloads[2][:-1])
