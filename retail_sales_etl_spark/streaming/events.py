@@ -3385,3 +3385,299 @@ from ..operators.profiling import ORACLE as _PROFILING_ORACLE  # noqa: E402
 # The maintained grid bit-equals the batch daily aggregate, so the
 # spectrum shares the batch periodogram's oracle verbatim.
 ORACLE["streaming_periodogram"] = _PROFILING_ORACLE["revenue_periodogram"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_burstiness — per-user gap-statistics IVM: maintain each
+# user's inter-event gap moments (count, sum, sum of squares) plus the
+# first/last-seen carry exactly-once as events stream in, so the
+# Goh-Barabási burstiness B is servable at any moment without ever
+# re-scanning the event history — the customer-probe discipline
+# (cohort sink) applied to a per-user state table
+# ---------------------------------------------------------------------------
+
+_GAP_STATE_SCHEMA = (
+    "user_id bigint, n_events bigint, first_us bigint, last_us bigint, "
+    "sum_g bigint, sum_g2 bigint"
+)
+
+
+def _gap_stats_partial(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-user gap partial: event count, first/last
+    event time (microseconds), and the sum / sum-of-squares of the
+    WITHIN-batch integer-second gaps (the ``events_burstiness``
+    recipe: floor of the microsecond difference, so sub-second
+    timestamps can't round differently across engines). The carry
+    columns (first_us/last_us) are what lets the combine add the ONE
+    boundary gap each batch seam hides — per-user lag window bounded
+    by one user's batch activity, then a map-combinable aggregate."""
+    from pyspark.sql import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    ev = batch_df.select(
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    g = F.floor(
+        (F.col("us") - F.lag("us").over(by_user)) / F.lit(1_000_000)
+    ).cast("bigint")
+    return (
+        ev.select("user_id", "us", g.alias("g"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("us").cast("bigint").alias("first_us"),
+            F.max("us").cast("bigint").alias("last_us"),
+            F.coalesce(F.sum("g"), F.lit(0)).cast("bigint").alias("sum_g"),
+            F.coalesce(F.sum(F.col("g") * F.col("g")), F.lit(0))
+            .cast("bigint")
+            .alias("sum_g2"),
+        )
+    )
+
+
+def user_gaps_sink(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """Fold one micro-batch of events into the maintained per-user
+    gap-moment state — the IVM form of ``events_burstiness``'s
+    aggregate: a 100 TB event firehose keeps (n_events, first_us,
+    last_us, sum_g, sum_g2) current per user and derives B = (sigma -
+    mu)/(sigma + mu) on read, instead of re-windowing the full history.
+
+    CONTRACT: batches arrive in event-time order (the cohort sink's
+    in-order discipline) — each batch's events for a user all follow
+    the user's stored ``last_us``, so the one gap the batch seam hides
+    is ``floor((batch.first_us - state.last_us)/1e6)``, computed in
+    the combine and added to the moment sums. Within a batch the gaps
+    are the lag-window integer seconds; all sums are exact BIGINTs,
+    so the maintained moments bit-equal a from-scratch pass over
+    everything delivered regardless of where the seams fall.
+
+    Scale shape: the batch collapses map-side to one row per user;
+    the prior-state read goes through the file-pruned
+    ``read_where_in`` on the batch's bounded user set (Z-ordered by
+    user_id via ``maintain_user_gaps``'s incremental optimize cycle,
+    so a batch reads O(batch users) files, not O(all users ever) —
+    the dedup sinks' probe discipline); MERGE rewrites only files
+    holding touched users.
+
+    Exactly-once: pin the snapshot version, ``_landed_on`` replay
+    check against the pinned ``gaps_batch_hwm`` (the hardened exact
+    scan on replay-suspect batches — the maintained state is a
+    long-lived shared artifact like the dedup indexes), conditional
+    first-batch create / MERGE with ``conflict_on="batch_id"``; an
+    interloper aborts the commit and the sink re-pins and re-folds.
+    Three attempts, then fail loud. Returns False on replay."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    spark = batch_df.sparkSession
+    partial = _gap_stats_partial(batch_df).cache()
+    user_keys = ()  # () = not collected yet; None = collected, over cap
+    state = LakehouseTable(spark, state_path)
+    try:
+        for _ in range(3):
+            rv = state.latest_version()
+            hwm = state.latest_value("gaps_batch_hwm", as_of=rv)
+            if _landed_on(state, batch_id, rv, hwm):
+                return False
+            if rv is None:
+                prior = spark.createDataFrame([], _GAP_STATE_SCHEMA)
+            else:
+                if user_keys == ():
+                    user_keys = _probe_keys_or_warn(
+                        partial.select("user_id"), batch_id,
+                        "user_gaps_sink", "user_id",
+                    )
+                prior = (
+                    state.read_where_in("user_id", user_keys, version=rv)
+                    if user_keys is not None
+                    else state.read(version=rv)
+                )
+            # the seam gap exists only for users with prior state; the
+            # in-order contract makes p.first_us >= c.last_us
+            g0 = F.floor(
+                (F.col("p.first_us") - F.col("c.last_us"))
+                / F.lit(1_000_000)
+            ).cast("bigint")
+            upd = (
+                partial.alias("p")
+                .join(prior.alias("c"), "user_id", "left")
+                .select(
+                    "user_id",
+                    (
+                        F.col("p.n_events")
+                        + F.coalesce(F.col("c.n_events"), F.lit(0))
+                    ).cast("bigint").alias("n_events"),
+                    F.coalesce(F.col("c.first_us"), F.col("p.first_us"))
+                    .cast("bigint")
+                    .alias("first_us"),
+                    F.greatest(
+                        F.col("p.last_us"),
+                        F.coalesce(F.col("c.last_us"), F.col("p.last_us")),
+                    ).cast("bigint").alias("last_us"),
+                    (
+                        F.col("p.sum_g")
+                        + F.coalesce(F.col("c.sum_g"), F.lit(0))
+                        + F.coalesce(g0, F.lit(0))
+                    ).cast("bigint").alias("sum_g"),
+                    (
+                        F.col("p.sum_g2")
+                        + F.coalesce(F.col("c.sum_g2"), F.lit(0))
+                        + F.coalesce(g0 * g0, F.lit(0))
+                    ).cast("bigint").alias("sum_g2"),
+                )
+            )
+            stamp = {
+                "batch_id": batch_id,
+                "gaps_batch_hwm": max(
+                    batch_id, hwm if hwm is not None else batch_id
+                ),
+            }
+            try:
+                if rv is None:  # first commit creates the table
+                    state.write(
+                        upd, mode="append", extra=stamp,
+                        conflict_on="batch_id", read_version=rv,
+                        monotone_max=("gaps_batch_hwm",),
+                    )
+                else:
+                    state.merge(
+                        upd, ["user_id"], extra=stamp,
+                        read_version=rv, conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this very batch
+            except ConcurrentWriteError:
+                continue  # re-pin and re-fold from fresh state
+        raise RuntimeError(
+            f"user_gaps_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {state_path})"
+        )
+    finally:
+        partial.unpersist()
+
+
+def maintain_user_gaps(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the per-user gap-moment IVM sink under foreachBatch
+    (availableNow). ``optimize_every=N`` compacts the user-keyed state
+    every N batches — INCREMENTALLY, Z-ordered by user_id (each cycle
+    clusters only the files changed since the last cycle into a new
+    generation, size-tiered merging: see ``LakehouseTable.optimize``) —
+    so the per-batch user-probe reads stay file-pruned as the user
+    population grows while per-cycle write volume stays bounded by
+    recent-change volume, not table size."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        user_gaps_sink(batch_df, batch_id, state_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            try:
+                LakehouseTable(spark, state_path).optimize(
+                    target_files=optimize_files,
+                    zorder_by=["user_id"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
+                )
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
+        _maybe_clean_log(spark, state_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the per-user gap-moment IVM: replay
+    the events table in 4 ts-range micro-batches (file mtimes pinned
+    so FileStreamSource delivers them in event-time order — the
+    in-order contract under which each batch seam hides exactly one
+    boundary gap per user), fold each through ``maintain_user_gaps``
+    (with a mid-stream Z-order cycle so the user-probe pruning path is
+    covered), then derive the Goh-Barabási (mu, sigma, B) surface from
+    the MAINTAINED moments — hash-checked against the SAME oracle as
+    the batch ``events_burstiness``, proving a 100 TB pipeline can
+    serve the burstiness screen without ever re-scanning events."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="gaps_stream_")
+    src = f"{work}/src"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    t_lo, t_hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") < F.lit(cuts[i + 1])
+            if i < 3
+            else F.col("ts") <= F.lit(t_hi)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders new files by modification time: pin
+        # strictly-increasing mtimes so batch i really is ts-range i.
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    ts_t = spark.read.parquet(src).schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(f"user_id bigint, ts {ts_t}")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_user_gaps(
+        stream, f"{work}/state", f"{work}/ckpt", optimize_every=3
+    ).awaitTermination()
+    st = LakehouseTable(spark, f"{work}/state").read()
+    agg = st.filter(F.col("n_events") >= 3).select(
+        "user_id",
+        (F.col("n_events") - F.lit(1)).cast("bigint").alias("n_gaps"),
+        "sum_g",
+        "sum_g2",
+    )
+    # identical IEEE double expressions to the batch operator, on the
+    # same exact BIGINT moments — bit-identical output
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sum_g").cast("double") / n
+    var = F.greatest(
+        F.col("sum_g2").cast("double") / n - mu * mu, F.lit(0.0)
+    )
+    sigma = F.sqrt(var)
+    b = F.when(sigma + mu > 0, fround((sigma - mu) / (sigma + mu), 6))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        fround(mu, 6).alias("mean_gap_s"),
+        fround(sigma, 6).alias("std_gap_s"),
+        b.alias("burstiness"),
+    )
+
+
+QUERIES["streaming_burstiness"] = q_streaming_burstiness
+
+# Hash-checked against the SAME oracle as the batch events_burstiness:
+# the maintained moments must bit-equal a from-scratch gap pass.
+from ..operators.events import ORACLE as _BATCH_EVENTS_ORACLE  # noqa: E402
+
+ORACLE["streaming_burstiness"] = _BATCH_EVENTS_ORACLE["events_burstiness"]

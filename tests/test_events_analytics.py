@@ -656,3 +656,57 @@ def test_gap_memory_alternating_chained_and_degenerate(spark, tmp_path):
     assert got[1].n_pairs == 3 and got[1].memory_coeff == -1.0
     assert got[2].memory_coeff == 0.5
     assert got[3].memory_coeff is None
+
+
+def test_supplier_leadtime_profile_exact_interpolation(spark, tmp_path):
+    """Hand-worked percentile interpolation: supplier 1 ships two items
+    0 and 10 days after order placement — linear interpolation at rank
+    p*(n-1) gives p25=2.5 / p50=5 / p75=7.5 / p90=9; supplier 2's four
+    identical 4-day leads collapse every percentile to 4.0."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import (
+        q_supplier_leadtime_profile,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_orderdate="2020-01-01"),
+            Row(o_orderkey=2, o_orderdate="2020-02-01"),
+        ]
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    li = [
+        Row(l_orderkey=1, l_suppkey=1, l_shipdate="2020-01-01"),
+        Row(l_orderkey=2, l_suppkey=1, l_shipdate="2020-02-11"),
+    ] + [
+        Row(l_orderkey=1, l_suppkey=2, l_shipdate="2020-01-05")
+        for _ in range(4)
+    ]
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [Row(s_suppkey=1, s_name="alpha"), Row(s_suppkey=2, s_name="beta")]
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+
+    out = {
+        r["s_name"]: r
+        for r in q_supplier_leadtime_profile(spark, d).collect()
+    }
+    a = out["alpha"]
+    assert (a["n_items"], a["min_days"], a["max_days"]) == (2, 0, 10)
+    assert (a["p25"], a["p50"], a["p75"], a["p90"]) == (2.5, 5.0, 7.5, 9.0)
+    assert a["avg_days"] == 5.0
+    b = out["beta"]
+    assert (b["n_items"], b["min_days"], b["max_days"]) == (4, 4, 4)
+    assert (b["p25"], b["p50"], b["p75"], b["p90"]) == (4.0, 4.0, 4.0, 4.0)
+
+    # the fixed-memory scale path stays on the same grid for the
+    # degenerate all-equal supplier and lands near-exact on the spread
+    approx = {
+        r["s_name"]: r
+        for r in q_supplier_leadtime_profile(spark, d, approx=True).collect()
+    }
+    assert approx["beta"]["p50"] == 4.0
+    assert abs(approx["alpha"]["p50"] - 5.0) <= 5.0

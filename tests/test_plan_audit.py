@@ -1103,3 +1103,55 @@ def test_gap_memory_windows_per_user_and_pruned(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "user_id" in read_schema and "props" not in read_schema
     assert "HashAggregate" in plan
+
+
+def test_tga_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The TGA chain (synthesize -> RLE decode -> channel sums) must
+    stay one zero-Exchange mapInPandas pipeline reading only doc_id —
+    payload bytes never shuffle (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_tga_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_tga_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_leadtime_profile_broadcasts_dim_and_prunes_scans(spark, sf_dir):
+    """supplier_leadtime_profile: the supplier dim joins BROADCAST
+    (never a shuffle of the per-supplier grid), the lineitem scan
+    reads only the 3 needed columns, and the per-supplier aggregate
+    exists (exact percentile buffers are per-group, not global)."""
+    from retail_sales_etl_spark.plans.analytics import (
+        q_supplier_leadtime_profile,
+    )
+
+    plan = _formatted_plan(q_supplier_leadtime_profile(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    li_schema = next(
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "l_suppkey" in seg.splitlines()[0]
+    )
+    assert "l_quantity" not in li_schema and "l_extendedprice" not in li_schema
+    assert "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_user_gaps_partial_window_per_user_and_combines(spark):
+    """The streaming gap-moment partial: the lag window is per-user
+    (bounded by one user's batch activity — never an unpartitioned
+    window), and the per-user moments partial-combine map-side."""
+    import re
+
+    from retail_sales_etl_spark.streaming.events import _gap_stats_partial
+
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00")], "user_id bigint, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    plan = _formatted_plan(_gap_stats_partial(batch))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+    assert "HashAggregate" in plan

@@ -1630,3 +1630,91 @@ def test_daily_revenue_sink_additive_and_replay(spark, sf_dir, tmp_path):
     v = LakehouseTable(spark, fwd).latest_version()
     assert daily_revenue_sink(lo, 0, fwd) is False
     assert LakehouseTable(spark, fwd).latest_version() == v
+
+
+def test_user_gaps_sink_folds_boundary_gap_and_skips_replay(spark, tmp_path):
+    """Two in-ts-order batches folded through the gap-moment IVM must
+    carry the ONE gap the batch seam hides (state.last_us ->
+    batch.first_us) into the exact BIGINT moments — hand-worked: user
+    1's events at t=0,10 / 30,100 give gaps 10,20,70 with the 20 born
+    at the seam — and a full replay of either batch must be a no-op."""
+    import datetime as dt
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    path = str(tmp_path / "gaps")
+    base = dt.datetime(2020, 1, 1)
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            [(u, base + dt.timedelta(seconds=s)) for u, s in rows],
+            "user_id bigint, ts timestamp",
+        )
+
+    b0 = _batch([(1, 0), (1, 10)])
+    b1 = _batch([(1, 30), (1, 100), (2, 50), (2, 55)])
+    assert streaming_events.user_gaps_sink(b0, 0, path) is True
+    assert streaming_events.user_gaps_sink(b1, 1, path) is True
+
+    got = {
+        r.user_id: (r.n_events, r.first_us, r.last_us, r.sum_g, r.sum_g2)
+        for r in LakehouseTable(spark, path).read().collect()
+    }
+    us0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert got[1] == (4, us0, us0 + 100_000_000, 100, 5400)
+    assert got[2] == (2, us0 + 50_000_000, us0 + 55_000_000, 5, 25)
+
+    version = LakehouseTable(spark, path).latest_version()
+    assert streaming_events.user_gaps_sink(b0, 0, path) is False
+    assert streaming_events.user_gaps_sink(b1, 1, path) is False
+    assert LakehouseTable(spark, path).latest_version() == version
+
+
+def test_user_gaps_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
+    """After the maintenance cycle Z-orders the state by user_id, the
+    next batch's prior-state probe must read the pinned snapshot
+    through stats-pruned read_where_in and OPEN strictly fewer files
+    than the state holds (the dedup sinks' file-open bound applied to
+    the per-user gap state), and the pruned prior must still fold the
+    returning user's boundary gap exactly."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    path = str(tmp_path / "gaps")
+    users = spark.range(160).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    for b in range(4):
+        batch = users.filter((F.col("user_id") % 4) == b)
+        assert streaming_events.user_gaps_sink(batch, b, path) is True
+    lh.LakehouseTable(spark, path).optimize(
+        target_files=40, zorder_by=["user_id"]
+    )
+    live = lh.LakehouseTable(spark, path).read().inputFiles()
+    assert len(live) >= 20  # clustered into many narrow-range files
+
+    opened = []
+    orig = lh.LakehouseTable.read_where_in
+
+    def spy(self, column, values, version=None):
+        df = orig(self, column, values, version=version)
+        opened.append((column, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
+    nxt = spark.createDataFrame(
+        [(3, 10_000), (1000, 10_001)], "user_id bigint, s bigint"
+    ).select("user_id", F.timestamp_seconds(F.col("s")).alias("ts"))
+    assert streaming_events.user_gaps_sink(nxt, 4, path) is True
+    assert opened, "prior-state probe did not go through read_where_in"
+    col, n_opened = opened[0]
+    assert col == "user_id"
+    assert n_opened <= 4 < len(live), (n_opened, len(live))
+    got = {
+        r.user_id: (r.n_events, r.sum_g)
+        for r in lh.LakehouseTable(spark, path).read().collect()
+    }
+    assert got[3] == (2, 9_997)  # floor(10000 - 3): the seam gap
+    assert got[1000] == (1, 0)  # genuinely new user: no gaps yet

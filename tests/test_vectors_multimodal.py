@@ -842,3 +842,110 @@ def test_gif_resize_matches_generator_nn(spark):
         assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(want)
     with _pytest.raises(ValueError, match="trailer"):
         resize_gif_nn(payloads[2][:-1])
+
+
+def _craft_tga(w, h, pixels_topfirst, topdown=True, id_len=0,
+               footer=None, packets=None):
+    """Hand-build an RLE-24 TGA. ``pixels_topfirst`` is rows in IMAGE
+    order (top first); storage order follows ``topdown``. ``packets``
+    overrides the pixel data entirely (for framing-hazard tests)."""
+    import struct
+
+    buf = bytearray()
+    buf += struct.pack(
+        "<BBBHHBHHHHBB",
+        id_len, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0x20 if topdown else 0,
+    )
+    buf += b"\x55" * id_len
+    if packets is not None:
+        buf += packets
+    else:
+        rows = pixels_topfirst if topdown else pixels_topfirst[::-1]
+        for row in rows:
+            for (r, g, b) in row:  # one raw packet per pixel
+                buf += bytes((0x00, b, g, r))
+    buf += multimodal._TGA_FOOTER if footer is None else footer
+    return bytes(buf)
+
+
+def test_decode_tga_origin_and_id_skip_exact():
+    """The SAME image stored top-down and bottom-up must decode to the
+    same sums AND the same top-left corner (the flip is load-bearing:
+    unflipped, the bottom-up payload's first stored row is the bottom
+    row); a nonzero image-ID field must be skipped, not decoded."""
+    pixels = [
+        [(10, 20, 30), (40, 50, 60)],  # top row
+        [(70, 80, 90), (100, 110, 120)],
+    ]
+    td = multimodal.decode_tga(_craft_tga(2, 2, pixels, topdown=True))
+    bu = multimodal.decode_tga(_craft_tga(2, 2, pixels, topdown=False))
+    assert td["sum_r"] == bu["sum_r"] == 10 + 40 + 70 + 100
+    assert td["corner_r"] == bu["corner_r"] == 10
+    assert td["corner_b"] == bu["corner_b"] == 30
+    assert td["topdown"] is True and bu["topdown"] is False
+    skewed = multimodal.decode_tga(
+        _craft_tga(2, 2, pixels, topdown=True, id_len=3)
+    )
+    assert skewed["id_len"] == 3
+    assert {k: v for k, v in skewed.items()
+            if k not in ("id_len", "n_bytes")} == {
+        k: v for k, v in td.items() if k not in ("id_len", "n_bytes")
+    }
+
+
+def test_decode_tga_rle_framing_counts_and_rejections():
+    """Run packets expand count+1 copies of ONE pixel; raw packets
+    carry count+1 literal pixels; the packet counts are reported; a
+    packet overrunning the raster, a truncated stream, a missing
+    footer, and unsupported header variants all raise."""
+    import pytest
+
+    # 3x1: one run of 2 (value 5,6,7 as BGR 7,6,5) + one raw single
+    packets = bytes((0x81, 7, 6, 5)) + bytes((0x00, 30, 20, 10))
+    d = multimodal.decode_tga(_craft_tga(3, 1, None, packets=packets))
+    assert (d["n_run_packets"], d["n_raw_packets"]) == (1, 1)
+    assert d["sum_r"] == 5 + 5 + 10 and d["sum_b"] == 7 + 7 + 30
+    # run packet of 3 overruns the 3-pixel raster when one pixel landed
+    over = bytes((0x00, 1, 1, 1)) + bytes((0x82, 2, 2, 2)) + bytes((0x80, 3, 3, 3))
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal.decode_tga(_craft_tga(3, 1, None, packets=over))
+    with pytest.raises(ValueError, match="ended before"):
+        multimodal.decode_tga(
+            _craft_tga(3, 1, None, packets=bytes((0x81, 7, 6, 5)))
+        )
+    with pytest.raises(ValueError, match="footer"):
+        multimodal.decode_tga(
+            _craft_tga(3, 1, None, packets=packets,
+                       footer=b"\x00" * len(multimodal._TGA_FOOTER))
+        )
+    good = _craft_tga(2, 1, [[(1, 2, 3), (4, 5, 6)]])
+    bad_type = bytearray(good)
+    bad_type[2] = 2  # uncompressed truecolor: out of scope here
+    with pytest.raises(ValueError, match="variant"):
+        multimodal.decode_tga(bytes(bad_type))
+    bad_desc = bytearray(good)
+    bad_desc[17] |= 0x0F  # attribute bits set
+    with pytest.raises(ValueError, match="descriptor"):
+        multimodal.decode_tga(bytes(bad_desc))
+
+
+def test_tga_roundtrip_synth_decode(spark, sf_dir):
+    """Synthesized corpus payloads decode to the closed-form surface:
+    packet counts match the h*(w//2) / h*(w%2) formulas and sums match
+    the quantized generator — through the real Spark mapInPandas path."""
+    out = multimodal.q_multimodal_tga_stats(spark, sf_dir).limit(64).collect()
+    assert out
+    for r in out:
+        d = r.asDict()
+        w, h = multimodal._ppm_dims(r.doc_id)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["n_run_packets"] == h * (w // 2)
+        assert d["n_raw_packets"] == h * (w % 2)
+        assert d["id_len"] == r.doc_id % 4
+        assert d["topdown"] == (r.doc_id % 2 == 1)
+        want_r = sum(
+            multimodal._tga_pixel(r.doc_id, x, y)[0]
+            for x in range(w) for y in range(h)
+        )
+        assert d["sum_r"] == want_r
+        assert d["corner_r"] == r.doc_id % 256
