@@ -2515,19 +2515,17 @@ def synthesize_tga(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
-def decode_tga(payload: bytes) -> dict:
-    """REAL decoder for RLE-compressed 24-bpp TGA — pure-bytes struct
-    arithmetic, no codec library. Validates the colormap/type/bpp/
-    attribute fields, skips the variable-length image ID, expands RLE
-    and raw packets (counting each kind — the packet counts are part
-    of the oracle surface, so a decoder that merely happens to land
-    the right sums through wrong packet framing is caught), rejects a
-    packet overrunning the declared raster, requires the v2.0 footer
-    to sit EXACTLY at the end of the pixel data (truncation/garbage
-    detection), honors descriptor bit 5 for row order, and
-    de-interleaves BGR. The corner probe is the TOP-LEFT pixel after
-    origin normalization — channel sums are row-order invariant, so
-    only the corner's y-dependence catches an ignored origin bit."""
+def _tga_raster(payload: bytes):
+    """The shared TGA container walk (the ``_png_raster``/``_gif_raster``
+    discipline — stats and resize can never drift on the byte walk):
+    validates the colormap/type/bpp/attribute fields, skips the
+    variable-length image ID, expands RLE and raw packets (counting
+    each kind), rejects a packet overrunning the declared raster or
+    extending into the footer region, requires the v2.0 footer to sit
+    EXACTLY at the end of the pixel data, and normalizes row order per
+    descriptor bit 5. Returns (width, height, rows top-first as lists
+    of 3-byte BGR pixels, id_len, topdown, n_run_packets,
+    n_raw_packets)."""
     import struct
 
     payload = bytes(payload)
@@ -2584,6 +2582,21 @@ def decode_tga(payload: bytes) -> dict:
     ]
     if not topdown:
         rows.reverse()
+    return width, height, rows, id_len, topdown, n_run, n_raw
+
+
+def decode_tga(payload: bytes) -> dict:
+    """REAL decoder for RLE-compressed 24-bpp TGA over the shared
+    ``_tga_raster`` walk. The packet counts are part of the oracle
+    surface (a decoder that merely happens to land the right sums
+    through wrong packet framing is caught); the corner probe is the
+    TOP-LEFT pixel after origin normalization — channel sums are
+    row-order invariant, so only the corner's y-dependence catches an
+    ignored origin bit."""
+    payload = bytes(payload)
+    width, height, rows, id_len, topdown, n_run, n_raw = _tga_raster(
+        payload
+    )
     sum_r = sum_g = sum_b = 0
     for row in rows:
         for px in row:
@@ -2594,7 +2607,7 @@ def decode_tga(payload: bytes) -> dict:
     return {
         "width": width,
         "height": height,
-        "n_pixels": n_pixels,
+        "n_pixels": width * height,
         "id_len": id_len,
         "topdown": topdown,
         "n_run_packets": n_run,
@@ -2605,6 +2618,30 @@ def decode_tga(payload: bytes) -> dict:
         "sum_b": sum_b,
         "corner_r": corner[2],
         "corner_b": corner[0],
+    }
+
+
+def resize_tga_nn(payload: bytes) -> dict:
+    """Nearest-neighbor resize on a REAL decoded TGA raster: the full
+    RLE container walk (``_tga_raster``, origin already normalized),
+    the standard NN kernel, and per-channel sums of the resized
+    raster — the RLE-container member of the resize family (PPM, PNG,
+    GIF)."""
+    width, height, rows, *_ = _tga_raster(payload)
+    sr = sg = sb = 0
+    for y2 in range(PPM_RESIZE_H):
+        row = rows[(y2 * height) // PPM_RESIZE_H]
+        for x2 in range(PPM_RESIZE_W):
+            px = row[(x2 * width) // PPM_RESIZE_W]
+            sb += px[0]
+            sg += px[1]
+            sr += px[2]
+    return {
+        "src_width": width,
+        "src_height": height,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
     }
 
 
@@ -2694,5 +2731,77 @@ ORACLE["multimodal_tga_stats"] = """
            CAST(any_value(doc_id % 256) AS INTEGER) AS corner_r,
            CAST(any_value(doc_id % 256) AS INTEGER) AS corner_b
     FROM pix
+    GROUP BY doc_id
+"""
+
+
+def q_multimodal_tga_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the RLE container end-to-end: synthesize
+    TGA bytes, decode + NN-resize each raster to PPM_RESIZE_W x
+    PPM_RESIZE_H inside ``mapInPandas``, and emit per-channel sums of
+    the resized image. The oracle recomputes the sums closed-form:
+    target pixel (x', y') -> quantized generator at
+    ((x'*w // W') // 2, y'*h // H') — earned through packet expansion
+    and origin normalization (half the corpus is stored bottom-up, so
+    a resize on unflipped rows samples the wrong source lines). Scale
+    shape: one Arrow-batched mapInPandas chain, payload bytes never
+    shuffle, doc-grain output."""
+    media = synthesize_tga(load_table(spark, sf_dir, "documents"))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "src_width": [],
+                "src_height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = resize_tga_nn(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=PPM_RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_tga_resize"] = q_multimodal_tga_resize
+
+ORACLE["multimodal_tga_resize"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 8) + 2 AS w,
+               (doc_id % 6) + 2 AS h
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+        FROM grid
+    ),
+    pix AS (
+        SELECT doc_id, w, h, x2,
+               unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+        FROM xs
+    ),
+    src AS (
+        SELECT doc_id,
+               any_value(w) AS w, any_value(h) AS h,
+               ((x2 * w) // {PPM_RESIZE_W}) // 2 AS qx,
+               (y2 * h) // {PPM_RESIZE_H} AS sy
+        FROM pix GROUP BY doc_id, x2, y2,
+               ((x2 * w) // {PPM_RESIZE_W}) // 2,
+               (y2 * h) // {PPM_RESIZE_H}
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS src_width,
+           CAST(any_value(h) AS INTEGER) AS src_height,
+           CAST(sum((doc_id + 7 * qx + 13 * sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * doc_id + 5 * qx + sy) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id + qx * sy) % 256) AS BIGINT) AS sum_b
+    FROM src
     GROUP BY doc_id
 """

@@ -3407,14 +3407,14 @@ ORACLE["text_heaps_fit"] = """
 RAKE_TOP_K = 50
 
 
-def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
-    """The RAKE pipeline shared by the corpus-level and per-source
-    entries — tokenize, gaps-and-islands phrase segmentation (windows
-    PER DOCUMENT), word deg/freq stats, 6-dp DECIMAL-staged word
-    scores, phrase scoring — grouped by ``keys`` + the phrase
-    identity, so a scoring/segmentation fix can never apply to one
-    entry and miss the other. Returns the scored phrase grid with
-    columns ``*keys, phrase, n_words, freq, score``."""
+def _rake_occ(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """RAKE candidate-phrase occurrences: tokenize + gaps-and-islands
+    segmentation (windows PER DOCUMENT — stopwords and word boundaries
+    delimit maximal non-stopword runs). One row per (doc, run) with
+    the phrase text and its word count — the shared segmentation stage
+    every RAKE surface (batch, per-source, streaming IVM) derives its
+    grids from, so a segmentation fix can never reach one and miss
+    another."""
     k = list(keys)
     wp = docs.select(
         *k,
@@ -3429,7 +3429,7 @@ def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
         *k, "doc_id", "p", "w",
         (F.col("p") - F.row_number().over(wn)).alias("grp"),
     )
-    occ = runs.groupBy(*k, "doc_id", "grp").agg(
+    return runs.groupBy(*k, "doc_id", "grp").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -3439,7 +3439,14 @@ def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
     )
-    wordstats = (
+
+
+def _rake_word_grid(occ: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """(keys, w) -> (freq, deg) over candidate occurrences — both
+    ADDITIVE in the occurrence rows, which is what makes the grid
+    incrementally maintainable batch by batch."""
+    k = list(keys)
+    return (
         occ.select(
             *k, F.explode(F.split("phrase", " ")).alias("w"), "n_words"
         )
@@ -3449,15 +3456,31 @@ def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("deg"),
         )
     )
+
+
+def _rake_phrase_grid(occ: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """(keys, phrase) -> (n_words, freq): freq ADDITIVE in occurrence
+    rows, n_words a constant-per-phrase max lattice."""
+    k = list(keys)
+    return occ.groupBy(*k, "phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    )
+
+
+def _rake_score_phrases(
+    uniq: DataFrame, wordstats: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Score phrases from the two grids: word score = deg/freq (6-dp
+    floor-staged, DECIMAL-summed), phrase score = sum of member-word
+    scores. Pure derivation — identical whether the grids came from
+    one batch pass or from incremental maintenance."""
+    k = list(keys)
     wscore = wordstats.select(
         *k, "w",
         fround(F.col("deg").cast("double") / F.col("freq").cast("double"), 6)
         .cast("decimal(25,6)")
         .alias("ws"),
-    )
-    uniq = occ.groupBy(*k, "phrase").agg(
-        F.max("n_words").cast("bigint").alias("n_words"),
-        F.count(F.lit(1)).cast("bigint").alias("freq"),
     )
     return (
         uniq.select(*k, "phrase", "n_words", "freq",
@@ -3465,6 +3488,16 @@ def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
         .join(wscore, [*k, "w"])
         .groupBy(*k, "phrase", "n_words", "freq")
         .agg(F.sum("ws").cast("double").alias("score"))
+    )
+
+
+def _rake_scored(docs: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """The RAKE pipeline shared by the corpus-level and per-source
+    entries — composed from the stages above. Returns the scored
+    phrase grid with columns ``*keys, phrase, n_words, freq, score``."""
+    occ = _rake_occ(docs, keys)
+    return _rake_score_phrases(
+        _rake_phrase_grid(occ, keys), _rake_word_grid(occ, keys), keys
     )
 
 
@@ -3788,4 +3821,212 @@ ORACLE["text_mattr"] = f"""
                             / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
            END AS mattr
     FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_mtld — Measure of Textual Lexical Diversity (McCarthy & Jarvis,
+# Behavior Research Methods 2010): the SEQUENTIAL diversity signal —
+# mean factor length at the 0.72 TTR threshold, forward and backward
+# ---------------------------------------------------------------------------
+
+MTLD_THRESHOLD_NUM = 18  # 0.72 as the exact rational 18/25: the
+MTLD_THRESHOLD_DEN = 25  # factor-close test is pure INTEGER arithmetic
+# (types * 25 < 18 * tokens), so no float-division boundary can ever
+# disagree across engines.
+
+
+def _mtld_walk(tokens: list, prev: list | None = None):
+    """One direction of the MTLD factor walk, all-integer state:
+    token p is a NEW type within the current factor iff its previous
+    occurrence sits before the factor start (the first-occurrence
+    trick at factor grain — no per-factor set needed, which is what
+    makes the walk replayable by a SQL recursive CTE). Returns
+    (full_factors, partial_tokens, partial_types)."""
+    if prev is None:
+        last: dict = {}
+        prev = []
+        for p, t in enumerate(tokens, 1):
+            prev.append(last.get(t, 0))
+            last[t] = p
+    start, ft, fy, full = 1, 0, 0, 0
+    for p in range(1, len(tokens) + 1):
+        ft += 1
+        if prev[p - 1] < start:
+            fy += 1
+        if fy * MTLD_THRESHOLD_DEN < MTLD_THRESHOLD_NUM * ft:
+            full += 1
+            start = p + 1
+            ft = fy = 0
+    return full, ft, fy
+
+
+def _mtld_factors(full: int, ft: int, fy: int) -> float:
+    """full factors + the published partial-factor remainder
+    (1 - TTR) / (1 - 0.72) — a partial factor never closed, so its
+    TTR >= 0.72 and the remainder lies in [0, 1). One double division
+    on exact integers: identical IEEE result in any engine."""
+    if ft == 0:
+        return float(full)
+    return full + (25.0 * (ft - fy)) / (7.0 * ft)
+
+
+def q_text_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MTLD (McCarthy & Jarvis 2010): walk the token sequence
+    keeping a running type-token ratio; each time TTR drops below
+    0.72 a FACTOR completes and the ratio resets; MTLD = n_tokens /
+    factors, averaged over the forward and backward walks — the
+    SEQUENTIAL lexical-diversity measure (MATTR's companion: MATTR
+    averages fixed windows, MTLD measures how far the text travels
+    before diversity exhausts, so positional structure matters, not
+    just window composition). All-distinct docs never complete a
+    factor (remainder 0) and yield NULL.
+
+    This walk is genuinely sequential per document — the documented
+    carve-out: an Arrow-batched ``mapInPandas`` over the (doc_id,
+    text) scan, one Python pass per doc, ZERO shuffles (the codec
+    family's plan shape; at 100 TB this is an embarrassingly parallel
+    single scan). Determinism: the factor-close test is exact integer
+    arithmetic (types*25 < 18*tokens), the walk state is integers,
+    and the three final doubles (remainder, per-direction MTLD, their
+    mean) are fixed IEEE expression trees on those integers — the
+    oracle replays the SAME walk as a recursive CTE using the
+    prev-occurrence-vs-factor-start trick, no per-factor set."""
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _stage(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _mtld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_tokens": [],
+                "factors_fwd": [], "factors_bwd": [], "mtld": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tokens = text.lower().split(" ")
+                n = len(tokens)
+                ff = _mtld_factors(*_mtld_walk(tokens))
+                fb = _mtld_factors(*_mtld_walk(tokens[::-1]))
+                out["doc_id"].append(int(doc_id))
+                out["n_tokens"].append(n)
+                out["factors_fwd"].append(_stage(ff))
+                out["factors_bwd"].append(_stage(fb))
+                out["mtld"].append(
+                    _stage((n / ff + n / fb) / 2.0)
+                    if ff > 0 and fb > 0
+                    else None
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _mtld,
+        schema="doc_id long, n_tokens long, factors_fwd double, "
+               "factors_bwd double, mtld double",
+    )
+
+
+QUERIES["text_mtld"] = q_text_mtld
+
+# The oracle replays the identical integer-state walk as a recursive
+# CTE: all docs advance one token per iteration; "new type in factor"
+# is prev_occ < factor_start (forward) / next_occ-as-reversed-prev <
+# factor_start (backward) — both plain window precomputes.
+ORACLE["text_mtld"] = """
+    WITH RECURSIVE wp AS (
+        SELECT doc_id, i AS p, w[i] AS t,
+               len(w) AS n
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+    ),
+    toks AS (
+        SELECT doc_id, p, n,
+               coalesce(lag(p) OVER (PARTITION BY doc_id, t ORDER BY p),
+                        0) AS prev,
+               coalesce(n - lead(p) OVER (PARTITION BY doc_id, t
+                                          ORDER BY p) + 1,
+                        0) AS prev_rev,
+               n - p + 1 AS q
+        FROM wp
+    ),
+    fwd AS (
+        SELECT doc_id, 0 AS p, 1 AS fstart, 0 AS ft, 0 AS fy, 0 AS f
+        FROM (SELECT DISTINCT doc_id FROM toks)
+        UNION ALL
+        SELECT w.doc_id, w.p,
+               CASE WHEN (s.fy + CASE WHEN w.prev < s.fstart
+                                      THEN 1 ELSE 0 END) * 25
+                         < 18 * (s.ft + 1)
+                    THEN w.p + 1 ELSE s.fstart END,
+               CASE WHEN (s.fy + CASE WHEN w.prev < s.fstart
+                                      THEN 1 ELSE 0 END) * 25
+                         < 18 * (s.ft + 1)
+                    THEN 0 ELSE s.ft + 1 END,
+               CASE WHEN (s.fy + CASE WHEN w.prev < s.fstart
+                                      THEN 1 ELSE 0 END) * 25
+                         < 18 * (s.ft + 1)
+                    THEN 0
+                    ELSE s.fy + CASE WHEN w.prev < s.fstart
+                                     THEN 1 ELSE 0 END END,
+               s.f + CASE WHEN (s.fy + CASE WHEN w.prev < s.fstart
+                                            THEN 1 ELSE 0 END) * 25
+                               < 18 * (s.ft + 1)
+                          THEN 1 ELSE 0 END
+        FROM fwd s JOIN toks w ON w.doc_id = s.doc_id AND w.p = s.p + 1
+    ),
+    bwd AS (
+        SELECT doc_id, 0 AS q, 1 AS fstart, 0 AS ft, 0 AS fy, 0 AS f
+        FROM (SELECT DISTINCT doc_id FROM toks)
+        UNION ALL
+        SELECT w.doc_id, w.q,
+               CASE WHEN (s.fy + CASE WHEN w.prev_rev < s.fstart
+                                      THEN 1 ELSE 0 END) * 25
+                         < 18 * (s.ft + 1)
+                    THEN w.q + 1 ELSE s.fstart END,
+               CASE WHEN (s.fy + CASE WHEN w.prev_rev < s.fstart
+                                      THEN 1 ELSE 0 END) * 25
+                         < 18 * (s.ft + 1)
+                    THEN 0 ELSE s.ft + 1 END,
+               CASE WHEN (s.fy + CASE WHEN w.prev_rev < s.fstart
+                                      THEN 1 ELSE 0 END) * 25
+                         < 18 * (s.ft + 1)
+                    THEN 0
+                    ELSE s.fy + CASE WHEN w.prev_rev < s.fstart
+                                     THEN 1 ELSE 0 END END,
+               s.f + CASE WHEN (s.fy + CASE WHEN w.prev_rev < s.fstart
+                                            THEN 1 ELSE 0 END) * 25
+                               < 18 * (s.ft + 1)
+                          THEN 1 ELSE 0 END
+        FROM bwd s JOIN toks w ON w.doc_id = s.doc_id AND w.q = s.q + 1
+    ),
+    nn AS (SELECT doc_id, any_value(n) AS n FROM toks GROUP BY 1),
+    fin_f AS (
+        SELECT f.doc_id,
+               f.f + CASE WHEN f.ft = 0 THEN 0.0
+                          ELSE (25.0 * (f.ft - f.fy)) / (7.0 * f.ft)
+                     END AS ff
+        FROM fwd f JOIN nn ON f.doc_id = nn.doc_id AND f.p = nn.n
+    ),
+    fin_b AS (
+        SELECT b.doc_id,
+               b.f + CASE WHEN b.ft = 0 THEN 0.0
+                          ELSE (25.0 * (b.ft - b.fy)) / (7.0 * b.ft)
+                     END AS fb
+        FROM bwd b JOIN nn ON b.doc_id = nn.doc_id AND b.q = nn.n
+    )
+    SELECT nn.doc_id,
+           CAST(nn.n AS BIGINT) AS n_tokens,
+           floor(ff * 1e6 + 0.5) / 1e6 AS factors_fwd,
+           floor(fb * 1e6 + 0.5) / 1e6 AS factors_bwd,
+           CASE WHEN ff > 0 AND fb > 0
+                THEN floor(((nn.n / ff + nn.n / fb) / 2.0)
+                           * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS mtld
+    FROM nn JOIN fin_f USING (doc_id) JOIN fin_b USING (doc_id)
 """

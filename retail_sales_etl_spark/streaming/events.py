@@ -3681,3 +3681,295 @@ QUERIES["streaming_burstiness"] = q_streaming_burstiness
 from ..operators.events import ORACLE as _BATCH_EVENTS_ORACLE  # noqa: E402
 
 ORACLE["streaming_burstiness"] = _BATCH_EVENTS_ORACLE["events_burstiness"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_rake_by_source — per-source RAKE keyword maintenance: the
+# word deg/freq grid and the phrase grid are both ADDITIVE in candidate
+# occurrences, so the phrase-characterization surface is maintainable
+# exactly-once batch by batch (documents tokenized ONCE, at arrival)
+# and scored on read through the shared _rake_score_phrases derivation
+# ---------------------------------------------------------------------------
+
+_RAKE_WORDS_SCHEMA = "source string, w string, freq bigint, deg bigint"
+_RAKE_PHRASES_SCHEMA = (
+    "source string, phrase string, n_words bigint, freq bigint"
+)
+
+
+def rake_source_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    words_path: str,
+    phrases_path: str,
+) -> bool:
+    """Fold one micro-batch of documents into the two maintained RAKE
+    grids — the IVM form of ``rake_keywords_by_source``: a 100 TB
+    ingest keeps (source, word) deg/freq and (source, phrase)
+    n_words/freq current per batch (each doc is segmented ONCE, on its
+    batch — RAKE's gaps-and-islands runs never cross documents, so
+    per-batch segmentation equals the from-scratch pass), and derives
+    word scores / phrase scores / per-source top-k on read.
+
+    Scale shape: both grids collapse map-side to the batch's touched
+    keys; prior-grid reads go through the file-pruned ``read_where_in``
+    on the batch's bounded word / phrase sets (Z-ordered by w / phrase
+    via ``maintain_rake_by_source``'s incremental optimize cycle — the
+    string-surrogate clustering), and MERGE rewrites only files
+    holding touched keys. All maintained columns are additive (or the
+    constant-per-phrase n_words max lattice), so ANY delivery order
+    bit-equals the batch aggregate — no in-order contract needed.
+
+    Exactly-once across TWO tables (the dedup-sink protocol): per
+    attempt pin both versions, replay-check the PHRASES table first
+    (it commits last — a phrases hit means the batch fully landed),
+    then commit words -> phrases, each individually replay-guarded by
+    ``_landed_on`` and ``conflict_on="batch_id"``. A crash between the
+    two commits replays into: words skipped, phrases recomputed from
+    the batch + its own prior — no cross-table rewind exists because
+    neither grid's delta reads the other table. Returns False when the
+    batch was a full replay."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from ..operators.text import (
+        _rake_occ,
+        _rake_phrase_grid,
+        _rake_word_grid,
+    )
+
+    spark = batch_df.sparkSession
+    occ = _rake_occ(batch_df, ("source",))
+    p_words = _rake_word_grid(occ, ("source",)).cache()
+    p_phrases = _rake_phrase_grid(occ, ("source",)).cache()
+    keys: dict[str, object] = {}  # per-column lazy probe-key cache
+    words = LakehouseTable(spark, words_path)
+    phrases = LakehouseTable(spark, phrases_path)
+
+    def _read_prior(table, schema, version, partial, column):
+        if version is None:
+            return spark.createDataFrame([], schema)
+        if column not in keys:
+            keys[column] = _probe_keys_or_warn(
+                partial.select(column), batch_id,
+                "rake_source_sink", column,
+            )
+        if keys[column] is not None:
+            return table.read_where_in(column, keys[column], version=version)
+        return table.read(version=version)
+
+    def _stamp(b: int, hwm) -> dict:
+        return {
+            "batch_id": b,
+            "batch_hwm": max(b, hwm if hwm is not None else b),
+        }
+
+    try:
+        for _ in range(3):
+            rv_p = phrases.latest_version()
+            hwm_p = phrases.latest_value("batch_hwm", as_of=rv_p)
+            if _landed_on(phrases, batch_id, rv_p, hwm_p):
+                return False  # phrases commits last: fully landed
+            rv_w = words.latest_version()
+            hwm_w = words.latest_value("batch_hwm", as_of=rv_w)
+            prior_w = _read_prior(
+                words, _RAKE_WORDS_SCHEMA, rv_w, p_words, "w"
+            ).select(
+                "source", "w",
+                F.col("freq").alias("c_freq"),
+                F.col("deg").alias("c_deg"),
+            )
+            upd_w = (
+                p_words.alias("p")
+                .join(prior_w, ["source", "w"], "left")
+                .select(
+                    "source", "w",
+                    (F.col("p.freq") + F.coalesce("c_freq", F.lit(0)))
+                    .cast("bigint").alias("freq"),
+                    (F.col("p.deg") + F.coalesce("c_deg", F.lit(0)))
+                    .cast("bigint").alias("deg"),
+                )
+            )
+            prior_p = _read_prior(
+                phrases, _RAKE_PHRASES_SCHEMA, rv_p, p_phrases, "phrase"
+            ).select(
+                "source", "phrase",
+                F.col("n_words").alias("c_nw"),
+                F.col("freq").alias("c_freq"),
+            )
+            upd_p = (
+                p_phrases.alias("p")
+                .join(prior_p, ["source", "phrase"], "left")
+                .select(
+                    "source", "phrase",
+                    F.greatest(
+                        F.col("p.n_words"),
+                        F.coalesce("c_nw", F.col("p.n_words")),
+                    ).cast("bigint").alias("n_words"),
+                    (F.col("p.freq") + F.coalesce("c_freq", F.lit(0)))
+                    .cast("bigint").alias("freq"),
+                )
+            )
+            try:
+                if not _landed_on(words, batch_id, rv_w, hwm_w):
+                    try:
+                        if rv_w is None:
+                            words.write(
+                                upd_w, mode="append",
+                                extra=_stamp(batch_id, hwm_w),
+                                conflict_on="batch_id", read_version=rv_w,
+                                monotone_max=("batch_hwm",),
+                            )
+                        else:
+                            words.merge(
+                                upd_w, ["source", "w"],
+                                extra=_stamp(batch_id, hwm_w),
+                                read_version=rv_w, conflict_on="batch_id",
+                            )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's words
+                if rv_p is None:
+                    phrases.write(
+                        upd_p, mode="append",
+                        extra=_stamp(batch_id, hwm_p),
+                        conflict_on="batch_id", read_version=rv_p,
+                        monotone_max=("batch_hwm",),
+                    )
+                else:
+                    phrases.merge(
+                        upd_p, ["source", "phrase"],
+                        extra=_stamp(batch_id, hwm_p),
+                        read_version=rv_p, conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's phrases
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and retry
+        raise RuntimeError(
+            f"rake_source_sink: could not commit batch {batch_id} after "
+            f"3 attempts (concurrent writers kept advancing {phrases_path})"
+        )
+    finally:
+        p_words.unpersist()
+        p_phrases.unpersist()
+
+
+def maintain_rake_by_source(
+    stream: DataFrame,
+    words_path: str,
+    phrases_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the per-source RAKE IVM sink under foreachBatch
+    (availableNow). ``optimize_every=N`` clusters BOTH grid tables
+    every N batches — INCREMENTALLY, the words grid Z-ordered by ``w``
+    and the phrases grid by ``phrase`` (string-surrogate clustering) —
+    so the per-batch probe reads stay file-pruned as the vocabulary
+    grows while per-cycle write volume stays bounded by recent-change
+    volume."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        rake_source_sink(batch_df, batch_id, words_path, phrases_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path, col in ((words_path, "w"), (phrases_path, "phrase")):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=[col],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (words_path, phrases_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_rake_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-contract entry for the per-source RAKE IVM: replay the
+    documents table in 4 doc_id-range micro-batches through
+    ``maintain_rake_by_source`` (with a mid-stream Z-order cycle so
+    the string-keyed probe pruning path is covered), then score the
+    MAINTAINED grids through the shared ``_rake_score_phrases``
+    derivation and emit the per-source top-k — hash-checked against
+    the SAME oracle as the batch ``rake_keywords_by_source``, proving
+    a 100 TB pipeline can serve the phrase-characterization surface
+    tokenizing each document exactly once."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.text import (
+        RAKE_SRC_TOP_K,
+        _rake_score_phrases,
+    )
+
+    work = tempfile.mkdtemp(prefix="rake_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_rake_by_source(
+        stream, f"{work}/words", f"{work}/phrases", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+    uniq = LakehouseTable(spark, f"{work}/phrases").read()
+    wordstats = LakehouseTable(spark, f"{work}/words").read()
+    scored = _rake_score_phrases(uniq, wordstats, ("source",))
+    rk = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), "phrase"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= RAKE_SRC_TOP_K)
+        .select("source", "rank", "phrase", "n_words", "freq", "score")
+    )
+
+
+QUERIES["streaming_rake_by_source"] = q_streaming_rake_by_source
+
+# Hash-checked against the SAME oracle as the batch entry: the
+# maintained grids must bit-equal a from-scratch RAKE pass.
+from ..operators.text import ORACLE as _TEXT_ORACLE  # noqa: E402
+
+ORACLE["streaming_rake_by_source"] = _TEXT_ORACLE["rake_keywords_by_source"]

@@ -1155,3 +1155,30 @@ def test_user_gaps_partial_window_per_user_and_combines(spark):
     plan = _formatted_plan(_gap_stats_partial(batch))
     assert not re.search(r"Window.*partitionBy=\[\]", plan)
     assert "HashAggregate" in plan
+
+
+def test_tga_resize_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The TGA resize chain must stay one zero-Exchange mapInPandas
+    pipeline reading only doc_id (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_tga_resize,
+    )
+
+    plan = _formatted_plan(q_multimodal_tga_resize(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_mtld_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """text_mtld's sequential per-doc walk must stay one zero-Exchange
+    mapInPandas pipeline reading only (doc_id, text) — the documented
+    genuinely-sequential carve-out keeps the codec family's plan
+    shape: embarrassingly parallel, nothing corpus-wide."""
+    from retail_sales_etl_spark.operators.text import q_text_mtld
+
+    plan = _formatted_plan(q_text_mtld(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema

@@ -1718,3 +1718,124 @@ def test_user_gaps_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     }
     assert got[3] == (2, 9_997)  # floor(10000 - 3): the seam gap
     assert got[1000] == (1, 0)  # genuinely new user: no gaps yet
+
+
+def test_rake_source_sink_order_insensitive_and_skips_replay(
+    spark, tmp_path
+):
+    """The two maintained RAKE grids are additive in candidate
+    occurrences, so folding batches in EITHER order must bit-equal
+    the from-scratch grids of everything delivered (stopwords delimit
+    phrases within docs; docs never split across batches), and a full
+    replay of either batch must be a no-op on both tables."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.text import (
+        _rake_occ,
+        _rake_phrase_grid,
+        _rake_word_grid,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta the gamma delta", "s1"),
+         (2, "alpha beta of beta", "s2")],
+        "doc_id long, text string, source string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "gamma delta the alpha beta", "s1")],
+        "doc_id long, text string, source string",
+    )
+    want_occ = _rake_occ(b0.unionAll(b1), ("source",))
+    want_w = {
+        (r.source, r.w): (r.freq, r.deg)
+        for r in _rake_word_grid(want_occ, ("source",)).collect()
+    }
+    want_p = {
+        (r.source, r.phrase): (r.n_words, r.freq)
+        for r in _rake_phrase_grid(want_occ, ("source",)).collect()
+    }
+    for order in ((b0, 0), (b1, 1)), ((b1, 0), (b0, 1)):
+        w, p = str(tmp_path / f"w{order[0][1]}_{id(order)}"), str(
+            tmp_path / f"p{order[0][1]}_{id(order)}"
+        )
+        for batch, bid in order:
+            assert streaming_events.rake_source_sink(batch, bid, w, p)
+        got_w = {
+            (r.source, r.w): (r.freq, r.deg)
+            for r in LakehouseTable(spark, w).read().collect()
+        }
+        got_p = {
+            (r.source, r.phrase): (r.n_words, r.freq)
+            for r in LakehouseTable(spark, p).read().collect()
+        }
+        assert got_w == want_w and got_p == want_p
+        vs = [LakehouseTable(spark, t).latest_version() for t in (w, p)]
+        assert streaming_events.rake_source_sink(order[0][0], order[0][1],
+                                                 w, p) is False
+        assert vs == [
+            LakehouseTable(spark, t).latest_version() for t in (w, p)
+        ]
+
+
+def test_rake_source_sink_probe_reads_file_pruned(spark, tmp_path,
+                                                  monkeypatch):
+    """After the maintenance cycle Z-orders the words grid by w and the
+    phrases grid by phrase (string-surrogate clustering), the next
+    batch's prior-grid probes must go through stats-pruned
+    read_where_in on BOTH tables and open strictly fewer files than
+    each grid holds; the pruned fold must still count a returning
+    doc's words/phrases exactly."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    w, p = str(tmp_path / "words"), str(tmp_path / "phrases")
+    docs = spark.range(160).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("w%04da w%04db w%04dc", "id", "id", "id")
+        .alias("text"),
+        F.lit("s0").alias("source"),
+    )
+    for b in range(4):
+        batch = docs.filter((F.col("doc_id") % 4) == b)
+        assert streaming_events.rake_source_sink(batch, b, w, p) is True
+    for path, col in ((w, "w"), (p, "phrase")):
+        lh.LakehouseTable(spark, path).optimize(
+            target_files=40, zorder_by=[col]
+        )
+    live_w = lh.LakehouseTable(spark, w).read().inputFiles()
+    live_p = lh.LakehouseTable(spark, p).read().inputFiles()
+    assert len(live_w) >= 10 and len(live_p) >= 10
+
+    opened = []
+    orig = lh.LakehouseTable.read_where_in
+
+    def spy(self, column, values, version=None):
+        df = orig(self, column, values, version=version)
+        opened.append((column, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
+    nxt = spark.createDataFrame(
+        [(1000, "w0003a w0003b w0003c", "s0"),
+         (1001, "zfresh alone here", "s0")],
+        "doc_id long, text string, source string",
+    )
+    assert streaming_events.rake_source_sink(nxt, 4, w, p) is True
+    cols = {c for c, _ in opened}
+    assert cols == {"w", "phrase"}, opened
+    for col, n_opened in opened:
+        live = len(live_w) if col == "w" else len(live_p)
+        assert n_opened <= 5 < live, (col, n_opened, live)
+    got_w = {
+        r.w: r.freq
+        for r in lh.LakehouseTable(spark, w).read().collect()
+    }
+    assert got_w["w0003a"] == 2 and got_w["zfresh"] == 1
+    got_p = {
+        r.phrase: r.freq
+        for r in lh.LakehouseTable(spark, p).read().collect()
+    }
+    assert got_p["w0003a w0003b w0003c"] == 2
+    assert got_p["zfresh alone here"] == 1

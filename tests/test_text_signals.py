@@ -707,3 +707,58 @@ def test_mattr_hand_worked_windows_and_ttr_fallback(spark, tmp_path):
     ) < 1e-6
     # short doc: plain TTR = 2 types / 3 tokens
     assert got[2].n_windows == 0 and got[2].mattr == 0.666667
+
+
+def test_text_mtld_matches_published_setwise_walk_and_pinned_values(
+    spark, tmp_path
+):
+    """The factor walk's first-occurrence trick (new type iff
+    prev_occ < factor_start) must equal the PUBLISHED set-based walk
+    (McCarthy & Jarvis 2010) on repetitive, alternating, and
+    all-distinct docs; pinned by hand: 'x x x x x' closes a factor
+    every second token -> 2 full factors, MTLD 2.5; 'a b' * 4 -> 2
+    factors, MTLD 4.0; all-distinct text completes nothing -> NULL."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_text_mtld
+
+    def ref_factors(tokens):  # the literal published algorithm
+        full, types, count = 0, set(), 0
+        for t in tokens:
+            types.add(t)
+            count += 1
+            if len(types) / count < 0.72:
+                full += 1
+                types, count = set(), 0
+        if count == 0:
+            return float(full)
+        ttr = len(types) / count
+        return full + (1 - ttr) / (1 - 0.72)
+
+    docs = [
+        Row(doc_id=1, text="x x x x x"),
+        Row(doc_id=2, text="a b a b a b a b"),
+        Row(doc_id=3, text="q w e r t y u i"),
+        Row(doc_id=4, text="the cat sat on the mat and the dog sat too"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r["doc_id"]: r for r in q_text_mtld(spark, d).collect()}
+
+    assert out[1]["factors_fwd"] == 2.0 and out[1]["mtld"] == 2.5
+    assert out[2]["factors_fwd"] == 2.0 and out[2]["mtld"] == 4.0
+    assert out[3]["mtld"] is None  # all distinct: zero factors
+    for row in docs:
+        toks = row.text.split(" ")
+        ff, fb = ref_factors(toks), ref_factors(toks[::-1])
+        got = out[row.doc_id]
+        assert got["n_tokens"] == len(toks)
+        assert got["factors_fwd"] == math.floor(ff * 1e6 + 0.5) / 1e6
+        assert got["factors_bwd"] == math.floor(fb * 1e6 + 0.5) / 1e6
+        if ff > 0:
+            want = (len(toks) / ff + len(toks) / fb) / 2.0
+            assert got["mtld"] == math.floor(want * 1e6 + 0.5) / 1e6

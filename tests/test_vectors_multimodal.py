@@ -949,3 +949,57 @@ def test_tga_roundtrip_synth_decode(spark, sf_dir):
         )
         assert d["sum_r"] == want_r
         assert d["corner_r"] == r.doc_id % 256
+
+
+def test_tga_resize_matches_generator_nn():
+    """resize_tga_nn through the real RLE payload must equal the
+    brute-force NN sums from the quantized generator — for BOTH
+    origins (an unflipped bottom-up raster samples wrong source rows:
+    doc 1 is stored bottom-up, doc 2 top-down in the corpus
+    convention, so both paths are load-bearing here)."""
+    import struct
+
+    import retail_sales_etl_spark.operators.multimodal as mm
+    from retail_sales_etl_spark.operators.multimodal import (
+        PPM_RESIZE_H,
+        PPM_RESIZE_W,
+        _ppm_dims,
+        _tga_pixel,
+        resize_tga_nn,
+    )
+
+    # build payloads exactly as the synthesizer does, without Spark
+    for doc_id in (1, 2, 7, 12):
+        w, h = _ppm_dims(doc_id)
+        id_len = mm._tga_id_len(doc_id)
+        topdown = mm._tga_topdown(doc_id)
+        buf = bytearray()
+        buf += struct.pack(
+            "<BBBHHBHHHHBB",
+            id_len, 0, 10, 0, 0, 0, 0, 0, w, h, 24,
+            0x20 if topdown else 0,
+        )
+        buf += b"\x77" * id_len
+        ys = range(h) if topdown else range(h - 1, -1, -1)
+        for y in ys:
+            row = [
+                bytes(reversed(_tga_pixel(doc_id, x, y)))
+                for x in range(w)
+            ]
+            enc, _, _ = mm._tga_rle_row(row)
+            buf += enc
+        buf += mm._TGA_FOOTER
+
+        got = resize_tga_nn(bytes(buf))
+        want_r = sum(
+            _tga_pixel(doc_id, (x2 * w) // PPM_RESIZE_W,
+                       (y2 * h) // PPM_RESIZE_H)[0]
+            for x2 in range(PPM_RESIZE_W) for y2 in range(PPM_RESIZE_H)
+        )
+        want_b = sum(
+            _tga_pixel(doc_id, (x2 * w) // PPM_RESIZE_W,
+                       (y2 * h) // PPM_RESIZE_H)[2]
+            for x2 in range(PPM_RESIZE_W) for y2 in range(PPM_RESIZE_H)
+        )
+        assert (got["src_width"], got["src_height"]) == (w, h)
+        assert got["sum_r"] == want_r and got["sum_b"] == want_b
