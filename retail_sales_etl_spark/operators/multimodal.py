@@ -2805,3 +2805,277 @@ ORACLE["multimodal_tga_resize"] = f"""
     FROM src
     GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon resource): the SEVENTH codec and the first
+# CONTAINER-OF-IMAGES — a directory of N images addressed by
+# offset/size (the decoder must seek, not stream), each a HEADERLESS
+# BMP (BITMAPINFOHEADER only) whose biHeight is DOUBLED to cover the
+# 1-bpp AND transparency mask (MSB-first bits, rows padded to 32 BITS),
+# plus the 0-means-256 width/height byte convention in the directory.
+# No prior codec exercises any of these.
+# ---------------------------------------------------------------------------
+
+ICO_MIME = "image/x-icon"
+
+
+def _ico_n_images(doc_id: int) -> int:
+    return doc_id % 3 + 1
+
+
+def _ico_dims(doc_id: int, j: int) -> tuple[int, int]:
+    """Dims of image j: the shared generator grid, except every fifth
+    doc's LAST image is 256 wide — the 0-means-256 directory-byte
+    convention is then load-bearing on the corpus, not just crafted."""
+    if doc_id % 5 == 0 and j == _ico_n_images(doc_id) - 1:
+        return 256, 2
+    return _ppm_dims(doc_id + 17 * j)
+
+
+def _ico_pixel(doc_id: int, j: int, x: int, y: int) -> tuple[int, int, int]:
+    return _ppm_pixel(doc_id + 17 * j, x, y)
+
+
+def _ico_transparent(doc_id: int, x: int, y: int) -> bool:
+    """AND-mask bit (1 = transparent) — every fifth diagonal: channel
+    sums over OPAQUE pixels depend on correct mask decode."""
+    return (doc_id + x + y) % 5 == 0
+
+
+def _ico_and_stride(width: int) -> int:
+    """1-bpp AND-mask rows pad to a 32-BIT boundary (the ICO spec's
+    sharpest edge: it is NOT the XOR raster's byte stride)."""
+    return (width + 31) // 32 * 4
+
+
+def synthesize_ico(docs: DataFrame) -> DataFrame:
+    """One REAL multi-image ICO per document: ICONDIR (count = 1..3
+    per doc), ICONDIRENTRY per image (width/height bytes with the
+    0-means-256 convention, bytes_in_res, image_offset), and per image
+    a BITMAPINFOHEADER with DOUBLED biHeight + the bottom-up 24-bpp
+    BGR XOR raster (4-byte stride) + the bottom-up 1-bpp AND mask
+    (MSB-first, 32-bit-padded rows)."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = _ico_n_images(d)
+                images = []
+                for j in range(n):
+                    w, h = _ico_dims(d, j)
+                    xor_stride = _bmp_stride(w)
+                    and_stride = _ico_and_stride(w)
+                    img = bytearray()
+                    img += struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, 2 * h, 1, 24, 0,
+                        xor_stride * h + and_stride * h, 0, 0, 0, 0,
+                    )
+                    for y in range(h - 1, -1, -1):  # XOR, bottom-up
+                        row = bytearray()
+                        for x in range(w):
+                            r, g, b = _ico_pixel(d, j, x, y)
+                            row += bytes((b, g, r))
+                        row += b"\x00" * (xor_stride - 3 * w)
+                        img += row
+                    for y in range(h - 1, -1, -1):  # AND, bottom-up
+                        row = bytearray(and_stride)
+                        for x in range(w):
+                            if _ico_transparent(d, x, y):
+                                row[x // 8] |= 0x80 >> (x % 8)
+                        img += row
+                    images.append((w, h, bytes(img)))
+                buf = bytearray()
+                buf += struct.pack("<HHH", 0, 1, n)
+                offset = 6 + 16 * n
+                for w, h, img in images:
+                    buf += struct.pack(
+                        "<BBBBHHII",
+                        w % 256, h % 256, 0, 0, 1, 24, len(img), offset,
+                    )
+                    offset += len(img)
+                for _, _, img in images:
+                    buf += img
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": ICO_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def decode_ico(payload: bytes) -> list[dict]:
+    """REAL decoder for multi-image 24-bpp ICO — pure-bytes struct
+    arithmetic. Walks the directory, SEEKS each image by its
+    offset/size entry (validating bounds), parses the headerless
+    BITMAPINFOHEADER, requires biHeight == 2 * the directory height
+    (the doubled-height contract), expands the bottom-up XOR raster
+    and the MSB-first 32-bit-padded AND mask, and sums channels over
+    OPAQUE pixels only (mask bit 0). Directory bytes 0 mean 256."""
+    import struct
+
+    payload = bytes(payload)
+    if len(payload) < 6:
+        raise ValueError("truncated ICO header")
+    reserved, res_type, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or res_type != 1 or count == 0:
+        raise ValueError("not an ICO resource")
+    if len(payload) < 6 + 16 * count:
+        raise ValueError("truncated ICO directory")
+    out = []
+    for j in range(count):
+        (wb, hb, _pal, _rsv, planes, bpp, size, offset) = struct.unpack_from(
+            "<BBBBHHII", payload, 6 + 16 * j
+        )
+        w = wb or 256
+        h = hb or 256
+        if offset + size > len(payload):
+            raise ValueError("ICO image outside payload bounds")
+        if bpp != 24 or planes not in (0, 1):
+            raise ValueError("unsupported ICO entry (need 24-bpp)")
+        (
+            bi_size, bi_w, bi_h, bi_planes, bi_bpp, bi_comp,
+        ) = struct.unpack_from("<IiiHHI", payload, offset)
+        if bi_size != 40 or bi_comp != 0 or bi_bpp != 24:
+            raise ValueError("unsupported ICO bitmap header")
+        if bi_w != w or bi_h != 2 * h:
+            raise ValueError(
+                "ICO bitmap dims disagree with directory (biHeight "
+                "must be DOUBLED for the AND mask)"
+            )
+        xor_stride = _bmp_stride(w)
+        and_stride = _ico_and_stride(w)
+        if size < 40 + (xor_stride + and_stride) * h:
+            raise ValueError("truncated ICO image data")
+        xor_base = offset + 40
+        and_base = xor_base + xor_stride * h
+        n_opaque = sum_r = sum_g = sum_b = 0
+        for y in range(h):  # image row y stored at slot h-1-y
+            xrow = payload[
+                xor_base + (h - 1 - y) * xor_stride:
+                xor_base + (h - 1 - y) * xor_stride + 3 * w
+            ]
+            mrow = payload[
+                and_base + (h - 1 - y) * and_stride:
+                and_base + (h - y) * and_stride
+            ]
+            for x in range(w):
+                if mrow[x // 8] & (0x80 >> (x % 8)):
+                    continue  # transparent: excluded from the stats
+                n_opaque += 1
+                sum_b += xrow[3 * x]
+                sum_g += xrow[3 * x + 1]
+                sum_r += xrow[3 * x + 2]
+        out.append(
+            {
+                "img_idx": j,
+                "n_images": count,
+                "width": w,
+                "height": h,
+                "n_pixels": w * h,
+                "n_opaque": n_opaque,
+                "sum_r": sum_r,
+                "sum_g": sum_g,
+                "sum_b": sum_b,
+            }
+        )
+    return out
+
+
+ICO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_idx", IntegerType()),
+        StructField("n_images", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_opaque", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def q_multimodal_ico_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multi-image ICO decode proof — the seventh codec,
+    first CONTAINER format: per (doc, image) stats where every hazard
+    is load-bearing on the corpus (1..3 images per doc seeked by
+    directory offset; channel sums over OPAQUE pixels only, so a
+    wrong AND-mask bit order or stride poisons them; biHeight doubled;
+    every fifth doc carries a 256-wide image exercising the
+    0-means-256 directory byte). Oracle = closed form over the shared
+    generator + the diagonal mask predicate. Scale shape: one
+    Arrow-batched mapInPandas chain, payload bytes never shuffle,
+    (doc, image)-grain output."""
+    media = synthesize_ico(load_table(spark, sf_dir, "documents"))
+
+    cols = [f.name for f in ICO_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for img in decode_ico(payload):
+                    rows["doc_id"].append(int(doc_id))
+                    for k, v in img.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=ICO_STATS_SCHEMA)
+
+
+QUERIES["multimodal_ico_stats"] = q_multimodal_ico_stats
+
+ORACLE["multimodal_ico_stats"] = """
+    WITH imgs AS (
+        SELECT doc_id, j,
+               doc_id % 3 + 1 AS n_images,
+               CASE WHEN doc_id % 5 = 0 AND j = doc_id % 3
+                    THEN 256 ELSE ((doc_id + 17 * j) % 8) + 2 END AS w,
+               CASE WHEN doc_id % 5 = 0 AND j = doc_id % 3
+                    THEN 2 ELSE ((doc_id + 17 * j) % 6) + 2 END AS h
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS j)
+    ),
+    xs AS (
+        SELECT doc_id, j, n_images, w, h,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM imgs
+    ),
+    pix AS (
+        SELECT doc_id, j, n_images, w, h, x,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM xs
+    )
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS img_idx,
+           CAST(any_value(n_images) AS INTEGER) AS n_images,
+           CAST(any_value(w) AS INTEGER) AS width,
+           CAST(any_value(h) AS INTEGER) AS height,
+           count(*) AS n_pixels,
+           CAST(sum(CASE WHEN (doc_id + x + y) % 5 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_opaque,
+           CAST(sum(CASE WHEN (doc_id + x + y) % 5 <> 0
+                         THEN (doc_id + 17 * j + 7 * x + 13 * y) % 256
+                         ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN (doc_id + x + y) % 5 <> 0
+                         THEN (3 * (doc_id + 17 * j) + 5 * x + y) % 256
+                         ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN (doc_id + x + y) % 5 <> 0
+                         THEN ((doc_id + 17 * j) + x * y) % 256
+                         ELSE 0 END) AS BIGINT) AS sum_b
+    FROM pix
+    GROUP BY doc_id, j
+"""

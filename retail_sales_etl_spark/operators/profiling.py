@@ -1737,3 +1737,379 @@ ORACLE["revenue_periodogram"] = f"""
                 AS INTEGER) AS rank
     FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_revenue_ccf — lagged cross-correlation (CCF) between the daily
+# ORDER-COUNT series and the daily REVENUE series: does volume lead
+# value? The cross-variable companion to events_autocorr (same-series
+# calendar lags) on the shared day grid.
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 14
+
+
+def q_orders_revenue_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily order count x(t) and
+    daily revenue y(t + lag) for lag 0..``CCF_MAX_LAG``, on the DENSE
+    calendar spine (gap days are genuine zeros — dropping them would
+    misalign every lag): the lead/lag diagnostic between volume and
+    value (a positive peak at lag k says order volume leads revenue by
+    k days; the lag-0 value is the contemporaneous mix effect).
+
+    Scale shape: the fact collapses to the bounded day grid in ONE
+    scan; the spine is generated from the min/max aggregate; the lag
+    alignment is a grid-to-grid self-join on (day + lag) after a lag
+    explode — days x lags rows regardless of fact volume; one
+    map-combinable per-lag aggregate ends the plan. Determinism: both
+    series are exact integers (counts; floor-staged cents), the five
+    pair sums are exact (BIGINT / DECIMAL(38,0) for the cents
+    products), and each CCF value is one IEEE expression on those
+    exact sums, 6-dp floor-staged; zero variance on either margin
+    yields NULL in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
+        ).alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("v"),
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    dense = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("v", F.lit(0)).cast("bigint").alias("v"),
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    lagged = dense.select(
+        "d", "n",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(CCF_MAX_LAG))
+        ).alias("lag"),
+    ).alias("x")
+    pairs = lagged.join(
+        dense.alias("y"),
+        F.col("x.d") + F.col("x.lag") == F.col("y.d"),
+    ).select(
+        "lag",
+        F.col("x.n").alias("a"),
+        F.col("y.v").alias("b"),
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("a").cast("bigint").alias("_sa"),
+        F.sum("b").cast("bigint").alias("_sb"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("_saa"),
+        F.sum((d18("b") * d18("b")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("_sbb"),
+        F.sum((d18("a") * d18("b")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("_sab"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    cov = n * F.col("_sab").cast("double") - sa * sb
+    var_a = n * F.col("_saa").cast("double") - sa * sa
+    var_b = n * F.col("_sbb").cast("double") - sb * sb
+    ccf = F.when(
+        (var_a > 0) & (var_b > 0),
+        fround(cov / F.sqrt(var_a * var_b), 6),
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        ccf.alias("ccf"),
+    )
+
+
+QUERIES["orders_revenue_ccf"] = q_orders_revenue_ccf
+
+ORACLE["orders_revenue_ccf"] = f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '{SEASON_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi)) AS d FROM bounds
+    ),
+    dense AS (
+        SELECT spine.d,
+               coalesce(n, 0) AS n,
+               coalesce(v, 0) AS v
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+    ),
+    lags AS (SELECT unnest(generate_series(0, {CCF_MAX_LAG})) AS lag),
+    pairs AS (
+        SELECT lag, x.n AS a, y.v AS b
+        FROM dense x CROSS JOIN lags
+        JOIN dense y ON x.d + lag = y.d
+    ),
+    agg AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a) AS BIGINT) AS sa,
+               CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(a * a) AS BIGINT) AS saa,
+               CAST(sum(CAST(b AS DECIMAL(18,0))
+                        * CAST(b AS DECIMAL(18,0))) AS DECIMAL(38,0))
+                   AS sbb,
+               CAST(sum(CAST(a AS DECIMAL(18,0))
+                        * CAST(b AS DECIMAL(18,0))) AS DECIMAL(38,0))
+                   AS sab
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                THEN floor(((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                            / sqrt((CAST(n_pairs AS DOUBLE)
+                                    * CAST(saa AS DOUBLE)
+                                    - CAST(sa AS DOUBLE)
+                                      * CAST(sa AS DOUBLE))
+                                   * (CAST(n_pairs AS DOUBLE)
+                                      * CAST(sbb AS DOUBLE)
+                                      - CAST(sb AS DOUBLE)
+                                        * CAST(sb AS DOUBLE))))
+                           * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS ccf
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_hurst — rescaled-range (R/S) Hurst exponent of the daily
+# revenue series (Hurst 1951; Mandelbrot & Wallis 1969): long-range
+# dependence in one number — H ~ 0.5 random walk, H > 0.5 persistent
+# (trends compound), H < 0.5 anti-persistent (mean-reverting)
+# ---------------------------------------------------------------------------
+
+HURST_SCALES = (8, 16, 32, 64, 128, 256)
+
+
+def q_revenue_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical R/S analysis on the DENSE daily
+    revenue series (gap days are genuine zeros): for each scale n in
+    ``HURST_SCALES``, split the series into complete n-day blocks; per
+    block compute R = range of the cumulative deviations from the
+    block mean and S = the block standard deviation; average R/S over
+    blocks; H is the slope of ln(mean R/S) against ln(n) — the
+    long-memory diagnostic next to the periodogram (periodicity) and
+    autocorr (fixed lags): H says whether shocks PERSIST across
+    scales. The time-series family's scaling-law member.
+
+    Scale shape: the fact collapses to the bounded day grid in one
+    scan; the scale explode is days x |scales| grid rows; cumulative
+    sums and block stats are windows over (scale, block) partitions
+    bounded by the largest scale (256 rows) — nothing grows with fact
+    volume. Determinism: the series is exact integer cents, per-block
+    sums are exact (BIGINT / DECIMAL for squares), every per-block
+    double (mean, Z_k, R, S) is a fixed IEEE expression on exact ints,
+    each block's R/S is 6-dp floor-staged before the DECIMAL per-scale
+    mean, the two log coordinates are 9-dp staged before the DECIMAL
+    fit sums (the elasticity discipline), and the final slope/r2 are
+    single expressions on those exact decimals."""
+    from pyspark.sql import Window
+
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dense = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+        .join(daily, "d", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("d") - F.col("lo")).alias("rn"),
+            F.coalesce("v", F.lit(0)).cast("bigint").alias("v"),
+        )
+    )
+    d18 = F.col("v").cast("decimal(18,0)")
+    scaled = dense.select(
+        "rn", "v",
+        F.explode(
+            F.array(*[F.lit(s) for s in HURST_SCALES])
+        ).alias("s"),
+    ).select(
+        "s", "v",
+        F.floor(F.col("rn") / F.col("s")).cast("bigint").alias("blk"),
+        (F.col("rn") % F.col("s") + 1).alias("k"),
+    )
+    part = Window.partitionBy("s", "blk")
+    wcum = part.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    rows = scaled.select(
+        "s", "blk", "k", "v",
+        F.count(F.lit(1)).over(part).alias("n_b"),
+        F.sum("v").over(part).cast("bigint").alias("sx"),
+        F.sum((d18 * d18).cast("decimal(38,0)")).over(part)
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum("v").over(wcum).cast("bigint").alias("cum"),
+    ).filter(F.col("n_b") == F.col("s"))  # complete blocks only
+    mean = F.col("sx").cast("double") / F.col("s").cast("double")
+    z = F.col("cum").cast("double") - F.col("k").cast("double") * mean
+    blk = rows.groupBy("s", "blk").agg(
+        (F.max(z) - F.min(z)).alias("r"),
+        F.max(mean).alias("mean"),
+        F.max(F.col("sxx").cast("double")).alias("sxx_d"),
+    )
+    std = F.sqrt(
+        F.greatest(
+            F.col("sxx_d") / F.col("s").cast("double")
+            - F.col("mean") * F.col("mean"),
+            F.lit(0.0),
+        )
+    )
+    rs = fround(F.col("r") / std, 6).cast("decimal(25,6)")
+    per_scale = blk.filter(std > 0).groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(rs).alias("_rs_sum"),
+    )
+    mean_rs = F.col("_rs_sum").cast("double") / F.col("n_blocks").cast(
+        "double"
+    )
+    pts = per_scale.filter(mean_rs > 0).select(
+        fround(F.log(F.col("s").cast("double")), 9).alias("lx"),
+        fround(F.log(mean_rs), 9).alias("ly"),
+    )
+    d9 = "decimal(28,9)"
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scales"),
+        F.sum(F.col("lx").cast(d9)).cast(d9).alias("_sx"),
+        F.sum(F.col("ly").cast(d9)).cast(d9).alias("_sy"),
+        F.sum(fround(F.col("lx") * F.col("lx"), 9).cast(d9))
+        .cast(d9).alias("_sxx"),
+        F.sum(fround(F.col("lx") * F.col("ly"), 9).cast(d9))
+        .cast(d9).alias("_sxy"),
+        F.sum(fround(F.col("ly") * F.col("ly"), 9).cast(d9))
+        .cast(d9).alias("_syy"),
+    )
+    n_days = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    n = F.col("n_scales").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy = F.col("_sxx").cast("double"), F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / det
+    r2 = F.when(
+        (det > 0) & (n * syy - sy * sy > 0),
+        fround(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / (det * (n * syy - sy * sy)),
+            6,
+        ),
+    )
+    return fit.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "n_scales",
+        F.when(det > 0, fround(slope, 6)).alias("hurst"),
+        r2.alias("r2"),
+    )
+
+
+QUERIES["revenue_hurst"] = q_revenue_hurst
+
+ORACLE["revenue_hurst"] = f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    dense AS (
+        SELECT spine.d - bounds.lo AS rn, coalesce(v, 0) AS v
+        FROM (SELECT unnest(generate_series(lo, hi)) AS d
+              FROM bounds) spine
+        CROSS JOIN bounds
+        LEFT JOIN daily ON spine.d = daily.d
+    ),
+    scaled AS (
+        SELECT s, v,
+               rn // s AS blk,
+               rn % s + 1 AS k
+        FROM dense CROSS JOIN
+             (SELECT unnest({list(HURST_SCALES)}) AS s)
+    ),
+    rows_ AS (
+        SELECT s, blk, k, v,
+               count(*) OVER (PARTITION BY s, blk) AS n_b,
+               CAST(sum(v) OVER (PARTITION BY s, blk) AS BIGINT) AS sx,
+               CAST(sum(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0)))
+                    OVER (PARTITION BY s, blk) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(v) OVER (PARTITION BY s, blk ORDER BY k
+                                 ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM scaled
+        QUALIFY n_b = s
+    ),
+    blk AS (
+        SELECT s, blk,
+               max(CAST(cum AS DOUBLE)
+                   - CAST(k AS DOUBLE)
+                     * (CAST(sx AS DOUBLE) / CAST(s AS DOUBLE)))
+               - min(CAST(cum AS DOUBLE)
+                     - CAST(k AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(s AS DOUBLE))) AS r,
+               max(CAST(sx AS DOUBLE) / CAST(s AS DOUBLE)) AS mean,
+               max(CAST(sxx AS DOUBLE)) AS sxx_d
+        FROM rows_ GROUP BY 1, 2
+    ),
+    rs AS (
+        SELECT s,
+               CAST(floor((r / sqrt(greatest(
+                        sxx_d / CAST(s AS DOUBLE) - mean * mean, 0.0)))
+                    * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS rs
+        FROM blk
+        WHERE sqrt(greatest(sxx_d / CAST(s AS DOUBLE) - mean * mean,
+                            0.0)) > 0
+    ),
+    per_scale AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+               sum(rs) AS rs_sum
+        FROM rs GROUP BY 1
+    ),
+    pts AS (
+        SELECT floor(ln(CAST(s AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS lx,
+               floor(ln(CAST(rs_sum AS DOUBLE)
+                        / CAST(n_blocks AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                   AS ly
+        FROM per_scale
+        WHERE CAST(rs_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE) > 0
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_scales,
+               CAST(sum(CAST(lx AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ly AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(floor((lx * lx) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(floor((lx * ly) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(floor((ly * ly) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM pts
+    ),
+    nd AS (SELECT CAST(hi - lo + 1 AS BIGINT) AS n_days FROM bounds)
+    SELECT n_days, n_scales,
+           CASE WHEN CAST(n_scales AS DOUBLE) * sxx - sx * sx > 0
+                THEN floor(((CAST(n_scales AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n_scales AS DOUBLE) * sxx - sx * sx))
+                           * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS hurst,
+           CASE WHEN CAST(n_scales AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n_scales AS DOUBLE) * syy - sy * sy > 0
+                THEN floor((((CAST(n_scales AS DOUBLE) * sxy - sx * sy)
+                             * (CAST(n_scales AS DOUBLE) * sxy - sx * sy))
+                            / ((CAST(n_scales AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n_scales AS DOUBLE) * syy
+                                  - sy * sy)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS r2
+    FROM fit CROSS JOIN nd
+"""

@@ -1182,3 +1182,41 @@ def test_mtld_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_ico_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The ICO chain (synthesize -> directory walk -> masked sums)
+    must stay one zero-Exchange mapInPandas pipeline reading only
+    doc_id — payload bytes never shuffle (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_ico_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_ico_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_ccf_and_hurst_grid_bounded_and_column_pruned(spark, sf_dir):
+    """orders_revenue_ccf and revenue_hurst: the fact collapses to the
+    day grid in one scan reading only (o_orderdate, o_totalprice);
+    every window is partitioned (per scale x block / none needed);
+    aggregates partial-combine. The lag join and the scale explode
+    live on the bounded grid, never on raw fact rows."""
+    import re
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_orders_revenue_ccf,
+        q_revenue_hurst,
+    )
+
+    for q in (q_orders_revenue_ccf, q_revenue_hurst):
+        plan = _formatted_plan(q(spark, sf_dir))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "o_orderdate" in read_schema
+        assert "o_orderpriority" not in read_schema
+        assert "o_custkey" not in read_schema
+        assert "HashAggregate" in plan
+    plan = _formatted_plan(q_revenue_hurst(spark, sf_dir))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)

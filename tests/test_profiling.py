@@ -535,3 +535,115 @@ def test_periodogram_finds_weekly_period(spark, tmp_path):
     for p, r in got.items():
         assert r.n_groups == p  # 84 days cover every residue class
         assert 0.0 <= r.strength <= 1.000001
+
+
+def test_orders_revenue_ccf_engineered_lag_peak(spark, tmp_path):
+    """Orders engineered so each day's revenue equals 600 * the order
+    COUNT two days earlier (prices exact to the cent): the CCF must be
+    EXACTLY 1.0 at lag 2 and visibly weaker at lag 0 — the lead/lag
+    alignment is load-bearing, not just the correlation formula."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_orders_revenue_ccf,
+    )
+
+    counts = [1, 2, 4, 1, 3, 5, 2, 1, 4, 3, 5, 1, 2, 4, 3, 1, 5, 2, 3, 4,
+              1, 2]
+    base = dt.date(1995, 1, 1)
+    rows, k = [], 0
+    for t, c in enumerate(counts):
+        rev = 600.0 * (counts[t - 2] if t >= 2 else 1)
+        for _ in range(c):
+            k += 1
+            rows.append(
+                Row(o_orderkey=k,
+                    o_orderdate=(base + dt.timedelta(days=t)).isoformat(),
+                    o_totalprice=rev / c)
+            )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = {r["lag"]: r for r in q_orders_revenue_ccf(spark, d).collect()}
+    assert out[2]["ccf"] == 1.0
+    assert out[2]["n_pairs"] == len(counts) - 2
+    assert out[0]["ccf"] < 0.9
+
+
+def test_revenue_hurst_matches_reference_rs_walk(spark, tmp_path):
+    """The operator must reproduce a literal python R/S reference on a
+    crafted 512-day series (one order per day, deterministic pseudo-
+    random walk prices), and the qualitative ends must hold: a
+    strictly trending series is persistent (H near 1), a strictly
+    alternating one anti-persistent (H well below 0.5)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        HURST_SCALES,
+        q_revenue_hurst,
+    )
+
+    def ref_hurst(cents):
+        pts = []
+        for s in HURST_SCALES:
+            rss = []
+            for b in range(len(cents) // s):
+                blk = cents[b * s:(b + 1) * s]
+                mean = sum(blk) / s
+                cum, zmin, zmax = 0.0, float("inf"), float("-inf")
+                acc = 0
+                for k, v in enumerate(blk, 1):
+                    acc += v
+                    z = acc - k * mean
+                    zmin, zmax = min(zmin, z), max(zmax, z)
+                std = math.sqrt(max(
+                    sum(v * v for v in blk) / s - mean * mean, 0.0))
+                if std > 0:
+                    rss.append(
+                        math.floor((zmax - zmin) / std * 1e6 + 0.5) / 1e6
+                    )
+            if rss and sum(rss) > 0:
+                pts.append((math.log(s), math.log(sum(rss) / len(rss))))
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    def run(prices):
+        base = dt.date(1995, 1, 1)
+        rows = [
+            Row(o_orderkey=t + 1,
+                o_orderdate=(base + dt.timedelta(days=t)).isoformat(),
+                o_totalprice=p)
+            for t, p in enumerate(prices)
+        ]
+        d = str(tmp_path / f"h{len(prices)}_{hash(tuple(prices)) & 0xffff}")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
+        return q_revenue_hurst(spark, d).first()
+
+    # deterministic pseudo-random walk (LCG increments)
+    x, prices = 100_000, []
+    seed = 12345
+    for _ in range(512):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        x += (seed % 2001) - 1000
+        prices.append(max(x, 1) / 100.0)
+    got = run(prices)
+    want = ref_hurst([round(p * 100) for p in prices])
+    assert got["n_scales"] == len(HURST_SCALES)
+    assert abs(got["hurst"] - want) < 1e-4, (got["hurst"], want)
+
+    trend = run([100.0 + t for t in range(512)])
+    assert trend["hurst"] > 0.9
+    alt = run([100.0 if t % 2 == 0 else 900.0 for t in range(512)])
+    assert alt["hurst"] < 0.25

@@ -1003,3 +1003,99 @@ def test_tga_resize_matches_generator_nn():
         )
         assert (got["src_width"], got["src_height"]) == (w, h)
         assert got["sum_r"] == want_r and got["sum_b"] == want_b
+
+
+def test_decode_ico_crafted_masked_exact_and_rejections():
+    """Hand-built one-image ICO (2x2, one transparent pixel): stats
+    sum OPAQUE pixels only through the MSB-first AND mask; rejections:
+    wrong resource type, out-of-bounds image offset, an UN-doubled
+    biHeight, and truncated image data all raise."""
+    import struct
+
+    import pytest
+
+    def craft(bi_height=4, offset_fudge=0, trunc=0, res_type=1):
+        w = h = 2
+        xor_stride = multimodal._bmp_stride(w)   # 8
+        and_stride = multimodal._ico_and_stride(w)  # 4
+        img = bytearray()
+        img += struct.pack(
+            "<IiiHHIIiiII", 40, w, bi_height, 1, 24, 0,
+            (xor_stride + and_stride) * h, 0, 0, 0, 0,
+        )
+        # image rows top-first: [(r10,g20,b30),(r40,g50,b60)],
+        #                       [(r70,g80,b90),(r100,g110,b120)]
+        rows = [[(10, 20, 30), (40, 50, 60)],
+                [(70, 80, 90), (100, 110, 120)]]
+        for y in (1, 0):  # bottom-up
+            line = bytearray()
+            for r, g, b in rows[y]:
+                line += bytes((b, g, r))
+            line += b"\x00" * (xor_stride - 3 * w)
+            img += line
+        # AND mask: transparent ONLY at image (x=1, y=0) -> stored row
+        # slot h-1-0 = 1 (bottom-up), bit 0x80 >> 1 = 0x40
+        for y in (1, 0):
+            row = bytearray(and_stride)
+            if y == 0:
+                row[0] = 0x40
+            img += row
+        if trunc:
+            img = img[:-trunc]
+        buf = bytearray()
+        buf += struct.pack("<HHH", 0, res_type, 1)
+        buf += struct.pack("<BBBBHHII", w, h, 0, 0, 1, 24, len(img),
+                           22 + offset_fudge)
+        buf += img
+        return bytes(buf)
+
+    out = multimodal.decode_ico(craft())
+    assert len(out) == 1
+    d = out[0]
+    assert (d["width"], d["height"], d["n_pixels"]) == (2, 2, 4)
+    assert d["n_opaque"] == 3  # (1,0) transparent
+    assert d["sum_r"] == 10 + 70 + 100
+    assert d["sum_g"] == 20 + 80 + 110
+    assert d["sum_b"] == 30 + 90 + 120
+    with pytest.raises(ValueError, match="not an ICO"):
+        multimodal.decode_ico(craft(res_type=2))
+    with pytest.raises(ValueError, match="outside payload"):
+        multimodal.decode_ico(craft(offset_fudge=64))
+    with pytest.raises(ValueError, match="DOUBLED"):
+        multimodal.decode_ico(craft(bi_height=2))
+    with pytest.raises(ValueError, match="truncated ICO image"):
+        multimodal.decode_ico(craft(trunc=4))
+
+
+def test_ico_roundtrip_synth_decode_multi_image_and_256(spark, sf_dir):
+    """Corpus payloads decode per (doc, image) with the generator's
+    closed-form surface: image counts follow doc_id % 3 + 1, every
+    fifth doc's last image is 256 wide (directory byte 0), and opaque
+    sums match the diagonal mask predicate."""
+    out = multimodal.q_multimodal_ico_stats(spark, sf_dir).limit(
+        200
+    ).collect()
+    assert out
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, imgs in by_doc.items():
+        if len(imgs) != doc_id % 3 + 1:
+            continue  # limit() may cut a doc's tail images
+        for r in imgs:
+            w, h = multimodal._ico_dims(doc_id, r.img_idx)
+            assert (r.width, r.height) == (w, h)
+            want_op = sum(
+                1
+                for x in range(w) for y in range(h)
+                if not multimodal._ico_transparent(doc_id, x, y)
+            )
+            assert r.n_opaque == want_op
+            want_r = sum(
+                multimodal._ico_pixel(doc_id, r.img_idx, x, y)[0]
+                for x in range(w) for y in range(h)
+                if not multimodal._ico_transparent(doc_id, x, y)
+            )
+            assert r.sum_r == want_r
+        if doc_id % 5 == 0:
+            assert imgs[-1].width == 256  # the 0-means-256 byte
