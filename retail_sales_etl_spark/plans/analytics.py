@@ -1779,3 +1779,170 @@ ORACLE["supplier_leadtime_profile"] = """
            p25, p50, p75, p90, max_days
     FROM prof JOIN supplier ON l_suppkey = s_suppkey
 """
+
+
+KS_ALPHA_COEFF = 1.358  # two-sample KS critical coefficient at alpha=0.05
+
+
+def q_leadtime_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier two-sample Kolmogorov-Smirnov drift test on
+    fulfilment lead times: split each supplier's shipped lines at the
+    GLOBAL midpoint order date into an early and a late sample and
+    compute D = max |F_early(x) - F_late(x)| over the merged support —
+    the distribution-free data-drift detector (did this supplier's
+    latency DISTRIBUTION change, not merely its mean — a mean-stable
+    variance blowup is invisible to the lead-time profile, and this is
+    the standard screen a pipeline QC tier runs per segment). The
+    drifted flag compares D against the alpha=0.05 critical value
+    1.358 * sqrt((n1+n2)/(n1*n2)).
+
+    Scale shape: the fact-fact join collapses to the (supplier,
+    lead-day, half) COUNT grid in one aggregate (bounded by suppliers
+    x distinct lead days, not fact rows); the ECDF difference is one
+    cumulative window per supplier ORDERED BY lead day (partition
+    bounded by the supplier's distinct lead days, ~130 here); the max
+    is a map-combinable per-supplier aggregate. Determinism: the KS
+    statistic is found as an exact INTEGER maximum — D = max |c1*n2 -
+    c2*n1| / (n1*n2) with all counts BIGINT, so the argmax can never
+    tie-break differently across engines — and only the final
+    division and the critical-value comparison are doubles (fixed
+    IEEE expressions on exact ints), 6-dp staged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    od = F.to_date("o_orderdate")
+    bounds = orders.agg(
+        F.min(od).alias("lo"), F.max(od).alias("hi")
+    ).select(
+        (
+            F.datediff("hi", "lo") / F.lit(2)
+        ).cast("int").alias("half_span"),
+        "lo",
+    )
+    lead = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "l_suppkey",
+            F.datediff(F.to_date("l_shipdate"), od)
+            .cast("bigint")
+            .alias("d"),
+            (F.datediff(od, F.col("lo")) <= F.col("half_span"))
+            .alias("early"),
+        )
+    )
+    grid = lead.groupBy("l_suppkey", "d").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.partitionBy("l_suppkey")
+    wcum = w.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "l_suppkey",
+        F.sum("c1").over(wcum).cast("bigint").alias("f1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("f2"),
+        F.sum("c1").over(w).cast("bigint").alias("n1"),
+        F.sum("c2").over(w).cast("bigint").alias("n2"),
+    )
+    diff = F.abs(
+        F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+    )
+    per_supp = (
+        cum.groupBy("l_suppkey")
+        .agg(
+            F.max(diff).cast("bigint").alias("_num"),
+            F.max("n1").cast("bigint").alias("n_early"),
+            F.max("n2").cast("bigint").alias("n_late"),
+        )
+        .filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+    )
+    n1d = F.col("n_early").cast("double")
+    n2d = F.col("n_late").cast("double")
+    ks = F.col("_num").cast("double") / (n1d * n2d)
+    crit = F.lit(KS_ALPHA_COEFF) * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return per_supp.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "n_early",
+        "n_late",
+        fround(ks, 6).alias("ks_stat"),
+        fround(crit, 6).alias("ks_crit"),
+        (ks > crit).alias("drifted"),
+    )
+
+
+QUERIES["leadtime_drift_ks"] = q_leadtime_drift_ks
+
+ORACLE["leadtime_drift_ks"] = f"""
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+               CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
+                             max(CAST(o_orderdate AS DATE))) / 2
+                    AS INTEGER) AS half_span
+        FROM orders
+    ),
+    lead AS (
+        SELECT l_suppkey,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+               datediff('day', lo, CAST(o_orderdate AS DATE))
+                   <= half_span AS early
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        CROSS JOIN bounds
+    ),
+    grid AS (
+        SELECT l_suppkey, d,
+               CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c2
+        FROM lead GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_suppkey,
+               CAST(sum(c1) OVER (PARTITION BY l_suppkey ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (PARTITION BY l_suppkey ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f2,
+               CAST(sum(c1) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                   AS n1,
+               CAST(sum(c2) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                   AS n2
+        FROM grid
+    ),
+    per_supp AS (
+        SELECT l_suppkey,
+               CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS num,
+               CAST(max(n1) AS BIGINT) AS n_early,
+               CAST(max(n2) AS BIGINT) AS n_late
+        FROM cum GROUP BY 1
+        HAVING max(n1) > 0 AND max(n2) > 0
+    )
+    SELECT l_suppkey AS s_suppkey, n_early, n_late,
+           floor((CAST(num AS DOUBLE)
+                  / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS ks_stat,
+           floor(({KS_ALPHA_COEFF}
+                  * sqrt((CAST(n_early AS DOUBLE)
+                          + CAST(n_late AS DOUBLE))
+                         / (CAST(n_early AS DOUBLE)
+                            * CAST(n_late AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6 AS ks_crit,
+           CAST(num AS DOUBLE)
+               / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE))
+               > {KS_ALPHA_COEFF}
+                 * sqrt((CAST(n_early AS DOUBLE)
+                         + CAST(n_late AS DOUBLE))
+                        / (CAST(n_early AS DOUBLE)
+                           * CAST(n_late AS DOUBLE))) AS drifted
+    FROM per_supp
+"""

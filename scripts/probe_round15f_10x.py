@@ -50,6 +50,45 @@ def _timed(fn):
     return out, time.perf_counter() - t0
 
 
+def probe_ks(spark=None) -> None:
+    """leadtime_drift_ks 10x: lineitem/orders/supplier x10 on fresh
+    keys -> rows x10, original suppliers' KS rows byte-identical."""
+    own = spark is None
+    if own:
+        shutil.rmtree(STAGE, ignore_errors=True)
+        spark = get_spark(app_name="probe-round15f-ks")
+        spark.sparkContext.setLogLevel("ERROR")
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.plans.analytics import q_leadtime_drift_ks
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    hi_o = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    hi_s = li.agg(F.max("l_suppkey")).first()[0] + 1
+    li10, or10 = li, orders
+    for k in range(1, COPIES):
+        li10 = li10.unionAll(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * hi_o))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * hi_s))
+        )
+        or10 = or10.unionAll(
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(k * hi_o)
+            )
+        )
+    k10 = _stage(spark, "ks10", {"lineitem": li10, "orders": or10})
+    base, t1 = _timed(lambda: q_leadtime_drift_ks(spark, SF_DIR).collect())
+    big, t10 = _timed(lambda: q_leadtime_drift_ks(spark, k10).collect())
+    assert len(big) == COPIES * len(base)
+    bmap = {r.s_suppkey: tuple(r) for r in big}
+    assert all(tuple(r) == bmap[r.s_suppkey] for r in base)
+    print(f"ks_drift       1x {t1:6.2f}s   10x {t10:6.2f}s  "
+          f"ratio {t10 / t1:4.1f}  ({len(base)} -> {len(big)} suppliers)")
+    if own:
+        shutil.rmtree(STAGE, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     shutil.rmtree(STAGE, ignore_errors=True)
     spark = get_spark(app_name="probe-round15f-10x")
@@ -111,8 +150,11 @@ def main() -> None:
     print(f"hurst          1x {t1:6.2f}s   10x {t10:6.2f}s  "
           f"ratio {t10 / t1:4.1f}  (H {base['hurst']} -> {big['hurst']})")
 
+    probe_ks(spark)
+
     shutil.rmtree(STAGE, ignore_errors=True)
     spark.stop()
+
 
 
 if __name__ == "__main__":

@@ -710,3 +710,58 @@ def test_supplier_leadtime_profile_exact_interpolation(spark, tmp_path):
     }
     assert approx["beta"]["p50"] == 4.0
     assert abs(approx["alpha"]["p50"] - 5.0) <= 5.0
+
+
+def test_leadtime_drift_ks_detects_shift_and_passes_stable(spark, tmp_path):
+    """Hand-worked two-sample KS: a supplier whose lead-time
+    distribution is IDENTICAL early vs late scores D=0 (not drifted);
+    one whose leads jump from all-2-days to all-9-days scores D=1.0
+    against a 0.607 critical value (drifted). The early/late split is
+    the global midpoint order date."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import q_leadtime_drift_ks
+
+    orders, lines = [], []
+    k = 0
+
+    def add(day, supp, lead):
+        nonlocal k
+        k += 1
+        orders.append(
+            Row(o_orderkey=k, o_orderdate=day.isoformat())
+        )
+        lines.append(
+            Row(l_orderkey=k, l_suppkey=supp,
+                l_shipdate=(day + dt.timedelta(days=lead)).isoformat())
+        )
+
+    early_day = dt.date(2020, 1, 10)
+    late_day = dt.date(2020, 12, 10)
+    for _ in range(5):
+        for lead in (1, 2, 3, 4):
+            add(early_day, 1, lead)   # supplier 1: same dist both halves
+            add(late_day, 1, lead)
+    for _ in range(10):
+        add(early_day, 2, 2)          # supplier 2: clean shift 2 -> 9
+        add(late_day, 2, 9)
+
+    d = str(tmp_path)
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(lines).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = {r["s_suppkey"]: r for r in q_leadtime_drift_ks(spark, d).collect()}
+    s1, s2 = out[1], out[2]
+    assert (s1["n_early"], s1["n_late"]) == (20, 20)
+    assert s1["ks_stat"] == 0.0 and s1["drifted"] is False
+    assert (s2["n_early"], s2["n_late"]) == (10, 10)
+    assert s2["ks_stat"] == 1.0 and s2["drifted"] is True
+    want_crit = math.floor(
+        1.358 * math.sqrt(20 / 100) * 1e6 + 0.5) / 1e6
+    assert s2["ks_crit"] == want_crit

@@ -1220,3 +1220,23 @@ def test_ccf_and_hurst_grid_bounded_and_column_pruned(spark, sf_dir):
         assert "HashAggregate" in plan
     plan = _formatted_plan(q_revenue_hurst(spark, sf_dir))
     assert not re.search(r"Window.*partitionBy=\[\]", plan)
+
+
+def test_ks_drift_windows_per_supplier_and_pruned(spark, sf_dir):
+    """leadtime_drift_ks: the ECDF cumulative windows are per-supplier
+    (bounded by a supplier's distinct lead days — never unpartitioned),
+    the fact collapses to the count grid before any window, and the
+    lineitem scan reads only the 3 needed columns."""
+    import re
+
+    from retail_sales_etl_spark.plans.analytics import q_leadtime_drift_ks
+
+    plan = _formatted_plan(q_leadtime_drift_ks(spark, sf_dir))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+    li_schema = next(
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "l_suppkey" in seg.splitlines()[0]
+    )
+    assert "l_quantity" not in li_schema and "l_discount" not in li_schema
+    assert "HashAggregate" in plan
