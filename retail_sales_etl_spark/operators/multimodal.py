@@ -2943,6 +2943,8 @@ def decode_ico(payload: bytes) -> list[dict]:
             raise ValueError("ICO image outside payload bounds")
         if bpp != 24 or planes not in (0, 1):
             raise ValueError("unsupported ICO entry (need 24-bpp)")
+        if size < 40:  # the header unpack below needs a full BIH
+            raise ValueError("truncated ICO image data")
         (
             bi_size, bi_w, bi_h, bi_planes, bi_bpp, bi_comp,
         ) = struct.unpack_from("<IiiHHI", payload, offset)

@@ -1768,6 +1768,9 @@ def q_orders_revenue_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums, 6-dp floor-staged; zero variance on either margin
     yields NULL in both engines."""
     orders = load_table(spark, sf_dir, "orders")
+    # the (d, v) recipe is _daily_revenue_cents verbatim plus the
+    # count column; test_ccf_daily_grid_matches_shared_helper pins the
+    # two against each other so the staging discipline cannot drift
     daily = orders.groupBy(
         F.datediff(
             F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
@@ -1992,8 +1995,8 @@ def q_revenue_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fround(F.col("ly") * F.col("ly"), 9).cast(d9))
         .cast(d9).alias("_syy"),
     )
-    n_days = dense.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    n_days = bounds.select(
+        (F.col("hi") - F.col("lo") + 1).cast("bigint").alias("n_days")
     )
     n = F.col("n_scales").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")

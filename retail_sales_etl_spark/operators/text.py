@@ -3836,19 +3836,18 @@ MTLD_THRESHOLD_DEN = 25  # factor-close test is pure INTEGER arithmetic
 # disagree across engines.
 
 
-def _mtld_walk(tokens: list, prev: list | None = None):
+def _mtld_walk(tokens: list):
     """One direction of the MTLD factor walk, all-integer state:
     token p is a NEW type within the current factor iff its previous
     occurrence sits before the factor start (the first-occurrence
     trick at factor grain — no per-factor set needed, which is what
     makes the walk replayable by a SQL recursive CTE). Returns
     (full_factors, partial_tokens, partial_types)."""
-    if prev is None:
-        last: dict = {}
-        prev = []
-        for p, t in enumerate(tokens, 1):
-            prev.append(last.get(t, 0))
-            last[t] = p
+    last: dict = {}
+    prev = []
+    for p, t in enumerate(tokens, 1):
+        prev.append(last.get(t, 0))
+        last[t] = p
     start, ft, fy, full = 1, 0, 0, 0
     for p in range(1, len(tokens) + 1):
         ft += 1

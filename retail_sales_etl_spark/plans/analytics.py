@@ -1814,12 +1814,16 @@ def q_leadtime_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     od = F.to_date("o_orderdate")
+    # midpoint via INTEGER floor division on both sides: Spark's
+    # cast-to-int truncates while DuckDB's CAST rounds half-to-even,
+    # so a float midpoint would split the halves differently whenever
+    # the span is odd (span % 4 == 3 flips day span//2 + 1)
     bounds = orders.agg(
         F.min(od).alias("lo"), F.max(od).alias("hi")
     ).select(
-        (
-            F.datediff("hi", "lo") / F.lit(2)
-        ).cast("int").alias("half_span"),
+        F.floor(F.datediff("hi", "lo") / F.lit(2))
+        .cast("int")
+        .alias("half_span"),
         "lo",
     )
     lead = (
@@ -1883,7 +1887,7 @@ ORACLE["leadtime_drift_ks"] = f"""
     WITH bounds AS (
         SELECT min(CAST(o_orderdate AS DATE)) AS lo,
                CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
-                             max(CAST(o_orderdate AS DATE))) / 2
+                             max(CAST(o_orderdate AS DATE))) // 2
                     AS INTEGER) AS half_span
         FROM orders
     ),

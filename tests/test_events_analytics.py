@@ -765,3 +765,43 @@ def test_leadtime_drift_ks_detects_shift_and_passes_stable(spark, tmp_path):
     want_crit = math.floor(
         1.358 * math.sqrt(20 / 100) * 1e6 + 0.5) / 1e6
     assert s2["ks_crit"] == want_crit
+
+
+def test_leadtime_drift_ks_odd_span_midpoint_is_floored(spark, tmp_path):
+    """Regression for the cast divergence: Spark's cast-to-int
+    truncates where DuckDB's CAST rounds half-to-even, so with a span
+    of 3 days (half = 1.5) an order on day 2 must land in the LATE
+    half on both engines (floor(1.5) = 1). One supplier, one early
+    4-day lead, one day-2 9-day lead: n_early=1/n_late=1 proves the
+    day-2 order fell late."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import q_leadtime_drift_ks
+
+    base = dt.date(2020, 1, 1)
+    orders = [
+        Row(o_orderkey=1, o_orderdate=base.isoformat()),
+        Row(o_orderkey=2,
+            o_orderdate=(base + dt.timedelta(days=2)).isoformat()),
+        Row(o_orderkey=3,
+            o_orderdate=(base + dt.timedelta(days=3)).isoformat()),
+    ]
+    lines = [
+        Row(l_orderkey=1, l_suppkey=1,
+            l_shipdate=(base + dt.timedelta(days=4)).isoformat()),
+        Row(l_orderkey=2, l_suppkey=1,
+            l_shipdate=(base + dt.timedelta(days=11)).isoformat()),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(lines).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = q_leadtime_drift_ks(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_early"], r["n_late"]) == (1, 1)

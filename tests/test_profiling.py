@@ -647,3 +647,32 @@ def test_revenue_hurst_matches_reference_rs_walk(spark, tmp_path):
     assert trend["hurst"] > 0.9
     alt = run([100.0 if t % 2 == 0 else 900.0 for t in range(512)])
     assert alt["hurst"] < 0.25
+
+
+def test_ccf_daily_grid_matches_shared_helper(spark, sf_dir):
+    """orders_revenue_ccf inlines the _daily_revenue_cents recipe
+    (plus a count column): the two cents-staging disciplines must
+    never drift — this is the sync guard the inline copy points to."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.profiling import (
+        SEASON_EPOCH,
+        _daily_revenue_cents,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    helper = {
+        r["d"]: r["v"] for r in _daily_revenue_cents(orders).collect()
+    }
+    ccf_daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(SEASON_EPOCH).cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("v")
+    )
+    inline = {r["d"]: r["v"] for r in ccf_daily.collect()}
+    assert inline == helper

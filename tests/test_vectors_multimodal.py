@@ -1099,3 +1099,19 @@ def test_ico_roundtrip_synth_decode_multi_image_and_256(spark, sf_dir):
             assert r.sum_r == want_r
         if doc_id % 5 == 0:
             assert imgs[-1].width == 256  # the 0-means-256 byte
+
+
+def test_decode_ico_rejects_undersized_directory_entry():
+    """A directory entry whose size is too small to hold a
+    BITMAPINFOHEADER must raise the documented ValueError, never a
+    struct.error escaping the contract inside mapInPandas."""
+    import struct
+
+    import pytest
+
+    buf = bytearray()
+    buf += struct.pack("<HHH", 0, 1, 1)
+    buf += struct.pack("<BBBBHHII", 2, 2, 0, 0, 1, 24, 10, 22)
+    buf += b"\x00" * 10
+    with pytest.raises(ValueError, match="truncated ICO image"):
+        multimodal.decode_ico(bytes(buf))
