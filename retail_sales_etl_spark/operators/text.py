@@ -4029,3 +4029,138 @@ ORACLE["text_mtld"] = """
                 ELSE NULL END AS mtld
     FROM nn JOIN fin_f USING (doc_id) JOIN fin_b USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# chi2_source_lang — Pearson chi-squared independence test (+ Cramér's
+# V) on the source x lang contingency table: is language mix uniform
+# across ingest sources, or does some source skew? The categorical
+# drift/QC companion to source_jsd_divergence (which compares word
+# DISTRIBUTIONS; this tests categorical independence with a published
+# effect size).
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between ``source`` and
+    ``lang`` over the documents corpus, with Cramér's V effect size:
+    chi2 = sum over the DENSE contingency grid of (O - E)^2 / E with
+    E = row_total * col_total / N — zero-observed cells contribute E
+    (a sparse join would silently understate chi2, so the grid is the
+    cross join of the marginals), dof = (|S|-1)(|L|-1), V =
+    sqrt(chi2 / (N * min(|S|-1, |L|-1))). The corpus-QC screen for
+    "does language mix depend on source?" — V is comparable across
+    corpus sizes where raw chi2 is not.
+
+    Scale shape: one scan collapses the corpus to the (source, lang)
+    observed grid + two marginal grids (all bounded by categorical
+    cardinality, not corpus size); the dense grid is a cross join of
+    the TINY marginals. Determinism: all counts exact BIGINTs, each
+    cell's term one IEEE expression 6-dp floor-staged then
+    DECIMAL-summed over the bounded grid, V a single expression on
+    the staged sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    cols = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dense = (
+        rows.crossJoin(cols)
+        .join(obs, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source", "lang", "r", "c", "n",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = fround(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+        / e,
+        6,
+    ).cast("decimal(25,6)")
+    agg = dense.groupBy().agg(
+        F.max("n").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(term).alias("_chi2"),
+    )
+    dof = (F.col("n_sources") - 1) * (F.col("n_langs") - 1)
+    chi2 = F.col("_chi2").cast("double")
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n_docs").cast("double")
+            * F.least(F.col("n_sources") - 1, F.col("n_langs") - 1)
+            .cast("double")
+        )
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        dof.cast("bigint").alias("dof"),
+        fround(chi2, 6).alias("chi2"),
+        F.when(dof > 0, fround(v, 6)).alias("cramers_v"),
+    )
+
+
+QUERIES["chi2_source_lang"] = q_chi2_source_lang
+
+ORACLE["chi2_source_lang"] = """
+    WITH obs AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS r
+        FROM documents GROUP BY 1
+    ),
+    cols_ AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    dense AS (
+        SELECT rows_.source, cols_.lang, r, c, n,
+               coalesce(o, 0) AS o
+        FROM rows_ CROSS JOIN cols_ CROSS JOIN total
+        LEFT JOIN obs ON rows_.source = obs.source
+                     AND cols_.lang = obs.lang
+    ),
+    agg AS (
+        SELECT max(n) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               sum(CAST(floor(
+                   ((CAST(o AS DOUBLE)
+                     - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6))) AS chi2_dec
+        FROM dense
+    )
+    SELECT n_docs, n_sources, n_langs,
+           CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof,
+           floor(CAST(chi2_dec AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+           CASE WHEN (n_sources - 1) * (n_langs - 1) > 0
+                THEN floor(sqrt(CAST(chi2_dec AS DOUBLE)
+                                / (CAST(n_docs AS DOUBLE)
+                                   * CAST(least(n_sources - 1,
+                                                n_langs - 1) AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS cramers_v
+    FROM agg
+"""

@@ -87,12 +87,21 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed the orders shuffle five times).
     """
     orders = load_table(spark, sf_dir, "orders")
-    cid = F.col("customer_id")
     b = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order_date"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary_dec"),
     )
+    return _rfm_rank(b)
+
+
+def _rfm_rank(b: DataFrame) -> DataFrame:
+    """The RFM quartile derivation over a per-customer
+    (customer_id, last_order_date, frequency, monetary_dec) frame —
+    shared by the batch ``customer_rfm`` and the maintained-state
+    streaming form (``streaming/events.py:q_streaming_rfm``), so the
+    two can never drift on banding, rank, or quartile arithmetic."""
+    cid = F.col("customer_id")
     # Banding is monotone in the ranked value, so band edges need no
     # cross-engine agreement and value ties always land in one band
     # (the customer_id tie-break stays band-local).

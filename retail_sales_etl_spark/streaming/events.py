@@ -3973,3 +3973,228 @@ QUERIES["streaming_rake_by_source"] = q_streaming_rake_by_source
 from ..operators.text import ORACLE as _TEXT_ORACLE  # noqa: E402
 
 ORACLE["streaming_rake_by_source"] = _TEXT_ORACLE["rake_keywords_by_source"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_rfm — the behavioral RFM surface under IVM: per-customer
+# (recency max-lattice, frequency/monetary additive) state maintained
+# exactly-once, quartiles derived on read through the shared batch
+# derivation — a 100 TB order stream keeps segmentation current without
+# ever re-scanning the fact
+# ---------------------------------------------------------------------------
+
+_RFM_STATE_SCHEMA = (
+    "customer_id bigint, last_order_date date, frequency bigint, "
+    f"monetary_dec {_IVM_DEC}"
+)
+
+
+def rfm_state_sink(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """Fold one micro-batch of ORDERS into the maintained per-customer
+    RFM state — the IVM form of ``customer_rfm``'s per-customer
+    aggregate: recency is a MAX lattice, frequency a count, monetary
+    an exact-DECIMAL sum, so ANY delivery order bit-equals the batch
+    aggregate (no in-order contract) and the quartile surface derives
+    on read. Scale shape and exactly-once protocol = ``user_gaps_sink``
+    verbatim: map-side collapse to the batch's customers, prior state
+    file-pruned via ``read_where_in`` on the batch's bounded customer
+    set (Z-ordered by customer_id on the incremental optimize cycle),
+    MERGE rewrites only touched customers, ``_landed_on``-hardened
+    replay check + pinned read_version + conflict_on batch_id.
+    Returns False on replay."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    spark = batch_df.sparkSession
+    partial = (
+        batch_df.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(_IVM_DEC))
+            .cast(_IVM_DEC)
+            .alias("monetary_dec"),
+        )
+        .cache()
+    )
+    cust_keys = ()  # () = not collected yet; None = collected, over cap
+    state = LakehouseTable(spark, state_path)
+    try:
+        for _ in range(3):
+            rv = state.latest_version()
+            hwm = state.latest_value("rfm_batch_hwm", as_of=rv)
+            if _landed_on(state, batch_id, rv, hwm):
+                return False
+            if rv is None:
+                prior = spark.createDataFrame([], _RFM_STATE_SCHEMA)
+            else:
+                if cust_keys == ():
+                    cust_keys = _probe_keys_or_warn(
+                        partial.select("customer_id"), batch_id,
+                        "rfm_state_sink", "customer_id",
+                    )
+                prior = (
+                    state.read_where_in(
+                        "customer_id", cust_keys, version=rv
+                    )
+                    if cust_keys is not None
+                    else state.read(version=rv)
+                )
+            upd = (
+                partial.alias("p")
+                .join(prior.alias("c"), "customer_id", "left")
+                .select(
+                    "customer_id",
+                    F.greatest(
+                        F.col("p.last_order_date"),
+                        F.coalesce(
+                            F.col("c.last_order_date"),
+                            F.col("p.last_order_date"),
+                        ),
+                    ).alias("last_order_date"),
+                    (
+                        F.col("p.frequency")
+                        + F.coalesce(F.col("c.frequency"), F.lit(0))
+                    ).cast("bigint").alias("frequency"),
+                    (
+                        F.col("p.monetary_dec")
+                        + F.coalesce(
+                            F.col("c.monetary_dec"),
+                            F.lit(0).cast(_IVM_DEC),
+                        )
+                    ).cast(_IVM_DEC).alias("monetary_dec"),
+                )
+            )
+            stamp = {
+                "batch_id": batch_id,
+                "rfm_batch_hwm": max(
+                    batch_id, hwm if hwm is not None else batch_id
+                ),
+            }
+            try:
+                if rv is None:  # first commit creates the table
+                    state.write(
+                        upd, mode="append", extra=stamp,
+                        conflict_on="batch_id", read_version=rv,
+                        monotone_max=("rfm_batch_hwm",),
+                    )
+                else:
+                    state.merge(
+                        upd, ["customer_id"], extra=stamp,
+                        read_version=rv, conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this very batch
+            except ConcurrentWriteError:
+                continue  # re-pin and re-fold from fresh state
+        raise RuntimeError(
+            f"rfm_state_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {state_path})"
+        )
+    finally:
+        partial.unpersist()
+
+
+def maintain_rfm(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the RFM-state IVM sink under foreachBatch (availableNow);
+    ``optimize_every=N`` Z-orders the customer-keyed state
+    INCREMENTALLY by customer_id every N batches (the
+    ``maintain_user_gaps`` maintenance discipline)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        rfm_state_sink(batch_df, batch_id, state_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            try:
+                LakehouseTable(spark, state_path).optimize(
+                    target_files=optimize_files,
+                    zorder_by=["customer_id"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
+                )
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
+        _maybe_clean_log(spark, state_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the RFM-state IVM: replay the orders
+    table in 4 custkey-range micro-batches through ``maintain_rfm``
+    (with a mid-stream Z-order cycle covering the clustered probe
+    path — order does not matter: every maintained column is a max
+    lattice or additive), then derive the quartile segmentation from
+    the MAINTAINED state through the shared ``_rfm_rank`` — hash-
+    checked against the SAME oracle as the batch ``customer_rfm``,
+    proving the behavioral surface stays current per batch on a
+    100 TB order stream without re-scanning the fact."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..plans.behavioral import _rfm_rank
+
+    work = tempfile.mkdtemp(prefix="rfm_stream_")
+    src = f"{work}/src"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_custkey")).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            orders.filter(
+                (F.col("o_custkey") >= cuts[i])
+                & (F.col("o_custkey") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    od_t = spark.read.parquet(src).schema["o_orderdate"].dataType
+    stream = (
+        spark.readStream.schema(
+            f"o_custkey bigint, o_orderdate {od_t.simpleString()}, "
+            "o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_rfm(
+        stream, f"{work}/state", f"{work}/ckpt", optimize_every=3
+    ).awaitTermination()
+    return _rfm_rank(LakehouseTable(spark, f"{work}/state").read())
+
+
+QUERIES["streaming_rfm"] = q_streaming_rfm
+
+# Hash-checked against the SAME oracle as the batch customer_rfm: the
+# maintained state must bit-equal a from-scratch per-customer pass.
+from ..plans.behavioral import ORACLE as _BEHAVIORAL_ORACLE2  # noqa: E402
+
+ORACLE["streaming_rfm"] = _BEHAVIORAL_ORACLE2["customer_rfm"]

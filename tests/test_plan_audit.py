@@ -1240,3 +1240,18 @@ def test_ks_drift_windows_per_supplier_and_pruned(spark, sf_dir):
     )
     assert "l_quantity" not in li_schema and "l_discount" not in li_schema
     assert "HashAggregate" in plan
+
+
+def test_chi2_grid_bounded_and_column_pruned(spark, sf_dir):
+    """chi2_source_lang: the corpus collapses to categorical grids in
+    one scan reading only (source, lang); the dense grid is a cross
+    join of the TINY marginals; aggregates partial-combine."""
+    from retail_sales_etl_spark.operators.text import q_chi2_source_lang
+
+    plan = _formatted_plan(q_chi2_source_lang(spark, sf_dir))
+    schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert any("source" in s and "lang" in s for s in schemas)
+    assert all("text" not in s and "n_chars" not in s for s in schemas)
+    assert "HashAggregate" in plan

@@ -1839,3 +1839,96 @@ def test_rake_source_sink_probe_reads_file_pruned(spark, tmp_path,
     }
     assert got_p["w0003a w0003b w0003c"] == 2
     assert got_p["zfresh alone here"] == 1
+
+
+def test_rfm_state_sink_order_insensitive_and_skips_replay(spark, tmp_path):
+    """Max-lattice recency + additive frequency/monetary: folding two
+    batches in EITHER order must bit-equal the from-scratch
+    per-customer aggregate, and a full replay is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            [(c, dt.date.fromisoformat(d), p) for c, d, p in rows],
+            "o_custkey bigint, o_orderdate date, o_totalprice double",
+        )
+
+    b0 = _batch([(1, "2020-01-05", 10.0), (2, "2020-02-01", 7.5)])
+    b1 = _batch([(1, "2020-03-01", 2.5), (1, "2019-12-01", 4.0)])
+    want = {
+        1: (dt.date(2020, 3, 1), 3, 16.5),
+        2: (dt.date(2020, 2, 1), 1, 7.5),
+    }
+    for order in ((b0, 0), (b1, 1)), ((b1, 0), (b0, 1)):
+        path = str(tmp_path / f"rfm_{order[0][1]}_{id(order)}")
+        for batch, bid in order:
+            assert streaming_events.rfm_state_sink(batch, bid, path)
+        got = {
+            r.customer_id: (
+                r.last_order_date, r.frequency, float(r.monetary_dec)
+            )
+            for r in LakehouseTable(spark, path).read().collect()
+        }
+        assert got == want
+        v = LakehouseTable(spark, path).latest_version()
+        assert streaming_events.rfm_state_sink(
+            order[0][0], order[0][1], path
+        ) is False
+        assert LakehouseTable(spark, path).latest_version() == v
+
+
+def test_rfm_state_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
+    """After the incremental Z-order cycle, the next batch's prior-
+    state probe must read through stats-pruned read_where_in and open
+    strictly fewer files than the state holds; the pruned fold must
+    still lattice a returning customer exactly."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    path = str(tmp_path / "rfm")
+    custs = spark.range(160).select(
+        F.col("id").alias("o_custkey"),
+        F.lit("2020-01-01").cast("date").alias("o_orderdate"),
+        F.lit(5.0).alias("o_totalprice"),
+    )
+    for b in range(4):
+        batch = custs.filter((F.col("o_custkey") % 4) == b)
+        assert streaming_events.rfm_state_sink(batch, b, path) is True
+    lh.LakehouseTable(spark, path).optimize(
+        target_files=40, zorder_by=["customer_id"]
+    )
+    live = lh.LakehouseTable(spark, path).read().inputFiles()
+    assert len(live) >= 10
+
+    opened = []
+    orig = lh.LakehouseTable.read_where_in
+
+    def spy(self, column, values, version=None):
+        df = orig(self, column, values, version=version)
+        opened.append((column, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
+    nxt = spark.createDataFrame(
+        [(3, "2021-06-01", 2.0), (1000, "2021-06-02", 9.0)],
+        "o_custkey bigint, o_orderdate string, o_totalprice double",
+    ).select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    assert streaming_events.rfm_state_sink(nxt, 4, path) is True
+    assert opened and opened[0][0] == "customer_id"
+    assert opened[0][1] <= 4 < len(live), (opened, len(live))
+    got = {
+        r.customer_id: (str(r.last_order_date), r.frequency,
+                        float(r.monetary_dec))
+        for r in lh.LakehouseTable(spark, path).read().collect()
+    }
+    assert got[3] == ("2021-06-01", 2, 7.0)
+    assert got[1000] == ("2021-06-02", 1, 9.0)

@@ -762,3 +762,41 @@ def test_text_mtld_matches_published_setwise_walk_and_pinned_values(
         if ff > 0:
             want = (len(toks) / ff + len(toks) / fb) / 2.0
             assert got["mtld"] == math.floor(want * 1e6 + 0.5) / 1e6
+
+
+def test_chi2_source_lang_hand_worked_and_zero_cell(spark, tmp_path):
+    """Hand-worked 2x2 contingency: the 30/10 vs 10/30 split gives
+    chi2 = 20, dof 1, Cramér's V = 0.5; a table with a ZERO-observed
+    cell must still count that cell's expected mass (chi2 = 7.5, not
+    the sparse-join understatement); a perfectly proportional table
+    scores chi2 = 0."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_chi2_source_lang
+
+    def run(cells, sub):
+        rows = []
+        i = 0
+        for (src, lang), n in cells.items():
+            for _ in range(n):
+                i += 1
+                rows.append(Row(doc_id=i, source=src, lang=lang))
+        d = str(tmp_path / sub)
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        return q_chi2_source_lang(spark, d).first()
+
+    r = run({("A", "en"): 30, ("A", "es"): 10,
+             ("B", "en"): 10, ("B", "es"): 30}, "skew")
+    assert (r["n_docs"], r["n_sources"], r["n_langs"], r["dof"]) == (
+        80, 2, 2, 1)
+    assert r["chi2"] == 20.0 and r["cramers_v"] == 0.5
+
+    r = run({("A", "en"): 10, ("B", "en"): 10, ("B", "es"): 10}, "zero")
+    assert r["chi2"] == 7.5  # includes the (A, es) zero cell's E
+    assert r["cramers_v"] == 0.5
+
+    r = run({("A", "en"): 6, ("A", "es"): 2,
+             ("B", "en"): 12, ("B", "es"): 4}, "prop")
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
