@@ -2291,3 +2291,78 @@ ORACLE["events_gap_memory"] = """
                 ELSE NULL END AS memory_coeff
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# events_hour_uniformity — per-user chi-squared test against a uniform
+# hour-of-day profile: the circadian bot screen next to burstiness
+# (gap texture) and gap_memory (gap chaining) — schedulers are flat
+# across hours, humans are not
+# ---------------------------------------------------------------------------
+
+HOUR_CHI2_MIN_EVENTS = 48  # expected count >= 2 per hour bin
+HOUR_CHI2_CRIT_DOF23 = 35.172462  # chi2 critical value, dof=23, alpha=0.05
+
+
+def q_events_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Pearson chi-squared against the uniform 24-bin
+    hour-of-day distribution: chi2 = sum over all 24 hours of
+    (O_h - n/24)^2 / (n/24), computed through the algebraic identity
+    chi2 = 24 * sum(O_h^2) / n - n — the zero-observed hours are
+    INCLUDED by construction (their O^2 term is 0), so no dense bin
+    grid is ever materialized and the whole statistic is one double
+    expression on two exact BIGINTs. ``is_uniform`` compares against
+    the dof=23 alpha=0.05 critical value: a user whose activity is
+    FLAT across hours (can't reject uniformity) is the scheduler
+    signature; humans concentrate in waking hours and reject. Users
+    need >= ``HOUR_CHI2_MIN_EVENTS`` events (expected >= 2 per bin).
+
+    Scale shape: one shuffle to the (user, hour) count grid (bounded
+    by users x 24), then a map-combinable per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    agg = hours.groupBy("user_id").agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.col("o") * F.col("o")).cast("bigint").alias("_so2"),
+    ).filter(F.col("n_events") >= HOUR_CHI2_MIN_EVENTS)
+    chi2 = (
+        F.lit(24.0) * F.col("_so2").cast("double")
+        / F.col("n_events").cast("double")
+        - F.col("n_events").cast("double")
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_hours",
+        fround(chi2, 6).alias("chi2"),
+        (chi2 <= F.lit(HOUR_CHI2_CRIT_DOF23)).alias("is_uniform"),
+    )
+
+
+QUERIES["events_hour_uniformity"] = q_events_hour_uniformity
+
+ORACLE["events_hour_uniformity"] = f"""
+    WITH hours AS (
+        SELECT user_id, hour(ts) AS h,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(sum(o) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(o * o) AS BIGINT) AS so2
+        FROM hours GROUP BY 1
+        HAVING sum(o) >= {HOUR_CHI2_MIN_EVENTS}
+    )
+    SELECT user_id, n_events, n_hours,
+           floor((24.0 * CAST(so2 AS DOUBLE) / CAST(n_events AS DOUBLE)
+                  - CAST(n_events AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2,
+           24.0 * CAST(so2 AS DOUBLE) / CAST(n_events AS DOUBLE)
+               - CAST(n_events AS DOUBLE) <= {HOUR_CHI2_CRIT_DOF23}
+               AS is_uniform
+    FROM agg
+"""

@@ -3081,3 +3081,114 @@ ORACLE["multimodal_ico_stats"] = """
     FROM pix
     GROUP BY doc_id, j
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav_silence — silence-run detection on the REAL decoded
+# WAV stream: maximal runs of samples under an amplitude threshold
+# (the trim/VAD primitive every audio-ingest pipeline runs), earned
+# through the full RIFF chunk walk
+# ---------------------------------------------------------------------------
+
+WAV_SILENCE_THRESHOLD = 500  # |sample| < threshold counts as silent
+
+
+def detect_silence_runs(samples) -> tuple[int, int, int]:
+    """(n_silent, n_runs, max_run) over maximal runs of consecutive
+    samples with |s| < WAV_SILENCE_THRESHOLD — one linear pass (the
+    per-clip twin of the corpus gaps-and-islands trick the oracle
+    uses)."""
+    n_silent = n_runs = max_run = cur = 0
+    for s in samples:
+        if -WAV_SILENCE_THRESHOLD < int(s) < WAV_SILENCE_THRESHOLD:
+            n_silent += 1
+            cur += 1
+            if cur == 1:
+                n_runs += 1
+            if cur > max_run:
+                max_run = cur
+        else:
+            cur = 0
+    return n_silent, n_runs, max_run
+
+
+def q_multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run profile per audio clip: decode the REAL RIFF/WAVE
+    payload (full chunk walk past the poisoned JUNK chunk — a desynced
+    walker reads 0xEE filler as samples and invents silence), then
+    report the count of silent samples, the number of maximal silent
+    RUNS, and the longest run at |s| < 500 — the voice-activity /
+    trim primitive of an audio-ingest tier (leading/trailing/internal
+    silence drives chunking and dedup decisions). The oracle
+    recomputes the runs closed-form from the sample generator via
+    gaps-and-islands (i - row_number over silent samples), so run
+    SEGMENTATION is pinned, not merely the silent count. Scale shape:
+    one Arrow-batched mapInPandas chain, payload bytes never shuffle,
+    doc-grain output."""
+    media = synthesize_wav(load_table(spark, sf_dir, "documents"))
+
+    def _silence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "n_silent": [], "n_runs": [], "max_run": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = parse_wav(payload)
+                n_silent, n_runs, max_run = detect_silence_runs(samples)
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["n_silent"].append(n_silent)
+                rows["n_runs"].append(n_runs)
+                rows["max_run"].append(max_run)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _silence,
+        schema="doc_id long, sample_rate int, n_samples long, "
+               "n_silent long, n_runs long, max_run long",
+    )
+
+
+QUERIES["multimodal_wav_silence"] = q_multimodal_wav_silence
+
+ORACLE["multimodal_wav_silence"] = f"""
+    WITH clips AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 2000 AS sample_rate,
+               64 + (doc_id % 97) AS n
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, sample_rate, n, i,
+               (doc_id * 31 + i * 17 + (i * i) % 101) % 4001 - 2000 AS s
+        FROM clips,
+             LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+    ),
+    silent AS (
+        SELECT doc_id, sample_rate, n, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS grp
+        FROM samples
+        WHERE abs(s) < {WAV_SILENCE_THRESHOLD}
+    ),
+    runs AS (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+        FROM silent GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(run_len) AS BIGINT) AS n_silent,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(run_len) AS BIGINT) AS max_run
+        FROM runs GROUP BY 1
+    )
+    SELECT clips.doc_id,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           coalesce(n_silent, 0) AS n_silent,
+           coalesce(n_runs, 0) AS n_runs,
+           coalesce(max_run, 0) AS max_run
+    FROM clips LEFT JOIN per_doc ON clips.doc_id = per_doc.doc_id
+"""

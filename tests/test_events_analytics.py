@@ -805,3 +805,46 @@ def test_leadtime_drift_ks_odd_span_midpoint_is_floored(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["n_early"], r["n_late"]) == (1, 1)
+
+
+def test_events_hour_uniformity_scheduler_vs_burst(spark, tmp_path):
+    """A scheduler firing exactly twice every hour scores chi2 = 0
+    (uniform); a user with all 48 events in ONE hour scores
+    24*48 - 48 = 1104 (rejected); a user under the min-events floor
+    is excluded. Zero-observed hours are counted via the algebraic
+    identity — the one-hour user's chi2 is exactly the dense-grid
+    value."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_hour_uniformity,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, k = [], 0
+    for h in range(24):
+        for m in (5, 35):
+            k += 1
+            rows.append(Row(event_id=k, user_id=1,
+                            ts=base + dt.timedelta(hours=h, minutes=m)))
+    for m in range(48):
+        k += 1
+        rows.append(Row(event_id=k, user_id=2,
+                        ts=base + dt.timedelta(minutes=m)))
+    for m in range(10):
+        k += 1
+        rows.append(Row(event_id=k, user_id=3,
+                        ts=base + dt.timedelta(minutes=m)))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = {r["user_id"]: r
+           for r in q_events_hour_uniformity(spark, d).collect()}
+    assert set(out) == {1, 2}  # user 3 under the floor
+    assert out[1]["chi2"] == 0.0 and out[1]["is_uniform"] is True
+    assert out[1]["n_hours"] == 24
+    assert out[2]["chi2"] == 1104.0 and out[2]["is_uniform"] is False
+    assert out[2]["n_hours"] == 1

@@ -1255,3 +1255,32 @@ def test_chi2_grid_bounded_and_column_pruned(spark, sf_dir):
     assert any("source" in s and "lang" in s for s in schemas)
     assert all("text" not in s and "n_chars" not in s for s in schemas)
     assert "HashAggregate" in plan
+
+
+def test_hour_uniformity_grid_bounded_and_pruned(spark, sf_dir):
+    """events_hour_uniformity: one shuffle to the (user, hour) grid,
+    map-combinable per-user aggregate, scan pruned to (user_id, ts)."""
+    from retail_sales_etl_spark.operators.events import (
+        q_events_hour_uniformity,
+    )
+
+    plan = _formatted_plan(q_events_hour_uniformity(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+    assert "HashAggregate" in plan
+
+
+def test_wav_silence_pipeline_is_shuffle_free_and_column_pruned(
+    spark, sf_dir
+):
+    """The WAV silence chain must stay one zero-Exchange mapInPandas
+    pipeline reading only doc_id (the codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_wav_silence,
+    )
+
+    plan = _formatted_plan(q_multimodal_wav_silence(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema

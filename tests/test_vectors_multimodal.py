@@ -1115,3 +1115,34 @@ def test_decode_ico_rejects_undersized_directory_entry():
     buf += b"\x00" * 10
     with pytest.raises(ValueError, match="truncated ICO image"):
         multimodal.decode_ico(bytes(buf))
+
+
+def test_detect_silence_runs_edges_and_roundtrip(spark, sf_dir):
+    """Run segmentation hazards pinned by hand: leading/trailing/
+    internal runs, the exactly-at-threshold sample is NOT silent, the
+    all-silent and none-silent clips; then the real decode path must
+    match the generator-side recount for a few corpus docs."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        WAV_SILENCE_THRESHOLD as T,
+        _wav_params,
+        _wav_sample,
+        detect_silence_runs,
+        q_multimodal_wav_silence,
+    )
+
+    assert detect_silence_runs([0, 0, 2000, 0, 2000, 0, 0, 0]) == (6, 3, 3)
+    assert detect_silence_runs([T, -T, T + 1]) == (0, 0, 0)  # at-threshold
+    assert detect_silence_runs([T - 1, 1 - T]) == (2, 1, 2)
+    assert detect_silence_runs([]) == (0, 0, 0)
+    assert detect_silence_runs([0] * 4) == (4, 1, 4)
+
+    out = {r["doc_id"]: r for r in
+           q_multimodal_wav_silence(spark, sf_dir).limit(32).collect()}
+    assert out
+    for doc_id, r in list(out.items())[:6]:
+        _, n, _ = _wav_params(doc_id)
+        want = detect_silence_runs(
+            [_wav_sample(doc_id, i) for i in range(n)]
+        )
+        assert (r["n_silent"], r["n_runs"], r["max_run"]) == want
+        assert r["n_samples"] == n
