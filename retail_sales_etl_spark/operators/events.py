@@ -2366,3 +2366,116 @@ ORACLE["events_hour_uniformity"] = f"""
                AS is_uniform
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# events_daily_peaks — local-maxima peak detection on the daily event
+# grid: days strictly above both neighbors AND above the global daily
+# mean — the spike-candidate feed for anomaly triage (anomaly/MAD flag
+# deviations from a rolling band; this finds the local SHAPE)
+# ---------------------------------------------------------------------------
+
+
+def q_events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count peaks: a day is a peak iff its count strictly
+    exceeds BOTH calendar neighbors (dense spine — a missing day is a
+    zero, so a spike after a gap still has a neighbor to beat) and
+    exceeds the global daily mean, tested as the exact INTEGER
+    comparison c * n_days > total (no float mean can round differently
+    across engines). Emits each peak with its neighbor counts and the
+    peak's share of the global mean (6-dp staged). Interior days only
+    (edges lack a neighbor).
+
+    Scale shape: the stream collapses to the bounded day grid in one
+    scan; the spine is generated from min/max; lag/lead run on ONE
+    calendar-bounded window (the documented exempt class — the grid
+    is days, not events)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    dense = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi")).alias("d"), "total"
+        )
+        .join(daily, "d", "left")
+        .select(
+            "d", "total",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    w = Window.orderBy("d")
+    with_nbrs = dense.select(
+        "d", "c", "total",
+        F.lag("c").over(w).alias("prev_n"),
+        F.lead("c").over(w).alias("next_n"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n_days"),
+    )
+    peaks = with_nbrs.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("c") > F.col("prev_n"))
+        & (F.col("c") > F.col("next_n"))
+        & (F.col("c") * F.col("n_days") > F.col("total"))
+    )
+    return peaks.select(
+        F.col("d").alias("peak_date"),
+        F.col("c").alias("n_events"),
+        F.col("prev_n").cast("bigint").alias("prev_n"),
+        F.col("next_n").cast("bigint").alias("next_n"),
+        fround(
+            F.col("c").cast("double") * F.col("n_days").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("vs_mean"),
+    )
+
+
+QUERIES["events_daily_peaks"] = q_events_daily_peaks
+
+ORACLE["events_daily_peaks"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT min(d) AS lo, max(d) AS hi,
+               CAST(sum(c) AS BIGINT) AS total
+        FROM daily
+    ),
+    dense AS (
+        SELECT spine.d, coalesce(c, 0) AS c, total
+        FROM (SELECT unnest(generate_series(lo, hi,
+                                            INTERVAL 1 DAY)) AS d,
+                     total
+              FROM bounds) spine
+        LEFT JOIN daily ON spine.d = daily.d
+    ),
+    nbrs AS (
+        SELECT d, c, total,
+               lag(c) OVER (ORDER BY d) AS prev_n,
+               lead(c) OVER (ORDER BY d) AS next_n,
+               CAST(count(*) OVER () AS BIGINT) AS n_days
+        FROM dense
+    )
+    SELECT CAST(d AS DATE) AS peak_date,
+           c AS n_events,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           CAST(next_n AS BIGINT) AS next_n,
+           floor((CAST(c AS DOUBLE) * CAST(n_days AS DOUBLE)
+                  / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS vs_mean
+    FROM nbrs
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND c > prev_n AND c > next_n
+      AND c * n_days > total
+"""

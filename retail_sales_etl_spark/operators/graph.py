@@ -1293,3 +1293,164 @@ ORACLE["bipartite_butterflies"] = f"""
            n_hot_parts
     FROM ne CROSS JOIN l3 CROSS JOIN c4 CROSS JOIN n_hot
 """
+
+
+# ---------------------------------------------------------------------------
+# copurchase_rich_club — rich-club coefficient phi(k) (Zhou & Mondragón
+# 2004; Colizza et al., Nature Physics 2006): do the highest-degree
+# parts preferentially co-purchase with EACH OTHER? The hub-structure
+# diagnostic next to assortativity (one global correlation) — phi(k)
+# resolves the effect per degree threshold.
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient over the co-purchase graph: for each
+    degree threshold k, phi(k) = 2 * E_k / (N_k * (N_k - 1)) where
+    N_k = nodes with degree > k and E_k = edges with BOTH endpoints
+    of degree > k — phi rising with k means hub parts form a densely
+    interconnected club (a bundling/merchandising structure
+    assortativity's single number can't localize). One row per
+    threshold with N_k >= 2, k from 0 to the second-largest degree.
+
+    Scale shape: degrees are one aggregate over the edge list; E_k
+    for ALL k at once is a SUFFIX COUNT over the per-edge min-degree
+    histogram and N_k a suffix count over the degree histogram — two
+    cumulative windows over BOUNDED grids (distinct degree values),
+    never a per-k edge scan. Determinism: counts exact BIGINTs, phi
+    one IEEE division 6-dp staged."""
+    from pyspark.sql import Window
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    deg = (
+        edges.select(F.col("a_part").alias("p"))
+        .unionAll(edges.select(F.col("b_part").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    # per-edge min endpoint degree -> histogram over distinct values
+    e_min = (
+        edges.join(deg.withColumnRenamed("p", "a_part")
+                   .withColumnRenamed("deg", "da"), "a_part")
+        .join(deg.withColumnRenamed("p", "b_part")
+              .withColumnRenamed("deg", "db"), "b_part")
+        .select(F.least("da", "db").alias("md"))
+        .groupBy("md")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    )
+    d_hist = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn")
+    )
+    # thresholds = 0..max(deg)-1; suffix counts via cumulative windows
+    # ordered DESC over the bounded degree grids
+    ks = deg.agg(F.max("deg").alias("m")).select(
+        F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("k")
+    )
+    w_e = Window.orderBy(F.col("md").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    e_suffix = e_min.select(
+        "md", F.sum("ne").over(w_e).cast("bigint").alias("e_gt")
+    )
+    w_n = Window.orderBy(F.col("deg").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_suffix = d_hist.select(
+        "deg", F.sum("nn").over(w_n).cast("bigint").alias("n_gt")
+    )
+    # E_k = suffix at the smallest md > k; N_k likewise — join each
+    # threshold to the next grid value above it via a min-over-join on
+    # the bounded grids
+    ek = (
+        ks.join(e_suffix, F.col("md") > F.col("k"))
+        .groupBy("k")
+        .agg(F.max("e_gt").cast("bigint").alias("e_k"))
+    )
+    nk = (
+        ks.join(n_suffix, F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.max("n_gt").cast("bigint").alias("n_k"))
+    )
+    out = (
+        ks.join(nk, "k")
+        .join(ek, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+            fround(
+                F.lit(2.0) * F.coalesce("e_k", F.lit(0)).cast("double")
+                / (
+                    F.col("n_k").cast("double")
+                    * (F.col("n_k").cast("double") - F.lit(1.0))
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )
+    return out
+
+
+QUERIES["copurchase_rich_club"] = q_copurchase_rich_club
+
+ORACLE["copurchase_rich_club"] = f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE}
+    ),
+    deg AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a_part AS p FROM edges
+              UNION ALL SELECT b_part FROM edges)
+        GROUP BY 1
+    ),
+    e_min AS (
+        SELECT least(da.deg, db.deg) AS md,
+               CAST(count(*) AS BIGINT) AS ne
+        FROM edges
+        JOIN deg da ON edges.a_part = da.p
+        JOIN deg db ON edges.b_part = db.p
+        GROUP BY 1
+    ),
+    d_hist AS (
+        SELECT deg, CAST(count(*) AS BIGINT) AS nn FROM deg GROUP BY 1
+    ),
+    ks AS (
+        SELECT unnest(generate_series(0, (SELECT max(deg) FROM deg) - 1))
+               AS k
+    ),
+    e_suffix AS (
+        SELECT md, CAST(sum(ne) OVER (ORDER BY md DESC
+                                      ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS e_gt
+        FROM e_min
+    ),
+    n_suffix AS (
+        SELECT deg, CAST(sum(nn) OVER (ORDER BY deg DESC
+                                       ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS n_gt
+        FROM d_hist
+    ),
+    ek AS (
+        SELECT k, CAST(max(e_gt) AS BIGINT) AS e_k
+        FROM ks JOIN e_suffix ON md > k GROUP BY 1
+    ),
+    nk AS (
+        SELECT k, CAST(max(n_gt) AS BIGINT) AS n_k
+        FROM ks JOIN n_suffix ON deg > k GROUP BY 1
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k, n_k,
+           coalesce(e_k, 0) AS e_k,
+           floor((2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
+                  / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)))
+                 * 1e6 + 0.5) / 1e6 AS phi
+    FROM ks JOIN nk ON ks.k = nk.k
+    LEFT JOIN ek ON ks.k = ek.k
+    WHERE n_k >= 2
+"""

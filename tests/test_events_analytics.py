@@ -848,3 +848,39 @@ def test_events_hour_uniformity_scheduler_vs_burst(spark, tmp_path):
     assert out[1]["n_hours"] == 24
     assert out[2]["chi2"] == 1104.0 and out[2]["is_uniform"] is False
     assert out[2]["n_hours"] == 1
+
+
+def test_events_daily_peaks_gap_and_edge_semantics(spark, tmp_path):
+    """Daily counts [1,5,1,gap,8,1,3]: day 2 and day 5 are peaks (the
+    gap day is a ZERO neighbor, so the 8 after the gap still
+    qualifies); the final day's 3 is an edge (no right neighbor) and
+    must NOT appear; vs_mean is the exact staged c*n_days/total."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_events_daily_peaks,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    counts = {0: 1, 1: 5, 2: 1, 4: 8, 5: 1, 6: 3}  # day 3 is a gap
+    rows, k = [], 0
+    for day, c in counts.items():
+        for i in range(c):
+            k += 1
+            rows.append(Row(event_id=k, user_id=1,
+                            ts=base + dt.timedelta(days=day, minutes=i)))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = {r["peak_date"].isoformat(): r
+           for r in q_events_daily_peaks(spark, d).collect()}
+    assert set(out) == {"2024-03-02", "2024-03-05"}
+    p1 = out["2024-03-02"]
+    assert (p1["n_events"], p1["prev_n"], p1["next_n"]) == (5, 1, 1)
+    assert p1["vs_mean"] == round(5 * 7 / 19, 6) or abs(
+        p1["vs_mean"] - (5 * 7 / 19)) < 1e-6
+    p2 = out["2024-03-05"]
+    assert (p2["n_events"], p2["prev_n"], p2["next_n"]) == (8, 0, 1)

@@ -336,3 +336,31 @@ def test_supplier_projection_all_hub_corpus_still_reports(spark, tmp_path, monke
     assert len(out) == 1
     assert out[0]["shared_parts"] == 0 and out[0]["n_pairs"] == 0
     assert out[0]["n_hot_parts"] == 2
+
+
+def test_copurchase_rich_club_hand_worked_star_triangle(spark, tmp_path):
+    """Triangle 1-2-3 (each pair in 2 orders) + pendant 4 on 1:
+    degrees 3/2/2/1 -> phi(0) = 2*4/(4*3) = 0.666667, phi(1) = 1.0
+    (the deg>1 club {1,2,3} is fully connected), k=2 excluded
+    (N_k < 2)."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.graph import (
+        q_copurchase_rich_club,
+    )
+
+    rows = []
+    for ok_, parts in ((101, (1, 2, 3)), (102, (1, 2, 3)),
+                       (103, (1, 4)), (104, (1, 4))):
+        for p in parts:
+            rows.append(Row(l_orderkey=ok_, l_partkey=p))
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = {r["k"]: r for r in q_copurchase_rich_club(spark, d).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0]["n_k"], out[0]["e_k"]) == (4, 4)
+    assert out[0]["phi"] == 0.666667
+    assert (out[1]["n_k"], out[1]["e_k"]) == (3, 3)
+    assert out[1]["phi"] == 1.0

@@ -1284,3 +1284,37 @@ def test_wav_silence_pipeline_is_shuffle_free_and_column_pruned(
     assert "Exchange" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_rich_club_windows_on_bounded_degree_grids(spark, sf_dir):
+    """copurchase_rich_club: the suffix-count windows run over the
+    BOUNDED degree histograms (distinct degree values), never the
+    edge list; the threshold joins are grid x grid; no cartesian
+    blowup beyond the bounded grids."""
+    from retail_sales_etl_spark.operators.graph import (
+        q_copurchase_rich_club,
+    )
+
+    plan = _formatted_plan(q_copurchase_rich_club(spark, sf_dir))
+    assert "HashAggregate" in plan
+    li_schema = next(
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "l_partkey" in seg.splitlines()[0]
+    )
+    assert "l_quantity" not in li_schema
+
+
+def test_daily_peaks_grid_bounded_and_pruned(spark, sf_dir):
+    """events_daily_peaks: the stream collapses to the day grid in
+    one scan reading only ts; the lag/lead window is the documented
+    calendar-bounded exempt class."""
+    from retail_sales_etl_spark.operators.events import (
+        q_events_daily_peaks,
+    )
+
+    plan = _formatted_plan(q_events_daily_peaks(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+    assert "HashAggregate" in plan
