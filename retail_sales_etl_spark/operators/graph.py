@@ -1341,39 +1341,45 @@ def q_copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_hist = deg.groupBy("deg").agg(
         F.count(F.lit(1)).cast("bigint").alias("nn")
     )
-    # thresholds = 0..max(deg)-1; suffix counts via cumulative windows
-    # ordered DESC over the bounded degree grids
-    ks = deg.agg(F.max("deg").alias("m")).select(
-        F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("k")
-    )
+    # E_k = suffix count at the smallest md > k (N_k likewise): each
+    # histogram row, with its DESC-cumulative suffix and the previous
+    # (smaller) distinct value, serves EXACTLY the threshold interval
+    # [prev, value-1] — an O(K + D) interval fill. (The first form
+    # joined every threshold against every suffix row with a > predicate:
+    # a BroadcastNestedLoopJoin evaluating O(max_degree x distinct
+    # degrees) pairs — quadratic in the degree scale for hub-heavy
+    # graphs. Consecutive distinct values make the intervals tile
+    # [0, max-1] with no gaps, so the fill is exact, not approximate.)
     w_e = Window.orderBy(F.col("md").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    e_suffix = e_min.select(
-        "md", F.sum("ne").over(w_e).cast("bigint").alias("e_gt")
+    w_e_prev = Window.orderBy("md")
+    ek = e_min.select(
+        "md",
+        F.sum("ne").over(w_e).cast("bigint").alias("e_gt"),
+        F.coalesce(F.lag("md").over(w_e_prev), F.lit(0)).alias("prev"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("prev"), F.col("md") - 1)
+        ).alias("k"),
+        F.col("e_gt").alias("e_k"),
     )
     w_n = Window.orderBy(F.col("deg").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    n_suffix = d_hist.select(
-        "deg", F.sum("nn").over(w_n).cast("bigint").alias("n_gt")
-    )
-    # E_k = suffix at the smallest md > k; N_k likewise — join each
-    # threshold to the next grid value above it via a min-over-join on
-    # the bounded grids
-    ek = (
-        ks.join(e_suffix, F.col("md") > F.col("k"))
-        .groupBy("k")
-        .agg(F.max("e_gt").cast("bigint").alias("e_k"))
-    )
-    nk = (
-        ks.join(n_suffix, F.col("deg") > F.col("k"))
-        .groupBy("k")
-        .agg(F.max("n_gt").cast("bigint").alias("n_k"))
+    w_n_prev = Window.orderBy("deg")
+    nk = d_hist.select(
+        "deg",
+        F.sum("nn").over(w_n).cast("bigint").alias("n_gt"),
+        F.coalesce(F.lag("deg").over(w_n_prev), F.lit(0)).alias("prev"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("prev"), F.col("deg") - 1)
+        ).alias("k"),
+        F.col("n_gt").alias("n_k"),
     )
     out = (
-        ks.join(nk, "k")
-        .join(ek, "k", "left")
+        nk.join(ek, "k", "left")
         .filter(F.col("n_k") >= 2)
         .select(
             F.col("k").cast("bigint").alias("k"),
@@ -1421,36 +1427,31 @@ ORACLE["copurchase_rich_club"] = f"""
     d_hist AS (
         SELECT deg, CAST(count(*) AS BIGINT) AS nn FROM deg GROUP BY 1
     ),
-    ks AS (
-        SELECT unnest(generate_series(0, (SELECT max(deg) FROM deg) - 1))
-               AS k
-    ),
-    e_suffix AS (
-        SELECT md, CAST(sum(ne) OVER (ORDER BY md DESC
-                                      ROWS UNBOUNDED PRECEDING)
-                        AS BIGINT) AS e_gt
-        FROM e_min
-    ),
-    n_suffix AS (
-        SELECT deg, CAST(sum(nn) OVER (ORDER BY deg DESC
-                                       ROWS UNBOUNDED PRECEDING)
-                         AS BIGINT) AS n_gt
-        FROM d_hist
-    ),
     ek AS (
-        SELECT k, CAST(max(e_gt) AS BIGINT) AS e_k
-        FROM ks JOIN e_suffix ON md > k GROUP BY 1
+        SELECT unnest(generate_series(prev, md - 1)) AS k,
+               e_gt AS e_k
+        FROM (SELECT md,
+                     CAST(sum(ne) OVER (ORDER BY md DESC
+                                        ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS e_gt,
+                     coalesce(lag(md) OVER (ORDER BY md), 0) AS prev
+              FROM e_min)
     ),
     nk AS (
-        SELECT k, CAST(max(n_gt) AS BIGINT) AS n_k
-        FROM ks JOIN n_suffix ON deg > k GROUP BY 1
+        SELECT unnest(generate_series(prev, deg - 1)) AS k,
+               n_gt AS n_k
+        FROM (SELECT deg,
+                     CAST(sum(nn) OVER (ORDER BY deg DESC
+                                        ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS n_gt,
+                     coalesce(lag(deg) OVER (ORDER BY deg), 0) AS prev
+              FROM d_hist)
     )
-    SELECT CAST(ks.k AS BIGINT) AS k, n_k,
+    SELECT CAST(nk.k AS BIGINT) AS k, n_k,
            coalesce(e_k, 0) AS e_k,
            floor((2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
                   / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)))
                  * 1e6 + 0.5) / 1e6 AS phi
-    FROM ks JOIN nk ON ks.k = nk.k
-    LEFT JOIN ek ON ks.k = ek.k
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
     WHERE n_k >= 2
 """

@@ -2237,7 +2237,14 @@ def q_streaming_source_sketch(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:  # empty corpus: the batch twin returns empty
+        return spark.createDataFrame(
+            [],
+            "source string, rank int, phrase string, n_words bigint, "
+            "freq bigint, score double",
+        )
+    hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -3625,6 +3632,12 @@ def q_streaming_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{work}/src"
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     t_lo, t_hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if t_lo is None:  # empty stream: the batch twin returns empty
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_gaps bigint, mean_gap_s double, "
+            "std_gap_s double, burstiness double",
+        )
     cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -3928,7 +3941,14 @@ def q_streaming_rake_by_source(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:  # empty corpus: the batch twin returns empty
+        return spark.createDataFrame(
+            [],
+            "source string, rank int, phrase string, n_words bigint, "
+            "freq bigint, score double",
+        )
+    hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -4159,7 +4179,10 @@ def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    hi = orders.agg(F.max("o_custkey")).first()[0] + 1
+    hi = orders.agg(F.max("o_custkey")).first()[0]
+    if hi is None:  # empty fact: the batch twin returns an empty frame
+        return _rfm_rank(spark.createDataFrame([], _RFM_STATE_SCHEMA))
+    hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -4194,7 +4217,6 @@ def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_rfm"] = q_streaming_rfm
 
 # Hash-checked against the SAME oracle as the batch customer_rfm: the
-# maintained state must bit-equal a from-scratch per-customer pass.
-from ..plans.behavioral import ORACLE as _BEHAVIORAL_ORACLE2  # noqa: E402
-
-ORACLE["streaming_rfm"] = _BEHAVIORAL_ORACLE2["customer_rfm"]
+# maintained state must bit-equal a from-scratch per-customer pass
+# (_BEHAVIORAL_ORACLE is already imported for the cohort sink above).
+ORACLE["streaming_rfm"] = _BEHAVIORAL_ORACLE["customer_rfm"]

@@ -1932,3 +1932,30 @@ def test_rfm_state_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     }
     assert got[3] == ("2021-06-01", 2, 7.0)
     assert got[1000] == ("2021-06-02", 1, 9.0)
+
+
+def test_streaming_entries_empty_fact_returns_empty(spark, tmp_path):
+    """An empty source table must yield an EMPTY frame from the
+    replay-style driver entries (their batch twins and shared oracles
+    all return empty) — not a TypeError from None range arithmetic."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "o_custkey bigint, o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    assert streaming_events.q_streaming_rfm(spark, d).count() == 0
+    assert streaming_events.q_streaming_burstiness(spark, d).count() == 0
+    assert streaming_events.q_streaming_rake_by_source(
+        spark, d
+    ).count() == 0
