@@ -4164,3 +4164,106 @@ ORACLE["chi2_source_lang"] = """
                 ELSE NULL END AS cramers_v
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_novelty — per-document n-gram novelty against everything ingested
+# BEFORE it: the dataset-novelty-decay signal (how much genuinely new
+# text does each marginal document contribute?) — the selection-side
+# companion to decontamination (which screens against a benchmark) and
+# dedup (which screens whole-doc/near-dup identity)
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM = 3
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty under doc_id ingestion order: a gram is
+    NOVEL in the first doc (smallest doc_id) that contains it, so a
+    doc's novelty = fraction of its distinct grams whose global first
+    occurrence is itself — the curve every data-selection loop watches
+    flatten as a source exhausts (novelty ~1 early, decaying toward
+    near-dup territory; ``mix_*`` entries decide WHAT to keep, this
+    measures what keeping more BUYS). First-occurrence is one min-agg
+    over the gram grid — the ``text_heaps_fit`` trick at corpus grain,
+    never a pairwise comparison.
+
+    Scale shape: grams dedup map-side per doc (array_distinct before
+    the explode), ONE shuffle on the gram key for the global min, and
+    one doc-grain rollup; the gram grid is vocabulary-bounded.
+    Determinism: counts exact BIGINTs, novelty one staged division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    # docs shorter than the gram width contribute NOTHING (guarded:
+    # Spark's sequence(0, n-3) turns DESCENDING for n < 3 and the
+    # 0-start slice it feeds is an error, not an empty list)
+    gs = F.when(
+        n >= NOVELTY_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(NOVELTY_NGRAM)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(toks, i + 1, F.lit(NOVELTY_NGRAM)),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", gs.alias("gs")).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        fround(
+            F.col("n_novel").cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+QUERIES["doc_novelty"] = q_doc_novelty
+
+ORACLE["doc_novelty"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i:i+{NOVELTY_NGRAM - 1}], ' ') AS g
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(
+                 1, len(w) - {NOVELTY_NGRAM - 1})) AS i)
+    ),
+    firsts AS (
+        SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams JOIN firsts USING (g)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_novel,
+           floor((CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS novelty
+    FROM per_doc
+"""

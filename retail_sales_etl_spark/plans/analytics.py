@@ -1950,3 +1950,122 @@ ORACLE["leadtime_drift_ks"] = f"""
                            * CAST(n_late AS DOUBLE))) AS drifted
     FROM per_supp
 """
+
+
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue per
+    nation: HHI = sum over a nation's suppliers of (share * 10000)^2
+    normalized — the antitrust-standard concentration index (U.S.
+    DOJ/FTC merger-guidelines scale: < 1500 unconcentrated, > 2500
+    highly concentrated), resolving what `supplier_value_concentration`
+    thresholds into a single comparable score per market; emitted with
+    the top supplier's share and the published concentration band.
+
+    Scale shape: the fact collapses to the (nation, supplier) revenue
+    grid in one aggregate (supplier dim joins BROADCAST), then one
+    nation-grain rollup; nothing grows past the supplier count.
+    Determinism: revenues are exact DECIMAL sums; shares and HHI are
+    IEEE expressions on the decimal-to-double casts, with per-supplier
+    share terms 6-dp staged and DECIMAL-summed (the chi2 discipline);
+    the band cut is a comparison on the staged sum."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(
+            broadcast(supplier), li.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev")
+        )
+    )
+    totals = rev.groupBy("s_nationkey").agg(
+        F.sum("rev").cast(DEC).alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.max("rev").cast(DEC).alias("top_rev"),
+    )
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    term = fround(share * share * F.lit(10_000.0), 6).cast(
+        "decimal(25,6)"
+    )
+    # term = share^2 * 10000 (the 0..10000 HHI scale), staged per
+    # supplier then DECIMAL-summed
+    hhi_rows = (
+        rev.join(totals, "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(F.sum(term).alias("_hhi"))
+    )
+    hhi = F.col("_hhi").cast("double")
+    out = (
+        hhi_rows.join(totals, "s_nationkey")
+        .join(
+            broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.col("total").cast("double").alias("revenue"),
+            fround(
+                F.col("top_rev").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("top_share"),
+            fround(hhi, 6).alias("hhi"),
+            F.when(hhi < 1500, F.lit("unconcentrated"))
+            .when(hhi <= 2500, F.lit("moderate"))
+            .otherwise(F.lit("high"))
+            .alias("band"),
+        )
+    )
+    return out
+
+
+QUERIES["nation_supplier_hhi"] = q_nation_supplier_hhi
+
+ORACLE["nation_supplier_hhi"] = """
+    WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,6))) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT s_nationkey,
+               CAST(sum(rev) AS DECIMAL(25,6)) AS total,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(max(rev) AS DECIMAL(25,6)) AS top_rev
+        FROM rev GROUP BY 1
+    ),
+    hhi_rows AS (
+        SELECT rev.s_nationkey,
+               sum(CAST(floor(
+                   ((CAST(rev AS DOUBLE) / CAST(total AS DOUBLE))
+                    * (CAST(rev AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 10000.0)
+                   * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6))) AS hhi_dec
+        FROM rev JOIN totals ON rev.s_nationkey = totals.s_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name AS nation, n_suppliers,
+           CAST(total AS DOUBLE) AS revenue,
+           floor((CAST(top_rev AS DOUBLE) / CAST(total AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS top_share,
+           floor(CAST(hhi_dec AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi,
+           CASE WHEN CAST(hhi_dec AS DOUBLE) < 1500 THEN 'unconcentrated'
+                WHEN CAST(hhi_dec AS DOUBLE) <= 2500 THEN 'moderate'
+                ELSE 'high' END AS band
+    FROM hhi_rows
+    JOIN totals ON hhi_rows.s_nationkey = totals.s_nationkey
+    JOIN nation ON hhi_rows.s_nationkey = n_nationkey
+"""

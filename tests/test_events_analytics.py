@@ -884,3 +884,41 @@ def test_events_daily_peaks_gap_and_edge_semantics(spark, tmp_path):
         p1["vs_mean"] - (5 * 7 / 19)) < 1e-6
     p2 = out["2024-03-05"]
     assert (p2["n_events"], p2["prev_n"], p2["next_n"]) == (8, 0, 1)
+
+
+def test_nation_supplier_hhi_monopoly_and_split(spark, tmp_path):
+    """A single-supplier nation scores HHI = 10000 ('high'); two equal
+    suppliers score 5000 ('high'); ten equal suppliers score 1000
+    ('unconcentrated'); top_share pins the max supplier's fraction."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.plans.analytics import (
+        q_nation_supplier_hhi,
+    )
+
+    sups, lines, k = [], [], 0
+    layouts = {0: 1, 1: 2, 2: 10}  # nationkey -> equal suppliers
+    sk = 0
+    for nk, n_sup in layouts.items():
+        for _ in range(n_sup):
+            sk += 1
+            sups.append(Row(s_suppkey=sk, s_nationkey=nk))
+            k += 1
+            lines.append(Row(l_orderkey=k, l_suppkey=sk,
+                             l_extendedprice=100.0, l_discount=0.0))
+    nations = [Row(n_nationkey=nk, n_name=f"N{nk}") for nk in layouts]
+    d = str(tmp_path)
+    spark.createDataFrame(lines).write.mode("overwrite").parquet(
+        f"{d}/lineitem.parquet")
+    spark.createDataFrame(sups).write.mode("overwrite").parquet(
+        f"{d}/supplier.parquet")
+    spark.createDataFrame(nations).write.mode("overwrite").parquet(
+        f"{d}/nation.parquet")
+    out = {r["nation"]: r for r in q_nation_supplier_hhi(spark, d).collect()}
+    assert out["N0"]["hhi"] == 10000.0 and out["N0"]["band"] == "high"
+    assert out["N0"]["top_share"] == 1.0
+    assert out["N1"]["hhi"] == 5000.0 and out["N1"]["band"] == "high"
+    assert out["N1"]["top_share"] == 0.5
+    assert out["N2"]["hhi"] == 1000.0
+    assert out["N2"]["band"] == "unconcentrated"
+    assert out["N2"]["n_suppliers"] == 10

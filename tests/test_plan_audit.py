@@ -1318,3 +1318,36 @@ def test_daily_peaks_grid_bounded_and_pruned(spark, sf_dir):
     assert "ts" in read_schema
     assert "props" not in read_schema and "user_id" not in read_schema
     assert "HashAggregate" in plan
+
+
+def test_doc_novelty_single_gram_shuffle_and_pruned(spark, sf_dir):
+    """doc_novelty: grams dedup map-side per doc (array_distinct
+    before the explode), exactly ONE gram-keyed exchange (the global
+    first-occurrence min), scan pruned to (doc_id, text)."""
+    from retail_sales_etl_spark.operators.text import q_doc_novelty
+
+    plan = _formatted_plan(q_doc_novelty(spark, sf_dir))
+    assert plan.count("hashpartitioning(g#") <= 2  # min agg + rejoin
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema
+    assert "Cartesian" not in plan
+
+
+def test_hhi_broadcasts_dims_and_prunes_scan(spark, sf_dir):
+    """nation_supplier_hhi: supplier/nation join BROADCAST, the fact
+    collapses to the (nation, supplier) grid in one aggregate, scan
+    pruned to the three needed lineitem columns."""
+    from retail_sales_etl_spark.plans.analytics import (
+        q_nation_supplier_hhi,
+    )
+
+    plan = _formatted_plan(q_nation_supplier_hhi(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    li_schema = next(
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "l_suppkey" in seg.splitlines()[0]
+    )
+    assert "l_shipdate" not in li_schema and "l_quantity" not in li_schema
+    assert "HashAggregate" in plan

@@ -800,3 +800,31 @@ def test_chi2_source_lang_hand_worked_and_zero_cell(spark, tmp_path):
     r = run({("A", "en"): 6, ("A", "es"): 2,
              ("B", "en"): 12, ("B", "es"): 4}, "prop")
     assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_doc_novelty_first_occurrence_order_and_short_docs(spark, tmp_path):
+    """Hand-worked novelty: doc 1 introduces both its grams (novelty
+    1.0); doc 2 repeats doc 1's text verbatim (novelty 0.0); doc 3
+    shares one of its three distinct grams with doc 1 (novelty 2/3); a
+    doc shorter than the gram width contributes nothing and is absent
+    (regression for the descending-sequence slice hazard)."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_doc_novelty
+
+    docs = [
+        Row(doc_id=1, text="a b c d"),        # grams: "a b c", "b c d"
+        Row(doc_id=2, text="a b c d"),        # all seen in doc 1
+        Row(doc_id=3, text="a b c x y"),      # "a b c" old, rest new
+        Row(doc_id=4, text="zz qq"),          # too short: no grams
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r["doc_id"]: r for r in q_doc_novelty(spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_grams"], out[1]["novelty"]) == (2, 1.0)
+    assert (out[2]["n_grams"], out[2]["novelty"]) == (2, 0.0)
+    assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 2
+    assert abs(out[3]["novelty"] - 0.666667) < 1e-9
