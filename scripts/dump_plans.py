@@ -58,6 +58,14 @@ SHOWCASE = [
     ("multimodal_wav_stats", "zero-Exchange RIFF/WAVE synthesize->decode chain, chunk walk + signed PCM in-executor"),
     ("revenue_changepoint", "fact collapses to the persisted day grid; prefix-sum window on grid rows, TakeOrdered argmax"),
     ("brand_price_elasticity", "broadcast 2-column part dim, ONE map-combinable aggregate to the 25-brand grid of OLS sums"),
+    ("revenue_hurst", "fact -> dense day grid; cum/stat windows per (scale, block) partition <= 256 rows; 9-dp decimal log-log fit"),
+    ("leadtime_drift_ks", "orderkey co-partition join -> (supplier, lead-day, half) count grid; per-supplier ECDF windows; INTEGER KS argmax"),
+    ("supplier_leadtime_profile", "co-partition fact join -> per-supplier exact-percentile buffers; broadcast supplier dim after the collapse"),
+    ("copurchase_rich_club", "degree histograms + DESC suffix windows; O(K+D) interval fill serves every threshold, no per-k edge scan"),
+    ("doc_novelty", "map-side per-doc gram dedup -> ONE gram-keyed min shuffle -> doc rollup; vocabulary-bounded"),
+    ("multimodal_tga_stats", "zero-Exchange RLE-TGA synthesize->decode chain: packet framing, origin flip, ID skip in-executor"),
+    ("multimodal_ico_stats", "zero-Exchange ICO container walk: seeked directory entries, doubled-height masks, opaque-only sums"),
+    ("text_mtld", "zero-Exchange mapInPandas sequential factor walk per doc (the genuinely-sequential carve-out)"),
     ("mix_source_reliability", "source-grid rates broadcast back; doc keep decision map-side, corpus never shuffles"),
     ("multimodal_wav_frames", "zero-Exchange frame-grain feature extraction; frame chop + ZCR in-executor, integer-only gate"),
     ("cohort_ltv", "map-side (customer,month) combine -> customer-partitioned cohort window -> tiny cohort grid"),
