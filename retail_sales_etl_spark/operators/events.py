@@ -2390,12 +2390,20 @@ def q_events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the spine is generated from min/max; lag/lead run on ONE
     calendar-bounded window (the documented exempt class — the grid
     is days, not events)."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    return _daily_peaks(daily)
+
+
+def _daily_peaks(daily: DataFrame) -> DataFrame:
+    """The peak derivation over a (d, c) daily-count grid — shared by
+    the batch entry above and the maintained-grid streaming form
+    (``streaming/events.py:q_streaming_daily_peaks``), so the two can
+    never drift on the spine/neighbor/mean arithmetic."""
+    from pyspark.sql import Window
+
     bounds = daily.agg(
         F.min("d").alias("lo"), F.max("d").alias("hi"),
         F.sum("c").cast("bigint").alias("total"),

@@ -4220,3 +4220,126 @@ QUERIES["streaming_rfm"] = q_streaming_rfm
 # maintained state must bit-equal a from-scratch per-customer pass
 # (_BEHAVIORAL_ORACLE is already imported for the cohort sink above).
 ORACLE["streaming_rfm"] = _BEHAVIORAL_ORACLE["customer_rfm"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_daily_peaks — the EVENTS day-grid IVM: maintain the exact
+# daily event-count grid per batch (the daily_revenue_sink discipline
+# on the event stream), derive peak detection on read — completing the
+# maintained-grid family: every day-grid operator on either fact now
+# has a maintained base
+# ---------------------------------------------------------------------------
+
+
+def events_daily_sink(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """Fold one micro-batch of EVENTS into the maintained (d, c)
+    daily-count grid — exact integer counts, so addition in any order
+    bit-equals the from-scratch daily aggregate; the grid every
+    event-side day operator (daily peaks, autocorr-style diagnostics)
+    can read without re-scanning the stream. Exactly-once protocol =
+    ``ivm_lakehouse_sink`` verbatim via ``_additive_grid_sink``
+    (pinned read_version, events_daily_hwm replay check, conditional
+    first-batch overwrite / MERGE). Returns False on replay."""
+    partial = batch_df.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(c.alias("c"), "d", "left")
+            .select(
+                "d",
+                (
+                    F.col("p.c") + F.coalesce(F.col("c.c"), F.lit(0))
+                ).cast("bigint").alias("c"),
+            )
+        )
+
+    return _additive_grid_sink(
+        batch_df, batch_id, table_path, "events_daily_hwm",
+        ["d"], partial, combine, "events_daily_sink",
+    )
+
+
+def maintain_events_daily(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
+    """Run the events-day-grid IVM sink under foreachBatch
+    (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        events_daily_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the events day-grid IVM: replay the
+    events table in 4 micro-batches through ``maintain_events_daily``
+    (exact integer counts fold additively, ANY delivery order
+    bit-equals the batch daily aggregate), then derive peak detection
+    from the MAINTAINED grid via the shared ``_daily_peaks`` — hash-
+    checked against the SAME oracle as the batch
+    ``events_daily_peaks``, proving the event-side day-grid family is
+    servable without ever re-scanning the stream."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.events import _daily_peaks
+
+    work = tempfile.mkdtemp(prefix="evdaily_stream_")
+    src = f"{work}/src"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    if hi is None:  # empty stream: the batch twin returns empty
+        return spark.createDataFrame(
+            [],
+            "peak_date date, n_events bigint, prev_n bigint, "
+            "next_n bigint, vs_mean double",
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            ev.filter(
+                (F.col("event_id") >= cuts[i])
+                & (F.col("event_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    ts_t = spark.read.parquet(src).schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(f"event_id bigint, ts {ts_t}")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_events_daily(
+        stream, f"{work}/daily", f"{work}/ckpt"
+    ).awaitTermination()
+    daily = LakehouseTable(spark, f"{work}/daily").read()
+    return _daily_peaks(daily)
+
+
+QUERIES["streaming_daily_peaks"] = q_streaming_daily_peaks
+
+# Hash-checked against the SAME oracle as the batch events_daily_peaks:
+# the maintained grid must bit-equal a from-scratch daily aggregate.
+ORACLE["streaming_daily_peaks"] = _BATCH_EVENTS_ORACLE["events_daily_peaks"]

@@ -50,6 +50,44 @@ def _timed(fn):
     return out, time.perf_counter() - t0
 
 
+def probe_streaming_daily_peaks(spark=None) -> None:
+    """streaming_daily_peaks 10x: events x10 in the same day range ->
+    the SAME days peak from the maintained grid with counts x10 and
+    vs_mean invariant (the batch probe's invariance through the IVM
+    path)."""
+    own = spark is None
+    if own:
+        shutil.rmtree(STAGE, ignore_errors=True)
+        spark = get_spark(app_name="probe-round15j-evd")
+        spark.sparkContext.setLogLevel("ERROR")
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.streaming.events import (
+        q_streaming_daily_peaks,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    hi_e = ev.agg(F.max("event_id")).first()[0] + 1
+    ev10 = ev
+    for k in range(1, COPIES):
+        ev10 = ev10.unionAll(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(k * hi_e))
+        )
+    e10 = _stage(spark, "events10", {"events": ev10})
+    base, t1 = _timed(lambda: q_streaming_daily_peaks(spark, SF_DIR).collect())
+    big, t10 = _timed(lambda: q_streaming_daily_peaks(spark, e10).collect())
+    assert len(big) == len(base)
+    bmap = {r.peak_date: r for r in big}
+    for r in base:
+        b = bmap[r.peak_date]
+        assert b.n_events == COPIES * r.n_events
+        assert b.vs_mean == r.vs_mean
+    print(f"strm_daily_pk  1x {t1:6.2f}s   10x {t10:6.2f}s  "
+          f"ratio {t10 / t1:4.1f}  ({len(base)} peaks, same grid)")
+    if own:
+        shutil.rmtree(STAGE, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     shutil.rmtree(STAGE, ignore_errors=True)
     spark = get_spark(app_name="probe-round15j-10x")
@@ -105,8 +143,11 @@ def main() -> None:
     print(f"supplier_hhi   1x {t1:6.2f}s   10x {t10:6.2f}s  "
           f"ratio {t10 / t1:4.1f}  ({len(base)} nations, HHI invariant)")
 
+    probe_streaming_daily_peaks(spark)
+
     shutil.rmtree(STAGE, ignore_errors=True)
     spark.stop()
+
 
 
 if __name__ == "__main__":

@@ -1959,3 +1959,40 @@ def test_streaming_entries_empty_fact_returns_empty(spark, tmp_path):
     assert streaming_events.q_streaming_rake_by_source(
         spark, d
     ).count() == 0
+
+
+def test_events_daily_sink_additive_order_insensitive_replay(
+    spark, tmp_path
+):
+    """Exact integer day counts fold additively: either batch order
+    bit-equals the from-scratch daily aggregate, and a replay is a
+    no-op (the daily_revenue_sink discipline on the event stream)."""
+    import datetime as dt
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, d, h)) for i, (d, h) in
+             enumerate(rows)],
+            "event_id bigint, ts timestamp",
+        )
+
+    b0 = _batch([(1, 8), (1, 9), (2, 10)])
+    b1 = _batch([(1, 20), (3, 5), (3, 6), (3, 7)])
+    want = {dt.date(2024, 1, 1): 3, dt.date(2024, 1, 2): 1,
+            dt.date(2024, 1, 3): 3}
+    for order in ((b0, 0), (b1, 1)), ((b1, 0), (b0, 1)):
+        path = str(tmp_path / f"evd_{order[0][1]}_{id(order)}")
+        for batch, bid in order:
+            assert streaming_events.events_daily_sink(batch, bid, path)
+        got = {
+            r.d: r.c
+            for r in LakehouseTable(spark, path).read().collect()
+        }
+        assert got == want
+        v = LakehouseTable(spark, path).latest_version()
+        assert streaming_events.events_daily_sink(
+            order[0][0], order[0][1], path
+        ) is False
+        assert LakehouseTable(spark, path).latest_version() == v
