@@ -1146,6 +1146,20 @@ class LakehouseTable:
             for f in files:
                 os.remove(os.path.join(self.path, f))
             raise ValueError(f"Compaction row drift: {n_before} -> {n}")
+
+        def _disk_bytes(names):
+            total = 0
+            for f in names:
+                try:
+                    total += os.path.getsize(os.path.join(self.path, f))
+                except OSError:
+                    pass
+            return total
+
+        # merge-mass telemetry: bytes folded in vs bytes staged out,
+        # in the COMMIT LOG (history() is the audit surface a 100 TB
+        # operator alerts on) as well as the return value
+        bytes_in, bytes_out = _disk_bytes(rewrite), _disk_bytes(files)
         entry = {
             "operation": "optimize",
             "add": files,
@@ -1153,6 +1167,8 @@ class LakehouseTable:
             "schema": last["schema"],
             "rows_written": n,
             "stats": stats,
+            "bytes_rewritten": bytes_in,
+            "bytes_written": bytes_out,
             "zorder_by": list(zorder_by) if zorder_by else None,
             "zorder_gens": (
                 gens_kept + [files] if zorder_by else []
@@ -1179,6 +1195,8 @@ class LakehouseTable:
             "files_after": len(live) - len(rewrite) + len(files),
             "files_rewritten": len(rewrite),
             "rows_rewritten": n,
+            "bytes_rewritten": bytes_in,
+            "bytes_written": bytes_out,
             "generations": len(entry["zorder_gens"]),
         }
 

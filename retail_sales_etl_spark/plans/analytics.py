@@ -1695,8 +1695,7 @@ def q_supplier_leadtime_profile(
     between an order's placement and each line's ship date, summarized
     as exact linear-interpolation percentiles (p25/p50/p75/p90) plus
     count/mean/extrema — the SLA-monitoring surface a buyer reads to
-    rank suppliers (reference parity: the analytics tier its
-    ship-latency reports stand on).
+    rank suppliers.
 
     Scale shape: lead time needs the one fact-fact join in the schema
     (lineitem x orders on orderkey) — at 100 TB that is a co-partition
@@ -1707,7 +1706,10 @@ def q_supplier_leadtime_profile(
     bounded by items-per-supplier (~600 at any SF here); ``approx=
     True`` is the fixed-memory scale path (t-digest-style
     approx_percentile sketches, partial-combining) for skewed supplier
-    catalogs. Determinism: lead days are exact integers (date diff),
+    catalogs — under the flag the p25/p50/p75/p90 columns are
+    SKETCH-APPROXIMATE, not oracle-parity, so the driver contract
+    (and the oracle below) bind only the default exact form, same as
+    the other ``approx``-flag entries. Determinism: lead days are exact integers (date diff),
     the mean is an exact BIGINT sum over a BIGINT count, and the
     interpolated percentiles are single IEEE doubles on integer ranks
     — identical in any engine; 6-dp floor-staged."""

@@ -3453,11 +3453,16 @@ def user_gaps_sink(
     last_us, sum_g, sum_g2) current per user and derives B = (sigma -
     mu)/(sigma + mu) on read, instead of re-windowing the full history.
 
-    CONTRACT: batches arrive in event-time order (the cohort sink's
-    in-order discipline) — each batch's events for a user all follow
-    the user's stored ``last_us``, so the one gap the batch seam hides
-    is ``floor((batch.first_us - state.last_us)/1e6)``, computed in
-    the combine and added to the moment sums. Within a batch the gaps
+    CONTRACT (enforced): batches arrive in event-time order (the
+    cohort sink's in-order discipline) — each batch's events for a
+    user all follow the user's stored ``last_us``, so the one gap the
+    batch seam hides is ``floor((batch.first_us - state.last_us)/
+    1e6)``, computed in the combine and added to the moment sums. A
+    batch that violates the contract (any user's ``first_us`` before
+    the stored ``last_us``) RAISES from inside the combine via a
+    ``raise_error`` branch on the seam-gap expression — zero extra
+    jobs on the happy path, and out-of-order delivery can never
+    silently poison the long-lived moment sums with a negative gap. Within a batch the gaps
     are the lag-window integer seconds; all sums are exact BIGINTs,
     so the maintained moments bit-equal a from-scratch pass over
     everything delivered regardless of where the seams fall.
@@ -3507,11 +3512,35 @@ def user_gaps_sink(
                     else state.read(version=rv)
                 )
             # the seam gap exists only for users with prior state; the
-            # in-order contract makes p.first_us >= c.last_us
-            g0 = F.floor(
-                (F.col("p.first_us") - F.col("c.last_us"))
-                / F.lit(1_000_000)
-            ).cast("bigint")
+            # in-order contract makes p.first_us >= c.last_us — and a
+            # violation must fail LOUD here, not silently poison
+            # sum_g/sum_g2 with a negative seam gap (the state table
+            # is long-lived; a corrupt moment is unrecoverable)
+            g0 = F.when(
+                F.col("p.first_us") < F.col("c.last_us"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "user_gaps_sink: out-of-order micro-batch "
+                            f"{batch_id} — events for user_id="
+                        ),
+                        F.col("user_id").cast("string"),
+                        F.lit(" precede the stored last_us ("),
+                        F.col("p.first_us").cast("string"),
+                        F.lit(" < "),
+                        F.col("c.last_us").cast("string"),
+                        F.lit(
+                            "); the in-order delivery contract is "
+                            "broken — refusing to fold"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(
+                F.floor(
+                    (F.col("p.first_us") - F.col("c.last_us"))
+                    / F.lit(1_000_000)
+                ).cast("bigint")
+            )
             upd = (
                 partial.alias("p")
                 .join(prior.alias("c"), "user_id", "left")

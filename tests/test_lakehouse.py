@@ -951,6 +951,22 @@ def test_incremental_optimize_writes_bounded_by_appends(spark, table):
     assert got == [3, 777]
 
 
+def test_optimize_reports_merge_mass_telemetry(spark, table):
+    """Every optimize cycle reports bytes_rewritten (input folded) and
+    bytes_written (staged out) in BOTH the return value and the commit
+    log entry — the merge-mass signal a 100 TB operator alerts on via
+    history(), instead of re-deriving it from file listings."""
+    table.write(spark.createDataFrame(_rows(100)).coalesce(2), mode="append")
+    res = table.optimize(target_files=2, zorder_by=["id"], incremental=True)
+    assert res["bytes_rewritten"] > 0 and res["bytes_written"] > 0
+    logged = table.latest_entry()
+    assert logged["bytes_rewritten"] == res["bytes_rewritten"]
+    assert logged["bytes_written"] == res["bytes_written"]
+    # a no-op cycle commits nothing and reports nothing to fold
+    noop = table.optimize(target_files=2, zorder_by=["id"], incremental=True)
+    assert noop.get("noop") is True
+
+
 def test_incremental_optimize_tiered_generation_merge(spark, table):
     """When the generation count would exceed ``max_generations`` the
     smallest generations fold into the new rewrite (size-tiered

@@ -1670,6 +1670,51 @@ def test_user_gaps_sink_folds_boundary_gap_and_skips_replay(spark, tmp_path):
     assert LakehouseTable(spark, path).latest_version() == version
 
 
+def test_user_gaps_sink_out_of_order_batch_fails_loud(spark, tmp_path):
+    """A micro-batch whose events for a stored user PRECEDE the
+    user's maintained last_us breaks the in-order delivery contract:
+    the seam gap would go negative and silently corrupt sum_g/sum_g2.
+    The sink must RAISE (the raise_error branch on the seam-gap
+    expression), leave the state table unadvanced, and keep accepting
+    in-order batches afterwards."""
+    import datetime as dt
+
+    import pytest
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    path = str(tmp_path / "gaps_ooo")
+    base = dt.datetime(2020, 1, 1)
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            [(u, base + dt.timedelta(seconds=s)) for u, s in rows],
+            "user_id bigint, ts timestamp",
+        )
+
+    assert streaming_events.user_gaps_sink(
+        _batch([(1, 100), (1, 110)]), 0, path
+    ) is True
+    version = LakehouseTable(spark, path).latest_version()
+
+    # batch 1 delivers user 1 at t=50 — before the stored last_us
+    with pytest.raises(Exception, match="out-of-order micro-batch"):
+        streaming_events.user_gaps_sink(_batch([(1, 50)]), 1, path)
+    assert LakehouseTable(spark, path).latest_version() == version
+
+    # a user with NO prior state never trips the guard, and an
+    # in-order batch for the stored user still folds
+    assert streaming_events.user_gaps_sink(
+        _batch([(1, 200), (2, 10)]), 1, path
+    ) is True
+    got = {
+        r.user_id: (r.n_events, r.sum_g)
+        for r in LakehouseTable(spark, path).read().collect()
+    }
+    assert got[1] == (3, 10 + 90)
+    assert got[2] == (1, 0)
+
+
 def test_user_gaps_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     """After the maintenance cycle Z-orders the state by user_id, the
     next batch's prior-state probe must read the pinned snapshot
