@@ -953,6 +953,132 @@ class LakehouseTable:
             "rows_written": n,
         }
 
+    def retire_below(
+        self,
+        column: str,
+        cutoff,
+        extra: dict | None = None,
+        conflict_on: str | None = None,
+    ) -> dict:
+        """Stats-bounded ``DELETE WHERE column < cutoff`` — the state
+        retirement primitive (the lakehouse form of Flink's state TTL):
+        a per-key IVM state table accumulates one row per user/customer
+        forever, and rows whose activity watermark fell behind the
+        retention horizon pay storage and generation-merge mass for
+        data nothing will probe again.
+
+        Three file classes, decided by pure log arithmetic (the
+        ``prune_files`` stats manifest — no footer opened to classify):
+
+        - ``max(column) < cutoff``: every row retires — the file is
+          dropped WHOLE from the live set, a pure metadata remove
+          (never read, never rewritten; VACUUM reclaims the bytes);
+        - ``min(column) >= cutoff`` (or all-NULL): untouched — carried
+          forward as metadata;
+        - straddling the cutoff (or no stats recorded): rewritten
+          keeping rows with ``column >= cutoff OR column IS NULL`` (a
+          retirement predicate never matches NULL, matching
+          ``prune_files``'s NULL semantics).
+
+        Steady state under a periodic retirement cycle the table holds
+        only rows inside the horizon, so each cycle's rewrite volume is
+        bounded by the LIVE window, not by all keys ever — the missing
+        bound that file-level VACUUM + incremental clustering (which
+        bound metadata and probe cost, not row count) could not give.
+
+        Nothing to retire returns ``{"noop": True}`` WITHOUT a commit.
+        Snapshot-pinned like ``merge``: a commit landing between the
+        pin and ours raises ``ConcurrentWriteError`` (staged files are
+        cleaned up) — maintenance hooks call this best-effort and let
+        the next cycle retry. Readers pinned to older versions keep
+        working; retired generations drop out of the Z-order manifest
+        on the next optimize cycle (it intersects with the live set).
+        """
+        read_version = self.latest_version()
+        if read_version is None:
+            raise FileNotFoundError(f"No lakehouse log at {self.log_dir}")
+        live, last, stats = self._replay_stats(as_of=read_version)
+        schema = (
+            StructType.fromJson(json.loads(last["schema"]))
+            if last and "schema" in last
+            else None
+        )
+        cut = _normalize_bound(column, cutoff, schema)
+        if cut is None:
+            raise ValueError("retire_below needs a non-NULL cutoff")
+        drop: list[str] = []
+        straddle: list[str] = []
+        for f in live:
+            s = stats.get(f, {}).get(column)
+            if s is None:
+                straddle.append(f)  # no stats: conservative rewrite
+                continue
+            mn, mx = s
+            if mn is None:  # all-NULL file: never matches the predicate
+                continue
+            if mx < cut:
+                drop.append(f)
+            elif mn < cut:
+                straddle.append(f)
+
+        def _disk_bytes(names):
+            total = 0
+            for f in names:
+                try:
+                    total += os.path.getsize(os.path.join(self.path, f))
+                except OSError:
+                    pass
+            return total
+
+        if not drop and not straddle:
+            return {
+                "version": read_version,
+                "noop": True,
+                "files_dropped": 0,
+                "files_rewritten": 0,
+            }
+        if straddle:
+            src = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in straddle]
+            )
+            c = F.col(column)
+            kept = src.where((c >= F.lit(cutoff)) | c.isNull())
+            files, n, stats_out = self._stage_files(kept)
+        else:
+            files, n, stats_out = [], 0, {}
+        entry = _merge_extra(
+            {
+                "operation": "retire",
+                "add": files,
+                "remove": drop + straddle,
+                "schema": last["schema"],
+                "rows_written": n,
+                "stats": stats_out,
+                "retire_column": column,
+                "retire_below": cut,
+                "files_dropped": len(drop),
+                "files_rewritten": len(straddle),
+                "bytes_dropped": _disk_bytes(drop),
+            },
+            extra,
+        )
+        try:
+            v = self._try_commit(entry, read_version, conflict_on)
+        except ConcurrentWriteError:
+            for f in files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+            raise
+        return {
+            "version": v,
+            "files_dropped": len(drop),
+            "files_rewritten": len(straddle),
+            "rows_kept": n,
+            "bytes_dropped": entry["bytes_dropped"],
+        }
+
     # ----------------------------------------------------- optimize/vacuum
 
     def _zorder_cluster(

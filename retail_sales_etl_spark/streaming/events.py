@@ -2873,6 +2873,8 @@ def maintain_cohort_ltv(
     optimize_every: int | None = None,
     optimize_files: int = 8,
     optimize_max_generations: int = 8,
+    retire_every: int | None = None,
+    retire_horizon_months: int | None = None,
 ):
     """Run the cohort-LTV IVM sink under foreachBatch (availableNow).
     ``optimize_every=N`` compacts BOTH customer-keyed tables every N
@@ -2894,7 +2896,21 @@ def maintain_cohort_ltv(
     arriving after clean_log pruned that commit cannot rewind and
     logs a loud warning while the merged matrix delta undercounts
     n_active (see ``cohort_ltv_sink``; the ``_landed_on`` sizing
-    contract)."""
+    contract).
+
+    ``retire_every=N`` + ``retire_horizon_months=H`` opt into
+    state-row retirement for the two PER-CUSTOMER tables (the matrix
+    is the published cohort×month grid — bounded by construction,
+    never retired): every N batches, ``state`` rows whose month key
+    fell more than H months behind the batch's order-date watermark
+    retire via the stats-bounded ``retire_below`` (under the in-order
+    contract no future order can land in a retired month, so the
+    n_active pair-novelty check never needs those rows again), then
+    ``firsts`` rows whose customer has NO surviving state row retire
+    via MERGE-deletes — so both tables stay bounded by the customers
+    active within the horizon. A customer returning after H is
+    re-acquired as a NEW cohort (TTL staleness, documented); off by
+    default — the driver entry keeps exact forever-semantics."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
@@ -2903,6 +2919,47 @@ def maintain_cohort_ltv(
             batch_df, batch_id, firsts_path, state_path, matrix_path
         )
         spark = batch_df.sparkSession
+        if (
+            retire_every
+            and retire_horizon_months
+            and (batch_id + 1) % retire_every == 0
+        ):
+            od = F.to_date("o_orderdate")
+            wm = batch_df.agg(
+                F.max(F.year(od) * F.lit(12) + F.month(od) - F.lit(1))
+            ).first()[0]
+            if wm is not None:
+                try:
+                    state_t = LakehouseTable(spark, state_path)
+                    state_t.retire_below(
+                        "mkey",
+                        int(wm) - retire_horizon_months,
+                        extra={"retire_wm_mkey": int(wm)},
+                    )
+                    # a firsts row earns retirement exactly when its
+                    # customer kept NO state row inside the horizon;
+                    # post-retirement state is horizon-bounded, so the
+                    # anti-join's build side is the ACTIVE set, and
+                    # firsts itself is horizon-bounded from the second
+                    # cycle on
+                    firsts_t = LakehouseTable(spark, firsts_path)
+                    live_custs = (
+                        state_t.read().select("o_custkey").distinct()
+                    )
+                    stale = (
+                        firsts_t.read()
+                        .select("o_custkey")
+                        .join(live_custs, "o_custkey", "left_anti")
+                    )
+                    if not stale.isEmpty():
+                        firsts_t.merge(
+                            firsts_t.read().limit(0),
+                            ["o_custkey"],
+                            deletes=stale,
+                            extra={"retire_wm_mkey": int(wm)},
+                        )
+                except ConcurrentWriteError:
+                    pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             for path in (firsts_path, state_path):
                 try:
@@ -3608,6 +3665,8 @@ def maintain_user_gaps(
     optimize_every: int | None = None,
     optimize_files: int = 8,
     optimize_max_generations: int = 8,
+    retire_every: int | None = None,
+    retire_horizon_s: int | None = None,
 ):
     """Run the per-user gap-moment IVM sink under foreachBatch
     (availableNow). ``optimize_every=N`` compacts the user-keyed state
@@ -3616,13 +3675,43 @@ def maintain_user_gaps(
     generation, size-tiered merging: see ``LakehouseTable.optimize``) —
     so the per-batch user-probe reads stay file-pruned as the user
     population grows while per-cycle write volume stays bounded by
-    recent-change volume, not table size."""
+    recent-change volume, not table size.
+
+    ``retire_every=N`` + ``retire_horizon_s=H`` opt into state-row
+    RETIREMENT (the Flink state-TTL policy on the lakehouse): every N
+    batches, rows whose ``last_us`` fell more than H seconds behind
+    the batch's event-time watermark are deleted via the stats-bounded
+    ``LakehouseTable.retire_below`` — whole expired files drop by pure
+    metadata, only cutoff-straddling files rewrite — so live state
+    stays bounded by the users ACTIVE within the horizon instead of
+    every user ever seen. Documented staleness trade: a user returning
+    after H silently restarts their moment sums (their history was
+    retired), exactly like TTL-expired keyed state — the in-order
+    guard never trips on them because the retired row is gone. Off by
+    default: the driver-contract entry keeps exact forever-semantics."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
 
         user_gaps_sink(batch_df, batch_id, state_path)
         spark = batch_df.sparkSession
+        if (
+            retire_every
+            and retire_horizon_s
+            and (batch_id + 1) % retire_every == 0
+        ):
+            wm = batch_df.agg(
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            ).first()[0]
+            if wm is not None:
+                try:
+                    LakehouseTable(spark, state_path).retire_below(
+                        "last_us",
+                        int(wm) - retire_horizon_s * 1_000_000,
+                        extra={"retire_wm_us": int(wm)},
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             try:
                 LakehouseTable(spark, state_path).optimize(
@@ -4158,17 +4247,45 @@ def maintain_rfm(
     optimize_every: int | None = None,
     optimize_files: int = 8,
     optimize_max_generations: int = 8,
+    retire_every: int | None = None,
+    retire_horizon_days: int | None = None,
 ):
     """Run the RFM-state IVM sink under foreachBatch (availableNow);
     ``optimize_every=N`` Z-orders the customer-keyed state
     INCREMENTALLY by customer_id every N batches (the
-    ``maintain_user_gaps`` maintenance discipline)."""
+    ``maintain_user_gaps`` maintenance discipline).
+
+    ``retire_every=N`` + ``retire_horizon_days=H`` opt into state-row
+    retirement: every N batches, customers whose ``last_order_date``
+    fell more than H days behind the batch's order-date watermark are
+    deleted via the stats-bounded ``retire_below`` — live state stays
+    bounded by customers active within the horizon. A returning
+    customer restarts frequency/monetary from zero (TTL staleness,
+    documented); off by default — the driver entry keeps exact
+    forever-semantics (see ``maintain_user_gaps``)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import datetime as dt
+
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
 
         rfm_state_sink(batch_df, batch_id, state_path)
         spark = batch_df.sparkSession
+        if (
+            retire_every
+            and retire_horizon_days
+            and (batch_id + 1) % retire_every == 0
+        ):
+            wm = batch_df.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+            if wm is not None:
+                try:
+                    LakehouseTable(spark, state_path).retire_below(
+                        "last_order_date",
+                        wm - dt.timedelta(days=retire_horizon_days),
+                        extra={"retire_wm_date": wm.isoformat()},
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             try:
                 LakehouseTable(spark, state_path).optimize(

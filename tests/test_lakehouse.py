@@ -1104,6 +1104,101 @@ def test_optimize_cleans_staged_files_on_abort(spark, table, monkeypatch):
     assert on_disk == {os.path.basename(f) for f in live}
 
 
+def test_retire_below_drops_whole_files_by_metadata(spark, table):
+    """retire_below (the state-TTL primitive): files wholly below the
+    cutoff drop by PURE METADATA (never read — their parquet bytes
+    survive on disk for time travel until VACUUM), the one straddling
+    file rewrites keeping rows >= cutoff plus NULLs, files wholly
+    above carry forward untouched, and a repeat at the same cutoff is
+    a commit-free no-op."""
+    # three single-file commits with disjoint id ranges -> tight stats
+    for k in range(3):
+        table.write(
+            spark.createDataFrame(_rows(100, start=k * 100)).coalesce(1),
+            mode="append",
+        )
+    # a NULL-id row rides in the straddling range's file
+    table.write(
+        spark.createDataFrame(
+            [Row(id=None, src="n", val=0.0)], table.read().schema
+        ),
+        mode="append",
+    )
+    pre = table.latest_version()
+    res = table.retire_below("id", 150)
+    assert res["files_dropped"] == 1  # [0,100) dropped whole
+    assert res["files_rewritten"] >= 1  # [100,200) straddles
+    assert res["bytes_dropped"] > 0
+    got = table.read()
+    ids = sorted(r.id for r in got.collect() if r.id is not None)
+    assert ids == list(range(150, 300))
+    assert got.where(F.col("id").isNull()).count() == 1  # NULLs retained
+    logged = table.latest_entry()
+    assert logged["operation"] == "retire"
+    assert logged["retire_below"] == 150
+    # time travel still sees the pre-retirement rows (remove is from
+    # the log, not the disk)
+    assert table.read(version=pre).count() == 301
+    # idempotent: nothing left below the cutoff -> no commit
+    v = table.latest_version()
+    assert table.retire_below("id", 150).get("noop") is True
+    assert table.latest_version() == v
+
+
+def test_retire_below_cleans_staged_files_on_abort(spark, table, monkeypatch):
+    """A lost commit race during retirement must not orphan the
+    rewritten parquet files (the optimize abort-cleanup contract: the
+    maintenance hooks swallow ConcurrentWriteError every cycle)."""
+    import os
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    table.write(spark.createDataFrame(_rows(100)).coalesce(2), mode="append")
+    live = set(table.read().inputFiles())
+
+    def boom(self, entry, read_version, conflict_on=None, monotone_max=()):
+        raise lh.ConcurrentWriteError("rival landed")
+
+    monkeypatch.setattr(lh.LakehouseTable, "_try_commit", boom)
+    with pytest.raises(lh.ConcurrentWriteError):
+        table.retire_below("id", 50)
+    monkeypatch.undo()
+    on_disk = {
+        f for f in os.listdir(table.path) if f.endswith(".parquet")
+    }
+    assert on_disk == {os.path.basename(f) for f in live}
+
+
+def test_retire_below_composes_with_incremental_optimize(spark, table):
+    """Retired files drop out of the Z-order generation manifest on
+    the next incremental cycle (the manifest is intersected with the
+    live set) — retirement and incremental clustering ride the same
+    maintenance loop without corrupting each other's bookkeeping."""
+    for k in range(3):
+        table.write(
+            spark.createDataFrame(_rows(100, start=k * 100)).coalesce(1),
+            mode="append",
+        )
+        table.optimize(target_files=1, zorder_by=["id"], incremental=True)
+    table.retire_below("id", 200)
+    # next cycle: manifest sheds the retired generations' files
+    table.write(
+        spark.createDataFrame(_rows(50, start=300)).coalesce(1),
+        mode="append",
+    )
+    res = table.optimize(target_files=1, zorder_by=["id"], incremental=True)
+    assert res.get("noop") is None
+    gens = table.latest_value("zorder_gens")
+    ids = sorted(r.id for r in table.read().collect())
+    assert ids == list(range(200, 350))
+    # every manifest file is live
+    import os as _os
+
+    for g in gens:
+        for f in g:
+            assert _os.path.exists(_os.path.join(table.path, f))
+
+
 def test_incremental_optimize_rejects_bad_max_generations(spark, table):
     table.write(spark.createDataFrame(_rows(10)), mode="append")
     with pytest.raises(ValueError, match="max_generations"):

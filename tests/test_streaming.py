@@ -1765,6 +1765,211 @@ def test_user_gaps_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     assert got[1000] == (1, 0)  # genuinely new user: no gaps yet
 
 
+def _write_stream_files(spark, src, batches, schema, t0=None):
+    """Write each batch as one parquet file under ``src`` with pinned
+    ascending mtimes so the file stream source delivers them in order;
+    returns after the last file lands."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    t0 = t0 if t0 is not None else time.time()
+    for i, rows in enumerate(batches):
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/b{i:03d}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(d, ignore_errors=True)
+        os.utime(dest, (t0 + i, t0 + i))
+
+
+def test_user_gaps_retirement_bounds_live_state_under_churn(
+    spark, tmp_path
+):
+    """Opt-in state retirement (the last unbounded scale term): under
+    user churn — each batch brings a fresh user cohort, old cohorts go
+    silent — the maintained gap-state row count must stay bounded by
+    the retention horizon's ACTIVE users, not grow with every user
+    ever seen; the still-active user's moments stay exact across the
+    retirement cycles, and a replay of a landed batch stays a no-op
+    against the retired table (exactly-once preserved)."""
+    import datetime as dt
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    base = dt.datetime(2020, 1, 1)
+    # user 0 is active in EVERY batch; users 10k+i are batch-local
+    batches = []
+    for k in range(4):
+        t = k * 1000
+        rows = [(0, base + dt.timedelta(seconds=t)),
+                (0, base + dt.timedelta(seconds=t + 7))]
+        rows += [
+            (10_000 + 10 * k + j, base + dt.timedelta(seconds=t + j))
+            for j in range(10)
+        ]
+        batches.append(rows)
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, src, batches, "user_id bigint, ts timestamp")
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_events.maintain_user_gaps(
+        stream, state, str(tmp_path / "ckpt"),
+        optimize_every=2,
+        retire_every=1, retire_horizon_s=500,
+    ).awaitTermination()
+
+    table = LakehouseTable(spark, state)
+    got = {r.user_id: r for r in table.read().collect()}
+    # churned cohorts retired: only user 0 and the LAST batch's cohort
+    # (inside the 500 s horizon at the final watermark) survive — 30
+    # of the 41 users ever seen are gone
+    assert set(got) == {0} | {10_030 + j for j in range(10)}, sorted(got)
+    # the always-active user's moments are exact across every seam
+    # and every retirement cycle: gaps per batch 7s, seams 993s
+    r0 = got[0]
+    assert (r0.n_events, r0.sum_g) == (8, 4 * 7 + 3 * 993)
+    assert r0.sum_g2 == 4 * 49 + 3 * 993 * 993
+    # retirement actually committed (not a silent no-op) and telemetry
+    # is in the log
+    retires = [
+        e for e in table.history() if e.get("operation") == "retire"
+    ]
+    assert retires and all("retire_wm_us" in e for e in retires)
+    # replay of a landed batch is still a no-op on the retired table
+    v = table.latest_version()
+    b0 = spark.createDataFrame(
+        batches[0], "user_id bigint, ts timestamp"
+    )
+    assert streaming_events.user_gaps_sink(b0, 0, state) is False
+    assert table.latest_version() == v
+
+
+def test_rfm_retirement_bounds_live_state_under_churn(spark, tmp_path):
+    """RFM-state retirement: customers whose last order fell behind
+    the order-date watermark by more than the horizon are deleted on
+    the retirement cycle; the active customer's frequency/monetary
+    keep folding exactly."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    d0 = dt.date(2020, 1, 1)
+    schema = "o_custkey bigint, o_orderdate date, o_totalprice double"
+    batches = []
+    for k in range(3):
+        day = d0 + dt.timedelta(days=100 * k)
+        rows = [(1, day, 10.0)]  # customer 1 orders every batch
+        rows += [(100 + 10 * k + j, day, 5.0) for j in range(10)]
+        batches.append(rows)
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, src, batches, schema)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_events.maintain_rfm(
+        stream, state, str(tmp_path / "ckpt"),
+        retire_every=1, retire_horizon_days=150,
+    ).awaitTermination()
+    got = {r.customer_id: r for r in LakehouseTable(spark, state).read().collect()}
+    # final watermark day 200, horizon 150 -> cutoff day 50: batch-0
+    # one-shot customers (day 0) retired; batch-1 (day 100) and
+    # batch-2 (day 200) cohorts live
+    assert set(got) == {1} | {110 + j for j in range(10)} | {
+        120 + j for j in range(10)
+    }, sorted(got)
+    assert got[1].frequency == 3
+    assert got[1].monetary_dec == Decimal("30.000000")
+    assert got[1].last_order_date == d0 + dt.timedelta(days=200)
+
+
+def test_cohort_retirement_bounds_firsts_and_state(spark, tmp_path):
+    """Cohort-LTV retirement bounds BOTH per-customer tables: state
+    months older than the horizon drop (stats-bounded), then firsts
+    rows whose customer kept no state row retire via MERGE-deletes.
+    The published matrix is never touched — retirement is a storage
+    policy, not a retraction — and a returning customer re-acquires
+    as a NEW cohort (the documented TTL staleness)."""
+    import datetime as dt
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    schema = "o_custkey bigint, o_orderdate date, o_totalprice double"
+    batches = [
+        # month 0: customers 1 (recurring) and 2 (will churn)
+        [(1, dt.date(2020, 1, 10), 10.0), (2, dt.date(2020, 1, 20), 20.0)],
+        # month 12: only customer 1
+        [(1, dt.date(2021, 1, 10), 30.0)],
+        # month 24: only customer 1 — the cycle after this batch
+        # retires customer 2 (month-0 state below cutoff 6, then the
+        # firsts anti-join finds no surviving state row)
+        [(1, dt.date(2022, 1, 10), 50.0)],
+        # month 30: customer 1 and retired-2 RETURNS
+        [(1, dt.date(2022, 7, 10), 70.0), (2, dt.date(2022, 7, 5), 5.0)],
+    ]
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, src, batches, schema)
+    firsts_p = str(tmp_path / "firsts")
+    state_p = str(tmp_path / "state")
+    matrix_p = str(tmp_path / "matrix")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_events.maintain_cohort_ltv(
+        stream, firsts_p, state_p, matrix_p, str(tmp_path / "ckpt"),
+        retire_every=1, retire_horizon_months=18,
+    ).awaitTermination()
+    firsts = {
+        r.o_custkey: r.cohort_m
+        for r in LakehouseTable(spark, firsts_p).read().collect()
+    }
+    m0 = 2020 * 12 + 0  # Jan 2020 mkey
+    # customer 2 was fully retired at the month-24 cycle, so their
+    # month-30 return re-acquires them as a NEW cohort; customer 1
+    # (state rows always inside the horizon) keeps the original cohort
+    assert firsts[1] == m0
+    assert firsts[2] == m0 + 30
+    state_rows = {
+        (r.o_custkey, r.mkey)
+        for r in LakehouseTable(spark, state_p).read().collect()
+    }
+    # final cycle cutoff = 30 - 18 = month 12: only months >= 12 live
+    assert state_rows == {
+        (1, m0 + 12), (1, m0 + 24), (1, m0 + 30), (2, m0 + 30)
+    }
+    # the firsts retirement actually landed as a MERGE-deletes commit
+    ops = [e["operation"] for e in LakehouseTable(spark, firsts_p).history()]
+    assert "merge" in ops
+    # the matrix keeps every cohort cell ever published, including
+    # customer 2's ORIGINAL month-0 acquisition — retirement is a
+    # state-storage policy, never a retraction of published results
+    matrix = {
+        (r.cohort_m, r.months_since): (r.n_active, float(r.rev))
+        for r in LakehouseTable(spark, matrix_p).read().collect()
+    }
+    assert matrix[(m0, 0)] == (2, 30.0)
+    assert matrix[(m0, 12)] == (1, 30.0)
+    assert matrix[(m0, 24)] == (1, 50.0)
+    assert matrix[(m0, 30)] == (1, 70.0)
+    assert matrix[(m0 + 30, 0)] == (1, 5.0)
+
+
 def test_rake_source_sink_order_insensitive_and_skips_replay(
     spark, tmp_path
 ):
