@@ -2914,14 +2914,16 @@ def synthesize_ico(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
-def decode_ico(payload: bytes) -> list[dict]:
-    """REAL decoder for multi-image 24-bpp ICO — pure-bytes struct
-    arithmetic. Walks the directory, SEEKS each image by its
-    offset/size entry (validating bounds), parses the headerless
-    BITMAPINFOHEADER, requires biHeight == 2 * the directory height
-    (the doubled-height contract), expands the bottom-up XOR raster
-    and the MSB-first 32-bit-padded AND mask, and sums channels over
-    OPAQUE pixels only (mask bit 0). Directory bytes 0 mean 256."""
+def _ico_entries(payload: bytes):
+    """Validated walk of the ICO directory — the shared seek layer of
+    the container codec: parses the 6-byte header, then for each
+    directory entry validates bounds/type, requires biHeight == 2 *
+    the directory height (the doubled-height contract), and yields
+    ``(img_idx, count, w, h, xor_base, xor_stride, and_base,
+    and_stride)`` with the bottom-up XOR raster and MSB-first
+    32-bit-padded AND mask located but NOT expanded — the stats
+    decoder and the NN resizer sample from here. Directory bytes 0
+    mean 256."""
     import struct
 
     payload = bytes(payload)
@@ -2932,7 +2934,6 @@ def decode_ico(payload: bytes) -> list[dict]:
         raise ValueError("not an ICO resource")
     if len(payload) < 6 + 16 * count:
         raise ValueError("truncated ICO directory")
-    out = []
     for j in range(count):
         (wb, hb, _pal, _rsv, planes, bpp, size, offset) = struct.unpack_from(
             "<BBBBHHII", payload, 6 + 16 * j
@@ -2961,6 +2962,22 @@ def decode_ico(payload: bytes) -> list[dict]:
             raise ValueError("truncated ICO image data")
         xor_base = offset + 40
         and_base = xor_base + xor_stride * h
+        yield j, count, w, h, xor_base, xor_stride, and_base, and_stride
+
+
+def decode_ico(payload: bytes) -> list[dict]:
+    """REAL decoder for multi-image 24-bpp ICO — pure-bytes struct
+    arithmetic. Walks the directory, SEEKS each image by its
+    offset/size entry (validating bounds), parses the headerless
+    BITMAPINFOHEADER, requires biHeight == 2 * the directory height
+    (the doubled-height contract), expands the bottom-up XOR raster
+    and the MSB-first 32-bit-padded AND mask, and sums channels over
+    OPAQUE pixels only (mask bit 0). Directory bytes 0 mean 256."""
+    payload = bytes(payload)
+    out = []
+    for (
+        j, count, w, h, xor_base, xor_stride, and_base, and_stride,
+    ) in _ico_entries(payload):
         n_opaque = sum_r = sum_g = sum_b = 0
         for y in range(h):  # image row y stored at slot h-1-y
             xrow = payload[
@@ -3079,6 +3096,141 @@ ORACLE["multimodal_ico_stats"] = """
                          THEN ((doc_id + 17 * j) + x * y) % 256
                          ELSE 0 END) AS BIGINT) AS sum_b
     FROM pix
+    GROUP BY doc_id, j
+"""
+
+
+def resize_ico_nn(payload: bytes) -> list[dict]:
+    """Nearest-neighbor resize of EVERY image in the ICO container —
+    the container member of the resize family (PPM, PNG, GIF, TGA):
+    each directory entry's raster resizes independently to
+    PPM_RESIZE_W x PPM_RESIZE_H, sampling the bottom-up XOR raster
+    AND the 1-bpp AND mask at the same source pixel, so the resized
+    surface keeps per-pixel transparency (n_opaque counts the resized
+    raster's opaque samples; channel sums cover only those — a wrong
+    mask stride or bit order poisons both). Pure-bytes sampling off
+    ``_ico_entries``'s validated geometry: no raster is ever fully
+    expanded — 12 samples per image regardless of source size."""
+    payload = bytes(payload)
+    out = []
+    for (
+        j, _count, w, h, xor_base, xor_stride, and_base, and_stride,
+    ) in _ico_entries(payload):
+        n_opaque = sr = sg = sb = 0
+        for y2 in range(PPM_RESIZE_H):
+            sy = (y2 * h) // PPM_RESIZE_H
+            xrow = xor_base + (h - 1 - sy) * xor_stride
+            mrow = and_base + (h - 1 - sy) * and_stride
+            for x2 in range(PPM_RESIZE_W):
+                sx = (x2 * w) // PPM_RESIZE_W
+                if payload[mrow + sx // 8] & (0x80 >> (sx % 8)):
+                    continue  # transparent sample: excluded
+                n_opaque += 1
+                sb += payload[xrow + 3 * sx]
+                sg += payload[xrow + 3 * sx + 1]
+                sr += payload[xrow + 3 * sx + 2]
+        out.append(
+            {
+                "img_idx": j,
+                "src_width": w,
+                "src_height": h,
+                "n_opaque": n_opaque,
+                "sum_r": sr,
+                "sum_g": sg,
+                "sum_b": sb,
+            }
+        )
+    return out
+
+
+ICO_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_idx", IntegerType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("n_opaque", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def q_multimodal_ico_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the CONTAINER codec end-to-end — completes
+    the resize family over all five raster formats: synthesize ICO
+    bytes, seek every directory image, NN-resize each raster to
+    PPM_RESIZE_W x PPM_RESIZE_H inside ``mapInPandas``, and emit
+    per-(doc, image) opaque-sample counts and channel sums. The
+    transparency mask rides THROUGH the resize (the oracle recomputes
+    sampled mask bits closed-form at the sampled source pixel), so a
+    resize that ignores the AND plane — the bug a container-unaware
+    port would ship — hash-fails. Every fifth doc's 256-wide image
+    exercises 0-means-256 under resampling. Scale shape: one
+    Arrow-batched mapInPandas chain, payload bytes never shuffle,
+    (doc, image)-grain output."""
+    media = synthesize_ico(load_table(spark, sf_dir, "documents"))
+
+    cols = [f.name for f in ICO_RESIZE_SCHEMA.fields]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for img in resize_ico_nn(payload):
+                    rows["doc_id"].append(int(doc_id))
+                    for k, v in img.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=ICO_RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_ico_resize"] = q_multimodal_ico_resize
+
+ORACLE["multimodal_ico_resize"] = f"""
+    WITH imgs AS (
+        SELECT doc_id, j,
+               CASE WHEN doc_id % 5 = 0 AND j = doc_id % 3
+                    THEN 256 ELSE ((doc_id + 17 * j) % 8) + 2 END AS w,
+               CASE WHEN doc_id % 5 = 0 AND j = doc_id % 3
+                    THEN 2 ELSE ((doc_id + 17 * j) % 6) + 2 END AS h
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS j)
+    ),
+    xs AS (
+        SELECT doc_id, j, w, h,
+               unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+        FROM imgs
+    ),
+    pix AS (
+        SELECT doc_id, j, w, h, x2,
+               unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+        FROM xs
+    ),
+    src AS (
+        SELECT doc_id, j, w, h,
+               (x2 * w) // {PPM_RESIZE_W} AS sx,
+               (y2 * h) // {PPM_RESIZE_H} AS sy
+        FROM pix
+    )
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS img_idx,
+           CAST(any_value(w) AS INTEGER) AS src_width,
+           CAST(any_value(h) AS INTEGER) AS src_height,
+           CAST(sum(CASE WHEN (doc_id + sx + sy) % 5 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_opaque,
+           CAST(sum(CASE WHEN (doc_id + sx + sy) % 5 <> 0
+                         THEN (doc_id + 17 * j + 7 * sx + 13 * sy) % 256
+                         ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN (doc_id + sx + sy) % 5 <> 0
+                         THEN (3 * (doc_id + 17 * j) + 5 * sx + sy) % 256
+                         ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN (doc_id + sx + sy) % 5 <> 0
+                         THEN ((doc_id + 17 * j) + sx * sy) % 256
+                         ELSE 0 END) AS BIGINT) AS sum_b
+    FROM src
     GROUP BY doc_id, j
 """
 

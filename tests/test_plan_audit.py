@@ -1198,6 +1198,21 @@ def test_ico_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     assert "doc_id" in read_schema and "text" not in read_schema
 
 
+def test_ico_resize_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """multimodal_ico_resize: synthesize -> seek -> per-image NN
+    sample through the AND mask stays one zero-Exchange mapInPandas
+    pipeline reading only doc_id — the resize family's contract that
+    payload bytes never shuffle holds for the container codec too."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_ico_resize,
+    )
+
+    plan = _formatted_plan(q_multimodal_ico_resize(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
 def test_ccf_and_hurst_grid_bounded_and_column_pruned(spark, sf_dir):
     """orders_revenue_ccf and revenue_hurst: the fact collapses to the
     day grid in one scan reading only (o_orderdate, o_totalprice);

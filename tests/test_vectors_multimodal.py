@@ -1067,6 +1067,53 @@ def test_decode_ico_crafted_masked_exact_and_rejections():
         multimodal.decode_ico(craft(trunc=4))
 
 
+def test_resize_ico_nn_crafted_mask_rides_through_resize():
+    """Hand-built one-image ICO (2x2, transparent at image (1,0))
+    NN-resized to 4x3: the sample grid maps x2->sx 0,0,1,1 and
+    y2->sy 0,0,1, so the transparent source pixel is sampled 4 times
+    (2 columns x 2 rows) -> n_opaque = 8, and the channel sums cover
+    exactly the opaque samples — a resizer that ignores the AND plane
+    would report 12 and overcount by the masked pixel's channels."""
+    import struct
+
+    def craft():
+        w = h = 2
+        xor_stride = multimodal._bmp_stride(w)
+        and_stride = multimodal._ico_and_stride(w)
+        img = bytearray()
+        img += struct.pack(
+            "<IiiHHIIiiII", 40, w, 4, 1, 24, 0,
+            (xor_stride + and_stride) * h, 0, 0, 0, 0,
+        )
+        rows = [[(10, 20, 30), (40, 50, 60)],
+                [(70, 80, 90), (100, 110, 120)]]
+        for y in (1, 0):  # bottom-up
+            line = bytearray()
+            for r, g, b in rows[y]:
+                line += bytes((b, g, r))
+            line += b"\x00" * (xor_stride - 3 * w)
+            img += line
+        for y in (1, 0):  # AND mask: transparent only at (x=1, y=0)
+            row = bytearray(and_stride)
+            if y == 0:
+                row[0] = 0x40
+            img += row
+        buf = bytearray()
+        buf += struct.pack("<HHH", 0, 1, 1)
+        buf += struct.pack("<BBBBHHII", w, h, 0, 0, 1, 24, len(img), 22)
+        buf += img
+        return bytes(buf)
+
+    out = multimodal.resize_ico_nn(craft())
+    assert len(out) == 1
+    d = out[0]
+    assert (d["img_idx"], d["src_width"], d["src_height"]) == (0, 2, 2)
+    assert d["n_opaque"] == 8
+    assert d["sum_r"] == 4 * 10 + 2 * 70 + 2 * 100
+    assert d["sum_g"] == 4 * 20 + 2 * 80 + 2 * 110
+    assert d["sum_b"] == 4 * 30 + 2 * 90 + 2 * 120
+
+
 def test_ico_roundtrip_synth_decode_multi_image_and_256(spark, sf_dir):
     """Corpus payloads decode per (doc, image) with the generator's
     closed-form surface: image counts follow doc_id % 3 + 1, every
