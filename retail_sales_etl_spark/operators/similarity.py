@@ -2989,3 +2989,193 @@ ORACLE["embedding_ivf_balance_qc"] = """
                   / CAST(n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS load_factor
     FROM grid, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_mmd — distribution drift between embedding sources:
+# kernel MMD^2 per label pair, the embeddings-side companion of
+# leadtime_drift_ks (Gretton et al., JMLR 2012). With the linear
+# kernel MMD^2 = ||mu_a - mu_b||^2 (first moments); with the
+# quadratic kernel k(x,y) = (x.y)^2 it collapses to the Frobenius
+# distance of the second-moment matrices ||S_a - S_b||_F^2 — so BOTH
+# statistics are exact moment-grid aggregates: no pairwise vector
+# join ever happens, unlike the O(n^2) energy-distance estimator.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift report: for every (label_a <
+    label_b) source pair, the linear-kernel MMD^2 (mean shift) and
+    quadratic-kernel MMD^2 (second-moment / covariance-shape shift,
+    ||S_a - S_b||_F^2) — the monitor that catches an embedding-model
+    version swap or a source whose vectors drifted before they
+    poison a shared ANN index (drift on means is invisible to
+    per-dimension std checks when dimensions co-rotate; the second
+    moment sees it).
+
+    Scale shape: the ONLY O(n) stage is the map-side flatten of each
+    vector to its d + d^2 moment terms with partial aggregation —
+    the shuffle carries (label, i, j) grid partials (labels x 4096
+    for d=64), never raw terms; every later join (per-label counts,
+    a<b pair join) lives on the bounded moment grid. At 100 TB the
+    plan is one embarrassingly-parallel scan plus KB-scale exchanges.
+    Determinism: the grid sums stage through 9/12-dp floored DECIMALs
+    (the embedding_dim_stats discipline), per-(i,j) terms are single
+    IEEE expressions on exact-sum-derived doubles re-floored to 12 dp
+    and DECIMAL-summed, so the 4160-term reductions are
+    order-independent; 6-dp floor on the published statistics."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"),
+        _as_double_array("embedding").alias("v"),
+    )
+    n_lab = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    d1 = emb.select(
+        "label", "v", F.posexplode("v").alias("i0", "xi")
+    ).select("label", "v", (F.col("i0") + 1).alias("i"), "xi")
+    # first-moment grid: (label, i) -> exact decimal sum
+    mgrid = d1.groupBy("label", "i").agg(
+        F.sum(fround(F.col("xi"), 9).cast("decimal(30,9)"))
+        .cast("double")
+        .alias("s")
+    )
+    # second-moment grid: (label, i, j) -> exact decimal sum of xi*xj
+    pairs = d1.select(
+        "label", "i", "xi", F.posexplode("v").alias("j0", "xj")
+    ).select("label", "i", (F.col("j0") + 1).alias("j"), "xi", "xj")
+    sgrid = pairs.groupBy("label", "i", "j").agg(
+        F.sum(
+            fround(F.col("xi") * F.col("xj"), 12).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("s")
+    )
+    mu = mgrid.join(F.broadcast(n_lab), "label").select(
+        "label", "i", "n", (F.col("s") / F.col("n")).alias("m")
+    )
+    smom = sgrid.join(F.broadcast(n_lab), "label").select(
+        "label", "i", "j", (F.col("s") / F.col("n")).alias("m")
+    )
+    lin = (
+        mu.alias("a")
+        .join(mu.alias("b"), F.col("a.i") == F.col("b.i"))
+        .where(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.max("a.n").cast("bigint").alias("n_a"),
+            F.max("b.n").cast("bigint").alias("n_b"),
+            F.sum(
+                fround(
+                    (F.col("a.m") - F.col("b.m"))
+                    * (F.col("a.m") - F.col("b.m")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("lin"),
+        )
+    )
+    quad = (
+        smom.alias("a")
+        .join(
+            smom.alias("b"),
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.j") == F.col("b.j")),
+        )
+        .where(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                fround(
+                    (F.col("a.m") - F.col("b.m"))
+                    * (F.col("a.m") - F.col("b.m")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("quad"),
+        )
+    )
+    return lin.join(quad, ["label_a", "label_b"]).select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        fround(F.col("lin"), 6).alias("mmd2_linear"),
+        fround(F.col("quad"), 6).alias("mmd2_quadratic"),
+    )
+
+
+QUERIES["embedding_drift_mmd"] = q_embedding_drift_mmd
+
+ORACLE["embedding_drift_mmd"] = """
+    WITH emb AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    nlab AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n FROM emb GROUP BY label
+    ),
+    d1 AS (
+        SELECT label, i, CAST(v[i] AS DOUBLE) AS xi, v
+        FROM emb,
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    mgrid AS (
+        SELECT label, i,
+               CAST(sum(CAST(floor((xi) * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(30,9))) AS DOUBLE) AS s
+        FROM d1 GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT label, i, j, xi, CAST(v[j] AS DOUBLE) AS xj
+        FROM d1,
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)
+    ),
+    sgrid AS (
+        SELECT label, i, j,
+               CAST(sum(CAST(floor((xi * xj) * 1e12 + 0.5) / 1e12
+                             AS DECIMAL(30,12))) AS DOUBLE) AS s
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    mu AS (
+        SELECT g.label, g.i, n.n, g.s / n.n AS m
+        FROM mgrid g JOIN nlab n ON g.label = n.label
+    ),
+    smom AS (
+        SELECT g.label, g.i, g.j, g.s / n.n AS m
+        FROM sgrid g JOIN nlab n ON g.label = n.label
+    ),
+    lin AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               max(a.n) AS n_a, max(b.n) AS n_b,
+               CAST(sum(CAST(floor(((a.m - b.m) * (a.m - b.m)) * 1e12
+                                   + 0.5) / 1e12
+                             AS DECIMAL(38,12))) AS DOUBLE) AS lin
+        FROM mu a JOIN mu b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2
+    ),
+    quad AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(CAST(floor(((a.m - b.m) * (a.m - b.m)) * 1e12
+                                   + 0.5) / 1e12
+                             AS DECIMAL(38,12))) AS DOUBLE) AS quad
+        FROM smom a
+             JOIN smom b ON a.i = b.i AND a.j = b.j AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT l.label_a, l.label_b,
+           CAST(l.n_a AS BIGINT) AS n_a,
+           CAST(l.n_b AS BIGINT) AS n_b,
+           floor((l.lin) * 1e6 + 0.5) / 1e6 AS mmd2_linear,
+           floor((q.quad) * 1e6 + 0.5) / 1e6 AS mmd2_quadratic
+    FROM lin l JOIN quad q
+         ON l.label_a = q.label_a AND l.label_b = q.label_b
+"""

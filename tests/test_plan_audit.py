@@ -1366,3 +1366,23 @@ def test_hhi_broadcasts_dims_and_prunes_scan(spark, sf_dir):
     )
     assert "l_shipdate" not in li_schema and "l_quantity" not in li_schema
     assert "HashAggregate" in plan
+
+
+def test_embedding_drift_grid_bounded_and_column_pruned(spark, sf_dir):
+    """embedding_drift_mmd: the only O(n) stage is the map-side
+    flatten with partial aggregation (HashAggregate before the
+    exchange carries (label, i, j) grid partials, never raw terms);
+    the label-pair joins live on the bounded moment grid — no
+    cartesian product, per-label counts broadcast; the scan reads
+    only (label, embedding)."""
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_drift_mmd,
+    )
+
+    plan = _formatted_plan(q_embedding_drift_mmd(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "label" in read_schema and "embedding" in read_schema
+    assert "vec_id" not in read_schema
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan

@@ -617,3 +617,46 @@ def test_ivf_balance_qc_reports_dead_cell_with_zero_load(spark, tmp_path):
     assert got[0]["n_vectors"] == 4 and got[1]["n_vectors"] == 2
     # n_cells = 3 (the dead cell counts): loads 4*3/6 and 2*3/6
     assert got[0]["load_factor"] == 2.0 and got[1]["load_factor"] == 1.0
+
+
+def test_embedding_drift_mmd_crafted_shift_and_identity(spark, tmp_path):
+    """Hand-worked MMD^2 on a crafted 2-d corpus: label 1 = label 0
+    shifted by (0.5, 0.5), label 2 = label 0 exactly. The clean
+    decimals make staging exact: mmd2_linear(0,1) = 0.5 and
+    mmd2_quadratic(0,1) = ||S0 - S1||_F^2 = 2.25, while the identical
+    pair reports exactly 0 on both statistics — the calibration a
+    drift monitor needs (no false drift on identical sources, exact
+    response to a known shift)."""
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.similarity import (
+        q_embedding_drift_mmd,
+    )
+
+    rows = [
+        Row(vec_id=0, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, label=0, embedding=[0.0, 1.0]),
+        Row(vec_id=2, label=1, embedding=[1.5, 0.5]),
+        Row(vec_id=3, label=1, embedding=[0.5, 1.5]),
+        Row(vec_id=4, label=2, embedding=[1.0, 0.0]),
+        Row(vec_id=5, label=2, embedding=[0.0, 1.0]),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {
+        (r.label_a, r.label_b): r
+        for r in q_embedding_drift_mmd(spark, d).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert all(r.n_a == 2 and r.n_b == 2 for r in got.values())
+    # shift pair: mu diff (0.5, 0.5) -> linear 0.5;
+    # S0 = [[.5,0],[0,.5]], S1 = [[1.25,.75],[.75,1.25]] -> quad 2.25
+    assert got[(0, 1)].mmd2_linear == 0.5
+    assert got[(0, 1)].mmd2_quadratic == 2.25
+    assert got[(1, 2)].mmd2_linear == 0.5
+    assert got[(1, 2)].mmd2_quadratic == 2.25
+    # identical distributions: exactly zero on both kernels
+    assert got[(0, 2)].mmd2_linear == 0.0
+    assert got[(0, 2)].mmd2_quadratic == 0.0
