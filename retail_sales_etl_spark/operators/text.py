@@ -4177,6 +4177,34 @@ ORACLE["chi2_source_lang"] = """
 NOVELTY_NGRAM = 3
 
 
+def novelty_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): each doc's DISTINCT lowercase whitespace 3-grams —
+    the shared gram core of ``doc_novelty`` and the streaming novelty
+    sink (one expression, so the batch oracle and the maintained grid
+    can never drift on tokenization). Docs shorter than the gram
+    width contribute NOTHING (guarded: Spark's sequence(0, n-3) turns
+    DESCENDING for n < 3 and the 0-start slice it feeds is an error,
+    not an empty list); dedup happens map-side via array_distinct
+    BEFORE the explode."""
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    gs = F.when(
+        n >= NOVELTY_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(NOVELTY_NGRAM)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(toks, i + 1, F.lit(NOVELTY_NGRAM)),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", gs.alias("gs")).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 3-gram novelty under doc_id ingestion order: a gram is
     NOVEL in the first doc (smallest doc_id) that contains it, so a
@@ -4193,26 +4221,7 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-grain rollup; the gram grid is vocabulary-bounded.
     Determinism: counts exact BIGINTs, novelty one staged division."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    n = F.size(toks)
-    # docs shorter than the gram width contribute NOTHING (guarded:
-    # Spark's sequence(0, n-3) turns DESCENDING for n < 3 and the
-    # 0-start slice it feeds is an error, not an empty list)
-    gs = F.when(
-        n >= NOVELTY_NGRAM,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - F.lit(NOVELTY_NGRAM)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.slice(toks, i + 1, F.lit(NOVELTY_NGRAM)),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select("doc_id", gs.alias("gs")).select(
-        "doc_id", F.explode("gs").alias("g")
-    )
+    grams = novelty_grams(docs)
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(firsts, "g")

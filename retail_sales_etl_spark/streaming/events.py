@@ -4489,3 +4489,321 @@ QUERIES["streaming_daily_peaks"] = q_streaming_daily_peaks
 # Hash-checked against the SAME oracle as the batch events_daily_peaks:
 # the maintained grid must bit-equal a from-scratch daily aggregate.
 ORACLE["streaming_daily_peaks"] = _BATCH_EVENTS_ORACLE["events_daily_peaks"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_novelty — incremental view maintenance of per-doc n-gram
+# novelty (the IVM form of operators.text.q_doc_novelty): the
+# gram-first-occurrence grid is a MIN lattice, so the dedup-index
+# probe discipline applies verbatim — and when a smaller doc_id
+# steals a gram's first occurrence, the previous holder's doc row is
+# CORRECTED (its doc_id is right in the prior state row), which makes
+# the whole sink order-insensitive, not merely in-order-safe
+# ---------------------------------------------------------------------------
+
+_NOV_FIRSTS_SCHEMA = "g string, first_doc bigint"
+_NOV_DOCS_SCHEMA = "doc_id bigint, n_grams bigint, n_novel bigint"
+
+
+def novelty_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    firsts_path: str,
+    docs_path: str,
+) -> bool:
+    """Fold one micro-batch of DOCUMENTS into the maintained novelty
+    surface — two lakehouse tables instead of an O(corpus) re-scan
+    per refresh:
+
+    - ``firsts`` (g -> first_doc): global first occurrence per
+      3-gram, a MIN lattice MERGE-maintained on the gram key;
+    - ``docs`` (doc_id -> n_grams, n_novel): the published per-doc
+      novelty counters.
+
+    ORDER-INSENSITIVE by construction: when a batch's min doc_id for
+    a gram undercuts the stored ``first_doc``, the update both
+    rewrites the lattice row AND decrements the PREVIOUS holder's
+    ``n_novel`` (one correction row per stolen gram, keyed by the
+    ``first_doc`` already in hand — no search). Folding doc-id ranges
+    in any order therefore bit-equals the batch operator on
+    everything delivered; the replay/rewind discipline below keeps it
+    exactly-once.
+
+    Scale shape: grams dedup map-side per doc (the shared
+    ``novelty_grams`` core — the sink can never drift from the batch
+    oracle on tokenization); the prior-lattice probe goes through
+    file-pruned ``read_where_in`` on the batch's bounded gram set
+    (Z-ordered by g via ``maintain_novelty``'s incremental cycle);
+    both MERGEs rewrite only files holding touched keys. The gram
+    grid is vocabulary-bounded; ``docs`` is the product itself.
+
+    Exactly-once across the two tables = the cohort sink's protocol:
+    ``docs`` commits LAST and carries the replay gate (hardened
+    ``_landed_on``); a crash between the firsts merge and the docs
+    merge replays into a REWIND — the doc deltas are recomputed
+    against the firsts snapshot BEFORE the batch's own commit
+    (``_version_landed`` - 1), else the replayed batch would see its
+    own lattice rows as pre-existing and issue spurious corrections.
+    Three attempts under rival writers, then fail loud."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from ..operators.text import novelty_grams
+
+    spark = batch_df.sparkSession
+    grams = novelty_grams(batch_df).cache()
+    bmin = grams.groupBy("g").agg(F.min("doc_id").alias("bmin")).cache()
+    ndoc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    gram_keys = ()  # () = not collected yet; None = collected, over cap
+    firsts = LakehouseTable(spark, firsts_path)
+    docs = LakehouseTable(spark, docs_path)
+
+    def _stamp(b: int, hwm) -> dict:
+        return {
+            "batch_id": b,
+            "batch_hwm": max(b, hwm if hwm is not None else b),
+        }
+
+    try:
+        for _ in range(3):
+            rv_d = docs.latest_version()
+            hwm_d = docs.latest_value("batch_hwm", as_of=rv_d)
+            if _landed_on(docs, batch_id, rv_d, hwm_d):
+                return False  # docs commits last: fully landed
+            rv_f = firsts.latest_version()
+            hwm_f = firsts.latest_value("batch_hwm", as_of=rv_f)
+            # Replay rewind: if this batch's firsts merge landed but
+            # the docs merge did not (crash between the commits), the
+            # doc deltas must be computed against the PRE-batch
+            # lattice snapshot.
+            v_f_landed = _version_landed(firsts, batch_id, rv_f, hwm_f)
+            firsts_pin = (
+                v_f_landed - 1 if v_f_landed is not None else rv_f
+            )
+            if firsts_pin is None or firsts_pin == 0:
+                prior = spark.createDataFrame([], _NOV_FIRSTS_SCHEMA)
+            else:
+                if gram_keys == ():
+                    gram_keys = _probe_keys_or_warn(
+                        bmin.select("g"), batch_id, "novelty_sink", "g"
+                    )
+                prior = (
+                    firsts.read_where_in("g", gram_keys, version=firsts_pin)
+                    if gram_keys is not None
+                    else firsts.read(version=firsts_pin)
+                )
+            delta = bmin.join(prior, "g", "left").cache()
+            # lattice rows to (re)write: new grams + undercut grams
+            upd_firsts = delta.where(
+                F.col("first_doc").isNull()
+                | (F.col("bmin") < F.col("first_doc"))
+            ).select("g", F.col("bmin").alias("first_doc"))
+            # gains: the batch's min doc for each claimed gram
+            gains = (
+                delta.where(
+                    F.col("first_doc").isNull()
+                    | (F.col("bmin") < F.col("first_doc"))
+                )
+                .groupBy(F.col("bmin").alias("doc_id"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            )
+            # corrections: the previous holder loses one per stolen gram
+            losses = (
+                delta.where(
+                    F.col("first_doc").isNotNull()
+                    & (F.col("bmin") < F.col("first_doc"))
+                )
+                .groupBy(F.col("first_doc").alias("doc_id"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("loss"))
+            )
+            new_rows = ndoc.join(gains, "doc_id", "left").select(
+                "doc_id",
+                "n_grams",
+                F.coalesce("gain", F.lit(0)).cast("bigint").alias("n_novel"),
+            )
+            loss_keys = [r[0] for r in losses.select("doc_id").collect()]
+            if loss_keys:
+                prior_docs = docs.read_where_in(
+                    "doc_id", loss_keys, version=rv_d
+                )
+                corrected = prior_docs.join(losses, "doc_id").select(
+                    "doc_id",
+                    "n_grams",
+                    (F.col("n_novel") - F.col("loss"))
+                    .cast("bigint")
+                    .alias("n_novel"),
+                )
+                upd_docs = new_rows.unionByName(corrected)
+            else:
+                upd_docs = new_rows
+            try:
+                if not _landed_on(firsts, batch_id, rv_f, hwm_f):
+                    try:
+                        if rv_f is None:  # first commit creates the table
+                            firsts.write(
+                                upd_firsts,
+                                mode="append",
+                                extra=_stamp(batch_id, hwm_f),
+                                conflict_on="batch_id",
+                                read_version=rv_f,
+                                monotone_max=("batch_hwm",),
+                            )
+                        else:
+                            firsts.merge(
+                                upd_firsts,
+                                ["g"],
+                                extra=_stamp(batch_id, hwm_f),
+                                read_version=rv_f,
+                                conflict_on="batch_id",
+                            )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's lattice rows
+                if rv_d is None:  # first commit creates the table
+                    docs.write(
+                        upd_docs,
+                        mode="append",
+                        extra=_stamp(batch_id, hwm_d),
+                        conflict_on="batch_id",
+                        read_version=rv_d,
+                        monotone_max=("batch_hwm",),
+                    )
+                else:
+                    docs.merge(
+                        upd_docs,
+                        ["doc_id"],
+                        extra=_stamp(batch_id, hwm_d),
+                        read_version=rv_d,
+                        conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's doc rows
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and re-fold
+            finally:
+                delta.unpersist()
+        raise RuntimeError(
+            f"novelty_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {docs_path})"
+        )
+    finally:
+        grams.unpersist()
+        bmin.unpersist()
+
+
+def maintain_novelty(
+    stream: DataFrame,
+    firsts_path: str,
+    docs_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the novelty IVM sink under foreachBatch (availableNow).
+    ``optimize_every=N`` compacts BOTH tables every N batches —
+    INCREMENTALLY: the gram lattice Z-ordered by g (the dedup-index
+    probe discipline: the per-batch gram probe stays file-pruned as
+    the vocabulary grows), the doc table by doc_id (correction rows
+    probe by doc key) — per-cycle write volume bounded by
+    recent-change volume (see ``LakehouseTable.optimize``)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        novelty_sink(batch_df, batch_id, firsts_path, docs_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path, key in ((firsts_path, "g"), (docs_path, "doc_id")):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=[key],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (firsts_path, docs_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the novelty IVM: replay the documents
+    table in 4 doc_id-range micro-batches through ``maintain_novelty``
+    — deliberately in SHUFFLED range order (2, 0, 3, 1), exercising
+    the correction path: later-arriving smaller doc_ids steal first
+    occurrences and decrement the earlier holders — with a mid-stream
+    Z-order cycle covering the clustered gram-probe path, then derive
+    (n_grams, n_novel, novelty) from the MAINTAINED doc table —
+    hash-checked against the SAME oracle as the batch ``doc_novelty``,
+    proving the maintained counters bit-equal a from-scratch pass over
+    everything delivered regardless of arrival order."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+
+    work = tempfile.mkdtemp(prefix="novelty_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:  # empty corpus: the batch twin returns empty
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_grams bigint, n_novel bigint, "
+            "novelty double"
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for slot, i in enumerate((2, 0, 3, 1)):  # shuffled delivery order
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i])
+                & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + slot, t0 + slot))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_novelty(
+        stream, f"{work}/firsts", f"{work}/docs", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+    out = LakehouseTable(spark, f"{work}/docs").read()
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        fround(
+            F.col("n_novel").cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+QUERIES["streaming_novelty"] = q_streaming_novelty
+
+# Hash-checked against the SAME oracle as the batch doc_novelty: the
+# maintained counters must bit-equal a from-scratch corpus pass.
+ORACLE["streaming_novelty"] = _TEXT_ORACLE["doc_novelty"]

@@ -2246,3 +2246,140 @@ def test_events_daily_sink_additive_order_insensitive_replay(
             order[0][0], order[0][1], path
         ) is False
         assert LakehouseTable(spark, path).latest_version() == v
+
+
+def _nov_batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_novelty_sink_order_insensitive_corrections_and_replay(
+    spark, tmp_path
+):
+    """Hand-worked MIN-lattice maintenance: folding the two batches in
+    EITHER order must produce identical lattices and doc counters —
+    the late-arriving smaller doc_id steals 'a b c' from doc 10 and
+    doc 10's n_novel is DECREMENTED by the correction row — and a
+    full replay of a landed batch is a no-op on both tables."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    bA = _nov_batch(
+        spark, [(10, "a b c d"), (11, "a b c x")]
+    )  # grams: 10 -> {a b c, b c d}; 11 -> {a b c, b c x}
+    bB = _nov_batch(
+        spark, [(5, "a b c"), (6, "z z z z")]
+    )  # grams: 5 -> {a b c}; 6 -> {z z z}
+    want_docs = {5: (1, 1), 6: (1, 1), 10: (2, 1), 11: (2, 1)}
+    want_firsts = {"a b c": 5, "b c d": 10, "b c x": 11, "z z z": 6}
+
+    for order, (first, second) in (("fwd", (bA, bB)), ("rev", (bB, bA))):
+        f = str(tmp_path / f"f_{order}")
+        d = str(tmp_path / f"d_{order}")
+        assert streaming_events.novelty_sink(first, 0, f, d) is True
+        assert streaming_events.novelty_sink(second, 1, f, d) is True
+        got_docs = {
+            r.doc_id: (r.n_grams, r.n_novel)
+            for r in LakehouseTable(spark, d).read().collect()
+        }
+        got_firsts = {
+            r.g: r.first_doc
+            for r in LakehouseTable(spark, f).read().collect()
+        }
+        assert got_docs == want_docs, order
+        assert got_firsts == want_firsts, order
+
+    # replay of a landed batch is a no-op on BOTH tables
+    f, d = str(tmp_path / "f_fwd"), str(tmp_path / "d_fwd")
+    vf = LakehouseTable(spark, f).latest_version()
+    vd = LakehouseTable(spark, d).latest_version()
+    assert streaming_events.novelty_sink(bA, 0, f, d) is False
+    assert streaming_events.novelty_sink(bB, 1, f, d) is False
+    assert LakehouseTable(spark, f).latest_version() == vf
+    assert LakehouseTable(spark, d).latest_version() == vd
+
+
+def test_novelty_sink_replays_after_partial_crash(spark, tmp_path):
+    """Crash-between-commits recovery: if a batch's firsts (lattice)
+    merge landed but the docs merge did not, the replay must REWIND
+    the delta computation to the pre-batch lattice snapshot —
+    otherwise the replayed batch sees its own lattice row ('a b c' ->
+    5) as pre-existing, detects no steal, and doc 10 keeps a novel
+    credit it already lost."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    f, d = str(tmp_path / "f"), str(tmp_path / "d")
+    bA = _nov_batch(spark, [(10, "a b c d"), (11, "a b c x")])
+    bB = _nov_batch(spark, [(5, "a b c"), (6, "z z z z")])
+    assert streaming_events.novelty_sink(bA, 0, f, d) is True
+
+    # simulate the crash: land batch 1 on the lattice exactly as the
+    # sink would, then "die" before the docs commit
+    firsts_t = LakehouseTable(spark, f)
+    hwm_f = firsts_t.latest_value("batch_hwm")
+    firsts_t.merge(
+        spark.createDataFrame(
+            [("a b c", 5), ("z z z", 6)], "g string, first_doc bigint"
+        ),
+        ["g"],
+        extra={"batch_id": 1, "batch_hwm": max(1, hwm_f)},
+        conflict_on="batch_id",
+    )
+
+    # the replayed batch must complete ONLY the docs table, with the
+    # gain/loss deltas computed against the PRE-batch lattice
+    assert streaming_events.novelty_sink(bB, 1, f, d) is True
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel)
+        for r in LakehouseTable(spark, d).read().collect()
+    }
+    assert got == {5: (1, 1), 6: (1, 1), 10: (2, 1), 11: (2, 1)}
+
+
+def test_novelty_sink_gram_probe_reads_file_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """After the maintenance cycle Z-orders the lattice by g, the next
+    batch's prior-lattice probe must go through stats-pruned
+    read_where_in and OPEN strictly fewer files than the lattice holds
+    (the dedup-index file-open bound on the gram grid), and the pruned
+    prior must still drive an exact steal correction."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    f, d = str(tmp_path / "f"), str(tmp_path / "d")
+    # 4 batches x 40 docs, each doc one unique gram "w<i> x y"
+    for b in range(4):
+        rows = [
+            (100 + 40 * b + i, f"w{40 * b + i:04d} x y")
+            for i in range(40)
+        ]
+        assert streaming_events.novelty_sink(
+            _nov_batch(spark, rows), b, f, d
+        ) is True
+    lh.LakehouseTable(spark, f).optimize(target_files=40, zorder_by=["g"])
+    live = lh.LakehouseTable(spark, f).read().inputFiles()
+    assert len(live) >= 10  # clustered into many narrow-range files
+
+    opened = []
+    orig = lh.LakehouseTable.read_where_in
+
+    def spy(self, column, values, version=None):
+        df = orig(self, column, values, version=version)
+        opened.append((column, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
+    # doc 50 steals gram "w0000 x y" from doc 100
+    nxt = _nov_batch(spark, [(50, "w0000 x y")])
+    assert streaming_events.novelty_sink(nxt, 4, f, d) is True
+    gram_probes = [o for o in opened if o[0] == "g"]
+    assert gram_probes, "prior-lattice probe did not use read_where_in"
+    assert gram_probes[0][1] <= 4 < len(live), (gram_probes, len(live))
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel)
+        for r in lh.LakehouseTable(spark, d).read().collect()
+    }
+    assert got[50] == (1, 1)
+    assert got[100] == (1, 0)  # corrected: lost its only novel gram
