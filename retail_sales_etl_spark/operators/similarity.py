@@ -3003,53 +3003,58 @@ ORACLE["embedding_ivf_balance_qc"] = """
 # ---------------------------------------------------------------------------
 
 
-def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-distribution drift report: for every (label_a <
-    label_b) source pair, the linear-kernel MMD^2 (mean shift) and
-    quadratic-kernel MMD^2 (second-moment / covariance-shape shift,
-    ||S_a - S_b||_F^2) — the monitor that catches an embedding-model
-    version swap or a source whose vectors drifted before they
-    poison a shared ANN index (drift on means is invisible to
-    per-dimension std checks when dimensions co-rotate; the second
-    moment sees it).
-
-    Scale shape: the ONLY O(n) stage is the map-side flatten of each
-    vector to its d + d^2 moment terms with partial aggregation —
-    the shuffle carries (label, i, j) grid partials (labels x 4096
-    for d=64), never raw terms; every later join (per-label counts,
-    a<b pair join) lives on the bounded moment grid. At 100 TB the
-    plan is one embarrassingly-parallel scan plus KB-scale exchanges.
-    Determinism: the grid sums stage through 9/12-dp floored DECIMALs
-    (the embedding_dim_stats discipline), per-(i,j) terms are single
-    IEEE expressions on exact-sum-derived doubles re-floored to 12 dp
-    and DECIMAL-summed, so the 4160-term reductions are
-    order-independent; 6-dp floor on the published statistics."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("label").cast("bigint").alias("label"),
-        _as_double_array("embedding").alias("v"),
-    )
-    n_lab = emb.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+def _drift_moment_grid(emb: DataFrame) -> DataFrame:
+    """The (label, i, j, s) moment grid a drift corpus collapses to —
+    one row per label for the count (i = j = 0), per (label, i) for
+    the 9-dp-staged first-moment sum (j = 0), and per (label, i, j)
+    for the 12-dp-staged second-moment sum — every value an EXACT
+    DECIMAL(38,12), so grids from disjoint corpus slices ADD
+    cell-wise to the full-corpus grid bit-exactly (decimal widening
+    from the 30,9 / 30,12 staging scales is lossless). This additive
+    lattice is what makes the streaming twin a plain grid-IVM sink.
+    ``emb``: (label bigint, v array<double>)."""
+    zero = F.lit(0).cast("int")
+    n = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,12)").alias("s")
+    ).select("label", zero.alias("i"), zero.alias("j"), "s")
     d1 = emb.select(
         "label", "v", F.posexplode("v").alias("i0", "xi")
-    ).select("label", "v", (F.col("i0") + 1).alias("i"), "xi")
-    # first-moment grid: (label, i) -> exact decimal sum
-    mgrid = d1.groupBy("label", "i").agg(
+    ).select("label", "v", (F.col("i0") + 1).cast("int").alias("i"), "xi")
+    m = d1.groupBy("label", "i").agg(
         F.sum(fround(F.col("xi"), 9).cast("decimal(30,9)"))
-        .cast("double")
+        .cast("decimal(38,12)")
         .alias("s")
-    )
-    # second-moment grid: (label, i, j) -> exact decimal sum of xi*xj
+    ).select("label", "i", zero.alias("j"), "s")
     pairs = d1.select(
         "label", "i", "xi", F.posexplode("v").alias("j0", "xj")
-    ).select("label", "i", (F.col("j0") + 1).alias("j"), "xi", "xj")
-    sgrid = pairs.groupBy("label", "i", "j").agg(
+    ).select(
+        "label", "i", (F.col("j0") + 1).cast("int").alias("j"), "xi", "xj"
+    )
+    s2 = pairs.groupBy("label", "i", "j").agg(
         F.sum(
             fround(F.col("xi") * F.col("xj"), 12).cast("decimal(30,12)")
         )
-        .cast("double")
+        .cast("decimal(38,12)")
         .alias("s")
+    )
+    return n.unionByName(m).unionByName(s2)
+
+
+def _drift_mmd_from_moments(grid: DataFrame) -> DataFrame:
+    """Derive the per-pair MMD^2 report from a (label, i, j, s)
+    moment grid (see ``_drift_moment_grid``) — shared by the batch
+    operator and the streaming sink so the two surfaces can never
+    drift on the derivation. Exact-decimal sums cast to double only
+    here, so a grid assembled incrementally derives bit-identically
+    to a from-scratch pass."""
+    n_lab = grid.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        "label", F.col("s").cast("bigint").alias("n")
+    )
+    mgrid = grid.where((F.col("i") > 0) & (F.col("j") == 0)).select(
+        "label", "i", F.col("s").cast("double").alias("s")
+    )
+    sgrid = grid.where(F.col("j") > 0).select(
+        "label", "i", "j", F.col("s").cast("double").alias("s")
     )
     mu = mgrid.join(F.broadcast(n_lab), "label").select(
         "label", "i", "n", (F.col("s") / F.col("n")).alias("m")
@@ -3110,6 +3115,37 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("lin"), 6).alias("mmd2_linear"),
         fround(F.col("quad"), 6).alias("mmd2_quadratic"),
     )
+
+
+def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift report: for every (label_a <
+    label_b) source pair, the linear-kernel MMD^2 (mean shift) and
+    quadratic-kernel MMD^2 (second-moment / covariance-shape shift,
+    ||S_a - S_b||_F^2) — the monitor that catches an embedding-model
+    version swap or a source whose vectors drifted before they
+    poison a shared ANN index (drift on means is invisible to
+    per-dimension std checks when dimensions co-rotate; the second
+    moment sees it).
+
+    Scale shape: the ONLY O(n) stage is the map-side flatten of each
+    vector to its d + d^2 moment terms with partial aggregation
+    (``_drift_moment_grid``) — the shuffle carries (label, i, j) grid
+    partials (labels x 4096 for d=64), never raw terms; every later
+    join in the shared derivation (``_drift_mmd_from_moments``: label
+    counts broadcast, a<b pair join) lives on the bounded moment
+    grid. At 100 TB the plan is one embarrassingly-parallel scan plus
+    KB-scale exchanges — and because the grid is an ADDITIVE lattice,
+    the same derivation serves the streaming twin's maintained grid.
+    Determinism: the grid sums stage through 9/12-dp floored DECIMALs
+    (the embedding_dim_stats discipline), per-(i,j) terms are single
+    IEEE expressions on exact-sum-derived doubles re-floored to 12 dp
+    and DECIMAL-summed, so the 4160-term reductions are
+    order-independent; 6-dp floor on the published statistics."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"),
+        _as_double_array("embedding").alias("v"),
+    )
+    return _drift_mmd_from_moments(_drift_moment_grid(emb))
 
 
 QUERIES["embedding_drift_mmd"] = q_embedding_drift_mmd

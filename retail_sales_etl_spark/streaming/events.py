@@ -4807,3 +4807,142 @@ QUERIES["streaming_novelty"] = q_streaming_novelty
 # Hash-checked against the SAME oracle as the batch doc_novelty: the
 # maintained counters must bit-equal a from-scratch corpus pass.
 ORACLE["streaming_novelty"] = _TEXT_ORACLE["doc_novelty"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_drift_mmd — the drift monitor under IVM: the (label, i, j)
+# moment grid is an ADDITIVE lattice (exact DECIMAL cell-wise sums),
+# so the daily-grid discipline applies verbatim — a 100 TB embedding
+# stream keeps the per-source moment grid current per micro-batch and
+# derives every pairwise MMD^2 on read, never re-scanning a vector
+# ---------------------------------------------------------------------------
+
+
+def drift_moments_sink(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """Fold one micro-batch of EMBEDDINGS (label, v array<double>)
+    into the maintained (label, i, j, s) moment grid — the IVM base
+    of ``embedding_drift_mmd``: counts, 9-dp-staged first-moment sums
+    and 12-dp-staged second-moment sums as exact DECIMAL(38,12)
+    cells, added cell-wise (any delivery order bit-equals the
+    from-scratch grid — addition is the whole protocol). Exactly-once
+    = ``_additive_grid_sink`` (pinned read_version, drift_batch_hwm
+    replay check, conditional first-batch overwrite / MERGE on the
+    grid key). The grid is labels x (d+1)^2 rows regardless of corpus
+    size; each batch collapses to it map-side."""
+    from ..operators.similarity import _drift_moment_grid
+
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(c.alias("c"), ["label", "i", "j"], "left")
+            .select(
+                "label",
+                "i",
+                "j",
+                (
+                    F.col("p.s")
+                    + F.coalesce(
+                        F.col("c.s"), F.lit(0).cast("decimal(38,12)")
+                    )
+                ).cast("decimal(38,12)").alias("s"),
+            )
+        )
+
+    return _additive_grid_sink(
+        batch_df, batch_id, table_path, "drift_batch_hwm",
+        ["label", "i", "j"], _drift_moment_grid(batch_df), combine,
+        "drift_moments_sink",
+    )
+
+
+def maintain_drift_moments(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+):
+    """Run the drift moment-grid IVM sink under foreachBatch
+    (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        drift_moments_sink(batch_df, batch_id, table_path)
+        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the drift-moment IVM: replay the
+    embeddings table in 4 vec_id-range micro-batches through
+    ``maintain_drift_moments`` (cells fold additively as exact
+    DECIMALs, so the maintained grid bit-equals the batch
+    ``_drift_moment_grid`` in ANY order), then derive every pairwise
+    MMD^2 from the MAINTAINED grid via the shared
+    ``_drift_mmd_from_moments`` — hash-checked against the SAME
+    oracle as the batch ``embedding_drift_mmd``, proving a streaming
+    pipeline can serve the drift monitor per batch without ever
+    re-scanning a vector."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.similarity import (
+        _as_double_array,
+        _drift_mmd_from_moments,
+    )
+
+    work = tempfile.mkdtemp(prefix="drift_stream_")
+    src = f"{work}/src"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        _as_double_array("embedding").alias("v"),
+    )
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    if hi is None:  # empty corpus: no pairs to report
+        return spark.createDataFrame(
+            [], "label_a bigint, label_b bigint, n_a bigint, "
+            "n_b bigint, mmd2_linear double, mmd2_quadratic double"
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            emb.filter(
+                (F.col("vec_id") >= cuts[i])
+                & (F.col("vec_id") < cuts[i + 1])
+            )
+            .select("label", "v")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("label bigint, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_drift_moments(
+        stream, f"{work}/grid", f"{work}/ckpt"
+    ).awaitTermination()
+    grid = LakehouseTable(spark, f"{work}/grid").read()
+    return _drift_mmd_from_moments(grid)
+
+
+QUERIES["streaming_drift_mmd"] = q_streaming_drift_mmd
+
+# Hash-checked against the SAME oracle as the batch embedding_drift_mmd:
+# the maintained moment grid must derive bit-identically.
+from ..operators.similarity import ORACLE as _SIMILARITY_ORACLE  # noqa: E402
+
+ORACLE["streaming_drift_mmd"] = _SIMILARITY_ORACLE["embedding_drift_mmd"]

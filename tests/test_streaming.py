@@ -2383,3 +2383,53 @@ def test_novelty_sink_gram_probe_reads_file_pruned(
     }
     assert got[50] == (1, 1)
     assert got[100] == (1, 0)  # corrected: lost its only novel gram
+
+
+def test_drift_moments_sink_order_insensitive_and_skips_replay(
+    spark, tmp_path
+):
+    """The moment grid is an additive DECIMAL lattice: folding the
+    two halves in either order must bit-equal the from-scratch grid
+    of everything delivered (and derive the same MMD report through
+    the shared derivation), and a replay of a landed batch must be a
+    no-op."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.similarity import (
+        _drift_mmd_from_moments,
+        _drift_moment_grid,
+    )
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "label bigint, v array<double>")
+
+    b0 = _batch([(0, [1.0, 0.0]), (1, [1.5, 0.5])])
+    b1 = _batch([(0, [0.0, 1.0]), (1, [0.5, 1.5])])
+    want_grid = {
+        (r.label, r.i, r.j): r.s
+        for r in _drift_moment_grid(b0.unionAll(b1)).collect()
+    }
+    for order, (x, y) in (("fwd", (b0, b1)), ("rev", (b1, b0))):
+        path = str(tmp_path / f"g_{order}")
+        assert streaming_events.drift_moments_sink(x, 0, path) is True
+        assert streaming_events.drift_moments_sink(y, 1, path) is True
+        got = {
+            (r.label, r.i, r.j): r.s
+            for r in LakehouseTable(spark, path).read().collect()
+        }
+        assert got == want_grid, order
+    # derivation through the shared core: the crafted shift pair
+    # (label 1 = label 0 + (0.5, 0.5)) reports the hand-worked MMDs
+    path = str(tmp_path / "g_fwd")
+    rep = {
+        (r.label_a, r.label_b): r
+        for r in _drift_mmd_from_moments(
+            LakehouseTable(spark, path).read()
+        ).collect()
+    }
+    assert rep[(0, 1)].mmd2_linear == 0.5
+    assert rep[(0, 1)].mmd2_quadratic == 2.25
+    # replay: no-op on the maintained grid
+    v = LakehouseTable(spark, path).latest_version()
+    assert streaming_events.drift_moments_sink(b0, 0, path) is False
+    assert streaming_events.drift_moments_sink(b1, 1, path) is False
+    assert LakehouseTable(spark, path).latest_version() == v
