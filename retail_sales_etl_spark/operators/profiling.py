@@ -2116,3 +2116,135 @@ ORACLE["revenue_hurst"] = f"""
                 ELSE NULL END AS r2
     FROM fit CROSS JOIN nd
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue_mann_kendall — the nonparametric monotone-trend TEST on the
+# daily revenue grid (Mann 1945; Kendall 1975): theil_sen answers "how
+# steep?", this answers "is there a trend at all, and how sure are
+# we?" — S statistic, tie-corrected variance, the normal-approximation
+# z score, and Kendall's tau-b effect size
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test of daily order revenue: S = sum of
+    sign(v_j - v_i) over all day pairs i < j (an exact integer),
+    Var(S) with the tie correction [n(n-1)(2n+5) - sum t(t-1)(2t+5)]
+    / 18 over the value-tie groups, the continuity-corrected normal z
+    = (S -/+ 1)/sqrt(Var(S)), and tau-b = S / sqrt((n0 - n1) * n0)
+    (day keys are distinct, so the time-side tie term is zero) — the
+    distribution-free companion every monitoring stack pairs with the
+    Theil-Sen slope (outlier days move neither).
+
+    Scale shape: the ``revenue_theil_sen`` plan verbatim — the fact
+    collapses to the bounded DAY grid in one scan, and the O(grid^2)
+    pair space lives on that grid (broadcast self-join), independent
+    of fact volume; the tie groups are one grid-bounded aggregate.
+    Determinism: S and both variance numerators are exact BIGINT
+    arithmetic; z and tau-b are single IEEE expressions on
+    exact-integer-derived doubles, 6-dp floored."""
+    daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+    a = daily.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
+    s = (
+        a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+        .agg(
+            F.sum(
+                F.signum((F.col("v2") - F.col("v1")).cast("double"))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie3"),
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("bigint")
+            .alias("n1_twice"),
+            F.sum("t").cast("bigint").alias("n_days"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie3").cast("double")
+    ) / F.lit(18.0)
+    n0 = n * (n - 1) / F.lit(2.0)
+    n1 = F.col("n1_twice").cast("double") / F.lit(2.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (sd - 1) / F.sqrt(var_s)).when(
+        F.col("s_stat") < 0, (sd + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    # an all-tied series has n1 = n0 (and a single day n0 = 0): the
+    # tau-b denominator degenerates to 0 — S is necessarily 0 there,
+    # so publish tau_b = 0 instead of dividing by zero (ANSI mode
+    # makes the raw division an error, not a NaN)
+    tau_b = F.when(
+        (n0 - n1) * n0 > 0, sd / F.sqrt((n0 - n1) * n0)
+    ).otherwise(F.lit(0.0))
+    return s.crossJoin(ties).select(
+        "n_days",
+        "s_stat",
+        fround(var_s, 6).alias("var_s"),
+        fround(z, 6).alias("z"),
+        fround(tau_b, 6).alias("tau_b"),
+    )
+
+
+QUERIES["revenue_mann_kendall"] = q_revenue_mann_kendall
+
+ORACLE["revenue_mann_kendall"] = f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ),
+    s AS (
+        SELECT CAST(sum(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    groups AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY v
+    ),
+    ties AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie3,
+               CAST(sum(t * (t - 1)) AS BIGINT) AS n1_twice,
+               CAST(sum(t) AS BIGINT) AS n_days
+        FROM groups
+    )
+    SELECT n_days, s_stat,
+           floor(((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                   * (2 * CAST(n_days AS DOUBLE) + 5)
+                   - CAST(tie3 AS DOUBLE)) / 18.0) * 1e6 + 0.5) / 1e6
+               AS var_s,
+           floor((CASE
+               WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+                   / sqrt((CAST(n_days AS DOUBLE)
+                           * (CAST(n_days AS DOUBLE) - 1)
+                           * (2 * CAST(n_days AS DOUBLE) + 5)
+                           - CAST(tie3 AS DOUBLE)) / 18.0)
+               WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+                   / sqrt((CAST(n_days AS DOUBLE)
+                           * (CAST(n_days AS DOUBLE) - 1)
+                           * (2 * CAST(n_days AS DOUBLE) + 5)
+                           - CAST(tie3 AS DOUBLE)) / 18.0)
+               ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z,
+           floor((CASE WHEN (CAST(n_days AS DOUBLE)
+                             * (CAST(n_days AS DOUBLE) - 1) / 2.0
+                             - CAST(n1_twice AS DOUBLE) / 2.0)
+                            * (CAST(n_days AS DOUBLE)
+                               * (CAST(n_days AS DOUBLE) - 1) / 2.0) > 0
+                  THEN CAST(s_stat AS DOUBLE)
+                       / sqrt((CAST(n_days AS DOUBLE)
+                               * (CAST(n_days AS DOUBLE) - 1) / 2.0
+                               - CAST(n1_twice AS DOUBLE) / 2.0)
+                              * (CAST(n_days AS DOUBLE)
+                                 * (CAST(n_days AS DOUBLE) - 1) / 2.0))
+                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS tau_b
+    FROM s CROSS JOIN ties
+"""

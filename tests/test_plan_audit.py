@@ -1386,3 +1386,21 @@ def test_embedding_drift_grid_bounded_and_column_pruned(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mann_kendall_grid_bounded_and_column_pruned(spark, sf_dir):
+    """revenue_mann_kendall: the fact collapses to the day grid in one
+    scan reading only (o_orderdate, o_totalprice); the O(grid^2) pair
+    space lives on the BROADCAST grid (the theil_sen plan shape) — no
+    shuffle ever carries pair rows — and the tie groups are one
+    grid-bounded aggregate."""
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_mann_kendall,
+    )
+
+    plan = _formatted_plan(q_revenue_mann_kendall(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
+    assert "o_custkey" not in read_schema
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -676,3 +676,57 @@ def test_ccf_daily_grid_matches_shared_helper(spark, sf_dir):
     )
     inline = {r["d"]: r["v"] for r in ccf_daily.collect()}
     assert inline == helper
+
+
+def test_mann_kendall_monotone_constant_and_hand_worked(spark, tmp_path):
+    """Three calibration corpora for the trend test: a strictly
+    increasing series gives S = n(n-1)/2 and tau_b = 1 exactly; a
+    constant series (one all-n tie group) gives S = 0, Var(S) = 0 by
+    the tie correction, z = 0; and a hand-worked 4-day series with
+    one tie pins S, the tie-corrected variance, and tau_b to paper
+    arithmetic."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.profiling import (
+        q_revenue_mann_kendall,
+    )
+
+    base = datetime.date(1992, 1, 1)
+
+    def _run(prices, sub):
+        d = str(tmp_path / sub)
+        rows = [
+            Row(
+                o_orderdate=(base + datetime.timedelta(days=i)).isoformat(),
+                o_totalprice=p,
+            )
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
+        (r,) = q_revenue_mann_kendall(spark, d).collect()
+        return r
+
+    up = _run([10.0 + i for i in range(10)], "up")
+    assert (up.n_days, up.s_stat) == (10, 45)  # all 45 pairs ascending
+    assert up.tau_b == 1.0
+    assert up.z > 3  # strongly significant
+
+    flat = _run([7.0] * 8, "flat")
+    assert (flat.n_days, flat.s_stat) == (8, 0)
+    # one tie group of 8: n(n-1)(2n+5) == t(t-1)(2t+5) -> Var(S) = 0
+    assert flat.var_s == 0.0 and flat.z == 0.0
+
+    # hand-worked: v = 10, 20, 20, 15 -> pairs (12 +, 13 +, 14 +,
+    # 23 tie, 24 -, 34 -) -> S = 3 - 2 = 1; ties: one group t=2 ->
+    # tie3 = 2*1*9 = 18, Var = (4*3*13 - 18)/18 = 138/18; n0 = 6,
+    # n1 = 1 -> tau_b = 1/sqrt(5*6)
+    hw = _run([10.0, 20.0, 20.0, 15.0], "hw")
+    assert (hw.n_days, hw.s_stat) == (4, 1)
+    assert hw.var_s == math.floor(138.0 / 18.0 * 1e6 + 0.5) / 1e6
+    assert hw.tau_b == math.floor(1.0 / math.sqrt(30.0) * 1e6 + 0.5) / 1e6
+    assert hw.z == math.floor((1 - 1) / math.sqrt(138.0 / 18.0) * 1e6 + 0.5) / 1e6
