@@ -3344,3 +3344,438 @@ ORACLE["multimodal_wav_silence"] = f"""
            coalesce(max_run, 0) AS max_run
     FROM clips LEFT JOIN per_doc ON clips.doc_id = per_doc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# QOI (Quite OK Image, Szablewski 2021 — the public one-page spec at
+# qoiformat.org): the EIGHTH codec and the first with a STATEFUL
+# byte-stream — every chunk's meaning depends on decoder state (the
+# previous pixel, a 64-slot running color index keyed by the spec's
+# (3r+5g+7b+11a) % 64 hash, and an open run), unlike the stateless
+# rasters (PPM/BMP/TGA) and the table-driven streams (PNG/GIF/LZW).
+# Six chunk kinds: RGB, RGBA, INDEX, DIFF (2-bit biased deltas), LUMA
+# (green-anchored deltas), RUN (biased, 62 max). The synthesizer is a
+# REAL spec-compliant encoder whose generator makes every chunk kind
+# load-bearing on the corpus; all channel deltas wrap mod 256.
+# ---------------------------------------------------------------------------
+
+QOI_MIME = "image/qoi"
+
+
+def _qoi_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 8 + 2, doc_id % 6 + 2
+
+
+def _qoi_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Quantized generator tuned so the ENCODER must use every chunk
+    kind: x-pairs repeat (RUN), every third row repeats the row two
+    above (re-seen colors -> INDEX), the odd pixel of a pair on
+    y%3==1 rows shifts all channels by +1 (DIFF), the +7/+5 channel
+    steps between quantized columns are LUMA-range, and the first
+    pixel's jump from the (0,0,0) start state is RGB-range for most
+    docs."""
+    yy = y - 2 if y % 3 == 2 else y
+    qx = x // 2
+    f = 1 if (x % 2 == 1 and y % 3 == 1) else 0
+    return (
+        (doc_id + 7 * qx + 13 * yy + f) % 256,
+        (3 * doc_id + 5 * qx + yy + f) % 256,
+        (doc_id + qx * yy + f) % 256,
+    )
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _wrap8(d: int) -> int:
+    """Signed wraparound delta (the spec's 'differences wrap'):
+    mod-256 difference mapped into -128..127."""
+    return (d + 128) % 256 - 128
+
+
+def _qoi_encode(pixels: list, w: int, h: int) -> bytes:
+    """Spec-compliant QOI encoder for 3-channel images (alpha pinned
+    255). The color index is maintained at CHUNK grain exactly as the
+    spec's decoder maintains it (one update per chunk, including RUN
+    chunks) — with identical index discipline on both sides an INDEX
+    emission can never dereference a slot the decoder sees
+    differently, which is the classic QOI encoder corruption bug."""
+    import struct
+
+    out = bytearray()
+    out += b"qoif" + struct.pack(">IIBB", w, h, 3, 0)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+
+    def _chunk_indexed(px):
+        index[_qoi_hash(*px)] = px
+
+    for r, g, b in pixels:
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                _chunk_indexed(px)
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            _chunk_indexed(prev)
+            run = 0
+        hsh = _qoi_hash(*px)
+        if index[hsh] == px:
+            out.append(hsh)  # QOI_OP_INDEX (top bits 00)
+        else:
+            dr = _wrap8(r - prev[0])
+            dg = _wrap8(g - prev[1])
+            db = _wrap8(b - prev[2])
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(
+                    0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                )
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        _chunk_indexed(px)
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+        _chunk_indexed(prev)
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def synthesize_qoi(docs: DataFrame) -> DataFrame:
+    """doc_id -> a REAL QOI payload (full encoder: runs, index hits,
+    DIFF/LUMA deltas, RGB literals, wraparound) over the quantized
+    generator raster."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _qoi_dims(d)
+                pixels = [
+                    _qoi_pixel(d, x, y)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                ids.append(d)
+                payloads.append(_qoi_encode(pixels, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": QOI_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def _qoi_raster(payload: bytes):
+    """REAL QOI decoder — the spec's state machine: returns (w, h,
+    rows top-down as lists of (r, g, b, a), op_counts dict). Validates
+    the magic, channels/colorspace, pixel-count overflow (a RUN
+    spilling past w*h is an error, not a clamp), stream truncation,
+    and the 7x00+01 end marker. The color index updates once per
+    CHUNK (the reference decoder's discipline — RUN chunks included);
+    INDEX chunks read whatever the running index holds, including the
+    zero-initialized (0,0,0,0) slots."""
+    import struct
+
+    payload = bytes(payload)
+    if len(payload) < 22 or payload[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w, h, channels, colorspace = struct.unpack_from(">IIBB", payload, 4)
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError("unsupported QOI header")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension QOI")
+    n = w * h
+    px = (0, 0, 0, 255)
+    index = [(0, 0, 0, 0)] * 64
+    out = []
+    ops = {"rgb": 0, "rgba": 0, "index": 0, "diff": 0, "luma": 0, "run": 0}
+    pos = 14
+    end = len(payload) - 8
+    while len(out) < n:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        b1 = payload[pos]
+        pos += 1
+        if b1 == 0xFE:
+            if pos + 3 > end:
+                raise ValueError("truncated QOI stream")
+            px = (payload[pos], payload[pos + 1], payload[pos + 2], px[3])
+            pos += 3
+            ops["rgb"] += 1
+        elif b1 == 0xFF:
+            if pos + 4 > end:
+                raise ValueError("truncated QOI stream")
+            px = (
+                payload[pos], payload[pos + 1],
+                payload[pos + 2], payload[pos + 3],
+            )
+            pos += 4
+            ops["rgba"] += 1
+        elif b1 >> 6 == 0:
+            px = index[b1 & 0x3F]
+            ops["index"] += 1
+        elif b1 >> 6 == 1:
+            px = (
+                (px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                (px[2] + (b1 & 3) - 2) % 256,
+                px[3],
+            )
+            ops["diff"] += 1
+        elif b1 >> 6 == 2:
+            if pos + 1 > end:
+                raise ValueError("truncated QOI stream")
+            dg = (b1 & 0x3F) - 32
+            b2 = payload[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b2 >> 4) & 0xF) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (b2 & 0xF) - 8) % 256,
+                px[3],
+            )
+            ops["luma"] += 1
+        else:  # QOI_OP_RUN
+            run = (b1 & 0x3F) + 1
+            if len(out) + run > n:
+                raise ValueError("QOI run overflows the pixel count")
+            out.extend([px] * (run - 1))
+            ops["run"] += 1
+        index[_qoi_hash(*px)] = px
+        out.append(px)
+    if payload[pos:pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    rows = [out[y * w:(y + 1) * w] for y in range(h)]
+    return w, h, rows, ops
+
+
+def decode_qoi(payload: bytes) -> dict:
+    """Doc-grain stats off the REAL decoded raster: dims, channel
+    sums, and the LAST pixel's r/b as corner probes (a decoder that
+    loses state anywhere in the chunk stream cannot fake the final
+    pixel)."""
+    w, h, rows, _ops = _qoi_raster(payload)
+    sr = sg = sb = 0
+    for row in rows:
+        for r, g, b, _a in row:
+            sr += r
+            sg += g
+            sb += b
+    last = rows[-1][-1]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
+        "corner_r": last[0],
+        "corner_b": last[2],
+    }
+
+
+QOI_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("corner_r", IntegerType()),
+        StructField("corner_b", IntegerType()),
+    ]
+)
+
+
+def q_multimodal_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL QOI decode proof — the eighth codec, first
+    STATEFUL byte stream: the oracle's closed-form channel sums (and
+    the final-pixel corner probes) are only reachable through the
+    whole chunk state machine, because every chunk's meaning depends
+    on the running (prev pixel, color index, open run) state — a
+    single mis-decoded DIFF bias or stale INDEX slot derails every
+    later pixel of the doc. The generator makes all chunk kinds
+    load-bearing on the corpus (pytest-pinned: each kind appears).
+    Scale shape: one Arrow-batched mapInPandas chain, payload bytes
+    never shuffle, doc-grain output."""
+    media = synthesize_qoi(load_table(spark, sf_dir, "documents"))
+
+    cols = [f.name for f in QOI_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_qoi(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=QOI_STATS_SCHEMA)
+
+
+QUERIES["multimodal_qoi_stats"] = q_multimodal_qoi_stats
+
+_QOI_PIX_SQL = """
+        SELECT doc_id, w, h, x, y,
+               CASE WHEN y % 3 = 2 THEN y - 2 ELSE y END AS yy,
+               x // 2 AS qx,
+               CASE WHEN x % 2 = 1 AND y % 3 = 1 THEN 1 ELSE 0 END AS f
+        FROM (
+            SELECT doc_id, w, h, x,
+                   unnest(generate_series(0, h - 1)) AS y
+            FROM (
+                SELECT doc_id,
+                       doc_id % 8 + 2 AS w,
+                       doc_id % 6 + 2 AS h,
+                       unnest(generate_series(0, doc_id % 8 + 1)) AS x
+                FROM documents
+            )
+        )
+"""
+
+ORACLE["multimodal_qoi_stats"] = f"""
+    WITH pix AS ({_QOI_PIX_SQL}
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS width,
+           CAST(any_value(h) AS INTEGER) AS height,
+           count(*) AS n_pixels,
+           CAST(sum((doc_id + 7 * qx + 13 * yy + f) % 256) AS BIGINT)
+               AS sum_r,
+           CAST(sum((3 * doc_id + 5 * qx + yy + f) % 256) AS BIGINT)
+               AS sum_g,
+           CAST(sum((doc_id + qx * yy + f) % 256) AS BIGINT) AS sum_b,
+           CAST(any_value(
+               (doc_id + 7 * ((w - 1) // 2)
+                + 13 * (CASE WHEN (h - 1) % 3 = 2 THEN h - 3 ELSE h - 1 END)
+                + (CASE WHEN (w - 1) % 2 = 1 AND (h - 1) % 3 = 1
+                        THEN 1 ELSE 0 END)) % 256
+           ) AS INTEGER) AS corner_r,
+           CAST(any_value(
+               (doc_id + ((w - 1) // 2)
+                * (CASE WHEN (h - 1) % 3 = 2 THEN h - 3 ELSE h - 1 END)
+                + (CASE WHEN (w - 1) % 2 = 1 AND (h - 1) % 3 = 1
+                        THEN 1 ELSE 0 END)) % 256
+           ) AS INTEGER) AS corner_b
+    FROM pix
+    GROUP BY doc_id
+"""
+
+
+def resize_qoi_nn(payload: bytes) -> dict:
+    """Nearest-neighbor resize on the REAL decoded QOI raster — the
+    stateful-stream member of the resize family: the full chunk walk,
+    the standard NN kernel, per-channel sums of the resized image."""
+    width, height, rows, _ops = _qoi_raster(payload)
+    sr = sg = sb = 0
+    for y2 in range(PPM_RESIZE_H):
+        row = rows[(y2 * height) // PPM_RESIZE_H]
+        for x2 in range(PPM_RESIZE_W):
+            r, g, b, _a = row[(x2 * width) // PPM_RESIZE_W]
+            sr += r
+            sg += g
+            sb += b
+    return {
+        "src_width": width,
+        "src_height": height,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
+    }
+
+
+def q_multimodal_qoi_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the stateful stream end-to-end: synthesize
+    QOI bytes, decode + NN-resize to PPM_RESIZE_W x PPM_RESIZE_H
+    inside ``mapInPandas``, emit per-channel sums of the resized
+    raster; the oracle recomputes the sums closed-form at the sampled
+    generator coordinates. Zero-Exchange mapInPandas, payloads never
+    shuffle."""
+    media = synthesize_qoi(load_table(spark, sf_dir, "documents"))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "src_width": [],
+                "src_height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = resize_qoi_nn(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=PPM_RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_qoi_resize"] = q_multimodal_qoi_resize
+
+ORACLE["multimodal_qoi_resize"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               doc_id % 8 + 2 AS w,
+               doc_id % 6 + 2 AS h
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+        FROM grid
+    ),
+    pix AS (
+        SELECT doc_id, w, h, x2,
+               unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+        FROM xs
+    ),
+    src AS (
+        SELECT doc_id, w, h,
+               (x2 * w) // {PPM_RESIZE_W} AS sx,
+               (y2 * h) // {PPM_RESIZE_H} AS sy
+        FROM pix
+    ),
+    gen AS (
+        SELECT doc_id, w, h,
+               CASE WHEN sy % 3 = 2 THEN sy - 2 ELSE sy END AS yy,
+               sx // 2 AS qx,
+               CASE WHEN sx % 2 = 1 AND sy % 3 = 1 THEN 1 ELSE 0 END AS f
+        FROM src
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS src_width,
+           CAST(any_value(h) AS INTEGER) AS src_height,
+           CAST(sum((doc_id + 7 * qx + 13 * yy + f) % 256) AS BIGINT)
+               AS sum_r,
+           CAST(sum((3 * doc_id + 5 * qx + yy + f) % 256) AS BIGINT)
+               AS sum_g,
+           CAST(sum((doc_id + qx * yy + f) % 256) AS BIGINT) AS sum_b
+    FROM gen
+    GROUP BY doc_id
+"""

@@ -80,3 +80,40 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def probe_qoi(spark=None) -> None:
+    """multimodal_qoi_stats 10x: rows x10, original doc_ids
+    byte-identical (payloads are pure functions of doc_id)."""
+    import shutil as _sh
+
+    own = spark is None
+    if own:
+        _sh.rmtree(STAGE, ignore_errors=True)
+        spark = get_spark(app_name="probe-round16a-qoi")
+        spark.sparkContext.setLogLevel("ERROR")
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_qoi_stats,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    docs10 = docs
+    for k in range(1, COPIES):
+        docs10 = docs10.unionAll(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * hi))
+        )
+    d10 = _stage(spark, "qoi10", {"documents": docs10})
+    base, t1 = _timed(
+        lambda: q_multimodal_qoi_stats(spark, SF_DIR).collect()
+    )
+    big, t10 = _timed(lambda: q_multimodal_qoi_stats(spark, d10).collect())
+    assert len(big) == COPIES * len(base)
+    bmap = {r.doc_id: tuple(r) for r in big}
+    assert all(tuple(r) == bmap[r.doc_id] for r in base)
+    print(f"qoi_stats      1x {t1:6.2f}s   10x {t10:6.2f}s  "
+          f"ratio {t10 / t1:4.1f}  ({len(base)} -> {len(big)} rows)")
+    if own:
+        _sh.rmtree(STAGE, ignore_errors=True)
+        spark.stop()

@@ -1404,3 +1404,19 @@ def test_mann_kendall_grid_bounded_and_column_pruned(spark, sf_dir):
     assert "o_custkey" not in read_schema
     assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_qoi_pipelines_are_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The QOI chains (synthesize -> stateful chunk walk -> stats /
+    NN resize) stay zero-Exchange mapInPandas pipelines reading only
+    doc_id — the codec-family contract on the eighth codec."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_qoi_resize,
+        q_multimodal_qoi_stats,
+    )
+
+    for q in (q_multimodal_qoi_stats, q_multimodal_qoi_resize):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema and "text" not in read_schema

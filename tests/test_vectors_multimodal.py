@@ -1193,3 +1193,120 @@ def test_detect_silence_runs_edges_and_roundtrip(spark, sf_dir):
         )
         assert (r["n_silent"], r["n_runs"], r["max_run"]) == want
         assert r["n_samples"] == n
+
+
+def test_qoi_crafted_chunks_exact_and_rejections():
+    """Hand-built QOI streams, one per chunk kind: RGB literal, RGBA
+    (alpha carried), INDEX (including a read of a zero-initialized
+    slot), DIFF with mod-256 wraparound, LUMA, RUN; rejections: bad
+    magic, zero dims, a RUN overflowing the pixel count, a truncated
+    stream, and a missing end marker."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators import multimodal as mm
+
+    def hdr(w, h, ch=3):
+        return b"qoif" + struct.pack(">IIBB", w, h, ch, 0)
+
+    end = b"\x00" * 7 + b"\x01"
+
+    # RGB + RUN: pixel (10,20,30) then a run of 3 -> 4 pixels
+    w, h, rows, ops = mm._qoi_raster(
+        hdr(4, 1) + bytes((0xFE, 10, 20, 30)) + bytes((0xC0 | 2,)) + end
+    )
+    assert rows[0] == [(10, 20, 30, 255)] * 4
+    assert ops["rgb"] == 1 and ops["run"] == 1
+
+    # DIFF with wraparound: start (0,0,0,255); RGB to (255,255,0),
+    # then DIFF (+1,+1,-1) -> wraps to (0,0,255)
+    _, _, rows, ops = mm._qoi_raster(
+        hdr(2, 1)
+        + bytes((0xFE, 255, 255, 0))
+        + bytes((0x40 | (3 << 4) | (3 << 2) | 1,))
+        + end
+    )
+    assert rows[0][1] == (0, 0, 255, 255)
+    assert ops["diff"] == 1
+
+    # LUMA: dg=+9, dr-dg=-3, db-dg=+5 from (100,100,100)
+    _, _, rows, ops = mm._qoi_raster(
+        hdr(2, 1)
+        + bytes((0xFE, 100, 100, 100))
+        + bytes((0x80 | (9 + 32), ((-3 + 8) << 4) | (5 + 8)))
+        + end
+    )
+    assert rows[0][1] == (100 + 9 - 3, 109, 109 + 5, 255)
+    assert ops["luma"] == 1
+
+    # INDEX: re-seen color by hash slot; and a zero-init slot read
+    px = (10, 20, 30, 255)
+    slot = mm._qoi_hash(*px)
+    _, _, rows, ops = mm._qoi_raster(
+        hdr(3, 1)
+        + bytes((0xFE, 10, 20, 30))
+        + bytes((0xFE, 200, 200, 200))
+        + bytes((slot,))
+        + end
+    )
+    assert rows[0][2] == px
+    assert ops["index"] == 1
+    zero_slot = mm._qoi_hash(0, 0, 0, 0)
+    _, _, rows, _ = mm._qoi_raster(hdr(1, 1) + bytes((zero_slot,)) + end)
+    assert rows[0][0] == (0, 0, 0, 0)  # spec: index starts zeroed
+
+    # RGBA carries alpha into later RGB chunks
+    _, _, rows, ops = mm._qoi_raster(
+        hdr(2, 1, ch=4)
+        + bytes((0xFF, 1, 2, 3, 77))
+        + bytes((0xFE, 4, 5, 6))
+        + end
+    )
+    assert rows[0] == [(1, 2, 3, 77), (4, 5, 6, 77)]
+    assert ops["rgba"] == 1
+
+    with pytest.raises(ValueError, match="not a QOI"):
+        mm._qoi_raster(b"qoix" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="zero-dimension"):
+        mm._qoi_raster(hdr(0, 3) + end)
+    with pytest.raises(ValueError, match="overflows"):
+        mm._qoi_raster(
+            hdr(2, 1) + bytes((0xFE, 1, 1, 1)) + bytes((0xC0 | 5,)) + end
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        mm._qoi_raster(hdr(4, 4) + bytes((0xFE, 1, 1, 1)) + end)
+    with pytest.raises(ValueError, match="end marker"):
+        mm._qoi_raster(
+            hdr(1, 1) + bytes((0xFE, 1, 1, 1)) + b"\x00" * 8
+        )
+
+
+def test_qoi_encoder_roundtrips_and_all_chunk_kinds_load_bearing():
+    """decode(encode(raster)) must reproduce every raster exactly —
+    including an all-same-color image whose run exceeds the 62-pixel
+    chunk cap — and across the generator corpus every RGB-stream
+    chunk kind (rgb, index, diff, luma, run) must actually occur, so
+    the oracle's sums are earned through all five decode paths."""
+    from retail_sales_etl_spark.operators import multimodal as mm
+
+    # pathological: 10x13 of one color -> runs 62 + 62 + 6
+    flat = [(7, 8, 9)] * 130
+    w, h, rows, ops = mm._qoi_raster(mm._qoi_encode(flat, 10, 13))
+    assert [px[:3] for row in rows for px in row] == flat
+    assert ops["run"] == 3
+
+    totals = {"rgb": 0, "index": 0, "diff": 0, "luma": 0, "run": 0}
+    for d in range(120):
+        w, h = mm._qoi_dims(d)
+        pixels = [
+            mm._qoi_pixel(d, x, y) for y in range(h) for x in range(w)
+        ]
+        got_w, got_h, rows, ops = mm._qoi_raster(
+            mm._qoi_encode(pixels, w, h)
+        )
+        assert (got_w, got_h) == (w, h)
+        assert [px[:3] for row in rows for px in row] == pixels, d
+        for k in totals:
+            totals[k] += ops[k]
+    assert all(v > 0 for v in totals.values()), totals
