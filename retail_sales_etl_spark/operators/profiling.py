@@ -2145,6 +2145,14 @@ def q_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; z and tau-b are single IEEE expressions on
     exact-integer-derived doubles, 6-dp floored."""
     daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+    return _mann_kendall_from_daily(daily)
+
+
+def _mann_kendall_from_daily(daily: DataFrame) -> DataFrame:
+    """The Mann-Kendall derivation off a (d, v) day grid — shared by
+    the batch operator and the streaming twin (which reads the
+    maintained ``daily_revenue_sink`` grid), so the two surfaces can
+    never drift on the statistic."""
     a = daily.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
     b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
     s = (

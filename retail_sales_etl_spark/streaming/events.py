@@ -4946,3 +4946,73 @@ QUERIES["streaming_drift_mmd"] = q_streaming_drift_mmd
 from ..operators.similarity import ORACLE as _SIMILARITY_ORACLE  # noqa: E402
 
 ORACLE["streaming_drift_mmd"] = _SIMILARITY_ORACLE["embedding_drift_mmd"]
+
+
+def q_streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry completing the day-grid IVM family on
+    the TEST side: replay orders in 4 micro-batches through
+    ``maintain_daily_revenue`` (exact integer cents fold additively,
+    so the maintained grid bit-equals the batch day grid), then
+    derive the Mann-Kendall trend test from the MAINTAINED grid via
+    the shared ``_mann_kendall_from_daily`` — hash-checked against
+    the SAME oracle as the batch ``revenue_mann_kendall``, proving a
+    100 TB pipeline serves trend significance per batch without
+    re-scanning the fact."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.profiling import _mann_kendall_from_daily
+
+    work = tempfile.mkdtemp(prefix="mk_stream_")
+    src = f"{work}/src"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_custkey")).first()[0]
+    if hi is None:  # empty fact: nothing to test
+        return spark.createDataFrame(
+            [], "n_days bigint, s_stat bigint, var_s double, "
+            "z double, tau_b double"
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            orders.filter(
+                (F.col("o_custkey") >= cuts[i])
+                & (F.col("o_custkey") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    od_t = spark.read.parquet(src).schema["o_orderdate"].dataType
+    stream = (
+        spark.readStream.schema(
+            f"o_custkey bigint, o_orderdate {od_t.simpleString()}, "
+            "o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_daily_revenue(
+        stream, f"{work}/daily", f"{work}/ckpt"
+    ).awaitTermination()
+    daily = LakehouseTable(spark, f"{work}/daily").read()
+    return _mann_kendall_from_daily(daily)
+
+
+QUERIES["streaming_mann_kendall"] = q_streaming_mann_kendall
+
+# The maintained grid bit-equals the batch day grid, so the trend
+# test shares the batch mann_kendall oracle verbatim.
+ORACLE["streaming_mann_kendall"] = _PROFILING_ORACLE["revenue_mann_kendall"]
