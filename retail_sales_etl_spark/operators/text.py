@@ -4276,3 +4276,93 @@ ORACLE["doc_novelty"] = f"""
                  * 1e6 + 0.5) / 1e6 AS novelty
     FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# text_readability — classical readability scores per document: the
+# quality-filter heuristics (ARI, Coleman-Liau) every web-corpus
+# recipe screens on before a learned classifier exists — both are
+# pure surface arithmetic (letters/words/sentences), trig- and
+# log-free, so they are exactly cross-engine reproducible
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Automated Readability Index (Senter & Smith 1967) and
+    Coleman-Liau index (Coleman & Liau 1975): ARI = 4.71·(chars/words)
+    + 0.5·(words/sentences) − 21.43 over alphanumeric characters;
+    CLI = 0.0588·L − 0.296·S − 15.8 with L = letters per 100 words
+    and S = sentences per 100 words. Conventions pinned so both
+    engines count identically: words = whitespace-split tokens (the
+    corpus ``text_tokens`` convention), chars = [A-Za-z0-9] count via
+    regexp_replace-and-length (RE2/Java-compatible class), sentences
+    = count of [.!?] clamped to >= 1 (a fragment without terminal
+    punctuation is one sentence, not a division by zero).
+
+    Scale shape: one scan, all expressions whole-stage-codegen'd
+    JVM-side (regexp_replace + length — no UDF, no shuffle at all:
+    doc-grain in, doc-grain out). Determinism: integer counts, two
+    single IEEE expressions, 6-dp floored."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_chars = F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9]", "")
+    ).cast("bigint")
+    n_letters = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ).cast("bigint")
+    n_sent = F.greatest(
+        F.length(F.regexp_replace("text", "[^.!?]", "")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    w = n_words.cast("double")
+    ari = (
+        F.lit(4.71) * (n_chars.cast("double") / w)
+        + F.lit(0.5) * (w / n_sent.cast("double"))
+        - F.lit(21.43)
+    )
+    cli = (
+        F.lit(0.0588) * (n_letters.cast("double") * 100.0 / w)
+        - F.lit(0.296) * (n_sent.cast("double") * 100.0 / w)
+        - F.lit(15.8)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_an"),
+        n_sent.alias("n_sentences"),
+        fround(ari, 6).alias("ari"),
+        fround(cli, 6).alias("coleman_liau"),
+    )
+
+
+QUERIES["text_readability"] = q_text_readability
+
+ORACLE["text_readability"] = """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                    AS BIGINT) AS n_chars_an,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_letters,
+               greatest(
+                   CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+                        AS BIGINT),
+                   CAST(1 AS BIGINT)
+               ) AS n_sentences
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_chars_an, n_sentences,
+           floor((4.71 * (CAST(n_chars_an AS DOUBLE)
+                          / CAST(n_words AS DOUBLE))
+                  + 0.5 * (CAST(n_words AS DOUBLE)
+                           / CAST(n_sentences AS DOUBLE))
+                  - 21.43) * 1e6 + 0.5) / 1e6 AS ari,
+           floor((0.0588 * (CAST(n_letters AS DOUBLE) * 100.0
+                            / CAST(n_words AS DOUBLE))
+                  - 0.296 * (CAST(n_sentences AS DOUBLE) * 100.0
+                             / CAST(n_words AS DOUBLE))
+                  - 15.8) * 1e6 + 0.5) / 1e6 AS coleman_liau
+    FROM m
+"""

@@ -1420,3 +1420,16 @@ def test_qoi_pipelines_are_shuffle_free_and_column_pruned(spark, sf_dir):
         assert "Exchange" not in plan
         read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_text_readability_is_shuffle_free_and_pruned(spark, sf_dir):
+    """text_readability: doc-grain in, doc-grain out — zero Exchange,
+    all regexp/length expressions codegen'd, scan reads only
+    (doc_id, text)."""
+    from retail_sales_etl_spark.operators.text import q_text_readability
+
+    plan = _formatted_plan(q_text_readability(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema

@@ -828,3 +828,33 @@ def test_doc_novelty_first_occurrence_order_and_short_docs(spark, tmp_path):
     assert (out[2]["n_grams"], out[2]["novelty"]) == (2, 0.0)
     assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 2
     assert abs(out[3]["novelty"] - 0.666667) < 1e-9
+
+
+def test_text_readability_hand_worked_and_fragment_clamp(spark, tmp_path):
+    """Paper-arithmetic calibration: 'The cat sat.' has 3 words, 9
+    alphanumeric chars, 1 sentence -> ARI = 4.71*3 + 0.5*3 - 21.43;
+    CLI = 0.0588*300 - 0.296*(100/3) - 15.8. A fragment with no
+    terminal punctuation clamps to one sentence instead of dividing
+    by zero."""
+    import math
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.text import q_text_readability
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The cat sat."),
+            Row(doc_id=2, text="no terminal punctuation here"),
+        ]
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_text_readability(spark, d).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_chars_an, r1.n_sentences) == (3, 9, 1)
+    want_ari = 4.71 * (9 / 3) + 0.5 * (3 / 1) - 21.43
+    assert r1.ari == math.floor(want_ari * 1e6 + 0.5) / 1e6
+    want_cli = 0.0588 * (9 * 100 / 3) - 0.296 * (100 / 3) - 15.8
+    assert r1.coleman_liau == math.floor(want_cli * 1e6 + 0.5) / 1e6
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sentences) == (4, 1)  # clamp, no div-0
