@@ -163,6 +163,13 @@ def ivf_topk(
     candidates = emb.join(
         broadcast(probes), F.col("label") == F.col("probe_label")
     ).filter(F.col("vec_id") != query_vec_id)
+    return _ivf_rank(candidates, query, top_k)
+
+
+def _ivf_rank(candidates: DataFrame, query: DataFrame, top_k: int) -> DataFrame:
+    """Exact cosine top-k over an externally-supplied candidate set —
+    the scoring tail of ``ivf_topk``, shared with the maintained-index
+    serving path so the two can never drift on rounding/tie-break."""
     scored = candidates.crossJoin(broadcast(query)).select(
         "vec_id",
         "label",
@@ -175,15 +182,13 @@ def ivf_topk(
     return top.withColumn("rank", F.row_number().over(w))
 
 
-def _cent_arr(emb: DataFrame) -> DataFrame:
-    """Per-label mean centroids as array rows ``(cell, cv)`` — the ONE
-    builder behind every coarse-quantizer consumer (cell assignment,
-    IVF probe routing, IVFPQ): the 6-dp rounding and array assembly
-    conventions live here so Spark plans and oracle twins cannot
-    drift apart per call site."""
+def _cent_arr_from_long(centroids_long: DataFrame) -> DataFrame:
+    """(label, dim_idx, centroid) long form -> centroid array rows
+    ``(cell, cv)`` — split out so a MAINTAINED centroid grid (the
+    streaming IVF index sink's additive sums) assembles through the
+    same sort/collect conventions as the batch build."""
     return (
-        _centroids_long(emb)
-        .groupBy("label")
+        centroids_long.groupBy("label")
         .agg(
             F.transform(
                 F.sort_array(
@@ -194,6 +199,15 @@ def _cent_arr(emb: DataFrame) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "cv")
     )
+
+
+def _cent_arr(emb: DataFrame) -> DataFrame:
+    """Per-label mean centroids as array rows ``(cell, cv)`` — the ONE
+    builder behind every coarse-quantizer consumer (cell assignment,
+    IVF probe routing, IVFPQ): the 6-dp rounding and array assembly
+    conventions live here so Spark plans and oracle twins cannot
+    drift apart per call site."""
+    return _cent_arr_from_long(_centroids_long(emb))
 
 
 def _route_probes(cent_arr: DataFrame, query: DataFrame, nprobe: int) -> DataFrame:

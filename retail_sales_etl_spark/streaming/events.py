@@ -5016,3 +5016,244 @@ QUERIES["streaming_mann_kendall"] = q_streaming_mann_kendall
 # The maintained grid bit-equals the batch day grid, so the trend
 # test shares the batch mann_kendall oracle verbatim.
 ORACLE["streaming_mann_kendall"] = _PROFILING_ORACLE["revenue_mann_kendall"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_ann_ivf — a SERVING ANN index under IVM: the embedding
+# stream maintains (a) the per-(label, dim) centroid moment grid (an
+# additive DECIMAL lattice — the drift sink's discipline) and (b) the
+# vector table itself, Z-ordered by cell so a query's nprobe routing
+# turns into file-pruned reads — at 100 TB a top-k touches
+# nprobe/n_cells of the FILES, and neither the index nor the
+# centroids ever re-scan history
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    vectors_path: str,
+    cents_path: str,
+) -> bool:
+    """Fold one micro-batch of EMBEDDINGS (vec_id, label, v) into the
+    maintained IVF serving index: the vector table appends
+    conditionally (replay-guarded; each batch's rows land exactly
+    once), and the centroid grid — (label, dim_idx) -> (s, n) with s
+    the exact DECIMAL(38,6) sum of the batch-staged decimal(25,6)
+    values — folds through ``_additive_grid_sink``. Because decimal
+    addition is associative, the maintained s/n derive the SAME
+    centroid doubles as the batch ``_centroids_long`` over everything
+    delivered, in any delivery order. The two commits carry
+    independent replay guards (no cross-table delta exists, so no
+    rewind protocol is needed — unlike the cohort/novelty sinks)."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    spark = batch_df.sparkSession
+    vectors = LakehouseTable(spark, vectors_path)
+    wrote = False
+    for _ in range(3):
+        rv = vectors.latest_version()
+        hwm = vectors.latest_value("vec_batch_hwm", as_of=rv)
+        if _landed_on(vectors, batch_id, rv, hwm):
+            break
+        try:
+            vectors.write(
+                batch_df.select("vec_id", "label", "v"),
+                mode="append",
+                extra={
+                    "batch_id": batch_id,
+                    "vec_batch_hwm": max(
+                        batch_id, hwm if hwm is not None else batch_id
+                    ),
+                },
+                conflict_on="batch_id",
+                read_version=rv,
+                monotone_max=("vec_batch_hwm",),
+            )
+            wrote = True
+            break
+        except DuplicateCommitError:
+            break  # a rival landed this batch's vectors
+        except ConcurrentWriteError:
+            continue
+    else:
+        raise RuntimeError(
+            f"ivf_index_sink: could not append batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {vectors_path})"
+        )
+
+    partial = (
+        batch_df.select(
+            "label", F.posexplode(F.col("v")).alias("dim_idx", "val")
+        )
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.sum(F.col("val").cast("decimal(25,6)"))
+            .cast("decimal(38,6)")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(c.alias("c"), ["label", "dim_idx"], "left")
+            .select(
+                "label",
+                "dim_idx",
+                (
+                    F.col("p.s")
+                    + F.coalesce(
+                        F.col("c.s"), F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("decimal(38,6)").alias("s"),
+                (
+                    F.col("p.n") + F.coalesce(F.col("c.n"), F.lit(0))
+                ).cast("bigint").alias("n"),
+            )
+        )
+
+    folded = _additive_grid_sink(
+        batch_df, batch_id, cents_path, "cent_batch_hwm",
+        ["label", "dim_idx"], partial, combine, "ivf_index_sink",
+    )
+    return wrote or folded
+
+
+def maintain_ivf_index(
+    stream: DataFrame,
+    vectors_path: str,
+    cents_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the IVF serving-index sink under foreachBatch
+    (availableNow). ``optimize_every=N`` Z-orders the VECTOR table by
+    label every N batches — INCREMENTALLY (the dedup-index
+    discipline), which is what turns nprobe routing into file-level
+    data skipping: a probed cell's vectors live in a handful of
+    narrow-range files instead of striping every file."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        ivf_index_sink(batch_df, batch_id, vectors_path, cents_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            try:
+                LakehouseTable(spark, vectors_path).optimize(
+                    target_files=optimize_files,
+                    zorder_by=["label"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
+                )
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
+        for path in (vectors_path, cents_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the maintained IVF serving index:
+    replay the embeddings table in 4 vec_id-range micro-batches
+    through ``maintain_ivf_index`` (with a mid-stream Z-order cycle),
+    then SERVE the standard query — derive the centroid arrays from
+    the MAINTAINED grid via the shared ``_cent_arr_from_long``
+    assembly, route nprobe=2 through the shared ``_route_probes``,
+    read ONLY the probed cells from the maintained vector table via
+    file-pruned ``read_where_in``, and rank through the shared
+    ``_ivf_rank`` — hash-checked against the SAME oracle as the batch
+    ``ann_ivf_topk``, proving a 100 TB embedding pipeline can keep an
+    ANN index current per batch and serve top-k from file-pruned cell
+    reads without ever re-scanning the corpus."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        _as_double_array,
+        _cent_arr_from_long,
+        _ivf_rank,
+        _route_probes,
+    )
+
+    work = tempfile.mkdtemp(prefix="ivf_stream_")
+    src = f"{work}/src"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        _as_double_array("embedding").alias("v"),
+    )
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    if hi is None:  # empty corpus: nothing to serve
+        return spark.createDataFrame(
+            [], "vec_id bigint, label bigint, cosine double, rank int"
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            emb.filter(
+                (F.col("vec_id") >= cuts[i])
+                & (F.col("vec_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, label bigint, v array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_ivf_index(
+        stream, f"{work}/vectors", f"{work}/cents", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+
+    vectors = LakehouseTable(spark, f"{work}/vectors")
+    grid = LakehouseTable(spark, f"{work}/cents").read()
+    cent_long = grid.select(
+        "label",
+        "dim_idx",
+        (F.col("s").cast("double") / F.col("n")).alias("centroid"),
+    )
+    cent_arr = _cent_arr_from_long(cent_long)
+    query = vectors.read_where_in("vec_id", [QUERY_VEC_ID]).where(
+        F.col("vec_id") == QUERY_VEC_ID
+    ).select(F.col("v").alias("qv"))
+    probes = _route_probes(cent_arr, query, nprobe=2)
+    cells = [r[0] for r in probes.select("cell").collect()]
+    candidates = vectors.read_where_in("label", cells).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return _ivf_rank(candidates, query, TOP_K)
+
+
+QUERIES["streaming_ann_ivf"] = q_streaming_ann_ivf
+
+# The maintained centroids/vectors bit-equal the batch build, so the
+# served top-k shares the batch ann_ivf_topk oracle verbatim.
+ORACLE["streaming_ann_ivf"] = _SIMILARITY_ORACLE["ann_ivf_topk"]

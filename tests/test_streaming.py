@@ -2433,3 +2433,77 @@ def test_drift_moments_sink_order_insensitive_and_skips_replay(
     assert streaming_events.drift_moments_sink(b0, 0, path) is False
     assert streaming_events.drift_moments_sink(b1, 1, path) is False
     assert LakehouseTable(spark, path).latest_version() == v
+
+
+def test_ivf_index_sink_order_insensitive_and_skips_replay(
+    spark, tmp_path
+):
+    """The maintained IVF index: vector rows land exactly once per
+    batch, the centroid grid is an additive decimal lattice (either
+    fold order bit-equals the from-scratch per-label sums), and a
+    replayed batch is a no-op on BOTH tables."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, label bigint, v array<double>"
+        )
+
+    b0 = _batch([(0, 0, [1.0, 0.0]), (1, 1, [0.0, 2.0])])
+    b1 = _batch([(2, 0, [3.0, 1.0]), (3, 1, [1.0, 4.0])])
+    want_cents = {(0, 0): 4.0, (0, 1): 1.0, (1, 0): 1.0, (1, 1): 6.0}
+    for order, (x, y) in (("fwd", (b0, b1)), ("rev", (b1, b0))):
+        vp = str(tmp_path / f"v_{order}")
+        cp = str(tmp_path / f"c_{order}")
+        assert streaming_events.ivf_index_sink(x, 0, vp, cp) is True
+        assert streaming_events.ivf_index_sink(y, 1, vp, cp) is True
+        vecs = {
+            r.vec_id: (r.label, tuple(r.v))
+            for r in LakehouseTable(spark, vp).read().collect()
+        }
+        assert set(vecs) == {0, 1, 2, 3}, order
+        cents = {
+            (r.label, r.dim_idx): (float(r.s), r.n)
+            for r in LakehouseTable(spark, cp).read().collect()
+        }
+        assert {k: v[0] for k, v in cents.items()} == want_cents, order
+        assert all(n == 2 for _, n in cents.values())
+    vp, cp = str(tmp_path / "v_fwd"), str(tmp_path / "c_fwd")
+    vv = LakehouseTable(spark, vp).latest_version()
+    cv = LakehouseTable(spark, cp).latest_version()
+    assert streaming_events.ivf_index_sink(b0, 0, vp, cp) is False
+    assert streaming_events.ivf_index_sink(b1, 1, vp, cp) is False
+    assert LakehouseTable(spark, vp).latest_version() == vv
+    assert LakehouseTable(spark, cp).latest_version() == cv
+
+
+def test_ivf_serving_reads_probed_cells_file_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """The 100 TB serving claim: after the maintenance cycle Z-orders
+    the vector table by label, a cell-probe read opens strictly fewer
+    files than the table holds — nprobe routing is file-level data
+    skipping, not a full scan with a residual filter."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    vp, cp = str(tmp_path / "v"), str(tmp_path / "c")
+    # 4 batches x 200 vectors across 16 labels
+    for b in range(4):
+        rows = [
+            (200 * b + i, (i % 16), [float(i % 7), float(i % 5)])
+            for i in range(200)
+        ]
+        batch = spark.createDataFrame(
+            rows, "vec_id bigint, label bigint, v array<double>"
+        )
+        assert streaming_events.ivf_index_sink(batch, b, vp, cp) is True
+    lh.LakehouseTable(spark, vp).optimize(target_files=32, zorder_by=["label"])
+    table = lh.LakehouseTable(spark, vp)
+    live = table.read().inputFiles()
+    assert len(live) >= 10
+    keep, total = table.prune_files_in("label", [3, 7])
+    assert len(keep) < total, (len(keep), total)
+    got = table.read_where_in("label", [3, 7]).select("label").distinct()
+    assert sorted(r.label for r in got.collect()) == [3, 7]
