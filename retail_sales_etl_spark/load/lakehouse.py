@@ -144,6 +144,27 @@ def _normalize_bound(column: str, value, schema: StructType | None):
     )
 
 
+def _typed_bound(column: str, canonical, schema: StructType | None):
+    """The normalized (canonical) bound converted BACK to the column's
+    Python type, so an exact row-level filter can apply the very same
+    bound the stats classification used — retire_below's requirement
+    (a read path tolerates a loosened prune because its residual
+    filter re-applies the caller's bound; a DELETE must not)."""
+    import datetime as dt
+
+    if canonical is None or schema is None:
+        return canonical
+    field = next((f for f in schema.fields if f.name == column), None)
+    if field is None:
+        return canonical
+    t = field.dataType.typeName()
+    if t == "date":
+        return dt.date.fromisoformat(canonical)
+    if t in ("timestamp", "timestamp_ntz"):
+        return dt.datetime.fromisoformat(canonical)
+    return canonical
+
+
 def _merge_extra(entry: dict, extra: dict | None) -> dict:
     """Merge caller metadata into a commit entry, rejecting any key that
     collides with a reserved transaction-log field."""
@@ -183,6 +204,18 @@ class LakehouseTable:
         self.log_dir = os.path.join(path, _LOG_DIR)
 
     # ---------------------------------------------------------------- log
+
+    def _disk_bytes(self, names) -> int:
+        """Total on-disk bytes of table-relative file names (missing
+        files count zero) — shared by optimize's merge-mass telemetry
+        and retire_below's drop accounting."""
+        total = 0
+        for f in names:
+            try:
+                total += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                pass
+        return total
 
     def _log_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json")
@@ -451,12 +484,18 @@ class LakehouseTable:
         df.write.mode("overwrite").parquet(staging)
         staged = self.spark.read.parquet(staging)
         cols = [c for c, t in staged.dtypes if t in self._STATS_DTYPES]
+        # the third stats element is the per-file NULL count: min/max
+        # are NULL-blind, so range arithmetic alone can never prove a
+        # file holds no NULL rows — retire_below's whole-file drop
+        # needs that proof (files from pre-null-count commits carry
+        # 2-element stats and are treated as "nulls unknown")
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             f
             for i, c in enumerate(cols)
             for f in (
                 F.min(F.col(c)).alias(f"__mn_{i}"),
                 F.max(F.col(c)).alias(f"__mx_{i}"),
+                F.count(F.col(c)).alias(f"__nn_{i}"),
             )
         ]
         per_file = (
@@ -471,7 +510,11 @@ class LakehouseTable:
             base = os.path.basename(r["__f"])
             file_rows[base] = r["__n"]
             file_stats[base] = {
-                c: [_stat_json(r[f"__mn_{i}"]), _stat_json(r[f"__mx_{i}"])]
+                c: [
+                    _stat_json(r[f"__mn_{i}"]),
+                    _stat_json(r[f"__mx_{i}"]),
+                    int(r["__n"]) - int(r[f"__nn_{i}"]),
+                ]
                 for i, c in enumerate(cols)
             }
         n = sum(file_rows.values())
@@ -708,7 +751,7 @@ class LakehouseTable:
             if s is None:
                 keep.append(f)
                 continue
-            mn, mx = s
+            mn, mx = s[0], s[1]
             if mn is None:  # every value in the file is NULL
                 continue
             if lo is not None and mx < lo:
@@ -797,7 +840,7 @@ class LakehouseTable:
             if s is None:
                 keep.append(f)
                 continue
-            mn, mx = s
+            mn, mx = s[0], s[1]
             if mn is None:  # every value in the file is NULL
                 continue
             i = bisect.bisect_left(vals, mn)
@@ -1006,6 +1049,13 @@ class LakehouseTable:
         cut = _normalize_bound(column, cutoff, schema)
         if cut is None:
             raise ValueError("retire_below needs a non-NULL cutoff")
+        # The NORMALIZED bound is the effective retirement predicate on
+        # both the classification and the rewrite filter — a raw bound
+        # that only loosens under normalization (a datetime on a date
+        # column truncates to its date) would otherwise classify files
+        # with one cutoff and delete rows with another, retiring
+        # identical values differently depending on file layout.
+        typed_cut = _typed_bound(column, cut, schema)
         drop: list[str] = []
         straddle: list[str] = []
         for f in live:
@@ -1013,22 +1063,19 @@ class LakehouseTable:
             if s is None:
                 straddle.append(f)  # no stats: conservative rewrite
                 continue
-            mn, mx = s
+            mn, mx = s[0], s[1]
+            nnulls = s[2] if len(s) > 2 else None
             if mn is None:  # all-NULL file: never matches the predicate
                 continue
-            if mx < cut:
+            if mx < cut and nnulls == 0:
+                # provably no NULL rows (min/max are NULL-blind, so the
+                # whole-file drop additionally needs the manifest's
+                # null count; pre-null-count commits and mixed-NULL
+                # files fall through to the straddle rewrite, whose
+                # filter retains the NULL rows)
                 drop.append(f)
             elif mn < cut:
                 straddle.append(f)
-
-        def _disk_bytes(names):
-            total = 0
-            for f in names:
-                try:
-                    total += os.path.getsize(os.path.join(self.path, f))
-                except OSError:
-                    pass
-            return total
 
         if not drop and not straddle:
             return {
@@ -1042,7 +1089,7 @@ class LakehouseTable:
                 *[os.path.join(self.path, f) for f in straddle]
             )
             c = F.col(column)
-            kept = src.where((c >= F.lit(cutoff)) | c.isNull())
+            kept = src.where((c >= F.lit(typed_cut)) | c.isNull())
             files, n, stats_out = self._stage_files(kept)
         else:
             files, n, stats_out = [], 0, {}
@@ -1058,7 +1105,7 @@ class LakehouseTable:
                 "retire_below": cut,
                 "files_dropped": len(drop),
                 "files_rewritten": len(straddle),
-                "bytes_dropped": _disk_bytes(drop),
+                "bytes_dropped": self._disk_bytes(drop),
             },
             extra,
         )
@@ -1273,19 +1320,10 @@ class LakehouseTable:
                 os.remove(os.path.join(self.path, f))
             raise ValueError(f"Compaction row drift: {n_before} -> {n}")
 
-        def _disk_bytes(names):
-            total = 0
-            for f in names:
-                try:
-                    total += os.path.getsize(os.path.join(self.path, f))
-                except OSError:
-                    pass
-            return total
-
         # merge-mass telemetry: bytes folded in vs bytes staged out,
         # in the COMMIT LOG (history() is the audit surface a 100 TB
         # operator alerts on) as well as the return value
-        bytes_in, bytes_out = _disk_bytes(rewrite), _disk_bytes(files)
+        bytes_in, bytes_out = self._disk_bytes(rewrite), self._disk_bytes(files)
         entry = {
             "operation": "optimize",
             "add": files,

@@ -2170,7 +2170,6 @@ def _mann_kendall_from_daily(daily: DataFrame) -> DataFrame:
         daily.groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
             F.sum(
                 F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
             ).cast("bigint").alias("tie3"),

@@ -4625,10 +4625,20 @@ def novelty_sink(
                 "n_grams",
                 F.coalesce("gain", F.lit(0)).cast("bigint").alias("n_novel"),
             )
-            loss_keys = [r[0] for r in losses.select("doc_id").collect()]
-            if loss_keys:
-                prior_docs = docs.read_where_in(
-                    "doc_id", loss_keys, version=rv_d
+            # correction-holder probe under the SAME cap discipline as
+            # the gram probe: a mega-correction batch (millions of
+            # stolen grams across millions of prior holders) must fall
+            # back to the full pinned read LOUDLY, never collect an
+            # unbounded key list to the driver
+            loss_keys = _probe_keys_or_warn(
+                losses.select("doc_id"), batch_id, "novelty_sink",
+                "doc_id",
+            )
+            if loss_keys is None or loss_keys:
+                prior_docs = (
+                    docs.read_where_in("doc_id", loss_keys, version=rv_d)
+                    if loss_keys is not None
+                    else docs.read(version=rv_d)
                 )
                 corrected = prior_docs.join(losses, "doc_id").select(
                     "doc_id",
@@ -5241,9 +5251,10 @@ def q_streaming_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / F.col("n")).alias("centroid"),
     )
     cent_arr = _cent_arr_from_long(cent_long)
-    query = vectors.read_where_in("vec_id", [QUERY_VEC_ID]).where(
-        F.col("vec_id") == QUERY_VEC_ID
-    ).select(F.col("v").alias("qv"))
+    # read_where_in is exact (residual semi-join), not a superset read
+    query = vectors.read_where_in("vec_id", [QUERY_VEC_ID]).select(
+        F.col("v").alias("qv")
+    )
     probes = _route_probes(cent_arr, query, nprobe=2)
     cells = [r[0] for r in probes.select("cell").collect()]
     candidates = vectors.read_where_in("label", cells).filter(

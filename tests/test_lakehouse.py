@@ -1206,3 +1206,61 @@ def test_incremental_optimize_rejects_bad_max_generations(spark, table):
             target_files=1, zorder_by=["id"], incremental=True,
             max_generations=0,
         )
+
+
+def test_retire_below_never_metadata_drops_null_rows(spark, table):
+    """min/max stats are NULL-blind, so a file WHOLLY below the cutoff
+    can still hide NULL rows the retirement predicate promises never
+    to match: the whole-file drop requires the manifest's null count
+    to be zero; a mixed-NULL file falls to the straddle rewrite and
+    its NULLs survive (r16 review)."""
+    schema = "id bigint, src string, val double"
+    table.write(
+        spark.createDataFrame(
+            [(5, "a", 1.0), (7, "a", 2.0), (None, "n", 3.0)], schema
+        ).coalesce(1),
+        mode="append",
+    )
+    table.write(
+        spark.createDataFrame([(100, "b", 4.0)], schema).coalesce(1),
+        mode="append",
+    )
+    res = table.retire_below("id", 50)
+    # the mixed-NULL file is wholly below the cutoff by min/max but
+    # must be REWRITTEN, not dropped
+    assert res["files_dropped"] == 0
+    assert res["files_rewritten"] == 1
+    got = table.read().collect()
+    assert sorted(r.id for r in got if r.id is not None) == [100]
+    assert sum(1 for r in got if r.id is None) == 1  # NULL retained
+
+
+def test_retire_below_datetime_bound_on_date_column_is_consistent(
+    spark, table
+):
+    """A datetime cutoff on a DATE column normalizes to its date for
+    stats classification — and the rewrite filter must apply the SAME
+    normalized bound, or identical date values would survive in one
+    file and die in another depending on layout (r16 review): with
+    cutoff 2020-01-15T12:00 the effective predicate is < 2020-01-15,
+    so Jan-15 rows survive in the straddling file."""
+    import datetime as dt
+
+    schema = "d date, src string"
+    table.write(
+        spark.createDataFrame(
+            [(dt.date(2020, 1, 10 + i), "a") for i in range(5)], schema
+        ).coalesce(1),
+        mode="append",
+    )
+    table.write(
+        spark.createDataFrame(
+            [(dt.date(2020, 1, 14 + i), "b") for i in range(3)], schema
+        ).coalesce(1),
+        mode="append",
+    )
+    res = table.retire_below("d", dt.datetime(2020, 1, 15, 12, 0))
+    assert res["files_dropped"] == 1  # the Jan 10-14 file drops whole
+    assert res["files_rewritten"] == 1  # Jan 14-16 straddles
+    got = sorted(r.d.isoformat() for r in table.read().collect())
+    assert got == ["2020-01-15", "2020-01-16"]
