@@ -1186,8 +1186,6 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle exactly. idf = ln(1 + (N - df + .5)/(df + .5)) — the
     Robertson/Lucene form, positive for any df.
     """
-    from pyspark.sql.functions import broadcast
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("ws")
@@ -1197,11 +1195,37 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    words = toks.select("doc_id", F.explode("ws").alias("w")).filter(
-        F.col("w").isin(*BM25_QUERY)
-    )
+    wc_dl = _bm25_doc_terms(toks, terms=BM25_QUERY)
+    dfreq = wc_dl.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_rank(wc_dl, dfreq, stats)
+
+
+def _bm25_doc_terms(toks: DataFrame, terms=None) -> DataFrame:
+    """(doc_id, w, tf, dl) term grid off tokenized docs ``(doc_id,
+    ws array)`` — the shared posting builder of the batch retrieval
+    and the streaming index sink (one tokenization/tf convention, the
+    two can never drift). ``terms`` filters MAP-SIDE before the grid
+    aggregate (the batch query path: the shuffled grid is |matching
+    docs| x |query terms|); ``terms=None`` builds the FULL-vocabulary
+    grid (the index-build path — at 100 TB that full grid IS the
+    inverted index, paid once per batch instead of once per query)."""
+    dl = toks.select("doc_id", F.size("ws").alias("dl"))
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    if terms is not None:
+        words = words.filter(F.col("w").isin(*terms))
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return wc.join(dl, "doc_id")
+
+
+def _bm25_rank(wc_dl: DataFrame, dfreq: DataFrame, stats: DataFrame) -> DataFrame:
+    """BM25 scoring + top-k rollup off a (doc_id, w, tf, dl) grid, a
+    per-term df frame, and a 1-row (n_docs, avgdl) stats frame — the
+    shared tail of the batch retrieval and the maintained-index
+    serving path. Per-term scores are 6-dp rounded then DECIMAL-summed
+    (order-independent); idf = ln(1 + (N - df + .5)/(df + .5)), the
+    Robertson/Lucene form."""
+    from pyspark.sql.functions import broadcast
+
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1216,8 +1240,7 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         ), 6)
     return (
-        wc.join(broadcast(dfreq), "w")
-        .join(dl, "doc_id")
+        wc_dl.join(broadcast(dfreq), "w")
         .crossJoin(broadcast(stats))
         .groupBy("doc_id")
         .agg(

@@ -5268,3 +5268,226 @@ QUERIES["streaming_ann_ivf"] = q_streaming_ann_ivf
 # The maintained centroids/vectors bit-equal the batch build, so the
 # served top-k shares the batch ann_ivf_topk oracle verbatim.
 ORACLE["streaming_ann_ivf"] = _SIMILARITY_ORACLE["ann_ivf_topk"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_bm25 — a SERVING lexical index under IVM: the document
+# stream maintains the inverted postings table (w, doc_id, tf, dl —
+# Z-ordered by term so a query's posting reads are file-pruned, the
+# Lucene norms-inline layout) plus the additive (df, N, sum_dl) stats
+# grid; ANY term query is then served from nprobe-style term reads +
+# the shared BM25 scoring tail, never re-tokenizing the corpus
+# ---------------------------------------------------------------------------
+
+
+def bm25_index_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    postings_path: str,
+    stats_path: str,
+) -> bool:
+    """Fold one micro-batch of DOCUMENTS into the maintained BM25
+    index: the FULL-vocabulary posting grid of the batch (shared
+    ``_bm25_doc_terms`` builder — doc length stored inline so serving
+    never joins a second doc-keyed table) appends conditionally
+    (docs arrive once, so (w, doc) rows are disjoint across batches),
+    and the stats grid — ("df", w) -> docs-containing count plus one
+    ("corpus", "") row carrying (n_docs, sum_dl) — folds through
+    ``_additive_grid_sink`` (all counts additive over disjoint doc
+    sets, so any delivery order bit-equals the from-scratch corpus
+    stats). Independent replay guards per table (no cross-table
+    delta, so no rewind protocol — the ``ivf_index_sink`` shape)."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from ..operators.text import _bm25_doc_terms
+
+    spark = batch_df.sparkSession
+    toks = batch_df.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    grid = _bm25_doc_terms(toks).cache()
+    postings = LakehouseTable(spark, postings_path)
+    wrote = False
+    try:
+        for _ in range(3):
+            rv = postings.latest_version()
+            hwm = postings.latest_value("post_batch_hwm", as_of=rv)
+            if _landed_on(postings, batch_id, rv, hwm):
+                break
+            try:
+                postings.write(
+                    grid.select("w", "doc_id", "tf", "dl"),
+                    mode="append",
+                    extra={
+                        "batch_id": batch_id,
+                        "post_batch_hwm": max(
+                            batch_id, hwm if hwm is not None else batch_id
+                        ),
+                    },
+                    conflict_on="batch_id",
+                    read_version=rv,
+                    monotone_max=("post_batch_hwm",),
+                )
+                wrote = True
+                break
+            except DuplicateCommitError:
+                break  # a rival landed this batch's postings
+            except ConcurrentWriteError:
+                continue
+        else:
+            raise RuntimeError(
+                f"bm25_index_sink: could not append batch {batch_id} "
+                f"after 3 attempts (rivals kept advancing {postings_path})"
+            )
+
+        dfreq = grid.groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+            F.lit(0).cast("bigint").alias("v2"),
+        ).select(F.lit("df").alias("kind"), "w", "v", "v2")
+        corpus = toks.agg(
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+            F.sum(F.size("ws")).cast("bigint").alias("v2"),
+        ).select(
+            F.lit("corpus").alias("kind"), F.lit("").alias("w"), "v", "v2"
+        )
+        partial = dfreq.unionByName(corpus)
+
+        def combine(p: DataFrame, c: DataFrame) -> DataFrame:
+            return (
+                p.alias("p")
+                .join(c.alias("c"), ["kind", "w"], "left")
+                .select(
+                    "kind",
+                    "w",
+                    (
+                        F.col("p.v") + F.coalesce(F.col("c.v"), F.lit(0))
+                    ).cast("bigint").alias("v"),
+                    (
+                        F.col("p.v2") + F.coalesce(F.col("c.v2"), F.lit(0))
+                    ).cast("bigint").alias("v2"),
+                )
+            )
+
+        folded = _additive_grid_sink(
+            batch_df, batch_id, stats_path, "bm25_batch_hwm",
+            ["kind", "w"], partial, combine, "bm25_index_sink",
+        )
+        return wrote or folded
+    finally:
+        grid.unpersist()
+
+
+def maintain_bm25_index(
+    stream: DataFrame,
+    postings_path: str,
+    stats_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the BM25 index sink under foreachBatch (availableNow).
+    ``optimize_every=N`` Z-orders the POSTINGS table by term every N
+    batches — INCREMENTALLY (the dedup-index discipline), which is
+    what makes a query's per-term posting reads file-level data
+    skipping instead of full postings scans."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        bm25_index_sink(batch_df, batch_id, postings_path, stats_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            try:
+                LakehouseTable(spark, postings_path).optimize(
+                    target_files=optimize_files,
+                    zorder_by=["w"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
+                )
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
+        for path in (postings_path, stats_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the maintained BM25 index: replay the
+    documents table in 4 doc_id-range micro-batches through
+    ``maintain_bm25_index`` (with a mid-stream Z-order cycle), then
+    SERVE the standard query — df rows for the query terms plus the
+    corpus (N, avgdl) from the maintained stats grid, candidate
+    postings via file-pruned ``read_where_in`` on the query terms,
+    and the shared ``_bm25_rank`` scoring tail — hash-checked against
+    the SAME oracle as the batch ``bm25_retrieval``, proving a 100 TB
+    ingest pipeline can serve ANY lexical query from per-term index
+    reads without ever re-tokenizing the corpus."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.text import BM25_QUERY, _bm25_rank
+
+    work = tempfile.mkdtemp(prefix="bm25_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:  # empty corpus: nothing to retrieve
+        return spark.createDataFrame(
+            [], "doc_id bigint, bm25_score double, n_terms_matched bigint"
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i])
+                & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_bm25_index(
+        stream, f"{work}/postings", f"{work}/stats", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+
+    sgrid = LakehouseTable(spark, f"{work}/stats").read()
+    dfreq = sgrid.where(
+        (F.col("kind") == "df") & F.col("w").isin(*BM25_QUERY)
+    ).select("w", F.col("v").alias("df"))
+    stats = sgrid.where(F.col("kind") == "corpus").select(
+        F.col("v").alias("n_docs"),
+        (F.col("v2") / F.col("v")).alias("avgdl"),
+    )
+    wc_dl = LakehouseTable(spark, f"{work}/postings").read_where_in(
+        "w", list(BM25_QUERY)
+    )
+    return _bm25_rank(wc_dl, dfreq, stats)
+
+
+QUERIES["streaming_bm25"] = q_streaming_bm25
+
+# The maintained postings/stats bit-equal the batch build, so the
+# served top-k shares the batch bm25_retrieval oracle verbatim.
+ORACLE["streaming_bm25"] = _TEXT_ORACLE["bm25_retrieval"]

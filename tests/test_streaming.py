@@ -2507,3 +2507,83 @@ def test_ivf_serving_reads_probed_cells_file_pruned(
     assert len(keep) < total, (len(keep), total)
     got = table.read_where_in("label", [3, 7]).select("label").distinct()
     assert sorted(r.label for r in got.collect()) == [3, 7]
+
+
+def test_bm25_index_sink_order_insensitive_and_skips_replay(
+    spark, tmp_path
+):
+    """The maintained BM25 index: posting rows land exactly once per
+    batch, the (df, N, sum_dl) stats grid is additive over disjoint
+    doc sets (either fold order bit-equals the corpus stats), and a
+    replayed batch is a no-op on BOTH tables."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    b0 = _batch([(1, "apple banana apple"), (2, "banana cherry")])
+    b1 = _batch([(3, "apple date"), (4, "cherry cherry date")])
+    want_df = {"apple": 2, "banana": 2, "cherry": 2, "date": 2}
+    for order, (x, y) in (("fwd", (b0, b1)), ("rev", (b1, b0))):
+        pp = str(tmp_path / f"p_{order}")
+        sp = str(tmp_path / f"s_{order}")
+        assert streaming_events.bm25_index_sink(x, 0, pp, sp) is True
+        assert streaming_events.bm25_index_sink(y, 1, pp, sp) is True
+        posts = {
+            (r.w, r.doc_id): (r.tf, r.dl)
+            for r in LakehouseTable(spark, pp).read().collect()
+        }
+        assert posts[("apple", 1)] == (2, 3), order
+        assert posts[("cherry", 4)] == (2, 3), order
+        assert len(posts) == 8, order
+        grid = LakehouseTable(spark, sp).read().collect()
+        got_df = {r.w: r.v for r in grid if r.kind == "df"}
+        assert got_df == want_df, order
+        (corpus,) = [r for r in grid if r.kind == "corpus"]
+        assert (corpus.v, corpus.v2) == (4, 3 + 2 + 2 + 3), order
+    pp, sp = str(tmp_path / "p_fwd"), str(tmp_path / "s_fwd")
+    pv = LakehouseTable(spark, pp).latest_version()
+    sv = LakehouseTable(spark, sp).latest_version()
+    assert streaming_events.bm25_index_sink(b0, 0, pp, sp) is False
+    assert streaming_events.bm25_index_sink(b1, 1, pp, sp) is False
+    assert LakehouseTable(spark, pp).latest_version() == pv
+    assert LakehouseTable(spark, sp).latest_version() == sv
+
+
+def test_bm25_serving_reads_query_terms_file_pruned(
+    spark, tmp_path
+):
+    """The serving claim: after the maintenance cycle Z-orders the
+    postings by term, a query's per-term reads open strictly fewer
+    files than the postings hold — lexical retrieval is file-level
+    data skipping over the maintained index, not a corpus re-scan."""
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    pp, sp = str(tmp_path / "p"), str(tmp_path / "s")
+    # 4 batches x 1000 docs, each doc one unique term + one shared
+    # term; terms spread base-26 over their LEADING letters so the
+    # Z-surrogate's equal-width byte bucketing actually separates them
+    def _term(n):
+        return "".join(
+            chr(97 + (n // 26**k) % 26) for k in (3, 2, 1, 0)
+        )
+
+    for b in range(4):
+        rows = [
+            (1000 * b + i, f"{_term((1000 * b + i) * 113 % 456976)} shared")
+            for i in range(1000)
+        ]
+        batch = spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        )
+        assert streaming_events.bm25_index_sink(batch, b, pp, sp) is True
+    lh.LakehouseTable(spark, pp).optimize(target_files=32, zorder_by=["w"])
+    table = lh.LakehouseTable(spark, pp)
+    live = table.read().inputFiles()
+    assert len(live) >= 6
+    probe = [_term(3 * 113 % 456976), _term(1500 * 113 % 456976)]
+    keep, total = table.prune_files_in("w", probe)
+    assert len(keep) < total, (len(keep), total)
+    got = table.read_where_in("w", probe).collect()
+    assert sorted(r.doc_id for r in got) == [3, 1500]
+    assert all(r.tf == 1 and r.dl == 2 for r in got)
