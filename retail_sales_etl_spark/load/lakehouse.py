@@ -1287,16 +1287,7 @@ class LakehouseTable:
                 }
             n_merge = max(0, len(gens) + 1 - max_generations)
             if n_merge:
-                def _gen_bytes(g):
-                    total = 0
-                    for f in g:
-                        try:
-                            total += os.path.getsize(os.path.join(self.path, f))
-                        except OSError:
-                            pass
-                    return total
-
-                by_size = sorted(gens, key=_gen_bytes)
+                by_size = sorted(gens, key=self._disk_bytes)
                 folded, gens_kept = by_size[:n_merge], by_size[n_merge:]
                 rewrite = unclustered + [f for g in folded for f in g]
             else:

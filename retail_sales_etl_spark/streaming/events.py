@@ -2910,24 +2910,50 @@ def maintain_cohort_ltv(
     via MERGE-deletes — so both tables stay bounded by the customers
     active within the horizon. A customer returning after H is
     re-acquired as a NEW cohort (TTL staleness, documented); off by
-    default — the driver entry keeps exact forever-semantics."""
+    default — the driver entry keeps exact forever-semantics.
+
+    The in-order contract is ENFORCED at the retirement boundary, not
+    assumed: once a retirement cycle has stamped ``retire_wm_mkey``
+    into the state table's commit log, any later batch carrying an
+    order whose month key falls below that watermark minus the
+    horizon fails LOUD before folding — a silent fold would re-count
+    the (customer, month) pair as novel (double-counting n_active) or
+    re-acquire the customer as a new cohort mid-horizon, and the
+    published matrix is long-lived, so the corruption would be
+    unrecoverable."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
 
+        spark = batch_df.sparkSession
+        retiring = bool(retire_every and retire_horizon_months)
+        wm = None
+        if retiring:
+            od = F.to_date("o_orderdate")
+            mkey = F.year(od) * F.lit(12) + F.month(od) - F.lit(1)
+            mn, wm = batch_df.agg(F.min(mkey), F.max(mkey)).first()
+            if mn is not None:
+                last_wm = LakehouseTable(spark, state_path).latest_value(
+                    "retire_wm_mkey"
+                )
+                if (
+                    last_wm is not None
+                    and int(mn) < int(last_wm) - retire_horizon_months
+                ):
+                    raise RuntimeError(
+                        f"maintain_cohort_ltv: out-of-order micro-batch "
+                        f"{batch_id} — an order's month key {int(mn)} "
+                        f"falls below the retirement cutoff "
+                        f"{int(last_wm) - retire_horizon_months} (last "
+                        f"retire_wm_mkey={int(last_wm)} - horizon="
+                        f"{retire_horizon_months}); folding it would "
+                        f"double-count n_active against retired state — "
+                        f"refusing to fold"
+                    )
         cohort_ltv_sink(
             batch_df, batch_id, firsts_path, state_path, matrix_path
         )
-        spark = batch_df.sparkSession
-        if (
-            retire_every
-            and retire_horizon_months
-            and (batch_id + 1) % retire_every == 0
-        ):
-            od = F.to_date("o_orderdate")
-            wm = batch_df.agg(
-                F.max(F.year(od) * F.lit(12) + F.month(od) - F.lit(1))
-            ).first()[0]
+        if retiring and (batch_id + 1) % retire_every == 0:
             if wm is not None:
                 try:
                     state_t = LakehouseTable(spark, state_path)
@@ -5349,7 +5375,12 @@ def bm25_index_sink(
         ).select(F.lit("df").alias("kind"), "w", "v", "v2")
         corpus = toks.agg(
             F.count(F.lit(1)).cast("bigint").alias("v"),
-            F.sum(F.size("ws")).cast("bigint").alias("v2"),
+            # coalesce: an EMPTY batch sums to NULL, and the additive
+            # combine only guards the STORED side — a NULL partial
+            # would overwrite (and destroy) the accumulated sum_dl.
+            F.coalesce(F.sum(F.size("ws")), F.lit(0))
+            .cast("bigint")
+            .alias("v2"),
         ).select(
             F.lit("corpus").alias("kind"), F.lit("").alias("w"), "v", "v2"
         )

@@ -1970,6 +1970,46 @@ def test_cohort_retirement_bounds_firsts_and_state(spark, tmp_path):
     assert matrix[(m0 + 30, 0)] == (1, 5.0)
 
 
+def test_cohort_retirement_guard_rejects_out_of_order_batch(
+    spark, tmp_path
+):
+    """Once a retirement cycle has stamped retire_wm_mkey, a later
+    batch carrying an order whose month key falls below (watermark -
+    horizon) must fail LOUD before folding — a silent fold would
+    double-count n_active against retired state or re-acquire the
+    customer as a new cohort mid-horizon."""
+    import datetime as dt
+
+    import pytest
+
+    schema = "o_custkey bigint, o_orderdate date, o_totalprice double"
+    batches = [
+        # month 2023*12+4 — the per-batch cycle stamps
+        # retire_wm_mkey, cutoff = wm - 18
+        [(1, dt.date(2023, 5, 10), 10.0)],
+        # month 2020*12 — 40 months behind the watermark, below the
+        # cutoff: the guard must refuse the fold
+        [(2, dt.date(2020, 1, 10), 5.0)],
+    ]
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, src, batches, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="out-of-order micro-batch"):
+        streaming_events.maintain_cohort_ltv(
+            stream,
+            str(tmp_path / "firsts"),
+            str(tmp_path / "state"),
+            str(tmp_path / "matrix"),
+            str(tmp_path / "ckpt"),
+            retire_every=1,
+            retire_horizon_months=18,
+        ).awaitTermination()
+
+
 def test_rake_source_sink_order_insensitive_and_skips_replay(
     spark, tmp_path
 ):
@@ -2548,6 +2588,32 @@ def test_bm25_index_sink_order_insensitive_and_skips_replay(
     assert streaming_events.bm25_index_sink(b1, 1, pp, sp) is False
     assert LakehouseTable(spark, pp).latest_version() == pv
     assert LakehouseTable(spark, sp).latest_version() == sv
+
+
+def test_bm25_index_sink_empty_batch_preserves_stats(spark, tmp_path):
+    """An EMPTY micro-batch (reachable: a doc_id-range quarter with no
+    docs, or any production stream delivering an empty trigger) must
+    be a stats no-op: the global corpus aggregate over zero rows sums
+    to NULL, and an unguarded partial would overwrite the accumulated
+    sum_dl with NULL — destroying avgdl for every later BM25 score."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pp, sp = str(tmp_path / "p"), str(tmp_path / "s")
+    b0 = _batch([(1, "apple banana apple"), (2, "banana cherry")])
+    empty = _batch([])
+    b2 = _batch([(3, "apple date")])
+    streaming_events.bm25_index_sink(b0, 0, pp, sp)
+    streaming_events.bm25_index_sink(empty, 1, pp, sp)
+    streaming_events.bm25_index_sink(b2, 2, pp, sp)
+    grid = LakehouseTable(spark, sp).read().collect()
+    (corpus,) = [r for r in grid if r.kind == "corpus"]
+    assert corpus.v == 3
+    assert corpus.v2 == 3 + 2 + 2  # sum_dl survives the empty batch
+    got_df = {r.w: r.v for r in grid if r.kind == "df"}
+    assert got_df == {"apple": 2, "banana": 2, "cherry": 1, "date": 1}
 
 
 def test_bm25_serving_reads_query_terms_file_pruned(
