@@ -766,7 +766,18 @@ def _pq_train_sampled(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     then ONE broadcast coding pass over the full corpus against the
     final codebooks. Returns (codebook, codes) with the same shapes as
     ``_pq_train`` — shared by ``ann_pq_sampled_topk`` and the sampled
-    IVFPQ composition."""
+    IVFPQ compositions (batch and streaming-served)."""
+    codebook = _pq_codebook_sampled(emb)
+    return codebook, _pq_code(emb, codebook)
+
+
+def _pq_codebook_sampled(emb: DataFrame) -> DataFrame:
+    """The sampled codebook trainer alone: Lloyd over the PQ_SAMPLE_N
+    hash sample of ``emb`` (vec_id, v) — constant training cost at any
+    corpus size. Split out of ``_pq_train_sampled`` so a serving path
+    can code a RESTRICTED vector set (e.g. only the probed IVF cells
+    read file-pruned from a maintained index) against corpus-trained
+    codebooks."""
     sample = (
         emb.withColumn(
             "__sk",
@@ -833,8 +844,15 @@ def _pq_train_sampled(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
                 lambda s: s.centroid,
             ).alias("cv")
         )
-    # one broadcast coding pass over the FULL corpus vs the FINAL
-    # codebooks — the only corpus-sized stage of training
+    return codebook
+
+
+def _pq_code(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """ONE broadcast coding pass of ``emb`` (vec_id, v) against final
+    codebooks — the only corpus-sized stage of sampled PQ training,
+    and per-vector independent, so coding any SUBSET of the corpus
+    (a probed cell's members) bit-equals the full pass restricted to
+    that subset. Returns codes (vec_id, sub, code)."""
     fsubs = emb.select(
         "vec_id",
         F.posexplode(
@@ -843,7 +861,7 @@ def _pq_train_sampled(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("sub", "sv"),
     )
-    codes = (
+    return (
         fsubs.join(broadcast(codebook), "sub")
         .select(
             "vec_id",
@@ -854,7 +872,6 @@ def _pq_train_sampled(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("vec_id", "sub")
         .agg(F.expr("min_by(code, named_struct('d', d2, 'c', code)) AS code"))
     )
-    return codebook, codes
 
 
 def _pq_sampled_oracle(member_ctes: str = "", member_join: str = "") -> str:
@@ -1955,6 +1972,47 @@ ORACLE["ann_ivf_pq_topk"] = _pq_oracle(
     member_ctes=_IVFPQ_MEMBER_CTES,
     member_join="JOIN imembers m ON a.vec_id = m.vec_id",
 )
+
+# Membership hooks for the STREAMING-SERVED IVFPQ composition: the
+# maintained index's cells are the raw label column (the ann_ivf_topk /
+# streaming_ann_ivf convention — at 100 TB the vector table is stored
+# clustered by that cell id, so membership is file pruning, not an
+# assignment join), routed to the same label-mean centroids the
+# maintained grid derives. Composes into _pq_sampled_oracle after its
+# Lloyd chain; 'i' prefixes avoid CTE-name collisions.
+_LABEL_IVFPQ_MEMBER_CTES = f"""
+        embl AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        icent AS (
+            SELECT label, i - 1 AS dim_idx,
+                   CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE)
+                       / count(*) AS centroid
+            FROM (
+                SELECT label, v, unnest(generate_series(1, len(v))) AS i
+                FROM embl
+            )
+            GROUP BY label, i
+        ),
+        icarr AS (
+            SELECT label AS cell, list(centroid ORDER BY dim_idx) AS cv
+            FROM icent GROUP BY label
+        ),
+        iq AS (SELECT v AS qv FROM embl WHERE vec_id = {QUERY_VEC_ID}),
+        iprobes AS (
+            SELECT cell FROM icarr, iq
+            ORDER BY floor((list_dot_product(cv, qv)
+                           / (sqrt(list_dot_product(cv, cv))
+                              * sqrt(list_dot_product(qv, qv)))) * 1e6 + 0.5) / 1e6 DESC,
+                     cell
+            LIMIT {IVFPQ_NPROBE}
+        ),
+        imembers AS (
+            SELECT vec_id FROM embl
+            WHERE label IN (SELECT cell FROM iprobes)
+        ),
+"""
 
 
 def q_ann_ivf_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2549,6 +2549,150 @@ def test_ivf_serving_reads_probed_cells_file_pruned(
     assert sorted(r.label for r in got.collect()) == [3, 7]
 
 
+def test_decon_sink_judges_on_arrival_and_skips_replay(spark, tmp_path):
+    """The ingest-time decontamination guard: eval docs (doc_id %
+    DECON_EVAL_MOD == 0) fold their distinct 5-grams into the
+    maintained index, train docs are judged at arrival against the
+    eval set known so far, the gram table stays a SET across batches,
+    and a full replay is a no-op on both tables."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    gp, vp = str(tmp_path / "grams"), str(tmp_path / "verdicts")
+    # batch 0: eval doc 0 registers two 5-grams; train doc 1 shares
+    # one of them (frac 0.5 -> contaminated), train doc 2 none
+    b0 = _batch([
+        (0, "a b c d e f"),
+        (1, "a b c d e x"),
+        (2, "z y x w v u"),
+    ])
+    assert streaming_events.decon_sink(b0, 0, gp, vp) is True
+    # batch 1: eval doc 37 re-registers one KNOWN gram + one new one;
+    # train doc 40 hits the batch-0 gram, train doc 41 hits the
+    # batch-1 gram (same-batch eval registration also counts)
+    b1 = _batch([
+        (37, "a b c d e p q"),
+        (40, "b c d e f m"),
+        (41, "b c d e p m"),
+    ])
+    assert streaming_events.decon_sink(b1, 1, gp, vp) is True
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.is_contaminated)
+        for r in LakehouseTable(spark, vp).read().collect()
+    }
+    assert got == {
+        1: (2, 1, True),
+        2: (2, 0, False),
+        40: (2, 1, True),
+        41: (2, 1, True),
+    }, got
+    # gram table stays a set: doc 0 contributed 2, doc 37 added
+    # "b c d e f"? no — it re-registered "a b c d e" (dup) plus two
+    # new grams from its 7 words: "b c d e p", "c d e p q"
+    grams = sorted(r.gram for r in LakehouseTable(spark, gp).read().collect())
+    assert grams == sorted([
+        "a b c d e", "b c d e f", "b c d e p", "c d e p q"
+    ]), grams
+    # full replay: no-op on both tables
+    gv = LakehouseTable(spark, gp).latest_version()
+    vv = LakehouseTable(spark, vp).latest_version()
+    assert streaming_events.decon_sink(b0, 0, gp, vp) is False
+    assert streaming_events.decon_sink(b1, 1, gp, vp) is False
+    assert LakehouseTable(spark, gp).latest_version() == gv
+    assert LakehouseTable(spark, vp).latest_version() == vv
+
+
+def test_decon_probe_reads_file_pruned(spark, tmp_path):
+    """After the maintenance cycle Z-orders the eval-gram table, a
+    batch's gram probe opens strictly fewer files than the table
+    holds — ingest-time contamination checks are file-level data
+    skipping over the registered benchmark set."""
+    from retail_sales_etl_spark.load import lakehouse as lh
+
+    gp, vp = str(tmp_path / "g"), str(tmp_path / "v")
+
+    def _term(n):
+        return "".join(chr(97 + (n // 26**k) % 26) for k in (3, 2, 1, 0))
+
+    # 4 batches of eval-only docs (doc_id multiples of 37), each doc a
+    # unique 5-gram whose LEADING word spreads base-26
+    for b in range(4):
+        rows = [
+            (
+                37 * (250 * b + i),
+                f"{_term((250 * b + i) * 113 % 456976)} v w x y",
+            )
+            for i in range(250)
+        ]
+        batch = spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        )
+        assert streaming_events.decon_sink(batch, b, gp, vp) is True
+    lh.LakehouseTable(spark, gp).optimize(target_files=32, zorder_by=["gram"])
+    table = lh.LakehouseTable(spark, gp)
+    assert len(table.read().inputFiles()) >= 6
+    probe = [f"{_term(3 * 113 % 456976)} v w x y"]
+    keep, total = table.prune_files_in("gram", probe)
+    assert len(keep) < total, (len(keep), total)
+    got = table.read_where_in("gram", probe).collect()
+    assert len(got) == 1
+
+
+def test_pq_serving_codes_only_probed_cells(spark, tmp_path):
+    """The streaming IVFPQ serving claims: (1) the candidate read for
+    the coded scan opens strictly fewer files than the maintained
+    vector table holds (cell probes are file-level data skipping);
+    (2) PQ coding is per-vector independent, so coding ONLY the probed
+    cells' vectors bit-equals the full-corpus coding pass restricted
+    to those members — the algebraic fact that lets the served entry
+    share the batch sampled-PQ oracle."""
+    from retail_sales_etl_spark.load import lakehouse as lh
+    from retail_sales_etl_spark.operators.similarity import (
+        DIM,
+        _pq_code,
+        _pq_codebook_sampled,
+    )
+
+    vp, cp = str(tmp_path / "v"), str(tmp_path / "c")
+    # 4 batches x 200 vectors across 16 labels, full embedding DIM
+    for b in range(4):
+        rows = [
+            (
+                200 * b + i,
+                (i % 16),
+                [float((i * (d + 3)) % 11) for d in range(DIM)],
+            )
+            for i in range(200)
+        ]
+        batch = spark.createDataFrame(
+            rows, "vec_id bigint, label bigint, v array<double>"
+        )
+        assert streaming_events.ivf_index_sink(batch, b, vp, cp) is True
+    lh.LakehouseTable(spark, vp).optimize(target_files=32, zorder_by=["label"])
+    table = lh.LakehouseTable(spark, vp)
+    cells = [3, 7]
+    keep, total = table.prune_files_in("label", cells)
+    assert len(keep) < total, (len(keep), total)
+    emb_all = table.read().select("vec_id", "v")
+    codebook = _pq_codebook_sampled(emb_all).cache()
+    candidates = table.read_where_in("label", cells).select("vec_id", "v")
+    got = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_code(candidates, codebook).collect()
+    }
+    member_ids = {r.vec_id for r in candidates.select("vec_id").collect()}
+    want = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_code(emb_all, codebook).collect()
+        if r.vec_id in member_ids
+    }
+    codebook.unpersist()
+    assert got == want
+    assert len(got) > 0
+
+
 def test_bm25_index_sink_order_insensitive_and_skips_replay(
     spark, tmp_path
 ):
