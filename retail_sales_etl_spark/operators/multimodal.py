@@ -171,13 +171,27 @@ def resize_ppm_nn(payload: bytes) -> dict:
 
 
 def _decode_media(payload: bytes, mime_type: str) -> dict:
-    """Per-mime decode dispatch for the feature extractor: real P6 PPM
-    decode where the format is pure bytes; deterministic stub for
-    payloads whose codecs the sandbox lacks."""
+    """Per-mime decode dispatch for the feature extractor: real
+    decoders where the repo implements the codec from the public spec
+    (P6 PPM raster; baseline JFIF via the full Huffman+IDCT chain —
+    ``decode_jpeg``); deterministic stub only for payloads whose
+    codecs genuinely exceed first-principles scope here (video
+    containers, HEIC, arithmetic-coded JPEG)."""
     if mime_type == PPM_MIME:
         d = decode_ppm(payload)
         checksum = (
             (d["sum_r"] * 131 + d["sum_g"]) * 131 + d["sum_b"]
+        ) % (1 << 31)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": 1,
+            "feature_checksum": checksum,
+        }
+    if mime_type == JPEG_MIME:
+        d = decode_jpeg(payload)
+        checksum = (
+            (d["sum_y"] * 131 + d["sum_cb"]) * 131 + d["sum_cr"]
         ) % (1 << 31)
         return {
             "width": d["width"],
@@ -3777,5 +3791,592 @@ ORACLE["multimodal_qoi_resize"] = f"""
                AS sum_g,
            CAST(sum((doc_id + qx * yy + f) % 256) AS BIGINT) AS sum_b
     FROM gen
+    GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81, public spec) — baseline sequential DCT, Huffman
+# entropy coding, 4:4:4. The ninth first-principles codec and the
+# first TRANSFORM-coded one (PNG/GIF/QOI compress losslessly; JPEG
+# quantizes DCT coefficients). The generator emits spec-valid
+# baseline JFIF streams whose decode is CLOSED-FORM: every 8x8 block
+# carries ONLY a DC coefficient (all AC zero — each block's AC
+# entropy data is one EOB symbol), and the luma quant table's DC step
+# is 8, so dequantized DC = 8*(v-128) and the IDCT of a DC-only block
+# is exactly flat at v — integer-exact through the float IDCT (the
+# basis normalization (1/sqrt(2))^2 error is ~1e-13, far below the
+# rounding half-step). The DECODER is general within baseline scope:
+# full marker walk, multi-table DQT/DHT parse, canonical Huffman
+# construction per the spec's code-length algorithm, bit reading with
+# 0xFF00 byte-unstuffing, DC prediction + EXTEND, the full AC
+# run-length loop (ZRL/EOB), zigzag->natural dequantization, and a
+# real 2D IDCT — so arbitrary baseline 4:4:4 streams decode, not just
+# the generator's. Out-of-scope variants fail LOUD (progressive SOF,
+# 12-bit, subsampled chroma, restart intervals), the codec-family
+# contract. Parity target: reference repo has no media handling; this
+# is north-star scope (SURVEY §2 multimodal family).
+# ---------------------------------------------------------------------------
+
+JPEG_MIME = "image/jpeg"
+
+# Zigzag scan: position k in the entropy stream -> natural (row-major)
+# coefficient index, per T.81 Figure A.6.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# The standard Huffman tables of T.81 Annex K.3 — (BITS, HUFFVAL).
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Quant tables in ZIGZAG order: DC step 8 (the closed-form hinge —
+# dequantized DC = 8*(v-128), IDCT/8 lands back on v exactly), AC
+# steps distinct per table so a table-id mixup is structurally wrong.
+_JPEG_QT_LUMA = [8] + [16] * 63
+_JPEG_QT_CHROMA = [8] + [24] * 63
+
+
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc block grid (1..4 x 1..3 blocks of 8x8) — dims stay
+    multiples of 8 so every MCU is full (partial-MCU edge handling is
+    follow-up scope, with the subsampled variants)."""
+    return ((doc_id % 4) + 1) * 8, ((doc_id % 3) + 1) * 8
+
+
+def _jpeg_block_val(doc_id: int, comp: int, bx: int, by: int) -> int:
+    """Closed-form flat-block sample value per (component, block) —
+    the codec family's modular-arithmetic generator shape, offset into
+    [28, 227] so no pixel ever clamps."""
+    if comp == 0:
+        return (doc_id + 7 * bx + 13 * by) % 200 + 28
+    if comp == 1:
+        return (3 * doc_id + 5 * bx + by) % 200 + 28
+    return (doc_id + bx * by) % 200 + 28
+
+
+def _jpeg_code_map(bits: list, vals: list) -> dict:
+    """Canonical Huffman ENCODER map value -> (code, length) per the
+    T.81 Annex C code-length assignment."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits: list, vals: list) -> dict:
+    """Canonical Huffman DECODER map (length, code) -> value — the
+    same Annex C walk as the encoder map, keyed for bitwise decode."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """Entropy-stream bit writer with the spec's 0xFF00 byte stuffing;
+    final partial byte pads with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)
+
+
+class _JpegBitReader:
+    """Entropy-stream bit reader: un-stuffs 0xFF00; any other marker
+    inside the scan fails LOUD (truncation/corruption, or the
+    out-of-scope restart markers)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                m = self.data[self.pos]
+                if m != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0x{m:02x} in entropy stream"
+                    )
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in JPEG entropy stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t received magnitude bits to the
+    signed difference value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def synthesize_jpeg(docs: DataFrame) -> DataFrame:
+    """One REAL baseline JFIF payload per document: SOI, APP0, DQT
+    (both quant tables), SOF0 (8-bit, 3 components, 4:4:4), DHT (all
+    four Annex K.3 standard tables), SOS, interleaved Huffman-coded
+    MCUs, EOI. Every 8x8 block is flat at its closed-form
+    ``_jpeg_block_val`` — encoded as a DC-only block (DC difference
+    through the real category/EXTEND magnitude coding, so block order
+    exercises multiple Huffman categories; AC as one EOB symbol) —
+    which is what makes the lossy transform chain CLOSED-FORM at the
+    oracle grain."""
+    import struct
+
+    dc_maps = (
+        _jpeg_code_map(*_JPEG_DC_LUMA),
+        _jpeg_code_map(*_JPEG_DC_CHROMA),
+    )
+    ac_maps = (
+        _jpeg_code_map(*_JPEG_AC_LUMA),
+        _jpeg_code_map(*_JPEG_AC_CHROMA),
+    )
+
+    def _seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _jpeg_dims(d)
+                wb, hb = w // 8, h // 8
+                buf = bytearray(b"\xff\xd8")  # SOI
+                buf += _seg(
+                    0xE0,
+                    b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0),
+                )
+                buf += _seg(
+                    0xDB,
+                    bytes([0x00]) + bytes(_JPEG_QT_LUMA)
+                    + bytes([0x01]) + bytes(_JPEG_QT_CHROMA),
+                )
+                buf += _seg(
+                    0xC0,
+                    struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+                )
+                dht = bytearray()
+                for cls_id, (bits, vals) in (
+                    (0x00, _JPEG_DC_LUMA),
+                    (0x10, _JPEG_AC_LUMA),
+                    (0x01, _JPEG_DC_CHROMA),
+                    (0x11, _JPEG_AC_CHROMA),
+                ):
+                    dht += bytes([cls_id]) + bytes(bits) + bytes(vals)
+                buf += _seg(0xC4, bytes(dht))
+                buf += _seg(
+                    0xDA,
+                    bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+                )
+                bw = _JpegBitWriter()
+                pred = [0, 0, 0]
+                for by in range(hb):
+                    for bx in range(wb):
+                        for comp in range(3):
+                            tsel = 0 if comp == 0 else 1
+                            dc = _jpeg_block_val(d, comp, bx, by) - 128
+                            diff = dc - pred[comp]
+                            pred[comp] = dc
+                            t = abs(diff).bit_length()
+                            code, ln = dc_maps[tsel][t]
+                            bw.write(code, ln)
+                            if t:
+                                mag = diff if diff >= 0 else diff + (1 << t) - 1
+                                bw.write(mag, t)
+                            code, ln = ac_maps[tsel][0x00]  # EOB
+                            bw.write(code, ln)
+                bw.flush()
+                buf += bw.buf
+                buf += b"\xff\xd9"  # EOI
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": JPEG_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def _jpeg_idct_mat():
+    """The 8-point DCT-III basis matrix A with A[u, x] =
+    C(u)/2 * cos((2x+1) u pi / 16); the 2D IDCT is A.T @ F @ A."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = (cu / 2.0) * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def _jpeg_raster(payload: bytes):
+    """Baseline-scope JPEG decoder core: marker walk (APPn/COM
+    skipped; progressive/extended SOFs, 12-bit precision, chroma
+    subsampling, and DRI restart intervals fail LOUD as out-of-scope),
+    multi-table DQT/DHT parse, canonical Huffman decode, DC
+    prediction, the full AC run-length loop, zigzag dequantization,
+    float IDCT, level shift + clamp. Returns (width, height, [Y, Cb,
+    Cr] uint8 planes). The trailing EOI is REQUIRED — a stream cut
+    after the last complete MCU fails, the codec-family truncation
+    contract."""
+    import struct
+
+    import numpy as np
+
+    p = bytes(payload)
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, list] = {}
+    hts: dict[int, dict] = {}
+    sof = None
+    scan = None
+    while True:
+        if pos + 4 > len(p):
+            raise ValueError("truncated JPEG: no SOS marker")
+        if p[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = p[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            raise ValueError("EOI before SOS: no image data")
+        (length,) = struct.unpack_from(">H", p, pos)
+        seg = p[pos + 2 : pos + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += length
+        if m == 0xDB:
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                if o + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
+                qts[tq] = list(seg[o + 1 : o + 65])
+                o += 65
+        elif m == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG: 12-bit precision")
+            if nc != 3:
+                raise ValueError("unsupported JPEG: need 3 components")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG: subsampled chroma (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG: non-baseline SOF 0x{m:02x}"
+            )
+        elif m == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc_th = seg[o]
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT segment")
+                hts[tc_th] = _jpeg_decode_table(bits, vals)
+                o += 17 + n
+        elif m == 0xDD:
+            raise ValueError("unsupported JPEG: restart intervals (DRI)")
+        elif m == 0xDA:
+            ns = seg[0]
+            if ns != 3:
+                raise ValueError("unsupported JPEG: need 3-component scan")
+            stabs = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                stabs[cs] = (tt >> 4, tt & 15)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if (ss, se, ahal) != (0, 63, 0):
+                raise ValueError("unsupported JPEG: progressive scan params")
+            scan = stabs
+            break
+        elif 0xE0 <= m <= 0xEF or m == 0xFE:
+            pass  # APPn / COM
+        else:
+            raise ValueError(f"unsupported JPEG marker 0x{m:02x}")
+    if sof is None:
+        raise ValueError("JPEG scan before SOF0 header")
+    w, h, comps = sof
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate JPEG dimensions {w}x{h}")
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    amat = _jpeg_idct_mat()
+    planes = [np.zeros((my * 8, mx * 8), dtype=np.uint8) for _ in comps]
+    reader = _JpegBitReader(p, pos)
+    pred = [0] * len(comps)
+    for by in range(my):
+        for bx in range(mx):
+            for ci, (cid, tq) in enumerate(comps):
+                if cid not in scan:
+                    raise ValueError("scan is missing a frame component")
+                td, ta = scan[cid]
+                dct = hts.get(td)
+                act = hts.get(0x10 | ta)
+                qt = qts.get(tq)
+                if dct is None or act is None or qt is None:
+                    raise ValueError("JPEG references an undefined table")
+                coef = [0] * 64
+                t = _jpeg_huff_decode(reader, dct)
+                pred[ci] += _jpeg_extend(reader.receive(t), t)
+                coef[0] = pred[ci] * qt[0]
+                k = 1
+                while k <= 63:
+                    rs = _jpeg_huff_decode(reader, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL: sixteen zeros
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overrun")
+                    coef[_JPEG_ZIGZAG[k]] = (
+                        _jpeg_extend(reader.receive(s), s) * qt[k]
+                    )
+                    k += 1
+                fmat = np.array(coef, dtype=np.float64).reshape(8, 8)
+                blk = amat.T @ fmat @ amat
+                pix = np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    # the spec's end-of-stream integrity marker: after the last MCU
+    # (and the writer's 1-bit padding) the next bytes MUST be EOI
+    if p[reader.pos : reader.pos + 2] != b"\xff\xd9":
+        raise ValueError("truncated JPEG: missing EOI after scan")
+    return w, h, [pl[:h, :w] for pl in planes]
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL decoder for baseline 4:4:4 JFIF — numpy only. Integer-
+    exact stats over the decoded component planes: the generator's
+    DC-only construction makes every pixel closed-form, so a Huffman
+    mis-decode, a wrong DC prediction seam, a dequant table mixup, or
+    an IDCT normalization slip is oracle-visible in the sums."""
+    w, h, (py, pcb, pcr) = _jpeg_raster(payload)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "n_blocks": 3 * ((w + 7) // 8) * ((h + 7) // 8),
+        "sum_y": int(py.sum(dtype="int64")),
+        "sum_cb": int(pcb.sum(dtype="int64")),
+        "sum_cr": int(pcr.sum(dtype="int64")),
+        "corner_y": int(py[0, 0]),
+        "corner_cb": int(pcb[0, 0]),
+    }
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("sum_y", LongType()),
+        StructField("sum_cb", LongType()),
+        StructField("sum_cr", LongType()),
+        StructField("corner_y", IntegerType()),
+        StructField("corner_cb", IntegerType()),
+    ]
+)
+
+
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL JPEG decode proof — the first TRANSFORM-coded
+    codec: the generator emits spec-valid baseline JFIF (standard
+    Annex K Huffman tables, real DC-difference magnitude coding, byte
+    stuffing, interleaved 4:4:4 MCUs) whose decode is closed-form
+    because every block is DC-only with a DC quant step of 8 — the
+    lossy chain becomes bit-exact at the oracle grain, the
+    generator-must-emit-byte-exact-decoder-input discipline the PNG
+    entry set for DEFLATE. Scale shape: identical to every codec —
+    one Arrow-batched mapInPandas chain, payload bytes never shuffle,
+    doc-grain output."""
+    media = synthesize_jpeg(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_jpeg(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=JPEG_STATS_SCHEMA)
+
+
+QUERIES["multimodal_jpeg_stats"] = q_multimodal_jpeg_stats
+
+ORACLE["multimodal_jpeg_stats"] = """
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 4) + 1 AS wb,
+               (doc_id % 3) + 1 AS hb
+        FROM documents
+    ),
+    bxs AS (
+        SELECT doc_id, wb, hb,
+               unnest(generate_series(0, wb - 1)) AS bx
+        FROM grid
+    ),
+    cells AS (
+        SELECT doc_id, wb, hb, bx,
+               unnest(generate_series(0, hb - 1)) AS by
+        FROM bxs
+    )
+    SELECT doc_id,
+           CAST(any_value(wb) * 8 AS INTEGER) AS width,
+           CAST(any_value(hb) * 8 AS INTEGER) AS height,
+           CAST(any_value(wb) * any_value(hb) * 64 AS BIGINT) AS n_pixels,
+           CAST(3 * any_value(wb) * any_value(hb) AS BIGINT) AS n_blocks,
+           CAST(64 * sum((doc_id + 7 * bx + 13 * by) % 200 + 28) AS BIGINT)
+               AS sum_y,
+           CAST(64 * sum((3 * doc_id + 5 * bx + by) % 200 + 28) AS BIGINT)
+               AS sum_cb,
+           CAST(64 * sum((doc_id + bx * by) % 200 + 28) AS BIGINT)
+               AS sum_cr,
+           CAST(doc_id % 200 + 28 AS INTEGER) AS corner_y,
+           CAST((3 * doc_id) % 200 + 28 AS INTEGER) AS corner_cb
+    FROM cells
     GROUP BY doc_id
 """

@@ -1433,3 +1433,16 @@ def test_text_readability_is_shuffle_free_and_pruned(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema
+
+
+def test_jpeg_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The synthesize->decode JPEG pipeline is two chained mapInPandas
+    over the scan — zero Exchange, payload bytes never shuffle — and
+    the scan reads ONLY doc_id (the payload is generated)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_jpeg_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_jpeg_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan

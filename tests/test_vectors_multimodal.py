@@ -1310,3 +1310,210 @@ def test_qoi_encoder_roundtrips_and_all_chunk_kinds_load_bearing():
         for k in totals:
             totals[k] += ops[k]
     assert all(v > 0 for v in totals.values()), totals
+
+
+class TestJpegCodec:
+    """Baseline JFIF decoder (ITU-T T.81 public spec): generator
+    round-trip, the general AC run-length path + byte unstuffing via a
+    crafted stream checked against an INDEPENDENT double-loop IDCT,
+    stuffing on the writer side, and the loud out-of-scope gates."""
+
+    def _one_payload(self, spark, doc_id=123):
+        from retail_sales_etl_spark.operators.multimodal import (
+            synthesize_jpeg,
+        )
+
+        docs = spark.createDataFrame([(doc_id,)], "doc_id bigint")
+        return bytes(synthesize_jpeg(docs).collect()[0]["payload"])
+
+    def test_roundtrip_matches_closed_form(self, spark):
+        from retail_sales_etl_spark.operators.multimodal import (
+            _jpeg_block_val,
+            _jpeg_dims,
+            decode_jpeg,
+        )
+
+        for d in (0, 1, 5, 37, 123):
+            got = decode_jpeg(self._one_payload(spark, d))
+            w, h = _jpeg_dims(d)
+            wb, hb = w // 8, h // 8
+            assert (got["width"], got["height"]) == (w, h)
+            for comp, key in ((0, "sum_y"), (1, "sum_cb"), (2, "sum_cr")):
+                want = 64 * sum(
+                    _jpeg_block_val(d, comp, bx, by)
+                    for bx in range(wb)
+                    for by in range(hb)
+                )
+                assert got[key] == want, (d, key)
+            assert got["corner_y"] == _jpeg_block_val(d, 0, 0, 0)
+
+    @staticmethod
+    def _craft(y_dc, y_acs):
+        """Hand-build a single-MCU 8x8 baseline JFIF with arbitrary Y
+        AC symbols (chroma blocks: zero DC + EOB)."""
+        import struct
+
+        from retail_sales_etl_spark.operators.multimodal import (
+            _JPEG_AC_CHROMA,
+            _JPEG_AC_LUMA,
+            _JPEG_DC_CHROMA,
+            _JPEG_DC_LUMA,
+            _JPEG_QT_CHROMA,
+            _JPEG_QT_LUMA,
+            _jpeg_code_map,
+            _JpegBitWriter,
+        )
+
+        def _seg(marker, body):
+            return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+        dc_maps = (
+            _jpeg_code_map(*_JPEG_DC_LUMA),
+            _jpeg_code_map(*_JPEG_DC_CHROMA),
+        )
+        ac_maps = (
+            _jpeg_code_map(*_JPEG_AC_LUMA),
+            _jpeg_code_map(*_JPEG_AC_CHROMA),
+        )
+        buf = bytearray(b"\xff\xd8")
+        buf += _seg(
+            0xDB,
+            bytes([0x00]) + bytes(_JPEG_QT_LUMA)
+            + bytes([0x01]) + bytes(_JPEG_QT_CHROMA),
+        )
+        buf += _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        dht = bytearray()
+        for cls_id, (bits, vals) in (
+            (0x00, _JPEG_DC_LUMA),
+            (0x10, _JPEG_AC_LUMA),
+            (0x01, _JPEG_DC_CHROMA),
+            (0x11, _JPEG_AC_CHROMA),
+        ):
+            dht += bytes([cls_id]) + bytes(bits) + bytes(vals)
+        buf += _seg(0xC4, bytes(dht))
+        buf += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        bw = _JpegBitWriter()
+        t = abs(y_dc).bit_length()
+        code, ln = dc_maps[0][t]
+        bw.write(code, ln)
+        if t:
+            bw.write(y_dc if y_dc >= 0 else y_dc + (1 << t) - 1, t)
+        for sym, val in y_acs:
+            code, ln = ac_maps[0][sym]
+            bw.write(code, ln)
+            s = sym & 15
+            if s:
+                bw.write(val if val >= 0 else val + (1 << s) - 1, s)
+        code, ln = ac_maps[0][0x00]
+        bw.write(code, ln)
+        for _ in range(2):
+            code, ln = dc_maps[1][0]
+            bw.write(code, ln)
+            code, ln = ac_maps[1][0x00]
+            bw.write(code, ln)
+        bw.flush()
+        entropy = bytes(bw.buf)
+        return bytes(buf) + entropy + b"\xff\xd9", entropy
+
+    def test_ac_runlength_and_unstuffing_vs_independent_idct(self):
+        """A crafted stream with real AC coefficients — (0,2) symbol,
+        a ZRL sixteen-zero run, a (1,3) run-skip — whose entropy bytes
+        CONTAIN a stuffed 0xFF00 pair; decoded pixels must equal an
+        independent double-loop IDCT of the same dequantized
+        coefficients (the decoder's matrix IDCT never checks itself)."""
+        import math
+
+        import numpy as np
+
+        from retail_sales_etl_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+            _jpeg_raster,
+        )
+
+        y_dc, v2 = -1, -7
+        payload, entropy = self._craft(
+            y_dc, [(0x02, -3), (0xF0, 0), ((1 << 4) | 3, v2)]
+        )
+        assert b"\xff\x00" in entropy  # stuffing is load-bearing here
+        w, h, planes = _jpeg_raster(payload)
+        assert (w, h) == (8, 8)
+        coef = np.zeros((8, 8))
+        coef[0, 0] = y_dc * 8
+        coef[0, 1] = -3 * 16  # zigzag 1 -> natural (0, 1)
+        nat = _JPEG_ZIGZAG[19]  # after ZRL: k=18, run 1 -> k=19
+        coef[nat // 8, nat % 8] = v2 * 16
+        exp = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv / 4 * coef[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                exp[x, y] = acc
+        exppix = np.clip(np.round(exp) + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(planes[0], exppix)
+        # chroma blocks were zero-DC + EOB: exactly flat 128
+        assert planes[1].min() == planes[1].max() == 128
+        assert planes[2].min() == planes[2].max() == 128
+
+    def test_bit_writer_stuffs_ff(self):
+        from retail_sales_etl_spark.operators.multimodal import (
+            _JpegBitWriter,
+        )
+
+        bw = _JpegBitWriter()
+        bw.write(0xFF, 8)
+        bw.write(0xA5, 8)
+        assert bytes(bw.buf) == b"\xff\x00\xa5"
+
+    def test_rejects_corruption_and_out_of_scope(self, spark):
+        import pytest
+
+        from retail_sales_etl_spark.operators.multimodal import (
+            decode_jpeg,
+        )
+
+        p = self._one_payload(spark)
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x89PNG" + p)
+        with pytest.raises(ValueError, match="truncated|missing EOI"):
+            decode_jpeg(p[:-4])  # tail cut: entropy/EOI gone
+        # progressive SOF must be rejected, not mis-decoded
+        sof_at = p.index(b"\xff\xc0")
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(p[:sof_at + 1] + b"\xc2" + p[sof_at + 2:])
+        # subsampled chroma (4:2:0) is out of scope — loud gate
+        bad = bytearray(p)
+        bad[sof_at + 11] = 0x22  # Y component sampling byte
+        with pytest.raises(ValueError, match="subsampled"):
+            decode_jpeg(bytes(bad))
+        # restart intervals are out of scope — loud gate
+        dri = b"\xff\xdd\x00\x04\x00\x08"
+        with pytest.raises(ValueError, match="restart"):
+            decode_jpeg(p[:sof_at] + dri + p[sof_at:])
+
+    def test_dispatch_routes_jpeg_to_real_decoder(self, spark):
+        from pyspark.sql import Row
+
+        from retail_sales_etl_spark.operators.multimodal import (
+            JPEG_MIME,
+            _jpeg_dims,
+            extract_features,
+        )
+
+        p = self._one_payload(spark, 123)
+        media = spark.createDataFrame(
+            [Row(doc_id=1, payload=p, mime_type=JPEG_MIME, n_bytes=len(p))]
+        )
+        (got,) = extract_features(media).collect()
+        assert (got["width"], got["height"]) == _jpeg_dims(123)
