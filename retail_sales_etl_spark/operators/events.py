@@ -1239,25 +1239,14 @@ ORACLE["events_hour_dow_heatmap"] = f"""
 """
 
 
-def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve of session duration (Kaplan &
-    Meier, JASA 1958) — how long do sessions live, with CENSORING done
-    right: a session whose last event falls within one idle gap of the
-    observation end has not provably ended, so it joins the risk sets
-    without counting as a death — dropping those sessions (or calling
-    them dead) is the classic churn-analysis bias this estimator
-    exists to fix.
-
-    Sessions come from the same gap rule as ``events_sessionize``.
-    Everything after the per-session rollup lives on the bounded
-    distinct-duration grid: deaths/censored per duration (one
-    aggregate), at-risk via a reverse cumulative sum, and the KM
-    product as exp of a cumulative DECIMAL sum of 6-dp ln terms —
-    windows over grid rows only, never sessions. After the first
-    duration where every at-risk session dies, survival is pinned to
-    exactly 0 (the ln term would be -inf; both engines flag it
-    instead).
-    """
+def _km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Kaplan-Meier derivation core: sessionize by the
+    ``events_sessionize`` gap rule, censor sessions still within one
+    idle gap of the observation end, and build the KM curve on the
+    bounded distinct-duration grid — consumed by the curve entry
+    (``session_km_survival``) and the parametric fit over it
+    (``session_weibull_fit``), so the two can never drift on
+    censoring or rounding."""
     ev = load_table(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1331,7 +1320,99 @@ def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve
 
 
+def q_session_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session duration (Kaplan &
+    Meier, JASA 1958) — how long do sessions live, with CENSORING done
+    right: a session whose last event falls within one idle gap of the
+    observation end has not provably ended, so it joins the risk sets
+    without counting as a death — dropping those sessions (or calling
+    them dead) is the classic churn-analysis bias this estimator
+    exists to fix.
+
+    Sessions come from the same gap rule as ``events_sessionize``.
+    Everything after the per-session rollup lives on the bounded
+    distinct-duration grid (``_km_curve``): deaths/censored per
+    duration (one aggregate), at-risk via a reverse cumulative sum,
+    and the KM product as exp of a cumulative DECIMAL sum of 6-dp ln
+    terms — windows over grid rows only, never sessions. After the
+    first duration where every at-risk session dies, survival is
+    pinned to exactly 0 (the ln term would be -inf; both engines flag
+    it instead).
+    """
+    return _km_curve(spark, sf_dir)
+
+
 QUERIES["session_km_survival"] = q_session_km_survival
+
+
+def q_session_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric Weibull fit of session survival — the one-row churn
+    model a lifetime analysis publishes next to the KM curve: under
+    Weibull, S(t) = exp(-(t/λ)^k), so ln(-ln S(t)) is LINEAR in ln t
+    with slope k (shape) and intercept -k·ln λ — the classical
+    Weibull probability plot, with the plotting positions taken from
+    the CENSORING-CORRECT Kaplan-Meier estimator (the shared
+    ``_km_curve``) rather than naive ranks, the standard recipe for
+    censored data. k < 1 reads as infant-mortality churn (sessions
+    die fast early), k > 1 as wear-out.
+
+    Scale shape: the fit runs entirely on the bounded distinct-
+    duration grid — the corpus collapses in ``_km_curve``'s one
+    session rollup; the OLS is one aggregate over grid rows.
+    Determinism: the zipf-fit log-staging discipline — every
+    transcendental 6-dp floor-staged (ln t; -ln S staged before the
+    outer ln), products 9-dp staged, DECIMAL sums, the closed form in
+    mirrored double arithmetic, guarded degenerate denominators.
+    Fit points exclude dur=0 (ln undefined), survival pinned to 0
+    (the all-die tail), and censor-only grid rows (no death at that
+    duration ⇒ no plotting position)."""
+    curve = _km_curve(spark, sf_dir)
+    pts = curve.filter(
+        (F.col("n_death") > 0)
+        & (F.col("duration_sec") > 0)
+        & (F.col("survival") > 0)
+        & (F.col("survival") < 1)
+    )
+    x6 = fround(F.log(F.col("duration_sec").cast("double")), 6)
+    y6 = fround(F.log(fround(-F.log(F.col("survival")), 6)), 6)
+
+    def _p9(c: F.Column) -> F.Column:
+        return fround(c, 9).cast("decimal(28,9)")
+
+    sums = pts.select(x6.alias("x6"), y6.alias("y6")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.col("x6").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y6").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum(_p9(F.col("x6") * F.col("x6"))).cast("double").alias("sxx"),
+        F.sum(_p9(F.col("x6") * F.col("y6"))).cast("double").alias("sxy"),
+        F.sum(_p9(F.col("y6") * F.col("y6"))).cast("double").alias("syy"),
+    )
+    n_d = F.col("n_points").cast("double")
+    cov = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n_d
+    return sums.select(
+        "n_points",
+        F.when(varx > 0, fround(slope, 6)).otherwise(F.lit(0.0)).alias(
+            "weibull_shape"
+        ),
+        F.when(
+            (varx > 0) & (cov != 0),
+            fround(F.exp(-intercept / slope), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weibull_scale"),
+        F.when(
+            (varx > 0) & (vary > 0), fround((cov * cov) / (varx * vary), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )
+
+
+QUERIES["session_weibull_fit"] = q_session_weibull_fit
 
 ORACLE["session_km_survival"] = f"""
     WITH flagged AS (
@@ -1394,6 +1475,55 @@ ORACLE["session_km_survival"] = f"""
            CASE WHEN hit_zero = 1 THEN 0.0
                 ELSE floor((exp(CAST(cum AS DOUBLE))) * 1e6 + 0.5) / 1e6 END AS survival
     FROM curve
+"""
+
+# The Weibull plot regresses ln(-ln S) on ln t over the SAME KM curve
+# the standalone oracle derives — composed verbatim so the censoring
+# and rounding chain is written once.
+ORACLE["session_weibull_fit"] = f"""
+    WITH km AS ({ORACLE["session_km_survival"]}),
+    pts AS (
+        SELECT floor(ln(CAST(duration_sec AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS x6,
+               floor(ln(floor((-ln(survival)) * 1e6 + 0.5) / 1e6)
+                     * 1e6 + 0.5) / 1e6 AS y6
+        FROM km
+        WHERE n_death > 0 AND duration_sec > 0
+          AND survival > 0 AND survival < 1
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CAST(x6 AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y6 AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(floor(x6 * x6 * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(floor(x6 * y6 * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(floor(y6 * y6 * 1e9 + 0.5) / 1e9
+                             AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM pts
+    ),
+    fit AS (
+        SELECT n_points,
+               CAST(n_points AS DOUBLE) * sxy - sx * sy AS cov,
+               CAST(n_points AS DOUBLE) * sxx - sx * sx AS varx,
+               CAST(n_points AS DOUBLE) * syy - sy * sy AS vary,
+               sx, sy
+        FROM sums
+    )
+    SELECT n_points,
+           CASE WHEN varx > 0
+                THEN floor((cov / varx) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS weibull_shape,
+           CASE WHEN varx > 0 AND cov <> 0
+                THEN floor(exp(-((sy - (cov / varx) * sx)
+                                 / CAST(n_points AS DOUBLE))
+                               / (cov / varx)) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS weibull_scale,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN floor(((cov * cov) / (varx * vary)) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS r2
+    FROM fit
 """
 
 

@@ -922,3 +922,58 @@ def test_nation_supplier_hhi_monopoly_and_split(spark, tmp_path):
     assert out["N2"]["hhi"] == 1000.0
     assert out["N2"]["band"] == "unconcentrated"
     assert out["N2"]["n_suppliers"] == 10
+
+
+def test_weibull_fit_recovers_hand_ols_and_analytic_extreme(
+    spark, sf_dir
+):
+    """The Weibull plot fit must equal a hand-computed OLS over the
+    SAME KM plotting positions (ln t, ln(-ln S) with the entry's 6-dp
+    staging), and on the real corpus the fit must be usable: shape > 0
+    (durations are positive-lifetime), r2 in [0, 1], scale positive."""
+    import math
+
+    from retail_sales_etl_spark.operators.events import (
+        q_session_km_survival,
+        q_session_weibull_fit,
+    )
+
+    def f6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def f9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    km = q_session_km_survival(spark, sf_dir).collect()
+    pts = [
+        (
+            f6(math.log(r["duration_sec"])),
+            f6(math.log(f6(-math.log(r["survival"])))),
+        )
+        for r in km
+        if r["n_death"] > 0
+        and r["duration_sec"] > 0
+        and 0 < r["survival"] < 1
+    ]
+    n = len(pts)
+    assert n >= 3
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(f9(x * x) for x, _ in pts)
+    sxy = sum(f9(x * y) for x, y in pts)
+    syy = sum(f9(y * y) for _, y in pts)
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    intercept = (sy - slope * sx) / n
+    (got,) = q_session_weibull_fit(spark, sf_dir).collect()
+    assert got["n_points"] == n
+    assert abs(got["weibull_shape"] - f6(slope)) <= 2e-6
+    assert abs(got["weibull_scale"] - f6(math.exp(-intercept / slope))) <= max(
+        2e-6, 1e-5 * abs(got["weibull_scale"])
+    )
+    assert abs(got["r2"] - f6(cov * cov / (varx * vary))) <= 2e-6
+    assert got["weibull_shape"] > 0
+    assert got["weibull_scale"] > 0
+    assert 0.0 <= got["r2"] <= 1.0
