@@ -4380,3 +4380,105 @@ ORACLE["multimodal_jpeg_stats"] = """
     FROM cells
     GROUP BY doc_id
 """
+
+
+def resize_jpeg_nn(payload: bytes) -> dict:
+    """Nearest-neighbor resize on a REAL decoded baseline JPEG — the
+    transform-coded member of the resize family: full marker walk,
+    Huffman decode, dequant, IDCT (``_jpeg_raster``), then the
+    standard NN kernel (target (x', y') samples source
+    (x'*w // W', y'*h // H')) per component plane, with per-channel
+    sums of the resized planes so a wrong coordinate mapping, plane
+    mixup, or block-placement bug is oracle-visible."""
+    w, h, planes = _jpeg_raster(payload)
+    sums = [0, 0, 0]
+    for y2 in range(PPM_RESIZE_H):
+        sy = (y2 * h) // PPM_RESIZE_H
+        for x2 in range(PPM_RESIZE_W):
+            sx = (x2 * w) // PPM_RESIZE_W
+            for c in range(3):
+                sums[c] += int(planes[c][sy, sx])
+    return {
+        "src_width": w,
+        "src_height": h,
+        "sum_y": sums[0],
+        "sum_cb": sums[1],
+        "sum_cr": sums[2],
+    }
+
+
+JPEG_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("sum_y", LongType()),
+        StructField("sum_cb", LongType()),
+        StructField("sum_cr", LongType()),
+    ]
+)
+
+
+def q_multimodal_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the TRANSFORM-CODED container end-to-end:
+    synthesize baseline JFIF bytes, decode + NN-resize each component
+    plane to PPM_RESIZE_W x PPM_RESIZE_H inside ``mapInPandas``, and
+    emit per-channel sums of the resized planes. The generator's
+    blocks are flat, so the NN sample at source (x'*w//W', y'*h//H')
+    is the closed-form block value at (sx//8, sy//8) — the oracle
+    walks the same integer kernel in SQL, but the Spark side must
+    earn every sample through the full Huffman+IDCT chain first.
+    Scale shape: one Arrow-batched mapInPandas chain, payload bytes
+    never shuffle, doc-grain output."""
+    media = synthesize_jpeg(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_RESIZE_SCHEMA.fields]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = resize_jpeg_nn(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=JPEG_RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_jpeg_resize"] = q_multimodal_jpeg_resize
+
+ORACLE["multimodal_jpeg_resize"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               ((doc_id % 4) + 1) * 8 AS w,
+               ((doc_id % 3) + 1) * 8 AS h
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+        FROM grid
+    ),
+    pix AS (
+        SELECT doc_id, w, h, x2,
+               unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+        FROM xs
+    ),
+    src AS (
+        SELECT doc_id, w, h,
+               ((x2 * w) // {PPM_RESIZE_W}) // 8 AS bx,
+               ((y2 * h) // {PPM_RESIZE_H}) // 8 AS by
+        FROM pix
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS src_width,
+           CAST(any_value(h) AS INTEGER) AS src_height,
+           CAST(sum((doc_id + 7 * bx + 13 * by) % 200 + 28) AS BIGINT)
+               AS sum_y,
+           CAST(sum((3 * doc_id + 5 * bx + by) % 200 + 28) AS BIGINT)
+               AS sum_cb,
+           CAST(sum((doc_id + bx * by) % 200 + 28) AS BIGINT) AS sum_cr
+    FROM src
+    GROUP BY doc_id
+"""

@@ -1436,13 +1436,15 @@ def test_text_readability_is_shuffle_free_and_pruned(spark, sf_dir):
 
 
 def test_jpeg_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
-    """The synthesize->decode JPEG pipeline is two chained mapInPandas
-    over the scan — zero Exchange, payload bytes never shuffle — and
-    the scan reads ONLY doc_id (the payload is generated)."""
+    """The synthesize->decode JPEG pipelines are two chained
+    mapInPandas over the scan — zero Exchange, payload bytes never
+    shuffle — and the scan reads ONLY doc_id (payload is generated)."""
     from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_jpeg_resize,
         q_multimodal_jpeg_stats,
     )
 
-    plan = _formatted_plan(q_multimodal_jpeg_stats(spark, sf_dir))
-    assert "Exchange" not in plan
-    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    for q in (q_multimodal_jpeg_stats, q_multimodal_jpeg_resize):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, q.__name__
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__

@@ -1517,3 +1517,45 @@ class TestJpegCodec:
         )
         (got,) = extract_features(media).collect()
         assert (got["width"], got["height"]) == _jpeg_dims(123)
+
+
+def test_jpeg_resize_matches_generator_nn(spark):
+    """resize_jpeg_nn must produce exactly the NN sums of the
+    closed-form block grid — the full chain (Huffman -> dequant ->
+    IDCT -> NN kernel) for several dims — and a payload with EOI
+    stripped must raise (truncation contract)."""
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        PPM_RESIZE_H,
+        PPM_RESIZE_W,
+        _jpeg_block_val,
+        _jpeg_dims,
+        resize_jpeg_nn,
+        synthesize_jpeg,
+    )
+
+    ids = [0, 3, 5, 37, 122]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg(docs).collect()
+    }
+    for d in ids:
+        got = resize_jpeg_nn(payloads[d])
+        w, h = _jpeg_dims(d)
+        assert (got["src_width"], got["src_height"]) == (w, h)
+        for comp, key in ((0, "sum_y"), (1, "sum_cb"), (2, "sum_cr")):
+            want = sum(
+                _jpeg_block_val(
+                    d,
+                    comp,
+                    ((x2 * w) // PPM_RESIZE_W) // 8,
+                    ((y2 * h) // PPM_RESIZE_H) // 8,
+                )
+                for x2 in range(PPM_RESIZE_W)
+                for y2 in range(PPM_RESIZE_H)
+            )
+            assert got[key] == want, (d, key)
+    with pytest.raises(ValueError, match="truncated|missing EOI"):
+        resize_jpeg_nn(payloads[ids[0]][:-2])
