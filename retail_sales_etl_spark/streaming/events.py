@@ -5826,24 +5826,19 @@ def maintain_decontaminate(
     return _run_foreach_batch(stream, _sink, checkpoint)
 
 
-def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry for the ingest-time decontamination
-    guard: deliver the EVAL slice first (batch 0 — the
-    benchmark-registers-before-ingest contract the sink documents),
-    then replay the training docs in 4 doc_id-range micro-batches
-    (mtime-pinned order, with a mid-stream Z-order cycle) through
-    ``maintain_decontaminate``, and return the maintained verdicts
-    table — hash-checked against the SAME oracle as the batch
-    ``decontaminate_ngram``, proving a 100 TB ingest pipeline can
-    emit per-doc leakage flags at arrival from file-pruned eval-gram
-    probes, never a corpus re-scan."""
+def _staged_docs_eval_first(spark: SparkSession, sf_dir: str) -> str | None:
+    """The shared replay harness behind the ingest-time
+    decontamination entries: stage the documents table as 5
+    mtime-pinned stream files — the EVAL slice first (batch 0, the
+    benchmark-registers-before-ingest contract), then the training
+    docs in 4 doc_id-range batches. Returns the work dir (stream
+    source under ``<work>/src``), or None for an empty corpus."""
     import glob
     import os
     import tempfile
     import time
 
     from ..catalog import load_table
-    from ..load.lakehouse import LakehouseTable
     from ..operators.text import DECON_EVAL_MOD
 
     work = tempfile.mkdtemp(prefix="decon_stream_")
@@ -5851,11 +5846,7 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     max_id = docs.agg(F.max("doc_id")).first()[0]
     if max_id is None:  # empty corpus: nothing to judge
-        return spark.createDataFrame(
-            [],
-            "doc_id bigint, n_grams bigint, n_contaminated bigint, "
-            "contamination_frac double, is_contaminated boolean",
-        )
+        return None
     hi = max_id + 1
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
@@ -5877,10 +5868,33 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # first and batch i+1 really is train range i.
         for f in set(glob.glob(f"{src}/*.parquet")) - before:
             os.utime(f, (t0 + i, t0 + i))
+    return work
+
+
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the ingest-time decontamination
+    guard: deliver the EVAL slice first (batch 0 — the
+    benchmark-registers-before-ingest contract the sink documents),
+    then replay the training docs in 4 doc_id-range micro-batches
+    (mtime-pinned order, with a mid-stream Z-order cycle) through
+    ``maintain_decontaminate``, and return the maintained verdicts
+    table — hash-checked against the SAME oracle as the batch
+    ``decontaminate_ngram``, proving a 100 TB ingest pipeline can
+    emit per-doc leakage flags at arrival from file-pruned eval-gram
+    probes, never a corpus re-scan."""
+    from ..load.lakehouse import LakehouseTable
+
+    work = _staged_docs_eval_first(spark, sf_dir)
+    if work is None:  # empty corpus: nothing to judge
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_grams bigint, n_contaminated bigint, "
+            "contamination_frac double, is_contaminated boolean",
+        )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .parquet(f"{work}/src")
     )
     maintain_decontaminate(
         stream, f"{work}/grams", f"{work}/verdicts", f"{work}/ckpt",
@@ -5901,3 +5915,235 @@ QUERIES["streaming_decontaminate"] = q_streaming_decontaminate
 # equal the batch relation, so the entry shares the batch
 # decontaminate_ngram oracle verbatim.
 ORACLE["streaming_decontaminate"] = _TEXT_ORACLE["decontaminate_ngram"]
+
+
+def containment_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    egrams_path: str,
+    pairs_path: str,
+) -> bool:
+    """The PER-EVAL-ITEM sibling of ``decon_sink`` — the streaming
+    form of ``decontaminate_containment`` (operators/text.py): the
+    batch's eval docs append their distinct 2-grams to the maintained
+    (eval_id, gram, eval_grams) index — the per-item size stored
+    INLINE on every row, the bm25 norms-inline trick, so the probe
+    never joins a second size table — and every arriving training doc
+    emits, at arrival, the (doc_id, eval_id) pairs whose containment
+    (shared grams / eval item's grams) clears CONTAIN_THRESH: the
+    leaked benchmark ITEM, not just a leakage flag, so the item can
+    be dropped from eval or the doc from training.
+
+    Same contract and scale shape as ``decon_sink``: benchmarks
+    register before ingest; probes are file-pruned ``read_where_in``
+    on the batch's distinct grams (capped LOUD); probed rows are
+    bounded by batch gram count and broadcast; exactly-once two-table
+    commits (pairs FIRST from the pinned index plus the batch's own
+    eval grams, then the gram append — (eval_id, gram) rows are
+    disjoint across batches because each eval doc arrives once, so
+    the append needs no anti-join)."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from pyspark.sql import Window
+
+    from ..operators.text import (
+        CONTAIN_N,
+        CONTAIN_THRESH,
+        DECON_EVAL_MOD,
+        _word_ngrams,
+    )
+
+    spark = batch_df.sparkSession
+    w = F.split("text", " ")
+    grams = batch_df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(w, CONTAIN_N))).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    wsz = Window.partitionBy("doc_id")
+    batch_eval = (
+        grams.filter(is_eval)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            "gram",
+            F.count(F.lit(1)).over(wsz).cast("bigint").alias("eval_grams"),
+        )
+        .cache()
+    )
+    train_grams = grams.filter(~is_eval).cache()
+    idx = LakehouseTable(spark, egrams_path)
+    pairs_t = LakehouseTable(spark, pairs_path)
+    keys = ()  # () = not collected yet; None = collected, over cap
+    try:
+        for _ in range(3):
+            rv_i = idx.latest_version()
+            hwm_i = idx.latest_value("batch_hwm", as_of=rv_i)
+            if _landed_on(idx, batch_id, rv_i, hwm_i):
+                return False  # fully landed (the gram table commits last)
+            if rv_i is None:
+                stored = spark.createDataFrame(
+                    [], "eval_id bigint, gram string, eval_grams bigint"
+                )
+            else:
+                if keys == ():
+                    keys = _probe_keys_or_warn(
+                        train_grams.select("gram"), batch_id,
+                        "containment_sink", "gram",
+                    )
+                stored = (
+                    idx.read_where_in("gram", keys, version=rv_i)
+                    if keys is not None
+                    else idx.read(version=rv_i)
+                )
+            eval_all = stored.unionByName(batch_eval)
+            hits = (
+                train_grams.join(F.broadcast(eval_all), "gram")
+                .groupBy("doc_id", "eval_id")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+                    F.expr("any_value(eval_grams)")
+                    .cast("bigint")
+                    .alias("eval_grams"),
+                )
+            )
+            containment = fround(
+                F.col("n_shared").cast("double") / F.col("eval_grams"), 6
+            )
+            pairs = hits.select(
+                "doc_id",
+                "eval_id",
+                "n_shared",
+                "eval_grams",
+                containment.alias("containment"),
+            ).filter(F.col("containment") >= CONTAIN_THRESH)
+            rv_p = pairs_t.latest_version()
+            hwm_p = pairs_t.latest_value("batch_hwm", as_of=rv_p)
+            if not _landed_on(pairs_t, batch_id, rv_p, hwm_p):
+                try:
+                    pairs_t.write(
+                        pairs,
+                        mode="append",
+                        extra={
+                            "batch_id": batch_id,
+                            "batch_hwm": max(
+                                batch_id,
+                                hwm_p if hwm_p is not None else batch_id,
+                            ),
+                        },
+                        conflict_on="batch_id",
+                        read_version=rv_p,
+                        monotone_max=("batch_hwm",),
+                    )
+                except DuplicateCommitError:
+                    pass  # a rival landed this batch's pairs
+                except ConcurrentWriteError:
+                    continue  # re-pin both tables and retry
+            try:
+                idx.write(
+                    batch_eval,
+                    mode="append",
+                    extra={
+                        "batch_id": batch_id,
+                        "batch_hwm": max(
+                            batch_id, hwm_i if hwm_i is not None else batch_id
+                        ),
+                    },
+                    conflict_on="batch_id",
+                    read_version=rv_i,
+                    monotone_max=("batch_hwm",),
+                )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's grams
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and retry
+        raise RuntimeError(
+            f"containment_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {egrams_path})"
+        )
+    finally:
+        batch_eval.unpersist()
+        train_grams.unpersist()
+
+
+def maintain_containment(
+    stream: DataFrame,
+    egrams_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the per-eval-item containment sink under foreachBatch
+    (availableNow). ``optimize_every=N`` Z-orders the eval-gram table
+    by gram every N batches — INCREMENTALLY — so per-batch gram
+    probes stay file-level data skipping as the benchmark set grows.
+    Growth contract: the index is O(registered benchmark grams), the
+    pairs table is the audit log of detected leaks — both indexes,
+    never TTL state (SURVEY §6)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        containment_sink(batch_df, batch_id, egrams_path, pairs_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            try:
+                LakehouseTable(spark, egrams_path).optimize(
+                    target_files=optimize_files,
+                    zorder_by=["gram"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
+                )
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
+        for path in (egrams_path, pairs_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the per-eval-item containment guard:
+    the eval slice registers first, the training docs replay in 4
+    doc_id-range batches (mtime-pinned, mid-stream Z-order cycle)
+    through ``maintain_containment``, and the maintained pairs table
+    is returned — hash-checked against the SAME oracle as the batch
+    ``decontaminate_containment``, closing the second leakage
+    modality at ingest time: the pooled-gram flag
+    (``streaming_decontaminate``) says A DOC leaks, this says WHICH
+    benchmark item it leaks."""
+    from ..load.lakehouse import LakehouseTable
+
+    work = _staged_docs_eval_first(spark, sf_dir)
+    if work is None:  # empty corpus: nothing to judge
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, eval_id bigint, n_shared bigint, "
+            "eval_grams bigint, containment double",
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src")
+    )
+    maintain_containment(
+        stream, f"{work}/egrams", f"{work}/pairs", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+    return LakehouseTable(spark, f"{work}/pairs").read().select(
+        "doc_id", "eval_id", "n_shared", "eval_grams", "containment"
+    )
+
+
+QUERIES["streaming_containment"] = q_streaming_containment
+
+# Under the eval-first delivery contract the arrival-time pairs equal
+# the batch relation, so the entry shares the batch
+# decontaminate_containment oracle verbatim.
+ORACLE["streaming_containment"] = _TEXT_ORACLE["decontaminate_containment"]

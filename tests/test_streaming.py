@@ -2604,6 +2604,53 @@ def test_decon_sink_judges_on_arrival_and_skips_replay(spark, tmp_path):
     assert LakehouseTable(spark, vp).latest_version() == vv
 
 
+def test_decon_sink_replays_after_partial_crash(spark, tmp_path):
+    """Crash-between-commits recovery: if a batch's verdicts landed
+    but the gram append did not, the replay must complete ONLY the
+    gram table — never double-writing verdicts — and the next batch
+    must see the completed eval set."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    gp, vp = str(tmp_path / "grams"), str(tmp_path / "verdicts")
+    b0 = _batch([(0, "a b c d e f")])  # eval: two grams
+    b1 = _batch([(37, "p q r s t"), (1, "a b c d e z")])
+    assert streaming_events.decon_sink(b0, 0, gp, vp) is True
+
+    # simulate the crash: land batch 1's verdicts exactly as the sink
+    # would, then "die" before the gram append
+    verd = LakehouseTable(spark, vp)
+    hwm_v = verd.latest_value("batch_hwm")
+    verd.write(
+        spark.createDataFrame(
+            [(1, 2, 1, 0.5, True)],
+            "doc_id bigint, n_grams bigint, n_contaminated bigint, "
+            "contamination_frac double, is_contaminated boolean",
+        ),
+        mode="append",
+        extra={"batch_id": 1, "batch_hwm": max(1, hwm_v or 0)},
+        conflict_on="batch_id",
+    )
+    vv = verd.latest_version()
+
+    # the replay must complete ONLY the gram table
+    assert streaming_events.decon_sink(b1, 1, gp, vp) is True
+    assert LakehouseTable(spark, vp).latest_version() == vv  # no double
+    grams = sorted(r.gram for r in LakehouseTable(spark, gp).read().collect())
+    assert grams == sorted(["a b c d e", "b c d e f", "p q r s t"])
+    # and a later train doc sees the completed eval set
+    b2 = _batch([(2, "p q r s t m n")])
+    assert streaming_events.decon_sink(b2, 2, gp, vp) is True
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated)
+        for r in LakehouseTable(spark, vp).read().collect()
+    }
+    assert got[2] == (3, 1)
+    assert got[1] == (2, 1)
+
+
 def test_decon_probe_reads_file_pruned(spark, tmp_path):
     """After the maintenance cycle Z-orders the eval-gram table, a
     batch's gram probe opens strictly fewer files than the table
@@ -2638,6 +2685,59 @@ def test_decon_probe_reads_file_pruned(spark, tmp_path):
     assert len(keep) < total, (len(keep), total)
     got = table.read_where_in("gram", probe).collect()
     assert len(got) == 1
+
+
+def test_containment_sink_emits_pairs_on_arrival_and_skips_replay(
+    spark, tmp_path
+):
+    """The per-eval-item guard: eval docs register (eval_id, gram,
+    eval_grams) rows with the size INLINE, train docs emit qualifying
+    (doc, eval_id) pairs at arrival — against earlier AND same-batch
+    eval items — sub-threshold pairs are dropped, and a full replay
+    is a no-op on both tables."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    gp, pp = str(tmp_path / "egrams"), str(tmp_path / "pairs")
+    # eval doc 0: 2-grams {a b, b c, c d} (eval_grams=3)
+    b0 = _batch([(0, "a b c d")])
+    assert streaming_events.containment_sink(b0, 0, gp, pp) is True
+    # batch 1: eval doc 37 {p q, q r} (eval_grams=2); train doc 1
+    # contains 2/3 of eval 0 AND 1/2 of eval 37 (same-batch counts);
+    # train doc 2 shares only 1/3 of eval 0 -> sub-threshold at 0.3?
+    # 1/3 = 0.333333 >= 0.3 so it DOES qualify; doc 3 shares nothing
+    b1 = _batch([
+        (37, "p q r"),
+        (1, "a b c x p q"),
+        (2, "c d z w"),
+        (3, "m n o"),
+    ])
+    assert streaming_events.containment_sink(b1, 1, gp, pp) is True
+    got = {
+        (r.doc_id, r.eval_id): (r.n_shared, r.eval_grams, r.containment)
+        for r in LakehouseTable(spark, pp).read().collect()
+    }
+    assert got == {
+        (1, 0): (2, 3, 0.666667),
+        (1, 37): (1, 2, 0.5),
+        (2, 0): (1, 3, 0.333333),
+    }, got
+    # index rows carry the inline size
+    idx = {
+        (r.eval_id, r.gram): r.eval_grams
+        for r in LakehouseTable(spark, gp).read().collect()
+    }
+    assert idx[(0, "a b")] == 3 and idx[(37, "p q")] == 2
+    assert len(idx) == 5
+    # full replay: no-op on both tables
+    gv = LakehouseTable(spark, gp).latest_version()
+    pv = LakehouseTable(spark, pp).latest_version()
+    assert streaming_events.containment_sink(b0, 0, gp, pp) is False
+    assert streaming_events.containment_sink(b1, 1, gp, pp) is False
+    assert LakehouseTable(spark, gp).latest_version() == gv
+    assert LakehouseTable(spark, pp).latest_version() == pv
 
 
 def test_pq_serving_codes_only_probed_cells(spark, tmp_path):
