@@ -4136,14 +4136,18 @@ def _jpeg_idct_mat():
 
 def _jpeg_raster(payload: bytes):
     """Baseline-scope JPEG decoder core: marker walk (APPn/COM
-    skipped; progressive/extended SOFs, 12-bit precision, chroma
-    subsampling, and DRI restart intervals fail LOUD as out-of-scope),
-    multi-table DQT/DHT parse, canonical Huffman decode, DC
-    prediction, the full AC run-length loop, zigzag dequantization,
-    float IDCT, level shift + clamp. Returns (width, height, [Y, Cb,
-    Cr] uint8 planes). The trailing EOI is REQUIRED — a stream cut
-    after the last complete MCU fails, the codec-family truncation
-    contract."""
+    skipped; progressive/extended SOFs, 12-bit precision, and DRI
+    restart intervals fail LOUD as out-of-scope), multi-table DQT/DHT
+    parse, canonical Huffman decode, DC prediction, the full AC
+    run-length loop, zigzag dequantization, float IDCT, level shift +
+    clamp. Supports the two real-world sampling layouts — 4:4:4 (all
+    components 1x1) and 4:2:0 (Y 2x2, chroma 1x1, the interleaved
+    6-block MCU) — any other layout fails LOUD. Returns (width,
+    height, [Y, Cb, Cr] uint8 planes AT NATIVE RESOLUTION — 4:2:0
+    chroma planes are quarter-size; upsampling is a consumer choice
+    the spec does not fix — and the per-component (hi, vi) sampling
+    factors). The trailing EOI is REQUIRED — a stream cut after the
+    last complete MCU fails, the codec-family truncation contract."""
     import struct
 
     import numpy as np
@@ -4189,11 +4193,16 @@ def _jpeg_raster(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError(
-                        "unsupported JPEG: subsampled chroma (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            layout = tuple((hi, vi) for _, hi, vi, _ in comps)
+            if layout not in (
+                ((1, 1), (1, 1), (1, 1)),  # 4:4:4
+                ((2, 2), (1, 1), (1, 1)),  # 4:2:0
+            ):
+                raise ValueError(
+                    "unsupported JPEG: subsampled chroma layout "
+                    f"{layout} (4:4:4 / 4:2:0 only)"
+                )
             sof = (w, h, comps)
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -4235,14 +4244,20 @@ def _jpeg_raster(payload: bytes):
     w, h, comps = sof
     if w == 0 or h == 0:
         raise ValueError(f"degenerate JPEG dimensions {w}x{h}")
-    mx, my = (w + 7) // 8, (h + 7) // 8
+    max_h = max(hi for _, hi, _, _ in comps)
+    max_v = max(vi for _, _, vi, _ in comps)
+    mx = (w + 8 * max_h - 1) // (8 * max_h)
+    my = (h + 8 * max_v - 1) // (8 * max_v)
     amat = _jpeg_idct_mat()
-    planes = [np.zeros((my * 8, mx * 8), dtype=np.uint8) for _ in comps]
+    planes = [
+        np.zeros((my * 8 * vi, mx * 8 * hi), dtype=np.uint8)
+        for _, hi, vi, _ in comps
+    ]
     reader = _JpegBitReader(p, pos)
     pred = [0] * len(comps)
     for by in range(my):
         for bx in range(mx):
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 if cid not in scan:
                     raise ValueError("scan is missing a frame component")
                 td, ta = scan[cid]
@@ -4251,49 +4266,73 @@ def _jpeg_raster(payload: bytes):
                 qt = qts.get(tq)
                 if dct is None or act is None or qt is None:
                     raise ValueError("JPEG references an undefined table")
-                coef = [0] * 64
-                t = _jpeg_huff_decode(reader, dct)
-                pred[ci] += _jpeg_extend(reader.receive(t), t)
-                coef[0] = pred[ci] * qt[0]
-                k = 1
-                while k <= 63:
-                    rs = _jpeg_huff_decode(reader, act)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL: sixteen zeros
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overrun")
-                    coef[_JPEG_ZIGZAG[k]] = (
-                        _jpeg_extend(reader.receive(s), s) * qt[k]
-                    )
-                    k += 1
-                fmat = np.array(coef, dtype=np.float64).reshape(8, 8)
-                blk = amat.T @ fmat @ amat
-                pix = np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+                # hi x vi blocks per MCU, raster order (T.81 A.2.3)
+                for vv in range(vi):
+                    for hh in range(hi):
+                        coef = [0] * 64
+                        t = _jpeg_huff_decode(reader, dct)
+                        pred[ci] += _jpeg_extend(reader.receive(t), t)
+                        coef[0] = pred[ci] * qt[0]
+                        k = 1
+                        while k <= 63:
+                            rs = _jpeg_huff_decode(reader, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL: sixteen zeros
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC coefficient overrun"
+                                )
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(reader.receive(s), s) * qt[k]
+                            )
+                            k += 1
+                        fmat = np.array(
+                            coef, dtype=np.float64
+                        ).reshape(8, 8)
+                        blk = amat.T @ fmat @ amat
+                        pix = np.clip(np.round(blk) + 128, 0, 255).astype(
+                            np.uint8
+                        )
+                        py = (by * vi + vv) * 8
+                        px = (bx * hi + hh) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix
     # the spec's end-of-stream integrity marker: after the last MCU
     # (and the writer's 1-bit padding) the next bytes MUST be EOI
     if p[reader.pos : reader.pos + 2] != b"\xff\xd9":
         raise ValueError("truncated JPEG: missing EOI after scan")
-    return w, h, [pl[:h, :w] for pl in planes]
+    cropped = []
+    for pl, (_, hi, vi, _) in zip(planes, comps):
+        cw = (w * hi + max_h - 1) // max_h
+        ch = (h * vi + max_v - 1) // max_v
+        cropped.append(pl[:ch, :cw])
+    return w, h, cropped, [(hi, vi) for _, hi, vi, _ in comps]
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """REAL decoder for baseline 4:4:4 JFIF — numpy only. Integer-
-    exact stats over the decoded component planes: the generator's
-    DC-only construction makes every pixel closed-form, so a Huffman
-    mis-decode, a wrong DC prediction seam, a dequant table mixup, or
-    an IDCT normalization slip is oracle-visible in the sums."""
-    w, h, (py, pcb, pcr) = _jpeg_raster(payload)
+    """REAL decoder for baseline 4:4:4 / 4:2:0 JFIF — numpy only.
+    Integer-exact stats over the decoded component planes AT NATIVE
+    RESOLUTION (4:2:0 chroma sums run over the quarter-size planes —
+    no upsampling convention leaks into the oracle): the generator's
+    DC-only construction makes every sample closed-form, so a Huffman
+    mis-decode, a wrong DC prediction seam, a dequant table mixup, an
+    MCU block-order slip, or an IDCT normalization slip is
+    oracle-visible in the sums."""
+    w, h, (py, pcb, pcr), samps = _jpeg_raster(payload)
+    max_h = max(hi for hi, _ in samps)
+    max_v = max(vi for _, vi in samps)
+    mx = (w + 8 * max_h - 1) // (8 * max_h)
+    my = (h + 8 * max_v - 1) // (8 * max_v)
+    n_blocks = mx * my * sum(hi * vi for hi, vi in samps)
     return {
         "width": w,
         "height": h,
         "n_pixels": w * h,
-        "n_blocks": 3 * ((w + 7) // 8) * ((h + 7) // 8),
+        "n_blocks": n_blocks,
         "sum_y": int(py.sum(dtype="int64")),
         "sum_cb": int(pcb.sum(dtype="int64")),
         "sum_cr": int(pcr.sum(dtype="int64")),
@@ -4389,15 +4428,22 @@ def resize_jpeg_nn(payload: bytes) -> dict:
     standard NN kernel (target (x', y') samples source
     (x'*w // W', y'*h // H')) per component plane, with per-channel
     sums of the resized planes so a wrong coordinate mapping, plane
-    mixup, or block-placement bug is oracle-visible."""
-    w, h, planes = _jpeg_raster(payload)
+    mixup, or block-placement bug is oracle-visible. Subsampled
+    chroma samples at its native grid: full-res source (sx, sy) maps
+    to chroma (sx*hi//max_h, sy*vi//max_v) — the NN analogue of the
+    replicate upsample."""
+    w, h, planes, samps = _jpeg_raster(payload)
+    max_h = max(hi for hi, _ in samps)
+    max_v = max(vi for _, vi in samps)
     sums = [0, 0, 0]
     for y2 in range(PPM_RESIZE_H):
         sy = (y2 * h) // PPM_RESIZE_H
         for x2 in range(PPM_RESIZE_W):
             sx = (x2 * w) // PPM_RESIZE_W
-            for c in range(3):
-                sums[c] += int(planes[c][sy, sx])
+            for c, (hi, vi) in enumerate(samps):
+                sums[c] += int(
+                    planes[c][(sy * vi) // max_v, (sx * hi) // max_h]
+                )
     return {
         "src_width": w,
         "src_height": h,
@@ -4481,4 +4527,194 @@ ORACLE["multimodal_jpeg_resize"] = f"""
            CAST(sum((doc_id + bx * by) % 200 + 28) AS BIGINT) AS sum_cr
     FROM src
     GROUP BY doc_id
+"""
+
+
+def _jpeg420_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc MCU grid for the 4:2:0 entry (1..3 x 1..2 MCUs of
+    16x16) — dims stay multiples of 16 so every interleaved 6-block
+    MCU is full."""
+    return ((doc_id % 3) + 1) * 16, ((doc_id % 2) + 1) * 16
+
+
+def synthesize_jpeg420(docs: DataFrame) -> DataFrame:
+    """One REAL baseline 4:2:0 JFIF payload per document — the
+    dominant real-world chroma layout: Y sampled 2x2, Cb/Cr 1x1, so
+    each interleaved MCU carries FOUR Y blocks (raster order, T.81
+    A.2.3) then one Cb and one Cr covering the same 16x16 pixel area.
+    Blocks stay DC-only flat at the closed-form ``_jpeg_block_val``:
+    Y indexed by its own 8x8 block grid, chroma by the MCU grid — so
+    the decode is closed-form at NATIVE chroma resolution and an
+    MCU block-order slip (the classic 4:2:0 decoder bug) shifts the
+    Y sums visibly."""
+    import struct
+
+    dc_maps = (
+        _jpeg_code_map(*_JPEG_DC_LUMA),
+        _jpeg_code_map(*_JPEG_DC_CHROMA),
+    )
+    ac_maps = (
+        _jpeg_code_map(*_JPEG_AC_LUMA),
+        _jpeg_code_map(*_JPEG_AC_CHROMA),
+    )
+
+    def _seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _jpeg420_dims(d)
+                mw, mh = w // 16, h // 16
+                buf = bytearray(b"\xff\xd8")
+                buf += _seg(
+                    0xE0,
+                    b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0),
+                )
+                buf += _seg(
+                    0xDB,
+                    bytes([0x00]) + bytes(_JPEG_QT_LUMA)
+                    + bytes([0x01]) + bytes(_JPEG_QT_CHROMA),
+                )
+                buf += _seg(
+                    0xC0,
+                    struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+                )
+                dht = bytearray()
+                for cls_id, (bits, vals) in (
+                    (0x00, _JPEG_DC_LUMA),
+                    (0x10, _JPEG_AC_LUMA),
+                    (0x01, _JPEG_DC_CHROMA),
+                    (0x11, _JPEG_AC_CHROMA),
+                ):
+                    dht += bytes([cls_id]) + bytes(bits) + bytes(vals)
+                buf += _seg(0xC4, bytes(dht))
+                buf += _seg(
+                    0xDA,
+                    bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+                )
+                bw = _JpegBitWriter()
+                pred = [0, 0, 0]
+
+                def _block(comp: int, tsel: int, val: int) -> None:
+                    dc = val - 128
+                    diff = dc - pred[comp]
+                    pred[comp] = dc
+                    t = abs(diff).bit_length()
+                    code, ln = dc_maps[tsel][t]
+                    bw.write(code, ln)
+                    if t:
+                        mag = diff if diff >= 0 else diff + (1 << t) - 1
+                        bw.write(mag, t)
+                    code, ln = ac_maps[tsel][0x00]  # EOB
+                    bw.write(code, ln)
+
+                for my in range(mh):
+                    for mx in range(mw):
+                        for vv in range(2):
+                            for hh in range(2):
+                                _block(
+                                    0, 0,
+                                    _jpeg_block_val(
+                                        d, 0, 2 * mx + hh, 2 * my + vv
+                                    ),
+                                )
+                        _block(1, 1, _jpeg_block_val(d, 1, mx, my))
+                        _block(2, 1, _jpeg_block_val(d, 2, mx, my))
+                bw.flush()
+                buf += bw.buf
+                buf += b"\xff\xd9"  # EOI
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": JPEG_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def q_multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 4:2:0 decode proof — the real-world chroma layout:
+    the generator interleaves the 6-block MCU (4 Y raster-ordered +
+    Cb + Cr), and the SAME general decoder that serves 4:4:4 must
+    walk the sampling-factor block loop, keep three DC predictor
+    chains straight across the 4-Y runs, and place each Y block at
+    (2*mx+hh, 2*my+vv) — the classic places a 4:2:0 decoder breaks.
+    Stats run at NATIVE chroma resolution (quarter-size planes), so
+    the oracle needs no upsampling convention. Scale shape: identical
+    to every codec — one Arrow-batched mapInPandas chain, payload
+    bytes never shuffle, doc-grain output."""
+    media = synthesize_jpeg420(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_jpeg(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=JPEG_STATS_SCHEMA)
+
+
+QUERIES["multimodal_jpeg420_stats"] = q_multimodal_jpeg420_stats
+
+ORACLE["multimodal_jpeg420_stats"] = """
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 3) + 1 AS mw,
+               (doc_id % 2) + 1 AS mh
+        FROM documents
+    ),
+    mxs AS (
+        SELECT doc_id, mw, mh,
+               unnest(generate_series(0, mw - 1)) AS mx
+        FROM grid
+    ),
+    mcus AS (
+        SELECT doc_id, mw, mh, mx,
+               unnest(generate_series(0, mh - 1)) AS my
+        FROM mxs
+    ),
+    ysum AS (
+        SELECT doc_id,
+               CAST(64 * sum((doc_id + 7 * (2 * mx + hh)
+                              + 13 * (2 * my + vv)) % 200 + 28) AS BIGINT)
+                   AS sum_y
+        FROM mcus
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS hh)
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS vv)
+        GROUP BY doc_id
+    ),
+    csum AS (
+        SELECT doc_id,
+               CAST(any_value(mw) * 16 AS INTEGER) AS width,
+               CAST(any_value(mh) * 16 AS INTEGER) AS height,
+               CAST(any_value(mw) * any_value(mh) * 256 AS BIGINT)
+                   AS n_pixels,
+               CAST(6 * any_value(mw) * any_value(mh) AS BIGINT)
+                   AS n_blocks,
+               CAST(64 * sum((3 * doc_id + 5 * mx + my) % 200 + 28)
+                    AS BIGINT) AS sum_cb,
+               CAST(64 * sum((doc_id + mx * my) % 200 + 28) AS BIGINT)
+                   AS sum_cr
+        FROM mcus
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id, width, height, n_pixels, n_blocks,
+           y.sum_y, sum_cb, sum_cr,
+           CAST(c.doc_id % 200 + 28 AS INTEGER) AS corner_y,
+           CAST((3 * c.doc_id) % 200 + 28 AS INTEGER) AS corner_cb
+    FROM csum c JOIN ysum y ON c.doc_id = y.doc_id
 """

@@ -1439,7 +1439,8 @@ class TestJpegCodec:
             y_dc, [(0x02, -3), (0xF0, 0), ((1 << 4) | 3, v2)]
         )
         assert b"\xff\x00" in entropy  # stuffing is load-bearing here
-        w, h, planes = _jpeg_raster(payload)
+        w, h, planes, samps = _jpeg_raster(payload)
+        assert samps == [(1, 1), (1, 1), (1, 1)]
         assert (w, h) == (8, 8)
         coef = np.zeros((8, 8))
         coef[0, 0] = y_dc * 8
@@ -1492,10 +1493,10 @@ class TestJpegCodec:
         sof_at = p.index(b"\xff\xc0")
         with pytest.raises(ValueError, match="non-baseline"):
             decode_jpeg(p[:sof_at + 1] + b"\xc2" + p[sof_at + 2:])
-        # subsampled chroma (4:2:0) is out of scope — loud gate
+        # an unsupported sampling layout (4:2:2) — loud gate
         bad = bytearray(p)
-        bad[sof_at + 11] = 0x22  # Y component sampling byte
-        with pytest.raises(ValueError, match="subsampled"):
+        bad[sof_at + 11] = 0x21  # Y component sampling byte: 2x1
+        with pytest.raises(ValueError, match="subsampled chroma layout"):
             decode_jpeg(bytes(bad))
         # restart intervals are out of scope — loud gate
         dri = b"\xff\xdd\x00\x04\x00\x08"
@@ -1559,3 +1560,53 @@ def test_jpeg_resize_matches_generator_nn(spark):
             assert got[key] == want, (d, key)
     with pytest.raises(ValueError, match="truncated|missing EOI"):
         resize_jpeg_nn(payloads[ids[0]][:-2])
+
+
+def test_jpeg420_native_chroma_and_block_order(spark):
+    """4:2:0 decode: chroma planes come back at NATIVE quarter
+    resolution, the 4-Y-per-MCU raster order and the three DC
+    predictor chains survive interleaving (sums + corners match the
+    closed form), and the same payload resizes through the
+    subsampling-aware NN kernel."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _jpeg420_dims,
+        _jpeg_block_val,
+        _jpeg_raster,
+        decode_jpeg,
+        resize_jpeg_nn,
+        synthesize_jpeg420,
+    )
+
+    ids = [0, 1, 5, 37, 122]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg420(docs).collect()
+    }
+    for d in ids:
+        w, h = _jpeg420_dims(d)
+        mw, mh = w // 16, h // 16
+        _, _, planes, samps = _jpeg_raster(payloads[d])
+        assert samps == [(2, 2), (1, 1), (1, 1)]
+        assert planes[0].shape == (h, w)
+        assert planes[1].shape == (h // 2, w // 2)  # native quarter
+        got = decode_jpeg(payloads[d])
+        assert got["n_blocks"] == 6 * mw * mh
+        want_y = 64 * sum(
+            _jpeg_block_val(d, 0, bx, by)
+            for bx in range(2 * mw)
+            for by in range(2 * mh)
+        )
+        want_cb = 64 * sum(
+            _jpeg_block_val(d, 1, mx, my)
+            for mx in range(mw)
+            for my in range(mh)
+        )
+        assert got["sum_y"] == want_y, d
+        assert got["sum_cb"] == want_cb, d
+        assert got["corner_y"] == _jpeg_block_val(d, 0, 0, 0)
+        assert got["corner_cb"] == _jpeg_block_val(d, 1, 0, 0)
+        # resize samples chroma at its native grid without IndexError
+        r = resize_jpeg_nn(payloads[d])
+        assert (r["src_width"], r["src_height"]) == (w, h)
+        assert r["sum_y"] > 0 and r["sum_cb"] > 0
