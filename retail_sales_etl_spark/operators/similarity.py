@@ -874,14 +874,20 @@ def _pq_code(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def _pq_sampled_oracle(member_ctes: str = "", member_join: str = "") -> str:
+def _pq_sampled_oracle(
+    member_ctes: str = "", member_join: str = "", sample_where: str = ""
+) -> str:
     """DuckDB twin of q_ann_pq_sampled_topk: the sampled Lloyd rounds
     unrolled as CTEs, one full-corpus coding pass against the final
     codebooks, then the same ADC + re-rank.
 
     ``member_ctes``/``member_join``: same composition hooks as
     ``_pq_oracle`` — the sampled IVFPQ oracle appends its coarse-
-    quantizer membership CTEs and restricts the coded scan."""
+    quantizer membership CTEs and restricts the coded scan.
+    ``sample_where``: optional WHERE clause restricting the training
+    sample's candidate pool — the stored-codes streaming entry trains
+    its frozen codebook on the FIRST delivered batch (vec_id below
+    the first quarter cut), so its oracle samples from that slice."""
 
     def d2(a: str, b: str) -> str:
         return (
@@ -896,6 +902,7 @@ def _pq_sampled_oracle(member_ctes: str = "", member_join: str = "") -> str:
         )""",
         f"""semb AS (
             SELECT vec_id, v FROM emb
+            {sample_where}
             ORDER BY substring(md5('{_PQ_SALT}' || CAST(vec_id AS VARCHAR)), 1, 8),
                      vec_id
             LIMIT {PQ_SAMPLE_N}

@@ -5381,6 +5381,261 @@ ORACLE["streaming_ann_ivf_pq"] = _pq_sampled_oracle(
 )
 
 
+def ivf_pq_index_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    vectors_path: str,
+    cents_path: str,
+    codebook_path: str,
+    codes_path: str,
+) -> bool:
+    """The FULL maintained-IVFPQ ingest: fold the batch through
+    ``ivf_index_sink`` (vector table + centroid grid), then maintain
+    the PQ side — the FAISS train-once/add-forever recipe as lakehouse
+    state:
+
+    - ``codebook``: trained ONCE, on the PQ_SAMPLE_N hash sample of
+      the FIRST batch that arrives (the production contract: an index
+      trains its quantizers on an initial sample and codes everything
+      after; a conditional initial commit makes exactly one trainer
+      win under rivals). Frozen thereafter — later batches READ it.
+    - ``codes``: (label, vec_id, sub, code) appended per batch —
+      coded against the frozen codebook (``_pq_code`` is per-vector
+      independent, so the union over batches bit-equals one
+      full-corpus pass), CELL id stored on every row so the
+      maintenance cycle can Z-order codes by label and a query's ADC
+      scan becomes file-level data skipping over ~256x fewer bytes
+      than the vectors — the claim q_ann_ivf_pq_topk's docstring
+      makes about 100 TB storage, realized.
+
+    Replay: four tables, independent guards (the codebook is
+    immutable once committed, so a codes replay against it is
+    deterministic; no cross-table delta exists). An empty first batch
+    leaves the codebook untrained for the next batch to claim."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from ..operators.similarity import _pq_code, _pq_codebook_sampled
+
+    spark = batch_df.sparkSession
+    wrote = ivf_index_sink(batch_df, batch_id, vectors_path, cents_path)
+    cb_t = LakehouseTable(spark, codebook_path)
+    for _ in range(3):
+        rv_cb = cb_t.latest_version()
+        if rv_cb is not None:
+            codebook = cb_t.read(version=rv_cb)
+            break
+        if batch_df.isEmpty():
+            codebook = None  # nothing to train on; a later batch claims
+            break
+        try:
+            cb_t.write(
+                _pq_codebook_sampled(batch_df.select("vec_id", "v")),
+                mode="append",
+                extra={"batch_id": batch_id, "pq_trained_on": batch_id},
+                conflict_on="batch_id",
+                read_version=None,
+            )
+            wrote = True
+        except (DuplicateCommitError, ConcurrentWriteError):
+            continue  # a rival trained first: re-read and USE theirs
+    else:
+        raise RuntimeError(
+            f"ivf_pq_index_sink: could not pin a codebook for batch "
+            f"{batch_id} (rivals kept advancing {codebook_path})"
+        )
+    if codebook is None:
+        return wrote
+    codes_t = LakehouseTable(spark, codes_path)
+    for _ in range(3):
+        rv_c = codes_t.latest_version()
+        hwm_c = codes_t.latest_value("codes_batch_hwm", as_of=rv_c)
+        if _landed_on(codes_t, batch_id, rv_c, hwm_c):
+            break
+        batch_codes = _pq_code(
+            batch_df.select("vec_id", "v"), codebook
+        ).join(batch_df.select("vec_id", "label"), "vec_id")
+        try:
+            codes_t.write(
+                batch_codes.select("label", "vec_id", "sub", "code"),
+                mode="append",
+                extra={
+                    "batch_id": batch_id,
+                    "codes_batch_hwm": max(
+                        batch_id, hwm_c if hwm_c is not None else batch_id
+                    ),
+                },
+                conflict_on="batch_id",
+                read_version=rv_c,
+                monotone_max=("codes_batch_hwm",),
+            )
+            return True
+        except DuplicateCommitError:
+            break  # a rival landed this batch's codes
+        except ConcurrentWriteError:
+            continue
+    else:
+        raise RuntimeError(
+            f"ivf_pq_index_sink: could not append codes for batch "
+            f"{batch_id} after 3 attempts ({codes_path})"
+        )
+    return wrote
+
+
+def maintain_ivf_pq_index(
+    stream: DataFrame,
+    vectors_path: str,
+    cents_path: str,
+    codebook_path: str,
+    codes_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the full IVFPQ index sink under foreachBatch (availableNow).
+    ``optimize_every=N`` Z-orders BOTH cell-keyed tables (vectors AND
+    codes) by label every N batches, incrementally — the codes table
+    is the one a 100 TB query actually scans (ADC over 2-byte codes),
+    so its file-pruning is the serving hot path; the vector table is
+    only touched for the constant-size exact re-rank."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        ivf_pq_index_sink(
+            batch_df, batch_id, vectors_path, cents_path,
+            codebook_path, codes_path,
+        )
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path in (vectors_path, codes_path):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=["label"],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (vectors_path, cents_path, codebook_path, codes_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_ann_ivf_pq_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The complete maintained-IVFPQ serving story: codes are computed
+    at INGEST (not at query time — the difference from
+    ``streaming_ann_ivf_pq``) against a codebook frozen on the first
+    batch's hash sample, stored WITH their cell id, and Z-ordered by
+    cell — so the query path is: route nprobe cells off the
+    maintained centroid grid, read ONLY the probed cells' CODE rows
+    (file-pruned, ~256x fewer bytes than vectors), ADC-scan, and
+    exact-L2 re-rank a constant-size shortlist against the vector
+    table. Hash-checked against the sampled-PQ oracle whose training
+    sample is restricted to the first-quarter vec_id slice (the batch
+    the stream delivers first) — proving the train-once/add-forever
+    index bit-matches a from-scratch build under that contract."""
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.similarity import IVFPQ_NPROBE, _pq_retrieve
+
+    work = _replayed_ivf_pq_index(spark, sf_dir)
+    if work is None:  # empty corpus: nothing to serve
+        return spark.createDataFrame(
+            [], "vec_id bigint, adc_dist double, l2_dist double"
+        )
+    vectors, query, cells = _maintained_ivf_probe(
+        spark, work, nprobe=IVFPQ_NPROBE
+    )
+    codebook = LakehouseTable(spark, f"{work}/codebook").read().select(
+        "sub", "code", "cv"
+    )
+    pcodes = (
+        LakehouseTable(spark, f"{work}/codes")
+        .read_where_in("label", cells)
+        .select("vec_id", "sub", "code")
+    )
+    emb_all = vectors.read().select("vec_id", "v")
+    return _pq_retrieve(emb_all, codebook, pcodes)
+
+
+def _replayed_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
+    """The ``_replayed_ivf_index`` harness extended to the full IVFPQ
+    sink: replay embeddings in 4 vec_id-range micro-batches through
+    ``maintain_ivf_pq_index`` (mid-stream Z-order cycle). Returns the
+    work dir holding vectors/cents/codebook/codes, or None for an
+    empty corpus."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..operators.similarity import _as_double_array
+
+    work = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    src = f"{work}/src"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        _as_double_array("embedding").alias("v"),
+    )
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    if hi is None:
+        return None
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            emb.filter(
+                (F.col("vec_id") >= cuts[i])
+                & (F.col("vec_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, label bigint, v array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_ivf_pq_index(
+        stream, f"{work}/vectors", f"{work}/cents", f"{work}/codebook",
+        f"{work}/codes", f"{work}/ckpt", optimize_every=3,
+    ).awaitTermination()
+    return work
+
+
+QUERIES["streaming_ann_ivf_pq_stored"] = q_streaming_ann_ivf_pq_stored
+
+# The frozen codebook trains on the FIRST delivered batch — the
+# vec_id-below-first-quarter slice — so the oracle's sample pool is
+# restricted to exactly that slice; everything downstream (coding,
+# membership, ADC, re-rank) is the shared sampled-PQ chain.
+ORACLE["streaming_ann_ivf_pq_stored"] = _pq_sampled_oracle(
+    member_ctes=_LABEL_IVFPQ_MEMBER_CTES,
+    member_join="JOIN imembers m ON a.vec_id = m.vec_id",
+    sample_where=(
+        "WHERE vec_id < (SELECT (max(vec_id) + 1) // 4 FROM emb)"
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # streaming_bm25 — a SERVING lexical index under IVM: the document
 # stream maintains the inverted postings table (w, doc_id, tf, dl —

@@ -2793,6 +2793,81 @@ def test_pq_serving_codes_only_probed_cells(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_ivf_pq_index_sink_freezes_codebook_and_prunes_codes(
+    spark, tmp_path
+):
+    """The stored-codes IVFPQ sink: (a) an EMPTY first batch leaves
+    the codebook unclaimed and the first non-empty batch trains it;
+    (b) the codebook FREEZES — later batches read it, never retrain;
+    (c) codes rows carry the cell id and, after the Z-order cycle, a
+    cell probe on the CODES table opens strictly fewer files than the
+    table holds; (d) a codes replay is a no-op."""
+    from retail_sales_etl_spark.load import lakehouse as lh
+    from retail_sales_etl_spark.operators.similarity import (
+        DIM,
+        _pq_code,
+        _pq_codebook_sampled,
+    )
+
+    vp, cp = str(tmp_path / "v"), str(tmp_path / "c")
+    kp, sp = str(tmp_path / "cb"), str(tmp_path / "codes")
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, label bigint, v array<double>"
+        )
+
+    def _rows(b):
+        return [
+            (
+                200 * b + i,
+                (i % 16),
+                [float(((200 * b + i) * (d + 3)) % 11) for d in range(DIM)],
+            )
+            for i in range(200)
+        ]
+
+    empty = _batch([])
+    # the empty batch still lands its replay marker on the vector
+    # table (the ivf_index_sink contract) but must NOT claim the
+    # codebook or write any codes
+    streaming_events.ivf_pq_index_sink(empty, 0, vp, cp, kp, sp)
+    assert lh.LakehouseTable(spark, kp).latest_version() is None
+    assert lh.LakehouseTable(spark, sp).latest_version() is None
+    b1, b2 = _batch(_rows(0)), _batch(_rows(1))
+    assert streaming_events.ivf_pq_index_sink(b1, 1, vp, cp, kp, sp) is True
+    cb_t = lh.LakehouseTable(spark, kp)
+    cb_v = cb_t.latest_version()
+    assert cb_t.latest_value("pq_trained_on") == 1
+    assert streaming_events.ivf_pq_index_sink(b2, 2, vp, cp, kp, sp) is True
+    assert cb_t.latest_version() == cb_v  # frozen: batch 2 did not retrain
+    # codes bit-equal a from-scratch pass against the same codebook
+    codebook = cb_t.read()
+    want = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_code(
+            b1.select("vec_id", "v").unionAll(b2.select("vec_id", "v")),
+            codebook,
+        ).collect()
+    }
+    codes_t = lh.LakehouseTable(spark, sp)
+    got = {(r.vec_id, r.sub): r.code for r in codes_t.read().collect()}
+    assert got == want
+    # replay is a no-op
+    cv = codes_t.latest_version()
+    assert streaming_events.ivf_pq_index_sink(b1, 1, vp, cp, kp, sp) is False
+    assert codes_t.latest_version() == cv
+    # cell probes on the CODES table are file-pruned after Z-order
+    codes_t.optimize(target_files=32, zorder_by=["label"])
+    codes_t = lh.LakehouseTable(spark, sp)
+    keep, total = codes_t.prune_files_in("label", [3, 7])
+    assert len(keep) < total, (len(keep), total)
+    probed = codes_t.read_where_in("label", [3, 7])
+    assert sorted(
+        r[0] for r in probed.select("label").distinct().collect()
+    ) == [3, 7]
+
+
 def test_bm25_index_sink_order_insensitive_and_skips_replay(
     spark, tmp_path
 ):
