@@ -3968,6 +3968,12 @@ class _JpegBitWriter:
         while self._n:
             self.write(1, 1)
 
+    def restart(self, n: int) -> None:
+        """Emit an RSTn marker: pad the current byte with 1-bits, then
+        the marker (markers are never byte-stuffed)."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + n])
+
 
 class _JpegBitReader:
     """Entropy-stream bit reader: un-stuffs 0xFF00; any other marker
@@ -4006,6 +4012,21 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, n: int) -> None:
+        """Consume an expected RSTn marker: drop the pad bits of the
+        current byte, then require exactly 0xFF 0xD0+n — a missing or
+        out-of-sequence restart IS desync and fails LOUD."""
+        self._n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + n
+        ):
+            raise ValueError(
+                f"missing or out-of-sequence JPEG restart marker RST{n}"
+            )
+        self.pos += 2
+
 
 def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
     code, ln = 0, 0
@@ -4026,7 +4047,7 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def synthesize_jpeg(docs: DataFrame) -> DataFrame:
+def synthesize_jpeg(docs: DataFrame, dri: int | None = None) -> DataFrame:
     """One REAL baseline JFIF payload per document: SOI, APP0, DQT
     (both quant tables), SOF0 (8-bit, 3 components, 4:4:4), DHT (all
     four Annex K.3 standard tables), SOS, interleaved Huffman-coded
@@ -4035,7 +4056,9 @@ def synthesize_jpeg(docs: DataFrame) -> DataFrame:
     through the real category/EXTEND magnitude coding, so block order
     exercises multiple Huffman categories; AC as one EOB symbol) —
     which is what makes the lossy transform chain CLOSED-FORM at the
-    oracle grain."""
+    oracle grain. ``dri=N`` emits a DRI segment and a byte-aligned
+    cyclic RSTn every N MCUs with DC predictors reset (T.81 E.2.4) —
+    the camera-file stream structure."""
     import struct
 
     dc_maps = (
@@ -4081,14 +4104,21 @@ def synthesize_jpeg(docs: DataFrame) -> DataFrame:
                 ):
                     dht += bytes([cls_id]) + bytes(bits) + bytes(vals)
                 buf += _seg(0xC4, bytes(dht))
+                if dri:
+                    buf += _seg(0xDD, struct.pack(">H", dri))
                 buf += _seg(
                     0xDA,
                     bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
                 )
                 bw = _JpegBitWriter()
                 pred = [0, 0, 0]
+                mcu = 0
                 for by in range(hb):
                     for bx in range(wb):
+                        if dri and mcu and mcu % dri == 0:
+                            bw.restart((mcu // dri - 1) % 8)
+                            pred = [0, 0, 0]
+                        mcu += 1
                         for comp in range(3):
                             tsel = 0 if comp == 0 else 1
                             dc = _jpeg_block_val(d, comp, bx, by) - 128
@@ -4136,11 +4166,14 @@ def _jpeg_idct_mat():
 
 def _jpeg_raster(payload: bytes):
     """Baseline-scope JPEG decoder core: marker walk (APPn/COM
-    skipped; progressive/extended SOFs, 12-bit precision, and DRI
-    restart intervals fail LOUD as out-of-scope), multi-table DQT/DHT
-    parse, canonical Huffman decode, DC prediction, the full AC
-    run-length loop, zigzag dequantization, float IDCT, level shift +
-    clamp. Supports the two real-world sampling layouts — 4:4:4 (all
+    skipped; progressive/extended SOFs and 12-bit precision fail LOUD
+    as out-of-scope), multi-table DQT/DHT parse, canonical Huffman
+    decode, DC prediction, the full AC run-length loop, zigzag
+    dequantization, float IDCT, level shift + clamp. RESTART
+    intervals (DRI/RSTn, T.81 E.2.4) are honored: at each boundary
+    the reader byte-aligns, requires the cyclic RSTn (a missing or
+    out-of-sequence marker IS desync and fails loud), and all DC
+    predictor chains reset. Supports the two real-world sampling layouts — 4:4:4 (all
     components 1x1) and 4:2:0 (Y 2x2, chroma 1x1, the interleaved
     6-block MCU) — any other layout fails LOUD. Returns (width,
     height, [Y, Cb, Cr] uint8 planes AT NATIVE RESOLUTION — 4:2:0
@@ -4160,6 +4193,7 @@ def _jpeg_raster(payload: bytes):
     hts: dict[int, dict] = {}
     sof = None
     scan = None
+    dri = 0
     while True:
         if pos + 4 > len(p):
             raise ValueError("truncated JPEG: no SOS marker")
@@ -4221,7 +4255,9 @@ def _jpeg_raster(payload: bytes):
                 hts[tc_th] = _jpeg_decode_table(bits, vals)
                 o += 17 + n
         elif m == 0xDD:
-            raise ValueError("unsupported JPEG: restart intervals (DRI)")
+            if len(seg) != 2:
+                raise ValueError("malformed DRI segment")
+            (dri,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:
             ns = seg[0]
             if ns != 3:
@@ -4255,8 +4291,15 @@ def _jpeg_raster(payload: bytes):
     ]
     reader = _JpegBitReader(p, pos)
     pred = [0] * len(comps)
+    mcu_index = 0
     for by in range(my):
         for bx in range(mx):
+            if dri and mcu_index and mcu_index % dri == 0:
+                # restart boundary: byte-align, consume the cyclic
+                # RSTn, reset ALL DC predictor chains (T.81 E.2.4)
+                reader.restart((mcu_index // dri - 1) % 8)
+                pred = [0] * len(comps)
+            mcu_index += 1
             for ci, (cid, hi, vi, tq) in enumerate(comps):
                 if cid not in scan:
                     raise ValueError("scan is missing a frame component")
@@ -4386,6 +4429,35 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["multimodal_jpeg_stats"] = q_multimodal_jpeg_stats
 
+
+def q_multimodal_jpeg_dri_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The restart-interval stream structure (DRI/RSTn — what real
+    camera files carry for error resilience): same closed-form image
+    as ``multimodal_jpeg_stats``, but the entropy stream byte-aligns
+    and emits a cyclic RSTn every 2 MCUs with ALL DC predictor chains
+    reset — so a decoder that misses the reset (the classic restart
+    bug: predictors carried across the boundary) shifts every
+    post-restart DC and the sums go visibly wrong. The oracle is the
+    4:4:4 closed form VERBATIM: restart structure must be
+    sum-invisible when handled right, load-bearing when not."""
+    media = synthesize_jpeg(load_table(spark, sf_dir, "documents"), dri=2)
+    cols = [f.name for f in JPEG_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_jpeg(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=JPEG_STATS_SCHEMA)
+
+
+QUERIES["multimodal_jpeg_dri_stats"] = q_multimodal_jpeg_dri_stats
+
 ORACLE["multimodal_jpeg_stats"] = """
     WITH grid AS (
         SELECT doc_id,
@@ -4419,6 +4491,10 @@ ORACLE["multimodal_jpeg_stats"] = """
     FROM cells
     GROUP BY doc_id
 """
+
+# The DRI variant decodes to the IDENTICAL raster — restart structure
+# is sum-invisible when handled right — so it shares the closed form.
+ORACLE["multimodal_jpeg_dri_stats"] = ORACLE["multimodal_jpeg_stats"]
 
 
 def resize_jpeg_nn(payload: bytes) -> dict:

@@ -1498,9 +1498,10 @@ class TestJpegCodec:
         bad[sof_at + 11] = 0x21  # Y component sampling byte: 2x1
         with pytest.raises(ValueError, match="subsampled chroma layout"):
             decode_jpeg(bytes(bad))
-        # restart intervals are out of scope — loud gate
-        dri = b"\xff\xdd\x00\x04\x00\x08"
-        with pytest.raises(ValueError, match="restart"):
+        # a DRI declaring restarts the stream does not contain is
+        # desync — the reader must fail loud, not drift
+        dri = b"\xff\xdd\x00\x04\x00\x02"
+        with pytest.raises(ValueError, match="restart marker"):
             decode_jpeg(p[:sof_at] + dri + p[sof_at:])
 
     def test_dispatch_routes_jpeg_to_real_decoder(self, spark):
@@ -1610,3 +1611,37 @@ def test_jpeg420_native_chroma_and_block_order(spark):
         r = resize_jpeg_nn(payloads[d])
         assert (r["src_width"], r["src_height"]) == (w, h)
         assert r["sum_y"] > 0 and r["sum_cb"] > 0
+
+
+def test_jpeg_dri_restarts_roundtrip_and_reject_out_of_sequence(spark):
+    """Restart intervals: the dri=2 generator stream round-trips to
+    the SAME stats as the plain stream (restart structure is
+    sum-invisible when the predictor reset is handled right), the
+    payload really contains RST markers, and an out-of-sequence
+    restart index fails loud."""
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg,
+    )
+
+    ids = [3, 123, 119]  # up to 4x3 = 12 MCUs -> up to 5 restarts
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    plain = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg(docs).collect()
+    }
+    with_dri = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg(docs, dri=2).collect()
+    }
+    for d in ids:
+        assert b"\xff\xd0" in with_dri[d]  # RST0 really present
+        assert decode_jpeg(with_dri[d]) == decode_jpeg(plain[d]), d
+    # corrupt the FIRST restart's index: RST0 -> RST3
+    p = bytearray(with_dri[123])
+    at = bytes(p).index(b"\xff\xd0")
+    p[at + 1] = 0xD3
+    with pytest.raises(ValueError, match="out-of-sequence|restart marker"):
+        decode_jpeg(bytes(p))
