@@ -4232,10 +4232,11 @@ def _jpeg_raster(payload: bytes):
             if layout not in (
                 ((1, 1), (1, 1), (1, 1)),  # 4:4:4
                 ((2, 2), (1, 1), (1, 1)),  # 4:2:0
+                ((2, 1), (1, 1), (1, 1)),  # 4:2:2
             ):
                 raise ValueError(
                     "unsupported JPEG: subsampled chroma layout "
-                    f"{layout} (4:4:4 / 4:2:0 only)"
+                    f"{layout} (4:4:4 / 4:2:0 / 4:2:2 only)"
                 )
             sof = (w, h, comps)
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -4780,6 +4781,188 @@ ORACLE["multimodal_jpeg420_stats"] = """
                CAST(any_value(mw) * any_value(mh) * 256 AS BIGINT)
                    AS n_pixels,
                CAST(6 * any_value(mw) * any_value(mh) AS BIGINT)
+                   AS n_blocks,
+               CAST(64 * sum((3 * doc_id + 5 * mx + my) % 200 + 28)
+                    AS BIGINT) AS sum_cb,
+               CAST(64 * sum((doc_id + mx * my) % 200 + 28) AS BIGINT)
+                   AS sum_cr
+        FROM mcus
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id, width, height, n_pixels, n_blocks,
+           y.sum_y, sum_cb, sum_cr,
+           CAST(c.doc_id % 200 + 28 AS INTEGER) AS corner_y,
+           CAST((3 * c.doc_id) % 200 + 28 AS INTEGER) AS corner_cb
+    FROM csum c JOIN ysum y ON c.doc_id = y.doc_id
+"""
+
+
+def _jpeg422_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc MCU grid for the 4:2:2 entry (1..2 x 1..3 MCUs of
+    16x8) — width multiples of 16, height multiples of 8, so every
+    interleaved 4-block MCU is full."""
+    return ((doc_id % 2) + 1) * 16, ((doc_id % 3) + 1) * 8
+
+
+def synthesize_jpeg422(docs: DataFrame) -> DataFrame:
+    """One REAL baseline 4:2:2 JFIF payload per document — the
+    video-derived stills layout: Y sampled 2x1, Cb/Cr 1x1, so each
+    interleaved MCU carries TWO side-by-side Y blocks then one Cb and
+    one Cr covering the same 16x8 pixel area (chroma half-width,
+    full-height — the asymmetric case that catches a decoder
+    conflating the two sampling axes). Blocks stay DC-only flat at
+    the closed-form ``_jpeg_block_val``: Y indexed by its own block
+    grid, chroma by the MCU grid."""
+    import struct
+
+    dc_maps = (
+        _jpeg_code_map(*_JPEG_DC_LUMA),
+        _jpeg_code_map(*_JPEG_DC_CHROMA),
+    )
+    ac_maps = (
+        _jpeg_code_map(*_JPEG_AC_LUMA),
+        _jpeg_code_map(*_JPEG_AC_CHROMA),
+    )
+
+    def _seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _jpeg422_dims(d)
+                mw, mh = w // 16, h // 8
+                buf = bytearray(b"\xff\xd8")
+                buf += _seg(
+                    0xE0,
+                    b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0),
+                )
+                buf += _seg(
+                    0xDB,
+                    bytes([0x00]) + bytes(_JPEG_QT_LUMA)
+                    + bytes([0x01]) + bytes(_JPEG_QT_CHROMA),
+                )
+                buf += _seg(
+                    0xC0,
+                    struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
+                )
+                dht = bytearray()
+                for cls_id, (bits, vals) in (
+                    (0x00, _JPEG_DC_LUMA),
+                    (0x10, _JPEG_AC_LUMA),
+                    (0x01, _JPEG_DC_CHROMA),
+                    (0x11, _JPEG_AC_CHROMA),
+                ):
+                    dht += bytes([cls_id]) + bytes(bits) + bytes(vals)
+                buf += _seg(0xC4, bytes(dht))
+                buf += _seg(
+                    0xDA,
+                    bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+                )
+                bw = _JpegBitWriter()
+                pred = [0, 0, 0]
+
+                def _block(comp: int, tsel: int, val: int) -> None:
+                    dc = val - 128
+                    diff = dc - pred[comp]
+                    pred[comp] = dc
+                    t = abs(diff).bit_length()
+                    code, ln = dc_maps[tsel][t]
+                    bw.write(code, ln)
+                    if t:
+                        mag = diff if diff >= 0 else diff + (1 << t) - 1
+                        bw.write(mag, t)
+                    code, ln = ac_maps[tsel][0x00]  # EOB
+                    bw.write(code, ln)
+
+                for my in range(mh):
+                    for mx in range(mw):
+                        for hh in range(2):
+                            _block(
+                                0, 0,
+                                _jpeg_block_val(d, 0, 2 * mx + hh, my),
+                            )
+                        _block(1, 1, _jpeg_block_val(d, 1, mx, my))
+                        _block(2, 1, _jpeg_block_val(d, 2, mx, my))
+                bw.flush()
+                buf += bw.buf
+                buf += b"\xff\xd9"  # EOI
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": JPEG_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def q_multimodal_jpeg422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 4:2:2 decode proof — the third sampling layout
+    through the SAME general decoder: the asymmetric (2,1) factors
+    exercise the axis the square layouts cannot — a decoder that
+    conflates horizontal and vertical sampling (or transposes the
+    block-placement arithmetic) decodes 4:4:4 and 4:2:0 perfectly and
+    breaks HERE. Chroma planes come back half-width full-height at
+    native resolution. Scale shape: one Arrow-batched mapInPandas
+    chain, payload bytes never shuffle, doc-grain output."""
+    media = synthesize_jpeg422(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_jpeg(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=JPEG_STATS_SCHEMA)
+
+
+QUERIES["multimodal_jpeg422_stats"] = q_multimodal_jpeg422_stats
+
+ORACLE["multimodal_jpeg422_stats"] = """
+    WITH grid AS (
+        SELECT doc_id,
+               (doc_id % 2) + 1 AS mw,
+               (doc_id % 3) + 1 AS mh
+        FROM documents
+    ),
+    mxs AS (
+        SELECT doc_id, mw, mh,
+               unnest(generate_series(0, mw - 1)) AS mx
+        FROM grid
+    ),
+    mcus AS (
+        SELECT doc_id, mw, mh, mx,
+               unnest(generate_series(0, mh - 1)) AS my
+        FROM mxs
+    ),
+    ysum AS (
+        SELECT doc_id,
+               CAST(64 * sum((doc_id + 7 * (2 * mx + hh) + 13 * my)
+                             % 200 + 28) AS BIGINT) AS sum_y
+        FROM mcus
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS hh)
+        GROUP BY doc_id
+    ),
+    csum AS (
+        SELECT doc_id,
+               CAST(any_value(mw) * 16 AS INTEGER) AS width,
+               CAST(any_value(mh) * 8 AS INTEGER) AS height,
+               CAST(any_value(mw) * any_value(mh) * 128 AS BIGINT)
+                   AS n_pixels,
+               CAST(4 * any_value(mw) * any_value(mh) AS BIGINT)
                    AS n_blocks,
                CAST(64 * sum((3 * doc_id + 5 * mx + my) % 200 + 28)
                     AS BIGINT) AS sum_cb,

@@ -1645,3 +1645,45 @@ def test_jpeg_dri_restarts_roundtrip_and_reject_out_of_sequence(spark):
     p[at + 1] = 0xD3
     with pytest.raises(ValueError, match="out-of-sequence|restart marker"):
         decode_jpeg(bytes(p))
+
+
+def test_jpeg422_asymmetric_sampling_and_native_chroma(spark):
+    """4:2:2 decode: the asymmetric (2,1) factors — chroma planes
+    half-width FULL-height, two side-by-side Y blocks per MCU — the
+    axis-conflation trap the square layouts cannot catch."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _jpeg422_dims,
+        _jpeg_block_val,
+        _jpeg_raster,
+        decode_jpeg,
+        synthesize_jpeg422,
+    )
+
+    ids = [0, 1, 5, 37, 122]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg422(docs).collect()
+    }
+    for d in ids:
+        w, h = _jpeg422_dims(d)
+        mw, mh = w // 16, h // 8
+        _, _, planes, samps = _jpeg_raster(payloads[d])
+        assert samps == [(2, 1), (1, 1), (1, 1)]
+        assert planes[0].shape == (h, w)
+        assert planes[1].shape == (h, w // 2)  # half-width, FULL height
+        got = decode_jpeg(payloads[d])
+        assert got["n_blocks"] == 4 * mw * mh
+        want_y = 64 * sum(
+            _jpeg_block_val(d, 0, bx, by)
+            for bx in range(2 * mw)
+            for by in range(mh)
+        )
+        want_cb = 64 * sum(
+            _jpeg_block_val(d, 1, mx, my)
+            for mx in range(mw)
+            for my in range(mh)
+        )
+        assert got["sum_y"] == want_y, d
+        assert got["sum_cb"] == want_cb, d
+        assert got["corner_y"] == _jpeg_block_val(d, 0, 0, 0)
