@@ -1493,9 +1493,10 @@ class TestJpegCodec:
         sof_at = p.index(b"\xff\xc0")
         with pytest.raises(ValueError, match="non-baseline"):
             decode_jpeg(p[:sof_at + 1] + b"\xc2" + p[sof_at + 2:])
-        # an unsupported sampling layout (4:2:2) — loud gate
+        # an unsupported sampling layout (4:4:0-style, Y 1x2) — loud
+        # gate (2x1 and 2x2 are now the supported 4:2:2 / 4:2:0)
         bad = bytearray(p)
-        bad[sof_at + 11] = 0x21  # Y component sampling byte: 2x1
+        bad[sof_at + 11] = 0x12  # Y component sampling byte: 1x2
         with pytest.raises(ValueError, match="subsampled chroma layout"):
             decode_jpeg(bytes(bad))
         # a DRI declaring restarts the stream does not contain is
