@@ -321,13 +321,34 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     legacy_best: dict[str, float] = {}
+    # Per-rep raw timings (full line / BENCH.out only): the r17
+    # forensics could not tell WHICH rep of a volatile query blew up
+    # (min+spread collapses the shape) — with the raw reps recorded, a
+    # first-rep-only spike reads as JIT/codegen warm-up while an
+    # any-rep spike reads as ambient contention, without a re-run.
+    rep_times: dict[str, list[float]] = {}
+    warmup_times: dict[str, float] = {}
+    # One WARMUP rep per query, excluded from every metric: the r18
+    # fresh-JVM A/B (scripts/probe_round18_jit.py) showed rep 1 is the
+    # max in 5/6 runs (1.17-2.01x the rest) — each query's generated
+    # codegen classes JIT on first execution, so min-of-3 including the
+    # cold rep had only 2 effective samples and the volatile plans
+    # (512-literal projections, unrolled iterations) read as noisy.
+    # The warmup rep is still recorded (warmup_times) so a regression
+    # in PLAN CONSTRUCTION cost stays visible.
     for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        warmup_times[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(legacy_reps if name in HEADLINE[:16] else reps):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+        rep_times[name] = [round(t, 3) for t in runs]
         # uniform protocol: the headline total only ever sees the
         # first `reps` runs; extra legacy reps feed legacy16_minof5
         uniform = runs[:reps]
@@ -452,6 +473,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "spread": spreads,
+            "rep_times": rep_times,
+            "warmup_times": warmup_times,
+            "warmup": 1,
             "tier2": tier2,
             "tier2_slice": round_idx,
             "tier2_reruns": tier2_reruns,
@@ -480,6 +504,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "reps": reps,
+            "warmup": 1,
             "n_queries": len(timings),
             # uniform min-of-`reps`, comparable to every round's total
             "legacy16": legacy16,

@@ -1287,6 +1287,16 @@ def _km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_censored"),
     )
+    return _km_curve_from_grid(grid)
+
+
+def _km_curve_from_grid(grid: DataFrame) -> DataFrame:
+    """KM curve from a (dur, n_death, n_censored) duration grid — the
+    post-sessionization half of ``_km_curve``, split out so the
+    streaming serve path (``streaming_weibull``: deaths from the
+    maintained closed-duration grid, censoring from the open-session
+    tails) runs the IDENTICAL at-risk / ln-product expression chain as
+    the batch curve and can never drift on rounding."""
     w_risk = Window.orderBy(F.col("dur").asc()).rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
@@ -1366,7 +1376,14 @@ def q_session_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fit points exclude dur=0 (ln undefined), survival pinned to 0
     (the all-die tail), and censor-only grid rows (no death at that
     duration ⇒ no plotting position)."""
-    curve = _km_curve(spark, sf_dir)
+    return _weibull_fit_from_curve(_km_curve(spark, sf_dir))
+
+
+def _weibull_fit_from_curve(curve: DataFrame) -> DataFrame:
+    """Weibull probability-plot OLS over a KM curve DataFrame — the
+    fit tail of ``session_weibull_fit``, split out so the streaming
+    serve path regresses over a maintained-state curve through the
+    IDENTICAL staged-log / DECIMAL-sum expression chain."""
     pts = curve.filter(
         (F.col("n_death") > 0)
         & (F.col("duration_sec") > 0)

@@ -6402,3 +6402,455 @@ QUERIES["streaming_containment"] = q_streaming_containment
 # the batch relation, so the entry shares the batch
 # decontaminate_containment oracle verbatim.
 ORACLE["streaming_containment"] = _TEXT_ORACLE["decontaminate_containment"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_weibull — session-survival maintenance with a SEAM-CORRECT
+# duration grid: session durations are NOT additive across micro-batch
+# seams (an open session's duration changes retroactively when the next
+# batch extends it), so the state splits into (a) per-user OPEN-SESSION
+# TAILS, merged/extended batch by batch, and (b) an additive grid of
+# CLOSED durations — a session enters the grid only when a later event
+# > gap after its last event PROVES it ended. Every closed session is a
+# death by construction (the closing event puts gmax > last_s + gap);
+# censoring is decided at serve time from the tails alone.
+# ---------------------------------------------------------------------------
+
+_SESS_TAILS_SCHEMA = "user_id bigint, open_first_s bigint, open_last_s bigint"
+_SESS_GRID_SCHEMA = "dur bigint, n_death bigint"
+
+
+def _batch_sessions(batch_df: DataFrame) -> DataFrame:
+    """Within-batch sessionization under the batch gap rule
+    (``operators/events._km_curve``: split on integer-second gap >
+    SESSION_GAP_SEC): one row per within-batch session — (user_id,
+    seq, first_s, last_s, n_sess). The lag window is bounded by one
+    user's batch activity; tie order on equal ts is irrelevant to the
+    extents (gap 0 never splits, min/max are order-free)."""
+    from pyspark.sql import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = batch_df.select(
+        "user_id", "ts", F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("s") - F.lag("s").over(by_user) > SESSION_GAP_SEC, 1
+        ).otherwise(0),
+    ).withColumn("seq", F.sum("new_session").over(run) + 1)
+    sess = flagged.groupBy("user_id", "seq").agg(
+        F.min("s").cast("bigint").alias("first_s"),
+        F.max("s").cast("bigint").alias("last_s"),
+    )
+    return sess.withColumn(
+        "n_sess", F.max("seq").over(Window.partitionBy("user_id"))
+    )
+
+
+def session_tails_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    tails_path: str,
+    grid_path: str,
+) -> bool:
+    """Fold one micro-batch of events into the maintained session-
+    survival state — the IVM form of the ``session_km_survival`` /
+    ``session_weibull_fit`` duration grid, under the SEAM PROTOCOL:
+
+    - Within-batch sessions 1..n-1 close in-batch (a later same-batch
+      event > gap after them exists) — their durations go to the grid.
+    - The stored tail either MERGES with the batch's first session
+      (first batch event within one gap of the stored last event: the
+      tail's duration was provisional, it keeps growing) or CLOSES
+      (the batch's first event is > gap later — THAT event is the
+      proof the session ended, so only now does its final duration
+      enter the additive grid).
+    - The batch's last session becomes the new tail; its duration
+      stays OUT of the grid until a later batch proves it over.
+
+    CONTRACT (enforced): batches arrive in event-time order (the
+    user_gaps discipline) — a batch whose first event for a user
+    precedes the stored ``open_last_s`` RAISES from inside the combine
+    via ``raise_error``; out-of-order delivery can never silently
+    split or double-count a session.
+
+    Scale shape: the batch collapses map-side to one row per within-
+    batch session; prior-tail reads go through the file-pruned
+    ``read_where_in`` on the batch's bounded user set (Z-ordered by
+    user_id on the optimize cycle), the grid probe on the batch's
+    bounded closed-duration set; MERGE rewrites only touched files.
+
+    Exactly-once across TWO tables where the GRID delta READS the
+    tails table (unlike the rake grids, which are independent): the
+    grid delta depends only on the PRE-batch tails state, and the
+    tails table only advances after the grid commit — so the order is
+    replay-check TAILS first (it commits last: a tails hit means the
+    batch fully landed), commit grid, then tails. A crash between the
+    two commits replays into: tails still pre-batch, grid delta
+    recomputed identically and skipped by its own ``_landed_on``,
+    tails folded — no cross-table rewind. Returns False on full
+    replay or an empty batch (nothing to fold; skipping the commit is
+    idempotent)."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return False
+    sess = _batch_sessions(batch_df).cache()
+    user_keys = ()  # () = not collected yet; None = collected, over cap
+    tails = LakehouseTable(spark, tails_path)
+    grid = LakehouseTable(spark, grid_path)
+
+    def _stamp(b: int, hwm) -> dict:
+        return {
+            "batch_id": b,
+            "batch_hwm": max(b, hwm if hwm is not None else b),
+        }
+
+    try:
+        for _ in range(3):
+            rv_t = tails.latest_version()
+            hwm_t = tails.latest_value("batch_hwm", as_of=rv_t)
+            if _landed_on(tails, batch_id, rv_t, hwm_t):
+                return False  # tails commits last: fully landed
+            rv_g = grid.latest_version()
+            hwm_g = grid.latest_value("batch_hwm", as_of=rv_g)
+            if rv_t is None:
+                prior = spark.createDataFrame([], _SESS_TAILS_SCHEMA)
+            else:
+                if user_keys == ():
+                    user_keys = _probe_keys_or_warn(
+                        sess.select("user_id"), batch_id,
+                        "session_tails_sink", "user_id",
+                    )
+                prior = (
+                    tails.read_where_in("user_id", user_keys, version=rv_t)
+                    if user_keys is not None
+                    else tails.read(version=rv_t)
+                )
+            # one decision row per batch user: does the stored tail
+            # merge with the batch's first session, or close? An
+            # out-of-order batch must fail LOUD here — a mis-split
+            # session would poison the long-lived grid forever.
+            firsts = sess.filter(F.col("seq") == 1).select(
+                "user_id", F.col("first_s").alias("b_first_s")
+            )
+            dec = (
+                firsts.join(prior.alias("c"), "user_id", "left")
+                .select(
+                    "user_id",
+                    "b_first_s",
+                    F.col("c.open_first_s").alias("p_first"),
+                    F.col("c.open_last_s").alias("p_last"),
+                )
+                .withColumn(
+                    "merged",
+                    F.when(F.col("p_last").isNull(), F.lit(False)).when(
+                        F.col("b_first_s") < F.col("p_last"),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "session_tails_sink: out-of-order "
+                                    f"micro-batch {batch_id} — events for "
+                                    "user_id="
+                                ),
+                                F.col("user_id").cast("string"),
+                                F.lit(" precede the stored open_last_s ("),
+                                F.col("b_first_s").cast("string"),
+                                F.lit(" < "),
+                                F.col("p_last").cast("string"),
+                                F.lit(
+                                    "); the in-order delivery contract is "
+                                    "broken — refusing to fold"
+                                ),
+                            )
+                        ).cast("boolean"),
+                    ).otherwise(
+                        F.col("b_first_s") - F.col("p_last")
+                        <= SESSION_GAP_SEC
+                    ),
+                )
+            )
+            joined = sess.join(dec, "user_id")
+            closed_batch = joined.filter(
+                F.col("seq") < F.col("n_sess")
+            ).select(
+                (
+                    F.col("last_s")
+                    - F.when(
+                        (F.col("seq") == 1) & F.col("merged"),
+                        F.col("p_first"),
+                    ).otherwise(F.col("first_s"))
+                )
+                .cast("bigint")
+                .alias("dur")
+            )
+            closed_tails = dec.filter(
+                F.col("p_last").isNotNull() & ~F.col("merged")
+            ).select(
+                (F.col("p_last") - F.col("p_first"))
+                .cast("bigint")
+                .alias("dur")
+            )
+            delta = (
+                closed_batch.unionByName(closed_tails)
+                .groupBy("dur")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_death"))
+                .cache()
+            )
+            new_tails = joined.filter(
+                F.col("seq") == F.col("n_sess")
+            ).select(
+                "user_id",
+                F.when(
+                    (F.col("n_sess") == 1) & F.col("merged"),
+                    F.col("p_first"),
+                )
+                .otherwise(F.col("first_s"))
+                .cast("bigint")
+                .alias("open_first_s"),
+                F.col("last_s").cast("bigint").alias("open_last_s"),
+            )
+            try:
+                has_delta = not delta.isEmpty()
+                if has_delta and not _landed_on(grid, batch_id, rv_g, hwm_g):
+                    try:
+                        if rv_g is None:
+                            grid.write(
+                                delta, mode="append",
+                                extra=_stamp(batch_id, hwm_g),
+                                conflict_on="batch_id", read_version=rv_g,
+                                monotone_max=("batch_hwm",),
+                            )
+                        else:
+                            dur_keys = _probe_keys_or_warn(
+                                delta.select("dur"), batch_id,
+                                "session_tails_sink", "dur",
+                            )
+                            prior_g = (
+                                grid.read_where_in(
+                                    "dur", dur_keys, version=rv_g
+                                )
+                                if dur_keys is not None
+                                else grid.read(version=rv_g)
+                            ).select(
+                                "dur", F.col("n_death").alias("c_death")
+                            )
+                            upd_g = (
+                                delta.alias("p")
+                                .join(prior_g, "dur", "left")
+                                .select(
+                                    "dur",
+                                    (
+                                        F.col("p.n_death")
+                                        + F.coalesce("c_death", F.lit(0))
+                                    )
+                                    .cast("bigint")
+                                    .alias("n_death"),
+                                )
+                            )
+                            grid.merge(
+                                upd_g, ["dur"],
+                                extra=_stamp(batch_id, hwm_g),
+                                read_version=rv_g, conflict_on="batch_id",
+                            )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's grid delta
+                if rv_t is None:  # first commit creates the tails table
+                    tails.write(
+                        new_tails, mode="append",
+                        extra=_stamp(batch_id, hwm_t),
+                        conflict_on="batch_id", read_version=rv_t,
+                        monotone_max=("batch_hwm",),
+                    )
+                else:
+                    tails.merge(
+                        new_tails, ["user_id"],
+                        extra=_stamp(batch_id, hwm_t),
+                        read_version=rv_t, conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's tails
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and re-fold
+            finally:
+                delta.unpersist()
+        raise RuntimeError(
+            f"session_tails_sink: could not commit batch {batch_id} after "
+            f"3 attempts (concurrent writers kept advancing {tails_path})"
+        )
+    finally:
+        sess.unpersist()
+
+
+def maintain_session_tails(
+    stream: DataFrame,
+    tails_path: str,
+    grid_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the session-survival IVM sink under foreachBatch
+    (availableNow). ``optimize_every=N`` clusters BOTH state tables
+    every N batches — INCREMENTALLY, tails Z-ordered by user_id (the
+    per-batch user-probe pruning path) and the closed-duration grid by
+    dur — so probe reads stay file-pruned as the user population and
+    the duration support grow, while per-cycle write volume stays
+    bounded by recent-change volume (growth contract: tails rows =
+    users ever seen, grid rows = distinct closed durations — both
+    sublinear in events)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        session_tails_sink(batch_df, batch_id, tails_path, grid_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path, col in ((tails_path, "user_id"), (grid_path, "dur")):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=[col],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (tails_path, grid_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def _served_weibull_from_state(
+    spark: SparkSession, tails_path: str, grid_path: str
+) -> DataFrame:
+    """Serve the Weibull fit from the maintained state: deaths from
+    the closed-duration grid (every closed session is a death by
+    construction), the open tails tagged against gmax = max(open_last_s)
+    — every user's latest event lives in their tail, so the global
+    observation end needs no extra state — then the IDENTICAL
+    ``_km_curve_from_grid`` → ``_weibull_fit_from_curve`` expression
+    chain as the batch operator."""
+    import os
+
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.events import (
+        _km_curve_from_grid,
+        _weibull_fit_from_curve,
+    )
+
+    tails_df = LakehouseTable(spark, tails_path).read()
+    if os.path.exists(os.path.join(grid_path, "_log")):
+        closed = LakehouseTable(spark, grid_path).read()
+    else:  # no session ever closed: the grid table was never created
+        closed = spark.createDataFrame([], _SESS_GRID_SCHEMA)
+    gmax = tails_df.agg(F.max("open_last_s").alias("gmax"))
+    tail_rows = tails_df.crossJoin(F.broadcast(gmax)).select(
+        (F.col("open_last_s") - F.col("open_first_s"))
+        .cast("bigint")
+        .alias("dur"),
+        (F.col("gmax") - F.col("open_last_s") <= SESSION_GAP_SEC).alias(
+            "censored"
+        ),
+    )
+    tail_grid = tail_rows.groupBy("dur").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_death"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    closed_grid = closed.select(
+        "dur", "n_death", F.lit(0).cast("bigint").alias("n_censored")
+    )
+    grid_all = (
+        tail_grid.unionByName(closed_grid)
+        .groupBy("dur")
+        .agg(
+            F.sum("n_death").cast("bigint").alias("n_death"),
+            F.sum("n_censored").cast("bigint").alias("n_censored"),
+        )
+    )
+    return _weibull_fit_from_curve(_km_curve_from_grid(grid_all))
+
+
+def q_streaming_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the session-survival IVM: replay the
+    events table in 4 ts-range micro-batches (file mtimes pinned so
+    FileStreamSource delivers them in event-time order — the seam
+    protocol's in-order contract; the cuts are ts-range, so sessions
+    STRADDLE the seams and the tail-merge path is exercised for real),
+    fold each through ``maintain_session_tails`` (mid-stream Z-order
+    cycle covering the probe-pruning path on both tables), then serve
+    the Weibull fit from the MAINTAINED state — hash-checked against
+    the SAME oracle as the batch ``session_weibull_fit``, proving a
+    100 TB pipeline can publish the churn model without ever
+    re-sessionizing history."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..operators.events import (
+        _km_curve_from_grid,
+        _weibull_fit_from_curve,
+    )
+
+    work = tempfile.mkdtemp(prefix="weib_stream_")
+    src = f"{work}/src"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    t_lo, t_hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if t_lo is None:  # empty stream: the batch twin's empty-grid fit
+        empty = spark.createDataFrame(
+            [], "dur bigint, n_death bigint, n_censored bigint"
+        )
+        return _weibull_fit_from_curve(_km_curve_from_grid(empty))
+    cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") < F.lit(cuts[i + 1])
+            if i < 3
+            else F.col("ts") <= F.lit(t_hi)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders new files by modification time: pin
+        # strictly-increasing mtimes so batch i really is ts-range i.
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    ts_t = spark.read.parquet(src).schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(f"user_id bigint, ts {ts_t}")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_session_tails(
+        stream, f"{work}/tails", f"{work}/grid", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+    return _served_weibull_from_state(
+        spark, f"{work}/tails", f"{work}/grid"
+    )
+
+
+QUERIES["streaming_weibull"] = q_streaming_weibull
+
+# The maintained tails+grid state must reproduce the batch KM/Weibull
+# derivation exactly wherever the seams fall, so the entry shares the
+# batch session_weibull_fit oracle verbatim.
+ORACLE["streaming_weibull"] = _BATCH_EVENTS_ORACLE["session_weibull_fit"]

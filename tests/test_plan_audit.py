@@ -1448,3 +1448,67 @@ def test_jpeg_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
         plan = _formatted_plan(q(spark, sf_dir))
         assert "Exchange" not in plan, q.__name__
         assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__
+
+
+def test_session_tails_partial_window_per_user(spark):
+    """The streaming session-survival partial: the within-batch
+    sessionize windows (lag + running sum + per-user max) are ALL
+    per-user — bounded by one user's batch activity, never an
+    unpartitioned window over the batch."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.streaming.events import _batch_sessions
+
+    batch = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00")], "user_id bigint, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    plan = _formatted_plan(_batch_sessions(batch))
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+
+
+def test_session_tails_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
+    """After the maintenance cycle Z-orders the tails by user_id, the
+    next batch's prior-tail probe must read the pinned snapshot
+    through stats-pruned read_where_in and OPEN strictly fewer files
+    than the state holds (the user_gaps file-open bound applied to the
+    session-tail state)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+    from retail_sales_etl_spark.streaming import events as streaming_events
+
+    tails = str(tmp_path / "tails")
+    grid = str(tmp_path / "grid")
+    users = spark.range(160).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    for b in range(4):
+        batch = users.filter((F.col("user_id") % 4) == b)
+        assert streaming_events.session_tails_sink(
+            batch, b, tails, grid
+        ) is True
+    lh.LakehouseTable(spark, tails).optimize(
+        target_files=40, zorder_by=["user_id"]
+    )
+    live = lh.LakehouseTable(spark, tails).read().inputFiles()
+    assert len(live) >= 20  # clustered into many narrow-range files
+
+    opened = []
+    orig = lh.LakehouseTable.read_where_in
+
+    def spy(self, column, values, version=None):
+        df = orig(self, column, values, version=version)
+        opened.append((column, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
+    nxt = spark.createDataFrame(
+        [(3, 10_000), (1000, 10_001)], "user_id bigint, s bigint"
+    ).select("user_id", F.timestamp_seconds(F.col("s")).alias("ts"))
+    assert streaming_events.session_tails_sink(nxt, 4, tails, grid) is True
+    probes = [o for o in opened if o[0] == "user_id"]
+    assert probes, "prior-tail probe did not go through read_where_in"
+    assert probes[0][1] <= 4 < len(live), (probes[0][1], len(live))

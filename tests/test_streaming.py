@@ -2972,3 +2972,177 @@ def test_bm25_serving_reads_query_terms_file_pruned(
     got = table.read_where_in("w", probe).collect()
     assert sorted(r.doc_id for r in got) == [3, 1500]
     assert all(r.tf == 1 and r.dl == 2 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# session-survival IVM (streaming_weibull): the seam protocol
+# ---------------------------------------------------------------------------
+
+
+def _sess_batch(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    return spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s)) for u, s in rows],
+        "user_id bigint, ts timestamp",
+    )
+
+
+def test_session_tails_sink_seam_merge_and_close(spark, tmp_path):
+    """Hand-worked seam protocol: a session STRADDLING a batch seam
+    must keep growing (merge), a first batch event > gap later must
+    close the stored tail at its provisional duration, within-batch
+    non-last sessions close immediately, and a full replay of any
+    batch is a no-op. Gap rule: split on > 1800 s.
+
+    b0: u1 @ 0,100           -> tail [0,100]
+        u2 @ 0               -> tail [0,0]
+    b1: u1 @ 1000            -> seam gap 900 <= 1800: MERGE, tail [0,1000]
+        u2 @ 5000            -> seam gap 5000 > 1800: tail closes (dur 0),
+                                new tail [5000,5000]
+    b2: u1 @ 4000,4100,9000  -> seam gap 3000 > 1800: [0,1000] closes
+                                (dur 1000); within-batch [4000,4100]
+                                closes (dur 100); tail [9000,9000]
+        u3 @ 100,200         -> new user, tail [100,200]"""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tails = str(tmp_path / "tails")
+    grid = str(tmp_path / "grid")
+    assert streaming_events.session_tails_sink(
+        _sess_batch(spark, [(1, 0), (1, 100), (2, 0)]), 0, tails, grid
+    ) is True
+    assert streaming_events.session_tails_sink(
+        _sess_batch(spark, [(1, 1000), (2, 5000)]), 1, tails, grid
+    ) is True
+    assert streaming_events.session_tails_sink(
+        _sess_batch(
+            spark, [(1, 4000), (1, 4100), (1, 9000), (3, 100), (3, 200)]
+        ),
+        2, tails, grid,
+    ) is True
+
+    import datetime as dt
+
+    s0 = int(
+        dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+    got_tails = {
+        r.user_id: (r.open_first_s - s0, r.open_last_s - s0)
+        for r in LakehouseTable(spark, tails).read().collect()
+    }
+    assert got_tails == {1: (9000, 9000), 2: (5000, 5000), 3: (100, 200)}
+    got_grid = {
+        r.dur: r.n_death
+        for r in LakehouseTable(spark, grid).read().collect()
+    }
+    assert got_grid == {0: 1, 1000: 1, 100: 1}
+
+    # full replays are no-ops on both tables
+    vt = LakehouseTable(spark, tails).latest_version()
+    vg = LakehouseTable(spark, grid).latest_version()
+    assert streaming_events.session_tails_sink(
+        _sess_batch(spark, [(1, 1000), (2, 5000)]), 1, tails, grid
+    ) is False
+    assert LakehouseTable(spark, tails).latest_version() == vt
+    assert LakehouseTable(spark, grid).latest_version() == vg
+
+    # an empty micro-batch folds nothing and advances nothing
+    empty = spark.createDataFrame([], "user_id bigint, ts timestamp")
+    assert streaming_events.session_tails_sink(
+        empty, 3, tails, grid
+    ) is False
+    assert LakehouseTable(spark, tails).latest_version() == vt
+
+
+def test_session_tails_sink_out_of_order_batch_fails_loud(spark, tmp_path):
+    """A batch whose first event for a stored user PRECEDES the
+    user's open_last_s breaks the in-order contract — a mis-split
+    session would poison the closed-duration grid forever, so the
+    sink must RAISE and leave both tables unadvanced."""
+    import pytest
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    tails = str(tmp_path / "tails")
+    grid = str(tmp_path / "grid")
+    assert streaming_events.session_tails_sink(
+        _sess_batch(spark, [(1, 100), (1, 110)]), 0, tails, grid
+    ) is True
+    vt = LakehouseTable(spark, tails).latest_version()
+
+    with pytest.raises(Exception, match="out-of-order micro-batch"):
+        streaming_events.session_tails_sink(
+            _sess_batch(spark, [(1, 50)]), 1, tails, grid
+        )
+    assert LakehouseTable(spark, tails).latest_version() == vt
+
+    # equal-second arrival is IN contract (gap 0 merges), and a fresh
+    # user never trips the guard
+    assert streaming_events.session_tails_sink(
+        _sess_batch(spark, [(1, 110), (2, 10)]), 1, tails, grid
+    ) is True
+    got = {
+        r.user_id: (r.open_last_s - r.open_first_s)
+        for r in LakehouseTable(spark, tails).read().collect()
+    }
+    assert got == {1: 10, 2: 0}
+
+
+def test_streaming_weibull_serve_matches_batch_wherever_seams_fall(
+    spark, tmp_path
+):
+    """The served fit off the maintained tails+grid must equal the
+    batch session_weibull_fit row REGARDLESS of seam placement: fold
+    the same crafted events as 2 batches and again as 4 batches (a
+    session straddles a seam in both layouts), and compare both serves
+    against the batch operator on the same events."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from retail_sales_etl_spark.operators.events import (
+        q_session_weibull_fit,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # a spread of session durations across 6 users, incl. seam-straddlers
+    offsets = {
+        1: [0, 60, 120, 5000, 5060],       # sessions [0,120], [5000,5060]
+        2: [0, 600, 1200, 1800, 2400],      # one long session (gaps 600)
+        3: [100, 9000, 9400],               # [100,100], [9000,9400]
+        4: [0, 30, 12000],                  # [0,30], [12000,12000]
+        5: [7000, 7120, 7240],              # [7000,7240]
+        6: [11900, 12050],                  # [11900,12050] near the end
+    }
+    for u, offs in offsets.items():
+        for o in offs:
+            rows.append(
+                Row(event_id=eid, ts=t0 + timedelta(seconds=o), user_id=u,
+                    event_type="c", value=1.0, props="{}")
+            )
+            eid += 1
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    want = q_session_weibull_fit(spark, sf).collect()
+
+    ev = [(r.user_id, (r.ts - t0).total_seconds()) for r in rows]
+    for layout, cuts in (("2seam", [6000]), ("4seam", [100, 5030, 9200])):
+        tails = str(tmp_path / f"tails_{layout}")
+        grid = str(tmp_path / f"grid_{layout}")
+        edges = [float("-inf")] + cuts + [float("inf")]
+        for b in range(len(edges) - 1):
+            batch = [
+                (u, int(s)) for u, s in ev if edges[b] <= s < edges[b + 1]
+            ]
+            streaming_events.session_tails_sink(
+                _sess_batch(spark, sorted(batch, key=lambda x: x[1])),
+                b, tails, grid,
+            )
+        got = streaming_events._served_weibull_from_state(
+            spark, tails, grid
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], layout
