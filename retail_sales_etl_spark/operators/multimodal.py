@@ -4977,3 +4977,284 @@ ORACLE["multimodal_jpeg422_stats"] = """
            CAST((3 * c.doc_id) % 200 + 28 AS INTEGER) AS corner_cb
     FROM csum c JOIN ysum y ON c.doc_id = y.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# JPEG APP1/EXIF metadata (EXIF 2.3 + TIFF 6.0, public specs) — the
+# curation signal real image pipelines filter on BEFORE decoding a
+# single pixel: orientation, capture timestamp, camera make, declared
+# pixel dimensions. The extractor is a real TIFF-structure walk
+# (byte-order flag, IFD entry table, inline-vs-offset values, the
+# Exif sub-IFD pointer), not a field peek — corruption fails loud.
+# ---------------------------------------------------------------------------
+
+_EXIF_EPOCH = (2020, 1, 1, 0, 0, 0)
+
+
+def _exif_fields_for(doc_id: int) -> dict:
+    """Closed-form EXIF field values per doc (the codec-family
+    generator shape): byte order alternates II/MM so BOTH TIFF
+    endiannesses are exercised, orientation walks all 8 spec values,
+    dims mirror the SOF closed form, the timestamp steps a coprime
+    stride through ~28 hours."""
+    import datetime as dt
+
+    w, h = _jpeg_dims(doc_id)
+    t = dt.datetime(*_EXIF_EPOCH) + dt.timedelta(
+        seconds=(doc_id * 977) % 100_000
+    )
+    return {
+        "byte_order": "II" if doc_id % 2 == 0 else "MM",
+        "orientation": (doc_id % 8) + 1,
+        "make": f"CAM{doc_id % 5}",
+        "datetime_original": t.strftime("%Y:%m:%d %H:%M:%S"),
+        "exif_width": w,
+        "exif_height": h,
+    }
+
+
+def _build_exif_app1(doc_id: int) -> bytes:
+    """Spec-valid APP1 payload: ``Exif\\x00\\x00`` + TIFF header +
+    IFD0 (Make as an OFFSET ASCII value, Orientation inline SHORT,
+    the 0x8769 Exif-IFD pointer) + Exif IFD (DateTimeOriginal offset
+    ASCII-20, PixelXDimension / PixelYDimension inline LONGs). Entries
+    tag-sorted within each IFD, offsets word-aligned (TIFF 6.0)."""
+    import struct
+
+    f = _exif_fields_for(doc_id)
+    little = f["byte_order"] == "II"
+    e = "<" if little else ">"
+    make = f["make"].encode("ascii") + b"\x00"  # 5 bytes -> offset value
+
+    def entry(tag: int, typ: int, count: int, value_field: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + value_field
+
+    def short_inline(v: int) -> bytes:
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long_inline(v: int) -> bytes:
+        return struct.pack(e + "I", v)
+
+    # layout (offsets from TIFF header): 8 IFD0, 50 make, 56 Exif IFD,
+    # 98 DateTimeOriginal, 118 end
+    ifd0_off, make_off, exif_off, dto_off = 8, 50, 56, 98
+    dto = f["datetime_original"].encode("ascii") + b"\x00"  # 20 bytes
+    tiff = bytearray()
+    tiff += (b"II" if little else b"MM") + struct.pack(e + "HI", 42, ifd0_off)
+    tiff += struct.pack(e + "H", 3)
+    tiff += entry(0x010F, 2, len(make), long_inline(make_off))  # Make
+    tiff += entry(0x0112, 3, 1, short_inline(f["orientation"]))
+    tiff += entry(0x8769, 4, 1, long_inline(exif_off))  # Exif IFD ptr
+    tiff += struct.pack(e + "I", 0)  # no next IFD
+    assert len(tiff) == make_off
+    tiff += make + b"\x00"  # pad to even
+    assert len(tiff) == exif_off
+    tiff += struct.pack(e + "H", 3)
+    tiff += entry(0x9003, 2, len(dto), long_inline(dto_off))
+    tiff += entry(0xA002, 4, 1, long_inline(f["exif_width"]))
+    tiff += entry(0xA003, 4, 1, long_inline(f["exif_height"]))
+    tiff += struct.pack(e + "I", 0)
+    assert len(tiff) == dto_off
+    tiff += dto
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def synthesize_jpeg_exif(docs: DataFrame) -> DataFrame:
+    """The ``synthesize_jpeg`` baseline stream with a crafted APP1
+    EXIF segment spliced directly after SOI (the camera-file layout:
+    Exif APP1 leads the metadata block; the JFIF APP0 that follows is
+    marker-walk-skipped by any compliant reader)."""
+
+    def _splice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bytes(p[:2]) + _build_exif_app1(int(d)) + bytes(p[2:])
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return synthesize_jpeg(docs).mapInPandas(_splice, schema=MEDIA_SCHEMA)
+
+
+def _tiff_ifd_entries(t: bytes, e: str, off: int) -> tuple[dict, int]:
+    """Walk one TIFF IFD at ``off``: returns ({tag: (type, count,
+    value_bytes)}, next_ifd_offset) with offset-stored values resolved
+    against the full TIFF block — truncation anywhere fails loud."""
+    import struct
+
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+    if off + 2 > len(t):
+        raise ValueError("EXIF: IFD offset beyond TIFF block")
+    (n,) = struct.unpack_from(e + "H", t, off)
+    end = off + 2 + 12 * n + 4
+    if end > len(t):
+        raise ValueError("EXIF: truncated IFD entry table")
+    entries = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", t, off + 2 + 12 * i)
+        if typ not in sizes:
+            raise ValueError(f"EXIF: unknown TIFF type {typ}")
+        nbytes = sizes[typ] * cnt
+        vfield = off + 2 + 12 * i + 8
+        if nbytes <= 4:
+            raw = t[vfield : vfield + nbytes]
+        else:
+            (voff,) = struct.unpack_from(e + "I", t, vfield)
+            if voff + nbytes > len(t):
+                raise ValueError("EXIF: value offset beyond TIFF block")
+            raw = t[voff : voff + nbytes]
+        entries[tag] = (typ, cnt, raw)
+    (nxt,) = struct.unpack_from(e + "I", t, end - 4)
+    return entries, nxt
+
+
+def _exif_scalar(e: str, ent: tuple) -> int:
+    import struct
+
+    typ, cnt, raw = ent
+    if typ == 3:
+        return struct.unpack_from(e + "H", raw, 0)[0]
+    if typ == 4:
+        return struct.unpack_from(e + "I", raw, 0)[0]
+    raise ValueError(f"EXIF: expected SHORT/LONG, got type {typ}")
+
+
+def extract_jpeg_exif(payload: bytes) -> dict | None:
+    """APP1/EXIF extraction through the standard JPEG marker walk:
+    find the APP1 segment bearing the ``Exif\\x00\\x00`` identifier
+    (other APPn — JFIF APP0, XMP APP1 — are skipped), then a REAL
+    TIFF 6.0 walk: byte-order flag (II/MM else loud), magic 42, IFD0
+    entry table, the 0x8769 pointer into the Exif sub-IFD. Returns
+    None when no Exif APP1 exists (the has-no-metadata case a
+    curation filter must distinguish from corrupt); malformed TIFF
+    structure raises."""
+    import struct
+
+    p = bytes(payload)
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = p[pos + 1]
+        if m in (0xD9, 0xDA):
+            break  # image data: EXIF lives before the scan
+        (length,) = struct.unpack_from(">H", p, pos + 2)
+        seg = p[pos + 4 : pos + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        pos += 2 + length
+    if tiff is None:
+        return None
+    if len(tiff) < 8:
+        raise ValueError("EXIF: truncated TIFF header")
+    order = tiff[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"EXIF: bad TIFF byte-order flag {order!r}")
+    magic, ifd0 = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError(f"EXIF: bad TIFF magic {magic}")
+    entries, _ = _tiff_ifd_entries(tiff, e, ifd0)
+    out = {
+        "byte_order": order.decode("ascii"),
+        "orientation": None,
+        "make": None,
+        "datetime_original": None,
+        "exif_width": None,
+        "exif_height": None,
+    }
+    if 0x0112 in entries:
+        out["orientation"] = _exif_scalar(e, entries[0x0112])
+    if 0x010F in entries:
+        out["make"] = (
+            entries[0x010F][2].split(b"\x00", 1)[0].decode("ascii")
+        )
+    if 0x8769 in entries:
+        sub, _ = _tiff_ifd_entries(
+            tiff, e, _exif_scalar(e, entries[0x8769])
+        )
+        if 0x9003 in sub:
+            out["datetime_original"] = (
+                sub[0x9003][2].split(b"\x00", 1)[0].decode("ascii")
+            )
+        if 0xA002 in sub:
+            out["exif_width"] = _exif_scalar(e, sub[0xA002])
+        if 0xA003 in sub:
+            out["exif_height"] = _exif_scalar(e, sub[0xA003])
+    return out
+
+
+JPEG_EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("datetime_original", StringType()),
+        StructField("exif_width", IntegerType()),
+        StructField("exif_height", IntegerType()),
+    ]
+)
+
+
+def q_multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction at corpus scale — the filter-before-
+    decode stage of a real image pipeline (orientation fix-up lists,
+    capture-time windows, camera allowlists) run WITHOUT touching the
+    entropy stream: the generator splices spec-valid APP1 blocks
+    (both TIFF byte orders, inline and offset values, the Exif
+    sub-IFD indirection) and the extractor earns every field through
+    the generic marker + TIFF walk. Scale shape: one Arrow-batched
+    mapInPandas chain, payload bytes never shuffle, doc-grain
+    output."""
+    media = synthesize_jpeg_exif(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_EXIF_SCHEMA.fields]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = extract_jpeg_exif(payload)
+                if d is None:
+                    raise ValueError(
+                        f"doc {doc_id}: generator emitted no APP1"
+                    )
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=JPEG_EXIF_SCHEMA)
+
+
+QUERIES["multimodal_jpeg_exif"] = q_multimodal_jpeg_exif
+
+ORACLE["multimodal_jpeg_exif"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+           'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           strftime(TIMESTAMP '2020-01-01 00:00:00'
+                    + to_seconds(CAST(doc_id * 977 % 100000 AS BIGINT)),
+                    '%Y:%m:%d %H:%M:%S') AS datetime_original,
+           CAST((doc_id % 4 + 1) * 8 AS INTEGER) AS exif_width,
+           CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS exif_height
+    FROM documents
+"""

@@ -1512,3 +1512,18 @@ def test_session_tails_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     probes = [o for o in opened if o[0] == "user_id"]
     assert probes, "prior-tail probe did not go through read_where_in"
     assert probes[0][1] <= 4 < len(live), (probes[0][1], len(live))
+
+
+def test_jpeg_exif_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The EXIF chain (synthesize -> APP1 splice -> TIFF walk) must
+    stay one zero-Exchange mapInPandas pipeline reading only doc_id
+    (the codec-family contract) — metadata extraction never shuffles
+    payload bytes."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_jpeg_exif,
+    )
+
+    plan = _formatted_plan(q_multimodal_jpeg_exif(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema

@@ -1688,3 +1688,93 @@ def test_jpeg422_asymmetric_sampling_and_native_chroma(spark):
         assert got["sum_y"] == want_y, d
         assert got["sum_cb"] == want_cb, d
         assert got["corner_y"] == _jpeg_block_val(d, 0, 0, 0)
+
+
+def test_jpeg_exif_roundtrip_both_byte_orders_and_decode_unharmed(spark):
+    """The spliced APP1 block round-trips every field through the
+    generic TIFF walk in BOTH byte orders (doc 4 = II, doc 7 = MM),
+    the EXIF dims agree with the SOF closed form, and the pixel
+    decoder's output is UNCHANGED by the metadata block (APPn is
+    marker-walk-skipped)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _exif_fields_for,
+        _jpeg_dims,
+        decode_jpeg,
+        extract_jpeg_exif,
+        synthesize_jpeg,
+        synthesize_jpeg_exif,
+    )
+
+    ids = [4, 7, 120, 121]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    plain = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg(docs).collect()
+    }
+    tagged = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg_exif(docs).collect()
+    }
+    for d in ids:
+        got = extract_jpeg_exif(tagged[d])
+        assert got == _exif_fields_for(d), d
+        w, h = _jpeg_dims(d)
+        assert (got["exif_width"], got["exif_height"]) == (w, h)
+        assert decode_jpeg(tagged[d]) == decode_jpeg(plain[d]), d
+    assert extract_jpeg_exif(tagged[4])["byte_order"] == "II"
+    assert extract_jpeg_exif(tagged[7])["byte_order"] == "MM"
+
+
+def test_jpeg_exif_absent_and_corrupt_fail_modes(spark):
+    """No Exif APP1 -> None (the has-no-metadata case, distinct from
+    corrupt); a non-Exif APP1 (XMP) is skipped, not misparsed; a bad
+    byte-order flag, bad magic, truncated IFD table, and an
+    out-of-range value offset each fail LOUD."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _build_exif_app1,
+        extract_jpeg_exif,
+        synthesize_jpeg,
+    )
+
+    docs = spark.createDataFrame([(9,)], "doc_id bigint")
+    plain = bytes(synthesize_jpeg(docs).collect()[0]["payload"])
+    assert extract_jpeg_exif(plain) is None  # JFIF APP0 only
+
+    # an APP1 that is NOT Exif (XMP) must be skipped, not parsed
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+    app1_xmp = b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+    assert extract_jpeg_exif(plain[:2] + app1_xmp + plain[2:]) is None
+
+    good = _build_exif_app1(9)
+    tagged = plain[:2] + good + plain[2:]
+    assert extract_jpeg_exif(tagged)["orientation"] == (9 % 8) + 1
+
+    body_at = 2 + 4 + 6  # SOI + marker/len + "Exif\0\0" -> TIFF start
+    bad_order = bytearray(tagged)
+    bad_order[body_at : body_at + 2] = b"ZZ"
+    with pytest.raises(ValueError, match="byte-order"):
+        extract_jpeg_exif(bytes(bad_order))
+
+    bad_magic = bytearray(tagged)
+    bad_magic[body_at + 2 : body_at + 4] = b"\x00\x00"
+    with pytest.raises(ValueError, match="magic"):
+        extract_jpeg_exif(bytes(bad_magic))
+
+    # IFD0 claims 200 entries but the block ends long before
+    bloat = bytearray(tagged)
+    struct.pack_into(">H" if (9 % 2) else "<H", bloat, body_at + 8, 200)
+    with pytest.raises(ValueError, match="truncated IFD"):
+        extract_jpeg_exif(bytes(bloat))
+
+    # Make's value offset pushed beyond the TIFF block
+    far = bytearray(tagged)
+    # IFD0 entry 0 value field: TIFF+8 (count) +2 + 8
+    struct.pack_into(
+        ">I" if (9 % 2) else "<I", far, body_at + 8 + 2 + 8, 10_000
+    )
+    with pytest.raises(ValueError, match="value offset"):
+        extract_jpeg_exif(bytes(far))
