@@ -5258,3 +5258,422 @@ ORACLE["multimodal_jpeg_exif"] = """
            CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS exif_height
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639 / xiph format spec, public) — the first COMPRESSED
+# audio codec, completing the audio column of the codec matrix beside
+# RIFF/WAVE: metadata-block walk, the bit-packed frame header with its
+# UTF-8-coded frame number, CRC-8 header / CRC-16 frame validation,
+# and bit-level subframe decode. Scope-controlled like the JPEG
+# DC-only discipline: CONSTANT + VERBATIM subframes over mono 16-bit
+# fixed-blocksize streams (closed-form-friendly); FIXED/LPC subframes,
+# mid/side stereo, wasted bits, and variable blocking fail LOUD.
+# ---------------------------------------------------------------------------
+
+FLAC_MIME = "audio/flac"
+_FLAC_BS = 16  # fixed frame blocksize (8-bit blocksize-1 header code)
+
+
+def _flac_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) — the WAV closed forms, so the two
+    audio containers share arithmetic the oracle can mirror."""
+    return 8000 + (doc_id % 4) * 2000, 64 + (doc_id % 97)
+
+
+def _flac_const_val(doc_id: int, k: int) -> int:
+    """Constant-frame sample value for frame k — non-negative residue
+    so Python and SQL % agree."""
+    return (doc_id * 7 + k * 13) % 4001 - 2000
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
+    frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
+    the FLAC whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) if crc & 0x8000 else (crc << 1)
+            ) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read(self, bits: int) -> int:
+        while self.n < bits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC subframe bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= bits
+        v = (self.acc >> self.n) & ((1 << bits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def align(self) -> None:
+        self.acc, self.n = 0, 0
+
+
+def synthesize_flac(docs: DataFrame) -> DataFrame:
+    """One REAL FLAC stream per document: ``fLaC`` magic, STREAMINFO
+    (min==max blocksize — the fixed-blocksize declaration; MD5 zeroed
+    = unknown, per spec), a PADDING metadata block the walk must skip,
+    then ceil(n/16) frames alternating CONSTANT (even k, flat at the
+    closed-form ``_flac_const_val``) and VERBATIM (odd k, the shared
+    ``_wav_sample`` closed form on the GLOBAL sample index) — with the
+    spec's bit-packed frame headers (sync 0b11111111111110, fixed
+    blocking, 8-bit blocksize-1 code, rate-from-STREAMINFO, mono,
+    16-bit), UTF-8-coded frame numbers, real CRC-8 and CRC-16."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, n = _flac_params(d)
+                buf = bytearray(b"fLaC")
+                si = _FlacBitWriter()
+                si.write(_FLAC_BS, 16)  # min blocksize
+                si.write(_FLAC_BS, 16)  # max blocksize == min: fixed
+                si.write(0, 24)  # min framesize (0 = unknown)
+                si.write(0, 24)  # max framesize
+                si.write(rate, 20)
+                si.write(0, 3)  # channels - 1 (mono)
+                si.write(15, 5)  # bits per sample - 1 (16)
+                si.write(n, 36)
+                for _ in range(16):
+                    si.write(0, 8)  # MD5 unknown
+                buf += struct.pack(">B", 0x00)  # STREAMINFO, not last
+                buf += struct.pack(">I", len(si.buf))[1:]  # 24-bit len
+                buf += si.buf
+                pad = 4 + (d % 3)
+                buf += struct.pack(">B", 0x81)  # PADDING, LAST block
+                buf += struct.pack(">I", pad)[1:]
+                buf += b"\x00" * pad
+                nf = (n + _FLAC_BS - 1) // _FLAC_BS
+                for k in range(nf):
+                    m = min(_FLAC_BS, n - k * _FLAC_BS)
+                    hdr = bytearray(
+                        [0xFF, 0xF8, 0x60, 0x08, k, m - 1]
+                    )  # sync/fixed, bs=0b0110 rate=streaminfo,
+                    # mono 16-bit, UTF-8 frame no. (k < 128), bs-1
+                    hdr.append(_flac_crc8(bytes(hdr)))
+                    bw = _FlacBitWriter()
+                    if k % 2 == 0:  # CONSTANT subframe
+                        bw.write(0x00, 8)  # pad0 | type 000000 | w0
+                        bw.write(_flac_const_val(d, k), 16)
+                    else:  # VERBATIM subframe
+                        bw.write(0x02, 8)  # pad0 | type 000001 | w0
+                        for j in range(m):
+                            bw.write(_wav_sample(d, k * _FLAC_BS + j), 16)
+                    bw.align()
+                    frame = bytes(hdr) + bytes(bw.buf)
+                    buf += frame + struct.pack(">H", _flac_crc16(frame))
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": FLAC_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def decode_flac(payload: bytes) -> dict:
+    """REAL FLAC decode within the declared scope: metadata-block walk
+    honoring the is-last flag (PADDING/VORBIS_COMMENT skipped),
+    STREAMINFO bit-unpack, then per frame — sync check, fixed-blocking
+    check, blocksize/rate/channel/sample-size code decode, UTF-8 frame
+    number, CRC-8 verify, bit-level CONSTANT / VERBATIM subframe
+    decode, byte re-align, CRC-16 verify. Out-of-scope structure
+    (FIXED/LPC subframes, stereo, wasted bits, variable blocking,
+    rate-override codes) and every corruption fail LOUD; total decoded
+    samples must equal STREAMINFO's count."""
+    import struct
+
+    p = bytes(payload)
+    if p[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(p):
+            raise ValueError("truncated FLAC metadata header")
+        btype = p[pos]
+        last = bool(btype & 0x80)
+        btype &= 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + p[pos + 1 : pos + 4])
+        body = p[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("malformed STREAMINFO length")
+            r = _FlacBitReader(body)
+            min_bs, max_bs = r.read(16), r.read(16)
+            r.read(24), r.read(24)
+            rate, ch, bps = r.read(20), r.read(3) + 1, r.read(5) + 1
+            total = r.read(36)
+            streaminfo = (min_bs, max_bs, rate, ch, bps, total)
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    min_bs, max_bs, rate, ch, bps, total = streaminfo
+    if min_bs != max_bs:
+        raise ValueError("unsupported FLAC: variable blocksize stream")
+    if ch != 1:
+        raise ValueError("unsupported FLAC: need mono")
+    if bps != 16:
+        raise ValueError("unsupported FLAC: need 16-bit samples")
+    n_seen = 0
+    n_frames = n_const = n_verb = 0
+    sum_abs = sum_sq = 0
+    peak = 0
+    expect_k = 0
+    while pos < len(p):
+        fstart = pos
+        if pos + 6 > len(p):
+            raise ValueError("truncated FLAC frame header")
+        sync = (p[pos] << 6) | (p[pos + 1] >> 2)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC frame sync lost")
+        if p[pos + 1] & 0x02:
+            raise ValueError("unsupported FLAC: reserved header bit set")
+        if p[pos + 1] & 0x01:
+            raise ValueError("unsupported FLAC: variable blocking strategy")
+        bs_code, rate_code = p[pos + 2] >> 4, p[pos + 2] & 0x0F
+        chan_code = p[pos + 3] >> 4
+        size_code = (p[pos + 3] >> 1) & 0x07
+        if p[pos + 3] & 0x01:
+            raise ValueError("unsupported FLAC: reserved frame bit set")
+        if rate_code != 0:
+            raise ValueError("unsupported FLAC: frame-level rate override")
+        if chan_code != 0:
+            raise ValueError("unsupported FLAC: non-mono channel layout")
+        if size_code != 0b100:
+            raise ValueError("unsupported FLAC: non-16-bit frame samples")
+        pos += 4
+        # UTF-8-coded frame number (single-byte scope: < 128 frames)
+        k = p[pos]
+        if k & 0x80:
+            raise ValueError("unsupported FLAC: multi-byte frame number")
+        pos += 1
+        if k != expect_k:
+            raise ValueError(
+                f"FLAC frame number {k} out of sequence (want {expect_k})"
+            )
+        expect_k += 1
+        if bs_code == 0b0110:
+            m = p[pos] + 1
+            pos += 1
+        else:
+            raise ValueError(
+                f"unsupported FLAC blocksize code 0b{bs_code:04b}"
+            )
+        crc8 = p[pos]
+        if _flac_crc8(p[fstart:pos]) != crc8:
+            raise ValueError("FLAC frame-header CRC-8 mismatch")
+        pos += 1
+        r = _FlacBitReader(p, pos)
+        if r.read(1):
+            raise ValueError("FLAC subframe pad bit set")
+        stype = r.read(6)
+        if r.read(1):
+            raise ValueError("unsupported FLAC: wasted bits")
+        if stype == 0:
+            v = r.read_signed(16)
+            n_const += 1
+            sum_abs += m * abs(v)
+            sum_sq += m * v * v
+            peak = max(peak, abs(v))
+        elif stype == 1:
+            n_verb += 1
+            for _ in range(m):
+                v = r.read_signed(16)
+                sum_abs += abs(v)
+                sum_sq += v * v
+                peak = max(peak, abs(v))
+        elif 8 <= stype <= 12 or stype >= 32:
+            raise ValueError(
+                "unsupported FLAC subframe type "
+                f"{stype} (FIXED/LPC out of first-principles scope)"
+            )
+        else:
+            raise ValueError(f"reserved FLAC subframe type {stype}")
+        r.align()
+        pos = r.pos
+        if pos + 2 > len(p):
+            raise ValueError("truncated FLAC frame footer")
+        (crc16,) = struct.unpack_from(">H", p, pos)
+        if _flac_crc16(p[fstart:pos]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos += 2
+        n_frames += 1
+        n_seen += m
+    if n_seen != total:
+        raise ValueError(
+            f"FLAC sample count mismatch: frames carry {n_seen}, "
+            f"STREAMINFO declares {total}"
+        )
+    return {
+        "sample_rate": rate,
+        "n_samples": n_seen,
+        "n_frames": n_frames,
+        "n_constant": n_const,
+        "n_verbatim": n_verb,
+        "sum_abs": sum_abs,
+        "peak": peak,
+        "sum_sq": sum_sq,
+    }
+
+
+FLAC_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_constant", IntegerType()),
+        StructField("n_verbatim", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def q_multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end COMPRESSED-audio decode proof — the tenth
+    first-principles codec and the first compressed audio one: the
+    generator emits spec-valid FLAC (bit-packed frame headers, UTF-8
+    frame numbers, real CRC-8/CRC-16) whose decode is closed-form
+    because every subframe is CONSTANT or VERBATIM — the scope
+    discipline that made the JPEG transform chain oracle-exact. A
+    decoder that misreads the bit-packed header, drops the blocksize-1
+    byte, skips CRC validation, or mis-signs the 16-bit reads goes
+    loudly wrong on sum_abs/peak/sum_sq. Scale shape: identical to
+    every codec — one Arrow-batched mapInPandas chain, payload bytes
+    never shuffle, doc-grain output."""
+    media = synthesize_flac(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in FLAC_STATS_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_flac(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k, v in d.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=FLAC_STATS_SCHEMA)
+
+
+QUERIES["multimodal_flac_stats"] = q_multimodal_flac_stats
+
+ORACLE["multimodal_flac_stats"] = """
+    WITH params AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 2000 AS rate,
+               64 + (doc_id % 97) AS n
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, rate, n,
+               unnest(generate_series(0, (n + 15) // 16 - 1)) AS k
+        FROM params
+    ),
+    sized AS (
+        SELECT doc_id, rate, n, k,
+               CASE WHEN n - k * 16 < 16 THEN n - k * 16 ELSE 16 END AS m
+        FROM frames
+    ),
+    const_frames AS (
+        SELECT doc_id, m,
+               (doc_id * 7 + k * 13) % 4001 - 2000 AS c
+        FROM sized WHERE k % 2 = 0
+    ),
+    verb_idx AS (
+        SELECT doc_id, k, m,
+               unnest(generate_series(0, m - 1)) AS j
+        FROM sized WHERE k % 2 = 1
+    ),
+    verb_samples AS (
+        SELECT doc_id,
+               (doc_id * 31 + (k * 16 + j) * 17
+                + ((k * 16 + j) * (k * 16 + j)) % 101) % 4001 - 2000 AS s
+        FROM verb_idx
+    ),
+    contrib AS (
+        SELECT doc_id, m * abs(c) AS sa, m * c * c AS sq, abs(c) AS pk
+        FROM const_frames
+        UNION ALL
+        SELECT doc_id, abs(s), s * s, abs(s) FROM verb_samples
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(sa) AS BIGINT) AS sum_abs,
+               CAST(sum(sq) AS BIGINT) AS sum_sq,
+               CAST(max(pk) AS INTEGER) AS peak
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST((n + 15) // 16 AS INTEGER) AS n_frames,
+           CAST(((n + 15) // 16 + 1) // 2 AS INTEGER) AS n_constant,
+           CAST((n + 15) // 16 // 2 AS INTEGER) AS n_verbatim,
+           sum_abs, peak, sum_sq
+    FROM params p JOIN agg a ON p.doc_id = a.doc_id
+"""

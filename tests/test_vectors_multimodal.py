@@ -1778,3 +1778,110 @@ def test_jpeg_exif_absent_and_corrupt_fail_modes(spark):
     )
     with pytest.raises(ValueError, match="value offset"):
         extract_jpeg_exif(bytes(far))
+
+
+def test_flac_decode_matches_generator_and_crcs_are_load_bearing(spark):
+    """The FLAC stream round-trips to the closed-form stats, and BOTH
+    CRCs are verified for real: flipping one sample byte breaks the
+    frame CRC-16, flipping a header byte breaks the CRC-8."""
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FLAC_BS,
+        _flac_const_val,
+        _flac_params,
+        _wav_sample,
+        decode_flac,
+        synthesize_flac,
+    )
+
+    ids = [0, 7, 96, 123]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_flac(docs).collect()
+    }
+    for d in ids:
+        rate, n = _flac_params(d)
+        nf = (n + _FLAC_BS - 1) // _FLAC_BS
+        sum_abs = sum_sq = 0
+        peak = 0
+        for k in range(nf):
+            m = min(_FLAC_BS, n - k * _FLAC_BS)
+            if k % 2 == 0:
+                c = _flac_const_val(d, k)
+                sum_abs += m * abs(c)
+                sum_sq += m * c * c
+                peak = max(peak, abs(c))
+            else:
+                for j in range(m):
+                    s = _wav_sample(d, k * _FLAC_BS + j)
+                    sum_abs += abs(s)
+                    sum_sq += s * s
+                    peak = max(peak, abs(s))
+        got = decode_flac(payloads[d])
+        assert got == {
+            "sample_rate": rate, "n_samples": n, "n_frames": nf,
+            "n_constant": (nf + 1) // 2, "n_verbatim": nf // 2,
+            "sum_abs": sum_abs, "peak": peak, "sum_sq": sum_sq,
+        }, d
+
+    p = bytearray(payloads[7])
+    p[-3] ^= 0x40  # a sample byte inside the LAST frame body
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(p))
+
+    q = bytearray(payloads[7])
+    # first frame starts after fLaC + 4+34 STREAMINFO + 4+pad PADDING
+    fstart = 4 + 4 + 34 + 4 + 4 + (7 % 3)
+    assert q[fstart] == 0xFF and q[fstart + 1] == 0xF8
+    q[fstart + 4] ^= 0x01  # frame-number byte: CRC-8 must catch it
+    with pytest.raises(ValueError, match="CRC-8|out of sequence"):
+        decode_flac(bytes(q))
+
+
+def test_flac_out_of_scope_and_corrupt_structures_fail_loud(spark):
+    """Scope gates and corruption: bad magic, variable-blocksize
+    STREAMINFO, a FIXED-predictor subframe, a truncated stream, and a
+    stereo declaration each fail LOUD with a naming message."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        decode_flac,
+        synthesize_flac,
+    )
+
+    docs = spark.createDataFrame([(7,)], "doc_id bigint")
+    good = bytes(synthesize_flac(docs).collect()[0]["payload"])
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_flac(b"fLaX" + good[4:])
+
+    vb = bytearray(good)
+    vb[4 + 4 + 2] ^= 0x01  # max_blocksize low byte: min != max now
+    with pytest.raises(ValueError, match="variable blocksize"):
+        decode_flac(bytes(vb))
+
+    st = bytearray(good)
+    # STREAMINFO byte 12 holds rate[20]:ch[3]:bps-1[5] mid-bits; the
+    # channel field is bits 4..6 of byte 12 (rate ends mid-byte 12):
+    # flip to stereo by setting channels-1 = 1
+    st[4 + 4 + 12] = (st[4 + 4 + 12] & 0xF1) | (1 << 1)
+    with pytest.raises(ValueError, match="mono"):
+        decode_flac(bytes(st))
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(good[:-1])
+
+    # rewrite the first subframe header to FIXED order 2 (type 0b001010)
+    fx = bytearray(good)
+    fstart = 4 + 4 + 34 + 4 + 4 + (7 % 3)
+    sub_at = fstart + 7  # 6 header bytes + CRC-8
+    assert fx[sub_at] == 0x00  # CONSTANT
+    fx[sub_at] = 0b0_001010_0
+    # fix the header CRC? no: subframe byte is OUTSIDE the CRC-8 span,
+    # and the type gate fires BEFORE the frame CRC-16 check
+    with pytest.raises(ValueError, match="FIXED/LPC"):
+        decode_flac(bytes(fx))
