@@ -296,6 +296,18 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = baskets.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
+    return _affinity_from_grids(pair, item, total)
+
+
+def _affinity_from_grids(
+    pair: DataFrame, item: DataFrame, total: DataFrame
+) -> DataFrame:
+    """The lift/confidence scoring tail over a (a_part, b_part,
+    n_orders) pair grid, a (pk, n_item) item grid, and a one-row
+    basket total — split out so the streaming serve path
+    (``streaming_affinity``: grids maintained at ingest) ranks through
+    the IDENTICAL exact-BIGINT expression chain as the batch
+    operator."""
     scored = (
         pair.join(
             item.select(F.col("pk").alias("a_part"), F.col("n_item").alias("na")),

@@ -6854,3 +6854,325 @@ QUERIES["streaming_weibull"] = q_streaming_weibull
 # derivation exactly wherever the seams fall, so the entry shares the
 # batch session_weibull_fit oracle verbatim.
 ORACLE["streaming_weibull"] = _BATCH_EVENTS_ORACLE["session_weibull_fit"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_affinity — co-purchase grid IVM: (a,b) pair counts and
+# per-item basket counts are ADDITIVE over disjoint order sets, so the
+# market-basket surface (support / confidence / LIFT) is maintainable
+# exactly-once batch by batch under an ORDER-ATOMIC delivery contract
+# and ranked on read through the shared _affinity_from_grids tail —
+# the IVM extension of the graph family the r17 verdict ordered.
+# ---------------------------------------------------------------------------
+
+_COPUR_PAIRS_SCHEMA = "a_part bigint, b_part bigint, n_orders bigint"
+_COPUR_ITEMS_SCHEMA = "pk bigint, n_item bigint"
+
+
+def copurchase_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs_path: str,
+    items_path: str,
+) -> bool:
+    """Fold one micro-batch of lineitem rows into the two maintained
+    co-purchase grids — the IVM form of ``part_copurchase`` /
+    ``part_affinity_lift``'s inputs: the RAW (a_part, b_part) pair
+    grid (stored UN-thresholded — a pair can cross MIN_COPURCHASE in
+    a later batch; the support gate applies on read), the per-item
+    basket-count grid, and the running basket total + orderkey
+    watermark as commit stamps that ride the items commit atomically.
+
+    CONTRACT (enforced): batches partition the order space in
+    ascending l_orderkey ranges — every order's lineitems arrive in
+    ONE batch (so the within-batch per-order distinct equals the
+    global distinct and both grids are exactly additive), checked
+    cheaply as batch.min_orderkey > stored orders_hwm; a violating
+    batch RAISES before any commit (a split basket would silently
+    under-count its pairs forever).
+
+    Scale shape: the pair explode is per-order C(k,2) — bounded by
+    basket size exactly like the batch operator (TPC-H baskets are
+    ≤7 items; a corpus with mega-baskets would add a df-cap with
+    LOUD truncation accounting, the dedup discipline — not applied
+    here because the batch oracle is uncapped); both grids collapse
+    map-side to the batch's touched keys; prior-grid reads go through
+    file-pruned ``read_where_in`` on the batch's bounded part sets;
+    MERGE rewrites only touched files.
+
+    Exactly-once across TWO tables (the rake protocol — neither
+    grid's delta reads the other): replay-check ITEMS first (it
+    commits last, and carries the cumulative ``n_baskets_total`` +
+    ``orders_hwm`` stamps so a crash between commits replays into
+    pairs-skipped / items-recomputed with the totals added exactly
+    once), commit pairs -> items. Returns False on full replay or an
+    empty batch."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return False
+    baskets = batch_df.select("l_orderkey", "l_partkey").distinct().cache()
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a_part")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("b_part")
+    )
+    p_pairs = (
+        a.join(
+            b,
+            (F.col("o") == F.col("o2"))
+            & (F.col("a_part") < F.col("b_part")),
+        )
+        .groupBy("a_part", "b_part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .cache()
+    )
+    p_items = (
+        baskets.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+        .cache()
+    )
+    o_min, o_max, n_orders_batch = baskets.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.countDistinct("l_orderkey"),
+    ).first()
+    keys: dict[str, object] = {}
+    pairs = LakehouseTable(spark, pairs_path)
+    items = LakehouseTable(spark, items_path)
+
+    def _read_prior(table, schema, version, partial, column):
+        if version is None:
+            return spark.createDataFrame([], schema)
+        if column not in keys:
+            keys[column] = _probe_keys_or_warn(
+                partial.select(column), batch_id, "copurchase_sink", column
+            )
+        if keys[column] is not None:
+            return table.read_where_in(column, keys[column], version=version)
+        return table.read(version=version)
+
+    try:
+        for _ in range(3):
+            rv_i = items.latest_version()
+            hwm_i = items.latest_value("batch_hwm", as_of=rv_i)
+            if _landed_on(items, batch_id, rv_i, hwm_i):
+                return False  # items commits last: fully landed
+            orders_hwm = items.latest_value("orders_hwm", as_of=rv_i)
+            if orders_hwm is not None and o_min <= orders_hwm:
+                raise RuntimeError(
+                    f"copurchase_sink: out-of-order micro-batch "
+                    f"{batch_id} — orderkey {o_min} at or below the "
+                    f"stored orders_hwm {orders_hwm}; the order-atomic "
+                    "ascending-range delivery contract is broken — a "
+                    "split basket would under-count pairs; refusing to "
+                    "fold"
+                )
+            total_prev = items.latest_value("n_baskets_total", as_of=rv_i)
+            rv_p = pairs.latest_version()
+            hwm_p = pairs.latest_value("batch_hwm", as_of=rv_p)
+            prior_p = _read_prior(
+                pairs, _COPUR_PAIRS_SCHEMA, rv_p, p_pairs, "a_part"
+            ).select(
+                "a_part", "b_part", F.col("n_orders").alias("c_n")
+            )
+            upd_p = (
+                p_pairs.alias("p")
+                .join(prior_p, ["a_part", "b_part"], "left")
+                .select(
+                    "a_part", "b_part",
+                    (F.col("p.n_orders") + F.coalesce("c_n", F.lit(0)))
+                    .cast("bigint").alias("n_orders"),
+                )
+            )
+            prior_i = _read_prior(
+                items, _COPUR_ITEMS_SCHEMA, rv_i, p_items, "pk"
+            ).select("pk", F.col("n_item").alias("c_n"))
+            upd_i = (
+                p_items.alias("p")
+                .join(prior_i, "pk", "left")
+                .select(
+                    "pk",
+                    (F.col("p.n_item") + F.coalesce("c_n", F.lit(0)))
+                    .cast("bigint").alias("n_item"),
+                )
+            )
+            stamp_p = {
+                "batch_id": batch_id,
+                "batch_hwm": max(
+                    batch_id, hwm_p if hwm_p is not None else batch_id
+                ),
+            }
+            stamp_i = {
+                "batch_id": batch_id,
+                "batch_hwm": max(
+                    batch_id, hwm_i if hwm_i is not None else batch_id
+                ),
+                "orders_hwm": int(o_max),
+                "n_baskets_total": int(n_orders_batch)
+                + int(total_prev if total_prev is not None else 0),
+            }
+            try:
+                if not _landed_on(pairs, batch_id, rv_p, hwm_p):
+                    try:
+                        if rv_p is None:
+                            pairs.write(
+                                upd_p, mode="append", extra=stamp_p,
+                                conflict_on="batch_id", read_version=rv_p,
+                                monotone_max=("batch_hwm",),
+                            )
+                        else:
+                            pairs.merge(
+                                upd_p, ["a_part", "b_part"],
+                                extra=stamp_p, read_version=rv_p,
+                                conflict_on="batch_id",
+                            )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's pairs
+                if rv_i is None:
+                    items.write(
+                        upd_i, mode="append", extra=stamp_i,
+                        conflict_on="batch_id", read_version=rv_i,
+                        monotone_max=("batch_hwm", "orders_hwm"),
+                    )
+                else:
+                    items.merge(
+                        upd_i, ["pk"], extra=stamp_i,
+                        read_version=rv_i, conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's items
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and re-fold
+        raise RuntimeError(
+            f"copurchase_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {items_path})"
+        )
+    finally:
+        baskets.unpersist()
+        p_pairs.unpersist()
+        p_items.unpersist()
+
+
+def maintain_copurchase(
+    stream: DataFrame,
+    pairs_path: str,
+    items_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the co-purchase grid IVM sink under foreachBatch
+    (availableNow). ``optimize_every=N`` clusters BOTH grids every N
+    batches — INCREMENTALLY, pairs Z-ordered by a_part and items by pk
+    — so probe reads stay file-pruned as the part universe grows
+    (growth contract: pairs rows = distinct co-purchased pairs with
+    support >= 1, items rows = distinct parts — both bounded by the
+    catalog cross-support, not by order volume)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        copurchase_sink(batch_df, batch_id, pairs_path, items_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path, col in ((pairs_path, "a_part"), (items_path, "pk")):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=[col],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (pairs_path, items_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the co-purchase grid IVM: replay the
+    lineitem table in 4 ascending l_orderkey-range micro-batches
+    (mtime-pinned — the order-atomic contract: every basket lands
+    whole in one batch), fold each through ``maintain_copurchase``
+    (mid-stream Z-order cycle covering the probe-pruning path on both
+    grids), then rank lift/confidence from the MAINTAINED grids
+    through the shared ``_affinity_from_grids`` tail — hash-checked
+    against the SAME oracle as the batch ``part_affinity_lift``,
+    proving the market-basket surface is servable at any moment
+    without re-exploding 100 TB of order history."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.graph import MIN_COPURCHASE, _affinity_from_grids
+
+    work = tempfile.mkdtemp(prefix="copur_stream_")
+    src = f"{work}/src"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    k_lo, k_hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    if k_lo is None:  # empty fact: the batch twin returns empty
+        return spark.createDataFrame(
+            [],
+            "a_part bigint, b_part bigint, n_ab bigint, lift double, "
+            "conf_a_to_b double",
+        )
+    cuts = [k_lo + (k_hi - k_lo) * i // 4 for i in range(5)]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        cond = (F.col("l_orderkey") >= F.lit(cuts[i])) & (
+            F.col("l_orderkey") < F.lit(cuts[i + 1])
+            if i < 3
+            else F.col("l_orderkey") <= F.lit(k_hi)
+        )
+        li.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("l_orderkey bigint, l_partkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_copurchase(
+        stream, f"{work}/pairs", f"{work}/items", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+    items_t = LakehouseTable(spark, f"{work}/items")
+    pair = (
+        LakehouseTable(spark, f"{work}/pairs")
+        .read()
+        .filter(F.col("n_orders") >= MIN_COPURCHASE)
+    )
+    item = items_t.read()
+    n_baskets = items_t.latest_value("n_baskets_total")
+    total = spark.createDataFrame(
+        [(int(n_baskets),)], "n_baskets bigint"
+    )
+    return _affinity_from_grids(pair, item, total)
+
+
+QUERIES["streaming_affinity"] = q_streaming_affinity
+
+# The maintained grids must reproduce the batch market-basket ranking
+# exactly wherever the order-range seams fall, so the entry shares the
+# batch part_affinity_lift oracle verbatim.
+from ..operators.graph import ORACLE as _GRAPH_ORACLE  # noqa: E402
+
+ORACLE["streaming_affinity"] = _GRAPH_ORACLE["part_affinity_lift"]

@@ -1541,3 +1541,53 @@ def test_flac_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_copurchase_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
+    """After the maintenance cycle Z-orders the pair grid by a_part,
+    the next batch's prior-grid probe must read the pinned snapshot
+    through stats-pruned read_where_in and OPEN strictly fewer files
+    than the grid holds."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+    from retail_sales_etl_spark.streaming import events as streaming_events
+
+    pairs = str(tmp_path / "pairs")
+    items = str(tmp_path / "items")
+    # 4 batches x 40 orders, each order a 2-item basket on a distinct
+    # part range -> a wide pair grid
+    for b in range(4):
+        rows = []
+        for o in range(40):
+            key = b * 40 + o
+            rows.append((key, key * 2))
+            rows.append((key, key * 2 + 1))
+        batch = spark.createDataFrame(
+            rows, "l_orderkey bigint, l_partkey bigint"
+        )
+        assert streaming_events.copurchase_sink(
+            batch, b, pairs, items
+        ) is True
+    lh.LakehouseTable(spark, pairs).optimize(
+        target_files=40, zorder_by=["a_part"]
+    )
+    live = lh.LakehouseTable(spark, pairs).read().inputFiles()
+    assert len(live) >= 20
+
+    opened = []
+    orig = lh.LakehouseTable.read_where_in
+
+    def spy(self, column, values, version=None):
+        df = orig(self, column, values, version=version)
+        opened.append((column, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
+    nxt = spark.createDataFrame(
+        [(10_000, 6), (10_000, 7)], "l_orderkey bigint, l_partkey bigint"
+    )
+    assert streaming_events.copurchase_sink(nxt, 4, pairs, items) is True
+    probes = [o for o in opened if o[0] == "a_part"]
+    assert probes, "prior-pair probe did not go through read_where_in"
+    assert probes[0][1] <= 4 < len(live), (probes[0][1], len(live))

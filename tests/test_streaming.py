@@ -3146,3 +3146,150 @@ def test_streaming_weibull_serve_matches_batch_wherever_seams_fall(
             spark, tails, grid
         ).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want], layout
+
+
+# ---------------------------------------------------------------------------
+# co-purchase grid IVM (streaming_affinity)
+# ---------------------------------------------------------------------------
+
+
+def _li_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    )
+
+
+def test_copurchase_sink_additive_grids_threshold_on_read(spark, tmp_path):
+    """Hand-worked: the pair grid accumulates UN-thresholded — pair
+    (1,2) appears once per batch (below MIN_COPURCHASE=2 in each) and
+    must still surface once the cumulative count crosses the gate;
+    per-item counts and the running basket total ride along; full
+    replay is a no-op; within-batch duplicate lineitem rows dedupe at
+    basket grain."""
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    pairs = str(tmp_path / "pairs")
+    items = str(tmp_path / "items")
+    # b0: order 1 {1,2}, order 2 {1,2,3} (duplicate row for part 1)
+    assert streaming_events.copurchase_sink(
+        _li_batch(
+            spark, [(1, 1), (1, 2), (2, 1), (2, 1), (2, 2), (2, 3)]
+        ),
+        0, pairs, items,
+    ) is True
+    # b1: order 5 {1,2} -> (1,2) reaches 3; order 6 {3}
+    assert streaming_events.copurchase_sink(
+        _li_batch(spark, [(5, 1), (5, 2), (6, 3)]), 1, pairs, items
+    ) is True
+
+    pt = LakehouseTable(spark, pairs)
+    it = LakehouseTable(spark, items)
+    got_pairs = {
+        (r.a_part, r.b_part): r.n_orders for r in pt.read().collect()
+    }
+    assert got_pairs == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    got_items = {r.pk: r.n_item for r in it.read().collect()}
+    assert got_items == {1: 3, 2: 3, 3: 2}
+    assert it.latest_value("n_baskets_total") == 4
+    assert it.latest_value("orders_hwm") == 6
+
+    vp, vi = pt.latest_version(), it.latest_version()
+    assert streaming_events.copurchase_sink(
+        _li_batch(spark, [(5, 1), (5, 2), (6, 3)]), 1, pairs, items
+    ) is False
+    assert (pt.latest_version(), it.latest_version()) == (vp, vi)
+
+    empty = spark.createDataFrame(
+        [], "l_orderkey bigint, l_partkey bigint"
+    )
+    assert streaming_events.copurchase_sink(
+        empty, 2, pairs, items
+    ) is False
+
+
+def test_copurchase_sink_out_of_order_batch_fails_loud(spark, tmp_path):
+    """A batch whose min orderkey is at or below the stored
+    orders_hwm breaks the order-atomic ascending-range contract (a
+    split basket would under-count its pairs forever) — the sink must
+    RAISE before any commit and keep accepting in-range batches."""
+    import pytest
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    pairs = str(tmp_path / "pairs")
+    items = str(tmp_path / "items")
+    assert streaming_events.copurchase_sink(
+        _li_batch(spark, [(10, 1), (10, 2)]), 0, pairs, items
+    ) is True
+    vi = LakehouseTable(spark, items).latest_version()
+
+    with pytest.raises(RuntimeError, match="out-of-order micro-batch"):
+        streaming_events.copurchase_sink(
+            _li_batch(spark, [(10, 3)]), 1, pairs, items
+        )
+    assert LakehouseTable(spark, items).latest_version() == vi
+
+    assert streaming_events.copurchase_sink(
+        _li_batch(spark, [(11, 1), (11, 2)]), 1, pairs, items
+    ) is True
+    got = {
+        (r.a_part, r.b_part): r.n_orders
+        for r in LakehouseTable(spark, pairs).read().collect()
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_streaming_affinity_serve_matches_batch_wherever_seams_fall(
+    spark, sf_dir
+):
+    """The served ranking off the maintained grids must equal the
+    batch part_affinity_lift REGARDLESS of how the order ranges are
+    cut: fold sf0.001 lineitem as 2 batches and as 5 batches and
+    compare both serves against the batch operator row-for-row."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.graph import (
+        MIN_COPURCHASE,
+        _affinity_from_grids,
+        q_part_affinity_lift,
+    )
+
+    want = [tuple(r) for r in q_part_affinity_lift(spark, sf_dir).collect()]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    k_lo, k_hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    for layout, nb in (("2cut", 2), ("5cut", 5)):
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix=f"copur_{layout}_")
+        cuts = [k_lo + (k_hi - k_lo) * i // nb for i in range(nb)] + [
+            k_hi + 1
+        ]
+        for bidx in range(nb):
+            batch = li.filter(
+                (F.col("l_orderkey") >= cuts[bidx])
+                & (F.col("l_orderkey") < cuts[bidx + 1])
+            )
+            streaming_events.copurchase_sink(
+                batch, bidx, f"{work}/pairs", f"{work}/items"
+            )
+        items_t = LakehouseTable(spark, f"{work}/items")
+        pair = (
+            LakehouseTable(spark, f"{work}/pairs")
+            .read()
+            .filter(F.col("n_orders") >= MIN_COPURCHASE)
+        )
+        total = spark.createDataFrame(
+            [(int(items_t.latest_value("n_baskets_total")),)],
+            "n_baskets bigint",
+        )
+        got = [
+            tuple(r)
+            for r in _affinity_from_grids(
+                pair, items_t.read(), total
+            ).collect()
+        ]
+        assert got == want, layout
