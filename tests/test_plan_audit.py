@@ -1591,3 +1591,17 @@ def test_copurchase_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     probes = [o for o in opened if o[0] == "a_part"]
     assert probes, "prior-pair probe did not go through read_where_in"
     assert probes[0][1] <= 4 < len(live), (probes[0][1], len(live))
+
+
+def test_flac_fixed_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The FIXED/rice FLAC chain must stay one zero-Exchange
+    mapInPandas pipeline reading only doc_id (the codec-family
+    contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_flac_fixed_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_flac_fixed_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema

@@ -1823,6 +1823,7 @@ def test_flac_decode_matches_generator_and_crcs_are_load_bearing(spark):
         assert got == {
             "sample_rate": rate, "n_samples": n, "n_frames": nf,
             "n_constant": (nf + 1) // 2, "n_verbatim": nf // 2,
+            "n_fixed": 0,
             "sum_abs": sum_abs, "peak": peak, "sum_sq": sum_sq,
         }, d
 
@@ -1875,13 +1876,162 @@ def test_flac_out_of_scope_and_corrupt_structures_fail_loud(spark):
     with pytest.raises(ValueError, match="truncated"):
         decode_flac(good[:-1])
 
-    # rewrite the first subframe header to FIXED order 2 (type 0b001010)
+    # rewrite the first subframe header to LPC order 1 (type 0b100000)
+    # — FIXED is in scope since the flac_fixed entry, LPC stays gated;
+    # the subframe byte is OUTSIDE the CRC-8 span and the type gate
+    # fires BEFORE the frame CRC-16 check
     fx = bytearray(good)
     fstart = 4 + 4 + 34 + 4 + 4 + (7 % 3)
     sub_at = fstart + 7  # 6 header bytes + CRC-8
     assert fx[sub_at] == 0x00  # CONSTANT
-    fx[sub_at] = 0b0_001010_0
-    # fix the header CRC? no: subframe byte is OUTSIDE the CRC-8 span,
-    # and the type gate fires BEFORE the frame CRC-16 check
-    with pytest.raises(ValueError, match="FIXED/LPC"):
+    fx[sub_at] = 0b0_100000_0
+    with pytest.raises(ValueError, match="LPC"):
         decode_flac(bytes(fx))
+
+
+def test_flac_fixed_rice_decode_matches_plan_and_orders_cycle(spark):
+    """The FIXED/rice path round-trips every frame to the generator's
+    sample plan (orders cycling 0/1/2, multi-partition order-1 frames,
+    k=0 zero-residual order-2 frames), and n_fixed == n_frames — no
+    frame fell back to CONSTANT/VERBATIM."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FLAC_BS,
+        _flac_fixed_frame_plan,
+        _flac_params,
+        decode_flac,
+        synthesize_flac_fixed,
+    )
+
+    ids = [0, 7, 33, 96, 123]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_flac_fixed(docs).collect()
+    }
+    for d in ids:
+        rate, n = _flac_params(d)
+        nf = (n + _FLAC_BS - 1) // _FLAC_BS
+        sum_abs = sum_sq = 0
+        peak = 0
+        effs = set()
+        for k in range(nf):
+            m = min(_FLAC_BS, n - k * _FLAC_BS)
+            eff, samples = _flac_fixed_frame_plan(d, k, m)
+            effs.add(eff)
+            for s in samples:
+                sum_abs += abs(s)
+                sum_sq += s * s
+                peak = max(peak, abs(s))
+        assert effs >= {0, 1, 2}, d  # all three orders really occur
+        got = decode_flac(payloads[d])
+        assert got["n_fixed"] == got["n_frames"] == nf, d
+        assert (got["sum_abs"], got["peak"], got["sum_sq"]) == (
+            sum_abs, peak, sum_sq,
+        ), d
+
+
+def test_flac_rice_reader_hand_worked_and_scope_gates(spark):
+    """Hand-worked rice bits: with k=2, folded residuals [5, -3]
+    encode as (q=2: 001, rem 10) and (q=1: 01, rem 01) — the reader
+    must unfold to exactly [5, -3] after zigzag; RICE2 method, escape
+    partitions, and non-dividing partition orders fail LOUD."""
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FlacBitReader,
+        _FlacBitWriter,
+        _flac_rice_residuals,
+    )
+
+    bw = _FlacBitWriter()
+    bw.write(0, 2)   # method RICE
+    bw.write(0, 4)   # partition order 0
+    bw.write(2, 4)   # k = 2
+    # res 5 -> mfold 10 -> q=2,rem=2 ; res -3 -> mfold 5 -> q=1,rem=1
+    bw.write(1, 3)   # 001
+    bw.write(2, 2)   # 10
+    bw.write(1, 2)   # 01
+    bw.write(1, 2)   # 01
+    bw.align()
+    r = _FlacBitReader(bytes(bw.buf))
+    assert _flac_rice_residuals(r, 2, 0) == [5, -3]
+
+    bw = _FlacBitWriter()
+    bw.write(1, 2)  # RICE2: out of scope
+    bw.align()
+    with pytest.raises(ValueError, match="residual coding method"):
+        _flac_rice_residuals(_FlacBitReader(bytes(bw.buf)), 2, 0)
+
+    bw = _FlacBitWriter()
+    bw.write(0, 2)
+    bw.write(0, 4)
+    bw.write(15, 4)  # escape partition
+    bw.align()
+    with pytest.raises(ValueError, match="escaped"):
+        _flac_rice_residuals(_FlacBitReader(bytes(bw.buf)), 2, 0)
+
+    bw = _FlacBitWriter()
+    bw.write(0, 2)
+    bw.write(2, 4)  # 4 partitions cannot divide m=6
+    bw.align()
+    with pytest.raises(ValueError, match="does not divide"):
+        _flac_rice_residuals(_FlacBitReader(bytes(bw.buf)), 6, 0)
+
+
+def test_flac_fixed_predictor_recursion_orders_3_and_4(spark):
+    """Orders 3 and 4 (not emitted by the generator) decode through
+    the same recursion: craft a single-frame stream whose cubic
+    signal s = j^3 has zero order-3 residuals beyond warmup, and a
+    quartic-free check for order 4 on a cubic too (4th difference of
+    a cubic is 0)."""
+    import struct
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FlacBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        decode_flac,
+    )
+
+    def _stream(order: int, samples: list) -> bytes:
+        n = len(samples)
+        buf = bytearray(b"fLaC")
+        si = _FlacBitWriter()
+        si.write(n, 16)
+        si.write(n, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(n, 36)
+        for _ in range(16):
+            si.write(0, 8)
+        buf += struct.pack(">B", 0x80) + struct.pack(">I", len(si.buf))[1:]
+        buf += si.buf
+        hdr = bytearray([0xFF, 0xF8, 0x60, 0x08, 0, n - 1])
+        hdr.append(_flac_crc8(bytes(hdr)))
+        bw = _FlacBitWriter()
+        bw.write((8 + order) << 1, 8)
+        for j in range(order):
+            bw.write(samples[j], 16)
+        bw.write(0, 2)
+        bw.write(0, 4)
+        bw.write(0, 4)  # k = 0: all residuals zero, pure unary 1s
+        for _ in range(n - order):
+            bw.write(1, 1)
+        bw.align()
+        frame = bytes(hdr) + bytes(bw.buf)
+        return bytes(buf + frame + struct.pack(">H", _flac_crc16(frame)))
+
+    cubic = [j * j * j for j in range(10)]  # 3rd difference constant=6?
+    # third difference of j^3 is 6 (constant, nonzero) -> order 3
+    # leaves residual 6; use k=0 all-zero residuals instead with a
+    # QUADRATIC under order 3 (3rd difference of j^2 is 0)
+    quad = [j * j for j in range(10)]
+    got3 = decode_flac(_stream(3, quad))
+    assert got3["n_samples"] == 10 and got3["sum_sq"] == sum(
+        v * v for v in quad
+    )
+    got4 = decode_flac(_stream(4, cubic))
+    assert got4["n_samples"] == 10 and got4["sum_abs"] == sum(cubic)
