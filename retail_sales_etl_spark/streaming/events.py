@@ -6732,23 +6732,18 @@ def maintain_session_tails(
     return _run_foreach_batch(stream, _sink, checkpoint)
 
 
-def _served_weibull_from_state(
+def _served_km_grid(
     spark: SparkSession, tails_path: str, grid_path: str
 ) -> DataFrame:
-    """Serve the Weibull fit from the maintained state: deaths from
-    the closed-duration grid (every closed session is a death by
-    construction), the open tails tagged against gmax = max(open_last_s)
-    — every user's latest event lives in their tail, so the global
-    observation end needs no extra state — then the IDENTICAL
-    ``_km_curve_from_grid`` → ``_weibull_fit_from_curve`` expression
-    chain as the batch operator."""
+    """The (dur, n_death, n_censored) duration grid served from the
+    maintained state: deaths from the closed-duration grid (every
+    closed session is a death by construction), the open tails tagged
+    against gmax = max(open_last_s) — every user's latest event lives
+    in their tail, so the global observation end needs no extra state.
+    Shared by the KM-curve and Weibull-fit serve entries."""
     import os
 
     from ..load.lakehouse import LakehouseTable
-    from ..operators.events import (
-        _km_curve_from_grid,
-        _weibull_fit_from_curve,
-    )
 
     tails_df = LakehouseTable(spark, tails_path).read()
     if os.path.exists(os.path.join(grid_path, "_log")):
@@ -6775,7 +6770,7 @@ def _served_weibull_from_state(
     closed_grid = closed.select(
         "dur", "n_death", F.lit(0).cast("bigint").alias("n_censored")
     )
-    grid_all = (
+    return (
         tail_grid.unionByName(closed_grid)
         .groupBy("dur")
         .agg(
@@ -6783,41 +6778,43 @@ def _served_weibull_from_state(
             F.sum("n_censored").cast("bigint").alias("n_censored"),
         )
     )
-    return _weibull_fit_from_curve(_km_curve_from_grid(grid_all))
 
 
-def q_streaming_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry for the session-survival IVM: replay the
-    events table in 4 ts-range micro-batches (file mtimes pinned so
-    FileStreamSource delivers them in event-time order — the seam
-    protocol's in-order contract; the cuts are ts-range, so sessions
-    STRADDLE the seams and the tail-merge path is exercised for real),
-    fold each through ``maintain_session_tails`` (mid-stream Z-order
-    cycle covering the probe-pruning path on both tables), then serve
-    the Weibull fit from the MAINTAINED state — hash-checked against
-    the SAME oracle as the batch ``session_weibull_fit``, proving a
-    100 TB pipeline can publish the churn model without ever
-    re-sessionizing history."""
+def _served_weibull_from_state(
+    spark: SparkSession, tails_path: str, grid_path: str
+) -> DataFrame:
+    """Weibull fit off the maintained state through the IDENTICAL
+    ``_km_curve_from_grid`` → ``_weibull_fit_from_curve`` expression
+    chain as the batch operator."""
+    from ..operators.events import (
+        _km_curve_from_grid,
+        _weibull_fit_from_curve,
+    )
+
+    return _weibull_fit_from_curve(
+        _km_curve_from_grid(_served_km_grid(spark, tails_path, grid_path))
+    )
+
+
+def _replayed_session_state(spark: SparkSession, sf_dir: str) -> str | None:
+    """Stage the events table as 4 mtime-pinned ts-range micro-batch
+    files, fold them through ``maintain_session_tails`` (mid-stream
+    Z-order cycle), and return the work dir holding the maintained
+    ``tails``/``grid`` tables — None on an empty events table. Shared
+    by the Weibull-fit and KM-curve serve entries."""
     import glob
     import os
     import tempfile
     import time
 
     from ..catalog import load_table
-    from ..operators.events import (
-        _km_curve_from_grid,
-        _weibull_fit_from_curve,
-    )
 
     work = tempfile.mkdtemp(prefix="weib_stream_")
     src = f"{work}/src"
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     t_lo, t_hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    if t_lo is None:  # empty stream: the batch twin's empty-grid fit
-        empty = spark.createDataFrame(
-            [], "dur bigint, n_death bigint, n_censored bigint"
-        )
-        return _weibull_fit_from_curve(_km_curve_from_grid(empty))
+    if t_lo is None:
+        return None
     cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -6843,6 +6840,38 @@ def q_streaming_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{work}/tails", f"{work}/grid", f"{work}/ckpt",
         optimize_every=3,
     ).awaitTermination()
+    return work
+
+
+def q_streaming_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the session-survival IVM: replay the
+    events table in 4 ts-range micro-batches (file mtimes pinned so
+    FileStreamSource delivers them in event-time order — the seam
+    protocol's in-order contract; the cuts are ts-range, so sessions
+    STRADDLE the seams and the tail-merge path is exercised for real),
+    fold each through ``maintain_session_tails`` (mid-stream Z-order
+    cycle covering the probe-pruning path on both tables), then serve
+    the Weibull fit from the MAINTAINED state — hash-checked against
+    the SAME oracle as the batch ``session_weibull_fit``, proving a
+    100 TB pipeline can publish the churn model without ever
+    re-sessionizing history."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..operators.events import (
+        _km_curve_from_grid,
+        _weibull_fit_from_curve,
+    )
+
+    work = _replayed_session_state(spark, sf_dir)
+    if work is None:  # empty stream: the batch twin's empty-grid fit
+        empty = spark.createDataFrame(
+            [], "dur bigint, n_death bigint, n_censored bigint"
+        )
+        return _weibull_fit_from_curve(_km_curve_from_grid(empty))
     return _served_weibull_from_state(
         spark, f"{work}/tails", f"{work}/grid"
     )
@@ -7176,3 +7205,31 @@ QUERIES["streaming_affinity"] = q_streaming_affinity
 from ..operators.graph import ORACLE as _GRAPH_ORACLE  # noqa: E402
 
 ORACLE["streaming_affinity"] = _GRAPH_ORACLE["part_affinity_lift"]
+
+
+def q_streaming_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Kaplan-Meier curve served from the same maintained
+    tails+grid state as ``streaming_weibull`` — the seam protocol
+    proven at curve grain, not just at the one-row fit: every
+    (duration, n_risk, n_death, n_censored, survival) row must equal
+    the batch ``session_km_survival`` output wherever the replay
+    seams fall. Same 4-batch ts-range replay, serve through the
+    shared ``_km_curve_from_grid``."""
+    from ..operators.events import _km_curve_from_grid
+
+    work = _replayed_session_state(spark, sf_dir)
+    if work is None:  # empty stream: the batch twin returns empty
+        empty = spark.createDataFrame(
+            [], "dur bigint, n_death bigint, n_censored bigint"
+        )
+        return _km_curve_from_grid(empty)
+    return _km_curve_from_grid(
+        _served_km_grid(spark, f"{work}/tails", f"{work}/grid")
+    )
+
+
+QUERIES["streaming_km_survival"] = q_streaming_km_survival
+
+# Curve-grain proof off the same maintained state: shares the batch
+# session_km_survival oracle verbatim.
+ORACLE["streaming_km_survival"] = _BATCH_EVENTS_ORACLE["session_km_survival"]

@@ -3293,3 +3293,43 @@ def test_streaming_affinity_serve_matches_batch_wherever_seams_fall(
             ).collect()
         ]
         assert got == want, layout
+
+
+def test_streaming_km_curve_matches_batch_from_same_state(spark, sf_dir):
+    """Curve-grain seam proof: the served KM curve off the maintained
+    tails+grid equals the batch session_km_survival row-for-row, and
+    the Weibull serve off the SAME work dir equals the batch fit —
+    one fold, both surfaces."""
+    from retail_sales_etl_spark.operators.events import (
+        q_session_km_survival,
+        q_session_weibull_fit,
+    )
+    from retail_sales_etl_spark.streaming.events import (
+        _replayed_session_state,
+        _served_km_grid,
+        _served_weibull_from_state,
+    )
+    from retail_sales_etl_spark.operators.events import _km_curve_from_grid
+
+    work = _replayed_session_state(spark, sf_dir)
+    assert work is not None
+    got_curve = sorted(
+        tuple(r)
+        for r in _km_curve_from_grid(
+            _served_km_grid(spark, f"{work}/tails", f"{work}/grid")
+        ).collect()
+    )
+    want_curve = sorted(
+        tuple(r) for r in q_session_km_survival(spark, sf_dir).collect()
+    )
+    assert got_curve == want_curve
+    got_fit = [
+        tuple(r)
+        for r in _served_weibull_from_state(
+            spark, f"{work}/tails", f"{work}/grid"
+        ).collect()
+    ]
+    want_fit = [
+        tuple(r) for r in q_session_weibull_fit(spark, sf_dir).collect()
+    ]
+    assert got_fit == want_fit
