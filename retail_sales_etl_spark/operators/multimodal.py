@@ -5476,7 +5476,7 @@ def decode_flac(payload: bytes) -> dict:
     if bps != 16:
         raise ValueError("unsupported FLAC: need 16-bit samples")
     n_seen = 0
-    n_frames = n_const = n_verb = n_fixed = 0
+    n_frames = n_const = n_verb = n_fixed = n_lpc = 0
     fixed_orders = [0] * 5
     sum_abs = sum_sq = 0
     peak = 0
@@ -5579,10 +5579,38 @@ def decode_flac(payload: bytes) -> dict:
                 sum_sq += v * v
                 peak = max(peak, abs(v))
         elif stype >= 32:
-            raise ValueError(
-                "unsupported FLAC subframe type "
-                f"{stype} (LPC out of first-principles scope)"
-            )
+            # LPC predictor (RFC 9639 §9.2.3): order from the type
+            # bits, 4-bit quantized-coefficient precision (code 15
+            # invalid), 5-bit signed shift (negative invalid), signed
+            # coefficients, rice residuals, then the quantized
+            # prediction s[i] = (sum c_j * s[i-1-j]) >> shift + r[i]
+            # (arithmetic shift — Python's >> on ints).
+            order = (stype & 0x1F) + 1
+            if m < order:
+                raise ValueError(
+                    f"FLAC LPC order {order} exceeds blocksize {m}"
+                )
+            samples = [r.read_signed(16) for _ in range(order)]
+            prec_code = r.read(4)
+            if prec_code == 15:
+                raise ValueError(
+                    "invalid FLAC LPC coefficient precision code 15"
+                )
+            prec = prec_code + 1
+            shift = r.read(5)
+            if shift & 0x10:
+                raise ValueError("invalid negative FLAC LPC shift")
+            coefs = [r.read_signed(prec) for _ in range(order)]
+            for res in _flac_rice_residuals(r, m, order):
+                pred = sum(
+                    c * samples[-1 - j] for j, c in enumerate(coefs)
+                ) >> shift
+                samples.append(pred + res)
+            n_lpc += 1
+            for v in samples:
+                sum_abs += abs(v)
+                sum_sq += v * v
+                peak = max(peak, abs(v))
         else:
             raise ValueError(f"reserved FLAC subframe type {stype}")
         r.align()
@@ -5607,6 +5635,7 @@ def decode_flac(payload: bytes) -> dict:
         "n_constant": n_const,
         "n_verbatim": n_verb,
         "n_fixed": n_fixed,
+        "n_lpc": n_lpc,
         "sum_abs": sum_abs,
         "peak": peak,
         "sum_sq": sum_sq,
@@ -5960,6 +5989,190 @@ ORACLE["multimodal_flac_fixed_stats"] = """
            CAST(n AS INTEGER) AS n_samples,
            CAST((n + 15) // 16 AS INTEGER) AS n_frames,
            CAST((n + 15) // 16 AS INTEGER) AS n_fixed,
+           sum_abs, peak, sum_sq
+    FROM params p JOIN agg a ON p.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# FLAC LPC subframes (RFC 9639 §9.2.3) — the last audio gate: real
+# quantized-coefficient linear prediction (precision/shift/signed-
+# coefficient headers, rice residuals, arithmetic-shift recursion).
+# The DECODER is fully general; only the GENERATOR picks coefficient
+# sets whose prediction chains stay closed-form (×1 one-tap ramps and
+# the 2s₁−s₂ two-tap linear case at a REAL nonzero shift — a decoder
+# that misreads precision, shift, or a signed coefficient desyncs the
+# bitstream and fails the CRC or wrecks the sums loudly).
+# ---------------------------------------------------------------------------
+
+
+def synthesize_flac_lpc(docs: DataFrame) -> DataFrame:
+    """A FLAC stream per document whose every subframe is LPC: even
+    frames are one-tap order-1 (coefficient 8 at shift 3 — the
+    quantized ×1, so residual = ramp step), odd frames two-tap order-2
+    (coefficients [8, −4] at shift 2 — the quantized 2s₁−s₂, zero
+    residuals at k=0; a short last frame falls back to the one-tap
+    flavor). Every sample is the SAME ramp b + j·t either way, so the
+    oracle has no case split while the decoder earns precision/shift/
+    signed-coefficient parsing on every frame."""
+    import struct
+
+    def _rice_write(bw: "_FlacBitWriter", res: int, k4: int) -> None:
+        mfold = 2 * res if res >= 0 else -2 * res - 1
+        bw.write(1, (mfold >> k4) + 1)
+        if k4:
+            bw.write(mfold & ((1 << k4) - 1), k4)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, n = _flac_params(d)
+                buf = bytearray(b"fLaC")
+                si = _FlacBitWriter()
+                si.write(_FLAC_BS, 16)
+                si.write(_FLAC_BS, 16)
+                si.write(0, 24)
+                si.write(0, 24)
+                si.write(rate, 20)
+                si.write(0, 3)
+                si.write(15, 5)
+                si.write(n, 36)
+                for _ in range(16):
+                    si.write(0, 8)
+                buf += struct.pack(">B", 0x80)
+                buf += struct.pack(">I", len(si.buf))[1:]
+                buf += si.buf
+                nf = (n + _FLAC_BS - 1) // _FLAC_BS
+                for k in range(nf):
+                    m = min(_FLAC_BS, n - k * _FLAC_BS)
+                    b = (d * 7 + k * 13) % 1800 + 100
+                    t = (d + k) % 16
+                    samples = [b + j * t for j in range(m)]
+                    two_tap = k % 2 == 1 and m >= 2
+                    order = 2 if two_tap else 1
+                    hdr = bytearray([0xFF, 0xF8, 0x60, 0x08, k, m - 1])
+                    hdr.append(_flac_crc8(bytes(hdr)))
+                    bw = _FlacBitWriter()
+                    bw.write((32 + order - 1) << 1, 8)  # LPC type
+                    for j in range(order):
+                        bw.write(samples[j], 16)
+                    bw.write(4, 4)  # precision code: 5-bit coefficients
+                    if two_tap:
+                        bw.write(2, 5)  # shift 2
+                        bw.write(8, 5)  # c0 = 8  (2 << 2)
+                        bw.write(-4 & 0x1F, 5)  # c1 = -4 (signed!)
+                        res, k4 = [0] * (m - 2), 0
+                    else:
+                        bw.write(3, 5)  # shift 3
+                        bw.write(8, 5)  # c0 = 8 (1 << 3): quantized x1
+                        res, k4 = [t] * (m - 1), 4
+                    bw.write(0, 2)  # residual method RICE
+                    bw.write(0, 4)  # partition order 0
+                    bw.write(k4, 4)
+                    for v in res:
+                        _rice_write(bw, v, k4)
+                    bw.align()
+                    frame = bytes(hdr) + bytes(bw.buf)
+                    buf += frame + struct.pack(">H", _flac_crc16(frame))
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": FLAC_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+FLAC_LPC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_lpc", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def q_multimodal_flac_lpc_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LPC FLAC decode end to end — the audio column's last gate
+    opened: every subframe parses the quantized-coefficient header
+    (4-bit precision code, 5-bit shift, order × precision-bit SIGNED
+    coefficients — the two-tap frames carry a negative one) and runs
+    the arithmetic-shift prediction recursion over rice residuals.
+    n_lpc == n_frames pins that no frame fell back. Scale shape: the
+    codec-family contract — one Arrow-batched mapInPandas chain,
+    doc-grain output."""
+    media = synthesize_flac_lpc(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in FLAC_LPC_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_flac(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k in cols[1:]:
+                    rows[k].append(d[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=FLAC_LPC_SCHEMA)
+
+
+QUERIES["multimodal_flac_lpc_stats"] = q_multimodal_flac_lpc_stats
+
+ORACLE["multimodal_flac_lpc_stats"] = """
+    WITH params AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 2000 AS rate,
+               64 + (doc_id % 97) AS n
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, rate, n,
+               unnest(generate_series(0, (n + 15) // 16 - 1)) AS k
+        FROM params
+    ),
+    sized AS (
+        SELECT doc_id, rate, n, k,
+               CASE WHEN n - k * 16 < 16 THEN n - k * 16 ELSE 16 END AS m
+        FROM frames
+    ),
+    idx AS (
+        SELECT doc_id, rate, n, k, m,
+               unnest(generate_series(0, m - 1)) AS j
+        FROM sized
+    ),
+    samp AS (
+        SELECT doc_id,
+               (doc_id * 7 + k * 13) % 1800 + 100
+               + j * ((doc_id + k) % 16) AS s
+        FROM idx
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+               CAST(max(abs(s)) AS INTEGER) AS peak,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq
+        FROM samp GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST((n + 15) // 16 AS INTEGER) AS n_frames,
+           CAST((n + 15) // 16 AS INTEGER) AS n_lpc,
            sum_abs, peak, sum_sq
     FROM params p JOIN agg a ON p.doc_id = a.doc_id
 """

@@ -1823,7 +1823,7 @@ def test_flac_decode_matches_generator_and_crcs_are_load_bearing(spark):
         assert got == {
             "sample_rate": rate, "n_samples": n, "n_frames": nf,
             "n_constant": (nf + 1) // 2, "n_verbatim": nf // 2,
-            "n_fixed": 0,
+            "n_fixed": 0, "n_lpc": 0,
             "sum_abs": sum_abs, "peak": peak, "sum_sq": sum_sq,
         }, d
 
@@ -2035,3 +2035,113 @@ def test_flac_fixed_predictor_recursion_orders_3_and_4(spark):
     )
     got4 = decode_flac(_stream(4, cubic))
     assert got4["n_samples"] == 10 and got4["sum_abs"] == sum(cubic)
+
+
+def test_flac_lpc_decode_matches_ramp_plan_and_headers_load_bearing(spark):
+    """Every LPC frame round-trips the ramp plan (one-tap x1 at shift
+    3 on even frames, two-tap 2s1-s2 at shift 2 with a NEGATIVE
+    second coefficient on odd frames); n_lpc == n_frames; a flipped
+    shift or coefficient bit desyncs and fails loud (CRC or value
+    explosion caught by the STREAMINFO sample-count check)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FLAC_BS,
+        _flac_params,
+        decode_flac,
+        synthesize_flac_lpc,
+    )
+
+    ids = [0, 7, 96, 123]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_flac_lpc(docs).collect()
+    }
+    for d in ids:
+        rate, n = _flac_params(d)
+        nf = (n + _FLAC_BS - 1) // _FLAC_BS
+        sum_abs = sum_sq = 0
+        peak = 0
+        for k in range(nf):
+            m = min(_FLAC_BS, n - k * _FLAC_BS)
+            b = (d * 7 + k * 13) % 1800 + 100
+            t = (d + k) % 16
+            for j in range(m):
+                s = b + j * t
+                sum_abs += s
+                sum_sq += s * s
+                peak = max(peak, s)
+        got = decode_flac(payloads[d])
+        assert got["n_lpc"] == got["n_frames"] == nf, d
+        assert (got["sum_abs"], got["peak"], got["sum_sq"]) == (
+            sum_abs, peak, sum_sq,
+        ), d
+
+
+def test_flac_lpc_general_coefficients_and_gates(spark):
+    """The LPC path is GENERAL, not a ramp trick: a crafted stream
+    with coefficients [3] at shift 1 (x1.5, floor) must reproduce
+    the exact arithmetic-shift recursion including a NEGATIVE
+    prediction sum; precision code 15 and a negative shift fail
+    LOUD."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FlacBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        decode_flac,
+    )
+
+    def _stream(prec_code, shift5, coefs, warmup, residuals, k4=4):
+        n = len(warmup) + len(residuals)
+        order = len(warmup)
+        buf = bytearray(b"fLaC")
+        si = _FlacBitWriter()
+        si.write(n, 16)
+        si.write(n, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(n, 36)
+        for _ in range(16):
+            si.write(0, 8)
+        buf += struct.pack(">B", 0x80) + struct.pack(">I", len(si.buf))[1:]
+        buf += si.buf
+        hdr = bytearray([0xFF, 0xF8, 0x60, 0x08, 0, n - 1])
+        hdr.append(_flac_crc8(bytes(hdr)))
+        bw = _FlacBitWriter()
+        bw.write((32 + order - 1) << 1, 8)
+        for v in warmup:
+            bw.write(v, 16)
+        bw.write(prec_code, 4)
+        bw.write(shift5 & 0x1F, 5)
+        prec = prec_code + 1
+        for c in coefs:
+            bw.write(c & ((1 << prec) - 1), prec)
+        bw.write(0, 2)
+        bw.write(0, 4)
+        bw.write(k4, 4)
+        for v in residuals:
+            mfold = 2 * v if v >= 0 else -2 * v - 1
+            bw.write(1, (mfold >> k4) + 1)
+            if k4:
+                bw.write(mfold & ((1 << k4) - 1), k4)
+        bw.align()
+        frame = bytes(hdr) + bytes(bw.buf)
+        return bytes(buf + frame + struct.pack(">H", _flac_crc16(frame)))
+
+    # x1.5 chain from -7: floor(3*-7/2) = -11, -11 -> floor(-33/2) =
+    # -17 (arithmetic shift floors toward -inf), residuals 0
+    got = decode_flac(_stream(4, 1, [3], [-7 & 0xFFFF], [0, 0]))
+    want = [-7, -11, -17]
+    assert got["sum_abs"] == sum(abs(v) for v in want)
+    assert got["sum_sq"] == sum(v * v for v in want)
+
+    with pytest.raises(ValueError, match="precision code 15"):
+        decode_flac(_stream(15, 1, [3], [5], [0]))
+    with pytest.raises(ValueError, match="negative FLAC LPC shift"):
+        decode_flac(_stream(4, -1, [3], [5], [0]))
