@@ -6176,3 +6176,234 @@ ORACLE["multimodal_flac_lpc_stats"] = """
            sum_abs, peak, sum_sq
     FROM params p JOIN agg a ON p.doc_id = a.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# EXIF GPS IFD (EXIF 2.3 §4.6.6, public) — the geo signal real image
+# pipelines filter on: the 0x8825 GPSInfo pointer into a third IFD
+# whose latitude/longitude are RATIONAL[3] (deg, min, sec) values —
+# the first TIFF type-5 (two-LONG rational) consumer in the walk.
+# ---------------------------------------------------------------------------
+
+
+def _gps_fields_for(doc_id: int) -> dict:
+    """Closed-form GPS values per doc: hemisphere refs alternate,
+    coordinates are exact (deg, min, centi-arcsec) triples reported
+    as total CENTI-ARCSECONDS (integer-exact across engines — no
+    float degrees anywhere)."""
+    lat_deg, lat_min, lat_cs = doc_id % 90, doc_id % 60, (7 * doc_id) % 6000
+    lon_deg, lon_min, lon_cs = (
+        doc_id % 180,
+        (3 * doc_id) % 60,
+        (11 * doc_id) % 6000,
+    )
+    return {
+        "lat_ref": "N" if doc_id % 2 == 0 else "S",
+        "lat_cas": lat_deg * 360000 + lat_min * 6000 + lat_cs,
+        "lon_ref": "E" if doc_id % 3 == 0 else "W",
+        "lon_cas": lon_deg * 360000 + lon_min * 6000 + lon_cs,
+    }
+
+
+def _build_gps_app1(doc_id: int) -> bytes:
+    """APP1 whose IFD0 carries only the 0x8825 GPS pointer; the GPS
+    IFD holds LatRef/Lat/LonRef/Lon with the coordinates as offset
+    RATIONAL[3] blocks (deg/1, min/1, centi-arcsec/100) — byte order
+    alternates per doc like the EXIF entry."""
+    import struct
+
+    f = _gps_fields_for(doc_id)
+    little = doc_id % 2 == 0
+    e = "<" if little else ">"
+
+    def entry(tag, typ, cnt, vfield):
+        return struct.pack(e + "HHI", tag, typ, cnt) + vfield
+
+    def long_inline(v):
+        return struct.pack(e + "I", v)
+
+    def ascii2(s):
+        return s.encode("ascii") + b"\x00\x00\x00"  # 2 used + pad
+
+    lat_cas, lon_cas = f["lat_cas"], f["lon_cas"]
+    lat = (lat_cas // 360000, lat_cas % 360000 // 6000, lat_cas % 6000)
+    lon = (lon_cas // 360000, lon_cas % 360000 // 6000, lon_cas % 6000)
+    # layout: 8 IFD0(1 entry: 2+12+4=18) -> 26 GPS IFD(4 entries:
+    # 2+48+4=54) -> 80 lat rationals (24) -> 104 lon rationals (24)
+    ifd0_off, gps_off, lat_off, lon_off = 8, 26, 80, 104
+    tiff = bytearray()
+    tiff += (b"II" if little else b"MM") + struct.pack(e + "HI", 42, ifd0_off)
+    tiff += struct.pack(e + "H", 1)
+    tiff += entry(0x8825, 4, 1, long_inline(gps_off))
+    tiff += struct.pack(e + "I", 0)
+    assert len(tiff) == gps_off
+    tiff += struct.pack(e + "H", 4)
+    tiff += entry(0x0001, 2, 2, ascii2(f["lat_ref"])[:4])
+    tiff += entry(0x0002, 5, 3, long_inline(lat_off))
+    tiff += entry(0x0003, 2, 2, ascii2(f["lon_ref"])[:4])
+    tiff += entry(0x0004, 5, 3, long_inline(lon_off))
+    tiff += struct.pack(e + "I", 0)
+    assert len(tiff) == lat_off
+    for trip, den3 in ((lat, (1, 1, 100)), (lon, (1, 1, 100))):
+        for num, den in zip(trip, den3):
+            tiff += struct.pack(e + "II", num, den)
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def synthesize_jpeg_gps(docs: DataFrame) -> DataFrame:
+    """The baseline JPEG stream with a GPS-bearing APP1 spliced after
+    SOI (camera layout, like ``synthesize_jpeg_exif``)."""
+
+    def _splice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bytes(p[:2]) + _build_gps_app1(int(d)) + bytes(p[2:])
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return synthesize_jpeg(docs).mapInPandas(_splice, schema=MEDIA_SCHEMA)
+
+
+def _exif_rational3_cas(e: str, ent: tuple) -> int:
+    """A RATIONAL[3] (deg, min, sec) coordinate folded to total
+    centi-arcseconds with exact integer floors per component —
+    deterministic for any denominators, exact for the standard
+    (1, 1, 100) camera encoding; zero denominators fail loud."""
+    import struct
+
+    typ, cnt, raw = ent
+    if typ != 5 or cnt != 3:
+        raise ValueError(
+            f"EXIF GPS: expected RATIONAL[3], got type {typ} x{cnt}"
+        )
+    vals = struct.unpack(e + "IIIIII", raw)
+    pairs = [(vals[0], vals[1]), (vals[2], vals[3]), (vals[4], vals[5])]
+    for _, den in pairs:
+        if den == 0:
+            raise ValueError("EXIF GPS: zero-denominator rational")
+    return (
+        pairs[0][0] * 360000 // pairs[0][1]
+        + pairs[1][0] * 6000 // pairs[1][1]
+        + pairs[2][0] * 100 // pairs[2][1]
+    )
+
+
+def extract_jpeg_gps(payload: bytes) -> dict | None:
+    """GPS extraction through the SAME marker + TIFF walk as
+    ``extract_jpeg_exif``: find the Exif APP1, walk IFD0, follow the
+    0x8825 GPSInfo pointer, decode hemisphere refs (ASCII) and the
+    RATIONAL[3] coordinates to exact centi-arcseconds. Returns None
+    when the stream has no Exif APP1 or no GPS IFD (has-no-geo, not
+    corrupt); malformed structure raises."""
+    import struct
+
+    p = bytes(payload)
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = p[pos + 1]
+        if m in (0xD9, 0xDA):
+            break
+        (length,) = struct.unpack_from(">H", p, pos + 2)
+        seg = p[pos + 4 : pos + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        pos += 2 + length
+    if tiff is None:
+        return None
+    if len(tiff) < 8:
+        raise ValueError("EXIF: truncated TIFF header")
+    order = tiff[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"EXIF: bad TIFF byte-order flag {order!r}")
+    magic, ifd0 = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError(f"EXIF: bad TIFF magic {magic}")
+    entries, _ = _tiff_ifd_entries(tiff, e, ifd0)
+    if 0x8825 not in entries:
+        return None
+    gps, _ = _tiff_ifd_entries(tiff, e, _exif_scalar(e, entries[0x8825]))
+    out = {"lat_ref": None, "lat_cas": None, "lon_ref": None,
+           "lon_cas": None}
+    if 0x0001 in gps:
+        out["lat_ref"] = gps[0x0001][2].split(b"\x00", 1)[0].decode("ascii")
+    if 0x0002 in gps:
+        out["lat_cas"] = _exif_rational3_cas(e, gps[0x0002])
+    if 0x0003 in gps:
+        out["lon_ref"] = gps[0x0003][2].split(b"\x00", 1)[0].decode("ascii")
+    if 0x0004 in gps:
+        out["lon_cas"] = _exif_rational3_cas(e, gps[0x0004])
+    return out
+
+
+JPEG_GPS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lat_ref", StringType()),
+        StructField("lat_cas", LongType()),
+        StructField("lon_ref", StringType()),
+        StructField("lon_cas", LongType()),
+    ]
+)
+
+
+def q_multimodal_jpeg_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS metadata extraction at corpus scale — the geo-filter stage
+    (region allowlists, PII-geo scrubbing) run without touching the
+    entropy stream: the TIFF type-5 RATIONAL consumer earned through
+    the generic IFD walk, coordinates kept integer-exact as total
+    centi-arcseconds (no float degrees — both engines agree to the
+    digit). Scale shape: the codec-family contract — one Arrow-batched
+    mapInPandas chain, doc-grain output."""
+    media = synthesize_jpeg_gps(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_GPS_SCHEMA.fields]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = extract_jpeg_gps(payload)
+                if d is None:
+                    raise ValueError(
+                        f"doc {doc_id}: generator emitted no GPS APP1"
+                    )
+                rows["doc_id"].append(int(doc_id))
+                for k in cols[1:]:
+                    rows[k].append(d[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=JPEG_GPS_SCHEMA)
+
+
+QUERIES["multimodal_jpeg_gps"] = q_multimodal_jpeg_gps
+
+ORACLE["multimodal_jpeg_gps"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+           CAST((doc_id % 90) * 360000 + (doc_id % 60) * 6000
+                + (7 * doc_id) % 6000 AS BIGINT) AS lat_cas,
+           CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+           CAST((doc_id % 180) * 360000 + (3 * doc_id) % 60 * 6000
+                + (11 * doc_id) % 6000 AS BIGINT) AS lon_cas
+    FROM documents
+"""

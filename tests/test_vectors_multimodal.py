@@ -2145,3 +2145,59 @@ def test_flac_lpc_general_coefficients_and_gates(spark):
         decode_flac(_stream(15, 1, [3], [5], [0]))
     with pytest.raises(ValueError, match="negative FLAC LPC shift"):
         decode_flac(_stream(4, -1, [3], [5], [0]))
+
+
+def test_jpeg_gps_roundtrip_and_fail_modes(spark):
+    """GPS IFD: round-trip in both byte orders; a no-GPS Exif block
+    (the plain EXIF generator) returns None (has-no-geo ≠ corrupt);
+    zero-denominator rationals and a non-RATIONAL latitude fail
+    LOUD; the RATIONAL fold floors per component deterministically
+    for a non-standard denominator."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _build_exif_app1,
+        _build_gps_app1,
+        _exif_rational3_cas,
+        _gps_fields_for,
+        extract_jpeg_gps,
+        synthesize_jpeg,
+        synthesize_jpeg_gps,
+    )
+
+    ids = [4, 11, 120, 123]
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    tagged = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_jpeg_gps(docs).collect()
+    }
+    for d in ids:
+        assert extract_jpeg_gps(tagged[d]) == _gps_fields_for(d), d
+
+    plain = bytes(
+        synthesize_jpeg(
+            spark.createDataFrame([(9,)], "doc_id bigint")
+        ).collect()[0]["payload"]
+    )
+    assert extract_jpeg_gps(plain) is None  # no Exif APP1 at all
+    exif_only = plain[:2] + _build_exif_app1(9) + plain[2:]
+    assert extract_jpeg_gps(exif_only) is None  # Exif but no GPS IFD
+
+    # corrupt: zero denominator in the first latitude rational
+    p = bytearray(b"\xff\xd8" + _build_gps_app1(4) + b"\xff\xd9")
+    body_at = 2 + 4 + 6  # TIFF start (doc 4 = II little-endian)
+    lat_off = body_at + 80
+    struct.pack_into("<I", p, lat_off + 4, 0)
+    with pytest.raises(ValueError, match="zero-denominator"):
+        extract_jpeg_gps(bytes(p))
+
+    # deterministic per-component floor on a non-standard denominator
+    raw = struct.pack("<IIIIII", 10, 3, 30, 1, 500, 100)
+    # 10/3 deg -> floor(10*360000/3) = 1200000; 30 min -> 180000;
+    # 500/100 cs -> 500
+    assert _exif_rational3_cas("<", (5, 3, raw)) == 1200000 + 180000 + 500
+
+    with pytest.raises(ValueError, match="RATIONAL"):
+        _exif_rational3_cas("<", (4, 3, raw))
