@@ -958,6 +958,15 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n_t"))
     )
+    return _pmi_from_grids(pair_counts, uni)
+
+
+def _pmi_from_grids(pair_counts: DataFrame, uni: DataFrame) -> DataFrame:
+    """The PMI scoring tail over a (w1, w2, n_ab) bigram grid and a
+    (t, n_t) unigram grid — split out so the streaming serve path
+    (``streaming_pmi``: both grids maintained additively at ingest)
+    ranks through the IDENTICAL expression chain as the batch
+    operator, totals included (the grids carry the corpus sums)."""
     totals = pair_counts.agg(
         F.sum("n_ab").alias("n_pairs")
     ).crossJoin(uni.agg(F.sum("n_t").alias("n_uni")))

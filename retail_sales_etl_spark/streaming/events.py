@@ -7233,3 +7233,255 @@ QUERIES["streaming_km_survival"] = q_streaming_km_survival
 # Curve-grain proof off the same maintained state: shares the batch
 # session_km_survival oracle verbatim.
 ORACLE["streaming_km_survival"] = _BATCH_EVENTS_ORACLE["session_km_survival"]
+
+
+# ---------------------------------------------------------------------------
+# streaming_pmi — collocation-surface IVM: adjacent-pair and unigram
+# counts never cross documents, so both grids are ADDITIVE over any
+# partition of the corpus into micro-batches (docs tokenized ONCE, at
+# arrival; NO delivery-order contract — any order bit-equals batch)
+# and the Church-Hanks PMI ranking is served through the shared
+# _pmi_from_grids tail with totals taken from the grids themselves.
+# ---------------------------------------------------------------------------
+
+_PMI_PAIRS_SCHEMA = "w1 string, w2 string, n_ab bigint"
+_PMI_UNI_SCHEMA = "t string, n_t bigint"
+
+
+def pmi_grids_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs_path: str,
+    uni_path: str,
+) -> bool:
+    """Fold one micro-batch of documents into the maintained bigram +
+    unigram grids — the IVM form of ``pmi_bigrams``'s inputs. Both
+    partials collapse map-side to the batch's touched keys; adjacent
+    pairs are per-document, so ANY batch partition of the corpus
+    folds to the identical grids (order-insensitivity pytest-pinned).
+    Exactly-once across two independent tables = the rake protocol
+    verbatim (replay-check UNIGRAMS first — they commit last); probes
+    file-pruned on the batch's bounded word sets; MERGE rewrites only
+    touched files. Returns False on full replay or an empty batch."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+    from ..operators.text import _ADJ_PAIRS_EXPR
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return False
+    toks = batch_df.select(F.split(F.lower("text"), " ").alias("w"))
+    p_pairs = (
+        toks.filter(F.size("w") >= 2)
+        .select(F.explode(F.expr(_ADJ_PAIRS_EXPR)).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .cache()
+    )
+    p_uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+        .cache()
+    )
+    keys: dict[str, object] = {}
+    pairs = LakehouseTable(spark, pairs_path)
+    uni = LakehouseTable(spark, uni_path)
+
+    def _read_prior(table, schema, version, partial, column):
+        if version is None:
+            return spark.createDataFrame([], schema)
+        if column not in keys:
+            keys[column] = _probe_keys_or_warn(
+                partial.select(column), batch_id, "pmi_grids_sink", column
+            )
+        if keys[column] is not None:
+            return table.read_where_in(column, keys[column], version=version)
+        return table.read(version=version)
+
+    def _stamp(b: int, hwm) -> dict:
+        return {
+            "batch_id": b,
+            "batch_hwm": max(b, hwm if hwm is not None else b),
+        }
+
+    try:
+        for _ in range(3):
+            rv_u = uni.latest_version()
+            hwm_u = uni.latest_value("batch_hwm", as_of=rv_u)
+            if _landed_on(uni, batch_id, rv_u, hwm_u):
+                return False  # unigrams commit last: fully landed
+            rv_p = pairs.latest_version()
+            hwm_p = pairs.latest_value("batch_hwm", as_of=rv_p)
+            prior_p = _read_prior(
+                pairs, _PMI_PAIRS_SCHEMA, rv_p, p_pairs, "w1"
+            ).select("w1", "w2", F.col("n_ab").alias("c_n"))
+            upd_p = (
+                p_pairs.alias("p")
+                .join(prior_p, ["w1", "w2"], "left")
+                .select(
+                    "w1", "w2",
+                    (F.col("p.n_ab") + F.coalesce("c_n", F.lit(0)))
+                    .cast("bigint").alias("n_ab"),
+                )
+            )
+            prior_u = _read_prior(
+                uni, _PMI_UNI_SCHEMA, rv_u, p_uni, "t"
+            ).select("t", F.col("n_t").alias("c_n"))
+            upd_u = (
+                p_uni.alias("p")
+                .join(prior_u, "t", "left")
+                .select(
+                    "t",
+                    (F.col("p.n_t") + F.coalesce("c_n", F.lit(0)))
+                    .cast("bigint").alias("n_t"),
+                )
+            )
+            try:
+                if not _landed_on(pairs, batch_id, rv_p, hwm_p):
+                    try:
+                        if rv_p is None:
+                            pairs.write(
+                                upd_p, mode="append",
+                                extra=_stamp(batch_id, hwm_p),
+                                conflict_on="batch_id", read_version=rv_p,
+                                monotone_max=("batch_hwm",),
+                            )
+                        else:
+                            pairs.merge(
+                                upd_p, ["w1", "w2"],
+                                extra=_stamp(batch_id, hwm_p),
+                                read_version=rv_p, conflict_on="batch_id",
+                            )
+                    except DuplicateCommitError:
+                        pass  # a rival landed this batch's pairs
+                if rv_u is None:
+                    uni.write(
+                        upd_u, mode="append",
+                        extra=_stamp(batch_id, hwm_u),
+                        conflict_on="batch_id", read_version=rv_u,
+                        monotone_max=("batch_hwm",),
+                    )
+                else:
+                    uni.merge(
+                        upd_u, ["t"], extra=_stamp(batch_id, hwm_u),
+                        read_version=rv_u, conflict_on="batch_id",
+                    )
+                return True
+            except DuplicateCommitError:
+                return False  # a rival landed this batch's unigrams
+            except ConcurrentWriteError:
+                continue  # re-pin both tables and re-fold
+        raise RuntimeError(
+            f"pmi_grids_sink: could not commit batch {batch_id} after 3 "
+            f"attempts (concurrent writers kept advancing {uni_path})"
+        )
+    finally:
+        p_pairs.unpersist()
+        p_uni.unpersist()
+
+
+def maintain_pmi_grids(
+    stream: DataFrame,
+    pairs_path: str,
+    uni_path: str,
+    checkpoint: str,
+    log_retention: int | None = None,
+    optimize_every: int | None = None,
+    optimize_files: int = 8,
+    optimize_max_generations: int = 8,
+):
+    """Run the collocation-grid IVM sink under foreachBatch
+    (availableNow). ``optimize_every=N`` clusters BOTH grids every N
+    batches — INCREMENTALLY, pairs Z-ordered by w1 and unigrams by t
+    (string-surrogate clustering, the rake discipline) — growth
+    contract: pairs = O(distinct adjacent bigrams), unigrams =
+    O(vocabulary) — both sublinear in corpus under Heaps' law."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+        pmi_grids_sink(batch_df, batch_id, pairs_path, uni_path)
+        spark = batch_df.sparkSession
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            for path, col in ((pairs_path, "w1"), (uni_path, "t")):
+                try:
+                    LakehouseTable(spark, path).optimize(
+                        target_files=optimize_files,
+                        zorder_by=[col],
+                        incremental=True,
+                        max_generations=optimize_max_generations,
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort maintenance; the next cycle retries
+        for path in (pairs_path, uni_path):
+            _maybe_clean_log(spark, path, log_retention)
+
+    return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def q_streaming_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the collocation IVM: replay the
+    documents table in 4 doc_id-range micro-batches (mtime-pinned,
+    mid-stream Z-order cycle) through ``maintain_pmi_grids``, then
+    rank PMI from the MAINTAINED grids through the shared
+    ``_pmi_from_grids`` tail — hash-checked against the SAME oracle
+    as the batch ``pmi_bigrams``, proving the phrase-mining surface
+    is servable tokenizing each document exactly once."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ..catalog import load_table
+    from ..load.lakehouse import LakehouseTable
+    from ..operators.text import _pmi_from_grids
+
+    work = tempfile.mkdtemp(prefix="pmi_stream_")
+    src = f"{work}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:  # empty corpus: the batch twin returns empty
+        return spark.createDataFrame(
+            [], "w1 string, w2 string, n_ab bigint, pmi double"
+        )
+    hi += 1
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    t0 = time.time()
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_pmi_grids(
+        stream, f"{work}/pairs", f"{work}/uni", f"{work}/ckpt",
+        optimize_every=3,
+    ).awaitTermination()
+    return _pmi_from_grids(
+        LakehouseTable(spark, f"{work}/pairs").read(),
+        LakehouseTable(spark, f"{work}/uni").read(),
+    )
+
+
+QUERIES["streaming_pmi"] = q_streaming_pmi
+
+# The maintained grids must reproduce the batch collocation ranking
+# exactly under any batch partition of the corpus, so the entry shares
+# the batch pmi_bigrams oracle verbatim.
+ORACLE["streaming_pmi"] = _TEXT_ORACLE["pmi_bigrams"]

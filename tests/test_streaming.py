@@ -3333,3 +3333,47 @@ def test_streaming_km_curve_matches_batch_from_same_state(spark, sf_dir):
         tuple(r) for r in q_session_weibull_fit(spark, sf_dir).collect()
     ]
     assert got_fit == want_fit
+
+
+def test_pmi_grids_sink_order_insensitive_and_replay(spark, tmp_path, sf_dir):
+    """No delivery-order contract: folding the sf0.001 corpus as 3
+    doc_id-range batches in REVERSED arrival order must produce the
+    identical grids and the identical served PMI ranking as the batch
+    operator; replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.catalog import load_table
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.text import (
+        _pmi_from_grids,
+        q_pmi_bigrams,
+    )
+
+    want = [tuple(r) for r in q_pmi_bigrams(spark, sf_dir).collect()]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    pairs = str(tmp_path / "pairs")
+    uni = str(tmp_path / "uni")
+    # reversed arrival order: batch 0 carries the HIGHEST doc range
+    for bidx, ci in enumerate(reversed(range(3))):
+        batch = docs.filter(
+            (F.col("doc_id") >= cuts[ci]) & (F.col("doc_id") < cuts[ci + 1])
+        )
+        assert streaming_events.pmi_grids_sink(
+            batch, bidx, pairs, uni
+        ) is True
+    vu = LakehouseTable(spark, uni).latest_version()
+    assert streaming_events.pmi_grids_sink(
+        docs.filter(F.col("doc_id") < cuts[1]), 2, pairs, uni
+    ) is False  # replay of batch 2 (the low range arrived last)
+    assert LakehouseTable(spark, uni).latest_version() == vu
+
+    got = [
+        tuple(r)
+        for r in _pmi_from_grids(
+            LakehouseTable(spark, pairs).read(),
+            LakehouseTable(spark, uni).read(),
+        ).collect()
+    ]
+    assert got == want
