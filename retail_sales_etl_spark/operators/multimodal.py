@@ -5127,15 +5127,14 @@ def _exif_scalar(e: str, ent: tuple) -> int:
     raise ValueError(f"EXIF: expected SHORT/LONG, got type {typ}")
 
 
-def extract_jpeg_exif(payload: bytes) -> dict | None:
-    """APP1/EXIF extraction through the standard JPEG marker walk:
-    find the APP1 segment bearing the ``Exif\\x00\\x00`` identifier
-    (other APPn — JFIF APP0, XMP APP1 — are skipped), then a REAL
-    TIFF 6.0 walk: byte-order flag (II/MM else loud), magic 42, IFD0
-    entry table, the 0x8769 pointer into the Exif sub-IFD. Returns
-    None when no Exif APP1 exists (the has-no-metadata case a
-    curation filter must distinguish from corrupt); malformed TIFF
-    structure raises."""
+def _jpeg_exif_tiff(payload: bytes) -> tuple[bytes, str] | None:
+    """The shared Exif prologue: the standard JPEG marker walk to the
+    APP1 segment bearing the ``Exif\\x00\\x00`` identifier (other APPn
+    — JFIF APP0, XMP APP1 — are skipped), then TIFF 6.0 header
+    validation: byte-order flag (II/MM else loud), magic 42. Returns
+    (tiff_block, struct_endianness) or None when no Exif APP1 exists
+    (the has-no-metadata case a curation filter must distinguish from
+    corrupt); malformed structure raises."""
     import struct
 
     p = bytes(payload)
@@ -5168,10 +5167,27 @@ def extract_jpeg_exif(payload: bytes) -> dict | None:
         e = ">"
     else:
         raise ValueError(f"EXIF: bad TIFF byte-order flag {order!r}")
-    magic, ifd0 = struct.unpack_from(e + "HI", tiff, 2)
+    magic, _ = struct.unpack_from(e + "HI", tiff, 2)
     if magic != 42:
         raise ValueError(f"EXIF: bad TIFF magic {magic}")
+    return tiff, e
+
+
+def extract_jpeg_exif(payload: bytes) -> dict | None:
+    """APP1/EXIF extraction: the shared ``_jpeg_exif_tiff`` prologue
+    (marker walk + TIFF header validation), then the REAL TIFF 6.0
+    walk — IFD0 entry table, the 0x8769 pointer into the Exif
+    sub-IFD. Returns None when no Exif APP1 exists; malformed TIFF
+    structure raises."""
+    import struct
+
+    hdr = _jpeg_exif_tiff(payload)
+    if hdr is None:
+        return None
+    tiff, e = hdr
+    (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
     entries, _ = _tiff_ifd_entries(tiff, e, ifd0)
+    order = tiff[:2]
     out = {
         "byte_order": order.decode("ascii"),
         "orientation": None,
@@ -6298,47 +6314,19 @@ def _exif_rational3_cas(e: str, ent: tuple) -> int:
 
 
 def extract_jpeg_gps(payload: bytes) -> dict | None:
-    """GPS extraction through the SAME marker + TIFF walk as
-    ``extract_jpeg_exif``: find the Exif APP1, walk IFD0, follow the
-    0x8825 GPSInfo pointer, decode hemisphere refs (ASCII) and the
-    RATIONAL[3] coordinates to exact centi-arcseconds. Returns None
-    when the stream has no Exif APP1 or no GPS IFD (has-no-geo, not
-    corrupt); malformed structure raises."""
+    """GPS extraction through the SAME prologue + TIFF walk as
+    ``extract_jpeg_exif`` (``_jpeg_exif_tiff``): walk IFD0, follow
+    the 0x8825 GPSInfo pointer, decode hemisphere refs (ASCII) and
+    the RATIONAL[3] coordinates to exact centi-arcseconds. Returns
+    None when the stream has no Exif APP1 or no GPS IFD (has-no-geo,
+    not corrupt); malformed structure raises."""
     import struct
 
-    p = bytes(payload)
-    if p[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
-    pos = 2
-    tiff = None
-    while pos + 4 <= len(p):
-        if p[pos] != 0xFF:
-            raise ValueError("JPEG marker sync lost")
-        m = p[pos + 1]
-        if m in (0xD9, 0xDA):
-            break
-        (length,) = struct.unpack_from(">H", p, pos + 2)
-        seg = p[pos + 4 : pos + 2 + length]
-        if len(seg) != length - 2:
-            raise ValueError("truncated JPEG segment")
-        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
-            tiff = seg[6:]
-            break
-        pos += 2 + length
-    if tiff is None:
+    hdr = _jpeg_exif_tiff(payload)
+    if hdr is None:
         return None
-    if len(tiff) < 8:
-        raise ValueError("EXIF: truncated TIFF header")
-    order = tiff[:2]
-    if order == b"II":
-        e = "<"
-    elif order == b"MM":
-        e = ">"
-    else:
-        raise ValueError(f"EXIF: bad TIFF byte-order flag {order!r}")
-    magic, ifd0 = struct.unpack_from(e + "HI", tiff, 2)
-    if magic != 42:
-        raise ValueError(f"EXIF: bad TIFF magic {magic}")
+    tiff, e = hdr
+    (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
     entries, _ = _tiff_ifd_entries(tiff, e, ifd0)
     if 0x8825 not in entries:
         return None

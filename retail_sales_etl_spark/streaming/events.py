@@ -6809,12 +6809,12 @@ def _replayed_session_state(spark: SparkSession, sf_dir: str) -> str | None:
 
     from ..catalog import load_table
 
-    work = tempfile.mkdtemp(prefix="weib_stream_")
-    src = f"{work}/src"
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     t_lo, t_hi = ev.agg(F.min("ts"), F.max("ts")).first()
     if t_lo is None:
         return None
+    work = tempfile.mkdtemp(prefix="weib_stream_")
+    src = f"{work}/src"
     cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
     t0 = time.time()
     os.makedirs(src, exist_ok=True)
@@ -6855,12 +6855,6 @@ def q_streaming_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME oracle as the batch ``session_weibull_fit``, proving a
     100 TB pipeline can publish the churn model without ever
     re-sessionizing history."""
-    import glob
-    import os
-    import tempfile
-    import time
-
-    from ..catalog import load_table
     from ..operators.events import (
         _km_curve_from_grid,
         _weibull_fit_from_curve,
