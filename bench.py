@@ -125,6 +125,36 @@ HEADLINE = [
     "streaming_exactly_once",
 ]
 
+# The most expensive registry entries, pinned into EVERY bench round
+# (r18 verdict: slice rotation could hide a regression in exactly the
+# entries where one costs the most for up to 3 rounds). Chosen as the
+# union of the slowest ~10 across the r16-r18 slice artifacts. Each
+# runs twice (no separate warmup — at 10-30 s a query, JIT is a small
+# additive term and rep 1 doubles as it), min reported; both raw reps
+# recorded so a spike reads as JIT-vs-window without a re-run. They
+# are excluded from the rotating tier-2 pool (no double timing).
+TIER2_PINNED = [
+    "streaming_km_survival",
+    "streaming_rake_by_source",
+    "revenue_theil_sen",
+    "streaming_burstiness",
+    "streaming_ann_ivf_pq",
+    "doc_novelty",
+    "streaming_corpus_health",
+    "streaming_decontaminate",
+    "streaming_containment",
+    "streaming_bm25",
+    "streaming_interval_outer",
+    "streaming_rfm",
+]
+
+# The legacy-16 quiet band on this box (min-of-5 floor metric; the
+# r12-r18 forensics: every run on a demonstrably quiet box landed
+# 8.60-9.38 s on unchanged code). ADVISORY: a reading outside the band
+# is not itself a regression — it arms the contention flag below,
+# which also needs rep-shape evidence before it fires.
+LEGACY16_QUIET_BAND = (8.0, 9.6)
+
 
 def _bench_lakehouse_read(spark, sf_dir: str) -> float:
     """Data-skipping read path: orders landed as date-range commits
@@ -256,6 +286,25 @@ def main() -> None:
     )
     load_start = _loadavg()
 
+    # Per-phase wall + loadavg stamps (r18 verdict): a slow window was
+    # previously diagnosed by a HUMAN reading rep_times after the fact.
+    # The stamps localize host contention to a phase of the run, and
+    # the contention block below turns the rep shapes into a machine
+    # flag, so a contended run can never silently fake a gate breach.
+    run_t0 = time.perf_counter()
+    phases: list[dict] = []
+
+    def _stamp(phase: str) -> None:
+        phases.append(
+            {
+                "phase": phase,
+                "wall_sec": round(time.perf_counter() - run_t0, 1),
+                "loadavg": _loadavg(),
+            }
+        )
+
+    _stamp("start")
+
     spark = get_spark(
         app_name="retail-sales-etl-spark-bench",
         # r9 postmortem: the driver's BENCH artifact was truncated by
@@ -280,6 +329,7 @@ def main() -> None:
     from retail_sales_etl_spark.plans.etl_queries import _ensure_bucketed_layout
 
     _ensure_bucketed_layout(spark, sf_dir)
+    _stamp("layout_done")
 
     # Three timed repetitions per query, report the min plus the
     # relative spread ((max-min)/min): the box this runs on shows ±25%
@@ -336,7 +386,11 @@ def main() -> None:
     # (512-literal projections, unrolled iterations) read as noisy.
     # The warmup rep is still recorded (warmup_times) so a regression
     # in PLAN CONSTRUCTION cost stays visible.
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i == 0:
+            _stamp("legacy16_start")
+        elif i == 16:
+            _stamp("legacy16_end")
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
@@ -366,8 +420,26 @@ def main() -> None:
         # Within a query's own reps caches stay warm — plan-identical
         # cache reuse is part of the measured steady state.
         spark.catalog.clearCache()
+    _stamp("headline_end")
 
     timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
+
+    # Pinned tier-2: the most expensive entries timed EVERY round
+    # (min-of-2, both raw reps recorded) — see TIER2_PINNED.
+    tier2_pinned: dict[str, float] = {}
+    tier2_pinned_reps: dict[str, list[float]] = {}
+    for name in TIER2_PINNED:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        tier2_pinned_reps[name] = [round(t, 3) for t in runs]
+        tier2_pinned[name] = round(min(runs), 3)
+        spark.catalog.clearCache()
+    _stamp("tier2_pinned_end")
 
     # Tier-2 rotation: every registry entry not in HEADLINE gets a
     # timing at least every ROTATION rounds, so a perf regression in
@@ -434,7 +506,9 @@ def main() -> None:
                 file=sys.stderr,
             )
         round_idx = (last_slice + 1) % ROTATION
-    pool = sorted(n for n in queries if n not in HEADLINE)
+    pool = sorted(
+        n for n in queries if n not in HEADLINE and n not in TIER2_PINNED
+    )
     tier2_names = pool[round_idx::ROTATION]
     # Tier-2 noise hardening: a slow-looking first rep
     # (> TIER2_REREP_SEC) gets one more rep and reports the min, so a
@@ -462,10 +536,46 @@ def main() -> None:
         tier2[name] = round(t, 3)
         spark.catalog.clearCache()
     load_tier2 = _loadavg()  # box state when tier-2 finished
+    _stamp("tier2_end")
 
     total = round(sum(timings.values()), 3)
     tier2_total = round(sum(tier2.values()), 3)
+    tier2_pinned_total = round(sum(tier2_pinned.values()), 3)
     load_end = _loadavg()  # captured once; both output lines share it
+
+    # Derived contention flag (r18 verdict): with the warmup rep
+    # absorbing first-execution JIT, a spread among the MEASURED reps
+    # is a host-window signature, not codegen. A query is "elevated"
+    # when its measured reps spread >50% AND >0.5 s absolute (tiny
+    # queries jitter in relative terms without meaning anything). The
+    # flag fires when the box was still busy at preflight, when many
+    # queries show any-rep spikes, or when the legacy-16 floor leaves
+    # its quiet band WITH rep-shape evidence — so a quiet-run
+    # regression (flat reps, out of band) still reads as a regression.
+    def _elevated(runs: list[float]) -> bool:
+        lo = min(runs)
+        return lo > 0 and (max(runs) - lo) > max(0.5, 0.5 * lo)
+
+    elevated = [n for n, runs in rep_times.items() if _elevated(runs)]
+    elevated += [
+        n for n, runs in tier2_pinned_reps.items() if _elevated(runs)
+    ]
+    legacy16_minof5 = round(sum(legacy_best.values()), 3)
+    band_lo, band_hi = LEGACY16_QUIET_BAND
+    legacy16_out_of_band = not (band_lo <= legacy16_minof5 <= band_hi)
+    elevated_legacy16 = [n for n in elevated if n in HEADLINE[:16]]
+    contention = {
+        "n_elevated": len(elevated),
+        "elevated": elevated[:8],
+        "legacy16_minof5": legacy16_minof5,
+        "legacy16_quiet_band": [band_lo, band_hi],
+        "legacy16_out_of_band": legacy16_out_of_band,
+        "flag": bool(
+            preflight.get("preflight_still_busy")
+            or len(elevated) >= 3
+            or (legacy16_out_of_band and elevated_legacy16)
+        ),
+    }
     full_line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -479,10 +589,15 @@ def main() -> None:
             "tier2": tier2,
             "tier2_slice": round_idx,
             "tier2_reruns": tier2_reruns,
+            "tier2_pinned": tier2_pinned,
+            "tier2_pinned_reps": tier2_pinned_reps,
+            "tier2_pinned_total": tier2_pinned_total,
             "reps": reps,
             "legacy_reps": legacy_reps,
-            "legacy16_minof5": round(sum(legacy_best.values()), 3),
+            "legacy16_minof5": legacy16_minof5,
             "sf": sf,
+            "phases": phases,
+            "contention": contention,
             "loadavg_start": load_start,
             "loadavg_tier2": load_tier2,
             "loadavg_end": load_end,
@@ -509,11 +624,15 @@ def main() -> None:
             # uniform min-of-`reps`, comparable to every round's total
             "legacy16": legacy16,
             # the noise-hardened floor metric (extra reps, min of all)
-            "legacy16_minof5": round(sum(legacy_best.values()), 3),
+            "legacy16_minof5": legacy16_minof5,
             "slowest": slowest,
             "tier2_slice": round_idx,
             "tier2_n": len(tier2),
             "tier2_total": tier2_total,
+            "tier2_pinned_total": tier2_pinned_total,
+            "contention_flag": contention["flag"],
+            "n_elevated": contention["n_elevated"],
+            "legacy16_band_ok": not legacy16_out_of_band,
             "loadavg_end": load_end,
             "preflight_waited_sec": preflight["preflight_waited_sec"],
         }

@@ -5443,16 +5443,96 @@ def synthesize_flac(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+def _flac_decode_subframe(
+    r: "_FlacBitReader", m: int, bps: int
+) -> tuple[str, int | None, list]:
+    """Decode ONE subframe at bit depth ``bps`` (the side channel of a
+    decorrelated stereo pair carries bps+1 — RFC 9639 §9.2.1):
+    CONSTANT / VERBATIM / FIXED+rice / LPC, exactly the mono-scope
+    logic parameterized by width. Returns (kind, order, samples);
+    reserved types, wasted bits, and every truncation fail LOUD."""
+    if r.read(1):
+        raise ValueError("FLAC subframe pad bit set")
+    stype = r.read(6)
+    if r.read(1):
+        raise ValueError("unsupported FLAC: wasted bits")
+    if stype == 0:
+        return "constant", None, [r.read_signed(bps)] * m
+    if stype == 1:
+        return "verbatim", None, [r.read_signed(bps) for _ in range(m)]
+    if 8 <= stype <= 12:
+        # FIXED predictor, orders 0-4 (RFC 9639 §9.2.2): warmup
+        # samples verbatim, then RICE-partitioned residuals —
+        # unary quotient / k-bit remainder, zigzag-folded — and
+        # the closed-form polynomial predictor recursion.
+        order = stype - 8
+        if m < order:
+            raise ValueError(
+                f"FLAC FIXED order {order} exceeds blocksize {m}"
+            )
+        samples = [r.read_signed(bps) for _ in range(order)]
+        for res in _flac_rice_residuals(r, m, order):
+            if order == 0:
+                pred = 0
+            elif order == 1:
+                pred = samples[-1]
+            elif order == 2:
+                pred = 2 * samples[-1] - samples[-2]
+            elif order == 3:
+                pred = 3 * samples[-1] - 3 * samples[-2] + samples[-3]
+            else:
+                pred = (
+                    4 * samples[-1] - 6 * samples[-2]
+                    + 4 * samples[-3] - samples[-4]
+                )
+            samples.append(pred + res)
+        return "fixed", order, samples
+    if stype >= 32:
+        # LPC predictor (RFC 9639 §9.2.3): order from the type bits,
+        # 4-bit quantized-coefficient precision (code 15 invalid),
+        # 5-bit signed shift (negative invalid), signed coefficients,
+        # rice residuals, then the quantized prediction
+        # s[i] = (sum c_j * s[i-1-j]) >> shift + r[i] (arithmetic
+        # shift — Python's >> on ints).
+        order = (stype & 0x1F) + 1
+        if m < order:
+            raise ValueError(
+                f"FLAC LPC order {order} exceeds blocksize {m}"
+            )
+        samples = [r.read_signed(bps) for _ in range(order)]
+        prec_code = r.read(4)
+        if prec_code == 15:
+            raise ValueError(
+                "invalid FLAC LPC coefficient precision code 15"
+            )
+        prec = prec_code + 1
+        shift = r.read(5)
+        if shift & 0x10:
+            raise ValueError("invalid negative FLAC LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        for res in _flac_rice_residuals(r, m, order):
+            pred = sum(
+                c * samples[-1 - j] for j, c in enumerate(coefs)
+            ) >> shift
+            samples.append(pred + res)
+        return "lpc", order, samples
+    raise ValueError(f"reserved FLAC subframe type {stype}")
+
+
 def decode_flac(payload: bytes) -> dict:
     """REAL FLAC decode within the declared scope: metadata-block walk
     honoring the is-last flag (PADDING/VORBIS_COMMENT skipped),
     STREAMINFO bit-unpack, then per frame — sync check, fixed-blocking
     check, blocksize/rate/channel/sample-size code decode, UTF-8 frame
-    number, CRC-8 verify, bit-level CONSTANT / VERBATIM subframe
-    decode, byte re-align, CRC-16 verify. Out-of-scope structure
-    (FIXED/LPC subframes, stereo, wasted bits, variable blocking,
-    rate-override codes) and every corruption fail LOUD; total decoded
-    samples must equal STREAMINFO's count."""
+    number, CRC-8 verify, bit-level subframe decode (CONSTANT /
+    VERBATIM / FIXED+rice / LPC via ``_flac_decode_subframe``), byte
+    re-align, CRC-16 verify. Stereo frames (RFC 9639 §4.2 channel
+    assignments: independent L/R, left/side, right/side, mid/side —
+    the side channel read at bps+1 bits) are RECONSTRUCTED to exact
+    L/R before stats. Out-of-scope structure (>2 channels, wasted
+    bits, variable blocking, rate-override codes) and every corruption
+    fail LOUD; per-channel decoded samples must equal STREAMINFO's
+    count."""
     import struct
 
     p = bytes(payload)
@@ -5487,12 +5567,13 @@ def decode_flac(payload: bytes) -> dict:
     min_bs, max_bs, rate, ch, bps, total = streaminfo
     if min_bs != max_bs:
         raise ValueError("unsupported FLAC: variable blocksize stream")
-    if ch != 1:
-        raise ValueError("unsupported FLAC: need mono")
+    if ch not in (1, 2):
+        raise ValueError("unsupported FLAC: need mono or stereo")
     if bps != 16:
         raise ValueError("unsupported FLAC: need 16-bit samples")
     n_seen = 0
     n_frames = n_const = n_verb = n_fixed = n_lpc = 0
+    n_indep = n_left_side = n_right_side = n_mid_side = 0
     fixed_orders = [0] * 5
     sum_abs = sum_sq = 0
     peak = 0
@@ -5515,7 +5596,23 @@ def decode_flac(payload: bytes) -> dict:
             raise ValueError("unsupported FLAC: reserved frame bit set")
         if rate_code != 0:
             raise ValueError("unsupported FLAC: frame-level rate override")
-        if chan_code != 0:
+        # Channel assignment (RFC 9639 §9.1.3): 0 = mono, 1 = two
+        # independent channels, 8/9/10 = left/side, right/side,
+        # mid/side decorrelation (the side subframe carries bps+1
+        # bits). 2-7 (3-8 channels) and reserved 11-15 stay gated.
+        if chan_code == 0:
+            if ch != 1:
+                raise ValueError("FLAC mono frame in a stereo stream")
+            widths = [bps]
+        elif chan_code == 1:
+            if ch != 2:
+                raise ValueError("FLAC stereo frame in a mono stream")
+            widths = [bps, bps]
+        elif chan_code in (8, 9, 10):
+            if ch != 2:
+                raise ValueError("FLAC stereo frame in a mono stream")
+            widths = [bps + 1, bps] if chan_code == 9 else [bps, bps + 1]
+        else:
             raise ValueError("unsupported FLAC: non-mono channel layout")
         if size_code != 0b100:
             raise ValueError("unsupported FLAC: non-16-bit frame samples")
@@ -5542,93 +5639,51 @@ def decode_flac(payload: bytes) -> dict:
             raise ValueError("FLAC frame-header CRC-8 mismatch")
         pos += 1
         r = _FlacBitReader(p, pos)
-        if r.read(1):
-            raise ValueError("FLAC subframe pad bit set")
-        stype = r.read(6)
-        if r.read(1):
-            raise ValueError("unsupported FLAC: wasted bits")
-        if stype == 0:
-            v = r.read_signed(16)
-            n_const += 1
-            sum_abs += m * abs(v)
-            sum_sq += m * v * v
-            peak = max(peak, abs(v))
-        elif stype == 1:
-            n_verb += 1
-            for _ in range(m):
-                v = r.read_signed(16)
+        subs = []
+        for w in widths:
+            kind, order, samples = _flac_decode_subframe(r, m, w)
+            if kind == "constant":
+                n_const += 1
+            elif kind == "verbatim":
+                n_verb += 1
+            elif kind == "fixed":
+                n_fixed += 1
+                fixed_orders[order] += 1
+            else:
+                n_lpc += 1
+            subs.append(samples)
+        # Stereo reconstruction to exact L/R (RFC 9639 §4.2). mid is
+        # (L+R)>>1 with the lost low bit carried by side's parity
+        # (L+R and L-R share parity), so (mid<<1)|(side&1) == L+R
+        # exactly — Python's arithmetic >> and | on negative ints
+        # implement the spec's two's-complement forms directly.
+        if chan_code == 0:
+            chans = subs
+        elif chan_code == 1:
+            n_indep += 1
+            chans = subs
+        elif chan_code == 8:  # left/side: R = L - side
+            n_left_side += 1
+            left, side = subs
+            chans = [left, [a - s for a, s in zip(left, side)]]
+        elif chan_code == 9:  # right/side: L = R + side
+            n_right_side += 1
+            side, right = subs
+            chans = [[a + s for a, s in zip(right, side)], right]
+        else:  # mid/side
+            n_mid_side += 1
+            mid, side = subs
+            left, right = [], []
+            for a, s in zip(mid, side):
+                lr_sum = (a << 1) | (s & 1)
+                left.append((lr_sum + s) >> 1)
+                right.append((lr_sum - s) >> 1)
+            chans = [left, right]
+        for chan_samples in chans:
+            for v in chan_samples:
                 sum_abs += abs(v)
                 sum_sq += v * v
                 peak = max(peak, abs(v))
-        elif 8 <= stype <= 12:
-            # FIXED predictor, orders 0-4 (RFC 9639 §9.2.2): warmup
-            # samples verbatim, then RICE-partitioned residuals —
-            # unary quotient / k-bit remainder, zigzag-folded — and
-            # the closed-form polynomial predictor recursion.
-            order = stype - 8
-            if m < order:
-                raise ValueError(
-                    f"FLAC FIXED order {order} exceeds blocksize {m}"
-                )
-            samples = [r.read_signed(16) for _ in range(order)]
-            for res in _flac_rice_residuals(r, m, order):
-                if order == 0:
-                    pred = 0
-                elif order == 1:
-                    pred = samples[-1]
-                elif order == 2:
-                    pred = 2 * samples[-1] - samples[-2]
-                elif order == 3:
-                    pred = (
-                        3 * samples[-1] - 3 * samples[-2] + samples[-3]
-                    )
-                else:
-                    pred = (
-                        4 * samples[-1] - 6 * samples[-2]
-                        + 4 * samples[-3] - samples[-4]
-                    )
-                samples.append(pred + res)
-            n_fixed += 1
-            fixed_orders[order] += 1
-            for v in samples:
-                sum_abs += abs(v)
-                sum_sq += v * v
-                peak = max(peak, abs(v))
-        elif stype >= 32:
-            # LPC predictor (RFC 9639 §9.2.3): order from the type
-            # bits, 4-bit quantized-coefficient precision (code 15
-            # invalid), 5-bit signed shift (negative invalid), signed
-            # coefficients, rice residuals, then the quantized
-            # prediction s[i] = (sum c_j * s[i-1-j]) >> shift + r[i]
-            # (arithmetic shift — Python's >> on ints).
-            order = (stype & 0x1F) + 1
-            if m < order:
-                raise ValueError(
-                    f"FLAC LPC order {order} exceeds blocksize {m}"
-                )
-            samples = [r.read_signed(16) for _ in range(order)]
-            prec_code = r.read(4)
-            if prec_code == 15:
-                raise ValueError(
-                    "invalid FLAC LPC coefficient precision code 15"
-                )
-            prec = prec_code + 1
-            shift = r.read(5)
-            if shift & 0x10:
-                raise ValueError("invalid negative FLAC LPC shift")
-            coefs = [r.read_signed(prec) for _ in range(order)]
-            for res in _flac_rice_residuals(r, m, order):
-                pred = sum(
-                    c * samples[-1 - j] for j, c in enumerate(coefs)
-                ) >> shift
-                samples.append(pred + res)
-            n_lpc += 1
-            for v in samples:
-                sum_abs += abs(v)
-                sum_sq += v * v
-                peak = max(peak, abs(v))
-        else:
-            raise ValueError(f"reserved FLAC subframe type {stype}")
         r.align()
         pos = r.pos
         if pos + 2 > len(p):
@@ -5652,6 +5707,10 @@ def decode_flac(payload: bytes) -> dict:
         "n_verbatim": n_verb,
         "n_fixed": n_fixed,
         "n_lpc": n_lpc,
+        "n_indep": n_indep,
+        "n_left_side": n_left_side,
+        "n_right_side": n_right_side,
+        "n_mid_side": n_mid_side,
         "sum_abs": sum_abs,
         "peak": peak,
         "sum_sq": sum_sq,
@@ -6189,6 +6248,199 @@ ORACLE["multimodal_flac_lpc_stats"] = """
            CAST(n AS INTEGER) AS n_samples,
            CAST((n + 15) // 16 AS INTEGER) AS n_frames,
            CAST((n + 15) // 16 AS INTEGER) AS n_lpc,
+           sum_abs, peak, sum_sq
+    FROM params p JOIN agg a ON p.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# FLAC stereo decorrelation (RFC 9639 §4.2/§9.1.3) — the last unopened
+# frame-layer gate of the audio codec: independent L/R plus the three
+# decorrelated channel assignments (left/side, right/side, mid/side),
+# the side subframe carrying bps+1 bits. The generator emits
+# closed-form L/R pairs and derives side = L−R / mid = (L+R)>>1 per
+# assignment, so the RECONSTRUCTION must be exact for the oracle (pure
+# L/R closed forms, no per-mode case split) to match — a decoder that
+# drops the side channel's extra bit, mis-pairs the channels, or loses
+# mid's parity bit goes loudly wrong.
+# ---------------------------------------------------------------------------
+
+
+def _flac_right_sample(doc_id: int, i: int) -> int:
+    """The right channel's closed form — same shape as ``_wav_sample``
+    (the left channel) with different residue constants, so L−R and
+    (L+R)>>1 exercise genuinely two-sided values."""
+    return (doc_id * 13 + i * 29 + (i * i) % 89) % 4001 - 2000
+
+
+def synthesize_flac_stereo(docs: DataFrame) -> DataFrame:
+    """A STEREO FLAC stream per document: STREAMINFO declares 2
+    channels; frames cycle the four channel assignments by k%4 —
+    independent (code 1), left/side (8), right/side (9), mid/side
+    (10) — each carrying two VERBATIM subframes with the side channel
+    at 17 bits. n >= 64 means every document exercises all four
+    modes. Container structure (fixed 16-sample blocks, bit-packed
+    headers, UTF-8 frame numbers, CRC-8/CRC-16) identical to
+    ``synthesize_flac``."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, n = _flac_params(d)
+                buf = bytearray(b"fLaC")
+                si = _FlacBitWriter()
+                si.write(_FLAC_BS, 16)
+                si.write(_FLAC_BS, 16)
+                si.write(0, 24)
+                si.write(0, 24)
+                si.write(rate, 20)
+                si.write(1, 3)  # channels - 1 (stereo)
+                si.write(15, 5)
+                si.write(n, 36)
+                for _ in range(16):
+                    si.write(0, 8)
+                buf += struct.pack(">B", 0x80)  # STREAMINFO, LAST
+                buf += struct.pack(">I", len(si.buf))[1:]
+                buf += si.buf
+                nf = (n + _FLAC_BS - 1) // _FLAC_BS
+                for k in range(nf):
+                    m = min(_FLAC_BS, n - k * _FLAC_BS)
+                    left = [
+                        _wav_sample(d, k * _FLAC_BS + j) for j in range(m)
+                    ]
+                    right = [
+                        _flac_right_sample(d, k * _FLAC_BS + j)
+                        for j in range(m)
+                    ]
+                    side = [a - b for a, b in zip(left, right)]
+                    mode = k % 4
+                    if mode == 0:  # independent stereo
+                        chan_code, chans = 1, [(left, 16), (right, 16)]
+                    elif mode == 1:  # left/side
+                        chan_code, chans = 8, [(left, 16), (side, 17)]
+                    elif mode == 2:  # right/side
+                        chan_code, chans = 9, [(side, 17), (right, 16)]
+                    else:  # mid/side: mid = (L+R)>>1, floor
+                        mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                        chan_code, chans = 10, [(mid, 16), (side, 17)]
+                    hdr = bytearray(
+                        [
+                            0xFF,
+                            0xF8,
+                            0x60,
+                            (chan_code << 4) | 0x08,
+                            k,
+                            m - 1,
+                        ]
+                    )
+                    hdr.append(_flac_crc8(bytes(hdr)))
+                    bw = _FlacBitWriter()
+                    for samples, width in chans:
+                        bw.write(0x02, 8)  # VERBATIM subframe header
+                        for v in samples:
+                            bw.write(v, width)
+                    bw.align()
+                    frame = bytes(hdr) + bytes(bw.buf)
+                    buf += frame + struct.pack(">H", _flac_crc16(frame))
+                ids.append(d)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime_type": FLAC_MIME,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+FLAC_STEREO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_indep", IntegerType()),
+        StructField("n_left_side", IntegerType()),
+        StructField("n_right_side", IntegerType()),
+        StructField("n_mid_side", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def q_multimodal_flac_stereo_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stereo-decorrelated FLAC decode end to end — the audio codec's
+    last frame-layer gate: every stream cycles all four channel
+    assignments, the side subframes decode at 17 bits, and the stats
+    are computed over the RECONSTRUCTED left/right samples — so the
+    oracle is the pure L/R closed forms with NO per-mode case split,
+    and any reconstruction error (dropped parity bit, swapped
+    channels, mis-signed side) lands loudly in sum_abs/peak/sum_sq.
+    The per-mode counts pin that each assignment was actually
+    decoded, not skipped. Scale shape: the codec-family contract —
+    one Arrow-batched mapInPandas chain, payload bytes never shuffle,
+    doc-grain output."""
+    media = synthesize_flac_stereo(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in FLAC_STEREO_SCHEMA.fields]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_flac(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k in cols[1:]:
+                    rows[k].append(d[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=FLAC_STEREO_SCHEMA)
+
+
+QUERIES["multimodal_flac_stereo_stats"] = q_multimodal_flac_stereo_stats
+
+ORACLE["multimodal_flac_stereo_stats"] = """
+    WITH params AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 2000 AS rate,
+               64 + (doc_id % 97) AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, rate, n,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM params
+    ),
+    samp AS (
+        SELECT doc_id,
+               (doc_id * 31 + i * 17 + (i * i) % 101) % 4001 - 2000 AS l,
+               (doc_id * 13 + i * 29 + (i * i) % 89) % 4001 - 2000 AS r
+        FROM idx
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(abs(l) + abs(r)) AS BIGINT) AS sum_abs,
+               CAST(max(greatest(abs(l), abs(r))) AS INTEGER) AS peak,
+               CAST(sum(l * l + r * r) AS BIGINT) AS sum_sq
+        FROM samp GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST((n + 15) // 16 AS INTEGER) AS n_frames,
+           CAST(((n + 15) // 16 + 3) // 4 AS INTEGER) AS n_indep,
+           CAST(((n + 15) // 16 + 2) // 4 AS INTEGER) AS n_left_side,
+           CAST(((n + 15) // 16 + 1) // 4 AS INTEGER) AS n_right_side,
+           CAST((n + 15) // 16 // 4 AS INTEGER) AS n_mid_side,
            sum_abs, peak, sum_sq
     FROM params p JOIN agg a ON p.doc_id = a.doc_id
 """

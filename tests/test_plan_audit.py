@@ -1631,3 +1631,17 @@ def test_jpeg_gps_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_flac_stereo_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The stereo-decorrelation FLAC chain must stay one zero-Exchange
+    mapInPandas pipeline reading only doc_id (the codec-family
+    contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_flac_stereo_stats,
+    )
+
+    plan = _formatted_plan(q_multimodal_flac_stereo_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema

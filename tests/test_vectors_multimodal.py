@@ -1820,12 +1820,15 @@ def test_flac_decode_matches_generator_and_crcs_are_load_bearing(spark):
                     sum_sq += s * s
                     peak = max(peak, abs(s))
         got = decode_flac(payloads[d])
-        assert got == {
+        want = {
             "sample_rate": rate, "n_samples": n, "n_frames": nf,
             "n_constant": (nf + 1) // 2, "n_verbatim": nf // 2,
             "n_fixed": 0, "n_lpc": 0,
             "sum_abs": sum_abs, "peak": peak, "sum_sq": sum_sq,
-        }, d
+        }
+        # subset assert: the decoder dict may grow fields (stereo mode
+        # counts, …) without breaking this mono contract
+        assert {k: got[k] for k in want} == want, d
 
     p = bytearray(payloads[7])
     p[-3] ^= 0x40  # a sample byte inside the LAST frame body
@@ -2201,3 +2204,169 @@ def test_jpeg_gps_roundtrip_and_fail_modes(spark):
 
     with pytest.raises(ValueError, match="RATIONAL"):
         _exif_rational3_cas("<", (4, 3, raw))
+
+
+def test_flac_stereo_reconstruction_matches_all_four_modes(spark):
+    """The generator's frames cycle independent/left-side/right-side/
+    mid-side; decode must reconstruct EXACT L/R in every mode, so the
+    stats equal the pure closed-form sums and the per-mode counts
+    split the frame count by k%4."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        _flac_params,
+        _flac_right_sample,
+        _wav_sample,
+        decode_flac,
+        synthesize_flac_stereo,
+    )
+
+    docs = spark.createDataFrame([(3,), (8,)], "doc_id bigint")
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in synthesize_flac_stereo(docs).collect()
+    }
+    for d in (3, 8):
+        rate, n = _flac_params(d)
+        left = [_wav_sample(d, i) for i in range(n)]
+        right = [_flac_right_sample(d, i) for i in range(n)]
+        nf = (n + 15) // 16
+        got = decode_flac(payloads[d])
+        assert got["sample_rate"] == rate
+        assert got["n_samples"] == n
+        assert got["n_frames"] == nf
+        assert got["n_indep"] == (nf + 3) // 4
+        assert got["n_left_side"] == (nf + 2) // 4
+        assert got["n_right_side"] == (nf + 1) // 4
+        assert got["n_mid_side"] == nf // 4
+        assert got["n_verbatim"] == 2 * nf  # two subframes per frame
+        assert got["sum_abs"] == sum(abs(v) for v in left + right)
+        assert got["sum_sq"] == sum(v * v for v in left + right)
+        assert got["peak"] == max(abs(v) for v in left + right)
+
+
+def _stereo_one_frame(chan_code: int, sub0: list, sub1: list,
+                      w0: int, w1: int) -> bytes:
+    """A minimal spec-valid 2-channel FLAC stream with ONE frame of
+    the given channel assignment and two VERBATIM subframes."""
+    import struct
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        _FlacBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+    )
+
+    n = len(sub0)
+    buf = bytearray(b"fLaC")
+    si = _FlacBitWriter()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(1, 3)  # stereo
+    si.write(15, 5)
+    si.write(n, 36)
+    for _ in range(16):
+        si.write(0, 8)
+    buf += struct.pack(">B", 0x80) + struct.pack(">I", len(si.buf))[1:]
+    buf += si.buf
+    hdr = bytearray([0xFF, 0xF8, 0x60, (chan_code << 4) | 0x08, 0, n - 1])
+    hdr.append(_flac_crc8(bytes(hdr)))
+    bw = _FlacBitWriter()
+    for samples, width in ((sub0, w0), (sub1, w1)):
+        bw.write(0x02, 8)
+        for v in samples:
+            bw.write(v, width)
+    bw.align()
+    frame = bytes(hdr) + bytes(bw.buf)
+    return bytes(buf + frame + struct.pack(">H", _flac_crc16(frame)))
+
+
+def test_flac_stereo_crafted_per_mode_and_parity_bit_load_bearing(spark):
+    """Hand-worked single-frame streams per decorrelation mode with
+    NEGATIVE samples and an ODD L+R (the mid/side parity case): each
+    must reconstruct the same L/R; re-labeling the assignment code of
+    the same bits (CRCs recomputed — structurally valid) changes the
+    reconstruction, proving the assignment is load-bearing, not
+    cosmetic."""
+    from retail_sales_etl_spark.operators.multimodal import decode_flac
+
+    left = [-3, 2000, -2000, 7]
+    right = [2, -1999, 1500, 7]
+    side = [a - b for a, b in zip(left, right)]  # [-5, 3999, -3500, 0]
+    mid = [(a + b) >> 1 for a, b in zip(left, right)]  # floor: -1, 0, ...
+    truth_abs = sum(abs(v) for v in left + right)
+    truth_sq = sum(v * v for v in left + right)
+
+    indep = decode_flac(_stereo_one_frame(1, left, right, 16, 16))
+    ls = decode_flac(_stereo_one_frame(8, left, side, 16, 17))
+    rs = decode_flac(_stereo_one_frame(9, side, right, 17, 16))
+    ms = decode_flac(_stereo_one_frame(10, mid, side, 16, 17))
+    for got, key in ((indep, "n_indep"), (ls, "n_left_side"),
+                     (rs, "n_right_side"), (ms, "n_mid_side")):
+        assert got["sum_abs"] == truth_abs
+        assert got["sum_sq"] == truth_sq
+        assert got["peak"] == 2000
+        assert got[key] == 1 and got["n_frames"] == 1
+
+    # wrong-reconstruction: the SAME left/side bits re-labeled as
+    # mid/side decode structurally fine but reconstruct different
+    # samples — the decorrelation arithmetic, not the container walk,
+    # carries the values
+    mislabeled = decode_flac(_stereo_one_frame(10, left, side, 16, 17))
+    assert mislabeled["sum_sq"] != truth_sq
+
+
+def test_flac_stereo_scope_gates_fail_loud(spark):
+    """Channel-layout contradictions and still-gated layouts stay
+    LOUD: a stereo frame in a mono stream, a mono frame in a stereo
+    stream, >2-channel STREAMINFO, and a reserved assignment code."""
+    import struct
+
+    import pytest
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        decode_flac,
+        synthesize_flac,
+        synthesize_flac_stereo,
+    )
+
+    docs = spark.createDataFrame([(7,)], "doc_id bigint")
+    mono = bytearray(synthesize_flac(docs).collect()[0]["payload"])
+    stereo = bytearray(
+        synthesize_flac_stereo(docs).collect()[0]["payload"]
+    )
+
+    # mono STREAMINFO + stereo frame: flip the mono stream's first
+    # frame to chan_code 1 (and fix its CRC-8 so the layout gate, not
+    # the checksum, fires). Frame starts after fLaC + STREAMINFO hdr
+    # (4+4+34) + PADDING block (4 + 4+(7%3)).
+    f0 = 4 + 4 + 34 + 4 + 4 + (7 % 3)
+    from retail_sales_etl_spark.operators.multimodal import _flac_crc8
+
+    mono[f0 + 3] = (1 << 4) | 0x08
+    mono[f0 + 6] = _flac_crc8(bytes(mono[f0 : f0 + 6]))
+    with pytest.raises(ValueError, match="mono stream"):
+        decode_flac(bytes(mono))
+
+    # stereo STREAMINFO + mono frame (first stereo frame is at
+    # 4 + 4+34: no PADDING in the stereo generator)
+    s0 = 4 + 4 + 34
+    st = bytearray(stereo)
+    st[s0 + 3] = 0x08
+    st[s0 + 6] = _flac_crc8(bytes(st[s0 : s0 + 6]))
+    with pytest.raises(ValueError, match="stereo stream"):
+        decode_flac(bytes(st))
+
+    # 3-channel STREAMINFO: channels-1 = 2 in byte 12 bits 1-3
+    three = bytearray(stereo)
+    three[4 + 4 + 12] = (three[4 + 4 + 12] & 0xF1) | (2 << 1)
+    with pytest.raises(ValueError, match="mono or stereo"):
+        decode_flac(bytes(three))
+
+    # reserved assignment code 11 on a stereo stream
+    rv = bytearray(stereo)
+    rv[s0 + 3] = (11 << 4) | 0x08
+    rv[s0 + 6] = _flac_crc8(bytes(rv[s0 : s0 + 6]))
+    with pytest.raises(ValueError, match="channel layout"):
+        decode_flac(bytes(rv))
