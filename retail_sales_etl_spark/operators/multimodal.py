@@ -6647,3 +6647,177 @@ ORACLE["multimodal_jpeg_gps"] = """
                 + (11 * doc_id) % 6000 AS BIGINT) AS lon_cas
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation-applied resize (EXIF 2.3 §4.6.4 tag 0x0112) — the
+# fix-up real curation pipelines run before any vision model sees the
+# pixels: cameras store the sensor raster and record how to turn it
+# upright, so a resize that ignores the tag trains on rotated/mirrored
+# images. The entry composes the metadata walk (extract_jpeg_exif)
+# with the full baseline decode (_jpeg_raster) and applies the
+# orientation to the NN source mapping — values 1-8 all exercised
+# (orientation = doc_id % 8 + 1).
+# ---------------------------------------------------------------------------
+
+
+def _exif_orient_map(o: int, w: int, h: int):
+    """(upright_w, upright_h, f) where f maps an UPRIGHT coordinate to
+    the STORED raster coordinate, per EXIF 2.3 §4.6.4: 1 normal,
+    2 flip-H, 3 rotate-180, 4 flip-V, 5 transpose, 6 rotate-90-CW,
+    7 transverse, 8 rotate-270-CW (all as "rotate the stored image by
+    this to display upright"). Values 5-8 swap the display dims."""
+    if o == 1:
+        return w, h, lambda x, y: (x, y)
+    if o == 2:
+        return w, h, lambda x, y: (w - 1 - x, y)
+    if o == 3:
+        return w, h, lambda x, y: (w - 1 - x, h - 1 - y)
+    if o == 4:
+        return w, h, lambda x, y: (x, h - 1 - y)
+    if o == 5:
+        return h, w, lambda x, y: (y, x)
+    if o == 6:
+        return h, w, lambda x, y: (y, h - 1 - x)
+    if o == 7:
+        return h, w, lambda x, y: (w - 1 - y, h - 1 - x)
+    if o == 8:
+        return h, w, lambda x, y: (w - 1 - y, x)
+    raise ValueError(f"invalid EXIF orientation {o}")
+
+
+def resize_jpeg_exif_oriented(payload: bytes) -> dict:
+    """Orientation-applied NN resize: read the Orientation tag through
+    the real TIFF walk, decode the baseline raster through the full
+    Huffman+IDCT chain, rotate/flip the NN SOURCE MAPPING (never the
+    pixels — one gather per target sample, the way a production
+    thumbnailer composes the two transforms), and emit per-channel
+    sums of the upright resized planes. A missing Exif APP1 or
+    orientation tag fails loud — this entry's generator always
+    writes one."""
+    meta = extract_jpeg_exif(payload)
+    if meta is None or meta["orientation"] is None:
+        raise ValueError("EXIF orientation missing from payload")
+    o = meta["orientation"]
+    w, h, planes, samps = _jpeg_raster(payload)
+    max_h = max(hi for hi, _ in samps)
+    max_v = max(vi for _, vi in samps)
+    uw, uh, to_stored = _exif_orient_map(o, w, h)
+    sums = [0, 0, 0]
+    for y2 in range(PPM_RESIZE_H):
+        uy = (y2 * uh) // PPM_RESIZE_H
+        for x2 in range(PPM_RESIZE_W):
+            ux = (x2 * uw) // PPM_RESIZE_W
+            sx, sy = to_stored(ux, uy)
+            for c, (hi, vi) in enumerate(samps):
+                sums[c] += int(
+                    planes[c][(sy * vi) // max_v, (sx * hi) // max_h]
+                )
+    return {
+        "orientation": o,
+        "upright_width": uw,
+        "upright_height": uh,
+        "sum_y": sums[0],
+        "sum_cb": sums[1],
+        "sum_cr": sums[2],
+    }
+
+
+JPEG_ORIENTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orientation", IntegerType()),
+        StructField("upright_width", IntegerType()),
+        StructField("upright_height", IntegerType()),
+        StructField("sum_y", LongType()),
+        StructField("sum_cb", LongType()),
+        StructField("sum_cr", LongType()),
+    ]
+)
+
+
+def q_multimodal_exif_oriented_resize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The orientation fix-up a real image-curation pipeline runs:
+    metadata walk and entropy decode COMPOSED — the Orientation tag
+    (all 8 spec values across docs, both TIFF byte orders) steers the
+    NN source mapping over the fully-decoded baseline raster, so a
+    wrong inverse mapping for any value, a dims-swap miss on 5-8, or
+    an orientation-ignoring resize lands loudly in the per-channel
+    sums. Oracle mirrors the integer kernel with an 8-way CASE on
+    doc_id % 8 + 1. Scale shape: the codec-family contract — one
+    Arrow-batched mapInPandas chain, payload bytes never shuffle,
+    doc-grain output."""
+    media = synthesize_jpeg_exif(load_table(spark, sf_dir, "documents"))
+    cols = [f.name for f in JPEG_ORIENTED_SCHEMA.fields]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = resize_jpeg_exif_oriented(payload)
+                rows["doc_id"].append(int(doc_id))
+                for k in cols[1:]:
+                    rows[k].append(d[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=JPEG_ORIENTED_SCHEMA)
+
+
+QUERIES["multimodal_exif_oriented_resize"] = q_multimodal_exif_oriented_resize
+
+ORACLE["multimodal_exif_oriented_resize"] = f"""
+    WITH grid AS (
+        SELECT doc_id,
+               doc_id % 8 + 1 AS o,
+               ((doc_id % 4) + 1) * 8 AS w,
+               ((doc_id % 3) + 1) * 8 AS h
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, o, w, h,
+               CASE WHEN o <= 4 THEN w ELSE h END AS uw,
+               CASE WHEN o <= 4 THEN h ELSE w END AS uh
+        FROM grid
+    ),
+    xs AS (
+        SELECT doc_id, o, w, h, uw, uh,
+               unnest(generate_series(0, {PPM_RESIZE_W - 1})) AS x2
+        FROM dims
+    ),
+    pix AS (
+        SELECT doc_id, o, w, h, uw, uh, x2,
+               unnest(generate_series(0, {PPM_RESIZE_H - 1})) AS y2
+        FROM xs
+    ),
+    up AS (
+        SELECT doc_id, o, w, h, uw, uh,
+               (x2 * uw) // {PPM_RESIZE_W} AS ux,
+               (y2 * uh) // {PPM_RESIZE_H} AS uy
+        FROM pix
+    ),
+    stored AS (
+        SELECT doc_id, o, uw, uh,
+               CASE o WHEN 1 THEN ux WHEN 2 THEN w - 1 - ux
+                      WHEN 3 THEN w - 1 - ux WHEN 4 THEN ux
+                      WHEN 5 THEN uy WHEN 6 THEN uy
+                      ELSE w - 1 - uy END // 8 AS bx,
+               CASE o WHEN 1 THEN uy WHEN 2 THEN uy
+                      WHEN 3 THEN h - 1 - uy WHEN 4 THEN h - 1 - uy
+                      WHEN 5 THEN ux WHEN 6 THEN h - 1 - ux
+                      WHEN 7 THEN h - 1 - ux ELSE ux END // 8 AS by
+        FROM up
+    )
+    SELECT doc_id,
+           CAST(any_value(o) AS INTEGER) AS orientation,
+           CAST(any_value(uw) AS INTEGER) AS upright_width,
+           CAST(any_value(uh) AS INTEGER) AS upright_height,
+           CAST(sum((doc_id + 7 * bx + 13 * by) % 200 + 28) AS BIGINT)
+               AS sum_y,
+           CAST(sum((3 * doc_id + 5 * bx + by) % 200 + 28) AS BIGINT)
+               AS sum_cb,
+           CAST(sum((doc_id + bx * by) % 200 + 28) AS BIGINT) AS sum_cr
+    FROM stored
+    GROUP BY doc_id
+"""

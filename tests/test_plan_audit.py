@@ -1645,3 +1645,17 @@ def test_flac_stereo_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_exif_oriented_resize_is_shuffle_free_and_column_pruned(spark, sf_dir):
+    """The orientation-applied resize chain must stay one
+    zero-Exchange mapInPandas pipeline reading only doc_id (the
+    codec-family contract)."""
+    from retail_sales_etl_spark.operators.multimodal import (
+        q_multimodal_exif_oriented_resize,
+    )
+
+    plan = _formatted_plan(q_multimodal_exif_oriented_resize(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema

@@ -2370,3 +2370,71 @@ def test_flac_stereo_scope_gates_fail_loud(spark):
     rv[s0 + 6] = _flac_crc8(bytes(rv[s0 : s0 + 6]))
     with pytest.raises(ValueError, match="channel layout"):
         decode_flac(bytes(rv))
+
+
+def test_exif_oriented_resize_all_eight_orientations(spark):
+    """Docs 0-7 walk every EXIF orientation value; an INDEPENDENT
+    reference (materialize the stored raster from the closed-form
+    block values, rotate/flip it upright with numpy array ops, then
+    NN-resize) must agree with the entry's composed source-mapping on
+    every channel sum and the 5-8 dims swap."""
+    import numpy as np
+
+    from retail_sales_etl_spark.operators.multimodal import (
+        PPM_RESIZE_H,
+        PPM_RESIZE_W,
+        _jpeg_block_val,
+        _jpeg_dims,
+        resize_jpeg_exif_oriented,
+        synthesize_jpeg_exif,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(8)], "doc_id bigint")
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in synthesize_jpeg_exif(docs).collect()
+    }
+    uprights = {
+        1: lambda a: a,
+        2: np.fliplr,
+        3: lambda a: np.rot90(a, 2),
+        4: np.flipud,
+        5: lambda a: a.T,
+        6: lambda a: np.rot90(a, -1),
+        7: lambda a: np.rot90(a.T, 2),
+        8: lambda a: np.rot90(a, 1),
+    }
+    for d in range(8):
+        o = d % 8 + 1
+        w, h = _jpeg_dims(d)
+        got = resize_jpeg_exif_oriented(payloads[d])
+        assert got["orientation"] == o
+        assert (got["upright_width"], got["upright_height"]) == (
+            (w, h) if o <= 4 else (h, w)
+        )
+        for c, key in ((0, "sum_y"), (1, "sum_cb"), (2, "sum_cr")):
+            stored = np.array(
+                [
+                    [_jpeg_block_val(d, c, x // 8, y // 8) for x in range(w)]
+                    for y in range(h)
+                ]
+            )
+            up = uprights[o](stored)
+            uh, uw = up.shape
+            ref = sum(
+                int(up[(y2 * uh) // PPM_RESIZE_H, (x2 * uw) // PPM_RESIZE_W])
+                for y2 in range(PPM_RESIZE_H)
+                for x2 in range(PPM_RESIZE_W)
+            )
+            assert got[key] == ref, (d, o, key)
+
+    # ignoring the tag is NOT equivalent: for a doc whose orientation
+    # actually moves pixels the oriented sums differ from the plain
+    # resize of the stored raster (doc 5 -> orientation 6, non-square)
+    from retail_sales_etl_spark.operators.multimodal import resize_jpeg_nn
+
+    plain = resize_jpeg_nn(payloads[5])
+    oriented = resize_jpeg_exif_oriented(payloads[5])
+    assert (plain["sum_y"], plain["sum_cb"]) != (
+        oriented["sum_y"], oriented["sum_cb"],
+    )
