@@ -6519,6 +6519,27 @@ def session_tails_sink(
             hwm_t = tails.latest_value("batch_hwm", as_of=rv_t)
             if _landed_on(tails, batch_id, rv_t, hwm_t):
                 return False  # tails commits last: fully landed
+            # Retirement boundary enforcement (the r17 pattern:
+            # enforced, not assumed): once a retirement cycle stamped
+            # retire_cutoff_s, a batch carrying events BELOW the
+            # cutoff would fold against retired (dropped) tails and
+            # silently resurrect half a session — refuse loud.
+            cut = (
+                tails.latest_value("retire_cutoff_s", as_of=rv_t)
+                if rv_t is not None
+                else None
+            )
+            if cut is not None:
+                lo = sess.agg(F.min("first_s")).first()[0]
+                if lo is not None and int(lo) < int(cut):
+                    raise ValueError(
+                        f"session_tails_sink: micro-batch {batch_id} "
+                        f"carries events at {int(lo)}s, below the "
+                        f"retirement cutoff {int(cut)}s — folding against "
+                        "retired tails would resurrect a dropped session; "
+                        "the in-order delivery contract is broken at the "
+                        "retirement boundary — refusing to fold"
+                    )
             rv_g = grid.latest_version()
             hwm_g = grid.latest_value("batch_hwm", as_of=rv_g)
             if rv_t is None:
@@ -6699,6 +6720,8 @@ def maintain_session_tails(
     optimize_every: int | None = None,
     optimize_files: int = 8,
     optimize_max_generations: int = 8,
+    retire_every: int | None = None,
+    retire_horizon_s: int | None = None,
 ):
     """Run the session-survival IVM sink under foreachBatch
     (availableNow). ``optimize_every=N`` clusters BOTH state tables
@@ -6708,13 +6731,59 @@ def maintain_session_tails(
     the duration support grow, while per-cycle write volume stays
     bounded by recent-change volume (growth contract: tails rows =
     users ever seen, grid rows = distinct closed durations — both
-    sublinear in events)."""
+    sublinear in events).
+
+    ``retire_every=N`` + ``retire_horizon_s=H`` opt into TAILS
+    retirement (the SURVEY §6 TTL trade, now implemented): every N
+    batches, tails whose ``open_last_s`` fell more than H behind the
+    batch's high-water event time retire via the stats-bounded
+    ``retire_below`` — whole expired files drop by log arithmetic, so
+    live tails pin to the H-active user population instead of users
+    ever seen. Documented staleness semantics: a retired observation
+    leaves the survival population ENTIRELY (neither death nor
+    censored at serve), and a retired user returning restarts a
+    session — the accepted trade. H must exceed the session gap:
+    under in-order delivery every future event is > H past a retiring
+    tail, so that tail could never have merged — retirement can drop
+    an observation, never split a live session. The cutoff is stamped
+    on the retirement commit (``retire_cutoff_s``) and ENFORCED at
+    the fold boundary: a later batch carrying events below the
+    stamped cutoff refuses to fold (see ``session_tails_sink``). The
+    GRID never retires — it is the queryable artifact."""
+    if retire_every and retire_horizon_s is not None:
+        if retire_horizon_s <= SESSION_GAP_SEC:
+            raise ValueError(
+                f"retire_horizon_s={retire_horizon_s} must exceed the "
+                f"session gap ({SESSION_GAP_SEC}s): a shorter horizon "
+                "could retire a tail that the next in-order batch would "
+                "have merged — splitting a live session"
+            )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
 
         session_tails_sink(batch_df, batch_id, tails_path, grid_path)
         spark = batch_df.sparkSession
+        if (
+            retire_every
+            and retire_horizon_s
+            and (batch_id + 1) % retire_every == 0
+        ):
+            hi = batch_df.agg(
+                F.max(F.unix_timestamp("ts").cast("bigint"))
+            ).first()[0]
+            if hi is not None:
+                try:
+                    LakehouseTable(spark, tails_path).retire_below(
+                        "open_last_s",
+                        int(hi) - retire_horizon_s,
+                        extra={
+                            "retire_wm_s": int(hi),
+                            "retire_cutoff_s": int(hi) - retire_horizon_s,
+                        },
+                    )
+                except ConcurrentWriteError:
+                    pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             for path, col in ((tails_path, "user_id"), (grid_path, "dur")):
                 try:

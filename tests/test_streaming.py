@@ -3377,3 +3377,126 @@ def test_pmi_grids_sink_order_insensitive_and_replay(spark, tmp_path, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_session_tails_retirement_bounds_tails_and_serves_nonretired(
+    spark, tmp_path
+):
+    """TAILS retirement (the SURVEY §6 TTL trade implemented): a user
+    whose open tail fell behind the horizon is dropped — the
+    observation leaves the survival population entirely — while
+    recent tails and the closed-duration grid are untouched; the
+    served KM grid equals the UNRETIRED pipeline's serve with the
+    retired users filtered out (serve equality on the non-retired
+    population); the stamped cutoff is enforced loud at the fold
+    boundary; a horizon at or below the session gap is rejected."""
+    import datetime as dt
+
+    import pytest
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    base = dt.datetime(2020, 1, 1)
+
+    def _rows(pairs):
+        return [(u, base + dt.timedelta(seconds=s)) for u, s in pairs]
+
+    batches = [
+        _rows([(1, 0), (1, 100), (2, 0), (2, 50)]),
+        _rows([(2, 10_000), (2, 10_040), (3, 10_000)]),
+        _rows([(2, 20_000), (3, 20_100)]),
+    ]
+
+    def _run(root, **retire):
+        src = str(root / "src")
+        _write_stream_files(
+            spark, src, batches, "user_id bigint, ts timestamp"
+        )
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_events.maintain_session_tails(
+            stream, str(root / "tails"), str(root / "grid"),
+            str(root / "ckpt"), **retire,
+        ).awaitTermination()
+        return str(root / "tails"), str(root / "grid")
+
+    rt = tmp_path / "retired"
+    ut = tmp_path / "unretired"
+    rt.mkdir(), ut.mkdir()
+    tails_r, grid_r = _run(rt, retire_every=1, retire_horizon_s=5_000)
+    tails_u, grid_u = _run(ut)
+
+    # user 1 (last activity t=100, horizon 5000 behind hi=10040 at the
+    # b1 cycle) retired; recent tails survive; grid untouched
+    got_tails = {
+        r.user_id for r in LakehouseTable(spark, tails_r).read().collect()
+    }
+    assert got_tails == {2, 3}
+    got_grid = {
+        r.dur: r.n_death
+        for r in LakehouseTable(spark, grid_r).read().collect()
+    }
+    assert got_grid == {50: 1, 40: 1, 0: 1}
+    retires = [
+        e
+        for e in LakehouseTable(spark, tails_r).history()
+        if e.get("operation") == "retire"
+    ]
+    assert retires and all("retire_cutoff_s" in e for e in retires)
+
+    # serve equality on the non-retired population: the unretired
+    # pipeline's state with retired users filtered out serves the
+    # IDENTICAL KM grid
+    from pyspark.sql import functions as F
+
+    filt = tmp_path / "filtered"
+    filt.mkdir()
+    LakehouseTable(spark, str(filt / "tails")).write(
+        LakehouseTable(spark, tails_u).read().where(F.col("user_id") != 1),
+        mode="append",
+    )
+    LakehouseTable(spark, str(filt / "grid")).write(
+        LakehouseTable(spark, grid_u).read(), mode="append"
+    )
+    served_r = sorted(
+        map(
+            tuple,
+            streaming_events._served_km_grid(
+                spark, tails_r, grid_r
+            ).collect(),
+        )
+    )
+    served_f = sorted(
+        map(
+            tuple,
+            streaming_events._served_km_grid(
+                spark, str(filt / "tails"), str(filt / "grid")
+            ).collect(),
+        )
+    )
+    assert served_r == served_f and served_r
+
+    # the stamped cutoff (hi=20100 - 5000 = 15100) is enforced at the
+    # fold boundary: a below-cutoff batch refuses to fold
+    v = LakehouseTable(spark, tails_r).latest_version()
+    with pytest.raises(Exception, match="retirement cutoff"):
+        streaming_events.session_tails_sink(
+            _sess_batch(spark, [(9, 1_000)]), 9, tails_r, grid_r
+        )
+    assert LakehouseTable(spark, tails_r).latest_version() == v
+
+    # a horizon that could split a live session is rejected up front
+    dummy = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rt / "src"))
+    )
+    with pytest.raises(ValueError, match="must exceed the session gap"):
+        streaming_events.maintain_session_tails(
+            dummy, str(tmp_path / "x1"), str(tmp_path / "x2"),
+            str(tmp_path / "x3"),
+            retire_every=1, retire_horizon_s=1_800,
+        )
