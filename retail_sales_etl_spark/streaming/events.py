@@ -5864,6 +5864,164 @@ QUERIES["streaming_bm25"] = q_streaming_bm25
 ORACLE["streaming_bm25"] = _TEXT_ORACLE["bm25_retrieval"]
 
 
+def q_streaming_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``ann_recall_report`` acceptance gate served off the
+    MAINTAINED indexes — the report an index owner watches
+    continuously: how many of the exact top-k survive each serving
+    path AS DEPLOYED, computed entirely from the streaming-maintained
+    state, never the batch corpus.
+
+    One shared index replay (``_replayed_ivf_index``) backs three
+    members: the exact-scan TRUTH SET over the maintained vector
+    table (full read — the truth is what the index actually holds),
+    the IVF serve path (maintained-grid routing + file-pruned cell
+    reads + ``_ivf_rank``), and the PQ/ADC serve path (sampled
+    codebook + probed-cell coding + ``_pq_retrieve``). The lexical
+    member reuses ``q_streaming_bm25`` wholesale (its own maintained
+    postings replay; doc_id == vec_id pairs the corpora, the
+    ``hybrid_rrf_retrieval`` convention — its recall against the
+    COSINE truth is the semantic-coverage-of-lexical-serving signal a
+    hybrid-search owner monitors). Oracle nests the member CTEs
+    exactly like the batch report. Cost is the members' replay cost —
+    an eval op, not a serving path."""
+    from ..operators.similarity import (
+        IVFPQ_NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+        _ivf_rank,
+        _pq_code,
+        _pq_codebook_sampled,
+        _pq_retrieve,
+        _with_cosine,
+    )
+
+    schema = (
+        "method string, n_retrieved bigint, n_hits bigint, "
+        "recall_at_k double"
+    )
+    work = _replayed_ivf_index(spark, sf_dir)
+    if work is None:  # empty corpus: nothing to evaluate
+        return spark.createDataFrame([], schema)
+    from ..load.lakehouse import LakehouseTable
+
+    vectors = LakehouseTable(spark, f"{work}/vectors")
+    emb_all = vectors.read().select("vec_id", "label", "v")
+    query = emb_all.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    exact = (
+        _with_cosine(emb_all, query)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+
+    _, _, cells_ivf = _maintained_ivf_probe(spark, work, nprobe=2)
+    ivf = _ivf_rank(
+        vectors.read_where_in("label", cells_ivf).filter(
+            F.col("vec_id") != QUERY_VEC_ID
+        ),
+        query,
+        TOP_K,
+    ).select("vec_id")
+
+    _, _, cells_pq = _maintained_ivf_probe(
+        spark, work, nprobe=IVFPQ_NPROBE
+    )
+    codebook = _pq_codebook_sampled(emb_all.select("vec_id", "v"))
+    pcodes = _pq_code(
+        vectors.read_where_in("label", cells_pq)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "v"),
+        codebook,
+    )
+    pq = _pq_retrieve(
+        emb_all.select("vec_id", "v"), codebook, pcodes
+    ).select("vec_id")
+
+    bm25 = q_streaming_bm25(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id")
+    )
+
+    parts = []
+    for name, approx in (("ivf", ivf), ("pq", pq), ("bm25", bm25)):
+        agg = approx.join(F.broadcast(exact), "vec_id", "left").agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(name).alias("method"),
+                "n_retrieved",
+                "n_hits",
+                fround(F.col("n_hits") / F.lit(float(TOP_K)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+QUERIES["streaming_ann_recall"] = q_streaming_ann_recall
+
+
+def _ann_recall_member(sql: str, id_col: str = "vec_id") -> str:
+    """A member oracle wrapped as a derived table yielding vec_id (the
+    batch ``ann_recall_report`` convention; DuckDB allows a WITH
+    inside a parenthesized subquery)."""
+    return f"(SELECT {id_col} AS vec_id FROM ({sql}))"
+
+
+from ..operators.similarity import TOP_K as _SIM_TOP_K  # noqa: E402
+
+# The maintained tables bit-equal the batch corpus, so every member
+# shares its batch twin's oracle: exact/ivf from similarity, pq from
+# the composed streaming sampled-PQ oracle, bm25 from text.
+ORACLE["streaming_ann_recall"] = f"""
+    WITH exact AS (
+        SELECT vec_id
+        FROM {_ann_recall_member(_SIMILARITY_ORACLE["ann_topk"])}
+    ),
+    m_ivf AS (
+        SELECT vec_id
+        FROM {_ann_recall_member(_SIMILARITY_ORACLE["ann_ivf_topk"])}
+    ),
+    m_pq AS (
+        SELECT vec_id
+        FROM {_ann_recall_member(ORACLE["streaming_ann_ivf_pq"])}
+    ),
+    m_bm25 AS (
+        SELECT vec_id
+        FROM {_ann_recall_member(_TEXT_ORACLE["bm25_retrieval"], "doc_id")}
+    )
+    SELECT method, n_retrieved, n_hits,
+           floor((n_hits / {float(_SIM_TOP_K)!r}) * 1e6 + 0.5) / 1e6
+               AS recall_at_k
+    FROM (
+        SELECT 'ivf' AS method, count(*) AS n_retrieved,
+               CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM m_ivf
+        UNION ALL
+        SELECT 'pq', count(*),
+               CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM m_pq
+        UNION ALL
+        SELECT 'bm25', count(*),
+               CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM m_bm25
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming_decontaminate — ingest-time benchmark decontamination: the
 # eval-gram set is maintained as a lakehouse table (Z-ordered by gram)

@@ -3500,3 +3500,74 @@ def test_session_tails_retirement_bounds_tails_and_serves_nonretired(
             str(tmp_path / "x3"),
             retire_every=1, retire_horizon_s=1_800,
         )
+
+
+def test_streaming_ann_recall_member_recount(spark, sf_dir):
+    """The recall report's hit counts must equal an independent
+    recount: collect each member's served id set and the exact truth
+    set, intersect in Python, and compare per-method (n_retrieved,
+    n_hits) plus the recall ratio — so the report can never drift
+    from the members it claims to summarize."""
+    from retail_sales_etl_spark.operators.similarity import TOP_K
+
+    report = {
+        r.method: r
+        for r in streaming_events.q_streaming_ann_recall(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(report) == {"ivf", "pq", "bm25"}
+
+    work = streaming_events._replayed_ivf_index(spark, sf_dir)
+    assert work is not None
+    from pyspark.sql import functions as F
+
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+    from retail_sales_etl_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _ivf_rank,
+        _with_cosine,
+    )
+
+    vectors = LakehouseTable(spark, f"{work}/vectors")
+    emb_all = vectors.read().select("vec_id", "label", "v")
+    query = emb_all.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    exact = {
+        r.vec_id
+        for r in _with_cosine(emb_all, query)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    }
+    _, _, cells = streaming_events._maintained_ivf_probe(
+        spark, work, nprobe=2
+    )
+    ivf_ids = {
+        r.vec_id
+        for r in _ivf_rank(
+            vectors.read_where_in("label", cells).filter(
+                F.col("vec_id") != QUERY_VEC_ID
+            ),
+            query,
+            TOP_K,
+        ).collect()
+    }
+    bm25_ids = {
+        r.doc_id
+        for r in streaming_events.q_streaming_bm25(
+            spark, sf_dir
+        ).collect()
+    }
+    for method, ids in (("ivf", ivf_ids), ("bm25", bm25_ids)):
+        got = report[method]
+        assert got.n_retrieved == len(ids), method
+        assert got.n_hits == len(ids & exact), method
+        assert got.recall_at_k == round(len(ids & exact) / TOP_K, 6)
+    # pq member: recount only the bounds (the full ADC chain is its
+    # own driver-proven entry) — hits can never exceed retrieved and
+    # both are bounded by the shortlist size
+    pq = report["pq"]
+    assert 0 <= pq.n_hits <= pq.n_retrieved
