@@ -464,6 +464,137 @@ class LakehouseTable:
          "string", "date", "timestamp", "timestamp_ntz"}
     )
 
+    # Ceilings for the driver-side stats fast path (below): a staged
+    # commit at or under BOTH takes the in-process pyarrow pass, one
+    # over either runs the distributed stats job. Micro-batch commits
+    # (a streaming sink's per-batch delta/merge — KBs to a few MB) sit
+    # far under the caps on ANY deployment; bulk loads and full
+    # OPTIMIZE rewrites sit far over them at scale and keep the
+    # cluster-parallel path. Env-tunable so a cluster driver with
+    # different headroom can move the line.
+    _DRIVER_STATS_MAX_BYTES = int(
+        os.environ.get("SPARK_GRAFT_DRIVER_STATS_MAX_BYTES", 32 * 1024 * 1024)
+    )
+    _DRIVER_STATS_MAX_ROWS = int(
+        os.environ.get("SPARK_GRAFT_DRIVER_STATS_MAX_ROWS", 1_000_000)
+    )
+
+    @classmethod
+    def _driver_file_stats(
+        cls, paths: list[str], cols: list[tuple[str, str]]
+    ) -> tuple[dict[str, dict], dict[str, int]] | None:
+        """Per-file stats manifest computed in-process with pyarrow —
+        the fused-stats fast path for metadata-scale commits. Returns
+        (file -> {col: [min, max, null_count]}, file -> rows) with
+        values EXACTLY matching what the distributed min/max/count
+        pass produces (same comparison semantics: code-point string
+        order, NaN greatest for floats à la Spark's total order,
+        session-TZ-naive timestamps via the same UTC-instant ->
+        local-wall conversion Spark's collect performs), or None when
+        the commit exceeds the size/row ceilings or pyarrow cannot
+        serve it — callers fall back to the Spark job, never to wrong
+        stats."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        import math
+
+        metas = []
+        total_bytes = total_rows = 0
+        for p in paths:
+            try:
+                total_bytes += os.path.getsize(p)
+                md = pq.ParquetFile(p)
+            except Exception:
+                return None
+            metas.append((p, md))
+            total_rows += md.metadata.num_rows
+        if (
+            total_bytes > cls._DRIVER_STATS_MAX_BYTES
+            or total_rows > cls._DRIVER_STATS_MAX_ROWS
+        ):
+            return None
+        col_names = [c for c, _ in cols]
+        stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
+        for p, md in metas:
+            base = os.path.basename(p)
+            # row count from the FOOTER (a zero-column read reports 0)
+            n_file = md.metadata.num_rows
+            rows[base] = n_file
+            if not col_names:
+                stats[base] = {}
+                continue
+            try:
+                tbl = md.read(columns=col_names)
+            except Exception:
+                return None
+            fstats: dict[str, list] = {}
+            for c, t in cols:
+                arr = tbl.column(c)
+                nulls = arr.null_count
+                if n_file - nulls == 0:
+                    fstats[c] = [None, None, nulls]
+                    continue
+                dense = arr.drop_null()
+                if t in ("float", "double"):
+                    import numpy as np
+
+                    a = dense.to_numpy(zero_copy_only=False).astype(
+                        "float64", copy=False
+                    )
+                    nan_mask = np.isnan(a)
+                    finite = a[~nan_mask]
+                    # Spark's total order puts NaN above everything:
+                    # max is NaN iff any NaN; min is the smallest
+                    # non-NaN unless the column is all-NaN.
+                    mx = float("nan") if nan_mask.any() else float(a.max())
+                    mn = float(finite.min()) if finite.size else float("nan")
+                elif t == "timestamp":
+                    # Spark collect() renders a TimestampType as the
+                    # naive driver-local wall time of the stored UTC
+                    # instant; mirror it exactly so bounds normalized
+                    # by _normalize_bound compare in the same frame.
+                    # An INT96-encoded file reads back tz-NAIVE in
+                    # Arrow even though the instant is UTC — the Spark
+                    # dtype (not the Arrow tz) decides the semantics.
+                    import datetime as _dt
+
+                    def _walltime(v):
+                        # pyarrow may hand back pandas Timestamps;
+                        # normalize to plain datetime first
+                        if hasattr(v, "to_pydatetime"):
+                            v = v.to_pydatetime()
+                        if v.tzinfo is None:
+                            v = v.replace(tzinfo=_dt.timezone.utc)
+                        return v.astimezone().replace(tzinfo=None)
+
+                    vals = [_walltime(v) for v in dense.to_pylist()]
+                    mn, mx = min(vals), max(vals)
+                elif t == "timestamp_ntz":
+                    # wall-clock semantics: naive on both sides
+                    def _naive(v):
+                        if hasattr(v, "to_pydatetime"):
+                            v = v.to_pydatetime()
+                        return v.replace(tzinfo=None) if v.tzinfo else v
+
+                    vals = [_naive(v) for v in dense.to_pylist()]
+                    mn, mx = min(vals), max(vals)
+                else:
+                    # ints, strings (code-point == binary order for
+                    # valid UTF-8 — same as Spark), dates
+                    vals = dense.to_pylist()
+                    mn, mx = min(vals), max(vals)
+                if isinstance(mn, float) and math.isnan(mn):
+                    # all-NaN float column: keep the manifest
+                    # JSON-safe; no range can prove anything about it
+                    fstats[c] = [None, None, nulls]
+                    continue
+                fstats[c] = [_stat_json(mn), _stat_json(mx), nulls]
+            stats[base] = fstats
+        return stats, rows
+
     def _stage_files(self, df: DataFrame) -> tuple[list[str], int, dict]:
         """Write ``df`` as immutable parquet files into the table dir
         under commit-unique names; return (relative names, row count,
@@ -473,15 +604,51 @@ class LakehouseTable:
         them, so a failed job leaves only unreferenced garbage for
         VACUUM — never a torn table.
 
-        Stats are collected by ONE distributed pass over the staged
-        files (groupBy input_file_name, min/max per eligible column)
-        and ride in the commit entry — the manifest-stats pattern every
-        lakehouse format uses for data skipping. The collect() is
-        metadata-scale: one row per staged file.
+        Stats: for metadata-scale commits (at or under the
+        _DRIVER_STATS_MAX_* ceilings — every streaming micro-batch
+        delta) the staged files are read back IN-PROCESS with pyarrow
+        and min/max/null-count computed there, eliminating a whole
+        Spark job (scheduler + task launch dominated the old stats
+        pass at micro-batch scale; this is the write-side stats
+        collection real lakehouse writers do inside the writer task).
+        Larger commits keep the ONE distributed pass over the staged
+        files (groupBy input_file_name, min/max per eligible column).
+        Either way the stats ride in the commit entry — the
+        manifest-stats pattern every lakehouse format uses for data
+        skipping — and per-file row counts ride next to them (the
+        ``__nrows__`` pseudo-column) so maintenance operations can do
+        row accounting by log arithmetic instead of a count job.
         """
         token = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f"_staging_{token}")
         df.write.mode("overwrite").parquet(staging)
+        staged_cols = [
+            (c, t) for c, t in df.dtypes if t in self._STATS_DTYPES
+        ]
+        staged_paths = [
+            os.path.join(staging, f)
+            for f in sorted(os.listdir(staging))
+            if f.endswith(".parquet")
+        ]
+        fast = self._driver_file_stats(staged_paths, staged_cols)
+        if fast is not None:
+            file_stats, file_rows = fast
+            n = sum(file_rows.values())
+            names = []
+            stats: dict[str, dict] = {}
+            for i, p in enumerate(staged_paths):
+                f = os.path.basename(p)
+                name = f"part-{token}-{i:05d}.parquet"
+                os.replace(p, os.path.join(self.path, name))
+                names.append(name)
+                if f in file_stats:
+                    stats[name] = file_stats[f]
+                    if "__nrows__" not in dict(staged_cols):
+                        stats[name]["__nrows__"] = [
+                            None, None, int(file_rows[f])
+                        ]
+            shutil.rmtree(staging, ignore_errors=True)
+            return names, n, stats
         staged = self.spark.read.parquet(staging)
         cols = [c for c, t in staged.dtypes if t in self._STATS_DTYPES]
         # the third stats element is the per-file NULL count: min/max
@@ -528,6 +695,10 @@ class LakehouseTable:
             names.append(name)
             if f in file_stats:
                 stats[name] = file_stats[f]
+                if "__nrows__" not in file_stats[f]:
+                    stats[name]["__nrows__"] = [
+                        None, None, int(file_rows[f])
+                    ]
         shutil.rmtree(staging, ignore_errors=True)
         return names, n, stats
 
@@ -903,6 +1074,12 @@ class LakehouseTable:
 
     # -------------------------------------------------------------- merge
 
+    # Auto-prune ceiling for merge's touched-file detection: above
+    # this many distinct first-PK probe values the stats prune is
+    # skipped (an oversized driver-side probe set costs more than it
+    # saves) and the detection scans the full live set as before.
+    _MERGE_AUTO_PRUNE_CAP = 100_000
+
     def merge(
         self,
         updates: DataFrame,
@@ -911,6 +1088,7 @@ class LakehouseTable:
         read_version=_UNPINNED,
         deletes: DataFrame | None = None,
         conflict_on: str | None = None,
+        prune_keys: tuple[str, list | None] | None = None,
     ) -> dict:
         """MERGE INTO: matched keys take the update row, unmatched
         update rows insert, and keys in ``deletes`` (a DataFrame of
@@ -927,6 +1105,20 @@ class LakehouseTable:
         ``updates`` were derived from (see ``write``): a commit landing
         after it aborts the merge instead of rebasing stale derived
         rows over fresh state.
+        ``prune_keys`` bounds the touched-file DETECTION scan with the
+        stats manifest: ``(column, values)`` names a primary-key
+        column and the distinct probe values every update/delete row
+        carries in it (a streaming sink already collected exactly this
+        set for its ``read_where_in`` probe — zero extra work), and
+        the detection then scans only the files whose [min, max] range
+        for that column can hold a probe value (a file provably free
+        of every probe value cannot contain a full-key match). Files
+        outside the candidate set are carried forward untouched —
+        identical result, O(candidate files) instead of O(table) scan
+        per merge. ``(column, None)`` skips pruning (the caller knows
+        its probe set is over-cap); ``None`` (default) auto-collects
+        the first PK column's distinct values up to
+        ``_MERGE_AUTO_PRUNE_CAP`` and prunes with those.
         """
         if read_version is _UNPINNED:
             read_version = self.latest_version()
@@ -934,20 +1126,68 @@ class LakehouseTable:
         keys = list(primary_key)
         target = self.read(version=read_version)
 
+        if (
+            prune_keys is not None
+            and prune_keys[1] is not None
+            and prune_keys[0] not in keys
+        ):
+            raise ValueError(
+                f"prune_keys column {prune_keys[0]!r} is not part of the "
+                f"primary key {keys} — pruning on it could skip touched "
+                "files"
+            )
+        # The update set is consumed by three separate jobs (touched-
+        # file detection, the kept-rows anti-join's broadcast, the
+        # staged rewrite) — without a cache each one re-executes the
+        # caller's whole delta plan (probes, joins). MEMORY_AND_DISK
+        # so an oversized generic merge spills instead of OOMing;
+        # sink updates are batch-bounded by contract.
+        from pyspark import StorageLevel
+
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
         change_keys = updates.select(*keys)
         if deletes is not None:
             change_keys = change_keys.unionByName(deletes.select(*keys))
         change_keys = change_keys.distinct()
-        tagged = target.withColumn("_lh_file", F.input_file_name())
-        touched_files = [
-            os.path.basename(r[0])
-            for r in tagged.join(
-                F.broadcast(change_keys), keys, "left_semi"
+
+        if prune_keys is None:
+            cap = self._MERGE_AUTO_PRUNE_CAP
+            auto = (
+                change_keys.select(keys[0])
+                .distinct()
+                .limit(cap + 1)
+                .collect()
             )
-            .select("_lh_file")
-            .distinct()
-            .collect()
-        ]
+            prune_keys = (
+                (keys[0], [r[0] for r in auto])
+                if len(auto) <= cap
+                else (keys[0], None)
+            )
+        prune_col, prune_vals = prune_keys
+        if prune_vals is not None:
+            cand_files, _, _, _ = self._prune_files_in(
+                prune_col, prune_vals, read_version
+            )
+            cand_set = set(cand_files)
+            scan_files = [f for f in live if f in cand_set]
+        else:
+            scan_files = live
+        if scan_files:
+            scan = self.spark.read.schema(target.schema).parquet(
+                *[os.path.join(self.path, f) for f in scan_files]
+            )
+            tagged = scan.withColumn("_lh_file", F.input_file_name())
+            touched_files = [
+                os.path.basename(r[0])
+                for r in tagged.join(
+                    F.broadcast(change_keys), keys, "left_semi"
+                )
+                .select("_lh_file")
+                .distinct()
+                .collect()
+            ]
+        else:
+            touched_files = []
         touched_set = set(touched_files)
         untouched = [f for f in live if f not in touched_set]
 
@@ -989,6 +1229,8 @@ class LakehouseTable:
                 except OSError:
                     pass
             raise
+        finally:
+            updates.unpersist()
         return {
             "version": v,
             "files_rewritten": len(touched_files),
@@ -1300,7 +1542,20 @@ class LakehouseTable:
             )
         else:
             df = self.spark.createDataFrame([], schema)
-        n_before = df.count()
+        # Row accounting for the drift check by LOG ARITHMETIC when the
+        # manifest carries per-file row counts (the __nrows__
+        # pseudo-column every _stage_files commit records): summing the
+        # manifest replaces a whole count() job per maintenance cycle.
+        # Any rewrite file from a pre-__nrows__ commit falls back to
+        # the count — never to a skipped check.
+        _, _, all_stats = self._replay_stats(as_of=read_version)
+        known = [all_stats.get(f, {}).get("__nrows__") for f in rewrite]
+        if rewrite and all(k is not None for k in known):
+            n_before = sum(int(k[2]) for k in known)
+        elif rewrite:
+            n_before = df.count()
+        else:
+            n_before = 0
         if zorder_by:
             out = self._zorder_cluster(df, zorder_by, target_files)
         else:

@@ -707,18 +707,106 @@ def q_revenue_theil_sen(
         else "percentile({0}, 0.5)"
     )
     daily = _daily_revenue_cents(load_table(spark, sf_dir, "orders"))
+    npart = max(int(spark.sparkContext.defaultParallelism), 1)
     a = daily.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
     b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
+    if not approx:
+        # spread the broadcast nested-loop probe side: the day grid
+        # arrives as ONE coalesced post-aggregate partition, so the
+        # O(grid^2) pair generation otherwise runs single-threaded
+        a = a.repartition(npart)
     pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
         (
             (F.col("v2") - F.col("v1")).cast("double")
             / (F.col("d2") - F.col("d1")).cast("double")
         ).alias("s")
     )
-    sl = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        fround(F.expr(med.format("s")), 6).alias("slope_cents_per_day"),
-    )
+    if approx:
+        sl = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            fround(F.expr(med.format("s")), 6).alias("slope_cents_per_day"),
+        )
+    else:
+        # Distributed EXACT median (the r18 verdict's "slowest
+        # single-reducer buffer"): Spark's exact percentile buffers
+        # the full ~grid^2/2 slope set on one reducer. Equivalent
+        # two-phase rank selection instead: range-partition the
+        # slopes, count per partition (driver sees npart rows, never
+        # values), locate the order statistics at 0-based ranks
+        # floor((n-1)/2) and ceil((n-1)/2) with one partition-local
+        # sort, and interpolate lower + (upper - lower) * 0.5 — the
+        # identical IEEE expression percentile/quantile_cont evaluate,
+        # so the result is bit-equal and the oracle is untouched.
+        from pyspark.sql import Window
+
+        sp = (
+            pairs.repartitionByRange(npart, "s")
+            .withColumn("pid", F.spark_partition_id())
+            .cache()
+        )
+        try:
+            cnts = {
+                r["pid"]: r["cnt"]
+                for r in sp.groupBy("pid").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                ).collect()
+            }
+            n = sum(cnts.values())
+            if n == 0:
+                med_val = None
+            else:
+                want = sorted({(n - 1) // 2, n // 2})  # 0-based ranks
+                targets: dict[int, list[int]] = {}
+                off = 0
+                for pid in sorted(cnts):
+                    cnt = cnts[pid]
+                    for k in want:
+                        if off <= k < off + cnt:
+                            targets.setdefault(pid, []).append(k - off)
+                    off += cnt
+                cond = None
+                w = Window.partitionBy("pid").orderBy("s")
+                for pid, locals_ in targets.items():
+                    c = (F.col("pid") == pid) & F.col("rn").isin(
+                        [lk + 1 for lk in locals_]
+                    )
+                    cond = c if cond is None else (cond | c)
+                picked = sorted(
+                    r["s"]
+                    for r in sp.filter(
+                        F.col("pid").isin(list(targets))
+                    )
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(cond)
+                    .select("s")
+                    .collect()
+                )
+                lo, hi = picked[0], picked[-1]
+                med_val = lo + (hi - lo) * 0.5
+        finally:
+            sp.unpersist()
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        sl = spark.createDataFrame(
+            [(n, med_val)],
+            StructType(
+                [
+                    # non-nullable to match the count() aggregate the
+                    # approx path (and the old exact path) produce —
+                    # the exact/approx schema-identity contract
+                    StructField("n_pairs", LongType(), False),
+                    StructField("raw_slope", DoubleType(), True),
+                ]
+            ),
+        ).select(
+            "n_pairs",
+            fround(F.col("raw_slope"), 6).alias("slope_cents_per_day"),
+        )
     res = daily.crossJoin(F.broadcast(sl)).select(
         "n_pairs",
         "slope_cents_per_day",

@@ -4254,9 +4254,15 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts exact BIGINTs, novelty one staged division."""
     docs = load_table(spark, sf_dir, "documents")
     grams = novelty_grams(docs)
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence via a window min over the gram key: the
+    # gram grid is exploded ONCE and shuffled ONCE (the old
+    # groupBy-then-self-join shape re-exploded the corpus on the join
+    # probe side and paid a second gram-keyed Exchange; identical rows
+    # out — r19 plan diff: 3 Exchange + 2 scans -> 2 Exchange + 1 scan)
     per_doc = (
-        grams.join(firsts, "g")
+        grams.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),

@@ -21,6 +21,7 @@ natively) — the reader sniffs the footer and adapts.
 from __future__ import annotations
 
 import logging
+import os
 
 from collections.abc import Iterable
 
@@ -353,6 +354,95 @@ def _run_foreach_batch(stream: DataFrame, sink, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _stage_ordered_batches(
+    df: DataFrame, src: str, batch_expr, n_batches: int,
+    cols: list | None = None,
+) -> None:
+    """Stage ``df`` as one mtime-ordered parquet file per micro-batch
+    in ONE Spark job — the replay-harness staging every
+    ``q_streaming_*`` entry runs before its stream starts.
+
+    ``batch_expr`` is an int Column assigning each row its batch index
+    (0..n_batches-1; NULL rows are dropped — the old per-slice loop's
+    filters). The previous form ran one full source scan + single-task
+    coalesce(1) write PER SLICE (4 scans, 4 serialized writes); this
+    runs one scan, one hash shuffle on the batch index, and n
+    concurrent single-file writes — identical row SET per batch, so
+    every per-batch sink aggregation commits identical state, and the
+    entries' outputs hash-check unchanged.
+
+    FileStreamSource lists files by (mtime, path): each batch's single
+    file lands as ``src/batch-<i>.parquet`` with strictly increasing
+    mtimes, exactly as the old loop pinned them. A batch index with no
+    rows stages no file (the old loop staged an empty file; sinks
+    skip empty batches either way, and the maintained tables come out
+    identical)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    parts = f"{src}_parts"
+    staged = (
+        df.withColumn("__b", batch_expr.cast("int"))
+        .where(F.col("__b").isNotNull())
+    )
+    if cols is not None:
+        staged = staged.select("__b", *cols)
+    (
+        staged.repartition(n_batches, "__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(parts)
+    )
+    os.makedirs(src, exist_ok=True)
+    t0 = _time.time()
+    for i in range(n_batches):
+        files = sorted(_glob.glob(f"{parts}/__b={i}/*.parquet"))
+        if not files:
+            continue
+        if len(files) != 1:  # pragma: no cover - repartition guarantees 1
+            raise RuntimeError(
+                f"_stage_ordered_batches: batch {i} staged {len(files)} "
+                f"files; the one-file-per-batch contract is broken"
+            )
+        target = os.path.join(src, f"batch-{i:03d}.parquet")
+        os.replace(files[0], target)
+        os.utime(target, (t0 + i, t0 + i))
+    _shutil.rmtree(parts, ignore_errors=True)
+
+
+def _range_batch_expr(key, cuts: list) -> "F.Column":
+    """Batch-index expression for the standard 4-slice key-range
+    replay: index i where cuts[i] <= key < cuts[i+1] (NULL outside
+    [cuts[0], cuts[-1]) — dropped by _stage_ordered_batches, exactly
+    the rows the old per-slice filters excluded)."""
+    k = F.col(key) if isinstance(key, str) else key
+    expr = F.lit(None).cast("int")
+    for i in range(len(cuts) - 2, -1, -1):
+        expr = F.when(
+            (k >= F.lit(cuts[i])) & (k < F.lit(cuts[i + 1])), F.lit(i)
+        ).otherwise(expr)
+    return expr
+
+
+def _range_batch_expr_closed(key, cuts: list, hi) -> "F.Column":
+    """Batch-index expression for the value-range replays whose LAST
+    slice is inclusive: index i where cuts[i] <= key < cuts[i+1] for
+    i < n-1, and cuts[n-1] <= key <= hi for the last slice — the
+    ``cond = ... if i < 3 else key <= hi`` form of the old loops,
+    verbatim."""
+    k = F.col(key) if isinstance(key, str) else key
+    n = len(cuts) - 1
+    expr = F.when(
+        (k >= F.lit(cuts[n - 1])) & (k <= F.lit(hi)), F.lit(n - 1)
+    ).otherwise(F.lit(None).cast("int"))
+    for i in range(n - 2, -1, -1):
+        expr = F.when(
+            (k >= F.lit(cuts[i])) & (k < F.lit(cuts[i + 1])), F.lit(i)
+        ).otherwise(expr)
+    return expr
 
 
 def write_batches_to_parquet(
@@ -1805,10 +1895,7 @@ def q_streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH oracle, proving the maintained-index path end-to-end through
     the lakehouse commit log.
     """
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -1818,22 +1905,9 @@ def q_streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0] + 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        # FileStreamSource orders new files by modification time: pin
-        # strictly-increasing mtimes so batch i really is range i.
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -1865,10 +1939,7 @@ def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe index path end-to-end through the lakehouse commit
     log with a DIFFERENT algorithm on the oracle side.
     """
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -1879,22 +1950,9 @@ def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_id = docs.agg(F.max("doc_id")).first()[0]
     hi = (max_id if max_id is not None else 0) + 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        # FileStreamSource orders new files by modification time: pin
-        # strictly-increasing mtimes so batch i really is range i.
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema("doc_id long")
         .option("maxFilesPerTrigger", 1)
@@ -2224,10 +2282,7 @@ def q_streaming_source_sketch(
     twin, proving mergeable-sketch IVM end-to-end through the
     lakehouse commit log.
     """
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -2246,20 +2301,9 @@ def q_streaming_source_sketch(
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", 1)
@@ -2342,11 +2386,17 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
     t0 = time.time()
-    for i in range(2):  # identical delivery + its full replay
-        before = set(glob.glob(f"{src}/*.parquet"))
-        ev.coalesce(1).write.mode("append").parquet(src)
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    # identical delivery + its full replay: stage the table ONCE and
+    # duplicate the file byte-for-byte as batch 1 (same rows, one scan
+    # instead of two)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    staged = sorted(glob.glob(f"{src}/*.parquet"))
+    os.utime(staged[0], (t0, t0))
+    replay = os.path.join(src, "replay-" + os.path.basename(staged[0]))
+    import shutil as _shutil
+
+    _shutil.copyfile(staged[0], replay)
+    os.utime(replay, (t0 + 1, t0 + 1))
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     deduped = dedupe_stream(stream).select(
         "event_id",
@@ -2789,6 +2839,9 @@ def cohort_ltv_sink(
                                 extra=_stamp(batch_id, hwm_s),
                                 read_version=rv_s,
                                 conflict_on="batch_id",
+                                prune_keys=(
+                                    "o_custkey", cust_keys or None
+                                ),
                             )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's state
@@ -3015,10 +3068,7 @@ def q_streaming_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ltv surface as the batch ``cohort_ltv`` — hash-checked against the
     SAME oracle SQL, proving the maintained matrix equals a
     from-scratch cohort pass over everything delivered."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from pyspark.sql import Window
 
@@ -3038,20 +3088,10 @@ def q_streaming_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = (d1 - d0).days + 1
     cuts = [d0 + __import__("datetime").timedelta(days=(span * i) // 4)
             for i in range(5)]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        cond = (F.col("o_orderdate") >= F.lit(cuts[i])) & (
-            F.col("o_orderdate") < F.lit(cuts[i + 1])
-            if i < 3
-            else F.col("o_orderdate") <= F.lit(d1)
-        )
-        orders.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        # FileStreamSource orders new files by modification time: pin
-        # strictly-increasing mtimes so batch i really is range i.
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        orders, src,
+        _range_batch_expr_closed("o_orderdate", cuts, d1), 4,
+    )
     stream = (
         spark.readStream.schema(
             "o_custkey bigint, o_orderdate date, o_totalprice double"
@@ -3250,10 +3290,7 @@ def q_streaming_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything delivered, so the oracle is one batch SQL aggregate
     over documents — proving text-QC IVM end-to-end through the
     lakehouse commit log."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -3265,20 +3302,9 @@ def q_streaming_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hi = docs.agg(F.max("doc_id")).first()[0] + 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string, "
@@ -3421,10 +3447,7 @@ def q_streaming_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch ``revenue_periodogram``, proving a 100 TB pipeline
     can serve the spectrum (and every other day-grid operator) without
     ever re-scanning the fact."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -3437,21 +3460,9 @@ def q_streaming_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hi = orders.agg(F.max("o_custkey")).first()[0] + 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            orders.filter(
-                (F.col("o_custkey") >= cuts[i])
-                & (F.col("o_custkey") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        orders, src, _range_batch_expr("o_custkey", cuts), 4
+    )
     first = spark.read.parquet(src).schema["o_orderdate"].dataType
     stream = (
         spark.readStream.schema(
@@ -3669,6 +3680,7 @@ def user_gaps_sink(
                     state.merge(
                         upd, ["user_id"], extra=stamp,
                         read_version=rv, conflict_on="batch_id",
+                        prune_keys=("user_id", user_keys or None),
                     )
                 return True
             except DuplicateCommitError:
@@ -3764,10 +3776,7 @@ def q_streaming_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MAINTAINED moments — hash-checked against the SAME oracle as
     the batch ``events_burstiness``, proving a 100 TB pipeline can
     serve the burstiness screen without ever re-scanning events."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -3783,20 +3792,9 @@ def q_streaming_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "std_gap_s double, burstiness double",
         )
     cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        cond = (F.col("ts") >= F.lit(cuts[i])) & (
-            F.col("ts") < F.lit(cuts[i + 1])
-            if i < 3
-            else F.col("ts") <= F.lit(t_hi)
-        )
-        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        # FileStreamSource orders new files by modification time: pin
-        # strictly-increasing mtimes so batch i really is ts-range i.
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        ev, src, _range_batch_expr_closed("ts", cuts, t_hi), 4
+    )
     ts_t = spark.read.parquet(src).schema["ts"].dataType.simpleString()
     stream = (
         spark.readStream.schema(f"user_id bigint, ts {ts_t}")
@@ -3984,6 +3982,7 @@ def rake_source_sink(
                                 upd_w, ["source", "w"],
                                 extra=_stamp(batch_id, hwm_w),
                                 read_version=rv_w, conflict_on="batch_id",
+                                prune_keys=("w", keys.get("w")),
                             )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's words
@@ -3999,6 +3998,7 @@ def rake_source_sink(
                         upd_p, ["source", "phrase"],
                         extra=_stamp(batch_id, hwm_p),
                         read_version=rv_p, conflict_on="batch_id",
+                        prune_keys=("phrase", keys.get("phrase")),
                     )
                 return True
             except DuplicateCommitError:
@@ -4066,10 +4066,7 @@ def q_streaming_rake_by_source(
     the SAME oracle as the batch ``rake_keywords_by_source``, proving
     a 100 TB pipeline can serve the phrase-characterization surface
     tokenizing each document exactly once."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from pyspark.sql import Window
 
@@ -4094,20 +4091,9 @@ def q_streaming_rake_by_source(
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", 1)
@@ -4251,6 +4237,7 @@ def rfm_state_sink(
                     state.merge(
                         upd, ["customer_id"], extra=stamp,
                         read_version=rv, conflict_on="batch_id",
+                        prune_keys=("customer_id", cust_keys or None),
                     )
                 return True
             except DuplicateCommitError:
@@ -4337,10 +4324,7 @@ def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the SAME oracle as the batch ``customer_rfm``,
     proving the behavioral surface stays current per batch on a
     100 TB order stream without re-scanning the fact."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -4356,21 +4340,9 @@ def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _rfm_rank(spark.createDataFrame([], _RFM_STATE_SCHEMA))
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            orders.filter(
-                (F.col("o_custkey") >= cuts[i])
-                & (F.col("o_custkey") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        orders, src, _range_batch_expr("o_custkey", cuts), 4
+    )
     od_t = spark.read.parquet(src).schema["o_orderdate"].dataType
     stream = (
         spark.readStream.schema(
@@ -4461,10 +4433,7 @@ def q_streaming_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the SAME oracle as the batch
     ``events_daily_peaks``, proving the event-side day-grid family is
     servable without ever re-scanning the stream."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -4482,21 +4451,9 @@ def q_streaming_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            ev.filter(
-                (F.col("event_id") >= cuts[i])
-                & (F.col("event_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        ev, src, _range_batch_expr("event_id", cuts), 4
+    )
     ts_t = spark.read.parquet(src).schema["ts"].dataType.simpleString()
     stream = (
         spark.readStream.schema(f"event_id bigint, ts {ts_t}")
@@ -4695,6 +4652,7 @@ def novelty_sink(
                                 extra=_stamp(batch_id, hwm_f),
                                 read_version=rv_f,
                                 conflict_on="batch_id",
+                                prune_keys=("g", gram_keys or None),
                             )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's lattice rows
@@ -4782,10 +4740,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the SAME oracle as the batch ``doc_novelty``,
     proving the maintained counters bit-equal a from-scratch pass over
     everything delivered regardless of arrival order."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -4801,21 +4756,16 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for slot, i in enumerate((2, 0, 3, 1)):  # shuffled delivery order
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i])
-                & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + slot, t0 + slot))
+    # shuffled delivery order: range i lands in slot (2, 0, 3, 1)[i]
+    rng = _range_batch_expr("doc_id", cuts)
+    slot = (
+        F.when(rng == 2, 0)
+        .when(rng == 0, 1)
+        .when(rng == 3, 2)
+        .when(rng == 1, 3)
+        .otherwise(F.lit(None).cast("int"))
+    )
+    _stage_ordered_batches(docs, src, slot, 4)
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
@@ -4920,10 +4870,7 @@ def q_streaming_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch ``embedding_drift_mmd``, proving a streaming
     pipeline can serve the drift monitor per batch without ever
     re-scanning a vector."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -4947,22 +4894,10 @@ def q_streaming_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            emb.filter(
-                (F.col("vec_id") >= cuts[i])
-                & (F.col("vec_id") < cuts[i + 1])
-            )
-            .select("label", "v")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        emb, src, _range_batch_expr("vec_id", cuts), 4,
+        cols=["label", "v"],
+    )
     stream = (
         spark.readStream.schema("label bigint, v array<double>")
         .option("maxFilesPerTrigger", 1)
@@ -4994,10 +4929,7 @@ def q_streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME oracle as the batch ``revenue_mann_kendall``, proving a
     100 TB pipeline serves trend significance per batch without
     re-scanning the fact."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -5016,21 +4948,9 @@ def q_streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            orders.filter(
-                (F.col("o_custkey") >= cuts[i])
-                & (F.col("o_custkey") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        orders, src, _range_batch_expr("o_custkey", cuts), 4
+    )
     od_t = spark.read.parquet(src).schema["o_orderdate"].dataType
     stream = (
         spark.readStream.schema(
@@ -5206,10 +5126,7 @@ def _replayed_ivf_index(spark: SparkSession, sf_dir: str) -> str | None:
     Z-order cycle) into a fresh work dir holding the maintained
     ``vectors`` and ``cents`` tables. Returns the work dir, or None
     for an empty corpus."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..operators.similarity import _as_double_array
@@ -5226,21 +5143,9 @@ def _replayed_ivf_index(spark: SparkSession, sf_dir: str) -> str | None:
         return None
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            emb.filter(
-                (F.col("vec_id") >= cuts[i])
-                & (F.col("vec_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        emb, src, _range_batch_expr("vec_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema(
             "vec_id bigint, label bigint, v array<double>"
@@ -5572,10 +5477,7 @@ def _replayed_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
     ``maintain_ivf_pq_index`` (mid-stream Z-order cycle). Returns the
     work dir holding vectors/cents/codebook/codes, or None for an
     empty corpus."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..operators.similarity import _as_double_array
@@ -5592,21 +5494,9 @@ def _replayed_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
         return None
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            emb.filter(
-                (F.col("vec_id") >= cuts[i])
-                & (F.col("vec_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        emb, src, _range_batch_expr("vec_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema(
             "vec_id bigint, label bigint, v array<double>"
@@ -5799,10 +5689,7 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME oracle as the batch ``bm25_retrieval``, proving a 100 TB
     ingest pipeline can serve ANY lexical query from per-term index
     reads without ever re-tokenizing the corpus."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -5818,21 +5705,9 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i])
-                & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
@@ -6246,10 +6121,7 @@ def _staged_docs_eval_first(spark: SparkSession, sf_dir: str) -> str | None:
     benchmark-registers-before-ingest contract), then the training
     docs in 4 doc_id-range batches. Returns the work dir (stream
     source under ``<work>/src``), or None for an empty corpus."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..operators.text import DECON_EVAL_MOD
@@ -6263,24 +6135,12 @@ def _staged_docs_eval_first(spark: SparkSession, sf_dir: str) -> str | None:
     hi = max_id + 1
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    slices = [docs.filter(is_eval)] + [
-        docs.filter(
-            ~is_eval
-            & (F.col("doc_id") >= cuts[i])
-            & (F.col("doc_id") < cuts[i + 1])
-        )
-        for i in range(4)
-    ]
-    for i, part in enumerate(slices):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        part.coalesce(1).write.mode("append").parquet(src)
-        # FileStreamSource orders new files by modification time: pin
-        # strictly-increasing mtimes so the eval slice really lands
-        # first and batch i+1 really is train range i.
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    # eval slice lands first (batch 0), then the 4 train ranges —
+    # mtime order makes FileStreamSource deliver them that way
+    expr = F.when(is_eval, F.lit(0)).otherwise(
+        _range_batch_expr("doc_id", cuts) + F.lit(1)
+    )
+    _stage_ordered_batches(docs, src, expr, 5)
     return work
 
 
@@ -6838,6 +6698,7 @@ def session_tails_sink(
                                 upd_g, ["dur"],
                                 extra=_stamp(batch_id, hwm_g),
                                 read_version=rv_g, conflict_on="batch_id",
+                                prune_keys=("dur", dur_keys),
                             )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's grid delta
@@ -6853,6 +6714,7 @@ def session_tails_sink(
                         new_tails, ["user_id"],
                         extra=_stamp(batch_id, hwm_t),
                         read_version=rv_t, conflict_on="batch_id",
+                        prune_keys=("user_id", user_keys or None),
                     )
                 return True
             except DuplicateCommitError:
@@ -7029,10 +6891,7 @@ def _replayed_session_state(spark: SparkSession, sf_dir: str) -> str | None:
     Z-order cycle), and return the work dir holding the maintained
     ``tails``/``grid`` tables — None on an empty events table. Shared
     by the Weibull-fit and KM-curve serve entries."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
 
@@ -7043,20 +6902,9 @@ def _replayed_session_state(spark: SparkSession, sf_dir: str) -> str | None:
     work = tempfile.mkdtemp(prefix="weib_stream_")
     src = f"{work}/src"
     cuts = [t_lo + (t_hi - t_lo) * i // 4 for i in range(5)]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        cond = (F.col("ts") >= F.lit(cuts[i])) & (
-            F.col("ts") < F.lit(cuts[i + 1])
-            if i < 3
-            else F.col("ts") <= F.lit(t_hi)
-        )
-        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        # FileStreamSource orders new files by modification time: pin
-        # strictly-increasing mtimes so batch i really is ts-range i.
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        ev, src, _range_batch_expr_closed("ts", cuts, t_hi), 4
+    )
     ts_t = spark.read.parquet(src).schema["ts"].dataType.simpleString()
     stream = (
         spark.readStream.schema(f"user_id bigint, ts {ts_t}")
@@ -7281,6 +7129,7 @@ def copurchase_sink(
                                 upd_p, ["a_part", "b_part"],
                                 extra=stamp_p, read_version=rv_p,
                                 conflict_on="batch_id",
+                                prune_keys=("a_part", keys.get("a_part")),
                             )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's pairs
@@ -7294,6 +7143,7 @@ def copurchase_sink(
                     items.merge(
                         upd_i, ["pk"], extra=stamp_i,
                         read_version=rv_i, conflict_on="batch_id",
+                        prune_keys=("pk", keys.get("pk")),
                     )
                 return True
             except DuplicateCommitError:
@@ -7361,10 +7211,7 @@ def q_streaming_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAME oracle as the batch ``part_affinity_lift``,
     proving the market-basket surface is servable at any moment
     without re-exploding 100 TB of order history."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -7383,18 +7230,9 @@ def q_streaming_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conf_a_to_b double",
         )
     cuts = [k_lo + (k_hi - k_lo) * i // 4 for i in range(5)]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        cond = (F.col("l_orderkey") >= F.lit(cuts[i])) & (
-            F.col("l_orderkey") < F.lit(cuts[i + 1])
-            if i < 3
-            else F.col("l_orderkey") <= F.lit(k_hi)
-        )
-        li.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        li, src, _range_batch_expr_closed("l_orderkey", cuts, k_hi), 4
+    )
     stream = (
         spark.readStream.schema("l_orderkey bigint, l_partkey bigint")
         .option("maxFilesPerTrigger", 1)
@@ -7576,6 +7414,7 @@ def pmi_grids_sink(
                                 upd_p, ["w1", "w2"],
                                 extra=_stamp(batch_id, hwm_p),
                                 read_version=rv_p, conflict_on="batch_id",
+                                prune_keys=("w1", keys.get("w1")),
                             )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's pairs
@@ -7590,6 +7429,7 @@ def pmi_grids_sink(
                     uni.merge(
                         upd_u, ["t"], extra=_stamp(batch_id, hwm_u),
                         read_version=rv_u, conflict_on="batch_id",
+                        prune_keys=("t", keys.get("t")),
                     )
                 return True
             except DuplicateCommitError:
@@ -7652,10 +7492,7 @@ def q_streaming_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_pmi_from_grids`` tail — hash-checked against the SAME oracle
     as the batch ``pmi_bigrams``, proving the phrase-mining surface
     is servable tokenizing each document exactly once."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from ..catalog import load_table
     from ..load.lakehouse import LakehouseTable
@@ -7671,20 +7508,9 @@ def q_streaming_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hi += 1
     cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
-    t0 = time.time()
-    os.makedirs(src, exist_ok=True)
-    for i in range(4):
-        before = set(glob.glob(f"{src}/*.parquet"))
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for f in set(glob.glob(f"{src}/*.parquet")) - before:
-            os.utime(f, (t0 + i, t0 + i))
+    _stage_ordered_batches(
+        docs, src, _range_batch_expr("doc_id", cuts), 4
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)

@@ -3,11 +3,9 @@
 Monkeypatch-times the LakehouseTable hot methods (cumulative wall
 seconds + call counts) and runs the slowest streaming queries once
 each at the given SF with the noop sink — the r18 verdict's ordered
-micro-profile ("split commit-overhead from compute"). The timers
-nest (merge calls _stage_files calls the staging write), so the
-report prints both the flat per-method totals and the two exclusive
-legs of _stage_files (parquet staging write vs the stats read-back
-pass) that are candidates for fusion.
+micro-profile ("split commit-overhead from compute"). Also counts how
+many commits took the driver-side fused-stats fast path vs the
+distributed stats job.
 
 Usage: python scripts/probe_r19_lakehouse_split.py [query ...]
 """
@@ -29,16 +27,17 @@ ACC: dict[str, float] = defaultdict(float)
 CNT: dict[str, int] = defaultdict(int)
 
 
-def _wrap(cls, name):
+def _wrap(cls, name, acc_name=None):
     orig = getattr(cls, name)
+    key = acc_name or name
 
     def timed(self, *a, **kw):
         t0 = time.perf_counter()
         try:
             return orig(self, *a, **kw)
         finally:
-            ACC[name] += time.perf_counter() - t0
-            CNT[name] += 1
+            ACC[key] += time.perf_counter() - t0
+            CNT[key] += 1
 
     setattr(cls, name, timed)
 
@@ -60,90 +59,23 @@ def _instrument():
     ):
         _wrap(lh.LakehouseTable, m)
 
-    # Split _stage_files into its two Spark jobs: the staging parquet
-    # write and the stats read-back pass (groupBy input_file_name).
-    orig_stage = None
+    orig_fast = lh.LakehouseTable._driver_file_stats.__func__
 
-    def staged_split(self, df):
+    def fast_counted(cls, paths, cols):
         t0 = time.perf_counter()
-        import uuid
+        out = orig_fast(cls, paths, cols)
+        ACC["stats.driver_path"] += time.perf_counter() - t0
+        CNT["stats.fast_hit" if out is not None else "stats.fast_miss"] += 1
+        return out
 
-        token = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.path, f"_staging_{token}")
-        df.write.mode("overwrite").parquet(staging)
-        ACC["stage.write_job"] += time.perf_counter() - t0
-        CNT["stage.write_job"] += 1
-        t1 = time.perf_counter()
-        from pyspark.sql import functions as F
-
-        staged = self.spark.read.parquet(staging)
-        cols = [c for c, t in staged.dtypes if t in self._STATS_DTYPES]
-        aggs = [F.count(F.lit(1)).alias("__n")] + [
-            f
-            for i, c in enumerate(cols)
-            for f in (
-                F.min(F.col(c)).alias(f"__mn_{i}"),
-                F.max(F.col(c)).alias(f"__mx_{i}"),
-                F.count(F.col(c)).alias(f"__nn_{i}"),
-            )
-        ]
-        per_file = (
-            staged.withColumn("__f", F.input_file_name())
-            .groupBy("__f")
-            .agg(*aggs)
-            .collect()
-        )
-        ACC["stage.stats_job"] += time.perf_counter() - t1
-        CNT["stage.stats_job"] += 1
-        t2 = time.perf_counter()
-        file_stats = {}
-        file_rows = {}
-        for r in per_file:
-            base = os.path.basename(r["__f"])
-            file_rows[base] = r["__n"]
-            file_stats[base] = {
-                c: [
-                    lh._stat_json(r[f"__mn_{i}"]),
-                    lh._stat_json(r[f"__mx_{i}"]),
-                    int(r["__n"]) - int(r[f"__nn_{i}"]),
-                ]
-                for i, c in enumerate(cols)
-            }
-        n = sum(file_rows.values())
-        names = []
-        stats = {}
-        for i, f in enumerate(sorted(os.listdir(staging))):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"part-{token}-{i:05d}.parquet"
-            os.replace(os.path.join(staging, f), os.path.join(self.path, name))
-            names.append(name)
-            if f in file_stats:
-                stats[name] = file_stats[f]
-        CNT["stage.files_out"] += len(names)
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
-        ACC["stage.rename"] += time.perf_counter() - t2
-        return names, n, stats
-
-    # install the split UNDER the _stage_files timer wrapper
-    def stage_timed(self, df):
-        t0 = time.perf_counter()
-        try:
-            return staged_split(self, df)
-        finally:
-            ACC["_stage_files"] += time.perf_counter() - t0
-            CNT["_stage_files"] += 1
-
-    lh.LakehouseTable._stage_files = stage_timed
+    lh.LakehouseTable._driver_file_stats = classmethod(fast_counted)
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or [
         "streaming_km_survival",
-        "streaming_dedup_lsh",
+        "streaming_novelty",
         "streaming_rake_by_source",
         "streaming_burstiness",
     ]
@@ -151,7 +83,6 @@ def main():
     spark = get_spark(app_name="probe-r19-lh-split")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
-    # warm up
     spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
     ).save()
@@ -165,9 +96,12 @@ def main():
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         total = time.perf_counter() - t0
         print(f"\n== {name}: total {total:.2f}s ==")
-        lake = ACC.get("write", 0) + ACC.get("merge", 0) + ACC.get(
-            "optimize", 0
-        ) + ACC.get("retire_below", 0)
+        lake = (
+            ACC.get("write", 0)
+            + ACC.get("merge", 0)
+            + ACC.get("optimize", 0)
+            + ACC.get("retire_below", 0)
+        )
         reads = ACC.get("read", 0) + ACC.get("read_where", 0) + ACC.get(
             "read_where_in", 0
         )
@@ -179,7 +113,10 @@ def main():
         for k in sorted(ACC, key=lambda k: -ACC[k]):
             if ACC[k] > 0.01:
                 print(f"  {k:>18}: {ACC[k]:7.2f}s  x{CNT[k]}")
-        print(f"  files staged out: {CNT.get('stage.files_out', 0)}")
+        print(
+            f"  stats fast-path hits: {CNT.get('stats.fast_hit', 0)}"
+            f"  misses: {CNT.get('stats.fast_miss', 0)}"
+        )
     spark.stop()
 
 

@@ -1264,3 +1264,147 @@ def test_retire_below_datetime_bound_on_date_column_is_consistent(
     assert res["files_rewritten"] == 1  # Jan 14-16 straddles
     got = sorted(r.d.isoformat() for r in table.read().collect())
     assert got == ["2020-01-15", "2020-01-16"]
+
+
+def _force_distributed_stats(monkeypatch):
+    """Push the driver-side fast path out of reach so _stage_files
+    takes the distributed stats job."""
+    monkeypatch.setattr(LakehouseTable, "_DRIVER_STATS_MAX_BYTES", 0)
+
+
+def _nasty_df(spark):
+    """Every stats-eligible dtype with its edge cases: unicode strings,
+    negative ints, NaN / None doubles, dates, timestamps, an all-null
+    column — the surface where a fused stats pass could silently
+    diverge from the distributed one."""
+    import datetime as dt
+
+    rows = [
+        (1, "zebra", -5.0, dt.date(2020, 1, 3),
+         dt.datetime(2020, 1, 1, 12, 30, 15), None),
+        (2, "Ärger", float("nan"), dt.date(2019, 12, 31),
+         dt.datetime(2021, 6, 30, 23, 59, 59), None),
+        (-7, "apple", None, None,
+         None, None),
+        (0, None, 2.25, dt.date(2024, 2, 29),
+         dt.datetime(2019, 1, 1, 0, 0, 0), None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "i bigint, s string, x double, d date, ts timestamp, allnull string",
+    )
+
+
+def test_driver_stats_match_distributed_stats(spark, tmp_path, monkeypatch):
+    """The fused (driver-side pyarrow) stats manifest must be
+    IDENTICAL to the distributed stats job's on every eligible dtype
+    and edge case — the manifest drives file pruning, so a divergence
+    is a correctness bug, not a perf bug."""
+    df = _nasty_df(spark).coalesce(1)
+
+    fast_t = LakehouseTable(spark, str(tmp_path / "fast"))
+    fast_t.write(df, mode="append")
+    fast_entry = fast_t.latest_entry()
+
+    _force_distributed_stats(monkeypatch)
+    slow_t = LakehouseTable(spark, str(tmp_path / "slow"))
+    slow_t.write(df, mode="append")
+    slow_entry = slow_t.latest_entry()
+
+    fast_stats = list(fast_entry["stats"].values())
+    slow_stats = list(slow_entry["stats"].values())
+    assert len(fast_stats) == len(slow_stats) == 1
+    f, s = fast_stats[0], slow_stats[0]
+    assert set(f) == set(s), f"column sets differ: {set(f)} vs {set(s)}"
+    for col in s:
+        # NaN != NaN, so compare via repr
+        assert repr(f[col]) == repr(s[col]), (
+            f"stats diverge on {col}: fast={f[col]} slow={s[col]}"
+        )
+    assert fast_entry["rows_written"] == slow_entry["rows_written"] == 4
+    # the fused path records per-file row counts for log-arithmetic
+    # row accounting in maintenance ops
+    assert f["__nrows__"][2] == 4
+
+
+def test_driver_stats_pruning_equivalence(spark, tmp_path, monkeypatch):
+    """read_where over fast-path stats returns the same rows as over
+    distributed stats (both prune, neither loses rows)."""
+    import datetime as dt
+
+    a = spark.createDataFrame(
+        [(i, dt.date(2020, 1, 1) + dt.timedelta(days=i)) for i in range(50)],
+        "id bigint, d date",
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, dt.date(2021, 1, 1) + dt.timedelta(days=i - 1000))
+         for i in range(1000, 1050)],
+        "id bigint, d date",
+    ).coalesce(1)
+
+    fast_t = LakehouseTable(spark, str(tmp_path / "fast"))
+    fast_t.write(a, mode="append")
+    fast_t.write(b, mode="append")
+    keep, total = fast_t.prune_files("id", 1000, 1010)
+    assert len(keep) < total, "fast-path stats prune files"
+    got = sorted(r.id for r in fast_t.read_where("id", 1000, 1010).collect())
+    assert got == list(range(1000, 1011))
+    gotd = sorted(
+        r.id
+        for r in fast_t.read_where(
+            "d", dt.date(2021, 1, 5), dt.date(2021, 1, 9)
+        ).collect()
+    )
+    assert gotd == list(range(1004, 1009))
+
+
+def test_merge_prune_keys_identical_result(spark, tmp_path, monkeypatch):
+    """MERGE with stats-bounded touched-file detection (prune_keys)
+    must produce the identical table state and touch the identical
+    files as the unpruned detection."""
+    upd_rows = [Row(id=5, src="U", val=99.0), Row(id=1005, src="U", val=98.0)]
+
+    def build(path, prune):
+        t = LakehouseTable(spark, str(path))
+        t.write(spark.createDataFrame(_rows(50)), mode="append")
+        t.write(spark.createDataFrame(_rows(50, start=1000)), mode="append")
+        t.write(spark.createDataFrame(_rows(50, start=2000)), mode="append")
+        res = t.merge(
+            spark.createDataFrame(upd_rows), ["id"], prune_keys=prune
+        )
+        return t, res
+
+    t1, r1 = build(tmp_path / "pruned", ("id", [5, 1005]))
+    t2, r2 = build(tmp_path / "auto", None)
+    t3, r3 = build(tmp_path / "full", ("id", None))
+    assert r1["files_rewritten"] == r2["files_rewritten"] == r3["files_rewritten"] == 2
+    for t in (t1, t2, t3):
+        rows = {r.id: (r.src, r.val) for r in t.read().collect()}
+        assert rows[5] == ("U", 99.0) and rows[1005] == ("U", 98.0)
+        assert len(rows) == 150
+    with pytest.raises(ValueError, match="not part of the primary key"):
+        t1.merge(
+            spark.createDataFrame(upd_rows), ["id"], prune_keys=("val", [1.0])
+        )
+
+
+def test_optimize_row_accounting_from_manifest(spark, table, monkeypatch):
+    """optimize()'s row-drift check runs off the __nrows__ manifest
+    (no count job) when every rewrite file carries it, and still
+    RAISES on an actual drift."""
+    table.write(spark.createDataFrame(_rows(30)), mode="append")
+    table.write(spark.createDataFrame(_rows(20, start=100)), mode="append")
+    calls = {"n": 0}
+    import pyspark.sql.dataframe as _dfmod
+
+    orig_count = _dfmod.DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(_dfmod.DataFrame, "count", counting)
+    res = table.optimize(target_files=1)
+    assert res["rows_rewritten"] == 50
+    assert calls["n"] == 0, "manifest row accounting must not run count()"
+    assert table.read().count() == 50
