@@ -3867,23 +3867,26 @@ def rake_source_sink(
     word scores / phrase scores / per-source top-k on read.
 
     Scale shape: both grids collapse map-side to the batch's touched
-    keys; prior-grid reads go through the file-pruned ``read_where_in``
-    on the batch's bounded word / phrase sets (Z-ordered by w / phrase
-    via ``maintain_rake_by_source``'s incremental optimize cycle — the
-    string-surrogate clustering), and MERGE rewrites only files
-    holding touched keys. All maintained columns are additive (or the
-    constant-per-phrase n_words max lattice), so ANY delivery order
-    bit-equals the batch aggregate — no in-order contract needed.
+    keys and land as APPEND-ONLY delta rows (freq/deg are additive;
+    n_words is constant per phrase, a max lattice): no prior-grid
+    probe, no MERGE rewrite — per-batch write volume is O(batch's
+    touched keys), where the MERGE form rewrote most of the table per
+    batch (stopword-free common words recur in every batch, so the
+    rewrite had no key locality to exploit). Totals fold on read
+    (``_rake_grid_totals``) and the periodic AGGREGATING compaction
+    (``maintain_rake_by_source``'s cycle) bounds live rows to one per
+    key again. ANY delivery order bit-equals the batch aggregate — no
+    in-order contract needed.
 
     Exactly-once across TWO tables (the dedup-sink protocol): per
     attempt pin both versions, replay-check the PHRASES table first
     (it commits last — a phrases hit means the batch fully landed),
     then commit words -> phrases, each individually replay-guarded by
     ``_landed_on`` and ``conflict_on="batch_id"``. A crash between the
-    two commits replays into: words skipped, phrases recomputed from
-    the batch + its own prior — no cross-table rewind exists because
-    neither grid's delta reads the other table. Returns False when the
-    batch was a full replay."""
+    two commits replays into: words skipped, phrases re-appended —
+    no cross-table rewind exists because neither grid's delta reads
+    the other table. Returns False when the batch was a full
+    replay."""
     from ..load.lakehouse import (
         ConcurrentWriteError,
         DuplicateCommitError,
@@ -3897,23 +3900,10 @@ def rake_source_sink(
 
     spark = batch_df.sparkSession
     occ = _rake_occ(batch_df, ("source",))
-    p_words = _rake_word_grid(occ, ("source",)).cache()
-    p_phrases = _rake_phrase_grid(occ, ("source",)).cache()
-    keys: dict[str, object] = {}  # per-column lazy probe-key cache
+    p_words = _rake_word_grid(occ, ("source",))
+    p_phrases = _rake_phrase_grid(occ, ("source",))
     words = LakehouseTable(spark, words_path)
     phrases = LakehouseTable(spark, phrases_path)
-
-    def _read_prior(table, schema, version, partial, column):
-        if version is None:
-            return spark.createDataFrame([], schema)
-        if column not in keys:
-            keys[column] = _probe_keys_or_warn(
-                partial.select(column), batch_id,
-                "rake_source_sink", column,
-            )
-        if keys[column] is not None:
-            return table.read_where_in(column, keys[column], version=version)
-        return table.read(version=version)
 
     def _stamp(b: int, hwm) -> dict:
         return {
@@ -3921,97 +3911,70 @@ def rake_source_sink(
             "batch_hwm": max(b, hwm if hwm is not None else b),
         }
 
-    try:
-        for _ in range(3):
-            rv_p = phrases.latest_version()
-            hwm_p = phrases.latest_value("batch_hwm", as_of=rv_p)
-            if _landed_on(phrases, batch_id, rv_p, hwm_p):
-                return False  # phrases commits last: fully landed
-            rv_w = words.latest_version()
-            hwm_w = words.latest_value("batch_hwm", as_of=rv_w)
-            prior_w = _read_prior(
-                words, _RAKE_WORDS_SCHEMA, rv_w, p_words, "w"
-            ).select(
-                "source", "w",
-                F.col("freq").alias("c_freq"),
-                F.col("deg").alias("c_deg"),
-            )
-            upd_w = (
-                p_words.alias("p")
-                .join(prior_w, ["source", "w"], "left")
-                .select(
-                    "source", "w",
-                    (F.col("p.freq") + F.coalesce("c_freq", F.lit(0)))
-                    .cast("bigint").alias("freq"),
-                    (F.col("p.deg") + F.coalesce("c_deg", F.lit(0)))
-                    .cast("bigint").alias("deg"),
-                )
-            )
-            prior_p = _read_prior(
-                phrases, _RAKE_PHRASES_SCHEMA, rv_p, p_phrases, "phrase"
-            ).select(
-                "source", "phrase",
-                F.col("n_words").alias("c_nw"),
-                F.col("freq").alias("c_freq"),
-            )
-            upd_p = (
-                p_phrases.alias("p")
-                .join(prior_p, ["source", "phrase"], "left")
-                .select(
-                    "source", "phrase",
-                    F.greatest(
-                        F.col("p.n_words"),
-                        F.coalesce("c_nw", F.col("p.n_words")),
-                    ).cast("bigint").alias("n_words"),
-                    (F.col("p.freq") + F.coalesce("c_freq", F.lit(0)))
-                    .cast("bigint").alias("freq"),
-                )
-            )
-            try:
-                if not _landed_on(words, batch_id, rv_w, hwm_w):
-                    try:
-                        if rv_w is None:
-                            words.write(
-                                upd_w, mode="append",
-                                extra=_stamp(batch_id, hwm_w),
-                                conflict_on="batch_id", read_version=rv_w,
-                                monotone_max=("batch_hwm",),
-                            )
-                        else:
-                            words.merge(
-                                upd_w, ["source", "w"],
-                                extra=_stamp(batch_id, hwm_w),
-                                read_version=rv_w, conflict_on="batch_id",
-                                prune_keys=("w", keys.get("w")),
-                            )
-                    except DuplicateCommitError:
-                        pass  # a rival landed this batch's words
-                if rv_p is None:
-                    phrases.write(
-                        upd_p, mode="append",
-                        extra=_stamp(batch_id, hwm_p),
-                        conflict_on="batch_id", read_version=rv_p,
+    for _ in range(3):
+        rv_p = phrases.latest_version()
+        hwm_p = phrases.latest_value("batch_hwm", as_of=rv_p)
+        if _landed_on(phrases, batch_id, rv_p, hwm_p):
+            return False  # phrases commits last: fully landed
+        rv_w = words.latest_version()
+        hwm_w = words.latest_value("batch_hwm", as_of=rv_w)
+        try:
+            if not _landed_on(words, batch_id, rv_w, hwm_w):
+                try:
+                    words.write(
+                        p_words, mode="append",
+                        extra=_stamp(batch_id, hwm_w),
+                        conflict_on="batch_id", read_version=rv_w,
                         monotone_max=("batch_hwm",),
                     )
-                else:
-                    phrases.merge(
-                        upd_p, ["source", "phrase"],
-                        extra=_stamp(batch_id, hwm_p),
-                        read_version=rv_p, conflict_on="batch_id",
-                        prune_keys=("phrase", keys.get("phrase")),
-                    )
-                return True
-            except DuplicateCommitError:
-                return False  # a rival landed this batch's phrases
-            except ConcurrentWriteError:
-                continue  # re-pin both tables and retry
-        raise RuntimeError(
-            f"rake_source_sink: could not commit batch {batch_id} after "
-            f"3 attempts (concurrent writers kept advancing {phrases_path})"
+                except DuplicateCommitError:
+                    pass  # a rival landed this batch's words
+            phrases.write(
+                p_phrases, mode="append",
+                extra=_stamp(batch_id, hwm_p),
+                conflict_on="batch_id", read_version=rv_p,
+                monotone_max=("batch_hwm",),
+            )
+            return True
+        except DuplicateCommitError:
+            return False  # a rival landed this batch's phrases
+        except ConcurrentWriteError:
+            continue  # a compaction landed mid-attempt; re-pin, retry
+    raise RuntimeError(
+        f"rake_source_sink: could not commit batch {batch_id} after "
+        f"3 attempts (concurrent writers kept advancing {phrases_path})"
+    )
+
+
+def _rake_grid_totals(
+    spark: SparkSession, words_path: str, phrases_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (words, phrases) TOTALS relations from the delta-append
+    RAKE grids: freq/deg sums; n_words is constant per phrase (its
+    word count), folded with max exactly as the old merge did — the
+    read-side half of the delta contract, shared by the serve entry
+    and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    words = (
+        LakehouseTable(spark, words_path)
+        .read()
+        .groupBy("source", "w")
+        .agg(
+            F.sum("freq").cast("bigint").alias("freq"),
+            F.sum("deg").cast("bigint").alias("deg"),
         )
-    finally:
-        p_words.unpersist()
-        p_phrases.unpersist()
+    )
+    phrases = (
+        LakehouseTable(spark, phrases_path)
+        .read()
+        .groupBy("source", "phrase")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("freq"),
+        )
+    )
+    return words, phrases
 
 
 def maintain_rake_by_source(
@@ -4021,33 +3984,33 @@ def maintain_rake_by_source(
     checkpoint: str,
     log_retention: int | None = None,
     optimize_every: int | None = None,
-    optimize_files: int = 8,
-    optimize_max_generations: int = 8,
 ):
     """Run the per-source RAKE IVM sink under foreachBatch
-    (availableNow). ``optimize_every=N`` clusters BOTH grid tables
-    every N batches — INCREMENTALLY, the words grid Z-ordered by ``w``
-    and the phrases grid by ``phrase`` (string-surrogate clustering) —
-    so the per-batch probe reads stay file-pruned as the vocabulary
-    grows while per-cycle write volume stays bounded by recent-change
-    volume."""
+    (availableNow). ``optimize_every=N`` runs the AGGREGATING
+    compaction on both delta-append grids every N batches
+    (``_aggregate_compact``: one row per key again, totals/maxes
+    invariant) — live rows stay O(vocabulary) / O(distinct phrases)
+    amortized; between cycles the tables additionally hold at most N
+    batches of delta rows."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
-
-        rake_source_sink(batch_df, batch_id, words_path, phrases_path)
         spark = batch_df.sparkSession
+        rake_source_sink(batch_df, batch_id, words_path, phrases_path)
         if optimize_every and (batch_id + 1) % optimize_every == 0:
-            for path, col in ((words_path, "w"), (phrases_path, "phrase")):
-                try:
-                    LakehouseTable(spark, path).optimize(
-                        target_files=optimize_files,
-                        zorder_by=[col],
-                        incremental=True,
-                        max_generations=optimize_max_generations,
-                    )
-                except ConcurrentWriteError:
-                    pass  # best-effort maintenance; the next cycle retries
+            _aggregate_compact(
+                spark, words_path, ["source", "w"],
+                [
+                    F.sum("freq").cast("bigint").alias("freq"),
+                    F.sum("deg").cast("bigint").alias("deg"),
+                ],
+            )
+            _aggregate_compact(
+                spark, phrases_path, ["source", "phrase"],
+                [
+                    F.max("n_words").cast("bigint").alias("n_words"),
+                    F.sum("freq").cast("bigint").alias("freq"),
+                ],
+            )
         for path in (words_path, phrases_path):
             _maybe_clean_log(spark, path, log_retention)
 
@@ -4071,7 +4034,6 @@ def q_streaming_rake_by_source(
     from pyspark.sql import Window
 
     from ..catalog import load_table
-    from ..load.lakehouse import LakehouseTable
     from ..operators.text import (
         RAKE_SRC_TOP_K,
         _rake_score_phrases,
@@ -4103,8 +4065,9 @@ def q_streaming_rake_by_source(
         stream, f"{work}/words", f"{work}/phrases", f"{work}/ckpt",
         optimize_every=3,
     ).awaitTermination()
-    uniq = LakehouseTable(spark, f"{work}/phrases").read()
-    wordstats = LakehouseTable(spark, f"{work}/words").read()
+    wordstats, uniq = _rake_grid_totals(
+        spark, f"{work}/words", f"{work}/phrases"
+    )
     scored = _rake_score_phrases(uniq, wordstats, ("source",))
     rk = Window.partitionBy("source").orderBy(
         F.col("score").desc(), "phrase"
@@ -4145,15 +4108,15 @@ def rfm_state_sink(
     """Fold one micro-batch of ORDERS into the maintained per-customer
     RFM state — the IVM form of ``customer_rfm``'s per-customer
     aggregate: recency is a MAX lattice, frequency a count, monetary
-    an exact-DECIMAL sum, so ANY delivery order bit-equals the batch
-    aggregate (no in-order contract) and the quartile surface derives
-    on read. Scale shape and exactly-once protocol = ``user_gaps_sink``
-    verbatim: map-side collapse to the batch's customers, prior state
-    file-pruned via ``read_where_in`` on the batch's bounded customer
-    set (Z-ordered by customer_id on the incremental optimize cycle),
-    MERGE rewrites only touched customers, ``_landed_on``-hardened
-    replay check + pinned read_version + conflict_on batch_id.
-    Returns False on replay."""
+    an exact-DECIMAL sum — every column is a mergeable aggregate, so
+    ANY delivery order bit-equals the batch aggregate (no in-order
+    contract) and the batch partial lands as an APPEND-ONLY delta row
+    set: no prior-state probe, no MERGE rewrite. Totals fold on read
+    (``_rfm_state_totals``); ``maintain_rfm``'s cycle compacts by
+    aggregation (and compacts BEFORE a retirement cycle so the
+    whole-customer TTL semantics are preserved — see there).
+    Exactly-once: ``_landed_on``-hardened replay check + pinned
+    read_version + conflict_on batch_id. Returns False on replay."""
     from ..load.lakehouse import (
         ConcurrentWriteError,
         DuplicateCommitError,
@@ -4172,7 +4135,6 @@ def rfm_state_sink(
         )
         .cache()
     )
-    cust_keys = ()  # () = not collected yet; None = collected, over cap
     state = LakehouseTable(spark, state_path)
     try:
         for _ in range(3):
@@ -4180,46 +4142,6 @@ def rfm_state_sink(
             hwm = state.latest_value("rfm_batch_hwm", as_of=rv)
             if _landed_on(state, batch_id, rv, hwm):
                 return False
-            if rv is None:
-                prior = spark.createDataFrame([], _RFM_STATE_SCHEMA)
-            else:
-                if cust_keys == ():
-                    cust_keys = _probe_keys_or_warn(
-                        partial.select("customer_id"), batch_id,
-                        "rfm_state_sink", "customer_id",
-                    )
-                prior = (
-                    state.read_where_in(
-                        "customer_id", cust_keys, version=rv
-                    )
-                    if cust_keys is not None
-                    else state.read(version=rv)
-                )
-            upd = (
-                partial.alias("p")
-                .join(prior.alias("c"), "customer_id", "left")
-                .select(
-                    "customer_id",
-                    F.greatest(
-                        F.col("p.last_order_date"),
-                        F.coalesce(
-                            F.col("c.last_order_date"),
-                            F.col("p.last_order_date"),
-                        ),
-                    ).alias("last_order_date"),
-                    (
-                        F.col("p.frequency")
-                        + F.coalesce(F.col("c.frequency"), F.lit(0))
-                    ).cast("bigint").alias("frequency"),
-                    (
-                        F.col("p.monetary_dec")
-                        + F.coalesce(
-                            F.col("c.monetary_dec"),
-                            F.lit(0).cast(_IVM_DEC),
-                        )
-                    ).cast(_IVM_DEC).alias("monetary_dec"),
-                )
-            )
             stamp = {
                 "batch_id": batch_id,
                 "rfm_batch_hwm": max(
@@ -4227,23 +4149,16 @@ def rfm_state_sink(
                 ),
             }
             try:
-                if rv is None:  # first commit creates the table
-                    state.write(
-                        upd, mode="append", extra=stamp,
-                        conflict_on="batch_id", read_version=rv,
-                        monotone_max=("rfm_batch_hwm",),
-                    )
-                else:
-                    state.merge(
-                        upd, ["customer_id"], extra=stamp,
-                        read_version=rv, conflict_on="batch_id",
-                        prune_keys=("customer_id", cust_keys or None),
-                    )
+                state.write(
+                    partial, mode="append", extra=stamp,
+                    conflict_on="batch_id", read_version=rv,
+                    monotone_max=("rfm_batch_hwm",),
+                )
                 return True
             except DuplicateCommitError:
                 return False  # a rival landed this very batch
             except ConcurrentWriteError:
-                continue  # re-pin and re-fold from fresh state
+                continue  # a compaction landed mid-attempt; re-pin, retry
         raise RuntimeError(
             f"rfm_state_sink: could not commit batch {batch_id} after 3 "
             f"attempts (concurrent writers kept advancing {state_path})"
@@ -4252,30 +4167,56 @@ def rfm_state_sink(
         partial.unpersist()
 
 
+def _rfm_state_totals(spark: SparkSession, state_path: str) -> DataFrame:
+    """The per-customer TOTALS relation folded from the delta-append
+    RFM state (max recency, summed frequency/monetary) — the
+    read-side half of the delta contract, shared by the serve entry
+    and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    return (
+        LakehouseTable(spark, state_path)
+        .read()
+        .groupBy("customer_id")
+        .agg(
+            F.max("last_order_date").alias("last_order_date"),
+            F.sum("frequency").cast("bigint").alias("frequency"),
+            F.sum("monetary_dec").cast(_IVM_DEC).alias("monetary_dec"),
+        )
+    )
+
+
 def maintain_rfm(
     stream: DataFrame,
     state_path: str,
     checkpoint: str,
     log_retention: int | None = None,
     optimize_every: int | None = None,
-    optimize_files: int = 8,
-    optimize_max_generations: int = 8,
     retire_every: int | None = None,
     retire_horizon_days: int | None = None,
 ):
     """Run the RFM-state IVM sink under foreachBatch (availableNow);
-    ``optimize_every=N`` Z-orders the customer-keyed state
-    INCREMENTALLY by customer_id every N batches (the
-    ``maintain_user_gaps`` maintenance discipline).
+    ``optimize_every=N`` runs the AGGREGATING compaction on the
+    delta-append state every N batches (one row per customer again,
+    totals invariant).
 
     ``retire_every=N`` + ``retire_horizon_days=H`` opt into state-row
-    retirement: every N batches, customers whose ``last_order_date``
-    fell more than H days behind the batch's order-date watermark are
+    retirement: every N batches the state is FIRST compacted to one
+    row per customer (a per-row date cutoff on delta rows would drop
+    an ACTIVE customer's old contributions — whole-customer TTL needs
+    the fold), then customers whose folded ``last_order_date`` fell
+    more than H days behind the batch's order-date watermark are
     deleted via the stats-bounded ``retire_below`` — live state stays
     bounded by customers active within the horizon. A returning
     customer restarts frequency/monetary from zero (TTL staleness,
     documented); off by default — the driver entry keeps exact
     forever-semantics (see ``maintain_user_gaps``)."""
+
+    _rfm_aggs = [
+        F.max("last_order_date").alias("last_order_date"),
+        F.sum("frequency").cast("bigint").alias("frequency"),
+        F.sum("monetary_dec").cast(_IVM_DEC).alias("monetary_dec"),
+    ]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import datetime as dt
@@ -4291,6 +4232,12 @@ def maintain_rfm(
         ):
             wm = batch_df.agg(F.max(F.to_date("o_orderdate"))).first()[0]
             if wm is not None:
+                # fold deltas to one row per customer FIRST: the
+                # whole-customer retirement decision needs the folded
+                # max(last_order_date), never a per-delta-row cutoff
+                _aggregate_compact(
+                    spark, state_path, ["customer_id"], _rfm_aggs
+                )
                 try:
                     LakehouseTable(spark, state_path).retire_below(
                         "last_order_date",
@@ -4300,15 +4247,9 @@ def maintain_rfm(
                 except ConcurrentWriteError:
                     pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
-            try:
-                LakehouseTable(spark, state_path).optimize(
-                    target_files=optimize_files,
-                    zorder_by=["customer_id"],
-                    incremental=True,
-                    max_generations=optimize_max_generations,
-                )
-            except ConcurrentWriteError:
-                pass  # best-effort maintenance; the next cycle retries
+            _aggregate_compact(
+                spark, state_path, ["customer_id"], _rfm_aggs
+            )
         _maybe_clean_log(spark, state_path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
@@ -4355,7 +4296,7 @@ def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintain_rfm(
         stream, f"{work}/state", f"{work}/ckpt", optimize_every=3
     ).awaitTermination()
-    return _rfm_rank(LakehouseTable(spark, f"{work}/state").read())
+    return _rfm_rank(_rfm_state_totals(spark, f"{work}/state"))
 
 
 QUERIES["streaming_rfm"] = q_streaming_rfm
@@ -6497,8 +6438,10 @@ def session_tails_sink(
     Scale shape: the batch collapses map-side to one row per within-
     batch session; prior-tail reads go through the file-pruned
     ``read_where_in`` on the batch's bounded user set (Z-ordered by
-    user_id on the optimize cycle), the grid probe on the batch's
-    bounded closed-duration set; MERGE rewrites only touched files.
+    user_id on the optimize cycle) and the tails MERGE rewrites only
+    touched files; the closed-duration grid is purely additive, so
+    its delta lands APPEND-ONLY (no probe, no rewrite — totals fold
+    on read, the maintenance cycle compacts by aggregation).
 
     Exactly-once across TWO tables where the GRID delta READS the
     tails table (unlike the rake grids, which are independent): the
@@ -6660,46 +6603,18 @@ def session_tails_sink(
                 has_delta = not delta.isEmpty()
                 if has_delta and not _landed_on(grid, batch_id, rv_g, hwm_g):
                     try:
-                        if rv_g is None:
-                            grid.write(
-                                delta, mode="append",
-                                extra=_stamp(batch_id, hwm_g),
-                                conflict_on="batch_id", read_version=rv_g,
-                                monotone_max=("batch_hwm",),
-                            )
-                        else:
-                            dur_keys = _probe_keys_or_warn(
-                                delta.select("dur"), batch_id,
-                                "session_tails_sink", "dur",
-                            )
-                            prior_g = (
-                                grid.read_where_in(
-                                    "dur", dur_keys, version=rv_g
-                                )
-                                if dur_keys is not None
-                                else grid.read(version=rv_g)
-                            ).select(
-                                "dur", F.col("n_death").alias("c_death")
-                            )
-                            upd_g = (
-                                delta.alias("p")
-                                .join(prior_g, "dur", "left")
-                                .select(
-                                    "dur",
-                                    (
-                                        F.col("p.n_death")
-                                        + F.coalesce("c_death", F.lit(0))
-                                    )
-                                    .cast("bigint")
-                                    .alias("n_death"),
-                                )
-                            )
-                            grid.merge(
-                                upd_g, ["dur"],
-                                extra=_stamp(batch_id, hwm_g),
-                                read_version=rv_g, conflict_on="batch_id",
-                                prune_keys=("dur", dur_keys),
-                            )
+                        # closed-duration counts are purely additive:
+                        # the batch delta lands APPEND-ONLY (no prior
+                        # probe, no MERGE rewrite); totals fold on
+                        # read (_served_km_grid) and the maintenance
+                        # cycle's aggregating compaction re-bounds
+                        # live rows to one per distinct duration
+                        grid.write(
+                            delta, mode="append",
+                            extra=_stamp(batch_id, hwm_g),
+                            conflict_on="batch_id", read_version=rv_g,
+                            monotone_max=("batch_hwm",),
+                        )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's grid delta
                 if rv_t is None:  # first commit creates the tails table
@@ -6805,16 +6720,21 @@ def maintain_session_tails(
                 except ConcurrentWriteError:
                     pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
-            for path, col in ((tails_path, "user_id"), (grid_path, "dur")):
-                try:
-                    LakehouseTable(spark, path).optimize(
-                        target_files=optimize_files,
-                        zorder_by=[col],
-                        incremental=True,
-                        max_generations=optimize_max_generations,
-                    )
-                except ConcurrentWriteError:
-                    pass  # best-effort maintenance; the next cycle retries
+            try:
+                LakehouseTable(spark, tails_path).optimize(
+                    target_files=optimize_files,
+                    zorder_by=["user_id"],
+                    incremental=True,
+                    max_generations=optimize_max_generations,
+                )
+            except ConcurrentWriteError:
+                pass  # best-effort maintenance; the next cycle retries
+            # the delta-append duration grid compacts by AGGREGATION
+            # (totals invariant), not by clustering — nothing probes it
+            _aggregate_compact(
+                spark, grid_path, ["dur"],
+                [F.sum("n_death").cast("bigint").alias("n_death")],
+            )
         for path in (tails_path, grid_path):
             _maybe_clean_log(spark, path, log_retention)
 
@@ -6836,7 +6756,13 @@ def _served_km_grid(
 
     tails_df = LakehouseTable(spark, tails_path).read()
     if os.path.exists(os.path.join(grid_path, "_log")):
-        closed = LakehouseTable(spark, grid_path).read()
+        # delta-append grid: fold the per-batch delta rows to totals
+        closed = (
+            LakehouseTable(spark, grid_path)
+            .read()
+            .groupBy("dur")
+            .agg(F.sum("n_death").cast("bigint").alias("n_death"))
+        )
     else:  # no session ever closed: the grid table was never created
         closed = spark.createDataFrame([], _SESS_GRID_SCHEMA)
     gmax = tails_df.agg(F.max("open_last_s").alias("gmax"))
@@ -6994,9 +6920,15 @@ def copurchase_sink(
     ≤7 items; a corpus with mega-baskets would add a df-cap with
     LOUD truncation accounting, the dedup discipline — not applied
     here because the batch oracle is uncapped); both grids collapse
-    map-side to the batch's touched keys; prior-grid reads go through
-    file-pruned ``read_where_in`` on the batch's bounded part sets;
-    MERGE rewrites only touched files.
+    map-side to the batch's touched keys and land as APPEND-ONLY
+    delta rows (both counts are purely additive over the order-atomic
+    batches): no prior-grid probe, no MERGE rewrite — per-batch write
+    volume is O(batch's touched keys), where the MERGE form rewrote
+    most of the table per batch (hot pairs recur in every batch, so
+    the rewrite had no key locality to exploit). Totals are summed on
+    read (``_copurchase_grid_totals``) and the periodic AGGREGATING
+    compaction (``maintain_copurchase``'s cycle) folds the deltas
+    back to one row per key.
 
     Exactly-once across TWO tables (the rake protocol — neither
     grid's delta reads the other): replay-check ITEMS first (it
@@ -7040,20 +6972,16 @@ def copurchase_sink(
         F.min("l_orderkey"), F.max("l_orderkey"),
         F.countDistinct("l_orderkey"),
     ).first()
-    keys: dict[str, object] = {}
     pairs = LakehouseTable(spark, pairs_path)
     items = LakehouseTable(spark, items_path)
 
-    def _read_prior(table, schema, version, partial, column):
-        if version is None:
-            return spark.createDataFrame([], schema)
-        if column not in keys:
-            keys[column] = _probe_keys_or_warn(
-                partial.select(column), batch_id, "copurchase_sink", column
-            )
-        if keys[column] is not None:
-            return table.read_where_in(column, keys[column], version=version)
-        return table.read(version=version)
+    def _stamp_p(hwm) -> dict:
+        return {
+            "batch_id": batch_id,
+            "batch_hwm": max(
+                batch_id, hwm if hwm is not None else batch_id
+            ),
+        }
 
     try:
         for _ in range(3):
@@ -7074,38 +7002,6 @@ def copurchase_sink(
             total_prev = items.latest_value("n_baskets_total", as_of=rv_i)
             rv_p = pairs.latest_version()
             hwm_p = pairs.latest_value("batch_hwm", as_of=rv_p)
-            prior_p = _read_prior(
-                pairs, _COPUR_PAIRS_SCHEMA, rv_p, p_pairs, "a_part"
-            ).select(
-                "a_part", "b_part", F.col("n_orders").alias("c_n")
-            )
-            upd_p = (
-                p_pairs.alias("p")
-                .join(prior_p, ["a_part", "b_part"], "left")
-                .select(
-                    "a_part", "b_part",
-                    (F.col("p.n_orders") + F.coalesce("c_n", F.lit(0)))
-                    .cast("bigint").alias("n_orders"),
-                )
-            )
-            prior_i = _read_prior(
-                items, _COPUR_ITEMS_SCHEMA, rv_i, p_items, "pk"
-            ).select("pk", F.col("n_item").alias("c_n"))
-            upd_i = (
-                p_items.alias("p")
-                .join(prior_i, "pk", "left")
-                .select(
-                    "pk",
-                    (F.col("p.n_item") + F.coalesce("c_n", F.lit(0)))
-                    .cast("bigint").alias("n_item"),
-                )
-            )
-            stamp_p = {
-                "batch_id": batch_id,
-                "batch_hwm": max(
-                    batch_id, hwm_p if hwm_p is not None else batch_id
-                ),
-            }
             stamp_i = {
                 "batch_id": batch_id,
                 "batch_hwm": max(
@@ -7118,38 +7014,24 @@ def copurchase_sink(
             try:
                 if not _landed_on(pairs, batch_id, rv_p, hwm_p):
                     try:
-                        if rv_p is None:
-                            pairs.write(
-                                upd_p, mode="append", extra=stamp_p,
-                                conflict_on="batch_id", read_version=rv_p,
-                                monotone_max=("batch_hwm",),
-                            )
-                        else:
-                            pairs.merge(
-                                upd_p, ["a_part", "b_part"],
-                                extra=stamp_p, read_version=rv_p,
-                                conflict_on="batch_id",
-                                prune_keys=("a_part", keys.get("a_part")),
-                            )
+                        pairs.write(
+                            p_pairs, mode="append",
+                            extra=_stamp_p(hwm_p),
+                            conflict_on="batch_id", read_version=rv_p,
+                            monotone_max=("batch_hwm",),
+                        )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's pairs
-                if rv_i is None:
-                    items.write(
-                        upd_i, mode="append", extra=stamp_i,
-                        conflict_on="batch_id", read_version=rv_i,
-                        monotone_max=("batch_hwm", "orders_hwm"),
-                    )
-                else:
-                    items.merge(
-                        upd_i, ["pk"], extra=stamp_i,
-                        read_version=rv_i, conflict_on="batch_id",
-                        prune_keys=("pk", keys.get("pk")),
-                    )
+                items.write(
+                    p_items, mode="append", extra=stamp_i,
+                    conflict_on="batch_id", read_version=rv_i,
+                    monotone_max=("batch_hwm", "orders_hwm"),
+                )
                 return True
             except DuplicateCommitError:
                 return False  # a rival landed this batch's items
             except ConcurrentWriteError:
-                continue  # re-pin both tables and re-fold
+                continue  # a compaction landed mid-attempt; re-pin, retry
         raise RuntimeError(
             f"copurchase_sink: could not commit batch {batch_id} after 3 "
             f"attempts (concurrent writers kept advancing {items_path})"
@@ -7167,37 +7049,55 @@ def maintain_copurchase(
     checkpoint: str,
     log_retention: int | None = None,
     optimize_every: int | None = None,
-    optimize_files: int = 8,
-    optimize_max_generations: int = 8,
 ):
     """Run the co-purchase grid IVM sink under foreachBatch
-    (availableNow). ``optimize_every=N`` clusters BOTH grids every N
-    batches — INCREMENTALLY, pairs Z-ordered by a_part and items by pk
-    — so probe reads stay file-pruned as the part universe grows
-    (growth contract: pairs rows = distinct co-purchased pairs with
-    support >= 1, items rows = distinct parts — both bounded by the
-    catalog cross-support, not by order volume)."""
+    (availableNow). ``optimize_every=N`` runs the AGGREGATING
+    compaction on both delta-append grids every N batches
+    (``_aggregate_compact``: one row per key again, totals invariant)
+    — growth contract: live rows stay O(distinct co-purchased pairs) /
+    O(distinct parts) amortized — both bounded by the catalog
+    cross-support, not by order volume; between cycles the tables
+    additionally hold at most N batches of delta rows."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
-
-        copurchase_sink(batch_df, batch_id, pairs_path, items_path)
         spark = batch_df.sparkSession
+        copurchase_sink(batch_df, batch_id, pairs_path, items_path)
         if optimize_every and (batch_id + 1) % optimize_every == 0:
-            for path, col in ((pairs_path, "a_part"), (items_path, "pk")):
-                try:
-                    LakehouseTable(spark, path).optimize(
-                        target_files=optimize_files,
-                        zorder_by=[col],
-                        incremental=True,
-                        max_generations=optimize_max_generations,
-                    )
-                except ConcurrentWriteError:
-                    pass  # best-effort maintenance; the next cycle retries
+            _aggregate_compact(
+                spark, pairs_path, ["a_part", "b_part"],
+                [F.sum("n_orders").cast("bigint").alias("n_orders")],
+            )
+            _aggregate_compact(
+                spark, items_path, ["pk"],
+                [F.sum("n_item").cast("bigint").alias("n_item")],
+            )
         for path in (pairs_path, items_path):
             _maybe_clean_log(spark, path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
+
+
+def _copurchase_grid_totals(
+    spark: SparkSession, pairs_path: str, items_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (pairs, items) TOTALS relations summed from the
+    delta-append co-purchase grids — the read-side half of the delta
+    contract, shared by the serve entry and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    pairs = (
+        LakehouseTable(spark, pairs_path)
+        .read()
+        .groupBy("a_part", "b_part")
+        .agg(F.sum("n_orders").cast("bigint").alias("n_orders"))
+    )
+    items = (
+        LakehouseTable(spark, items_path)
+        .read()
+        .groupBy("pk")
+        .agg(F.sum("n_item").cast("bigint").alias("n_item"))
+    )
+    return pairs, items
 
 
 def q_streaming_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7205,8 +7105,8 @@ def q_streaming_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem table in 4 ascending l_orderkey-range micro-batches
     (mtime-pinned — the order-atomic contract: every basket lands
     whole in one batch), fold each through ``maintain_copurchase``
-    (mid-stream Z-order cycle covering the probe-pruning path on both
-    grids), then rank lift/confidence from the MAINTAINED grids
+    (mid-stream aggregating-compaction cycle), then rank
+    lift/confidence from the MAINTAINED grids' read-time totals
     through the shared ``_affinity_from_grids`` tail — hash-checked
     against the SAME oracle as the batch ``part_affinity_lift``,
     proving the market-basket surface is servable at any moment
@@ -7243,17 +7143,15 @@ def q_streaming_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         optimize_every=3,
     ).awaitTermination()
     items_t = LakehouseTable(spark, f"{work}/items")
-    pair = (
-        LakehouseTable(spark, f"{work}/pairs")
-        .read()
-        .filter(F.col("n_orders") >= MIN_COPURCHASE)
+    pair_tot, item_tot = _copurchase_grid_totals(
+        spark, f"{work}/pairs", f"{work}/items"
     )
-    item = items_t.read()
+    pair = pair_tot.filter(F.col("n_orders") >= MIN_COPURCHASE)
     n_baskets = items_t.latest_value("n_baskets_total")
     total = spark.createDataFrame(
         [(int(n_baskets),)], "n_baskets bigint"
     )
-    return _affinity_from_grids(pair, item, total)
+    return _affinity_from_grids(pair, item_tot, total)
 
 
 QUERIES["streaming_affinity"] = q_streaming_affinity
@@ -7314,14 +7212,27 @@ def pmi_grids_sink(
     uni_path: str,
 ) -> bool:
     """Fold one micro-batch of documents into the maintained bigram +
-    unigram grids — the IVM form of ``pmi_bigrams``'s inputs. Both
-    partials collapse map-side to the batch's touched keys; adjacent
-    pairs are per-document, so ANY batch partition of the corpus
-    folds to the identical grids (order-insensitivity pytest-pinned).
+    unigram grids — the IVM form of ``pmi_bigrams``'s inputs, in
+    DELTA-APPEND form: both grids are purely additive (bigram and
+    unigram counts are sums over disjoint doc sets; adjacent pairs
+    are per-document, so ANY batch partition of the corpus folds to
+    the identical totals — order-insensitivity pytest-pinned), so the
+    batch's partial grids land as APPEND-ONLY delta rows. No prior-
+    grid probe, no MERGE rewrite: per-batch write volume is O(batch's
+    touched keys) instead of O(files holding them), which at sf0.1
+    was most of the table per batch (common words/pairs recur in
+    every batch — MERGE's rewrite had no key locality to exploit).
+    Totals are summed on read (``_pmi_grid_totals``) and a periodic
+    AGGREGATING COMPACTION (``maintain_pmi_grids``' cycle, via
+    ``_aggregate_compact``) folds the accumulated deltas back to one
+    row per key, so live rows stay O(distinct keys) amortized — the
+    LSM aggregate-on-compaction form of the same grid.
+
     Exactly-once across two independent tables = the rake protocol
-    verbatim (replay-check UNIGRAMS first — they commit last); probes
-    file-pruned on the batch's bounded word sets; MERGE rewrites only
-    touched files. Returns False on full replay or an empty batch."""
+    verbatim (replay-check UNIGRAMS first — they commit last), each
+    append individually guarded by ``_landed_on`` +
+    ``conflict_on="batch_id"``. Returns False on full replay or an
+    empty batch."""
     from ..load.lakehouse import (
         ConcurrentWriteError,
         DuplicateCommitError,
@@ -7338,28 +7249,14 @@ def pmi_grids_sink(
         .select(F.explode(F.expr(_ADJ_PAIRS_EXPR)).alias("p"))
         .groupBy("p.w1", "p.w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .cache()
     )
     p_uni = (
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
-        .cache()
     )
-    keys: dict[str, object] = {}
     pairs = LakehouseTable(spark, pairs_path)
     uni = LakehouseTable(spark, uni_path)
-
-    def _read_prior(table, schema, version, partial, column):
-        if version is None:
-            return spark.createDataFrame([], schema)
-        if column not in keys:
-            keys[column] = _probe_keys_or_warn(
-                partial.select(column), batch_id, "pmi_grids_sink", column
-            )
-        if keys[column] is not None:
-            return table.read_where_in(column, keys[column], version=version)
-        return table.read(version=version)
 
     def _stamp(b: int, hwm) -> dict:
         return {
@@ -7367,82 +7264,86 @@ def pmi_grids_sink(
             "batch_hwm": max(b, hwm if hwm is not None else b),
         }
 
-    try:
-        for _ in range(3):
-            rv_u = uni.latest_version()
-            hwm_u = uni.latest_value("batch_hwm", as_of=rv_u)
-            if _landed_on(uni, batch_id, rv_u, hwm_u):
-                return False  # unigrams commit last: fully landed
-            rv_p = pairs.latest_version()
-            hwm_p = pairs.latest_value("batch_hwm", as_of=rv_p)
-            prior_p = _read_prior(
-                pairs, _PMI_PAIRS_SCHEMA, rv_p, p_pairs, "w1"
-            ).select("w1", "w2", F.col("n_ab").alias("c_n"))
-            upd_p = (
-                p_pairs.alias("p")
-                .join(prior_p, ["w1", "w2"], "left")
-                .select(
-                    "w1", "w2",
-                    (F.col("p.n_ab") + F.coalesce("c_n", F.lit(0)))
-                    .cast("bigint").alias("n_ab"),
-                )
-            )
-            prior_u = _read_prior(
-                uni, _PMI_UNI_SCHEMA, rv_u, p_uni, "t"
-            ).select("t", F.col("n_t").alias("c_n"))
-            upd_u = (
-                p_uni.alias("p")
-                .join(prior_u, "t", "left")
-                .select(
-                    "t",
-                    (F.col("p.n_t") + F.coalesce("c_n", F.lit(0)))
-                    .cast("bigint").alias("n_t"),
-                )
-            )
-            try:
-                if not _landed_on(pairs, batch_id, rv_p, hwm_p):
-                    try:
-                        if rv_p is None:
-                            pairs.write(
-                                upd_p, mode="append",
-                                extra=_stamp(batch_id, hwm_p),
-                                conflict_on="batch_id", read_version=rv_p,
-                                monotone_max=("batch_hwm",),
-                            )
-                        else:
-                            pairs.merge(
-                                upd_p, ["w1", "w2"],
-                                extra=_stamp(batch_id, hwm_p),
-                                read_version=rv_p, conflict_on="batch_id",
-                                prune_keys=("w1", keys.get("w1")),
-                            )
-                    except DuplicateCommitError:
-                        pass  # a rival landed this batch's pairs
-                if rv_u is None:
-                    uni.write(
-                        upd_u, mode="append",
-                        extra=_stamp(batch_id, hwm_u),
-                        conflict_on="batch_id", read_version=rv_u,
+    for _ in range(3):
+        rv_u = uni.latest_version()
+        hwm_u = uni.latest_value("batch_hwm", as_of=rv_u)
+        if _landed_on(uni, batch_id, rv_u, hwm_u):
+            return False  # unigrams commit last: fully landed
+        rv_p = pairs.latest_version()
+        hwm_p = pairs.latest_value("batch_hwm", as_of=rv_p)
+        try:
+            if not _landed_on(pairs, batch_id, rv_p, hwm_p):
+                try:
+                    pairs.write(
+                        p_pairs, mode="append",
+                        extra=_stamp(batch_id, hwm_p),
+                        conflict_on="batch_id", read_version=rv_p,
                         monotone_max=("batch_hwm",),
                     )
-                else:
-                    uni.merge(
-                        upd_u, ["t"], extra=_stamp(batch_id, hwm_u),
-                        read_version=rv_u, conflict_on="batch_id",
-                        prune_keys=("t", keys.get("t")),
-                    )
-                return True
-            except DuplicateCommitError:
-                return False  # a rival landed this batch's unigrams
-            except ConcurrentWriteError:
-                continue  # re-pin both tables and re-fold
-        raise RuntimeError(
-            f"pmi_grids_sink: could not commit batch {batch_id} after 3 "
-            f"attempts (concurrent writers kept advancing {uni_path})"
-        )
-    finally:
-        p_pairs.unpersist()
-        p_uni.unpersist()
+                except DuplicateCommitError:
+                    pass  # a rival landed this batch's pairs
+            uni.write(
+                p_uni, mode="append",
+                extra=_stamp(batch_id, hwm_u),
+                conflict_on="batch_id", read_version=rv_u,
+                monotone_max=("batch_hwm",),
+            )
+            return True
+        except DuplicateCommitError:
+            return False  # a rival landed this batch's unigrams
+        except ConcurrentWriteError:
+            continue  # a compaction landed mid-attempt; re-pin and retry
+    raise RuntimeError(
+        f"pmi_grids_sink: could not commit batch {batch_id} after 3 "
+        f"attempts (concurrent writers kept advancing {uni_path})"
+    )
+
+
+def _aggregate_compact(
+    spark: SparkSession, table_path: str, key_cols: list, agg_exprs: list
+) -> None:
+    """Fold a delta-append grid's accumulated rows back to one row per
+    key — aggregate-on-compaction (the LSM merge policy applied to
+    additive grids): read the pinned snapshot, re-aggregate, OVERWRITE
+    against that pin. Totals are invariant under the fold, so readers
+    (which aggregate anyway) see the identical relation before and
+    after; optimistic concurrency makes it safe — any commit landing
+    between pin and overwrite aborts the rewrite (staged files cleaned
+    up) and the next cycle retries. Best-effort by design."""
+    from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
+
+    t = LakehouseTable(spark, table_path)
+    rv = t.latest_version()
+    if rv is None:
+        return
+    agg = t.read(version=rv).groupBy(*key_cols).agg(*agg_exprs)
+    try:
+        t.write(agg, mode="overwrite", read_version=rv)
+    except ConcurrentWriteError:
+        pass  # a batch landed mid-rewrite; the next cycle retries
+
+
+def _pmi_grid_totals(
+    spark: SparkSession, pairs_path: str, uni_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (pairs, unigrams) TOTALS relations summed from the
+    delta-append grids — the read-side half of the delta contract,
+    shared by the serve entry and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    pairs = (
+        LakehouseTable(spark, pairs_path)
+        .read()
+        .groupBy("w1", "w2")
+        .agg(F.sum("n_ab").cast("bigint").alias("n_ab"))
+    )
+    uni = (
+        LakehouseTable(spark, uni_path)
+        .read()
+        .groupBy("t")
+        .agg(F.sum("n_t").cast("bigint").alias("n_t"))
+    )
+    return pairs, uni
 
 
 def maintain_pmi_grids(
@@ -7452,32 +7353,28 @@ def maintain_pmi_grids(
     checkpoint: str,
     log_retention: int | None = None,
     optimize_every: int | None = None,
-    optimize_files: int = 8,
-    optimize_max_generations: int = 8,
 ):
     """Run the collocation-grid IVM sink under foreachBatch
-    (availableNow). ``optimize_every=N`` clusters BOTH grids every N
-    batches — INCREMENTALLY, pairs Z-ordered by w1 and unigrams by t
-    (string-surrogate clustering, the rake discipline) — growth
-    contract: pairs = O(distinct adjacent bigrams), unigrams =
-    O(vocabulary) — both sublinear in corpus under Heaps' law."""
+    (availableNow). ``optimize_every=N`` runs the AGGREGATING
+    compaction on both delta-append grids every N batches
+    (``_aggregate_compact``: one row per key again, totals invariant)
+    — growth contract: live rows stay O(distinct adjacent bigrams) /
+    O(vocabulary) amortized, both sublinear in corpus under Heaps'
+    law; between cycles the tables additionally hold at most N
+    batches of delta rows."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
-
-        pmi_grids_sink(batch_df, batch_id, pairs_path, uni_path)
         spark = batch_df.sparkSession
+        pmi_grids_sink(batch_df, batch_id, pairs_path, uni_path)
         if optimize_every and (batch_id + 1) % optimize_every == 0:
-            for path, col in ((pairs_path, "w1"), (uni_path, "t")):
-                try:
-                    LakehouseTable(spark, path).optimize(
-                        target_files=optimize_files,
-                        zorder_by=[col],
-                        incremental=True,
-                        max_generations=optimize_max_generations,
-                    )
-                except ConcurrentWriteError:
-                    pass  # best-effort maintenance; the next cycle retries
+            _aggregate_compact(
+                spark, pairs_path, ["w1", "w2"],
+                [F.sum("n_ab").cast("bigint").alias("n_ab")],
+            )
+            _aggregate_compact(
+                spark, uni_path, ["t"],
+                [F.sum("n_t").cast("bigint").alias("n_t")],
+            )
         for path in (pairs_path, uni_path):
             _maybe_clean_log(spark, path, log_retention)
 
@@ -7487,15 +7384,15 @@ def maintain_pmi_grids(
 def q_streaming_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry for the collocation IVM: replay the
     documents table in 4 doc_id-range micro-batches (mtime-pinned,
-    mid-stream Z-order cycle) through ``maintain_pmi_grids``, then
-    rank PMI from the MAINTAINED grids through the shared
-    ``_pmi_from_grids`` tail — hash-checked against the SAME oracle
-    as the batch ``pmi_bigrams``, proving the phrase-mining surface
-    is servable tokenizing each document exactly once."""
+    mid-stream aggregating-compaction cycle) through
+    ``maintain_pmi_grids``, then rank PMI from the MAINTAINED grids'
+    read-time totals through the shared ``_pmi_from_grids`` tail —
+    hash-checked against the SAME oracle as the batch
+    ``pmi_bigrams``, proving the phrase-mining surface is servable
+    tokenizing each document exactly once."""
     import tempfile
 
     from ..catalog import load_table
-    from ..load.lakehouse import LakehouseTable
     from ..operators.text import _pmi_from_grids
 
     work = tempfile.mkdtemp(prefix="pmi_stream_")
@@ -7521,8 +7418,7 @@ def q_streaming_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         optimize_every=3,
     ).awaitTermination()
     return _pmi_from_grids(
-        LakehouseTable(spark, f"{work}/pairs").read(),
-        LakehouseTable(spark, f"{work}/uni").read(),
+        *_pmi_grid_totals(spark, f"{work}/pairs", f"{work}/uni")
     )
 
 

@@ -33,7 +33,8 @@ def main() -> None:
     out = {}
     for name in names:
         runs = []
-        for rep in range(3):  # rep 0 = excluded warmup
+        n_reps = int(os.environ.get("MINI_BENCH_REPS", "3"))
+        for rep in range(n_reps):  # rep 0 = excluded warmup
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"

@@ -2051,13 +2051,13 @@ def test_rake_source_sink_order_insensitive_and_skips_replay(
         )
         for batch, bid in order:
             assert streaming_events.rake_source_sink(batch, bid, w, p)
+        wt, pt = streaming_events._rake_grid_totals(spark, w, p)
         got_w = {
-            (r.source, r.w): (r.freq, r.deg)
-            for r in LakehouseTable(spark, w).read().collect()
+            (r.source, r.w): (r.freq, r.deg) for r in wt.collect()
         }
         got_p = {
             (r.source, r.phrase): (r.n_words, r.freq)
-            for r in LakehouseTable(spark, p).read().collect()
+            for r in pt.collect()
         }
         assert got_w == want_w and got_p == want_p
         vs = [LakehouseTable(spark, t).latest_version() for t in (w, p)]
@@ -2068,14 +2068,12 @@ def test_rake_source_sink_order_insensitive_and_skips_replay(
         ]
 
 
-def test_rake_source_sink_probe_reads_file_pruned(spark, tmp_path,
-                                                  monkeypatch):
-    """After the maintenance cycle Z-orders the words grid by w and the
-    phrases grid by phrase (string-surrogate clustering), the next
-    batch's prior-grid probes must go through stats-pruned
-    read_where_in on BOTH tables and open strictly fewer files than
-    each grid holds; the pruned fold must still count a returning
-    doc's words/phrases exactly."""
+def test_rake_source_sink_delta_append_and_compaction(spark, tmp_path):
+    """Delta-append layout: each batch lands as append-only delta
+    rows (no probe, no MERGE), read-time totals fold freq/deg sums
+    and the n_words max, and the aggregating compaction bounds live
+    rows to one per key with IDENTICAL totals — a returning doc's
+    words/phrases count exactly."""
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -2090,45 +2088,33 @@ def test_rake_source_sink_probe_reads_file_pruned(spark, tmp_path,
     for b in range(4):
         batch = docs.filter((F.col("doc_id") % 4) == b)
         assert streaming_events.rake_source_sink(batch, b, w, p) is True
-    for path, col in ((w, "w"), (p, "phrase")):
-        lh.LakehouseTable(spark, path).optimize(
-            target_files=40, zorder_by=[col]
-        )
-    live_w = lh.LakehouseTable(spark, w).read().inputFiles()
-    live_p = lh.LakehouseTable(spark, p).read().inputFiles()
-    assert len(live_w) >= 10 and len(live_p) >= 10
-
-    opened = []
-    orig = lh.LakehouseTable.read_where_in
-
-    def spy(self, column, values, version=None):
-        df = orig(self, column, values, version=version)
-        opened.append((column, len(df.inputFiles())))
-        return df
-
-    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
     nxt = spark.createDataFrame(
         [(1000, "w0003a w0003b w0003c", "s0"),
          (1001, "zfresh alone here", "s0")],
         "doc_id long, text string, source string",
     )
     assert streaming_events.rake_source_sink(nxt, 4, w, p) is True
-    cols = {c for c, _ in opened}
-    assert cols == {"w", "phrase"}, opened
-    for col, n_opened in opened:
-        live = len(live_w) if col == "w" else len(live_p)
-        assert n_opened <= 5 < live, (col, n_opened, live)
-    got_w = {
-        r.w: r.freq
-        for r in lh.LakehouseTable(spark, w).read().collect()
-    }
-    assert got_w["w0003a"] == 2 and got_w["zfresh"] == 1
-    got_p = {
-        r.phrase: r.freq
-        for r in lh.LakehouseTable(spark, p).read().collect()
-    }
-    assert got_p["w0003a w0003b w0003c"] == 2
-    assert got_p["zfresh alone here"] == 1
+    # append-only: 5 commits, all operation=append, no merges
+    ops = [e["operation"] for e in lh.LakehouseTable(spark, w).history()]
+    assert ops == ["append"] * 5
+    wt, pt = streaming_events._rake_grid_totals(spark, w, p)
+    got_w = {r.w: (r.freq, r.deg) for r in wt.collect()}
+    assert got_w["w0003a"] == (2, 6) and got_w["zfresh"][0] == 1
+    got_p = {r.phrase: (r.n_words, r.freq) for r in pt.collect()}
+    assert got_p["w0003a w0003b w0003c"] == (3, 2)
+    # compaction folds to one row per key; totals identical
+    streaming_events._aggregate_compact(
+        spark, w, ["source", "w"],
+        [
+            F.sum("freq").cast("bigint").alias("freq"),
+            F.sum("deg").cast("bigint").alias("deg"),
+        ],
+    )
+    raw = lh.LakehouseTable(spark, w).read()
+    assert raw.count() == raw.select("source", "w").distinct().count()
+    wt2, _ = streaming_events._rake_grid_totals(spark, w, p)
+    assert {r.w: (r.freq, r.deg) for r in wt2.collect()} == got_w
+    assert got_p["zfresh alone here"] == (3, 1)
 
 
 def test_rfm_state_sink_order_insensitive_and_skips_replay(spark, tmp_path):
@@ -2161,7 +2147,9 @@ def test_rfm_state_sink_order_insensitive_and_skips_replay(spark, tmp_path):
             r.customer_id: (
                 r.last_order_date, r.frequency, float(r.monetary_dec)
             )
-            for r in LakehouseTable(spark, path).read().collect()
+            for r in streaming_events._rfm_state_totals(
+                spark, path
+            ).collect()
         }
         assert got == want
         v = LakehouseTable(spark, path).latest_version()
@@ -2171,11 +2159,11 @@ def test_rfm_state_sink_order_insensitive_and_skips_replay(spark, tmp_path):
         assert LakehouseTable(spark, path).latest_version() == v
 
 
-def test_rfm_state_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
-    """After the incremental Z-order cycle, the next batch's prior-
-    state probe must read through stats-pruned read_where_in and open
-    strictly fewer files than the state holds; the pruned fold must
-    still lattice a returning customer exactly."""
+def test_rfm_state_sink_delta_append_and_compaction(spark, tmp_path):
+    """Delta-append layout: each batch lands append-only (no probe,
+    no MERGE); a returning customer's totals fold exactly on read,
+    and the aggregating compaction bounds live rows to one per
+    customer with IDENTICAL totals."""
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -2189,21 +2177,6 @@ def test_rfm_state_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     for b in range(4):
         batch = custs.filter((F.col("o_custkey") % 4) == b)
         assert streaming_events.rfm_state_sink(batch, b, path) is True
-    lh.LakehouseTable(spark, path).optimize(
-        target_files=40, zorder_by=["customer_id"]
-    )
-    live = lh.LakehouseTable(spark, path).read().inputFiles()
-    assert len(live) >= 10
-
-    opened = []
-    orig = lh.LakehouseTable.read_where_in
-
-    def spy(self, column, values, version=None):
-        df = orig(self, column, values, version=version)
-        opened.append((column, len(df.inputFiles())))
-        return df
-
-    monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
     nxt = spark.createDataFrame(
         [(3, "2021-06-01", 2.0), (1000, "2021-06-02", 9.0)],
         "o_custkey bigint, o_orderdate string, o_totalprice double",
@@ -2213,15 +2186,38 @@ def test_rfm_state_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
         "o_totalprice",
     )
     assert streaming_events.rfm_state_sink(nxt, 4, path) is True
-    assert opened and opened[0][0] == "customer_id"
-    assert opened[0][1] <= 4 < len(live), (opened, len(live))
+    ops = [
+        e["operation"]
+        for e in lh.LakehouseTable(spark, path).history()
+    ]
+    assert ops == ["append"] * 5
+    tot = streaming_events._rfm_state_totals(spark, path)
     got = {
         r.customer_id: (str(r.last_order_date), r.frequency,
                         float(r.monetary_dec))
-        for r in lh.LakehouseTable(spark, path).read().collect()
+        for r in tot.collect()
     }
     assert got[3] == ("2021-06-01", 2, 7.0)
     assert got[1000] == ("2021-06-02", 1, 9.0)
+    # compaction folds to one row per customer, totals identical
+    streaming_events._aggregate_compact(
+        spark, path, ["customer_id"],
+        [
+            F.max("last_order_date").alias("last_order_date"),
+            F.sum("frequency").cast("bigint").alias("frequency"),
+            F.sum("monetary_dec")
+            .cast("decimal(25,6)")
+            .alias("monetary_dec"),
+        ],
+    )
+    raw = lh.LakehouseTable(spark, path).read()
+    assert raw.count() == raw.select("customer_id").distinct().count()
+    got2 = {
+        r.customer_id: (str(r.last_order_date), r.frequency,
+                        float(r.monetary_dec))
+        for r in streaming_events._rfm_state_totals(spark, path).collect()
+    }
+    assert got2 == got
 
 
 def test_streaming_entries_empty_fact_returns_empty(spark, tmp_path):
@@ -3032,9 +3028,15 @@ def test_session_tails_sink_seam_merge_and_close(spark, tmp_path):
         for r in LakehouseTable(spark, tails).read().collect()
     }
     assert got_tails == {1: (9000, 9000), 2: (5000, 5000), 3: (100, 200)}
+    from pyspark.sql import functions as F
+
     got_grid = {
         r.dur: r.n_death
-        for r in LakehouseTable(spark, grid).read().collect()
+        for r in LakehouseTable(spark, grid)
+        .read()
+        .groupBy("dur")
+        .agg(F.sum("n_death").cast("bigint").alias("n_death"))
+        .collect()
     }
     assert got_grid == {0: 1, 1000: 1, 100: 1}
 
@@ -3166,6 +3168,8 @@ def test_copurchase_sink_additive_grids_threshold_on_read(spark, tmp_path):
     per-item counts and the running basket total ride along; full
     replay is a no-op; within-batch duplicate lineitem rows dedupe at
     basket grain."""
+    from pyspark.sql import functions as F
+
     from retail_sales_etl_spark.load.lakehouse import LakehouseTable
 
     pairs = str(tmp_path / "pairs")
@@ -3184,12 +3188,28 @@ def test_copurchase_sink_additive_grids_threshold_on_read(spark, tmp_path):
 
     pt = LakehouseTable(spark, pairs)
     it = LakehouseTable(spark, items)
+    pair_tot, item_tot = streaming_events._copurchase_grid_totals(
+        spark, pairs, items
+    )
     got_pairs = {
-        (r.a_part, r.b_part): r.n_orders for r in pt.read().collect()
+        (r.a_part, r.b_part): r.n_orders for r in pair_tot.collect()
     }
     assert got_pairs == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
-    got_items = {r.pk: r.n_item for r in it.read().collect()}
+    got_items = {r.pk: r.n_item for r in item_tot.collect()}
     assert got_items == {1: 3, 2: 3, 3: 2}
+    # delta-append layout: pair (1,2) landed once per batch; the
+    # aggregating compaction folds to one row per key, totals intact
+    raw = pt.read()
+    assert raw.count() == 4  # 3 pairs in b0 + 1 delta row in b1
+    streaming_events._aggregate_compact(
+        spark, pairs, ["a_part", "b_part"],
+        [F.sum("n_orders").cast("bigint").alias("n_orders")],
+    )
+    compacted = pt.read()
+    assert compacted.count() == 3
+    assert {
+        (r.a_part, r.b_part): r.n_orders for r in compacted.collect()
+    } == got_pairs
     assert it.latest_value("n_baskets_total") == 4
     assert it.latest_value("orders_hwm") == 6
 
@@ -3234,7 +3254,9 @@ def test_copurchase_sink_out_of_order_batch_fails_loud(spark, tmp_path):
     ) is True
     got = {
         (r.a_part, r.b_part): r.n_orders
-        for r in LakehouseTable(spark, pairs).read().collect()
+        for r in streaming_events._copurchase_grid_totals(
+            spark, pairs, items
+        )[0].collect()
     }
     assert got == {(1, 2): 2}
 
@@ -3277,11 +3299,10 @@ def test_streaming_affinity_serve_matches_batch_wherever_seams_fall(
                 batch, bidx, f"{work}/pairs", f"{work}/items"
             )
         items_t = LakehouseTable(spark, f"{work}/items")
-        pair = (
-            LakehouseTable(spark, f"{work}/pairs")
-            .read()
-            .filter(F.col("n_orders") >= MIN_COPURCHASE)
+        pair_tot, item_tot = streaming_events._copurchase_grid_totals(
+            spark, f"{work}/pairs", f"{work}/items"
         )
+        pair = pair_tot.filter(F.col("n_orders") >= MIN_COPURCHASE)
         total = spark.createDataFrame(
             [(int(items_t.latest_value("n_baskets_total")),)],
             "n_baskets bigint",
@@ -3289,7 +3310,7 @@ def test_streaming_affinity_serve_matches_batch_wherever_seams_fall(
         got = [
             tuple(r)
             for r in _affinity_from_grids(
-                pair, items_t.read(), total
+                pair, item_tot, total
             ).collect()
         ]
         assert got == want, layout
@@ -3372,11 +3393,39 @@ def test_pmi_grids_sink_order_insensitive_and_replay(spark, tmp_path, sf_dir):
     got = [
         tuple(r)
         for r in _pmi_from_grids(
-            LakehouseTable(spark, pairs).read(),
-            LakehouseTable(spark, uni).read(),
+            *streaming_events._pmi_grid_totals(spark, pairs, uni)
         ).collect()
     ]
     assert got == want
+
+    # delta-append layout: each batch landed as delta rows, so a hot
+    # unigram appears once per batch it occurs in, and the read-side
+    # totals sum them; the aggregating compaction folds back to one
+    # row per key with IDENTICAL totals and the identical serve
+    raw_uni = LakehouseTable(spark, uni).read()
+    assert raw_uni.count() > raw_uni.select("t").distinct().count(), (
+        "delta rows expected before compaction"
+    )
+    totals_before = {
+        (r.t, r.n_t)
+        for r in streaming_events._pmi_grid_totals(spark, pairs, uni)[1]
+        .collect()
+    }
+    streaming_events._aggregate_compact(
+        spark, uni, ["t"], [F.sum("n_t").cast("bigint").alias("n_t")]
+    )
+    compacted = LakehouseTable(spark, uni).read()
+    assert compacted.count() == compacted.select("t").distinct().count()
+    assert {
+        (r.t, r.n_t) for r in compacted.collect()
+    } == totals_before
+    got2 = [
+        tuple(r)
+        for r in _pmi_from_grids(
+            *streaming_events._pmi_grid_totals(spark, pairs, uni)
+        ).collect()
+    ]
+    assert got2 == want
 
 
 def test_session_tails_retirement_bounds_tails_and_serves_nonretired(
