@@ -4268,7 +4268,6 @@ def q_streaming_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..catalog import load_table
-    from ..load.lakehouse import LakehouseTable
     from ..plans.behavioral import _rfm_rank
 
     work = tempfile.mkdtemp(prefix="rfm_stream_")
