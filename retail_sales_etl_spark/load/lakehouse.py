@@ -498,7 +498,6 @@ class LakehouseTable:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow ships with pyspark
             return None
-        import math
 
         metas = []
         total_bytes = total_rows = 0
@@ -586,11 +585,12 @@ class LakehouseTable:
                     # valid UTF-8 — same as Spark), dates
                     vals = dense.to_pylist()
                     mn, mx = min(vals), max(vals)
-                if isinstance(mn, float) and math.isnan(mn):
-                    # all-NaN float column: keep the manifest
-                    # JSON-safe; no range can prove anything about it
-                    fstats[c] = [None, None, nulls]
-                    continue
+                # NaN min/max pass through exactly like the
+                # distributed path (json carries NaN the same way
+                # collect() does): Spark's order puts NaN above every
+                # value, so a range/IN probe CAN match those rows —
+                # storing the all-NULL marker here instead would let
+                # pruning silently skip them.
                 fstats[c] = [_stat_json(mn), _stat_json(mx), nulls]
             stats[base] = fstats
         return stats, rows
@@ -1014,6 +1014,18 @@ class LakehouseTable:
             mn, mx = s[0], s[1]
             if mn is None:  # every value in the file is NULL
                 continue
+            if isinstance(mn, float) and mn != mn:
+                # all-NaN file: a bisect against NaN bounds proves
+                # nothing (every comparison is False) — keep
+                keep.append(f)
+                continue
+            if isinstance(mx, float) and mx != mx:
+                # NaN max (file holds some NaN under Spark's
+                # NaN-greatest order) = unbounded above: keep if any
+                # probe value sits at or above the real min
+                if bisect.bisect_left(vals, mn) < len(vals):
+                    keep.append(f)
+                continue
             i = bisect.bisect_left(vals, mn)
             if i < len(vals) and vals[i] <= mx:
                 keep.append(f)
@@ -1145,24 +1157,45 @@ class LakehouseTable:
         from pyspark import StorageLevel
 
         updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_pinned(
+                updates, keys, extra, read_version, deletes, conflict_on,
+                prune_keys, live, last, target,
+            )
+        finally:
+            # released here (not only around the commit) so an
+            # exception anywhere in detection/staging doesn't leak the
+            # cached update set for the session's lifetime
+            updates.unpersist()
+
+    def _merge_pinned(
+        self, updates, keys, extra, read_version, deletes, conflict_on,
+        prune_keys, live, last, target,
+    ) -> dict:
         change_keys = updates.select(*keys)
         if deletes is not None:
             change_keys = change_keys.unionByName(deletes.select(*keys))
         change_keys = change_keys.distinct()
 
         if prune_keys is None:
-            cap = self._MERGE_AUTO_PRUNE_CAP
-            auto = (
-                change_keys.select(keys[0])
-                .distinct()
-                .limit(cap + 1)
-                .collect()
-            )
-            prune_keys = (
-                (keys[0], [r[0] for r in auto])
-                if len(auto) <= cap
-                else (keys[0], None)
-            )
+            # auto-prune only when the first PK column carries stats —
+            # a boolean/decimal/binary key has no manifest entry and
+            # _normalize_bound would (rightly) reject its bounds
+            if dict(target.dtypes).get(keys[0]) in self._STATS_DTYPES:
+                cap = self._MERGE_AUTO_PRUNE_CAP
+                auto = (
+                    change_keys.select(keys[0])
+                    .distinct()
+                    .limit(cap + 1)
+                    .collect()
+                )
+                prune_keys = (
+                    (keys[0], [r[0] for r in auto])
+                    if len(auto) <= cap
+                    else (keys[0], None)
+                )
+            else:
+                prune_keys = (keys[0], None)
         prune_col, prune_vals = prune_keys
         if prune_vals is not None:
             cand_files, _, _, _ = self._prune_files_in(
@@ -1229,8 +1262,6 @@ class LakehouseTable:
                 except OSError:
                     pass
             raise
-        finally:
-            updates.unpersist()
         return {
             "version": v,
             "files_rewritten": len(touched_files),
@@ -1548,9 +1579,20 @@ class LakehouseTable:
         # manifest replaces a whole count() job per maintenance cycle.
         # Any rewrite file from a pre-__nrows__ commit falls back to
         # the count — never to a skipped check.
+        # A stats-eligible table column literally named __nrows__ owns
+        # that manifest slot (its genuine [min, max, nulls] — see
+        # _stage_files), so the pseudo-count is absent: fall back to
+        # the count job rather than summing null counts.
+        nrows_shadowed = any(
+            f.name == "__nrows__"
+            and f.dataType.simpleString() in self._STATS_DTYPES
+            for f in schema.fields
+        )
         _, _, all_stats = self._replay_stats(as_of=read_version)
         known = [all_stats.get(f, {}).get("__nrows__") for f in rewrite]
-        if rewrite and all(k is not None for k in known):
+        if rewrite and not nrows_shadowed and all(
+            k is not None for k in known
+        ):
             n_before = sum(int(k[2]) for k in known)
         elif rewrite:
             n_before = df.count()

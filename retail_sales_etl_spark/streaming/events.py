@@ -4234,18 +4234,21 @@ def maintain_rfm(
             if wm is not None:
                 # fold deltas to one row per customer FIRST: the
                 # whole-customer retirement decision needs the folded
-                # max(last_order_date), never a per-delta-row cutoff
-                _aggregate_compact(
+                # max(last_order_date), never a per-delta-row cutoff —
+                # so if the fold lost its commit race, DEFER the
+                # retirement to the next cycle too (a per-delta-row
+                # cutoff would drop an active customer's old rows)
+                if _aggregate_compact(
                     spark, state_path, ["customer_id"], _rfm_aggs
-                )
-                try:
-                    LakehouseTable(spark, state_path).retire_below(
-                        "last_order_date",
-                        wm - dt.timedelta(days=retire_horizon_days),
-                        extra={"retire_wm_date": wm.isoformat()},
-                    )
-                except ConcurrentWriteError:
-                    pass  # best-effort; the next cycle retries
+                ):
+                    try:
+                        LakehouseTable(spark, state_path).retire_below(
+                            "last_order_date",
+                            wm - dt.timedelta(days=retire_horizon_days),
+                            extra={"retire_wm_date": wm.isoformat()},
+                        )
+                    except ConcurrentWriteError:
+                        pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             _aggregate_compact(
                 spark, state_path, ["customer_id"], _rfm_aggs
@@ -7300,7 +7303,7 @@ def pmi_grids_sink(
 
 def _aggregate_compact(
     spark: SparkSession, table_path: str, key_cols: list, agg_exprs: list
-) -> None:
+) -> bool:
     """Fold a delta-append grid's accumulated rows back to one row per
     key — aggregate-on-compaction (the LSM merge policy applied to
     additive grids): read the pinned snapshot, re-aggregate, OVERWRITE
@@ -7308,18 +7311,23 @@ def _aggregate_compact(
     (which aggregate anyway) see the identical relation before and
     after; optimistic concurrency makes it safe — any commit landing
     between pin and overwrite aborts the rewrite (staged files cleaned
-    up) and the next cycle retries. Best-effort by design."""
+    up) and the next cycle retries. Best-effort by design. Returns
+    whether the fold COMMITTED (an empty table counts: there is
+    nothing unfolded) — a caller whose next step assumes one row per
+    key (RFM retirement's whole-customer cutoff) must skip that step
+    on False."""
     from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
 
     t = LakehouseTable(spark, table_path)
     rv = t.latest_version()
     if rv is None:
-        return
+        return True
     agg = t.read(version=rv).groupBy(*key_cols).agg(*agg_exprs)
     try:
         t.write(agg, mode="overwrite", read_version=rv)
     except ConcurrentWriteError:
-        pass  # a batch landed mid-rewrite; the next cycle retries
+        return False  # a batch landed mid-rewrite; the next cycle retries
+    return True
 
 
 def _pmi_grid_totals(

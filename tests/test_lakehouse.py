@@ -1280,18 +1280,19 @@ def _nasty_df(spark):
     import datetime as dt
 
     rows = [
-        (1, "zebra", -5.0, dt.date(2020, 1, 3),
+        (1, "zebra", -5.0, float("nan"), dt.date(2020, 1, 3),
          dt.datetime(2020, 1, 1, 12, 30, 15), None),
-        (2, "Ärger", float("nan"), dt.date(2019, 12, 31),
+        (2, "Ärger", float("nan"), float("nan"), dt.date(2019, 12, 31),
          dt.datetime(2021, 6, 30, 23, 59, 59), None),
-        (-7, "apple", None, None,
+        (-7, "apple", None, None, None,
          None, None),
-        (0, None, 2.25, dt.date(2024, 2, 29),
+        (0, None, 2.25, float("nan"), dt.date(2024, 2, 29),
          dt.datetime(2019, 1, 1, 0, 0, 0), None),
     ]
     return spark.createDataFrame(
         rows,
-        "i bigint, s string, x double, d date, ts timestamp, allnull string",
+        "i bigint, s string, x double, xn double, d date, ts timestamp, "
+        "allnull string",
     )
 
 
@@ -1408,3 +1409,64 @@ def test_optimize_row_accounting_from_manifest(spark, table, monkeypatch):
     assert res["rows_rewritten"] == 50
     assert calls["n"] == 0, "manifest row accounting must not run count()"
     assert table.read().count() == 50
+
+
+def test_nan_stats_keep_files_for_probes(spark, tmp_path):
+    """NaN min/max in the manifest must never prune a file: Spark's
+    total order puts NaN above every value, so a range or IN probe on
+    a NaN-bearing (or all-NaN) float column CAN match its rows —
+    both stats paths must store NaN (not the all-NULL marker) and the
+    prune must conservatively keep such files."""
+    rows = [(1, 1.0, float("nan")), (2, float("nan"), float("nan"))]
+    df = spark.createDataFrame(rows, "id bigint, x double, xn double")
+    t = LakehouseTable(spark, str(tmp_path / "nan_t"))
+    t.write(df.coalesce(1), mode="append")
+
+    stats = list(t.latest_entry()["stats"].values())[0]
+    assert stats["x"][0] == 1.0 and repr(stats["x"][1]) == "nan"
+    assert repr(stats["xn"][0]) == "nan", "all-NaN must not look all-NULL"
+
+    # partial-NaN file: probe on the real value must keep + return it
+    keep, n_live = t.prune_files_in("x", [1.0])
+    assert len(keep) == 1 and n_live == 1
+    assert {r.id for r in t.read_where_in("x", [1.0]).collect()} == {1}
+    assert {r.id for r in t.read_where("x", 0.5, 2.0).collect()} == {1}
+    # all-NaN file: stats prove nothing for an equality probe — kept
+    keep, _ = t.prune_files_in("xn", [5.0])
+    assert len(keep) == 1
+    keep, _ = t.prune_files("xn", lower=0.0)
+    assert len(keep) == 1
+
+
+def test_merge_boolean_pk_skips_auto_prune(spark, tmp_path):
+    """A merge whose first PK column is a non-stats dtype (boolean)
+    must fall back to the unpruned detection scan instead of crashing
+    in bound normalization."""
+    t = LakehouseTable(spark, str(tmp_path / "bool_pk"))
+    t.write(
+        spark.createDataFrame(
+            [(True, 1), (False, 2)], "k boolean, v bigint"
+        ),
+        mode="append",
+    )
+    t.merge(
+        spark.createDataFrame([(True, 10)], "k boolean, v bigint"), ["k"]
+    )
+    assert {r.k: r.v for r in t.read().collect()} == {True: 10, False: 2}
+
+
+def test_optimize_counts_when_nrows_is_a_real_column(spark, tmp_path):
+    """A stats-eligible table column literally named __nrows__ owns
+    its manifest slot, so optimize() must fall back to the count job
+    for row accounting instead of summing that column's null
+    counts."""
+    t = LakehouseTable(spark, str(tmp_path / "nrows_col"))
+    t.write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(25)], "id bigint, __nrows__ bigint"
+        ),
+        mode="append",
+    )
+    res = t.optimize(target_files=1)
+    assert res["rows_rewritten"] == 25
+    assert t.read().count() == 25

@@ -1543,11 +1543,14 @@ def test_flac_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):
     assert "doc_id" in read_schema and "text" not in read_schema
 
 
-def test_copurchase_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
-    """After the maintenance cycle Z-orders the pair grid by a_part,
-    the next batch's prior-grid probe must read the pinned snapshot
-    through stats-pruned read_where_in and OPEN strictly fewer files
-    than the grid holds."""
+def test_copurchase_sink_appends_deltas_without_prior_grid_probe(
+    spark, tmp_path, monkeypatch
+):
+    """Delta-append contract: each batch lands its pair partials as an
+    append-only commit — NO probe of the prior grid (neither
+    read_where_in nor a merge rewrite), totals fold on read, and the
+    aggregating compaction re-bounds live rows to one per key with
+    identical totals."""
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -1556,41 +1559,64 @@ def test_copurchase_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     pairs = str(tmp_path / "pairs")
     items = str(tmp_path / "items")
     # 4 batches x 40 orders, each order a 2-item basket on a distinct
-    # part range -> a wide pair grid
+    # part range -> a wide pair grid; plus one hot recurring pair so
+    # delta rows genuinely accumulate across batches
     for b in range(4):
         rows = []
         for o in range(40):
-            key = b * 40 + o
-            rows.append((key, key * 2))
-            rows.append((key, key * 2 + 1))
+            key = b * 100 + o
+            rows.append((key, key * 2 + 100))
+            rows.append((key, key * 2 + 101))
+        rows.append((b * 100 + 40, 6))
+        rows.append((b * 100 + 40, 7))
         batch = spark.createDataFrame(
             rows, "l_orderkey bigint, l_partkey bigint"
         )
         assert streaming_events.copurchase_sink(
             batch, b, pairs, items
         ) is True
-    lh.LakehouseTable(spark, pairs).optimize(
-        target_files=40, zorder_by=["a_part"]
-    )
-    live = lh.LakehouseTable(spark, pairs).read().inputFiles()
-    assert len(live) >= 20
 
-    opened = []
+    probed = []
     orig = lh.LakehouseTable.read_where_in
 
     def spy(self, column, values, version=None):
-        df = orig(self, column, values, version=version)
-        opened.append((column, len(df.inputFiles())))
-        return df
+        probed.append((self.path, column))
+        return orig(self, column, values, version=version)
 
     monkeypatch.setattr(lh.LakehouseTable, "read_where_in", spy)
     nxt = spark.createDataFrame(
         [(10_000, 6), (10_000, 7)], "l_orderkey bigint, l_partkey bigint"
     )
     assert streaming_events.copurchase_sink(nxt, 4, pairs, items) is True
-    probes = [o for o in opened if o[0] == "a_part"]
-    assert probes, "prior-pair probe did not go through read_where_in"
-    assert probes[0][1] <= 4 < len(live), (probes[0][1], len(live))
+    pair_probes = [p for p in probed if p[0] == pairs]
+    assert not pair_probes, pair_probes
+    # every pair-grid commit is an append (no merge rewrites)
+    ops = [
+        e["operation"] for e in lh.LakehouseTable(spark, pairs).history()
+    ]
+    assert set(ops) == {"append"} and len(ops) == 5
+    # read-time totals fold the hot pair's 5 delta rows
+    pair_tot, _ = streaming_events._copurchase_grid_totals(
+        spark, pairs, items
+    )
+    got = {(r.a_part, r.b_part): r.n_orders for r in pair_tot.collect()}
+    assert got[(6, 7)] == 5
+    raw = lh.LakehouseTable(spark, pairs).read()
+    assert raw.filter("a_part = 6 AND b_part = 7").count() == 5
+    # aggregating compaction re-bounds to one live row per key,
+    # totals identical
+    streaming_events._aggregate_compact(
+        spark, pairs, ["a_part", "b_part"],
+        [F.sum("n_orders").cast("bigint").alias("n_orders")],
+    )
+    compacted = lh.LakehouseTable(spark, pairs).read()
+    assert compacted.filter("a_part = 6 AND b_part = 7").count() == 1
+    pair_tot2, _ = streaming_events._copurchase_grid_totals(
+        spark, pairs, items
+    )
+    assert {
+        (r.a_part, r.b_part): r.n_orders for r in pair_tot2.collect()
+    } == got
 
 
 def test_flac_fixed_pipeline_is_shuffle_free_and_column_pruned(spark, sf_dir):

@@ -1897,6 +1897,57 @@ def test_rfm_retirement_bounds_live_state_under_churn(spark, tmp_path):
     assert got[1].last_order_date == d0 + dt.timedelta(days=200)
 
 
+def test_rfm_retirement_skipped_when_compact_aborts(
+    spark, tmp_path, monkeypatch
+):
+    """If the pre-retire aggregating compaction loses its commit race
+    (ConcurrentWriteError), the retirement cycle must be DEFERRED: a
+    per-delta-row date cutoff would drop an active customer's older
+    contributions. No retire commit may land that cycle."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from retail_sales_etl_spark.load import lakehouse as lh
+    from retail_sales_etl_spark.load.lakehouse import LakehouseTable
+
+    d0 = dt.date(2020, 1, 1)
+    schema = "o_custkey bigint, o_orderdate date, o_totalprice double"
+    # customer 1 orders in both batches; its batch-0 delta row (day 0)
+    # is behind the horizon at batch 1's watermark (day 400)
+    batches = [
+        [(1, d0, 10.0)],
+        [(1, d0 + dt.timedelta(days=400), 2.0)],
+    ]
+    src = str(tmp_path / "src")
+    _write_stream_files(spark, src, batches, schema)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    orig_write = lh.LakehouseTable.write
+
+    def failing_overwrite(self, df, mode="append", **kw):
+        if mode == "overwrite" and self.path == state:
+            raise lh.ConcurrentWriteError("injected mid-rewrite commit")
+        return orig_write(self, df, mode=mode, **kw)
+
+    monkeypatch.setattr(lh.LakehouseTable, "write", failing_overwrite)
+    streaming_events.maintain_rfm(
+        stream, state, str(tmp_path / "ckpt"),
+        retire_every=1, retire_horizon_days=100,
+    ).awaitTermination()
+    ops = [e["operation"] for e in LakehouseTable(spark, state).history()]
+    assert "retire" not in ops, ops
+    got = {
+        r.customer_id: (r.frequency, r.monetary_dec)
+        for r in streaming_events._rfm_state_totals(spark, state).collect()
+    }
+    assert got == {1: (2, Decimal("12.000000"))}
+
+
 def test_cohort_retirement_bounds_firsts_and_state(spark, tmp_path):
     """Cohort-LTV retirement bounds BOTH per-customer tables: state
     months older than the horizon drop (stats-bounded), then firsts
