@@ -422,6 +422,41 @@ def main() -> None:
         spark.catalog.clearCache()
     _stamp("headline_end")
 
+    # Contention re-rep (r19 verdict item 7; additions-only): a
+    # headline entry whose measured reps spread like a host window
+    # (the same shape the contention flag keys on) gets up to 2 extra
+    # reps, and the headline metric takes the min across ALL reps —
+    # min-of-N estimates the machine-independent cost, and under a
+    # transient window min-of-3 is biased UP, so the re-rep recovers
+    # the quiet-box value instead of absorbing the window into the
+    # round-over-round total (both r19 driver runs were
+    # contention-flagged; tier-2 already re-reps via TIER2_REREP_SEC).
+    # Every uniform-protocol number is STILL recorded (rep_times,
+    # value_uniform) so cross-round readers compare like-for-like.
+    def _elevated(runs: list[float]) -> bool:
+        lo = min(runs)
+        return lo > 0 and (max(runs) - lo) > max(0.5, 0.5 * lo)
+
+    timings_uniform = dict(timings)
+    headline_rereps: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        if not _elevated(rep_times[name]):
+            continue
+        extras: list[float] = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            extras.append(round(time.perf_counter() - t0, 3))
+            if extras[-1] <= 1.1 * min(rep_times[name]):
+                break  # landed at the quiet floor; enough evidence
+        headline_rereps[name] = extras
+        timings[name] = round(min(timings[name], *extras), 3)
+        spark.catalog.clearCache()
+    if headline_rereps:
+        _stamp("headline_rerep_end")
+
     timings["lakehouse_read_where"] = round(_bench_lakehouse_read(spark, sf_dir), 3)
 
     # Pinned tier-2: the most expensive entries timed EVERY round
@@ -539,6 +574,13 @@ def main() -> None:
     _stamp("tier2_end")
 
     total = round(sum(timings.values()), 3)
+    # the old-protocol (uniform min-of-`reps`, no re-rep) total, kept
+    # for like-for-like cross-round comparison
+    uniform_total = round(
+        total
+        + sum(timings_uniform[n] - timings[n] for n in headline_rereps),
+        3,
+    )
     tier2_total = round(sum(tier2.values()), 3)
     tier2_pinned_total = round(sum(tier2_pinned.values()), 3)
     load_end = _loadavg()  # captured once; both output lines share it
@@ -552,10 +594,6 @@ def main() -> None:
     # queries show any-rep spikes, or when the legacy-16 floor leaves
     # its quiet band WITH rep-shape evidence — so a quiet-run
     # regression (flat reps, out of band) still reads as a regression.
-    def _elevated(runs: list[float]) -> bool:
-        lo = min(runs)
-        return lo > 0 and (max(runs) - lo) > max(0.5, 0.5 * lo)
-
     elevated = [n for n, runs in rep_times.items() if _elevated(runs)]
     elevated += [
         n for n, runs in tier2_pinned_reps.items() if _elevated(runs)
@@ -582,6 +620,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "value_uniform": uniform_total,
+            "headline_rereps": headline_rereps,
             "spread": spreads,
             "rep_times": rep_times,
             "warmup_times": warmup_times,
@@ -630,6 +670,8 @@ def main() -> None:
             "tier2_n": len(tier2),
             "tier2_total": tier2_total,
             "tier2_pinned_total": tier2_pinned_total,
+            "value_uniform": uniform_total,
+            "n_rereps": len(headline_rereps),
             "contention_flag": contention["flag"],
             "n_elevated": contention["n_elevated"],
             "legacy16_band_ok": not legacy16_out_of_band,

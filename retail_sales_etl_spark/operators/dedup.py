@@ -122,10 +122,32 @@ def _mh_expr_sql(j: int) -> str:
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc minhash signature: string-min over seeded hash slices."""
+    """Per-doc minhash signature: string-min over seeded hash slices.
+
+    The two seeded digests are STAGED in a projection below the
+    aggregate (h0/h1 computed once per shingle row); the 8 min()
+    aggregates then slice substrings of the staged columns. Spark's
+    subexpression elimination does not span separate aggregate
+    function children, so the inlined form (``_mh_expr_sql``, kept
+    for the DuckDB oracle text) digests every shingle 8 times — 4x
+    the hash work per row for identical values."""
     sh = _shingles(docs)
-    aggs = [F.expr(f"{_mh_expr_sql(s)} AS mh{s}") for s in range(N_MINHASH)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    staged = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle"))).alias(
+                f"h{seed}"
+            )
+            for seed in (0, 1)
+        ],
+    )
+    aggs = [
+        F.min(
+            F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8)
+        ).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    return staged.groupBy("doc_id").agg(*aggs)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5548,9 +5548,9 @@ def bm25_index_sink(
         ).select(F.lit("df").alias("kind"), "w", "v", "v2")
         corpus = toks.agg(
             F.count(F.lit(1)).cast("bigint").alias("v"),
-            # coalesce: an EMPTY batch sums to NULL, and the additive
-            # combine only guards the STORED side — a NULL partial
-            # would overwrite (and destroy) the accumulated sum_dl.
+            # coalesce: an EMPTY batch sums to NULL, and the read-time
+            # fold sums whatever landed — a NULL partial would poison
+            # the accumulated sum_dl.
             F.coalesce(F.sum(F.size("ws")), F.lit(0))
             .cast("bigint")
             .alias("v2"),
@@ -5559,29 +5559,68 @@ def bm25_index_sink(
         )
         partial = dfreq.unionByName(corpus)
 
-        def combine(p: DataFrame, c: DataFrame) -> DataFrame:
-            return (
-                p.alias("p")
-                .join(c.alias("c"), ["kind", "w"], "left")
-                .select(
-                    "kind",
-                    "w",
-                    (
-                        F.col("p.v") + F.coalesce(F.col("c.v"), F.lit(0))
-                    ).cast("bigint").alias("v"),
-                    (
-                        F.col("p.v2") + F.coalesce(F.col("c.v2"), F.lit(0))
-                    ).cast("bigint").alias("v2"),
+        # DELTA-APPEND stats grid (the pmi/rake pattern): df counts and
+        # the corpus (n_docs, sum_dl) row are purely additive over
+        # disjoint doc sets, yet the old MERGE fold rewrote most of the
+        # vocabulary-sized grid EVERY batch (common words recur in
+        # every batch, so the rewrite had no key locality to exploit).
+        # The batch partial now lands append-only — no prior-grid read,
+        # no touched-file scan, O(batch partial) write volume — totals
+        # fold on read (``_bm25_stats_totals``) and the maintenance
+        # cycle's aggregating compaction re-bounds live rows.
+        stats_t = LakehouseTable(spark, stats_path)
+        folded = False
+        for _ in range(3):
+            rv_s = stats_t.latest_version()
+            hwm_s = stats_t.latest_value("bm25_batch_hwm", as_of=rv_s)
+            if _landed_on(stats_t, batch_id, rv_s, hwm_s):
+                break
+            try:
+                stats_t.write(
+                    partial,
+                    mode="append",
+                    extra={
+                        "batch_id": batch_id,
+                        "bm25_batch_hwm": max(
+                            batch_id, hwm_s if hwm_s is not None else batch_id
+                        ),
+                    },
+                    conflict_on="batch_id",
+                    read_version=rv_s,
+                    monotone_max=("bm25_batch_hwm",),
                 )
+                folded = True
+                break
+            except DuplicateCommitError:
+                break  # a rival landed this batch's stats partial
+            except ConcurrentWriteError:
+                continue  # a compaction landed mid-attempt; re-pin
+        else:
+            raise RuntimeError(
+                f"bm25_index_sink: could not append stats for batch "
+                f"{batch_id} after 3 attempts (rivals kept advancing "
+                f"{stats_path})"
             )
-
-        folded = _additive_grid_sink(
-            batch_df, batch_id, stats_path, "bm25_batch_hwm",
-            ["kind", "w"], partial, combine, "bm25_index_sink",
-        )
         return wrote or folded
     finally:
         grid.unpersist()
+
+
+def _bm25_stats_totals(spark: SparkSession, stats_path: str) -> DataFrame:
+    """The maintained BM25 stats TOTALS relation summed from the
+    delta-append grid — the read-side half of the delta contract
+    (kind, w, v, v2), shared by the serve entry and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    return (
+        LakehouseTable(spark, stats_path)
+        .read()
+        .groupBy("kind", "w")
+        .agg(
+            F.sum("v").cast("bigint").alias("v"),
+            F.sum("v2").cast("bigint").alias("v2"),
+        )
+    )
 
 
 def maintain_bm25_index(
@@ -5598,7 +5637,9 @@ def maintain_bm25_index(
     ``optimize_every=N`` Z-orders the POSTINGS table by term every N
     batches — INCREMENTALLY (the dedup-index discipline), which is
     what makes a query's per-term posting reads file-level data
-    skipping instead of full postings scans."""
+    skipping instead of full postings scans — and runs the AGGREGATING
+    compaction on the delta-append stats grid (one row per (kind, w)
+    again, totals invariant)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..load.lakehouse import ConcurrentWriteError, LakehouseTable
@@ -5615,6 +5656,13 @@ def maintain_bm25_index(
                 )
             except ConcurrentWriteError:
                 pass  # best-effort maintenance; the next cycle retries
+            _aggregate_compact(
+                spark, stats_path, ["kind", "w"],
+                [
+                    F.sum("v").cast("bigint").alias("v"),
+                    F.sum("v2").cast("bigint").alias("v2"),
+                ],
+            )
         for path in (postings_path, stats_path):
             _maybe_clean_log(spark, path, log_retention)
 
@@ -5661,7 +5709,7 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         optimize_every=3,
     ).awaitTermination()
 
-    sgrid = LakehouseTable(spark, f"{work}/stats").read()
+    sgrid = _bm25_stats_totals(spark, f"{work}/stats")
     dfreq = sgrid.where(
         (F.col("kind") == "df") & F.col("w").isin(*BM25_QUERY)
     ).select("w", F.col("v").alias("df"))
@@ -5735,23 +5783,30 @@ def q_streaming_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.lit(1).alias("hit"))
     )
 
-    _, _, cells_ivf = _maintained_ivf_probe(spark, work, nprobe=2)
+    # ONE routing pass serves both approximate members: _route_probes
+    # ranks cells by (ccos desc, cell), so the IVF member's nprobe=2
+    # cell set is exactly the 2-prefix of the PQ member's
+    # IVFPQ_NPROBE set — probing twice re-read the centroid grid, the
+    # query vector and re-ran the routing job for a prefix the first
+    # pass already had. One file-pruned cell read serves both members
+    # too: read_where_in is exact, so restricting the wider read to
+    # the prefix cells is row-identical to the narrower read.
+    _, _, cells_pq = _maintained_ivf_probe(
+        spark, work, nprobe=max(2, IVFPQ_NPROBE)
+    )
+    cells_ivf = cells_pq[:2]
+    probed = vectors.read_where_in("label", cells_pq).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
     ivf = _ivf_rank(
-        vectors.read_where_in("label", cells_ivf).filter(
-            F.col("vec_id") != QUERY_VEC_ID
-        ),
+        probed.filter(F.col("label").isin(cells_ivf)),
         query,
         TOP_K,
     ).select("vec_id")
 
-    _, _, cells_pq = _maintained_ivf_probe(
-        spark, work, nprobe=IVFPQ_NPROBE
-    )
     codebook = _pq_codebook_sampled(emb_all.select("vec_id", "v"))
     pcodes = _pq_code(
-        vectors.read_where_in("label", cells_pq)
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "v"),
+        probed.select("vec_id", "v"),
         codebook,
     )
     pq = _pq_retrieve(

@@ -2927,6 +2927,8 @@ def test_bm25_index_sink_order_insensitive_and_skips_replay(
     def _batch(rows):
         return spark.createDataFrame(rows, "doc_id bigint, text string")
 
+    from pyspark.sql import functions as F
+
     b0 = _batch([(1, "apple banana apple"), (2, "banana cherry")])
     b1 = _batch([(3, "apple date"), (4, "cherry cherry date")])
     want_df = {"apple": 2, "banana": 2, "cherry": 2, "date": 2}
@@ -2942,11 +2944,31 @@ def test_bm25_index_sink_order_insensitive_and_skips_replay(
         assert posts[("apple", 1)] == (2, 3), order
         assert posts[("cherry", 4)] == (2, 3), order
         assert len(posts) == 8, order
-        grid = LakehouseTable(spark, sp).read().collect()
+        # delta-append stats grid: every commit is an append, totals
+        # fold on read
+        ops = [
+            e["operation"]
+            for e in LakehouseTable(spark, sp).history()
+        ]
+        assert set(ops) == {"append"}, order
+        grid = streaming_events._bm25_stats_totals(spark, sp).collect()
         got_df = {r.w: r.v for r in grid if r.kind == "df"}
         assert got_df == want_df, order
         (corpus,) = [r for r in grid if r.kind == "corpus"]
         assert (corpus.v, corpus.v2) == (4, 3 + 2 + 2 + 3), order
+        # the aggregating compaction re-bounds live rows to one per
+        # key with IDENTICAL totals
+        streaming_events._aggregate_compact(
+            spark, sp, ["kind", "w"],
+            [
+                F.sum("v").cast("bigint").alias("v"),
+                F.sum("v2").cast("bigint").alias("v2"),
+            ],
+        )
+        raw = LakehouseTable(spark, sp).read()
+        assert raw.count() == raw.select("kind", "w").distinct().count()
+        grid2 = streaming_events._bm25_stats_totals(spark, sp).collect()
+        assert {r.w: r.v for r in grid2 if r.kind == "df"} == want_df
     pp, sp = str(tmp_path / "p_fwd"), str(tmp_path / "s_fwd")
     pv = LakehouseTable(spark, pp).latest_version()
     sv = LakehouseTable(spark, sp).latest_version()
@@ -2974,7 +2996,7 @@ def test_bm25_index_sink_empty_batch_preserves_stats(spark, tmp_path):
     streaming_events.bm25_index_sink(b0, 0, pp, sp)
     streaming_events.bm25_index_sink(empty, 1, pp, sp)
     streaming_events.bm25_index_sink(b2, 2, pp, sp)
-    grid = LakehouseTable(spark, sp).read().collect()
+    grid = streaming_events._bm25_stats_totals(spark, sp).collect()
     (corpus,) = [r for r in grid if r.kind == "corpus"]
     assert corpus.v == 3
     assert corpus.v2 == 3 + 2 + 2  # sum_dl survives the empty batch
