@@ -886,6 +886,33 @@ class LakehouseTable:
         paths = [os.path.join(self.path, f) for f in live]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def live_rows(self, version: int | None = None) -> int | None:
+        """Total live row count by PURE LOG ARITHMETIC (the
+        ``__nrows__`` manifest per-file counts) — no file opened, no
+        Spark job. Returns None when any live file predates the
+        manifest row counts, or when a real stats-eligible table
+        column is literally named ``__nrows__`` (its manifest slot
+        holds genuine column stats) — callers must treat None as
+        "unknown", never as zero."""
+        live, last, stats = self._replay_stats(as_of=version)
+        if last is None:
+            return None
+        if "schema" in last:
+            schema = StructType.fromJson(json.loads(last["schema"]))
+            if any(
+                f.name == "__nrows__"
+                and f.dataType.simpleString() in self._STATS_DTYPES
+                for f in schema.fields
+            ):
+                return None
+        total = 0
+        for f in live:
+            k = stats.get(f, {}).get("__nrows__")
+            if k is None:
+                return None
+            total += int(k[2])
+        return total
+
     def prune_files(
         self,
         column: str,

@@ -764,6 +764,29 @@ above this cap falls back to the full pinned read rather than build an
 oversized IN-list plan."""
 
 
+_PROBE_SMALL_INDEX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PROBE_SMALL_INDEX_ROWS", 100_000)
+)
+"""Below this many live index rows (manifest ``__nrows__`` count —
+pure log arithmetic, no job), a sink's prior-state read skips the
+probe-key collection and reads the pinned table whole: file pruning
+pays when the INDEX dwarfs the batch's key set, but at metadata scale
+the driver round-trip of tens of thousands of key strings per batch
+costs more than scanning the whole small table (measured: decon
+collected ~59k 5-gram strings per batch to prune a 6.5k-row index).
+As the index grows past the threshold the collect+prune path resumes
+automatically — the scale story is unchanged."""
+
+
+def _skip_probe_collect(table, version) -> bool:
+    """True when the pinned index is small enough (see
+    ``_PROBE_SMALL_INDEX_ROWS``) that one full read beats collecting
+    the batch's probe keys. Unknown row counts (pre-manifest commits)
+    keep the probe path — never guess small."""
+    n = table.live_rows(version=version)
+    return n is not None and n <= _PROBE_SMALL_INDEX_ROWS
+
+
 def _probe_keys_or_warn(probe_keys: DataFrame, batch_id: int, name: str,
                         column: str) -> list | None:
     """Collect a batch's distinct probe keys for file-level data
@@ -852,9 +875,15 @@ def _dedup_sink_commit(
         else:
             if keys == () and probe_column is not None and probe_keys is not None:
                 # collected lazily: the very first batch has no index
-                # to probe, so it never pays the key-collection job
-                keys = _probe_keys_or_warn(
-                    probe_keys, batch_id, name, probe_column
+                # to probe, so it never pays the key-collection job —
+                # and a metadata-scale index skips the collection
+                # outright (one full read beats the driver round-trip)
+                keys = (
+                    None
+                    if _skip_probe_collect(idx, rv_i)
+                    else _probe_keys_or_warn(
+                        probe_keys, batch_id, name, probe_column
+                    )
                 )
             if keys:
                 seen = idx.read_where_in(probe_column, keys, version=rv_i)
@@ -1257,6 +1286,59 @@ def maintain_phash_dedup(
 
 
 _IVM_DEC = "decimal(25,6)"
+
+
+def _delta_grid_sink(
+    spark: SparkSession,
+    batch_id: int,
+    table_path: str,
+    hwm_key: str,
+    partial: DataFrame,
+    name: str,
+) -> bool:
+    """DELTA-APPEND exactly-once commit of one batch's additive grid
+    partial — the pmi/rake/bm25 pattern factored out: no prior-grid
+    read, no MERGE rewrite, O(batch partial) write volume; totals fold
+    on read and the maintenance cycle's aggregating compaction
+    (``_aggregate_compact``) re-bounds live rows to one per key.
+    Replay/rival discipline identical to ``_additive_grid_sink``:
+    ``_landed_on`` + ``conflict_on="batch_id"`` + the monotone hwm
+    stamp, three attempts, then fail loud. Returns False on replay."""
+    from ..load.lakehouse import (
+        ConcurrentWriteError,
+        DuplicateCommitError,
+        LakehouseTable,
+    )
+
+    table = LakehouseTable(spark, table_path)
+    for _ in range(3):
+        rv = table.latest_version()
+        hwm = table.latest_value(hwm_key, as_of=rv)
+        if _landed_on(table, batch_id, rv, hwm):
+            return False
+        try:
+            table.write(
+                partial,
+                mode="append",
+                extra={
+                    "batch_id": batch_id,
+                    hwm_key: max(
+                        batch_id, hwm if hwm is not None else batch_id
+                    ),
+                },
+                conflict_on="batch_id",
+                read_version=rv,
+                monotone_max=(hwm_key,),
+            )
+            return True
+        except DuplicateCommitError:
+            return False  # a rival landed this batch's partial
+        except ConcurrentWriteError:
+            continue  # a compaction landed mid-attempt; re-pin
+    raise RuntimeError(
+        f"{name}: could not append batch {batch_id} after 3 attempts "
+        f"(concurrent writers kept advancing {table_path})"
+    )
 
 
 def _additive_grid_sink(
@@ -2631,9 +2713,13 @@ def cohort_ltv_sink(
     - ``state`` (o_custkey, mkey -> rev): per-(customer, month) exact
       DECIMAL revenue — the partial-aggregate grid that makes n_active
       (distinct active pairs) incrementally countable: a pair is NEW
-      exactly when absent from the pre-batch state.
+      exactly when absent from the pre-batch state. DELTA-APPEND
+      (revenue is purely additive): the batch partial lands as delta
+      rows, totals fold on read, the maintenance cycle's aggregating
+      compaction re-bounds live rows to one per pair.
     - ``matrix`` (cohort_m, months_since -> n_active, rev): the
-      published rollup, MERGE-updated with the batch's delta.
+      published rollup — DELTA-APPEND too (both measures additive);
+      readers fold through ``_cohort_matrix_totals``.
 
     Scale shape: the batch collapses MAP-SIDE to (customer, month)
     partials; both customer-keyed state reads go through the
@@ -2689,9 +2775,13 @@ def cohort_ltv_sink(
         if version is None:
             return spark.createDataFrame([], schema)
         if cust_keys == ():
-            cust_keys = _probe_keys_or_warn(
-                partial.select("o_custkey"), batch_id,
-                "cohort_ltv_sink", "o_custkey",
+            cust_keys = (
+                None
+                if _skip_probe_collect(table, version)
+                else _probe_keys_or_warn(
+                    partial.select("o_custkey"), batch_id,
+                    "cohort_ltv_sink", "o_custkey",
+                )
             )
         if cust_keys is not None:
             return table.read_where_in(
@@ -2764,12 +2854,18 @@ def cohort_ltv_sink(
                 .cache()
             )
             cached.append(known)
-            prior = _read_custs(
-                state,
-                _COHORT_STATE_SCHEMA,
-                state_pin if state_pin != 0 else None,
-            ).select(
-                "o_custkey", "mkey", F.col("rev").alias("prior_rev")
+            # existence probe only: a pair is NEW exactly when absent
+            # from the pre-batch state — the delta-append layout keeps
+            # several rows per pair, so probe DISTINCT pairs
+            prior = (
+                _read_custs(
+                    state,
+                    _COHORT_STATE_SCHEMA,
+                    state_pin if state_pin != 0 else None,
+                )
+                .select("o_custkey", "mkey")
+                .distinct()
+                .withColumn("prior_seen", F.lit(1))
             )
             new_firsts = (
                 partial.join(known, "o_custkey", "left_anti")
@@ -2790,7 +2886,7 @@ def cohort_ltv_sink(
             ).agg(
                 F.sum("rev").cast(_IVM_DEC).alias("d_rev"),
                 F.sum(
-                    F.when(F.col("prior_rev").isNull(), 1).otherwise(0)
+                    F.when(F.col("prior_seen").isNull(), 1).otherwise(0)
                 )
                 .cast("bigint")
                 .alias("d_active"),
@@ -2809,99 +2905,42 @@ def cohort_ltv_sink(
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's firsts
                 if not _landed_on(state, batch_id, rv_s, hwm_s):
-                    pair_rows = joined.select(
-                        "o_custkey",
-                        "mkey",
-                        (
-                            F.coalesce(
-                                F.col("prior_rev"),
-                                F.lit(0).cast(_IVM_DEC),
-                            )
-                            + F.col("rev")
-                        )
-                        .cast(_IVM_DEC)
-                        .alias("rev"),
-                    )
+                    # DELTA-APPEND (was MERGE): the per-(customer,
+                    # month) revenue grid is purely additive, so the
+                    # batch partial lands as delta rows — no prior
+                    # fold, no touched-file rewrite; totals fold on
+                    # read and the maintenance cycle's aggregating
+                    # compaction re-bounds live rows to one per pair.
                     try:
-                        if rv_s is None:  # first commit creates the table
-                            state.write(
-                                pair_rows,
-                                mode="append",
-                                extra=_stamp(batch_id, hwm_s),
-                                conflict_on="batch_id",
-                                read_version=rv_s,
-                                monotone_max=("batch_hwm",),
-                            )
-                        else:
-                            state.merge(
-                                pair_rows,
-                                ["o_custkey", "mkey"],
-                                extra=_stamp(batch_id, hwm_s),
-                                read_version=rv_s,
-                                conflict_on="batch_id",
-                                prune_keys=(
-                                    "o_custkey", cust_keys or None
-                                ),
-                            )
+                        state.write(
+                            partial.select("o_custkey", "mkey", "rev"),
+                            mode="append",
+                            extra=_stamp(batch_id, hwm_s),
+                            conflict_on="batch_id",
+                            read_version=rv_s,
+                            monotone_max=("batch_hwm",),
+                        )
                     except DuplicateCommitError:
                         pass  # a rival landed this batch's state
-                cur = (
-                    matrix.read(version=rv_m)
-                    if rv_m is not None
-                    else spark.createDataFrame(
-                        [],
-                        "cohort_m bigint, months_since int, "
-                        f"n_active bigint, rev {_IVM_DEC}",
-                    )
+                # DELTA-APPEND matrix (was read-current + MERGE): the
+                # published rollup is additive in both measures, so
+                # the batch's (d_active, d_rev) delta lands as-is and
+                # totals fold on read (_cohort_matrix_totals); the
+                # current-grid read per batch is gone.
+                mdelta = delta.select(
+                    "cohort_m",
+                    "months_since",
+                    F.col("d_active").cast("bigint").alias("n_active"),
+                    F.col("d_rev").cast(_IVM_DEC).alias("rev"),
                 )
-                upd = (
-                    delta.join(
-                        cur.select(
-                            "cohort_m",
-                            "months_since",
-                            F.col("n_active").alias("cur_active"),
-                            F.col("rev").alias("cur_rev"),
-                        ),
-                        ["cohort_m", "months_since"],
-                        "left",
-                    )
-                    .select(
-                        "cohort_m",
-                        "months_since",
-                        (
-                            F.coalesce("cur_active", F.lit(0))
-                            + F.col("d_active")
-                        )
-                        .cast("bigint")
-                        .alias("n_active"),
-                        (
-                            F.coalesce(
-                                F.col("cur_rev"),
-                                F.lit(0).cast(_IVM_DEC),
-                            )
-                            + F.col("d_rev")
-                        )
-                        .cast(_IVM_DEC)
-                        .alias("rev"),
-                    )
+                matrix.write(
+                    mdelta,
+                    mode="append",
+                    extra=_stamp(batch_id, hwm_m),
+                    conflict_on="batch_id",
+                    read_version=rv_m,
+                    monotone_max=("batch_hwm",),
                 )
-                if rv_m is None:  # first commit creates the table
-                    matrix.write(
-                        upd,
-                        mode="append",
-                        extra=_stamp(batch_id, hwm_m),
-                        conflict_on="batch_id",
-                        read_version=rv_m,
-                        monotone_max=("batch_hwm",),
-                    )
-                else:
-                    matrix.merge(
-                        upd,
-                        ["cohort_m", "months_since"],
-                        extra=_stamp(batch_id, hwm_m),
-                        read_version=rv_m,
-                        conflict_on="batch_id",
-                    )
                 return True
             except DuplicateCommitError:
                 return False  # a rival landed this batch's matrix
@@ -2914,6 +2953,24 @@ def cohort_ltv_sink(
     finally:
         for c in cached:
             c.unpersist()
+
+
+def _cohort_matrix_totals(spark: SparkSession, matrix_path: str) -> DataFrame:
+    """The published cohort matrix TOTALS relation summed from the
+    delta-append grid (cohort_m, months_since, n_active, rev) — the
+    read-side half of the delta contract, shared by the serve entry
+    and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    return (
+        LakehouseTable(spark, matrix_path)
+        .read()
+        .groupBy("cohort_m", "months_since")
+        .agg(
+            F.sum("n_active").cast("bigint").alias("n_active"),
+            F.sum("rev").cast(_IVM_DEC).alias("rev"),
+        )
+    )
 
 
 def maintain_cohort_ltv(
@@ -3040,6 +3097,20 @@ def maintain_cohort_ltv(
                 except ConcurrentWriteError:
                     pass  # best-effort; the next cycle retries
         if optimize_every and (batch_id + 1) % optimize_every == 0:
+            # aggregating compactions FIRST (re-bound the delta-append
+            # grids to one row per key), then the incremental Z-order
+            # clusters the freshly folded state files by customer
+            _aggregate_compact(
+                spark, state_path, ["o_custkey", "mkey"],
+                [F.sum("rev").cast(_IVM_DEC).alias("rev")],
+            )
+            _aggregate_compact(
+                spark, matrix_path, ["cohort_m", "months_since"],
+                [
+                    F.sum("n_active").cast("bigint").alias("n_active"),
+                    F.sum("rev").cast(_IVM_DEC).alias("rev"),
+                ],
+            )
             for path in (firsts_path, state_path):
                 try:
                     LakehouseTable(spark, path).optimize(
@@ -3073,7 +3144,6 @@ def q_streaming_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..catalog import load_table
-    from ..load.lakehouse import LakehouseTable
 
     work = tempfile.mkdtemp(prefix="cohort_stream_")
     src = f"{work}/src"
@@ -3107,7 +3177,7 @@ def q_streaming_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
         optimize_every=3,
     ).awaitTermination()
-    grid = LakehouseTable(spark, f"{work}/matrix").read()
+    grid = _cohort_matrix_totals(spark, f"{work}/matrix")
     wg = Window.partitionBy("cohort_m")
     wcum = wg.orderBy("months_since").rowsBetween(
         Window.unboundedPreceding, 0
@@ -3596,9 +3666,13 @@ def user_gaps_sink(
                 prior = spark.createDataFrame([], _GAP_STATE_SCHEMA)
             else:
                 if user_keys == ():
-                    user_keys = _probe_keys_or_warn(
-                        partial.select("user_id"), batch_id,
-                        "user_gaps_sink", "user_id",
+                    user_keys = (
+                        None
+                        if _skip_probe_collect(state, rv)
+                        else _probe_keys_or_warn(
+                            partial.select("user_id"), batch_id,
+                            "user_gaps_sink", "user_id",
+                        )
                     )
                 prior = (
                     state.read_where_in("user_id", user_keys, version=rv)
@@ -4514,8 +4588,13 @@ def novelty_sink(
                 prior = spark.createDataFrame([], _NOV_FIRSTS_SCHEMA)
             else:
                 if gram_keys == ():
-                    gram_keys = _probe_keys_or_warn(
-                        bmin.select("g"), batch_id, "novelty_sink", "g"
+                    gram_keys = (
+                        None
+                        if _skip_probe_collect(firsts, firsts_pin)
+                        else _probe_keys_or_warn(
+                            bmin.select("g"), batch_id, "novelty_sink",
+                            "g",
+                        )
                     )
                 prior = (
                     firsts.read_where_in("g", gram_keys, version=firsts_pin)
@@ -4556,6 +4635,9 @@ def novelty_sink(
             # stolen grams across millions of prior holders) must fall
             # back to the full pinned read LOUDLY, never collect an
             # unbounded key list to the driver
+            # (no small-index shortcut here: an EMPTY collect result is
+            # what lets a no-steal batch skip the correction pass —
+            # and most batches steal nothing)
             loss_keys = _probe_keys_or_warn(
                 losses.select("doc_id"), batch_id, "novelty_sink",
                 "doc_id",
@@ -4762,27 +4844,31 @@ def drift_moments_sink(
     size; each batch collapses to it map-side."""
     from ..operators.similarity import _drift_moment_grid
 
-    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
-        return (
-            p.alias("p")
-            .join(c.alias("c"), ["label", "i", "j"], "left")
-            .select(
-                "label",
-                "i",
-                "j",
-                (
-                    F.col("p.s")
-                    + F.coalesce(
-                        F.col("c.s"), F.lit(0).cast("decimal(38,12)")
-                    )
-                ).cast("decimal(38,12)").alias("s"),
-            )
-        )
+    # DELTA-APPEND (was a per-batch MERGE): every batch touches every
+    # (label, i, j) cell of the (d+1)^2-per-label grid, so the merge
+    # rewrote the WHOLE ~42k-row grid per micro-batch (probe: 15 s of
+    # merge in a 23 s entry at sf0.1). Decimal addition is exact and
+    # associative, so read-time summing of the per-batch partials
+    # bit-equals the merged accumulation.
+    return _delta_grid_sink(
+        batch_df.sparkSession, batch_id, table_path, "drift_batch_hwm",
+        _drift_moment_grid(batch_df), "drift_moments_sink",
+    )
 
-    return _additive_grid_sink(
-        batch_df, batch_id, table_path, "drift_batch_hwm",
-        ["label", "i", "j"], _drift_moment_grid(batch_df), combine,
-        "drift_moments_sink",
+
+def _drift_grid_totals(spark: SparkSession, table_path: str) -> DataFrame:
+    """The maintained moment-grid TOTALS relation summed from the
+    delta-append grid — the read-side half of the delta contract,
+    shared by the serve entry and the pytests. Spark's sum over
+    decimal(38,12) keeps the 38,12 result type, so the fold is
+    bit-equal to the old merged accumulation."""
+    from ..load.lakehouse import LakehouseTable
+
+    return (
+        LakehouseTable(spark, table_path)
+        .read()
+        .groupBy("label", "i", "j")
+        .agg(F.sum("s").cast("decimal(38,12)").alias("s"))
     )
 
 
@@ -4791,13 +4877,22 @@ def maintain_drift_moments(
     table_path: str,
     checkpoint: str,
     log_retention: int | None = None,
+    optimize_every: int | None = None,
 ):
     """Run the drift moment-grid IVM sink under foreachBatch
-    (availableNow)."""
+    (availableNow). ``optimize_every=N`` runs the AGGREGATING
+    compaction every N batches (one row per (label, i, j) again,
+    totals invariant) — the delta-grid growth-contract knob."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         drift_moments_sink(batch_df, batch_id, table_path)
-        _maybe_clean_log(batch_df.sparkSession, table_path, log_retention)
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            _aggregate_compact(
+                spark, table_path, ["label", "i", "j"],
+                [F.sum("s").cast("decimal(38,12)").alias("s")],
+            )
+        _maybe_clean_log(spark, table_path, log_retention)
 
     return _run_foreach_batch(stream, _sink, checkpoint)
 
@@ -4816,7 +4911,6 @@ def q_streaming_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..catalog import load_table
-    from ..load.lakehouse import LakehouseTable
     from ..operators.similarity import (
         _as_double_array,
         _drift_mmd_from_moments,
@@ -4849,8 +4943,7 @@ def q_streaming_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintain_drift_moments(
         stream, f"{work}/grid", f"{work}/ckpt"
     ).awaitTermination()
-    grid = LakehouseTable(spark, f"{work}/grid").read()
-    return _drift_mmd_from_moments(grid)
+    return _drift_mmd_from_moments(_drift_grid_totals(spark, f"{work}/grid"))
 
 
 QUERIES["streaming_drift_mmd"] = q_streaming_drift_mmd
@@ -4998,30 +5091,34 @@ def ivf_index_sink(
         )
     )
 
-    def combine(p: DataFrame, c: DataFrame) -> DataFrame:
-        return (
-            p.alias("p")
-            .join(c.alias("c"), ["label", "dim_idx"], "left")
-            .select(
-                "label",
-                "dim_idx",
-                (
-                    F.col("p.s")
-                    + F.coalesce(
-                        F.col("c.s"), F.lit(0).cast("decimal(38,6)")
-                    )
-                ).cast("decimal(38,6)").alias("s"),
-                (
-                    F.col("p.n") + F.coalesce(F.col("c.n"), F.lit(0))
-                ).cast("bigint").alias("n"),
-            )
-        )
-
-    folded = _additive_grid_sink(
-        batch_df, batch_id, cents_path, "cent_batch_hwm",
-        ["label", "dim_idx"], partial, combine, "ivf_index_sink",
+    # DELTA-APPEND (was a per-batch MERGE): every batch touches every
+    # (label, dim_idx) cell, so the merge rewrote the whole grid per
+    # micro-batch (probe: ~6 s of merge per streaming-ANN entry at
+    # sf0.1). Decimal/bigint addition is exact and associative, so
+    # read-time summing (_cent_grid_totals) bit-equals the merged
+    # accumulation.
+    folded = _delta_grid_sink(
+        spark, batch_id, cents_path, "cent_batch_hwm", partial,
+        "ivf_index_sink",
     )
     return wrote or folded
+
+
+def _cent_grid_totals(spark: SparkSession, cents_path: str) -> DataFrame:
+    """The maintained centroid-moment TOTALS relation summed from the
+    delta-append grid (label, dim_idx, s, n) — the read-side half of
+    the delta contract, shared by the serving probe and the pytests."""
+    from ..load.lakehouse import LakehouseTable
+
+    return (
+        LakehouseTable(spark, cents_path)
+        .read()
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.sum("s").cast("decimal(38,6)").alias("s"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
 
 
 def maintain_ivf_index(
@@ -5056,6 +5153,13 @@ def maintain_ivf_index(
                 )
             except ConcurrentWriteError:
                 pass  # best-effort maintenance; the next cycle retries
+            _aggregate_compact(
+                spark, cents_path, ["label", "dim_idx"],
+                [
+                    F.sum("s").cast("decimal(38,6)").alias("s"),
+                    F.sum("n").cast("bigint").alias("n"),
+                ],
+            )
         for path in (vectors_path, cents_path):
             _maybe_clean_log(spark, path, log_retention)
 
@@ -5117,7 +5221,7 @@ def _maintained_ivf_probe(spark: SparkSession, work: str, nprobe: int):
     )
 
     vectors = LakehouseTable(spark, f"{work}/vectors")
-    grid = LakehouseTable(spark, f"{work}/cents").read()
+    grid = _cent_grid_totals(spark, f"{work}/cents")
     cent_long = grid.select(
         "label",
         "dim_idx",
@@ -5568,39 +5672,10 @@ def bm25_index_sink(
         # no touched-file scan, O(batch partial) write volume — totals
         # fold on read (``_bm25_stats_totals``) and the maintenance
         # cycle's aggregating compaction re-bounds live rows.
-        stats_t = LakehouseTable(spark, stats_path)
-        folded = False
-        for _ in range(3):
-            rv_s = stats_t.latest_version()
-            hwm_s = stats_t.latest_value("bm25_batch_hwm", as_of=rv_s)
-            if _landed_on(stats_t, batch_id, rv_s, hwm_s):
-                break
-            try:
-                stats_t.write(
-                    partial,
-                    mode="append",
-                    extra={
-                        "batch_id": batch_id,
-                        "bm25_batch_hwm": max(
-                            batch_id, hwm_s if hwm_s is not None else batch_id
-                        ),
-                    },
-                    conflict_on="batch_id",
-                    read_version=rv_s,
-                    monotone_max=("bm25_batch_hwm",),
-                )
-                folded = True
-                break
-            except DuplicateCommitError:
-                break  # a rival landed this batch's stats partial
-            except ConcurrentWriteError:
-                continue  # a compaction landed mid-attempt; re-pin
-        else:
-            raise RuntimeError(
-                f"bm25_index_sink: could not append stats for batch "
-                f"{batch_id} after 3 attempts (rivals kept advancing "
-                f"{stats_path})"
-            )
+        folded = _delta_grid_sink(
+            spark, batch_id, stats_path, "bm25_batch_hwm", partial,
+            "bm25_index_sink",
+        )
         return wrote or folded
     finally:
         grid.unpersist()
@@ -5978,9 +6053,14 @@ def decon_sink(
                 stored = spark.createDataFrame([], "gram string")
             else:
                 if keys == ():
-                    keys = _probe_keys_or_warn(
-                        train_grams.select("gram").unionAll(batch_eval),
-                        batch_id, "decon_sink", "gram",
+                    keys = (
+                        None
+                        if _skip_probe_collect(idx, rv_i)
+                        else _probe_keys_or_warn(
+                            train_grams.select("gram")
+                            .unionAll(batch_eval),
+                            batch_id, "decon_sink", "gram",
+                        )
                     )
                 stored = (
                     idx.read_where_in("gram", keys, version=rv_i)
@@ -6260,9 +6340,13 @@ def containment_sink(
                 )
             else:
                 if keys == ():
-                    keys = _probe_keys_or_warn(
-                        train_grams.select("gram"), batch_id,
-                        "containment_sink", "gram",
+                    keys = (
+                        None
+                        if _skip_probe_collect(idx, rv_i)
+                        else _probe_keys_or_warn(
+                            train_grams.select("gram"), batch_id,
+                            "containment_sink", "gram",
+                        )
                     )
                 stored = (
                     idx.read_where_in("gram", keys, version=rv_i)
@@ -6564,9 +6648,13 @@ def session_tails_sink(
                 prior = spark.createDataFrame([], _SESS_TAILS_SCHEMA)
             else:
                 if user_keys == ():
-                    user_keys = _probe_keys_or_warn(
-                        sess.select("user_id"), batch_id,
-                        "session_tails_sink", "user_id",
+                    user_keys = (
+                        None
+                        if _skip_probe_collect(tails, rv_t)
+                        else _probe_keys_or_warn(
+                            sess.select("user_id"), batch_id,
+                            "session_tails_sink", "user_id",
+                        )
                     )
                 prior = (
                     tails.read_where_in("user_id", user_keys, version=rv_t)

@@ -1269,6 +1269,10 @@ def test_lsh_dedup_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     O(corpus)-rows-per-micro-batch term (r13 judge, What's wrong #1).
     Verdicts from the pruned probe must equal the unpruned semantics:
     the new duplicate doc still finds its cross-batch partner."""
+    # pin the prune path: the test index is metadata-scale, so the
+    # small-index shortcut would (correctly) skip the key-collect —
+    # this test verifies the PRUNED path specifically
+    monkeypatch.setattr(streaming_events, "_PROBE_SMALL_INDEX_ROWS", -1)
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -1331,6 +1335,10 @@ def test_phash_dedup_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     an oversized probe set (cap monkeypatched to 1) falls back to the
     FULL pinned read — conservatively correct, never an oversized
     IN-list plan."""
+    # pin the prune path: the test index is metadata-scale, so the
+    # small-index shortcut would (correctly) skip the key-collect —
+    # this test verifies the PRUNED path specifically
+    monkeypatch.setattr(streaming_events, "_PROBE_SMALL_INDEX_ROWS", -1)
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -1409,9 +1417,17 @@ def test_cohort_ltv_sink_matches_batch_and_skips_replay(spark, sf_dir, tmp_path)
     assert streaming_events.cohort_ltv_sink(b0, 0, f, s, m) is True
     assert streaming_events.cohort_ltv_sink(b1, 1, f, s, m) is True
 
+    # delta-append layout: state and matrix commits are all appends
+    for p in (s, m):
+        ops = [
+            e["operation"] for e in LakehouseTable(spark, p).history()
+        ]
+        assert set(ops) == {"append"}, p
     got = {
         (r.cohort_m, r.months_since): (r.n_active, r.rev)
-        for r in LakehouseTable(spark, m).read().collect()
+        for r in streaming_events._cohort_matrix_totals(
+            spark, m
+        ).collect()
     }
     orders = load_table(spark, sf_dir, "orders")
     od = F.to_date("o_orderdate")
@@ -1471,7 +1487,9 @@ def test_cohort_ltv_sink_replays_after_partial_crash(spark, sf_dir, tmp_path):
     assert streaming_events.cohort_ltv_sink(b0, 0, f, s, m) is True
     full = {
         (r.cohort_m, r.months_since): (r.n_active, r.rev)
-        for r in LakehouseTable(spark, m).read().collect()
+        for r in streaming_events._cohort_matrix_totals(
+            spark, m
+        ).collect()
     }
 
     # simulate the crash: land batch 1 on firsts AND state exactly as
@@ -1502,19 +1520,11 @@ def test_cohort_ltv_sink_replays_after_partial_crash(spark, sf_dir, tmp_path):
         extra={"batch_id": 1, "batch_hwm": max(1, hwm_f)},
         conflict_on="batch_id", monotone_max=("batch_hwm",),
     )
-    prior = state_t.read().select(
-        "o_custkey", "mkey", F.col("rev").alias("prior_rev")
-    )
-    pair_rows = partial.join(prior, ["o_custkey", "mkey"], "left").select(
-        "o_custkey", "mkey",
-        (F.coalesce("prior_rev", F.lit(0).cast("decimal(25,6)"))
-         + F.col("rev")).cast("decimal(25,6)").alias("rev"),
-    )
     hwm_s = state_t.latest_value("batch_hwm")
-    state_t.merge(
-        pair_rows, ["o_custkey", "mkey"],
+    state_t.write(
+        partial.select("o_custkey", "mkey", "rev"), mode="append",
         extra={"batch_id": 1, "batch_hwm": max(1, hwm_s)},
-        conflict_on="batch_id",
+        conflict_on="batch_id", monotone_max=("batch_hwm",),
     )
 
     # the replayed batch must complete ONLY the matrix, with the
@@ -1525,11 +1535,15 @@ def test_cohort_ltv_sink_replays_after_partial_crash(spark, sf_dir, tmp_path):
     assert streaming_events.cohort_ltv_sink(b1, 1, f2, s2, m2) is True
     got = {
         (r.cohort_m, r.months_since): (r.n_active, r.rev)
-        for r in LakehouseTable(spark, m).read().collect()
+        for r in streaming_events._cohort_matrix_totals(
+            spark, m
+        ).collect()
     }
     want = {
         (r.cohort_m, r.months_since): (r.n_active, r.rev)
-        for r in LakehouseTable(spark, m2).read().collect()
+        for r in streaming_events._cohort_matrix_totals(
+            spark, m2
+        ).collect()
     }
     assert got == want
     # and the state was not double-folded by the replay
@@ -1722,6 +1736,10 @@ def test_user_gaps_sink_probe_reads_file_pruned(spark, tmp_path, monkeypatch):
     than the state holds (the dedup sinks' file-open bound applied to
     the per-user gap state), and the pruned prior must still fold the
     returning user's boundary gap exactly."""
+    # pin the prune path: the test index is metadata-scale, so the
+    # small-index shortcut would (correctly) skip the key-collect —
+    # this test verifies the PRUNED path specifically
+    monkeypatch.setattr(streaming_events, "_PROBE_SMALL_INDEX_ROWS", -1)
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -2012,7 +2030,9 @@ def test_cohort_retirement_bounds_firsts_and_state(spark, tmp_path):
     # state-storage policy, never a retraction of published results
     matrix = {
         (r.cohort_m, r.months_since): (r.n_active, float(r.rev))
-        for r in LakehouseTable(spark, matrix_p).read().collect()
+        for r in streaming_events._cohort_matrix_totals(
+            spark, matrix_p
+        ).collect()
     }
     assert matrix[(m0, 0)] == (2, 30.0)
     assert matrix[(m0, 12)] == (1, 30.0)
@@ -2024,22 +2044,29 @@ def test_cohort_retirement_bounds_firsts_and_state(spark, tmp_path):
 def test_cohort_retirement_guard_rejects_out_of_order_batch(
     spark, tmp_path
 ):
-    """Once a retirement cycle has stamped retire_wm_mkey, a later
-    batch carrying an order whose month key falls below (watermark -
-    horizon) must fail LOUD before folding — a silent fold would
-    double-count n_active against retired state or re-acquire the
-    customer as a new cohort mid-horizon."""
+    """Once a retirement cycle has ACTUALLY RETIRED state (and so
+    stamped retire_wm_mkey), a later batch carrying an order whose
+    month key falls below (watermark - horizon) must fail LOUD before
+    folding — a silent fold would double-count n_active against
+    retired state or re-acquire the customer as a new cohort
+    mid-horizon. A cycle that retires NOTHING stamps nothing and arms
+    no guard: with all state intact, a late batch folds safely —
+    before the r19 fused-stats work, stat-less state files forced a
+    conservative straddle rewrite that committed (and stamped) even
+    when no row retired, which is what the old version of this test
+    leaned on."""
     import datetime as dt
 
     import pytest
 
     schema = "o_custkey bigint, o_orderdate date, o_totalprice double"
     batches = [
-        # month 2023*12+4 — the per-batch cycle stamps
-        # retire_wm_mkey, cutoff = wm - 18
-        [(1, dt.date(2023, 5, 10), 10.0)],
-        # month 2020*12 — 40 months behind the watermark, below the
-        # cutoff: the guard must refuse the fold
+        # customer 1 spans months 2020*12 and 2023*12+4: the cycle
+        # after this batch RETIRES the month-2020*12 state rows
+        # (cutoff = wm - 18) and stamps retire_wm_mkey
+        [(1, dt.date(2020, 1, 10), 10.0), (1, dt.date(2023, 5, 10), 10.0)],
+        # month 2020*12 — 40 months behind the stamped watermark,
+        # below the cutoff: the guard must refuse the fold
         [(2, dt.date(2020, 1, 10), 5.0)],
     ]
     src = str(tmp_path / "src")
@@ -2431,6 +2458,10 @@ def test_novelty_sink_gram_probe_reads_file_pruned(
     read_where_in and OPEN strictly fewer files than the lattice holds
     (the dedup-index file-open bound on the gram grid), and the pruned
     prior must still drive an exact steal correction."""
+    # pin the prune path: the test index is metadata-scale, so the
+    # small-index shortcut would (correctly) skip the key-collect —
+    # this test verifies the PRUNED path specifically
+    monkeypatch.setattr(streaming_events, "_PROBE_SMALL_INDEX_ROWS", -1)
     from pyspark.sql import functions as F
 
     from retail_sales_etl_spark.load import lakehouse as lh
@@ -2499,9 +2530,18 @@ def test_drift_moments_sink_order_insensitive_and_skips_replay(
         path = str(tmp_path / f"g_{order}")
         assert streaming_events.drift_moments_sink(x, 0, path) is True
         assert streaming_events.drift_moments_sink(y, 1, path) is True
+        # delta-append grid: every commit is an append, totals fold
+        # on read
+        ops = [
+            e["operation"]
+            for e in LakehouseTable(spark, path).history()
+        ]
+        assert set(ops) == {"append"}, order
         got = {
             (r.label, r.i, r.j): r.s
-            for r in LakehouseTable(spark, path).read().collect()
+            for r in streaming_events._drift_grid_totals(
+                spark, path
+            ).collect()
         }
         assert got == want_grid, order
     # derivation through the shared core: the crafted shift pair
@@ -2510,7 +2550,7 @@ def test_drift_moments_sink_order_insensitive_and_skips_replay(
     rep = {
         (r.label_a, r.label_b): r
         for r in _drift_mmd_from_moments(
-            LakehouseTable(spark, path).read()
+            streaming_events._drift_grid_totals(spark, path)
         ).collect()
     }
     assert rep[(0, 1)].mmd2_linear == 0.5
@@ -2549,9 +2589,17 @@ def test_ivf_index_sink_order_insensitive_and_skips_replay(
             for r in LakehouseTable(spark, vp).read().collect()
         }
         assert set(vecs) == {0, 1, 2, 3}, order
+        # delta-append grid: every commit is an append, totals fold
+        # on read
+        ops = [
+            e["operation"] for e in LakehouseTable(spark, cp).history()
+        ]
+        assert set(ops) == {"append"}, order
         cents = {
             (r.label, r.dim_idx): (float(r.s), r.n)
-            for r in LakehouseTable(spark, cp).read().collect()
+            for r in streaming_events._cent_grid_totals(
+                spark, cp
+            ).collect()
         }
         assert {k: v[0] for k, v in cents.items()} == want_cents, order
         assert all(n == 2 for _, n in cents.values())
